@@ -1,0 +1,276 @@
+"""Distributed rewrite engine: per-tree ops via ``applyInPandas`` and the
+iterative fixpoint loop.
+
+The reference's driver loop (``rewrite()``,
+``architxt/simplification/tree_rewriting/__init__.py:56-168``) runs per
+iteration: reduce → cluster → find_groups → [FindSubGroups, MergeGroups,
+FindCollections, FindRelations, FindCollections, ReduceBottom, ReduceTop]
+with early-exit at the first op class that changed anything, to fixpoint
+(≤ epoch iterations).  Its ProcessPool/Queue/Barrier machinery
+(``:311-584``) is deleted wholesale — Spark scheduling replaces it.
+
+Scale design:
+
+- the forest DataFrame is hash-partitioned by ``tree_id`` once; every
+  ``applyInPandas`` group-map then reuses that partitioning (no extra
+  shuffle per op);
+- each iteration ends with ``localCheckpoint`` to truncate lineage
+  (a Pregel-style loop);
+- "did anything change" is a cheap aggregation on a per-tree ``changed``
+  flag column, not a driver-side diff;
+- cluster support is computed once per iteration (iteration-synchronous
+  semantics; the reference re-evaluates against the mutating forest as it
+  rewrites tree-by-tree — an accepted, documented difference matching its
+  own ``schema_only`` mode's spirit).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+from architxt_spark.model import NODE_SCHEMA, NodeType
+from architxt_spark.operators import pytree_ops
+from architxt_spark.trees import PyTree, rows_to_trees, tree_to_rows
+
+#: node schema + per-tree change flag (carried on every row of the tree).
+_OP_SCHEMA = StructType(list(NODE_SCHEMA.fields) + [StructField("changed", StringType(), True)])
+
+
+def apply_tree_op(nodes: DataFrame, op: Callable[[PyTree], bool], op_name: str = "op") -> DataFrame:
+    """Apply a per-tree rewrite to every tree; returns nodes + ``changed``
+    column ('1' on every row of a modified tree)."""
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = pdf.to_dict("records")
+        trees = rows_to_trees(recs)
+        out = []
+        for tid, tree in trees.items():
+            changed = op(tree)
+            for row in tree_to_rows(tree, tid):
+                row["changed"] = "1" if changed else None
+                out.append(row)
+        return pd.DataFrame(out, columns=[f.name for f in _OP_SCHEMA.fields])
+
+    return nodes.groupBy("tree_id").applyInPandas(run, _OP_SCHEMA)
+
+
+def _changed_count(nodes_with_flag: DataFrame) -> int:
+    return nodes_with_flag.filter(F.col("changed") == "1").select("tree_id").distinct().count()
+
+
+def simple_rewrite(nodes: DataFrame) -> DataFrame:
+    """Baseline rewrite (``architxt/simplification/simple_rewrite.py:19-66``):
+    each tree with unlabelled nodes collapses to one GROUP of its distinct
+    entities; group ids assigned per unique sorted entity-label set.
+
+    Fully set-based: ``groupBy(tree_id).agg(sort_array(collect_set))`` +
+    ``dense_rank`` for stable group ids, then re-emit node rows.
+    """
+    ents = nodes.filter(F.col("node_type") == NodeType.ENT)
+    # trees with no unlabelled internal node keep their structure
+    unlabelled = (
+        nodes.filter(F.col("node_name").isNotNull() & F.col("node_type").isNull())
+        .select("tree_id")
+        .distinct()
+    )
+    keys = (
+        ents.join(unlabelled, "tree_id", "left_semi")
+        .groupBy("tree_id")
+        .agg(F.sort_array(F.collect_set("node_name")).alias("label_set"))
+        .withColumn("group_id", F.dense_rank().over(Window.orderBy("label_set")).cast("string"))
+    )
+
+    # first entity occurrence per (tree, name): dedup entities
+    leaves = nodes.filter(F.col("node_name").isNull() & F.col("leaf_value").isNotNull()).select(
+        F.col("parent_id").alias("ent_ref"), F.col("pos").alias("leaf_pos"), F.col("leaf_value").alias("lv")
+    )
+    first_ents = (
+        ents.join(keys.select("tree_id", "group_id"), "tree_id")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("tree_id", "node_name").orderBy("path")))
+        .filter(F.col("rn") == 1)
+        .withColumn("ent_pos", F.row_number().over(Window.partitionBy("tree_id").orderBy("path")) - 1)
+    )
+
+    root = keys.select(
+        "tree_id",
+        F.concat(F.col("tree_id"), F.lit(":r")).alias("node_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit(0).alias("pos"),
+        F.array().cast("array<int>").alias("path"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("node_type"),
+        F.lit("ROOT").alias("node_name"),
+        F.lit(None).cast("string").alias("leaf_value"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    group = keys.select(
+        "tree_id",
+        F.concat(F.col("tree_id"), F.lit(":g")).alias("node_id"),
+        F.concat(F.col("tree_id"), F.lit(":r")).alias("parent_id"),
+        F.lit(0).alias("pos"),
+        F.array(F.lit(0)).cast("array<int>").alias("path"),
+        F.lit(1).alias("depth"),
+        F.lit(NodeType.GROUP).cast("string").alias("node_type"),
+        F.col("group_id").alias("node_name"),
+        F.lit(None).cast("string").alias("leaf_value"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    new_ents = first_ents.select(
+        "tree_id",
+        F.concat(F.col("tree_id"), F.lit(":e"), F.col("ent_pos")).alias("node_id"),
+        F.concat(F.col("tree_id"), F.lit(":g")).alias("parent_id"),
+        F.col("ent_pos").alias("pos"),
+        F.array(F.lit(0), F.col("ent_pos")).cast("array<int>").alias("path"),
+        F.lit(2).alias("depth"),
+        F.lit(NodeType.ENT).cast("string").alias("node_type"),
+        "node_name",
+        F.lit(None).cast("string").alias("leaf_value"),
+        "metadata",
+    )
+    new_leaves = (
+        first_ents.join(leaves, first_ents.node_id == leaves.ent_ref, "inner")
+        .select(
+            "tree_id",
+            F.concat(F.col("tree_id"), F.lit(":e"), F.col("ent_pos"), F.lit("."), F.col("leaf_pos")).alias("node_id"),
+            F.concat(F.col("tree_id"), F.lit(":e"), F.col("ent_pos")).alias("parent_id"),
+            F.col("leaf_pos").alias("pos"),
+            F.array(F.lit(0), F.col("ent_pos"), F.col("leaf_pos")).cast("array<int>").alias("path"),
+            F.lit(3).alias("depth"),
+            F.lit(None).cast("string").alias("node_type"),
+            F.lit(None).cast("string").alias("node_name"),
+            F.col("lv").alias("leaf_value"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+    )
+    rewritten = root.unionByName(group).unionByName(new_ents).unionByName(new_leaves)
+    untouched = nodes.join(unlabelled, "tree_id", "left_anti")
+    return untouched.unionByName(rewritten)
+
+
+def find_groups(nodes: DataFrame, assignments: DataFrame, min_support: int) -> DataFrame:
+    """Convert frequent-cluster member subtrees into GROUP nodes
+    (``find_groups`` / ``create_group``,
+    ``simplification/tree_rewriting/__init__.py:636-706``).
+
+    ``assignments``: (node_id, cluster_name, support) from
+    :mod:`architxt_spark.similarity`.  A member subtree is converted when
+    support > min_support, it has ≥2 children, its parent is not a GROUP,
+    all children are ENT, and entities are unique; conversion relabels to
+    ``GROUP::<cluster>`` and keeps only ENT children (existing GROUPs are
+    renamed only).  Set-based: joins + relabels, no UDF.
+    """
+    frequent = assignments.filter(F.col("support") > min_support).select(
+        F.col("node_id").alias("m_id"), "cluster_name"
+    )
+
+    children = (
+        nodes.filter(F.col("node_name").isNotNull())
+        .groupBy(F.col("parent_id").alias("pc_id"))
+        .agg(
+            F.count("*").alias("n_children"),
+            F.sum(F.when(F.col("node_type") == NodeType.ENT, 1).otherwise(0)).alias("n_ent"),
+            F.count_distinct(
+                F.when(F.col("node_type") == NodeType.ENT, F.col("node_name"))
+            ).alias("n_ent_names"),
+        )
+    )
+    parents = nodes.select(F.col("node_id").alias("p_id"), F.col("node_type").alias("p_type"))
+
+    eligible = (
+        nodes.join(frequent, nodes.node_id == frequent.m_id, "inner")
+        .join(children, F.col("node_id") == F.col("pc_id"), "left")
+        .join(parents, F.col("parent_id") == F.col("p_id"), "left")
+        .filter(
+            (F.col("n_children") >= 2)
+            & (F.col("n_children") == F.col("n_ent"))
+            & (F.col("n_ent_names") == F.col("n_ent"))
+            & (F.coalesce(F.col("p_type"), F.lit("")) != NodeType.GROUP)
+        )
+        .select(F.col("node_id").alias("conv_id"), F.col("cluster_name").alias("new_name"))
+    )
+
+    out = (
+        nodes.join(eligible, nodes.node_id == eligible.conv_id, "left")
+        .withColumn(
+            "node_type",
+            F.when(F.col("conv_id").isNotNull(), F.lit(NodeType.GROUP)).otherwise(F.col("node_type")),
+        )
+        .withColumn(
+            "node_name",
+            F.when(F.col("conv_id").isNotNull(), F.col("new_name")).otherwise(F.col("node_name")),
+        )
+        .drop("conv_id", "new_name")
+    )
+    return out
+
+
+#: Ordered op chain (``DEFAULT_OPERATIONS``,
+#: ``simplification/tree_rewriting/__init__.py:45-53``); FindSubGroups /
+#: MergeGroups (combinatorial search) join the chain in a later milestone.
+DEFAULT_OPERATIONS: tuple[tuple[str, Callable[[PyTree], bool]], ...] = (
+    ("find_collections", pytree_ops.find_collections),
+    ("find_relations", pytree_ops.find_relations),
+    ("find_collections_2", pytree_ops.find_collections),
+    ("reduce_bottom", pytree_ops.reduce_bottom),
+    ("reduce_top", pytree_ops.reduce_top),
+)
+
+
+def rewrite(
+    nodes: DataFrame,
+    *,
+    tau: float = 0.7,
+    min_support: int | None = None,
+    epoch: int = 100,
+    operations: Iterable[tuple[str, Callable[[PyTree], bool]]] | None = None,
+) -> DataFrame:
+    """Iterative fixpoint rewrite (``rewrite()``,
+    ``simplification/tree_rewriting/__init__.py:56-168``).
+
+    Per iteration: reduce_all({ENT}) → cluster → find_groups → op chain with
+    early-exit at the first op that changed anything.  Stops when an
+    iteration simplifies nothing or after ``epoch`` iterations.
+    """
+    from architxt_spark.similarity import cluster_forest
+
+    spark = nodes.sparkSession
+    n_trees = nodes.select("tree_id").distinct().count()
+    if min_support is None:
+        min_support = max(n_trees // 10, 2)
+
+    ops = list(operations) if operations is not None else list(DEFAULT_OPERATIONS)
+
+    nodes = nodes.repartition("tree_id").localCheckpoint(eager=True)
+
+    for _ in range(epoch):
+        flagged = apply_tree_op(nodes, lambda t: pytree_ops.reduce_all(t, {NodeType.ENT}), "reduce")
+        nodes = flagged.drop("changed")
+
+        assignments = cluster_forest(nodes, tau=tau)
+        nodes = find_groups(nodes, assignments, min_support)
+
+        iteration_changed = False
+        for name, fn in ops:
+            flagged = apply_tree_op(nodes, fn, name)
+            changed = _changed_count(flagged)
+            nodes = flagged.drop("changed").localCheckpoint(eager=True)
+            if changed:
+                iteration_changed = True
+                break  # early-exit (reference ``:566-582``)
+
+        if not iteration_changed:
+            break
+
+    # post-process naming passes (``_post_process``, ``:227-259``)
+    for fn in (
+        lambda t: pytree_ops.find_relations(t, naming_only=True),
+        lambda t: pytree_ops.find_collections(t, naming_only=True),
+    ):
+        nodes = apply_tree_op(nodes, fn, "post").drop("changed").localCheckpoint(eager=True)
+
+    return nodes

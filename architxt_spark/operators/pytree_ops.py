@@ -1,0 +1,255 @@
+"""Per-tree rewrite algorithms on :class:`~architxt_spark.trees.PyTree`.
+
+The reference applies every rewrite operation tree-by-tree
+(``Operation.apply(tree) -> bool``,
+``architxt/simplification/tree_rewriting/operations/operation.py:14-61``);
+trees are small (a sentence / a document row), so the per-tree algorithm is
+plain Python here and the ENGINE parallelizes across trees with
+``applyInPandas`` (see :mod:`architxt_spark.operators.engine`) — horizontal
+scale comes from partitioning by ``tree_id``, not from rewriting the
+algorithm into joins.
+
+Implemented operations and their reference semantics:
+
+- :func:`reduce_all` — ``Tree.reduce / reduce_all``
+  (``architxt/tree.py:775-828``): splice out single-child nodes whose type
+  is not in ``skip_types``, to fixpoint.
+- :func:`reduce_bottom` / :func:`reduce_top` — ``ReduceBottomOperation`` /
+  ``ReduceTopOperation``
+  (``operations/reductions.py:62-88``): delete untyped nodes whose children
+  are all ENT (bottom) or untyped direct children of the root (top),
+  splicing children into the parent.
+- :func:`find_collections` — ``FindCollectionsOperation``
+  (``operations/collections.py:20-103``): merge equal-label sibling
+  GROUP/REL/COLL runs into one ``COLL::<name>`` (flattening nested COLLs);
+  ``naming_only`` labels homogeneous parents.
+- :func:`find_relations` — ``FindRelationsOperation``
+  (``operations/relations.py:21-121``): binary (GROUP, GROUP) parents become
+  ``REL::A<->B`` (sorted names, self-pairs skipped); (GROUP, COLL-of-GROUP)
+  distributes into one REL per collection member.
+
+Every function mutates the tree in place and returns ``True`` if it
+simplified something, matching ``Operation.apply``.
+"""
+
+from __future__ import annotations
+
+from architxt_spark.model import NodeType
+from architxt_spark.trees import PyTree
+
+
+def _subtrees(tree: PyTree, include_self: bool = True) -> list[tuple[PyTree | None, int, PyTree, int]]:
+    """Pre-order list of (parent, index, node, depth)."""
+    out: list[tuple[PyTree | None, int, PyTree, int]] = []
+
+    def walk(parent: PyTree | None, idx: int, node: PyTree, depth: int) -> None:
+        out.append((parent, idx, node, depth))
+        for i, c in enumerate(node.children):
+            if isinstance(c, PyTree):
+                walk(node, i, c, depth + 1)
+
+    walk(None, 0, tree, 0)
+    return out if include_self else out[1:]
+
+
+def _is_typed(node: PyTree | str, types: set[str] | None = None) -> bool:
+    if not isinstance(node, PyTree):
+        return False
+    t = node.node_type
+    if t is None:
+        return False
+    return t in types if types is not None else True
+
+
+def reduce_node(tree: PyTree, parent: PyTree, index: int, skip_types: set[str] | None = None) -> bool:
+    """``Tree.reduce`` (``architxt/tree.py:775-805``)."""
+    if len(tree.children) != 1 or (skip_types and tree.node_type in skip_types):
+        return False
+    parent.children[index : index + 1] = tree.children
+    return True
+
+
+def reduce_all(tree: PyTree, skip_types: set[str] | None = None) -> bool:
+    """``Tree.reduce_all`` (``architxt/tree.py:806-828``): fixpoint."""
+    changed = False
+    reduced = True
+    while reduced:
+        reduced = False
+        for parent, idx, node, _ in _subtrees(tree, include_self=False):
+            if parent is not None and reduce_node(node, parent, idx, skip_types):
+                reduced = changed = True
+                break
+    return changed
+
+
+def _splice(parent: PyTree, node: PyTree) -> None:
+    i = parent.children.index(node)
+    parent.children[i : i + 1] = node.children
+
+
+def reduce_bottom(tree: PyTree) -> bool:
+    """``ReduceBottomOperation`` (``operations/reductions.py:62-76``)."""
+    victims = [
+        (parent, node)
+        for parent, _, node, _ in reversed(_subtrees(tree, include_self=False))
+        if node.node_type is None
+        and node.children
+        and all(_is_typed(c, {NodeType.ENT}) for c in node.children)
+    ]
+    for parent, node in victims:
+        if node in parent.children:
+            _splice(parent, node)
+    return bool(victims)
+
+
+def reduce_top(tree: PyTree) -> bool:
+    """``ReduceTopOperation`` (``operations/reductions.py:79-88``)."""
+    victims = [c for c in tree.children if isinstance(c, PyTree) and c.node_type is None]
+    for node in victims:
+        _splice(tree, node)
+    return bool(victims)
+
+
+def find_collections(tree: PyTree, *, naming_only: bool = False) -> bool:
+    """``FindCollectionsOperation.apply`` (``operations/collections.py:34-103``)."""
+    simplified = False
+    STRUCT = {NodeType.GROUP, NodeType.REL, NodeType.COLL}
+
+    candidates = [
+        (node, depth)
+        for _, _, node, depth in _subtrees(tree)
+        if node.node_type not in {NodeType.ENT, NodeType.GROUP, NodeType.REL}
+        and any(_is_typed(c, STRUCT) for c in node.children)
+    ]
+    for node, _ in sorted(candidates, key=lambda x: x[1], reverse=True):
+        if node.node_type == NodeType.COLL:  # renaming only
+            first = node.children[0]
+            if isinstance(first, PyTree):
+                node.label = f"{NodeType.COLL}::{first.node_name}"
+            continue
+
+        if naming_only:
+            kids = node.children
+            if (
+                kids
+                and _is_typed(kids[0], {NodeType.GROUP, NodeType.REL})
+                and all(isinstance(k, PyTree) and k.label == kids[0].label for k in kids)
+            ):
+                node.label = f"{NodeType.COLL}::{kids[0].node_name}"
+                simplified = True
+            continue
+
+        if _merge_equivalent_siblings(node):
+            simplified = True
+    return simplified
+
+
+def _merge_equivalent_siblings(node: PyTree) -> bool:
+    """``_merge_equivalent_siblings_into_collection``
+    (``operations/collections.py:66-103``)."""
+    STRUCT = {NodeType.GROUP, NodeType.REL, NodeType.COLL}
+    by_name: dict[str, list[PyTree]] = {}
+    for c in node.children:
+        if _is_typed(c, STRUCT):
+            by_name.setdefault(c.node_name, []).append(c)
+
+    modified = False
+    for members in (m for m in by_name.values() if len(m) > 1):
+        index = node.children.index(members[0])
+        name = members[0].node_name
+        gathered: list[PyTree | str] = []
+        for m in members:
+            if m.node_type == NodeType.COLL:
+                gathered.extend(m.children)
+            else:
+                gathered.append(m)
+            node.children.remove(m)
+        modified = True
+        if not node.children:
+            # entire subtree was one collection: reuse the node
+            node.label = f"{NodeType.COLL}::{name}"
+            node.children = gathered
+        else:
+            node.children.insert(min(index, len(node.children)), PyTree(f"{NodeType.COLL}::{name}", gathered))
+    return modified
+
+
+def _is_valid_relation(node: PyTree) -> bool:
+    return (
+        len(node.children) == 2
+        and all(_is_typed(c, {NodeType.GROUP}) for c in node.children)
+    )
+
+
+def find_relations(tree: PyTree, *, naming_only: bool = False) -> bool:
+    """``FindRelationsOperation.apply`` (``operations/relations.py:38-121``)."""
+    simplified = False
+    candidates = [
+        (node, depth)
+        for _, _, node, depth in _subtrees(tree)
+        if len(node.children) == 2
+        and node.node_type not in {NodeType.ENT, NodeType.GROUP}
+        and all(_is_typed(c, {NodeType.GROUP, NodeType.COLL}) for c in node.children)
+    ]
+    for node, _ in sorted(candidates, key=lambda x: x[1], reverse=True):
+        if _is_valid_relation(node):
+            if _make_group_group_relation(node):
+                simplified = True
+        elif not naming_only and _make_group_collection_relation(node):
+            simplified = True
+    return simplified
+
+
+def _make_group_group_relation(node: PyTree) -> bool:
+    a, b = node.children
+    assert isinstance(a, PyTree) and isinstance(b, PyTree)
+    if a.node_name == b.node_name:
+        return False
+    n1, n2 = sorted([a.node_name, b.node_name])
+    was_rel = node.node_type == NodeType.REL
+    node.label = f"{NodeType.REL}::{n1}<->{n2}"
+    return not was_rel
+
+
+def _make_group_collection_relation(node: PyTree) -> bool:
+    a, b = node.children
+    if _is_typed(a, {NodeType.GROUP}) and _is_typed(b, {NodeType.COLL}):
+        group, coll = a, b
+    elif _is_typed(a, {NodeType.COLL}) and _is_typed(b, {NodeType.GROUP}):
+        coll, group = a, b
+    else:
+        return False
+    assert isinstance(group, PyTree) and isinstance(coll, PyTree)
+    members = [c for c in coll.children if isinstance(c, PyTree)]
+    if (
+        not members
+        or len(members) != len(coll.children)
+        or not all(_is_typed(m, {NodeType.GROUP}) for m in members)
+        or len({m.node_name for m in members}) != 1
+    ):
+        return False
+    if group.node_name == members[0].node_name:
+        return False
+    n1, n2 = sorted((group.node_name, members[0].node_name))
+    rel_label = f"{NodeType.REL}::{n1}<->{n2}"
+    for m in members:
+        node.children.append(PyTree(rel_label, [group, m]))
+    node.children.remove(group)
+    node.children.remove(coll)
+    return True
+
+
+def entity_nodes(tree: PyTree) -> list[PyTree]:
+    """ENT descendants in pre-order (``Tree.entities``,
+    ``architxt/tree.py:669-683``)."""
+    out = []
+    for _, _, node, _ in _subtrees(tree):
+        if node.node_type == NodeType.ENT:
+            out.append(node)
+    return out
+
+
+def has_duplicate_entity(tree: PyTree) -> bool:
+    """``architxt/tree.py:712-724``."""
+    names = [e.node_name for e in entity_nodes(tree)]
+    return len(names) != len(set(names))

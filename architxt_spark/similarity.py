@@ -1,0 +1,347 @@
+"""Similarity metrics and subtree clustering.
+
+Reference: ``architxt/similarity.py``.
+
+- metrics ``jaccard`` / ``levenshtein`` / ``jaro`` over entity-label sets
+  (``similarity.py:44-77``; default jaro-winkler on the sorted label list);
+- context-weighted similarity: decay-weighted mean of metric over ancestor
+  label sets up to depth 5 (``similarity.py:92-168``, ``MAX_SIM_CTX_DEPTH=5``,
+  ``DECAY=2``);
+- ``TreeClusterer.fit``: candidate subtrees (height ≤ 5, not ENT, no
+  duplicate entities) clustered on the **O(n²)** condensed distance matrix
+  with HDBSCAN (``similarity.py:200-368,463-491``).
+
+Spark re-design — the single most important scalability change: the O(n²)
+matrix is replaced by **signature clustering + MinHash-LSH banding**:
+
+1. candidates are reduced to their entity-label-set *signature*; support is
+   a ``groupBy(signature).count()`` — membership is an equi-join.  This is
+   exactly the reference's own ``schema_only`` cheap mode
+   (``similarity.py:296-310``), which clusters distinct label-set
+   signatures instead of instances;
+2. similar-but-not-equal signatures are merged by clustering the DISTINCT
+   signature set: all-pairs when small, MinHash-LSH banded candidate pairs
+   (md5-based permutations, so deterministic across runs and engines) when
+   large, refined with the exact metric ≥ τ, then union-find connected
+   components.  Distinct signatures are bounded by the label vocabulary,
+   not the corpus, so the driver-side union-find is tiny even at 100 TB;
+3. cluster naming: the modal member label (``similarity.py:340-352``).
+
+sklearn/HDBSCAN is unavailable (and nondeterministic — the reference
+jitters zero distances, ``similarity.py:317-323``); connected components at
+τ is the deterministic, distributed-friendly analogue.  Oracle tests
+compare schema-quality metrics, not exact cluster ids (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from architxt_spark.model import NodeType
+from architxt_spark.trees import PyTree, rows_to_trees
+
+MAX_SIM_CTX_DEPTH = 5
+DECAY = 2
+DEFAULT_MAX_HEIGHT = 5
+#: all-pairs threshold before switching to LSH banding
+EXACT_PAIRS_LIMIT = 2000
+
+
+# ---------------------------------------------------------------------------
+# metrics (``similarity.py:44-77``)
+# ---------------------------------------------------------------------------
+
+
+def jaccard(x: set[str] | frozenset[str], y: set[str] | frozenset[str]) -> float:
+    if not x and not y:
+        return 0.0
+    return len(x & y) / len(x | y)
+
+
+def levenshtein_ratio(a: str, b: str) -> float:
+    """Normalized Levenshtein similarity on strings (label lists are joined
+    before comparison, as the reference does)."""
+    if a == b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return 1.0 - prev[-1] / max(len(a), len(b))
+
+
+def jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and a[i] == b[j]:
+                match_a[i] = match_b[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a, b):
+        if ca != cb or prefix == max_prefix:
+            break
+        prefix += 1
+    return j + prefix * p * (1 - j)
+
+
+METRIC_FUNCS = {
+    "jaccard": lambda x, y: jaccard(set(x), set(y)),
+    "levenshtein": lambda x, y: levenshtein_ratio(" ".join(sorted(x)), " ".join(sorted(y))),
+    "jaro": lambda x, y: jaro_winkler(" ".join(sorted(x)), " ".join(sorted(y))),
+}
+DEFAULT_METRIC = "jaro"
+
+
+def context_similarity(
+    ctx_x: list[frozenset[str]], ctx_y: list[frozenset[str]], metric: str = DEFAULT_METRIC
+) -> float:
+    """Decay-weighted ancestor-context similarity
+    (``similarity.py:92-168``): Σ decay⁻ⁱ · metric(ctxᵢ) / Σ decay⁻ⁱ over
+    i ≤ 5 ancestor levels; 0 if the base entity sets are disjoint."""
+    if not ctx_x or not ctx_y:
+        return 0.0
+    if ctx_x[0] and ctx_y[0] and not (ctx_x[0] & ctx_y[0]):
+        return 0.0
+    fn = METRIC_FUNCS[metric]
+    num = 0.0
+    den = 0.0
+    for i in range(min(len(ctx_x), len(ctx_y), MAX_SIM_CTX_DEPTH)):
+        w = DECAY ** -i
+        num += w * fn(ctx_x[i], ctx_y[i])
+        den += w
+    return num / den if den else 0.0
+
+
+# ---------------------------------------------------------------------------
+# candidate extraction (per tree — trees are small)
+# ---------------------------------------------------------------------------
+
+
+def _tree_height(node: PyTree) -> int:
+    hs = [(_tree_height(c) + 1) for c in node.children if isinstance(c, PyTree)]
+    return max(hs, default=1)
+
+
+def candidate_subtrees(nodes: DataFrame, *, max_height: int = DEFAULT_MAX_HEIGHT) -> DataFrame:
+    """(tree_id, node_id, node_name, signature) for candidate subtrees:
+    height ≤ max_height, not ENT, ≥1 entity, no duplicate entity labels
+    (``similarity.py:275-290``)."""
+    import pandas as pd
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for tid, tree in rows_to_trees(pdf.to_dict("records")).items():
+
+            def walk(node: PyTree, path: list[int]) -> None:
+                nid = node.oid or f"{tid}:{'.'.join(map(str, path)) or 'r'}"
+                if node.node_type != NodeType.ENT and _tree_height(node) <= max_height:
+                    ents = [
+                        e.node_name
+                        for e in _entities(node)
+                    ]
+                    if ents and len(ents) == len(set(ents)):
+                        out.append(
+                            dict(
+                                tree_id=tid,
+                                node_id=nid,
+                                node_name=node.node_name or "",
+                                signature="|".join(sorted(ents)),
+                            )
+                        )
+                for i, c in enumerate(node.children):
+                    if isinstance(c, PyTree):
+                        walk(c, path + [i])
+
+            walk(tree, [])
+        return pd.DataFrame(out, columns=["tree_id", "node_id", "node_name", "signature"])
+
+    def _entities(node: PyTree) -> list[PyTree]:
+        acc = []
+        for c in node.children:
+            if isinstance(c, PyTree):
+                if c.node_type == NodeType.ENT:
+                    acc.append(c)
+                else:
+                    acc.extend(_entities(c))
+        if node.node_type == NodeType.ENT:
+            acc.append(node)
+        return acc
+
+    return nodes.groupBy("tree_id").applyInPandas(
+        extract, "tree_id string, node_id string, node_name string, signature string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# signature clustering
+# ---------------------------------------------------------------------------
+
+
+def _minhash_bands(tokens: list[str], n_hashes: int = 16, band_size: int = 4) -> list[str]:
+    """Deterministic md5-based minhash, banded for LSH."""
+    mins = []
+    for seed in range(n_hashes):
+        mins.append(
+            min(hashlib.md5(f"{seed}#{t}".encode()).hexdigest() for t in tokens)
+        )
+    return [
+        f"{b}:" + hashlib.md5("|".join(mins[b * band_size : (b + 1) * band_size]).encode()).hexdigest()
+        for b in range(n_hashes // band_size)
+    ]
+
+
+class _UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def _cluster_signatures(
+    sigs: list[str], tau: float, metric: str
+) -> dict[str, str]:
+    """signature → component-representative signature."""
+    uf = _UnionFind()
+    fn = METRIC_FUNCS[metric]
+    sets = {s: frozenset(s.split("|")) for s in sigs}
+
+    if len(sigs) <= EXACT_PAIRS_LIMIT:
+        pairs: Iterator[tuple[str, str]] = (
+            (a, b) for i, a in enumerate(sigs) for b in sigs[i + 1 :]
+        )
+    else:
+        # LSH banding on the distinct signature set
+        buckets: dict[str, list[str]] = {}
+        for s in sigs:
+            for band in _minhash_bands(sorted(sets[s])):
+                buckets.setdefault(band, []).append(s)
+        seen = set()
+        cand = []
+        for members in buckets.values():
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    key = (a, b) if a < b else (b, a)
+                    if key not in seen:
+                        seen.add(key)
+                        cand.append(key)
+        pairs = iter(cand)
+
+    for a, b in pairs:
+        if sets[a] & sets[b] and fn(sets[a], sets[b]) >= tau:
+            uf.union(a, b)
+    return {s: uf.find(s) for s in sigs}
+
+
+def cluster_forest(
+    nodes: DataFrame,
+    *,
+    tau: float = 0.7,
+    metric: str = DEFAULT_METRIC,
+    max_height: int = DEFAULT_MAX_HEIGHT,
+) -> DataFrame:
+    """Cluster candidate subtrees; returns (node_id, cluster_name, support).
+
+    Support/membership are global aggregations over signatures; only the
+    DISTINCT signature set (vocabulary-bounded) touches the driver.
+    """
+    spark = nodes.sparkSession
+    cands = candidate_subtrees(nodes, max_height=max_height)
+    cands.cache()
+
+    sig_stats = cands.groupBy("signature").agg(
+        F.count("*").alias("sig_count"),
+        F.collect_list("node_name").alias("names"),
+    )
+    rows = sig_stats.collect()
+    sigs = [r["signature"] for r in rows]
+    if not sigs:
+        return spark.createDataFrame([], "node_id string, cluster_name string, support long")
+
+    comp = _cluster_signatures(sigs, tau, metric)
+
+    # modal member label per component → cluster name (``similarity.py:340-352``)
+    comp_counts: dict[str, Counter] = {}
+    comp_support: dict[str, int] = {}
+    for r in rows:
+        c = comp[r["signature"]]
+        comp_support[c] = comp_support.get(c, 0) + r["sig_count"]
+        cnt = comp_counts.setdefault(c, Counter())
+        for n in r["names"]:
+            if n:
+                cnt[n] += 1
+
+    cluster_name: dict[str, str] = {}
+    for i, (c, cnt) in enumerate(sorted(comp_counts.items())):
+        if cnt:
+            cluster_name[c] = cnt.most_common(1)[0][0]
+        else:
+            cluster_name[c] = f"C{i}"
+
+    mapping = spark.createDataFrame(
+        [(s, cluster_name[comp[s]], comp_support[comp[s]]) for s in sigs],
+        "signature string, cluster_name string, support long",
+    )
+    out = cands.join(F.broadcast(mapping), "signature").select("node_id", "cluster_name", "support")
+    return out
+
+
+def entity_cluster_labels(
+    nodes: DataFrame, *, tau: float = 0.7, metric: str = DEFAULT_METRIC
+) -> DataFrame:
+    """Cluster the PARENTS of entities → entity-OID → cluster-name map
+    (``entity_labels``, ``similarity.py:514-553``), used by the AMI metric.
+    Returns (ent_node_id, cluster_name)."""
+    assignments = cluster_forest(nodes, tau=tau, metric=metric)
+    ents = nodes.filter(F.col("node_type") == NodeType.ENT).select(
+        F.col("node_id").alias("ent_node_id"), F.col("parent_id")
+    )
+    return ents.join(
+        assignments.withColumnRenamed("node_id", "parent_id"), "parent_id"
+    ).select("ent_node_id", "cluster_name")

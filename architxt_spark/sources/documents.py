@@ -1,0 +1,217 @@
+"""Nested-document → meta-model loader.
+
+Mirrors ``architxt/database/loader/documents.py``:
+
+- ``read_tree`` (:: ``documents.py:104-139``): dict → group, list → COLL,
+  non-empty scalar → ``ENT::key``; names lowercased with spaces→underscores;
+  a single-collection child is flattened.
+- ``parse_document_tree`` (``documents.py:141-163``): a COLL root splits into
+  one tree per element.
+- ``traverse_tree`` (``documents.py:166-220``): entities grouped under
+  ``GROUP::<name>``; nested dicts become ``REL::parent<->child``; list
+  children produce one REL per element; nested-ROOT relations splice up.
+
+Two surfaces:
+
+- :func:`read_document_value` — driver-side: one python value → forest of
+  :class:`~architxt_spark.trees.PyTree` (tests / small files, and the exact
+  reference semantics in one place).
+- :func:`read_documents_df` — distributed: a DataFrame with a JSON column is
+  converted per-partition with ``mapInPandas`` (documents are small; the
+  per-document recursion is the idiomatic UDF case — parallelism comes from
+  document partitioning, exactly like the reference's per-file loop but
+  scaled horizontally).
+
+For flat Spark DataFrames (e.g. parquet rows), ``row_trees`` tree-ifies each
+row schema-driven with zero UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from architxt_spark.model import NODE_SCHEMA, NodeType
+from architxt_spark.trees import PyTree, tree_to_rows
+
+
+def _norm(name: str) -> str:
+    return str(name).replace(" ", "_").lower()
+
+
+def _read_tree(data: Any, root_name: str = "ROOT") -> PyTree:
+    """``read_tree`` (``documents.py:104-139``)."""
+    root_name = _norm(root_name)
+    items = data.items() if isinstance(data, dict) else ((root_name, x) for x in data)
+
+    children: list[PyTree] = []
+    for name, sub in items:
+        if isinstance(sub, (dict, list)):
+            children.append(_read_tree(sub, root_name=name))
+        elif sub is not None and str(sub) != "":
+            children.append(PyTree(f"{NodeType.ENT}::{_norm(name)}", [str(sub)]))
+
+    if len(children) == 1 and children[0].node_type == NodeType.COLL:
+        return children[0]
+
+    label = f"{NodeType.COLL}::{root_name}" if isinstance(data, list) else root_name
+    return PyTree(label, list(children))
+
+
+def _traverse(tree: PyTree) -> tuple[PyTree, PyTree]:
+    """``traverse_tree`` (``documents.py:166-220``): returns (anchor group,
+    transformed tree)."""
+    if tree.node_type == NodeType.ENT:
+        group = PyTree(f"{NodeType.GROUP}::{tree.node_name}", [tree])
+        return group, group
+
+    if tree.node_type == NodeType.COLL:
+        updated = [_traverse(c)[0] for c in tree.children if isinstance(c, PyTree)]
+        coll = PyTree(tree.label, list(updated))
+        return coll, coll
+
+    entities = [c for c in tree.children if isinstance(c, PyTree) and c.node_type == NodeType.ENT]
+    non_entities = [c for c in tree.children if isinstance(c, PyTree) and c.node_type != NodeType.ENT]
+
+    group_name = tree.node_name
+    group = PyTree(f"{NodeType.GROUP}::{group_name}", list(entities))
+
+    relations: list[PyTree] = []
+    for child in non_entities:
+        child_group, child_tree = _traverse(child)
+        if child_tree.label == "ROOT":
+            relations.extend(c for c in child_tree.children if isinstance(c, PyTree))
+        members = (
+            [c for c in child_group.children if isinstance(c, PyTree)]
+            if child_group.node_type == NodeType.COLL
+            else [child_group]
+        )
+        for el in members:
+            el_name = el.node_name
+            relations.append(
+                PyTree(f"{NodeType.REL}::{group_name}<->{el_name}", [group, el])
+            )
+
+    if relations:
+        return group, PyTree("ROOT", list(relations))
+    return group, group
+
+
+def parse_document_forest(tree: PyTree) -> list[PyTree]:
+    """``parse_document_tree`` (``documents.py:141-163``): a COLL root splits
+    into one normalized tree per element."""
+    elements = (
+        [c for c in tree.children if isinstance(c, PyTree)]
+        if tree.node_type == NodeType.COLL
+        else [tree]
+    )
+    out = []
+    for el in elements:
+        _, parsed = _traverse(el)
+        if parsed.children:
+            out.append(parsed)
+    return out
+
+
+def read_document_value(data: Any, *, root_name: str = "ROOT", raw_read: bool = False) -> list[PyTree]:
+    """One parsed document value → normalized forest
+    (``read_document``, ``documents.py:32-101``)."""
+    tree = _read_tree(data, root_name=root_name)
+    if raw_read:
+        return [tree]
+    return parse_document_forest(tree)
+
+
+def read_documents_df(
+    df: DataFrame,
+    json_col: str,
+    id_col: str,
+    *,
+    root_name: str = "ROOT",
+    raw_read: bool = False,
+) -> DataFrame:
+    """Distributed document loader: each row's ``json_col`` string is parsed
+    and normalized per-partition; tree ids derive from ``id_col``."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("string").alias("_id"), F.col(json_col).alias("_json"))
+
+    def convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in NODE_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for _id, payload in zip(pdf["_id"], pdf["_json"]):
+                if payload is None:
+                    continue
+                forest = read_document_value(json.loads(payload), root_name=root_name, raw_read=raw_read)
+                for i, tree in enumerate(forest):
+                    rows.extend(tree_to_rows(tree, f"{_id}.{i}" if len(forest) > 1 else str(_id)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(convert, NODE_SCHEMA)
+
+
+def row_trees(df: DataFrame, table_name: str, id_cols: list[str]) -> DataFrame:
+    """Flat DataFrame → one ``(ROOT (GROUP::table (ENT::col v)…))`` tree per
+    row, schema-driven, zero UDFs (the ``read_table`` path for a table with
+    no FKs, ``loader/sql.py:115-146``)."""
+    tree_id = F.sha2(F.concat_ws("\x1f", F.lit(table_name), *[F.col(c).cast("string") for c in id_cols]), 256)
+    structs = [
+        F.struct(
+            tree_id.alias("tree_id"),
+            F.concat(tree_id, F.lit(":r")).alias("node_id"),
+            F.lit(None).cast("string").alias("parent_id"),
+            F.lit(0).alias("pos"),
+            F.array().cast("array<int>").alias("path"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("node_type"),
+            F.lit("ROOT").alias("node_name"),
+            F.lit(None).cast("string").alias("leaf_value"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        ),
+        F.struct(
+            tree_id.alias("tree_id"),
+            F.concat(tree_id, F.lit(":0")).alias("node_id"),
+            F.concat(tree_id, F.lit(":r")).alias("parent_id"),
+            F.lit(0).alias("pos"),
+            F.array(F.lit(0)).cast("array<int>").alias("path"),
+            F.lit(1).alias("depth"),
+            F.lit("GROUP").cast("string").alias("node_type"),
+            F.lit(table_name).alias("node_name"),
+            F.lit(None).cast("string").alias("leaf_value"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        ),
+    ]
+    for i, c in enumerate(df.columns):
+        val = F.col(c).cast("string")
+        ent = F.struct(
+            tree_id.alias("tree_id"),
+            F.concat(tree_id, F.lit(f":0.{i}")).alias("node_id"),
+            F.concat(tree_id, F.lit(":0")).alias("parent_id"),
+            F.lit(i).alias("pos"),
+            F.array(F.lit(0), F.lit(i)).cast("array<int>").alias("path"),
+            F.lit(2).alias("depth"),
+            F.lit("ENT").cast("string").alias("node_type"),
+            F.lit(c).alias("node_name"),
+            F.lit(None).cast("string").alias("leaf_value"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+        leaf = F.struct(
+            tree_id.alias("tree_id"),
+            F.concat(tree_id, F.lit(f":0.{i}.0")).alias("node_id"),
+            F.concat(tree_id, F.lit(f":0.{i}")).alias("parent_id"),
+            F.lit(0).alias("pos"),
+            F.array(F.lit(0), F.lit(i), F.lit(0)).cast("array<int>").alias("path"),
+            F.lit(3).alias("depth"),
+            F.lit(None).cast("string").alias("node_type"),
+            F.lit(None).cast("string").alias("node_name"),
+            val.alias("leaf_value"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+        structs.append(F.when(val.isNotNull(), ent))
+        structs.append(F.when(val.isNotNull(), leaf))
+    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    return df.select(F.explode(arr).alias("n")).select("n.*")

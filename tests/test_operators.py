@@ -1,0 +1,134 @@
+"""Rewrite-operation tests — goldens from the reference suite
+(``tests/simplification/tree_rewriting/operations/test_*.py``)."""
+
+import pytest
+
+from architxt_spark.operators.pytree_ops import (
+    find_collections,
+    find_relations,
+    has_duplicate_entity,
+    reduce_all,
+    reduce_bottom,
+    reduce_top,
+)
+from architxt_spark.trees import format_tree, parse_tree
+
+
+def run(op, s, **kw):
+    t = parse_tree(s)
+    changed = op(t, **kw)
+    return changed, format_tree(t)
+
+
+# --- reduce (tree.py doctests + test_reduce.py) ---
+
+def test_reduce_all_doctest():
+    changed, s = run(reduce_all, "(S (X (Y (Z (NP Alice)))) (VP (VB likes) (NP (NNS apples))))")
+    assert changed and s == "(S Alice (VP likes apples))"
+
+
+def test_reduce_all_skip_types():
+    changed, s = run(reduce_all, "(S (X (ENT::a aaa)))", skip_types={"ENT"})
+    assert changed and s == "(S (ENT::a aaa))"
+
+
+def test_reduce_bottom_simple():
+    changed, s = run(reduce_bottom, "(SENT (1 (2 (ENT::A aaa) (ENT::B bbb))))")
+    assert changed and s == "(SENT (1 (ENT::A aaa) (ENT::B bbb)))"
+
+
+def test_reduce_bottom_nested():
+    changed, s = run(reduce_bottom, "(SENT (1 (2 (ENT::A aaa) (ENT::B bbb)) (3 (ENT::C ccc))))")
+    assert changed and s == "(SENT (1 (ENT::A aaa) (ENT::B bbb) (ENT::C ccc)))"
+
+
+def test_reduce_bottom_no_reduction():
+    changed, s = run(reduce_bottom, "(SENT (ENT::A aaa) (ENT::B bbb))")
+    assert not changed and s == "(SENT (ENT::A aaa) (ENT::B bbb))"
+
+
+def test_reduce_top_simple():
+    changed, s = run(reduce_top, "(SENT (1 (2 (ENT::A aaa) (ENT::B bbb))))")
+    assert changed and s == "(SENT (2 (ENT::A aaa) (ENT::B bbb)))"
+
+
+# --- collections (test_find_collections.py) ---
+
+def test_find_collections_simple():
+    changed, s = run(find_collections, "(SENT (GROUP::A x) (GROUP::A y))")
+    assert changed and s == "(COLL::A (GROUP::A x) (GROUP::A y))"
+
+
+def test_find_collections_multi():
+    changed, s = run(
+        find_collections,
+        "(SENT (GROUP::A 1) (GROUP::A 2) (GROUP::B 3) (GROUP::B 4) (GROUP::A 5) (ENT 6) (GROUP::C 7) (GROUP::C 8))",
+    )
+    assert changed
+    assert s == (
+        "(SENT (COLL::A (GROUP::A 1) (GROUP::A 2) (GROUP::A 5)) (COLL::B (GROUP::B 3) (GROUP::B 4))"
+        " (ENT 6) (COLL::C (GROUP::C 7) (GROUP::C 8)))"
+    )
+
+
+def test_find_collections_merge():
+    changed, s = run(
+        find_collections,
+        "(SENT (GROUP::A 1) (COLL::A (GROUP::A 2) (GROUP::A 3)) (GROUP::A 4) (COLL::A (GROUP::A 5) (GROUP::A 6)))",
+    )
+    assert changed
+    assert s == "(COLL::A (GROUP::A 1) (GROUP::A 2) (GROUP::A 3) (GROUP::A 4) (GROUP::A 5) (GROUP::A 6))"
+
+
+def test_find_collections_naming_only():
+    changed, s = run(find_collections, "(SENT (GROUP::A x) (GROUP::A y))", naming_only=True)
+    assert changed and s == "(COLL::A (GROUP::A x) (GROUP::A y))"
+    changed, s = run(find_collections, "(SENT (GROUP::A x) (GROUP::A y) (GROUP::B z))", naming_only=True)
+    assert not changed and s == "(SENT (GROUP::A x) (GROUP::A y) (GROUP::B z))"
+
+
+# --- relations (test_find_relations.py) ---
+
+def test_find_relations_simple():
+    changed, s = run(find_relations, "(SENT (GROUP::A x) (GROUP::B y))")
+    assert changed and s == "(REL::A<->B (GROUP::A x) (GROUP::B y))"
+
+
+def test_find_relations_collection():
+    changed, s = run(find_relations, "(SENT (GROUP::A x) (COLL::B (GROUP::B 1) (GROUP::B 2)))")
+    assert changed
+    assert s == "(SENT (REL::A<->B (GROUP::A x) (GROUP::B 1)) (REL::A<->B (GROUP::A x) (GROUP::B 2)))"
+
+
+def test_find_relations_collection_same_group():
+    changed, s = run(find_relations, "(SENT (GROUP::A x) (COLL::A (GROUP::A 1) (GROUP::A 2)))")
+    assert not changed and s == "(SENT (GROUP::A x) (COLL::A (GROUP::A 1) (GROUP::A 2)))"
+
+
+def test_find_relations_naming_only():
+    changed, s = run(find_relations, "(SENT (GROUP::A x) (GROUP::B y))", naming_only=True)
+    assert changed and s == "(REL::A<->B (GROUP::A x) (GROUP::B y))"
+    changed, s = run(
+        find_relations, "(SENT (GROUP::A x) (COLL::B (GROUP::B 1) (GROUP::B 2)))", naming_only=True
+    )
+    assert not changed
+
+
+def test_has_duplicate_entity():
+    assert has_duplicate_entity(parse_tree("(G (ENT::a 1) (ENT::a 2))"))
+    assert not has_duplicate_entity(parse_tree("(G (ENT::a 1) (ENT::b 2))"))
+
+
+# --- metrics helpers from similarity ---
+
+def test_similarity_metrics():
+    from architxt_spark.similarity import context_similarity, jaccard, jaro_winkler, levenshtein_ratio
+
+    assert jaccard({"a", "b"}, {"b", "c"}) == pytest.approx(1 / 3)
+    assert jaccard(set(), set()) == 0.0
+    assert levenshtein_ratio("kitten", "sitting") == pytest.approx(1 - 3 / 7)
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-3)
+    a = [frozenset({"x", "y"}), frozenset({"p"})]
+    b = [frozenset({"x", "y"}), frozenset({"p"})]
+    assert context_similarity(a, b) == pytest.approx(1.0)
+    assert context_similarity([frozenset({"x"})], [frozenset({"z"})]) == 0.0
