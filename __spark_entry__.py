@@ -1,38 +1,645 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator class from
+SURVEY.md §2 (+ the beyond-reference LLM-data-pipeline operators);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each.  Numeric
+conventions for engine-exact parity:
+
+- money/value sums go through ``DECIMAL(18,4)`` (exact arithmetic on both
+  engines), then round + cast to double for a stable schema;
+- counts are BIGINT on both sides (DuckDB ``SUM(int)`` would be HUGEINT —
+  always cast);
+- ranks from ``row_number`` are cast to INT in SQL (DuckDB default BIGINT);
+- timestamps are formatted to strings before hashing;
+- text/dedup/ANN expressions are generated from the SAME definitions on
+  both sides (see ``architxt_spark.functions``), md5-based hashes included.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from architxt_spark.functions import ann, dedup
+from architxt_spark.functions import text as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects by default; read nanos as long and convert exactly (integer
+    `div`, no double round-trip).  Session TZ pinned to UTC so formatted
+    timestamps match DuckDB's naive timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# classical relational operators (SURVEY §2.8 checklist)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan + filter + projection — pushed down to the parquet scan."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & (F.col("l_shipdate") >= "1997-01-01")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 flavor: two-key groupBy with exact decimal aggregates."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(_dec("l_quantity")), 4).cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """FK equi-join + rollup by market segment (broadcast dim join)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 flavor: 5-way join with broadcast dims, revenue per nation."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "REGION#0")
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
+def q_join_anti_unreferenced(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers never referenced by an order — the loader's
+    ``read_unreferenced_table`` LEFT ANTI join semantics."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_semi_active_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI: customers with ≥1 high-value order."""
+    cust = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_window_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per customer by price (window + row_number)."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey")
+    )
+
+
+def q_window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Running per-customer order total (ordered window frame)."""
+    orders = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2).cast("double").alias("running_total"),
+    )
+
+
+def q_sort_limit_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-10 with deterministic tie-break (sort + limit)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round(_dec("o_totalprice"), 2).cast("double").alias("o_totalprice"))
+    )
+
+
+def q_setop_nations_cust_minus_supp(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference: nations with customers EXCEPT nations with suppliers."""
+    cust_nations = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return cust_nations.exceptAll(supp_nations).distinct()
+
+
+def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets over (status, priority)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_string_funcs_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """String functions: regexp extraction, casing, length, edit distance."""
+    part = _t(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.regexp_extract("p_name", r"^(\w+)", 1)).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+    )
+
+
+def q_date_math_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Date functions: truncation, extraction, per-month rollup."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .groupBy("yr", "mo")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_json_props_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access: JSON field extraction + aggregation."""
+    events = _events(spark, sf)
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+def q_distinct_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT DISTINCT per group (exact)."""
+    part = _t(spark, sf, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# meta-model pipeline (loader → schema induction → extraction)
+# ---------------------------------------------------------------------------
+
+
+def _nation_forest(spark: SparkSession, sf: str) -> DataFrame:
+    from architxt_spark.sources import FK, read_relational
+
+    tables = {
+        "nation": _t(spark, sf, "nation"),
+        "region": _t(spark, sf, "region"),
+    }
+    fks = [FK("nation", "n_regionkey", "region", "r_regionkey")]
+    pks = {"nation": ["n_nationkey"], "region": ["r_regionkey"]}
+    return read_relational(spark, tables, fks, pks)
+
+
+def q_dataset_extract_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Full loader round-trip: tables → meta-model forest → schema pivot
+    extraction; must reproduce the source table (FK cols excluded)."""
+    from architxt_spark.plans import extract_group_dataset
+
+    nodes = _nation_forest(spark, sf)
+    return extract_group_dataset(nodes, "nation")
+
+
+def q_schema_groups_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema induction output: inferred group → entity mapping."""
+    from architxt_spark.plans import schema_from_forest
+
+    nodes = _nation_forest(spark, sf)
+    schema = schema_from_forest(nodes)
+    rows = sorted(
+        (g, e) for g, ents in schema.groups.items() for e in ents
+    )
+    return spark.createDataFrame(rows, "group_name string, entity string")
+
+
+def q_forest_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Forest inspector over row-tree-ified documents (one aggregation)."""
+    from architxt_spark.metrics import forest_stats
+    from architxt_spark.sources.documents import row_trees
+
+    docs = _t(spark, sf, "documents")
+    nodes = row_trees(docs, "documents", ["doc_id"])
+    s = forest_stats(nodes)
+    return spark.createDataFrame(
+        [(s["n_trees"], s["n_nodes"], s["n_entities"], s["n_groups"])],
+        "n_trees long, n_nodes long, n_entities long, n_groups long",
+    )
+
+
+def q_fd_confidence_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """FD-confidence metric (X → c_mktsegment on a 3-col projection)."""
+    from architxt_spark.metrics import confidence
+
+    cust = _t(spark, sf, "customer").select("c_nationkey", "c_acctbal", "c_mktsegment")
+    conf = confidence(cust, "c_mktsegment")
+    return spark.createDataFrame([(round(conf, 6),)], "confidence double")
+
+
+def q_redundancy_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Redundancy metric (τ=0 ⇒ every pair subset qualifies) over customer
+    attribute pairs — fraction of rows duplicated in ≥1 pair projection."""
+    from architxt_spark.metrics import redundancy_score
+
+    cust = _t(spark, sf, "customer").select("c_nationkey", "c_mktsegment", "c_acctbal")
+    r = redundancy_score(cust, tau=0.0, max_subset_size=2)
+    return spark.createDataFrame([(round(r, 6),)], "redundancy double")
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / ANN (beyond-reference pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.distinct_token_ratio(F.col("text")), 5).alias("distinct_ratio"),
+        T.lang_id(F.col("text")).alias("lang_guess"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 5).alias("quality"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", threshold=0.2
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_buckets(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return ann.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.brute_force_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# event streams (batch twins of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from architxt_spark.streaming import hourly_event_rollup
+
+    events = _events(spark, sf).withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = hourly_event_rollup(events)
+    return out.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("value_sum"), 2).cast("double").alias("value_sum"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    from architxt_spark.streaming import sessionize
+
+    out = sessionize(_events(spark, sf), gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the Q5-flavor multi-join
+    revenue rollup (scan → joins incl. broadcast dims → decimal agg)."""
+    return q_join_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_filter_project": q_scan_filter_project,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_orders_customer": q_join_orders_customer,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "join_anti_unreferenced": q_join_anti_unreferenced,
+        "join_semi_active_customers": q_join_semi_active_customers,
+        "window_topk_orders": q_window_topk_orders,
+        "window_running_total": q_window_running_total,
+        "sort_limit_top_orders": q_sort_limit_top_orders,
+        "setop_nations_cust_minus_supp": q_setop_nations_cust_minus_supp,
+        "rollup_orders": q_rollup_orders,
+        "string_funcs_parts": q_string_funcs_parts,
+        "date_math_orders": q_date_math_orders,
+        "json_props_events": q_json_props_events,
+        "distinct_parts_per_brand": q_distinct_parts_per_brand,
+        "dataset_extract_nation": q_dataset_extract_nation,
+        "schema_groups_nation": q_schema_groups_nation,
+        "forest_stats_documents": q_forest_stats_documents,
+        "fd_confidence_customer": q_fd_confidence_customer,
+        "redundancy_customer": q_redundancy_customer,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_sessionize": q_events_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    decimal_rev = (
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+    )
+    return {
+        "scan_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
+        """,
+        "agg_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND({decimal_rev}, 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_qty,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customer": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_revenue_by_nation": f"""
+            SELECT n_name, CAST(ROUND({decimal_rev}, 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'REGION#0'
+            GROUP BY n_name
+        """,
+        "join_anti_unreferenced": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "join_semi_active_customers": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer
+            WHERE EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 100000
+            )
+        """,
+        "window_topk_orders": """
+            SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey
+            FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders
+            )
+            WHERE rank <= 3
+        """,
+        "window_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "sort_limit_top_orders": """
+            SELECT o_orderkey,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "setop_nations_cust_minus_supp": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "string_funcs_parts": """
+            SELECT p_partkey,
+                   UPPER(regexp_extract(p_name, '^(\\w+)', 1)) AS first_word,
+                   CAST(LENGTH(p_name) AS INT) AS name_len,
+                   CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist
+            FROM part
+        """,
+        "date_math_orders": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY 1, 2
+        """,
+        "json_props_events": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
+            FROM events
+            GROUP BY event_type
+        """,
+        "distinct_parts_per_brand": """
+            SELECT p_brand,
+                   CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+                   MAX(p_size) AS max_size
+            FROM part
+            GROUP BY p_brand
+        """,
+        "dataset_extract_nation": """
+            SELECT DISTINCT CAST(n_name AS VARCHAR) AS n_name,
+                            CAST(n_nationkey AS VARCHAR) AS n_nationkey
+            FROM nation
+        """,
+        "schema_groups_nation": """
+            SELECT * FROM (VALUES
+                ('nation', 'n_name'), ('nation', 'n_nationkey'),
+                ('region', 'r_name'), ('region', 'r_regionkey')
+            ) AS t(group_name, entity)
+        """,
+        "forest_stats_documents": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_trees,
+                   CAST(COUNT(*) * 2
+                        + COUNT(doc_id) + COUNT(text) + COUNT(lang)
+                        + COUNT(source) + COUNT(n_chars) AS BIGINT) AS n_nodes,
+                   CAST(COUNT(doc_id) + COUNT(text) + COUNT(lang)
+                        + COUNT(source) + COUNT(n_chars) AS BIGINT) AS n_entities,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM documents
+        """,
+        "fd_confidence_customer": """
+            SELECT ROUND(SUM(m) / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE), 6) AS confidence
+            FROM (
+                SELECT MAX(c) AS m
+                FROM (
+                    SELECT c_nationkey, c_acctbal, c_mktsegment, COUNT(*) AS c
+                    FROM customer GROUP BY 1, 2, 3
+                )
+                GROUP BY c_nationkey, c_acctbal
+            )
+        """,
+        "redundancy_customer": """
+            WITH c AS (SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer),
+            marked AS (
+                SELECT
+                    (COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) > 1
+                     OR COUNT(*) OVER (PARTITION BY c_nationkey, c_acctbal) > 1
+                     OR COUNT(*) OVER (PARTITION BY c_mktsegment, c_acctbal) > 1) AS dup
+                FROM c
+            )
+            SELECT ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS redundancy
+            FROM marked
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST({T.token_count_sql('text')} AS INT) AS n_tokens,
+                   ROUND({T.distinct_token_ratio_sql('text')}, 5) AS distinct_ratio,
+                   {T.lang_id_sql('text')} AS lang_guess,
+                   {T.fingerprint_sql('text')} AS fingerprint
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, ROUND({T.quality_score_sql('text')}, 5) AS quality
+            FROM documents
+        """,
+        "dedup_exact": dedup.exact_duplicates_sql("documents", "text", "doc_id"),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(
+            "documents", "text", "doc_id", threshold=0.2
+        ),
+        "dedup_simhash": dedup.simhash_buckets_sql("documents", "text", "doc_id"),
+        "embedding_near_dup": ann.cosine_near_dup_pairs_sql("embeddings", threshold=0.9),
+        "ann_topk": ann.brute_force_topk_sql("embeddings", k=5, max_query_id=10),
+        "events_hourly_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS value_sum
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            seq AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM gaps
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM seq
+            GROUP BY user_id, session_seq
+        """,
+    }

@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine` — JVM-side dot/norm via ``zip_with`` + ``aggregate``
+  (no Python UDF).
+- :func:`brute_force_topk` — exact top-k: broadcast the (small) query set
+  against the corpus, rank with a window.  The baseline.
+- :func:`lsh_topk` — the scale path: random-hyperplane (sign) buckets from
+  deterministic md5-derived hyperplanes; candidates share a bucket, exact
+  re-scoring inside.  At 100 TB the shuffle is on bucket keys, never
+  all-pairs.
+- :func:`cosine_near_dup_pairs` — embedding near-duplicate detection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small — it is broadcast, so the corpus is
+    scanned once with no shuffle before the per-query top-k window.
+    Deterministic tie-break: (similarity desc, neighbor id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def brute_force_topk_sql(
+    table: str, *, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5, max_query_id: int = 10
+) -> str:
+    """DuckDB oracle for :func:`brute_force_topk` with queries =
+    ``id_col < max_query_id``."""
+    return f"""
+        WITH sims AS (
+            SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+                   list_dot_product(q.{vec_col}::DOUBLE[], c.{vec_col}::DOUBLE[])
+                   / (sqrt(list_dot_product(q.{vec_col}::DOUBLE[], q.{vec_col}::DOUBLE[]))
+                      * sqrt(list_dot_product(c.{vec_col}::DOUBLE[], c.{vec_col}::DOUBLE[]))) AS sim
+            FROM {table} q JOIN {table} c ON q.{id_col} <> c.{id_col}
+            WHERE q.{id_col} < {max_query_id}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 4) AS sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _plane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 bytes (no RNG state,
+    reproducible on any engine/executor)."""
+    out: list[float] = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.md5(f"plane:{seed}:{i}".encode()).digest()
+        for byte in h:
+            if len(out) >= dim:
+                break
+            out.append((byte - 127.5) / 127.5)
+        i += 1
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = LSH_PLANES) -> Column:
+    """Sign-concatenation bucket id from ``n_planes`` fixed hyperplanes."""
+    bits = []
+    for p in range(n_planes):
+        plane = _plane(p, dim)
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: exact re-scoring within shared sign-LSH buckets.
+    Same output schema as :func:`brute_force_topk`; recall < 1 by design."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col).cast("array<double>"), dim, n_planes).alias("bucket"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col).cast("array<double>"), dim, n_planes).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs (a < b) with cosine ≥ threshold.
+    All-pairs here (correctness baseline); the LSH-bucketed variant
+    (:func:`lsh_topk`'s join shape) is the scale path."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_sql(
+    table: str, *, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.9
+) -> str:
+    sim = (
+        f"list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])"
+        f" / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))"
+        f" * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])))"
+    )
+    return f"""
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, ROUND({sim}, 4) AS sim
+        FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+        WHERE ROUND({sim}, 4) >= {threshold}
+    """

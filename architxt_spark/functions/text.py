@@ -1,0 +1,201 @@
+"""Text-analysis functions: tokenization, language ID, quality scoring,
+token counting, document fingerprinting.
+
+Each function has a Spark-Column form and a DuckDB-SQL form generated from
+the same constants, so oracle comparisons match exactly.  All Spark forms
+are built-in-function expressions (whole-stage codegen; no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword markers for the n-gram/stopword heuristic
+#: language identifier.  Order matters: ties resolve to the FIRST language
+#: in this list (deterministic argmax).
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")),
+    ("es", ("el", "la", "de", "que", "y", "en", "un", "una", "los", "es")),
+    ("fr", ("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans")),
+    ("de", ("der", "die", "das", "und", "ist", "von", "den", "ein", "eine", "mit")),
+]
+
+#: quality-score weights: alpha-char ratio, non-punctuation ratio,
+#: stopword-hit ratio.
+QUALITY_WEIGHTS = (0.4, 0.3, 0.3)
+ALL_STOPWORDS: tuple[str, ...] = tuple(w for _, ws in LANG_MARKERS for w in ws)
+
+
+# ---------------------------------------------------------------------------
+# Spark column forms
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    """share of distinct tokens — a repetitiveness signal."""
+    t = tokens(col)
+    return F.when(F.size(t) > 0, F.size(F.array_distinct(t)) / F.size(t)).otherwise(F.lit(0.0))
+
+
+def _marker_hits(t: Column, words: tuple[str, ...]) -> Column:
+    # NB: a closure factory, NOT a default-arg lambda — pyspark's
+    # higher-order-function wrapper binds Columns to every lambda parameter,
+    # including defaulted ones.
+    def pred(x: Column) -> Column:
+        return x.isin(*words)
+
+    return F.size(F.filter(t, pred))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language heuristic: argmax of marker hits per language,
+    'und' when no marker hits; ties → first language in LANG_MARKERS."""
+    t = tokens(col)
+    hits = {lang: _marker_hits(t, words) for lang, words in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):
+        expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def alpha_ratio(col: Column) -> Column:
+    n = F.length(col)
+    a = F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
+    return F.when(n > 0, a / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, "[^.,;:!?'\"()]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.size(F.filter(t, lambda x: x.isin(*ALL_STOPWORDS))) / F.size(t),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """weighted combination of alpha ratio, non-punctuation ratio, and
+    stopword ratio — the length/punct/stopword quality heuristic."""
+    wa, wp, ws = QUALITY_WEIGHTS
+    return wa * alpha_ratio(col) + wp * (1 - punct_ratio(col)) + ws * stopword_ratio(col)
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form fingerprints
+    and exact dedup hash."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (content hash; the
+    rolling-hash variant is ``shingle_fingerprints``)."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """word n-gram shingles (space-joined), [] when fewer than n tokens."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL forms (same definitions, rendered as SQL strings)
+# ---------------------------------------------------------------------------
+
+
+def tokens_sql(col: str) -> str:
+    return f"list_filter(string_split_regex(lower(trim({col})), '\\s+'), x -> x <> '')"
+
+
+def token_count_sql(col: str) -> str:
+    return f"len({tokens_sql(col)})"
+
+
+def distinct_token_ratio_sql(col: str) -> str:
+    t = tokens_sql(col)
+    return f"(case when len({t}) > 0 then len(list_distinct({t})) / cast(len({t}) as double) else 0.0 end)"
+
+
+def _hits_sql(col: str, words: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({tokens_sql(col)}, x -> list_contains({lst}, x)))"
+
+
+def lang_id_sql(col: str) -> str:
+    hits = [(lang, _hits_sql(col, words)) for lang, words in LANG_MARKERS]
+    best = "greatest(" + ", ".join(h for _, h in hits) + ")"
+    expr = "'und'"
+    for lang, h in reversed(hits):
+        expr = f"(case when {best} > 0 and {h} = {best} then '{lang}' else {expr} end)"
+    return expr
+
+
+def alpha_ratio_sql(col: str) -> str:
+    return (
+        f"(case when length({col}) > 0 then length(regexp_replace({col}, '[^a-zA-Z]', '', 'g'))"
+        f" / cast(length({col}) as double) else 0.0 end)"
+    )
+
+
+def punct_ratio_sql(col: str) -> str:
+    cls = "[^.,;:!?''\"()]"
+    return (
+        f"(case when length({col}) > 0 then length(regexp_replace({col}, '{cls}', '', 'g'))"
+        f" / cast(length({col}) as double) else 0.0 end)"
+    )
+
+
+def stopword_ratio_sql(col: str) -> str:
+    t = tokens_sql(col)
+    return (
+        f"(case when len({t}) > 0 then {_hits_sql(col, ALL_STOPWORDS)}"
+        f" / cast(len({t}) as double) else 0.0 end)"
+    )
+
+
+def quality_score_sql(col: str) -> str:
+    wa, wp, ws = QUALITY_WEIGHTS
+    return (
+        f"({wa} * {alpha_ratio_sql(col)} + {wp} * (1 - {punct_ratio_sql(col)})"
+        f" + {ws} * {stopword_ratio_sql(col)})"
+    )
+
+
+def normalize_text_sql(col: str) -> str:
+    return f"regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"md5({normalize_text_sql(col)})"
+
+
+def shingles_sql(col: str, n: int = 3) -> str:
+    t = tokens_sql(col)
+    return (
+        f"(case when len({t}) >= {n} then"
+        f" list_transform(range(0, len({t}) - {n} + 1),"
+        f" i -> array_to_string(({t})[i + 1 : i + {n}], ' '))"
+        f" else [] end)"
+    )
