@@ -34,6 +34,17 @@ MINHASH_BAND_SIZE = 4
 SIMHASH_BITS = 32
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    has fewer partitions (e.g. one small parquet file ⇒ one partition ⇒
+    single-threaded hashing).  At real scale inputs already have ≥ cores
+    splits, so this is a no-op — no shuffle of bulk data."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -43,7 +54,8 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(fingerprint, n_docs, keep_id): groups of exact duplicates with the
     kept representative (min id).  One hash-shuffle; map-side combinable."""
     return (
-        df.select(T.fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col).alias("id"))
+        _spread(df)
+        .select(T.fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col).alias("id"))
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
@@ -66,96 +78,177 @@ def exact_duplicates_sql(table: str, text_col: str, id_col: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+#: affine permutation constants for the minwise family: one md5 per
+#: DISTINCT shingle → 28-bit int h, then perm_i(h) = (h·A[i] + B[i]) mod 2³².
+#: h < 2²⁸ and A < 2³² keep every product < 2⁶⁰ — no BIGINT overflow on
+#: either engine, so Spark and DuckDB compute bit-identical signatures.
+_MINHASH_MOD = 1 << 32
+_MINHASH_A = [((2 * i + 1) * 2654435761) % _MINHASH_MOD for i in range(MINHASH_K)]
+_MINHASH_B = [(i * 2246822519 + 3266489917) % _MINHASH_MOD for i in range(MINHASH_K)]
+
+
+def _shingle_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh): distinct word-3-gram shingles, with the token split behind
+    a projection barrier (multi-referenced alias — CollapseProject will not
+    inline it, so the split runs once per row, not once per shingle)."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("toks")
+    )
+    return toks.select(
+        "id", F.array_distinct(T.shingles_of_tokens(F.col("toks"))).alias("sh")
+    )
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, s) rows — one row per DISTINCT shingle per document.  The
+    exploded-row form is the fast path: downstream hashing runs row-wise in
+    whole-stage codegen instead of per-element inside interpreted
+    higher-order functions."""
+    return _shingle_frame(df, text_col, id_col).select("id", F.explode("sh").alias("s"))
+
+
+def _shingle_int_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, hs): 28-bit shingle ints (first 7 hex digits of md5).  ONE md5
+    per distinct shingle, materialized behind a barrier so the k
+    permutations never re-hash."""
+    sh = _shingle_frame(df, text_col, id_col)
+    return sh.select(
+        "id",
+        F.transform(
+            F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+        ).alias("hs"),
+    )
+
+
+def minhash_signature_of_ints(hs: Column, k: int = MINHASH_K) -> Column:
+    """k affine-permutation minhashes over a PRE-COMPUTED shingle-int array;
+    NULL when the document has no shingles."""
+
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % _MINHASH_MOD
+
+    return F.when(
+        F.size(hs) > 0,
+        F.array(*[
+            F.array_min(F.transform(hs, perm(_MINHASH_A[i], _MINHASH_B[i])))
+            for i in range(k)
+        ]),
+    )
+
+
 def minhash_signature(col: Column, k: int = MINHASH_K) -> Column:
-    """k md5-permutation minhashes over word-3-gram shingles.  md5-string
-    minima are a valid minwise family and identical across engines."""
-    sh = T.shingles(col)
-    return F.when(
-        F.size(sh) > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda i: F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("#"), s)))
-            ),
-        ),
-    )
+    """Single-expression form (convenience; prefer the frame pipeline in
+    :func:`minhash_lsh_pairs` which avoids re-evaluating the hash chain)."""
+    sh = F.array_distinct(T.shingles(col))
+    hs = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"))
+    return minhash_signature_of_ints(hs, k)
 
 
-def minhash_bands(col: Column, k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE) -> Column:
-    sig = minhash_signature(col, k)
-    return F.when(
-        sig.isNotNull(),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(k // band_size - 1)),
-            lambda b: F.concat(
-                b.cast("string"),
-                F.lit(":"),
-                F.md5(F.array_join(F.slice(sig, b * band_size + 1, band_size), "|")),
+def minhash_bands(sig: Column, k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE) -> Column:
+    """LSH band keys derived from an ALREADY-COMPUTED signature column —
+    never recomputes the signature."""
+    return F.array(*[
+        F.concat(
+            F.lit(f"{b}:"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * band_size + 1, band_size), lambda x: x.cast("string")
+                ),
+                "|",
             ),
-        ),
-    )
+        )
+        for b in range(k // band_size)
+    ])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band, with the
     minhash-estimated Jaccard (fraction of equal signature components).
 
-    The band explode + self-join is the scalable path: shuffle is on band
-    keys, never all-pairs."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col)).alias("sig"),
-        minhash_bands(F.col(text_col)).alias("bands"),
-    ).filter(F.col("sig").isNotNull())
-    banded = base.select("id", "sig", F.explode("bands").alias("band"))
+    Scale shape: shingles explode to rows so the md5 runs in whole-stage
+    codegen (not per-element in an interpreted lambda); the 16 permutation
+    minima are ONE map-side-combinable groupBy — the shuffle carries 16
+    longs per document.  The band self-join carries (id, band) only — the
+    signature arrays rejoin AFTER the distinct."""
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("long")
+    hs_rows = _shingle_rows(df, text_col, id_col).select("id", h.alias("h"))
+    mins = [
+        F.min((F.col("h") * _MINHASH_A[i] + _MINHASH_B[i]) % _MINHASH_MOD).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    base = (
+        hs_rows.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig"))
+        .persist()
+    )
+    banded = base.select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda e: e,
         )
     ) / F.size(F.col("sig_a"))
-    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+def _shingle_ints_sql(text_col: str) -> str:
+    # 28-bit int from the first 7 hex digits of md5 — digit-position
+    # arithmetic (DuckDB has no conv()); equals Spark's conv(substr(md5,1,7)).
+    digit = "(strpos('0123456789abcdef', substr(md5(s), {d}, 1)) - 1)"
+    h = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (6 - d)}" for d in range(7))
+    return (
+        f"list_transform(list_distinct({T.shingles_sql(text_col)}),"
+        f" s -> CAST({h} AS BIGINT))"
+    )
 
 
 def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str) -> str:
     k, r = MINHASH_K, MINHASH_BAND_SIZE
-    sh = T.shingles_sql(text_col)
+    a_lst = "[" + ", ".join(str(a) for a in _MINHASH_A) + "]"
+    b_lst = "[" + ", ".join(str(b) for b in _MINHASH_B) + "]"
+    hs = _shingle_ints_sql(text_col)
     sig = (
         f"list_transform(range(0, {k}),"
-        f" i -> list_min(list_transform({sh}, s -> md5(i::varchar || '#' || s))))"
+        f" i -> list_min(list_transform(hs, h -> (h * ({a_lst})[i+1] + ({b_lst})[i+1]) % {_MINHASH_MOD})))"
     )
     return f"""
-        WITH sigs AS (
-            SELECT {id_col} AS id, {sig} AS sig
-            FROM {table}
-            WHERE len({sh}) > 0
+        WITH ints AS (
+            SELECT {id_col} AS id, {hs} AS hs FROM {table}
+        ),
+        sigs AS (
+            SELECT id, {sig} AS sig FROM ints WHERE len(hs) > 0
         ),
         banded AS (
-            SELECT id, sig,
+            SELECT id,
                    unnest(list_transform(range(0, {k // r}),
-                          b -> b::varchar || ':' || md5(array_to_string(sig[b*{r}+1 : b*{r}+{r}], '|')))) AS band
+                          b -> b::varchar || ':' ||
+                               array_to_string(list_transform(sig[b*{r}+1 : b*{r}+{r}], x -> x::varchar), '|'))) AS band
             FROM sigs
         ),
         pairs AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
         )
         SELECT id_a, id_b,
-               ROUND(len(list_filter(list_transform(range(1, len(sig_a)+1), i -> sig_a[i] = sig_b[i]), e -> e))
-                     / CAST(len(sig_a) AS DOUBLE), 4) AS est_jaccard
+               ROUND(len(list_filter(list_transform(range(1, len(sa.sig)+1), i -> sa.sig[i] = sb.sig[i]), e -> e))
+                     / CAST(len(sa.sig) AS DOUBLE), 4) AS est_jaccard
         FROM pairs
+        JOIN sigs sa ON sa.id = pairs.id_a
+        JOIN sigs sb ON sb.id = pairs.id_b
     """
 
 
@@ -172,51 +265,67 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int = 1000,
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with exact shingle-set Jaccard ≥ threshold.
+    """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold, computed
+    over the DF-capped shingle vocabulary.
 
-    Full recall without all-pairs: candidates come from a shingle inverted
-    index (equi-join on shingle).  ``max_shingle_df`` drops degenerate
-    boilerplate shingles that would cause quadratic pair blowup at scale.
-    """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(T.shingles(F.col(text_col))).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    inv = base.select("id", F.explode("sh").alias("s"))
-    rare = inv.groupBy("s").count().filter(F.col("count") <= max_shingle_df).select("s")
-    inv = inv.join(F.broadcast(rare), "s")
-    cand = (
+    Scale shape: NO all-pairs and NO array shipping — the inverted index
+    self-join counts common shingles per pair directly
+    (``groupBy(id_a,id_b).count()``), and Jaccard is derived from
+    ``n_common / (n_a + n_b − n_common)`` via two tiny size joins.
+    Shingles with document frequency > ``max_shingle_df`` (degenerate
+    boilerplate; quadratic pair blowup) are excluded from the vocabulary on
+    BOTH the candidate and the similarity side, so the result is exact over
+    the capped universe and identical across engines.  The heavy-shingle
+    set is tiny by construction — anti-joined as a broadcast."""
+    base = _shingle_frame(df, text_col, id_col).filter(F.size("sh") > 0)
+    # persist BEFORE deriving the DF counts: shingle hashing runs once; the
+    # heavy-set aggregation and the anti-join both read the cached index.
+    inv = base.select("id", F.explode("sh").alias("s")).persist()
+    heavy = inv.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
+    inv = inv.join(F.broadcast(heavy), "s", "left_anti")
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    common = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
     )
-    sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        cand.join(sa, "id_a")
+        common.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
 
-def ngram_jaccard_pairs_sql(table: str, text_col: str, id_col: str, *, threshold: float = 0.8) -> str:
+def ngram_jaccard_pairs_sql(
+    table: str, text_col: str, id_col: str, *, threshold: float = 0.8, max_shingle_df: int = 1000
+) -> str:
     sh = T.shingles_sql(text_col)
     return f"""
         WITH base AS (
             SELECT {id_col} AS id, list_distinct({sh}) AS sh
             FROM {table}
             WHERE len({sh}) > 0
+        ),
+        inv_all AS (SELECT id, unnest(sh) AS s FROM base),
+        heavy AS (SELECT s FROM inv_all GROUP BY s HAVING COUNT(*) > {max_shingle_df}),
+        inv AS (SELECT * FROM inv_all WHERE s NOT IN (SELECT s FROM heavy)),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM inv GROUP BY id),
+        common AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+            FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
         )
-        SELECT a.id AS id_a, b.id AS id_b,
-               ROUND(len(list_intersect(a.sh, b.sh))
-                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
-        FROM base a JOIN base b ON a.id < b.id
-        WHERE len(list_intersect(a.sh, b.sh)) > 0
-          AND len(list_intersect(a.sh, b.sh))
-              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {threshold}
+        SELECT id_a, id_b,
+               ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.id = common.id_a
+        JOIN sizes sb ON sb.id = common.id_b
+        WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {threshold}
     """
 
 
@@ -225,15 +334,14 @@ def ngram_jaccard_pairs_sql(table: str, text_col: str, id_col: str, *, threshold
 # ---------------------------------------------------------------------------
 
 
-def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over tokens: bit b of a token's md5 (hex-digit bit math, so
-    the SQL oracle reproduces it exactly); signature bit = sign of the
-    weighted sum across tokens."""
-    t = T.tokens(col)
+def _simhash_of_md5s(hts: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from PRE-COMPUTED per-token md5 hex strings: bit b of each
+    token hash via hex-digit arithmetic (exactly reproducible in SQL);
+    signature bit = sign of the summed ±1 votes."""
     hexdigits = "0123456789abcdef"
 
-    def tok_bit(tok: Column, b: int) -> Column:
-        digit = F.substring(F.md5(tok), b // 4 + 1, 1)
+    def tok_bit(h: Column, b: int) -> Column:
+        digit = F.substring(h, b // 4 + 1, 1)
         dv = F.instr(F.lit(hexdigits), digit) - 1
         shift = 3 - b % 4
         return F.floor(dv / (2 ** shift)) % 2
@@ -241,20 +349,51 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     def merge_for(bb: int):
         # closure factory — a default-arg lambda would get a Column bound to
         # the extra parameter by pyspark's higher-order-function wrapper
-        return lambda a, tok: a + 2 * tok_bit(tok, bb) - 1
+        return lambda a, h: a + 2 * tok_bit(h, bb) - 1
 
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(t, F.lit(0).cast("long"), merge_for(b))
+        vote = F.aggregate(hts, F.lit(0).cast("long"), merge_for(b))
         acc = acc + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return F.when(F.size(t) > 0, acc)
+    return F.when(F.size(hts) > 0, acc)
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Single-expression form (prefer :func:`simhash_buckets`' frame
+    pipeline, which hashes each token once instead of once per bit)."""
+    return _simhash_of_md5s(F.transform(T.tokens(col), F.md5), bits)
 
 
 def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Groups of documents with identical simhash (near-dup buckets)."""
+    """Groups of documents with identical simhash (near-dup buckets).
+
+    Scale shape: tokens explode to rows (md5 + hex-digit bit math run in
+    whole-stage codegen, one md5 per token), the 32 per-bit ±1 votes are
+    ONE map-side-combinable groupBy(id) — the shuffle carries 32 ints per
+    document; token-less documents drop out naturally."""
+    tok_rows = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    )
+    hexdigits = "0123456789abcdef"
+    h = F.md5(F.col("tok"))
+    votes = []
+    for b in range(SIMHASH_BITS):
+        digit = F.substring(h, b // 4 + 1, 1)
+        dv = F.instr(F.lit(hexdigits), digit) - 1
+        shift = 3 - b % 4
+        bit = F.floor(dv / (2 ** shift)) % 2
+        votes.append(F.sum(2 * bit - 1).alias(f"v{b}"))
+    sig = sum(
+        (
+            F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(SIMHASH_BITS)
+        ),
+        F.lit(0).cast("long"),
+    )
     return (
-        df.select(simhash(F.col(text_col)).alias("simhash"), F.col(id_col).alias("id"))
-        .filter(F.col("simhash").isNotNull())
+        tok_rows.groupBy("id")
+        .agg(*votes)
+        .select(F.col("id"), sig.alias("simhash"))
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)

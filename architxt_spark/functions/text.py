@@ -108,9 +108,10 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """word n-gram shingles (space-joined), [] when fewer than n tokens."""
-    t = tokens(col)
+def shingles_of_tokens(t: Column, n: int = 3) -> Column:
+    """word n-gram shingles from a PRE-COMPUTED token array column —
+    callers materialize tokens behind a projection barrier so the split is
+    evaluated once per row, not once per shingle."""
     return F.when(
         F.size(t) >= n,
         F.transform(
@@ -118,6 +119,11 @@ def shingles(col: Column, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(t, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """word n-gram shingles (space-joined), [] when fewer than n tokens."""
+    return shingles_of_tokens(tokens(col), n)
 
 
 # ---------------------------------------------------------------------------
