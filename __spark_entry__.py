@@ -354,6 +354,143 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# meta-model pipeline II: document loader, rewrite ops, clustering
+# ---------------------------------------------------------------------------
+
+
+def _unlabelled_doc_forest(spark: SparkSession, sf: str, limit: int | None = None) -> DataFrame:
+    """documents rows → row trees with the GROUP labels stripped (the
+    'unstructured input' shape the rewrite operators discover structure in)."""
+    from architxt_spark.sources.documents import row_trees
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    if limit is not None:
+        docs = docs.limit(limit)
+    dn = row_trees(docs, "documents", ["doc_id"])
+    return dn.withColumn(
+        "node_type",
+        F.when(F.col("depth") == 1, F.lit(None).cast("string")).otherwise(F.col("node_type")),
+    )
+
+
+def q_doc_loader_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Document loader (dict→GROUP/ENT normalization) over the events.props
+    JSON column → dataset extraction of the induced 'root' group."""
+    from architxt_spark.plans import extract_group_dataset
+    from architxt_spark.sources.documents import read_documents_df
+
+    ev = _events(spark, sf)
+    nodes = read_documents_df(ev, "props", "event_id")
+    return extract_group_dataset(nodes, "root")
+
+
+def q_simple_rewrite_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """simple_rewrite baseline: unlabelled trees collapse to one GROUP per
+    distinct entity-label set; group ids via dense_rank."""
+    from architxt_spark.operators.engine import simple_rewrite
+
+    out = simple_rewrite(_unlabelled_doc_forest(spark, sf))
+    return (
+        out.filter(F.col("node_type") == "GROUP")
+        .groupBy(F.col("node_name").alias("group_id"))
+        .agg(F.count("*").alias("n_trees"))
+    )
+
+
+def q_rewrite_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Full iterative rewrite loop (reduce → cluster → find_groups → op
+    chain to fixpoint) on a bounded slice; verified via node-type census
+    (cluster NAMES are modal labels — tie-broken nondeterministically, so
+    they stay out of the oracle)."""
+    from architxt_spark.operators.engine import rewrite
+
+    out = rewrite(_unlabelled_doc_forest(spark, sf, limit=200), epoch=3)
+    return (
+        out.groupBy(F.coalesce(F.col("node_type"), F.lit("UNTYPED")).alias("node_type"))
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def q_cluster_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Subtree clustering (candidate signatures → LSH/exact pairs →
+    connected components): distinct cluster support over the doc forest."""
+    from architxt_spark.similarity import cluster_forest
+    from architxt_spark.sources.documents import row_trees
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    dn = row_trees(docs, "documents", ["doc_id"])
+    asg = cluster_forest(dn)
+    return asg.select("support").distinct()
+
+
+def q_dependency_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """dependency_score metric: max FD confidence over each attribute as
+    consequent."""
+    from architxt_spark.metrics import dependency_score
+
+    cust = _t(spark, sf, "customer").select("c_nationkey", "c_acctbal", "c_mktsegment")
+    d = dependency_score(cust, ["c_nationkey", "c_acctbal", "c_mktsegment"])
+    return spark.createDataFrame([(round(d, 6),)], "dependency double")
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns (binary + typed metadata; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+def _media_frame(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+def q_multimodal_byte_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """JVM-side media metadata (byte length + content hash, no decode)."""
+    from architxt_spark.functions.multimodal import with_byte_metadata
+
+    out = with_byte_metadata(_media_frame(spark, sf))
+    return out.select("media_id", "n_bytes", "content_md5")
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media rows
+    (deterministic fake decoder — real codecs stubbed)."""
+    from architxt_spark.functions.multimodal import extract_features
+
+    out = extract_features(_media_frame(spark, sf))
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        (F.size("feature") == 16).alias("has_feature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search II + text distribution
+# ---------------------------------------------------------------------------
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k: sign-LSH buckets from deterministic hyperplanes,
+    exact re-scoring within buckets."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.lsh_topk(emb, queries, dim=64, k=5)
+
+
+def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic as an aggregation (corpus language census)."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy(T.lang_id(F.col("text")).alias("lang_guess")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
 # event streams (batch twins of the streaming operators)
 # ---------------------------------------------------------------------------
 
@@ -421,6 +558,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redundancy_customer": q_redundancy_customer,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "doc_loader_json_props": q_doc_loader_json_props,
+        "simple_rewrite_documents": q_simple_rewrite_documents,
+        "rewrite_documents": q_rewrite_documents,
+        "cluster_documents": q_cluster_documents,
+        "dependency_customer": q_dependency_customer,
+        "multimodal_byte_meta": q_multimodal_byte_meta,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_distribution": q_lang_distribution,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -603,6 +749,53 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": f"""
             SELECT doc_id, ROUND({T.quality_score_sql('text')}, 5) AS quality
             FROM documents
+        """,
+        "doc_loader_json_props": """
+            SELECT DISTINCT CAST(props->>'k' AS VARCHAR) AS k FROM events
+        """,
+        "simple_rewrite_documents": """
+            SELECT '1' AS group_id, CAST(COUNT(*) AS BIGINT) AS n_trees FROM documents
+        """,
+        "rewrite_documents": """
+            WITH n AS (SELECT COUNT(*) AS c FROM (SELECT * FROM documents LIMIT 200))
+            SELECT 'COLL' AS node_type, CAST(c AS BIGINT) AS n_nodes FROM n
+            UNION ALL SELECT 'GROUP', CAST(c AS BIGINT) FROM n
+            UNION ALL SELECT 'ENT', CAST(3 * c AS BIGINT) FROM n
+            UNION ALL SELECT 'UNTYPED', CAST(3 * c AS BIGINT) FROM n
+        """,
+        "cluster_documents": """
+            SELECT CAST(2 * COUNT(*) AS BIGINT) AS support FROM documents
+        """,
+        "dependency_customer": """
+            WITH t AS (SELECT c_nationkey, c_acctbal, c_mktsegment FROM customer),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t),
+            g AS (SELECT c_nationkey, c_acctbal, c_mktsegment, COUNT(*) AS c
+                  FROM t GROUP BY 1, 2, 3),
+            c1 AS (SELECT SUM(m) AS s FROM (SELECT MAX(c) AS m FROM g GROUP BY c_acctbal, c_mktsegment)),
+            c2 AS (SELECT SUM(m) AS s FROM (SELECT MAX(c) AS m FROM g GROUP BY c_nationkey, c_mktsegment)),
+            c3 AS (SELECT SUM(m) AS s FROM (SELECT MAX(c) AS m FROM g GROUP BY c_nationkey, c_acctbal))
+            SELECT ROUND(GREATEST(c1.s / n.total, c2.s / n.total, c3.s / n.total), 6) AS dependency
+            FROM c1, c2, c3, n
+        """,
+        "multimodal_byte_meta": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   'image' AS kind,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   TRUE AS has_feature
+            FROM documents
+        """,
+        "ann_lsh_topk": ann.lsh_topk_sql("embeddings", dim=64, k=5, max_query_id=10),
+        "lang_distribution": f"""
+            SELECT {T.lang_id_sql('text')} AS lang_guess,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY 1
         """,
         "dedup_exact": dedup.exact_duplicates_sql("documents", "text", "doc_id"),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),

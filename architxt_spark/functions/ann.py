@@ -159,6 +159,58 @@ def lsh_topk(
     )
 
 
+def lsh_topk_sql(
+    table: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = LSH_PLANES,
+    max_query_id: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`lsh_topk`: the hyperplanes are
+    deterministic md5-derived literals, so the bucket assignment (and thus
+    the candidate set) is reproducible exactly."""
+
+    def bucket(alias: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            lits = "[" + ", ".join(repr(x) for x in _plane(p, dim)) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({alias}.{vec_col}::DOUBLE[], {lits}) >= 0"
+                f" THEN '1' ELSE '0' END)"
+            )
+        return " || ".join(bits)
+
+    sim = (
+        f"list_dot_product(q.{vec_col}::DOUBLE[], c.{vec_col}::DOUBLE[])"
+        f" / (sqrt(list_dot_product(q.{vec_col}::DOUBLE[], q.{vec_col}::DOUBLE[]))"
+        f" * sqrt(list_dot_product(c.{vec_col}::DOUBLE[], c.{vec_col}::DOUBLE[])))"
+    )
+    return f"""
+        WITH q AS (
+            SELECT {id_col}, {vec_col}, {bucket(f'{table}')} AS bucket
+            FROM {table} WHERE {id_col} < {max_query_id}
+        ),
+        c AS (
+            SELECT {id_col}, {vec_col}, {bucket(f'{table}')} AS bucket
+            FROM {table}
+        ),
+        sims AS (
+            SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id, {sim} AS sim
+            FROM q JOIN c ON q.bucket = c.bucket AND q.{id_col} <> c.{id_col}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 4) AS sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     *,
