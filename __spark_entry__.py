@@ -433,6 +433,34 @@ def q_dependency_customer(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(round(d, 6),)], "dependency double")
 
 
+def q_export_sql_ddl(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL exporter DDL: inferred schema → CREATE TABLE statements with the
+    FK column on the many side (orientation-driven)."""
+    from architxt_spark.plans import schema_from_forest
+    from architxt_spark.sinks import schema_ddl
+
+    nodes = _nation_forest(spark, sf)
+    schema = schema_from_forest(nodes, keep_unlabelled=False)
+    rows = [(i, s) for i, s in enumerate(schema_ddl(schema))]
+    return spark.createDataFrame(rows, "stmt_no int, ddl string")
+
+
+def q_export_cypher_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Cypher exporter: MERGE script census over the nation forest (node
+    MERGEs per group row, edge MERGEs per REL instance)."""
+    from architxt_spark.plans import schema_from_forest
+    from architxt_spark.sinks import export_cypher_script
+
+    nodes = _nation_forest(spark, sf)
+    schema = schema_from_forest(nodes, keep_unlabelled=False)
+    script = export_cypher_script(nodes, schema)
+    n_nodes = sum(s.startswith("MERGE (n:") for s in script)
+    n_edges = sum("MERGE (a)-[" in s for s in script)
+    return spark.createDataFrame(
+        [("node_merge", n_nodes), ("edge_merge", n_edges)], "kind string, n long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns (binary + typed metadata; decode stubbed)
 # ---------------------------------------------------------------------------
@@ -563,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_documents": q_rewrite_documents,
         "cluster_documents": q_cluster_documents,
         "dependency_customer": q_dependency_customer,
+        "export_sql_ddl": q_export_sql_ddl,
+        "export_cypher_stats": q_export_cypher_stats,
         "multimodal_byte_meta": q_multimodal_byte_meta,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -776,6 +806,18 @@ def oracle_sql() -> dict[str, str]:
             c3 AS (SELECT SUM(m) AS s FROM (SELECT MAX(c) AS m FROM g GROUP BY c_nationkey, c_acctbal))
             SELECT ROUND(GREATEST(c1.s / n.total, c2.s / n.total, c3.s / n.total), 6) AS dependency
             FROM c1, c2, c3, n
+        """,
+        "export_sql_ddl": """
+            SELECT * FROM (VALUES
+                (0, 'CREATE TABLE "nation" ("_architxt_oid" VARCHAR PRIMARY KEY, "n_name" VARCHAR, "n_nationkey" VARCHAR, "region_architxt_oid" VARCHAR REFERENCES "region" ("_architxt_oid"))'),
+                (1, 'CREATE TABLE "region" ("_architxt_oid" VARCHAR PRIMARY KEY, "r_name" VARCHAR, "r_regionkey" VARCHAR)')
+            ) AS t(stmt_no, ddl)
+        """,
+        "export_cypher_stats": """
+            SELECT 'node_merge' AS kind,
+                   CAST((SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS BIGINT) AS n
+            UNION ALL
+            SELECT 'edge_merge', CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
         """,
         "multimodal_byte_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

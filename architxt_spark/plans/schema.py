@@ -153,9 +153,12 @@ class SchemaPlan:
         (``architxt/schema.py:442-501``)."""
         score: dict[str, int] = {}
         for rel in self.relations:
+            # orientation marks the "one" (referenced) side — that side
+            # scores 1; a group scoring exactly 2 sits between two 1-n
+            # relations as the shared "one" side and collapses to an edge.
             lw, rw = {
-                RelationOrientation.LEFT: (3, 1),
-                RelationOrientation.RIGHT: (1, 3),
+                RelationOrientation.LEFT: (1, 3),
+                RelationOrientation.RIGHT: (3, 1),
                 RelationOrientation.BOTH: (3, 3),
             }[rel.orientation]
             score[rel.left] = score.get(rel.left, 0) + lw

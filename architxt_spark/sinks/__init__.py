@@ -1,0 +1,28 @@
+"""Sinks / exporters: forest → relational DB (DDL + FK-wired frames) and
+forest → property graph (node/relationship frames, Cypher script)."""
+
+from architxt_spark.sinks.cypher import (
+    cypher_node_frames,
+    cypher_relationship_frames,
+    export_cypher_script,
+)
+from architxt_spark.sinks.sql import (
+    export_sql_frames,
+    group_frame,
+    insert_order,
+    relation_pairs,
+    schema_ddl,
+    write_sqlite,
+)
+
+__all__ = [
+    "cypher_node_frames",
+    "cypher_relationship_frames",
+    "export_cypher_script",
+    "export_sql_frames",
+    "group_frame",
+    "insert_order",
+    "relation_pairs",
+    "schema_ddl",
+    "write_sqlite",
+]
