@@ -498,6 +498,41 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NLP enrichment (text → meta-model)
+# ---------------------------------------------------------------------------
+
+
+def q_split_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence splitting with absolute char offsets (posexplode + offset
+    window) + per-sentence token counts."""
+    from architxt_spark.nlp import split_sentences
+
+    docs = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("txt"))
+    sents = split_sentences(docs)
+    return sents.select(
+        "doc_id",
+        "sent_idx",
+        "sent_start",
+        "sent_end",
+        T.token_count(F.col("sentence")).alias("n_tokens"),
+    )
+
+
+def q_nlp_parse_forest(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed parse (stub constituency parser behind the real
+    mapInPandas boundary) → forest census (trees / nodes / leaves)."""
+    from architxt_spark.nlp import parse_sentences_df, split_sentences
+
+    docs = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("txt"))
+    nodes = parse_sentences_df(split_sentences(docs))
+    return nodes.agg(
+        F.countDistinct("tree_id").alias("n_trees"),
+        F.count("*").alias("n_nodes"),
+        F.count("leaf_value").alias("n_leaves"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity search II + text distribution
 # ---------------------------------------------------------------------------
 
@@ -595,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_cypher_stats": q_export_cypher_stats,
         "multimodal_byte_meta": q_multimodal_byte_meta,
         "multimodal_features": q_multimodal_features,
+        "split_sentences": q_split_sentences,
+        "nlp_parse_forest": q_nlp_parse_forest,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_distribution": q_lang_distribution,
         "dedup_exact": q_dedup_exact,
@@ -831,6 +868,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    TRUE AS has_feature
             FROM documents
+        """,
+        "split_sentences": f"""
+            SELECT doc_id,
+                   0 AS sent_idx,
+                   0 AS sent_start,
+                   CAST(strlen(text) AS INT) AS sent_end,
+                   CAST({T.token_count_sql('text')} AS INT) AS n_tokens
+            FROM documents
+            WHERE trim(text) <> ''
+        """,
+        "nlp_parse_forest": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_trees,
+                   CAST(SUM({T.token_count_sql('text')}) + COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM({T.token_count_sql('text')}) AS BIGINT) AS n_leaves
+            FROM documents
+            WHERE trim(text) <> ''
         """,
         "ann_lsh_topk": ann.lsh_topk_sql("embeddings", dim=64, k=5, max_query_id=10),
         "lang_distribution": f"""

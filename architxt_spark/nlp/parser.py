@@ -1,0 +1,172 @@
+"""Constituency-parsing boundary + entity-insertion tree surgery
+(``architxt/nlp/parser/__init__.py:141-626``).
+
+Real parsers are a process/network boundary in the reference (CoreNLP
+HTTP at ``parser/corenlp.py:19-45``, spaCy+benepar at
+``parser/benepar.py:49-87``); neither is available in this container, so
+:class:`StubParser` produces a deterministic flat bracket ``(SENT tok …)``
+behind the SAME ``mapInPandas`` plumbing a real parser plugs into
+(partition-level batching, one tree per sentence).  The tree surgery —
+token alignment, longest-first entity insertion, duplicate-span skipping,
+nested-entity unnesting, UNDEF relabeling — is real and runs identically
+under a real parser.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from architxt_spark.model import NODE_SCHEMA
+from architxt_spark.trees import PyTree, tree_to_rows
+
+
+class StubParser:
+    """Flat-bracket 'parse': (SENT tok tok …).  Deterministic stand-in for
+    the CoreNLP/benepar boundary (real parsers gated on availability)."""
+
+    def parse(self, sentence: str) -> PyTree:
+        return PyTree("SENT", [t for t in sentence.split() if t])
+
+
+def _align_tokens(sentence: str) -> list[tuple[int, int]]:
+    """Whitespace-token char spans (``align_tokens`` semantics)."""
+    spans = []
+    i = 0
+    for tok in sentence.split():
+        start = sentence.index(tok, i)
+        spans.append((start, start + len(tok)))
+        i = start + len(tok)
+    return spans
+
+
+def enrich_sentence_tree(
+    sentence: str,
+    entities: list[tuple[str, int, int]],
+    parser: StubParser | None = None,
+) -> PyTree:
+    """Parse + insert entities (``enrich_tree`` / ``ins_ent``,
+    ``parser/__init__.py:179-560``):
+
+    - entities sorted LONGEST-FIRST; exact-duplicate spans skipped
+      (``:214-216``);
+    - an entity covering tokens [i, j) wraps them under ``(ENT::name …)``;
+    - an entity nested fully inside an already-inserted one unnests it into
+      ``(REL::nested (ENT::outer …) (ENT::inner …))`` (``unnest_ent``,
+      ``:563-599``);
+    - tokens already consumed by another entity are DUPLICATED into the
+      new one (partial-overlap rule, ``:606-626``).
+    """
+    parser = parser or StubParser()
+    tree = parser.parse(sentence)
+    spans = _align_tokens(sentence)
+    toks = [sentence[s:e] for s, e in spans]
+
+    def covered(start: int, end: int) -> list[int]:
+        return [i for i, (s, e) in enumerate(spans) if s < end and e > start]
+
+    inserted: list[tuple[str, tuple[int, ...]]] = []
+    consumed: set[int] = set()
+    ents = sorted(entities, key=lambda e: (-(e[2] - e[1]), e[1], e[0]))
+    seen_spans: set[tuple[int, int]] = set()
+    for name, start, end in ents:
+        if (start, end) in seen_spans:
+            continue
+        seen_spans.add((start, end))
+        idxs = tuple(covered(start, end))
+        if not idxs:
+            continue
+
+        outer = next((n_ts for n_ts in inserted if set(idxs) < set(n_ts[1])), None)
+        if outer is not None:
+            _unnest(tree, outer[0], name, idxs, toks)
+        else:
+            _insert_entity(tree, name, idxs, toks, consumed)
+            consumed.update(idxs)
+        inserted.append((name, idxs))
+    return tree
+
+
+def _insert_entity(
+    tree: PyTree, name: str, idxs: tuple[int, ...], toks: list[str], consumed: set[int]
+) -> None:
+    """Wrap the idx-th original tokens under (ENT::name …): free tokens are
+    removed from the top level; already-consumed tokens are duplicated."""
+    free = [i for i in idxs if i not in consumed]
+    ent = PyTree(f"ENT::{name}", [toks[i] for i in idxs])
+    if not free:
+        tree.children.append(ent)
+        return
+    # remove free leaves (top-level str children matching, left to right)
+    remaining = [toks[i] for i in free]
+    insert_at = None
+    out = []
+    for c in tree.children:
+        if isinstance(c, str) and remaining and c == remaining[0]:
+            remaining.pop(0)
+            if insert_at is None:
+                insert_at = len(out)
+            continue
+        out.append(c)
+    if insert_at is None:
+        insert_at = len(out)
+    out.insert(insert_at, ent)
+    tree.children = out
+
+
+def _unnest(tree: PyTree, outer_name: str, inner_name: str, inner_idxs: tuple[int, ...], toks: list[str]) -> None:
+    """(ENT::outer …) → (REL::nested (ENT::outer …) (ENT::inner …))."""
+    for i, c in enumerate(tree.children):
+        if isinstance(c, PyTree) and c.label == f"ENT::{outer_name}":
+            inner = PyTree(f"ENT::{inner_name}", [toks[t] for t in inner_idxs])
+            tree.children[i] = PyTree("REL::nested", [c, inner])
+            return
+
+
+def parse_sentences_df(
+    sentences: DataFrame,
+    sent_entities: DataFrame | None = None,
+    *,
+    parser_factory=StubParser,
+) -> DataFrame:
+    """Distributed parse+enrich: sentences (+ optional per-sentence
+    entities) → node rows, one tree per sentence (the ``mapInPandas``
+    twin of ``Parser.parse_batch``, ``parser/__init__.py:33-85``).
+
+    The root label becomes ``UNDEF_<tree_id>`` like ``process_tree``
+    (``:141-176``) so downstream clustering treats it as unlabelled."""
+    import pandas as pd
+
+    if sent_entities is not None:
+        e = sent_entities.groupBy("doc_id", "sent_idx").agg(
+            F.collect_list(F.struct("name", "start", "end")).alias("ents")
+        )
+        src = sentences.join(e, ["doc_id", "sent_idx"], "left")
+    else:
+        src = sentences.withColumn(
+            "ents", F.lit(None).cast("array<struct<name:string,start:int,end:int>>")
+        )
+    src = src.select("doc_id", "sent_idx", "sentence", "ents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parser = parser_factory()
+        cols = [f.name for f in NODE_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, sent_idx, sentence, ents in zip(
+                pdf["doc_id"], pdf["sent_idx"], pdf["sentence"], pdf["ents"]
+            ):
+                ent_list = (
+                    [(e["name"], int(e["start"]), int(e["end"])) for e in ents]
+                    if ents is not None and len(ents)
+                    else []
+                )
+                tree = enrich_sentence_tree(str(sentence), ent_list, parser)
+                tree_id = f"{doc_id}.{sent_idx}"
+                tree.label = f"UNDEF_{tree_id}"
+                rows.extend(tree_to_rows(tree, tree_id))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, NODE_SCHEMA)
