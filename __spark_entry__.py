@@ -497,6 +497,58 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_gen_instance(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthetic instance generator: schema → size×(group/relation shapes)
+    via range × broadcast-template cross join; census oracle."""
+    from architxt_spark.generator import gen_instance
+    from architxt_spark.plans.schema import Relation, RelationOrientation, SchemaPlan
+
+    schema = SchemaPlan(
+        groups={"person": frozenset({"name", "age"}), "city": frozenset({"zip"})},
+        relations={Relation("person<->city", "person", "city", RelationOrientation.RIGHT)},
+    )
+    nodes = gen_instance(spark, schema, size=100)
+    return (
+        nodes.groupBy(
+            F.coalesce(F.col("node_type"), F.lit("UNTYPED")).alias("node_type"),
+            F.coalesce(F.col("node_name"), F.lit("")).alias("node_name"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_llm_rewrite_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM-rewrite plumbing (token-budgeted batching + per-batch fallback)
+    with the deterministic uppercase normalizer standing in for the model
+    endpoint; GROUP-label census after the rewrite."""
+    from architxt_spark.llm import UppercaseGroupNormalizer, llm_rewrite
+    from architxt_spark.sources.documents import row_trees
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    nodes = row_trees(docs, "documents", ["doc_id"])
+    out = llm_rewrite(nodes, UppercaseGroupNormalizer)
+    return (
+        out.filter(F.col("node_type") == "GROUP")
+        .groupBy(F.col("node_name").alias("group_name"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_extract_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-vocabulary extraction: distributed support counts + driver-side
+    fuzzy merge over the (tiny) distinct label set."""
+    from architxt_spark.llm import extract_vocab
+    from architxt_spark.sources.documents import row_trees
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    nodes = row_trees(docs, "documents", ["doc_id"]).unionByName(
+        row_trees(nat, "nation", ["n_nationkey"])
+    )
+    vocab = extract_vocab(nodes, min_support=2)
+    return spark.createDataFrame(vocab, "label string, support long")
+
+
 # ---------------------------------------------------------------------------
 # NLP enrichment (text → meta-model)
 # ---------------------------------------------------------------------------
@@ -630,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_cypher_stats": q_export_cypher_stats,
         "multimodal_byte_meta": q_multimodal_byte_meta,
         "multimodal_features": q_multimodal_features,
+        "gen_instance": q_gen_instance,
+        "llm_rewrite_stub": q_llm_rewrite_stub,
+        "extract_vocab": q_extract_vocab,
         "split_sentences": q_split_sentences,
         "nlp_parse_forest": q_nlp_parse_forest,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -868,6 +923,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    TRUE AS has_feature
             FROM documents
+        """,
+        "gen_instance": """
+            SELECT * FROM (VALUES
+                ('UNTYPED', 'ROOT', CAST(300 AS BIGINT)),
+                ('UNTYPED', '', CAST(600 AS BIGINT)),
+                ('COLL', 'person', CAST(100 AS BIGINT)),
+                ('COLL', 'city', CAST(100 AS BIGINT)),
+                ('GROUP', 'person', CAST(200 AS BIGINT)),
+                ('GROUP', 'city', CAST(200 AS BIGINT)),
+                ('REL', 'person<->city', CAST(100 AS BIGINT)),
+                ('ENT', 'name', CAST(200 AS BIGINT)),
+                ('ENT', 'age', CAST(200 AS BIGINT)),
+                ('ENT', 'zip', CAST(200 AS BIGINT))
+            ) AS t(node_type, node_name, n)
+        """,
+        "llm_rewrite_stub": """
+            SELECT 'DOCUMENTS' AS group_name, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        """,
+        "extract_vocab": """
+            SELECT 'documents' AS label, CAST(COUNT(*) AS BIGINT) AS support FROM documents
+            UNION ALL
+            SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
         """,
         "split_sentences": f"""
             SELECT doc_id,
