@@ -83,6 +83,83 @@ def read_event_stream(spark: SparkSession, path: str, schema: str | None = None)
     )
 
 
+def stream_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` (the streaming twin of :func:`sessionize`).
+
+    State per user = the one OPEN session (start, last, count) in epoch
+    micros.  Each micro-batch merges its events into the open session,
+    EMITS every session closed by an in-batch gap, keeps the trailing
+    session open, and arms an event-time timeout at ``last + gap`` so the
+    watermark eventually flushes it.  Shuffle is keyed on user_id; state
+    size is O(1) per user — the always-bounded design for an unbounded
+    stream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit(start, last, n)
+            return
+
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = 0, 0, 0  # no open session yet
+
+        for t in ts_us:
+            if n == 0:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                yield emit(start, last, n)
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+
+        if n == 0:
+            return
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def stream_hourly_rollup(stream: DataFrame, watermark: str = "2 hours"):
     """The streaming twin of :func:`hourly_event_rollup` with late-data
     handling: watermark bounds state, append mode emits finalized windows."""

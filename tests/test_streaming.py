@@ -1,0 +1,117 @@
+"""Structured Streaming tests: the streaming twins must produce the batch
+results (batch/stream duality of
+:mod:`architxt_spark.streaming.events`)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from architxt_spark.streaming import hourly_event_rollup
+from architxt_spark.streaming.events import read_event_stream, stream_hourly_rollup
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """A small parquet events directory with plain-micros timestamps."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_hourly_rollup_matches_batch(spark, event_dir):
+    batch = spark.read.parquet(event_dir)
+    expected = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in hourly_event_rollup(batch).collect()
+    }
+
+    stream = read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    q = (
+        stream_hourly_rollup(stream, watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")  # finalized windows regardless of watermark progress
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    q.stop()
+    assert got == expected
+    assert len(got) > 10
+
+
+def test_stream_incremental_files(spark, event_dir, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch; availableNow drains all
+    pending files in bounded batches."""
+    stream = read_event_stream(spark, event_dir)
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("inc_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_type"]: r["n"] for r in spark.sql("SELECT * FROM inc_test").collect()}
+    q.stop()
+    batch = spark.read.parquet(event_dir).groupBy("event_type").agg(F.count("*").alias("n"))
+    expected = {r["event_type"]: r["n"] for r in batch.collect()}
+    assert got == expected
+
+
+def test_stream_sessionize_stateful(spark, event_dir):
+    """applyInPandasWithState sessionization: sessions closed by in-batch
+    gaps must equal the batch sessionization minus each user's trailing
+    (still-open) session."""
+    from architxt_spark.streaming import sessionize
+    from architxt_spark.streaming.events import stream_sessionize
+
+    batch = spark.read.parquet(event_dir)
+    all_sessions = sessionize(batch, gap_minutes=30)
+    # drop each user's final session (stays open in the stream's state)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    expected_df = (
+        all_sessions.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in expected_df.collect()
+    }
+
+    stream = read_event_stream(spark, event_dir)
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    q.stop()
+    all_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in all_sessions.collect()
+    }
+    # every in-batch-closed session must stream out; the event-time timeout
+    # may additionally flush trailing sessions — all must match batch exactly
+    assert expected <= got
+    assert got <= all_set
+    assert len(got) > 50
