@@ -210,8 +210,9 @@ def find_groups(nodes: DataFrame, assignments: DataFrame, min_support: int) -> D
 
 
 #: Ordered op chain (``DEFAULT_OPERATIONS``,
-#: ``simplification/tree_rewriting/__init__.py:45-53``); FindSubGroups /
-#: MergeGroups (combinatorial search) join the chain in a later milestone.
+#: ``simplification/tree_rewriting/__init__.py:45-53``).  FindSubGroups /
+#: MergeGroups need the per-iteration cluster-signature index — they are
+#: bound in :func:`rewrite` via closures over the broadcastable index.
 DEFAULT_OPERATIONS: tuple[tuple[str, Callable[[PyTree], bool]], ...] = (
     ("find_collections", pytree_ops.find_collections),
     ("find_relations", pytree_ops.find_relations),
@@ -219,6 +220,24 @@ DEFAULT_OPERATIONS: tuple[tuple[str, Callable[[PyTree], bool]], ...] = (
     ("reduce_bottom", pytree_ops.reduce_bottom),
     ("reduce_top", pytree_ops.reduce_top),
 )
+
+
+def _operations_with_index(
+    index: dict, min_support: int
+) -> list[tuple[str, Callable[[PyTree], bool]]]:
+    """The full reference chain [FindSubGroups, MergeGroups,
+    FindCollections, FindRelations, FindCollections, ReduceBottom,
+    ReduceTop] with the combinatorial ops bound to this iteration's
+    cluster index (closures ship to executors via cloudpickle; the index
+    is vocabulary-bounded)."""
+
+    def fsg(t: PyTree) -> bool:
+        return pytree_ops.find_subgroups(t, index, min_support)
+
+    def mg(t: PyTree) -> bool:
+        return pytree_ops.merge_groups(t, index, min_support)
+
+    return [("find_subgroups", fsg), ("merge_groups", mg), *DEFAULT_OPERATIONS]
 
 
 def rewrite(
@@ -236,14 +255,11 @@ def rewrite(
     early-exit at the first op that changed anything.  Stops when an
     iteration simplifies nothing or after ``epoch`` iterations.
     """
-    from architxt_spark.similarity import cluster_forest
+    from architxt_spark.similarity import cluster_forest_with_index
 
-    spark = nodes.sparkSession
     n_trees = nodes.select("tree_id").distinct().count()
     if min_support is None:
         min_support = max(n_trees // 10, 2)
-
-    ops = list(operations) if operations is not None else list(DEFAULT_OPERATIONS)
 
     nodes = nodes.repartition("tree_id").localCheckpoint(eager=True)
 
@@ -251,8 +267,14 @@ def rewrite(
         flagged = apply_tree_op(nodes, lambda t: pytree_ops.reduce_all(t, {NodeType.ENT}), "reduce")
         nodes = flagged.drop("changed")
 
-        assignments = cluster_forest(nodes, tau=tau)
+        assignments, sig_index = cluster_forest_with_index(nodes, tau=tau)
         nodes = find_groups(nodes, assignments, min_support)
+
+        ops = (
+            list(operations)
+            if operations is not None
+            else _operations_with_index(sig_index, min_support)
+        )
 
         iteration_changed = False
         for name, fn in ops:

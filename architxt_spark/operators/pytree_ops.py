@@ -253,3 +253,133 @@ def has_duplicate_entity(tree: PyTree) -> bool:
     """``architxt/tree.py:712-724``."""
     names = [e.node_name for e in entity_nodes(tree)]
     return len(names) != len(set(names))
+
+
+# ---------------------------------------------------------------------------
+# combinatorial group search (FindSubGroups / MergeGroups)
+# ---------------------------------------------------------------------------
+
+#: hard bound on combination size — the reference caps k by the best
+#: matching cluster's size (``operations/groups.py:121-134``); this is the
+#: additional 100-TB-posture guard against degenerate wide subtrees.
+MAX_COMBINATION = 6
+
+
+def _ent_names(node: PyTree) -> list[str]:
+    return [c.node_name for c in node.children if _is_typed(c, {NodeType.ENT})]
+
+
+def find_subgroups(
+    tree: PyTree,
+    index: dict[frozenset, tuple[str, int]],
+    min_support: int = 2,
+) -> bool:
+    """``FindSubGroupsOperation`` (``operations/groups.py:22-176``): in each
+    unlabeled subtree whose children are all ENT, search k-combinations of
+    its entities whose hypothetical GROUP lands in a HIGHER-support cluster;
+    wrap the best combination under ``GROUP::<cluster>``, iterate.
+
+    Search space pruning as in the reference: candidate entities restricted
+    to labels that occur in some indexed cluster; k capped by the largest
+    compatible cluster size (and :data:`MAX_COMBINATION`)."""
+    from itertools import combinations
+
+    changed = False
+    indexed_labels = set().union(*index.keys()) if index else set()
+    for _parent, _idx, node, _depth in _subtrees(tree):
+        if node.node_type is not None:
+            continue
+        while True:
+            ents = _ent_names(node)
+            if len(ents) < 3 or len(set(ents)) != len(ents):
+                break
+            if any(not _is_typed(c, {NodeType.ENT}) for c in node.children if isinstance(c, PyTree)):
+                break
+            current = index.get(frozenset(ents), (None, 0))[1]
+            cand_labels = [e for e in ents if e in indexed_labels]
+            max_k = min(len(cand_labels) - 1, MAX_COMBINATION)
+            best: tuple[int, tuple[str, ...], str] | None = None
+            for k in range(max_k, 1, -1):
+                for combo in combinations(sorted(cand_labels), k):
+                    name, support = index.get(frozenset(combo), (None, 0))
+                    if support > max(current, min_support) and (
+                        best is None or support > best[0]
+                    ):
+                        best = (support, combo, name)
+                if best is not None:
+                    break
+            if best is None:
+                break
+            _support, combo, name = best
+            members = [c for c in node.children if _is_typed(c, {NodeType.ENT}) and c.node_name in combo]
+            first = node.children.index(members[0])
+            for m in members:
+                node.children.remove(m)
+            node.children.insert(first, PyTree(f"{NodeType.GROUP}::{name}", members))
+            changed = True
+    return changed
+
+
+def merge_groups(
+    tree: PyTree,
+    index: dict[frozenset, tuple[str, int]],
+    min_support: int = 2,
+) -> bool:
+    """``MergeGroupsOperation`` (``operations/groups.py:179-304``): in
+    unlabeled subtrees containing GROUP children, try combinations of
+    GROUP/ENT children whose merged entity set lands in a cluster with
+    support ≥ every member's own support; merge them into one GROUP."""
+    from itertools import combinations
+
+    changed = False
+    for _parent, _idx, node, _depth in _subtrees(tree):
+        if node.node_type is not None:
+            continue
+        members = [
+            c for c in node.children if _is_typed(c, {NodeType.GROUP, NodeType.ENT})
+        ]
+        groups = [m for m in members if m.node_type == NodeType.GROUP]
+        if not groups or len(members) < 2:
+            continue
+
+        def ent_set(m: PyTree) -> frozenset:
+            if m.node_type == NodeType.ENT:
+                return frozenset({m.node_name})
+            return frozenset(_ent_names(m))
+
+        def own_support(m: PyTree) -> int:
+            return index.get(ent_set(m), (None, 0))[1]
+
+        best: tuple[int, tuple[PyTree, ...], str] | None = None
+        max_k = min(len(members), MAX_COMBINATION)
+        for k in range(max_k, 1, -1):
+            for combo in combinations(members, k):
+                if not any(m.node_type == NodeType.GROUP for m in combo):
+                    continue
+                merged = frozenset().union(*(ent_set(m) for m in combo))
+                if len(merged) != sum(len(ent_set(m)) for m in combo):
+                    continue  # duplicate entities after merge
+                name, support = index.get(merged, (None, 0))
+                if (
+                    support > min_support
+                    and support >= max(own_support(m) for m in combo)
+                    and (best is None or support > best[0])
+                ):
+                    best = (support, combo, name)
+            if best is not None:
+                break
+        if best is None:
+            continue
+        _support, combo, name = best
+        new_children: list[PyTree] = []
+        for m in combo:
+            if m.node_type == NodeType.ENT:
+                new_children.append(m)
+            else:
+                new_children.extend(c for c in m.children if _is_typed(c, {NodeType.ENT}))
+        first = node.children.index(combo[0])
+        for m in combo:
+            node.children.remove(m)
+        node.children.insert(first, PyTree(f"{NodeType.GROUP}::{name}", new_children))
+        changed = True
+    return changed

@@ -279,14 +279,18 @@ def _cluster_signatures(
     return {s: uf.find(s) for s in sigs}
 
 
-def cluster_forest(
+def cluster_forest_with_index(
     nodes: DataFrame,
     *,
     tau: float = 0.7,
     metric: str = DEFAULT_METRIC,
     max_height: int = DEFAULT_MAX_HEIGHT,
-) -> DataFrame:
-    """Cluster candidate subtrees; returns (node_id, cluster_name, support).
+) -> tuple[DataFrame, dict[frozenset, tuple[str, int]]]:
+    """Cluster candidate subtrees.  Returns
+    ``(assignments(node_id, cluster_name, support), signature index)`` —
+    the index maps an entity-label frozenset to its cluster's
+    ``(name, support)`` and is the broadcastable context the combinatorial
+    ops (FindSubGroups / MergeGroups) score hypothetical groups against.
 
     Support/membership are global aggregations over signatures; only the
     DISTINCT signature set (vocabulary-bounded) touches the driver.
@@ -301,8 +305,9 @@ def cluster_forest(
     )
     rows = sig_stats.collect()
     sigs = [r["signature"] for r in rows]
+    empty = spark.createDataFrame([], "node_id string, cluster_name string, support long")
     if not sigs:
-        return spark.createDataFrame([], "node_id string, cluster_name string, support long")
+        return empty, {}
 
     comp = _cluster_signatures(sigs, tau, metric)
 
@@ -329,6 +334,21 @@ def cluster_forest(
         "signature string, cluster_name string, support long",
     )
     out = cands.join(F.broadcast(mapping), "signature").select("node_id", "cluster_name", "support")
+    index = {
+        frozenset(s.split("|")): (cluster_name[comp[s]], comp_support[comp[s]]) for s in sigs
+    }
+    return out, index
+
+
+def cluster_forest(
+    nodes: DataFrame,
+    *,
+    tau: float = 0.7,
+    metric: str = DEFAULT_METRIC,
+    max_height: int = DEFAULT_MAX_HEIGHT,
+) -> DataFrame:
+    """Cluster candidate subtrees; returns (node_id, cluster_name, support)."""
+    out, _ = cluster_forest_with_index(nodes, tau=tau, metric=metric, max_height=max_height)
     return out
 
 

@@ -132,3 +132,57 @@ def test_similarity_metrics():
     b = [frozenset({"x", "y"}), frozenset({"p"})]
     assert context_similarity(a, b) == pytest.approx(1.0)
     assert context_similarity([frozenset({"x"})], [frozenset({"z"})]) == 0.0
+
+
+# --- combinatorial group search (operations/groups.py golden cases) ---
+
+def test_find_subgroups_wraps_best_combination():
+    from architxt_spark.operators.pytree_ops import find_subgroups
+    from architxt_spark.trees import format_tree, parse_tree
+
+    t = parse_tree("(X (ENT::a 1) (ENT::b 2) (ENT::c 3) (ENT::d 4))")
+    index = {
+        frozenset({"a", "b"}): ("ab", 50),
+        frozenset({"a", "b", "c"}): ("abc", 10),
+        frozenset({"a", "b", "c", "d"}): ("all", 3),
+    }
+    assert find_subgroups(t, index, min_support=2)
+    # k descends from the largest: abc (support 10 > current 3) wins over ab
+    assert format_tree(t) == "(X (GROUP::abc (ENT::a 1) (ENT::b 2) (ENT::c 3)) (ENT::d 4))"
+
+
+def test_find_subgroups_no_improvement_is_noop():
+    from architxt_spark.operators.pytree_ops import find_subgroups
+    from architxt_spark.trees import format_tree, parse_tree
+
+    t = parse_tree("(X (ENT::a 1) (ENT::b 2) (ENT::c 3))")
+    index = {frozenset({"a", "b", "c"}): ("whole", 100), frozenset({"a", "b"}): ("ab", 5)}
+    assert not find_subgroups(t, index, min_support=2)
+    assert format_tree(t) == "(X (ENT::a 1) (ENT::b 2) (ENT::c 3))"
+
+
+def test_merge_groups_merges_when_supported():
+    from architxt_spark.operators.pytree_ops import merge_groups
+    from architxt_spark.trees import format_tree, parse_tree
+
+    t = parse_tree("(X (GROUP::g1 (ENT::a 1) (ENT::b 2)) (ENT::c 3))")
+    index = {
+        frozenset({"a", "b"}): ("g1", 5),
+        frozenset({"c"}): ("c", 4),
+        frozenset({"a", "b", "c"}): ("merged", 9),
+    }
+    assert merge_groups(t, index, min_support=2)
+    assert format_tree(t) == "(X (GROUP::merged (ENT::a 1) (ENT::b 2) (ENT::c 3)))"
+
+
+def test_merge_groups_refuses_weaker_merge():
+    from architxt_spark.operators.pytree_ops import merge_groups
+    from architxt_spark.trees import format_tree, parse_tree
+
+    t = parse_tree("(X (GROUP::g1 (ENT::a 1) (ENT::b 2)) (ENT::c 3))")
+    index = {
+        frozenset({"a", "b"}): ("g1", 20),
+        frozenset({"a", "b", "c"}): ("merged", 9),  # < member support 20
+    }
+    assert not merge_groups(t, index, min_support=2)
+    assert "GROUP::g1" in format_tree(t)
