@@ -172,6 +172,49 @@ def q_setop_nations_cust_minus_supp(spark: SparkSession, sf: str) -> DataFrame:
     return cust_nations.exceptAll(supp_nations).distinct()
 
 
+def q_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority) with count + decimal sum."""
+    orders = _t(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+    )
+
+
+def q_asof_purchase_signup(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF join (custom operator — union + carry-forward window, one
+    shuffle on the key): each purchase attached to the user's most recent
+    signup at or before it."""
+    from architxt_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "event_id", "ts")
+    out = asof_join(purchases, signups, by=["user_id"], right_cols=["event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_right").alias("signup_event"),
+    )
+
+
+def q_range_join_signup_clicks(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval range join: clicks landing in the hour after each
+    signup, counted per signup."""
+    from architxt_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join(clicks, signups, by=["user_id"], left_ts="ts")
+    return joined.groupBy("signup_event").agg(F.count("*").alias("n_clicks"))
+
+
 def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP grouping sets over (status, priority)."""
     orders = _t(spark, sf, "orders")
@@ -662,6 +705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit_top_orders": q_sort_limit_top_orders,
         "setop_nations_cust_minus_supp": q_setop_nations_cust_minus_supp,
         "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
+        "asof_purchase_signup": q_asof_purchase_signup,
+        "range_join_signup_clicks": q_range_join_signup_clicks,
         "string_funcs_parts": q_string_funcs_parts,
         "date_math_orders": q_date_math_orders,
         "json_props_events": q_json_props_events,
@@ -786,6 +832,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "asof_purchase_signup": """
+            SELECT l.user_id, l.event_id, r.event_id AS signup_event
+            FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_signup_clicks": """
+            SELECT s.event_id AS signup_event, CAST(COUNT(*) AS BIGINT) AS n_clicks
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            JOIN (SELECT user_id, event_id, ts AS s_start, ts + INTERVAL 1 HOUR AS s_end
+                  FROM events WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id AND c.ts >= s.s_start AND c.ts < s.s_end
+            GROUP BY 1
         """,
         "string_funcs_parts": """
             SELECT p_partkey,
