@@ -386,6 +386,13 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_buckets(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def q_dedup_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup keep-set: exact-dup groups keep the min id; the
+    greater id of every MinHash near-dup pair is dropped."""
+    out = dedup.dedup_filter(_t(spark, sf, "documents"), "text", "doc_id")
+    return out.select(F.col("id").alias("doc_id"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return ann.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
 
@@ -739,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_filtered": q_dedup_filtered,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -1042,6 +1050,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", threshold=0.2
         ),
         "dedup_simhash": dedup.simhash_buckets_sql("documents", "text", "doc_id"),
+        "dedup_filtered": f"""
+            SELECT id AS doc_id FROM ({dedup.dedup_filter_sql('documents', 'text', 'doc_id')})
+        """,
         "embedding_near_dup": ann.cosine_near_dup_pairs_sql("embeddings", threshold=0.9),
         "ann_topk": ann.brute_force_topk_sql("embeddings", k=5, max_query_id=10),
         "events_hourly_rollup": """

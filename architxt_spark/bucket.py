@@ -1,0 +1,130 @@
+"""Persistent forest store — the reference's ``TreeBucket`` re-expressed
+as a parquet-backed node table
+(``architxt/bucket/__init__.py:22-161``, ``architxt/bucket/zodb.py:35-329``).
+
+The ZODB object store (OOBTree keyed by OID, batched transactions,
+fork-safety) maps to a columnar layout: the forest IS a node DataFrame
+partitioned by ``tree_id``; a "transaction" is an atomic directory swap
+(write to ``_staging-<n>``, rename over ``current``) — the lakehouse
+pattern (Delta's transaction log would replace the rename where
+available; this container has vanilla parquet only).
+
+Operations:
+
+- ``write`` / ``transaction`` — atomic replace of the whole forest;
+- ``upsert``     — replace the given trees, keep the rest (anti-join +
+  union, one shuffle on tree_id);
+- ``discard``    — drop trees by id;
+- ``oids``       — distinct tree ids;
+- ``resolve``    — the node rows of one tree;
+- generation counter — every commit bumps ``_gen``, readers always see a
+  complete generation (no torn reads).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetTreeBucket:
+    """Directory layout: ``<root>/gen=<n>/*.parquet`` + ``<root>/_CURRENT``
+    (a one-line pointer file).  Commits write a new generation then flip
+    the pointer — atomic on POSIX renames."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointers ---------------------------------------------------------
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def _current_gen(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _gen_path(self, gen: int) -> str:
+        return os.path.join(self.root, f"gen={gen}")
+
+    def _flip(self, gen: int) -> None:
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(gen))
+        os.replace(tmp, self._pointer)  # atomic pointer swap
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        gen = self._current_gen()
+        if gen is None:
+            from architxt_spark.model import NODE_SCHEMA
+
+            return self.spark.createDataFrame([], NODE_SCHEMA)
+        return self.spark.read.parquet(self._gen_path(gen))
+
+    def oids(self) -> list[str]:
+        return [r["tree_id"] for r in self.read().select("tree_id").distinct().collect()]
+
+    def resolve(self, tree_id: str) -> DataFrame:
+        return self.read().filter(F.col("tree_id") == tree_id)
+
+    def __len__(self) -> int:
+        return self.read().select("tree_id").distinct().count()
+
+    # -- writes -----------------------------------------------------------
+
+    def write(self, nodes: DataFrame) -> None:
+        """Atomic full replace (one transaction)."""
+        gen = (self._current_gen() or 0) + 1
+        nodes.write.mode("overwrite").parquet(self._gen_path(gen))
+        old = self._current_gen()
+        self._flip(gen)
+        if old is not None:
+            shutil.rmtree(self._gen_path(old), ignore_errors=True)
+
+    def upsert(self, nodes: DataFrame) -> None:
+        """Replace the given trees, keep all others (MERGE semantics:
+        anti-join current on incoming tree ids + union)."""
+        current = self.read()
+        incoming_ids = nodes.select("tree_id").distinct()
+        kept = current.join(incoming_ids, "tree_id", "left_anti")
+        self.write(kept.unionByName(nodes))
+
+    def discard(self, tree_ids: list[str]) -> None:
+        current = self.read()
+        self.write(current.filter(~F.col("tree_id").isin(tree_ids)))
+
+    @contextmanager
+    def transaction(self):
+        """Collect mutations and commit once: ``txn.upsert(df)`` /
+        ``txn.discard(ids)`` inside the block apply atomically at exit
+        (mirrors the reference's transaction manager)."""
+        staged: list[tuple[str, object]] = []
+
+        class _Txn:
+            def upsert(self, df: DataFrame) -> None:
+                staged.append(("upsert", df))
+
+            def discard(self, ids: list[str]) -> None:
+                staged.append(("discard", ids))
+
+        yield _Txn()
+        current = self.read()
+        for kind, payload in staged:
+            if kind == "upsert":
+                ids = payload.select("tree_id").distinct()
+                current = current.join(ids, "tree_id", "left_anti").unionByName(payload)
+            else:
+                current = current.filter(~F.col("tree_id").isin(payload))
+        self.write(current)

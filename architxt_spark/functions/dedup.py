@@ -422,3 +422,50 @@ def simhash_buckets_sql(table: str, text_col: str, id_col: str) -> str:
         GROUP BY 1
         HAVING COUNT(*) > 1
     """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end keep-set (exact + near-dup greedy filter)
+# ---------------------------------------------------------------------------
+
+
+def dedup_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    near_threshold: float = 0.5,
+) -> DataFrame:
+    """Documents surviving deduplication: per exact-duplicate group only the
+    min-id representative survives, and the greater id of every MinHash
+    near-dup pair (est_jaccard ≥ threshold) is dropped — the standard
+    greedy keep-first policy.  Returns the kept ids.
+
+    Scale shape: both inputs are the already-scalable building blocks
+    (fingerprint groupBy + banded LSH join); the final filter is one
+    broadcast-able anti-join on the (small) drop set."""
+    fp = _spread(df).select(
+        F.col(id_col).alias("id"), T.fingerprint(F.col(text_col)).alias("fp")
+    )
+    keep_exact = fp.groupBy("fp").agg(F.min("id").alias("id")).select("id")
+    near = minhash_lsh_pairs(df, text_col, id_col).filter(
+        F.col("est_jaccard") >= near_threshold
+    )
+    drop_near = near.select(F.col("id_b").alias("id")).distinct()
+    return keep_exact.join(drop_near, "id", "left_anti").select("id")
+
+
+def dedup_filter_sql(
+    table: str, text_col: str, id_col: str, *, near_threshold: float = 0.5
+) -> str:
+    pairs = minhash_lsh_pairs_sql(table, text_col, id_col)
+    return f"""
+        WITH keep_exact AS (
+            SELECT MIN({id_col}) AS id
+            FROM {table}
+            GROUP BY {T.fingerprint_sql(text_col)}
+        ),
+        near AS ({pairs}),
+        drop_near AS (SELECT DISTINCT id_b AS id FROM near WHERE est_jaccard >= {near_threshold})
+        SELECT id FROM keep_exact WHERE id NOT IN (SELECT id FROM drop_near)
+    """
