@@ -41,12 +41,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap>threshold flag (the classic batch pattern; ``session_window`` is
     the streaming twin).  Returns one row per session."""
     w_user = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond-exact gap comparison (unix_timestamp would truncate to
+    # seconds and disagree with sub-second-precision engines at the
+    # boundary)
     with_gap = events.withColumn(
         "new_session",
         (
             F.coalesce(
-                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user)))
-                > gap_minutes * 60,
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user)))
+                > gap_minutes * 60 * 1_000_000,
                 F.lit(True),
             )
         ).cast("int"),
