@@ -320,8 +320,12 @@ def q_forest_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
     nodes = row_trees(docs, "documents", ["doc_id"])
     s = forest_stats(nodes)
     return spark.createDataFrame(
-        [(s["n_trees"], s["n_nodes"], s["n_entities"], s["n_groups"])],
-        "n_trees long, n_nodes long, n_entities long, n_groups long",
+        [(
+            s["n_trees"], s["n_nodes"], s["n_entities"], s["n_groups"],
+            s["max_depth"], round(float(s["avg_depth"]), 6), s["n_entity_labels"],
+        )],
+        "n_trees long, n_nodes long, n_entities long, n_groups long,"
+        " max_depth int, avg_depth double, n_entity_labels long",
     )
 
 
@@ -471,6 +475,37 @@ def q_cluster_documents(spark: SparkSession, sf: str) -> DataFrame:
     dn = row_trees(docs, "documents", ["doc_id"])
     asg = cluster_forest(dn)
     return asg.select("support").distinct()
+
+
+def q_extract_valid_trees(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-validity filter+project: subtrees with labels outside the
+    schema are dropped with their children promoted to the nearest valid
+    ancestor; stray entities under a ROOT-ified root are removed.  Census
+    over the nation forest filtered to a nation-only schema."""
+    from architxt_spark.plans import extract_valid_trees
+    from architxt_spark.plans.schema import SchemaPlan
+
+    nodes = _nation_forest(spark, sf)
+    schema = SchemaPlan(groups={"nation": frozenset({"n_name", "n_nationkey"})}, relations=set())
+    out = extract_valid_trees(nodes, schema)
+    return out.groupBy(
+        F.coalesce(F.col("node_type"), F.lit("UNTYPED")).alias("node_type"),
+        F.coalesce(F.col("node_name"), F.lit("")).alias("node_name"),
+    ).agg(F.count("*").alias("n"))
+
+
+def q_coverage_metric(spark: SparkSession, sf: str) -> DataFrame:
+    """Coverage metric: Jaccard of entity-OID sets before vs after the
+    validity filter (region entities drop → 2C/(2C+2R))."""
+    from architxt_spark.metrics import coverage, entity_oids
+    from architxt_spark.plans import extract_valid_trees
+    from architxt_spark.plans.schema import SchemaPlan
+
+    nodes = _nation_forest(spark, sf)
+    schema = SchemaPlan(groups={"nation": frozenset({"n_name", "n_nationkey"})}, relations=set())
+    out = extract_valid_trees(nodes, schema)
+    c = coverage(entity_oids(nodes), entity_oids(out))
+    return spark.createDataFrame([(round(c, 6),)], "coverage double")
 
 
 def q_dependency_customer(spark: SparkSession, sf: str) -> DataFrame:
@@ -730,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_rewrite_documents": q_simple_rewrite_documents,
         "rewrite_documents": q_rewrite_documents,
         "cluster_documents": q_cluster_documents,
+        "extract_valid_trees": q_extract_valid_trees,
+        "coverage_metric": q_coverage_metric,
         "dependency_customer": q_dependency_customer,
         "export_sql_ddl": q_export_sql_ddl,
         "export_cypher_stats": q_export_cypher_stats,
@@ -902,14 +939,21 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(group_name, entity)
         """,
         "forest_stats_documents": """
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_trees,
-                   CAST(COUNT(*) * 2
-                        + COUNT(doc_id) + COUNT(text) + COUNT(lang)
-                        + COUNT(source) + COUNT(n_chars) AS BIGINT) AS n_nodes,
-                   CAST(COUNT(doc_id) + COUNT(text) + COUNT(lang)
-                        + COUNT(source) + COUNT(n_chars) AS BIGINT) AS n_entities,
-                   CAST(COUNT(*) AS BIGINT) AS n_groups
-            FROM documents
+            WITH e AS (
+                SELECT COUNT(doc_id) + COUNT(text) + COUNT(lang)
+                       + COUNT(source) + COUNT(n_chars) AS n_ents,
+                       COUNT(*) AS n_docs
+                FROM documents
+            )
+            SELECT CAST(n_docs AS BIGINT) AS n_trees,
+                   CAST(2 * n_docs + n_ents AS BIGINT) AS n_nodes,
+                   CAST(n_ents AS BIGINT) AS n_entities,
+                   CAST(n_docs AS BIGINT) AS n_groups,
+                   2 AS max_depth,
+                   ROUND((0.0 * n_docs + 1.0 * n_docs + 2.0 * n_ents)
+                         / (2 * n_docs + n_ents), 6) AS avg_depth,
+                   CAST(5 AS BIGINT) AS n_entity_labels
+            FROM e
         """,
         "fd_confidence_customer": """
             SELECT ROUND(SUM(m) / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE), 6) AS confidence
@@ -962,6 +1006,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_documents": """
             SELECT CAST(2 * COUNT(*) AS BIGINT) AS support FROM documents
+        """,
+        "extract_valid_trees": """
+            WITH c AS (SELECT COUNT(*) AS n FROM nation)
+            SELECT 'UNTYPED' AS node_type, '' AS node_name, CAST(4 * n AS BIGINT) AS n FROM c
+            UNION ALL SELECT 'UNTYPED', 'ROOT', CAST(n AS BIGINT) FROM c
+            UNION ALL SELECT 'GROUP', 'nation', CAST(2 * n AS BIGINT) FROM c
+            UNION ALL SELECT 'ENT', 'n_name', CAST(2 * n AS BIGINT) FROM c
+            UNION ALL SELECT 'ENT', 'n_nationkey', CAST(2 * n AS BIGINT) FROM c
+        """,
+        "coverage_metric": """
+            SELECT ROUND(
+                CAST(2 * (SELECT COUNT(*) FROM nation) AS DOUBLE)
+                / (2 * (SELECT COUNT(*) FROM nation) + 2 * (SELECT COUNT(*) FROM region)),
+            6) AS coverage
         """,
         "dependency_customer": """
             WITH t AS (SELECT c_nationkey, c_acctbal, c_mktsegment FROM customer),
