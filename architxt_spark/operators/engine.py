@@ -240,6 +240,79 @@ def _operations_with_index(
     return [("find_subgroups", fsg), ("merge_groups", mg), *DEFAULT_OPERATIONS]
 
 
+def simplify_names(nodes: DataFrame) -> DataFrame:
+    """``_simplify_names`` (``tree_rewriting/__init__.py:262-308``) as three
+    join-based relabels:
+
+    1. GROUP names lose their ``_<digits>`` suffix; distinct originals
+       colliding on one base get deterministic ``base``, ``base_1``, …
+       numbering (driver-side map over the tiny distinct-name set);
+    2. every REL is renamed ``A<->B`` from its (sorted) member group names;
+    3. every COLL is renamed after its member label.
+    """
+    import re
+
+    distinct_groups = [
+        r["node_name"]
+        for r in nodes.filter(F.col("node_type") == NodeType.GROUP)
+        .select("node_name")
+        .distinct()
+        .collect()
+    ]
+    by_base: dict[str, list[str]] = {}
+    for name in sorted(distinct_groups):
+        by_base.setdefault(re.sub(r"_\d+$", "", name), []).append(name)
+    group_map: dict[str, str] = {}
+    for base, names in by_base.items():
+        for i, name in enumerate(names):
+            group_map[name] = base if i == 0 else f"{base}_{i}"
+
+    if group_map:
+        mapping = F.create_map(*[F.lit(x) for kv in group_map.items() for x in kv])
+        nodes = nodes.withColumn(
+            "node_name",
+            F.when(
+                (F.col("node_type") == NodeType.GROUP)
+                & mapping[F.col("node_name")].isNotNull(),
+                mapping[F.col("node_name")],
+            ).otherwise(F.col("node_name")),
+        )
+
+    # REL := "A<->B" from sorted member GROUP names; COLL := member label.
+    member_names = (
+        nodes.filter(F.col("node_name").isNotNull())
+        .groupBy(F.col("parent_id").alias("pid"))
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.col("node_type") == NodeType.GROUP, F.col("node_name"))
+                    )
+                ),
+                "<->",
+            ).alias("rel_name"),
+            F.max(F.col("node_name")).alias("member_name"),
+        )
+    )
+    nodes = (
+        nodes.join(member_names, nodes.node_id == member_names.pid, "left")
+        .withColumn(
+            "node_name",
+            F.when(
+                (F.col("node_type") == NodeType.REL) & (F.col("rel_name") != ""),
+                F.col("rel_name"),
+            )
+            .when(
+                (F.col("node_type") == NodeType.COLL) & F.col("member_name").isNotNull(),
+                F.col("member_name"),
+            )
+            .otherwise(F.col("node_name")),
+        )
+        .drop("pid", "rel_name", "member_name")
+    )
+    return nodes
+
+
 def rewrite(
     nodes: DataFrame,
     *,
@@ -295,4 +368,4 @@ def rewrite(
     ):
         nodes = apply_tree_op(nodes, fn, "post").drop("changed").localCheckpoint(eager=True)
 
-    return nodes
+    return simplify_names(nodes)

@@ -186,3 +186,25 @@ def test_merge_groups_refuses_weaker_merge():
     }
     assert not merge_groups(t, index, min_support=2)
     assert "GROUP::g1" in format_tree(t)
+
+
+def test_simplify_names(spark):
+    from architxt_spark.operators.engine import simplify_names
+    from architxt_spark.trees import forest_from_trees, parse_tree, rows_to_trees, format_tree
+
+    trees = {
+        "t1": parse_tree(
+            "(ROOT (REL::r0 (GROUP::person_1 (ENT::a x)) (GROUP::city_7 (ENT::b y))))"
+        ),
+        # person_2 has a DIFFERENT entity set but the same base → numbered
+        "t2": parse_tree("(ROOT (GROUP::person_2 (ENT::c z)))"),
+        "t3": parse_tree("(ROOT (COLL::c0 (GROUP::city_7 (ENT::b y))))"),
+    }
+    out = simplify_names(forest_from_trees(spark, trees))
+    rendered = {
+        tid: format_tree(t)
+        for tid, t in rows_to_trees([r.asDict() for r in out.collect()]).items()
+    }
+    assert rendered["t1"] == "(ROOT (REL::city<->person (GROUP::person (ENT::a x)) (GROUP::city (ENT::b y))))"
+    assert rendered["t2"] == "(ROOT (GROUP::person_1 (ENT::c z)))"
+    assert rendered["t3"] == "(ROOT (COLL::city (GROUP::city (ENT::b y))))"
