@@ -190,7 +190,9 @@ def _log_comb(n: int, k: int) -> float:
 
 def cluster_completeness(labels: list[tuple[str, str]]) -> float:
     """Completeness score (``Metrics.cluster_completeness``,
-    ``architxt/metrics.py:260-277``): 1 − H(C|K)/H(C)."""
+    ``architxt/metrics.py:260-277``): ``1 − H(K|C)/H(K)`` — all members of
+    a class land in the same cluster.  (``1 − H(C|K)/H(C)`` would be
+    homogeneity — the other direction.)"""
     if not labels:
         return 1.0
     from collections import Counter
@@ -199,13 +201,13 @@ def cluster_completeness(labels: list[tuple[str, str]]) -> float:
     a_counts = Counter(a for a, _ in labels)  # classes
     b_counts = Counter(b for _, b in labels)  # clusters
     joint = Counter(labels)
-    h_c = -sum((c / n) * math.log(c / n) for c in a_counts.values())
-    if h_c == 0:
+    h_k = -sum((c / n) * math.log(c / n) for c in b_counts.values())
+    if h_k == 0:
         return 1.0
-    h_c_given_k = 0.0
-    for (a, b), c in joint.items():
-        h_c_given_k -= (c / n) * math.log(c / b_counts[b])
-    return 1.0 - h_c_given_k / h_c
+    h_k_given_c = 0.0
+    for (a, _b), c in joint.items():
+        h_k_given_c -= (c / n) * math.log(c / a_counts[a])
+    return 1.0 - h_k_given_c / h_k
 
 
 def forest_stats(nodes: DataFrame) -> dict:

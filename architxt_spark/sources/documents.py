@@ -154,6 +154,77 @@ def read_documents_df(
     return src.mapInPandas(convert, NODE_SCHEMA)
 
 
+def read_document_file(
+    spark,
+    path: str,
+    *,
+    root_name: str = "ROOT",
+    raw_read: bool = False,
+    sample: int = 0,
+) -> DataFrame:
+    """File-format parser chain (``read_document``,
+    ``loader/documents.py:22-29,32-101``): JSON / JSONL / CSV / XML / TOML
+    (stdlib) and YAML (import-gated — not in this container) parsed driver
+    side — single documents are file-sized; the DISTRIBUTED path for
+    corpora is :func:`read_documents_df` over a string column.  Returns
+    node rows."""
+    import os
+
+    from architxt_spark.trees import forest_from_trees
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".json":
+        with open(path) as f:
+            data = json.load(f)
+    elif ext == ".jsonl":
+        with open(path) as f:
+            data = [json.loads(line) for line in f if line.strip()]
+    elif ext == ".csv":
+        import csv
+
+        with open(path, newline="") as f:
+            data = list(csv.DictReader(f))
+    elif ext == ".toml":
+        import tomllib
+
+        with open(path, "rb") as f:
+            data = tomllib.load(f)
+    elif ext == ".xml":
+        import xml.etree.ElementTree as ET
+
+        def to_value(el):
+            kids = list(el)
+            if not kids:
+                return el.text.strip() if el.text and el.text.strip() else ""
+            out: dict = {}
+            for k in kids:
+                v = to_value(k)
+                if k.tag in out:
+                    if not isinstance(out[k.tag], list):
+                        out[k.tag] = [out[k.tag]]
+                    out[k.tag].append(v)
+                else:
+                    out[k.tag] = v
+            return out
+
+        root = ET.parse(path).getroot()
+        data = {root.tag: to_value(root)}
+    elif ext in (".yaml", ".yml"):
+        try:
+            import yaml  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - env without pyyaml
+            raise NotImplementedError("YAML documents need pyyaml (not in this environment)") from e
+        with open(path) as f:
+            data = yaml.safe_load(f)
+    else:
+        raise ValueError(f"unsupported document format: {ext}")
+
+    if sample and isinstance(data, list):
+        data = data[:sample]
+    forest = read_document_value(data, root_name=root_name, raw_read=raw_read)
+    return forest_from_trees(spark, {f"{os.path.basename(path)}.{i}": t for i, t in enumerate(forest)})
+
+
 def row_trees(df: DataFrame, table_name: str, id_cols: list[str]) -> DataFrame:
     """Flat DataFrame → one ``(ROOT (GROUP::table (ENT::col v)…))`` tree per
     row, schema-driven, zero UDFs (the ``read_table`` path for a table with

@@ -168,3 +168,45 @@ def test_nested_fk_walk(spark):
         " (REL::Nation<->Region (GROUP::Nation (ENT::id 10) (ENT::nname FR)) (GROUP::Region (ENT::id 1) (ENT::rname EU)))"
         " (GROUP::Region (ENT::id 1) (ENT::rname EU)))"
     )
+
+
+# --- multi-format document file loader (parser chain, loader/documents.py:22-29) ---
+
+def test_read_document_file_json(spark, tmp_path):
+    from architxt_spark.sources.documents import read_document_file
+
+    p = tmp_path / "doc.json"
+    p.write_text('[{"name": "alice", "age": "3"}, {"name": "bob", "age": "5"}]')
+    nodes = read_document_file(spark, str(p))
+    groups = nodes.filter(nodes.node_type == "GROUP")
+    assert groups.count() == 2
+
+
+def test_read_document_file_csv(spark, tmp_path):
+    from architxt_spark.sources.documents import read_document_file
+
+    p = tmp_path / "doc.csv"
+    p.write_text("name,age\nalice,3\nbob,5\n")
+    nodes = read_document_file(spark, str(p))
+    ents = {r["node_name"] for r in nodes.filter(nodes.node_type == "ENT").collect()}
+    assert ents == {"name", "age"}
+    assert nodes.filter(nodes.node_type == "GROUP").count() == 2
+
+
+def test_read_document_file_toml(spark, tmp_path):
+    from architxt_spark.sources.documents import read_document_file
+
+    p = tmp_path / "doc.toml"
+    p.write_text('[server]\nhost = "a"\nport = "80"\n')
+    nodes = read_document_file(spark, str(p))
+    assert nodes.filter(nodes.node_type == "ENT").count() == 2
+
+
+def test_read_document_file_xml(spark, tmp_path):
+    from architxt_spark.sources.documents import read_document_file
+
+    p = tmp_path / "doc.xml"
+    p.write_text("<people><person><name>alice</name></person><person><name>bob</name></person></people>")
+    nodes = read_document_file(spark, str(p))
+    leaves = {r["leaf_value"] for r in nodes.filter(nodes.leaf_value.isNotNull()).collect()}
+    assert {"alice", "bob"} <= leaves
