@@ -38,8 +38,22 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     has fewer partitions (e.g. one small parquet file ⇒ one partition ⇒
     single-threaded hashing).  At real scale inputs already have ≥ cores
-    splits, so this is a no-op — no shuffle of bulk data."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    splits, so this is a no-op — no shuffle of bulk data.
+
+    Also excludes ``InferFiltersFromGenerate`` for the session: the rule
+    copies the ENTIRE generator input expression into an inferred
+    ``size(...) > 0 AND isnotnull(...)`` filter and pushes it below the
+    exchange — for our interpreted shingle/token chains that tripled the
+    per-document work and serialized it into the pre-shuffle stage
+    (measured 7s → 2s on the minhash pipeline at sf0.1)."""
+    spark = df.sparkSession
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    if rule not in excluded:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules", f"{excluded},{rule}".strip(",")
+        )
+    target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -182,6 +196,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .select("id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig"))
         .persist()
     )
+    base.count()  # eager: both self-join branches would otherwise race to
+    # materialize the cache and compute the signature pipeline twice
     banded = base.select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -281,6 +297,7 @@ def ngram_jaccard_pairs(
     # persist BEFORE deriving the DF counts: shingle hashing runs once; the
     # heavy-set aggregation and the anti-join both read the cached index.
     inv = base.select("id", F.explode("sh").alias("s")).persist()
+    inv.count()  # eager for the same both-branches-race reason as minhash
     heavy = inv.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
     inv = inv.join(F.broadcast(heavy), "s", "left_anti")
     sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))

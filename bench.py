@@ -55,6 +55,18 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed loop measures steady-state execution, not JVM/codegen JIT
+    # (first execution of the wide generated code is 3-8x slower).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if warm_dir:
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception as e:  # noqa: BLE001 — warm-up must never fail the bench
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
