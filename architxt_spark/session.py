@@ -60,3 +60,17 @@ def load_tables(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict:
         df.createOrReplaceTempView(t)
         out[t] = df
     return out
+
+
+def exclude_generate_filter_inference(spark: SparkSession) -> None:
+    """Exclude ``InferFiltersFromGenerate`` for this session: the rule
+    copies the ENTIRE generator-input expression into an inferred
+    ``size(...) > 0 AND isnotnull(...)`` filter and pushes it below
+    exchanges.  For our wide struct-array node emitters and interpreted
+    shingle chains that triples per-row work and serializes it into the
+    pre-shuffle stage; the inferred filter never prunes anything useful on
+    these plans."""
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    if rule not in excluded:
+        spark.conf.set("spark.sql.optimizer.excludedRules", f"{excluded},{rule}".strip(","))

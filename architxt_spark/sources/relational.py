@@ -252,6 +252,9 @@ def _emit_nodes(df: DataFrame, shape: _Shape, tree_id: Column) -> DataFrame:
         )
         structs.append(F.when(t["cond"], s) if t["cond"] is not None else s)
     arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    from architxt_spark.session import exclude_generate_filter_inference
+
+    exclude_generate_filter_inference(df.sparkSession)
     return df.select(F.explode(arr).alias("n")).select("n.*")
 
 
