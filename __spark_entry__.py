@@ -401,6 +401,12 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return ann.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup, scale path: shared sign-LSH bucket candidates +
+    exact cosine inside (shuffle on bucket keys, never all-pairs)."""
+    return ann.cosine_near_dup_pairs_lsh(_t(spark, sf, "embeddings"), dim=64, threshold=0.35)
+
+
 def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -785,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_filtered": q_dedup_filtered,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk": q_ann_topk,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionize": q_events_sessionize,
@@ -1112,6 +1119,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id FROM ({dedup.dedup_filter_sql('documents', 'text', 'doc_id')})
         """,
         "embedding_near_dup": ann.cosine_near_dup_pairs_sql("embeddings", threshold=0.9),
+        "embedding_near_dup_lsh": ann.cosine_near_dup_pairs_lsh_sql(
+            "embeddings", dim=64, threshold=0.35
+        ),
         "ann_topk": ann.brute_force_topk_sql("embeddings", k=5, max_query_id=10),
         "events_hourly_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -236,6 +236,69 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Embedding near-duplicates, SCALE path: candidates share a sign-LSH
+    bucket (shuffle on bucket keys, never all-pairs), exact cosine inside.
+    Recall < 1 by design — high-cosine pairs rarely straddle buckets; the
+    all-pairs :func:`cosine_near_dup_pairs` is the correctness baseline."""
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col).cast("array<double>"), dim, n_planes).alias("bucket"),
+    )
+    lhs = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    rhs = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh_sql(
+    table: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = LSH_PLANES,
+) -> str:
+    bits = []
+    for p in range(n_planes):
+        lits = "[" + ", ".join(repr(x) for x in _plane(p, dim)) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_col}::DOUBLE[], {lits}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bits)
+    sim = (
+        f"list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])"
+        f" / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))"
+        f" * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])))"
+    )
+    return f"""
+        WITH b AS (SELECT {id_col}, {vec_col}, {bucket} AS bucket FROM {table})
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, ROUND({sim}, 4) AS sim
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+        WHERE ROUND({sim}, 4) >= {threshold}
+    """
+
+
 def cosine_near_dup_pairs_sql(
     table: str, *, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.9
 ) -> str:
