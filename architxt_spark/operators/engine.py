@@ -351,9 +351,12 @@ def rewrite(
 
         iteration_changed = False
         for name, fn in ops:
-            flagged = apply_tree_op(nodes, fn, name)
+            # checkpoint FIRST, count on the materialized frame — otherwise
+            # the applyInPandas pipeline runs twice (once for the count,
+            # once for the eager checkpoint)
+            flagged = apply_tree_op(nodes, fn, name).localCheckpoint(eager=True)
             changed = _changed_count(flagged)
-            nodes = flagged.drop("changed").localCheckpoint(eager=True)
+            nodes = flagged.drop("changed")
             if changed:
                 iteration_changed = True
                 break  # early-exit (reference ``:566-582``)
