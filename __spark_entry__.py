@@ -483,6 +483,15 @@ def q_cluster_documents(spark: SparkSession, sf: str) -> DataFrame:
     return asg.select("support").distinct()
 
 
+def q_tree_leaves_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered token projection per tree (Tree.leaves): nation trees render
+    group + REL-copy + referenced-region leaves in path order."""
+    from architxt_spark.trees import leaves_df
+
+    nodes = _nation_forest(spark, sf)
+    return leaves_df(nodes).select("text")
+
+
 def q_extract_valid_trees(spark: SparkSession, sf: str) -> DataFrame:
     """Schema-validity filter+project: subtrees with labels outside the
     schema are dropped with their children promoted to the nearest valid
@@ -771,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_rewrite_documents": q_simple_rewrite_documents,
         "rewrite_documents": q_rewrite_documents,
         "cluster_documents": q_cluster_documents,
+        "tree_leaves_nation": q_tree_leaves_nation,
         "extract_valid_trees": q_extract_valid_trees,
         "coverage_metric": q_coverage_metric,
         "dependency_customer": q_dependency_customer,
@@ -1013,6 +1023,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_documents": """
             SELECT CAST(2 * COUNT(*) AS BIGINT) AS support FROM documents
+        """,
+        "tree_leaves_nation": """
+            SELECT CAST(n_nationkey AS VARCHAR) || ' ' || n_name || ' ' ||
+                   CAST(n_nationkey AS VARCHAR) || ' ' || n_name || ' ' ||
+                   CAST(r_regionkey AS VARCHAR) || ' ' || r_name || ' ' ||
+                   CAST(r_regionkey AS VARCHAR) || ' ' || r_name AS text
+            FROM nation JOIN region ON n_regionkey = r_regionkey
         """,
         "extract_valid_trees": """
             WITH c AS (SELECT COUNT(*) AS n FROM nation)

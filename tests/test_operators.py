@@ -208,3 +208,22 @@ def test_simplify_names(spark):
     assert rendered["t1"] == "(ROOT (REL::city<->person (GROUP::person (ENT::a x)) (GROUP::city (ENT::b y))))"
     assert rendered["t2"] == "(ROOT (GROUP::person_1 (ENT::c z)))"
     assert rendered["t3"] == "(ROOT (COLL::city (GROUP::city (ENT::b y))))"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from architxt_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    # skewed left: 10k rows on one key, a few on others
+    left = spark.range(10000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("lv")
+    ).unionByName(
+        spark.range(10).select(F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("lv"))
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k5", 3)], "k string, rv int"
+    )
+    plain = left.join(right, "k").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", n_salts=8, salt_by="lv").select("k", "lv", "rv")
+    assert salted.count() == plain.count() == 10002
+    assert salted.exceptAll(plain).count() == 0 and plain.exceptAll(salted).count() == 0
