@@ -115,3 +115,58 @@ def test_stream_sessionize_stateful(spark, event_dir):
     assert expected <= got
     assert got <= all_set
     assert len(got) > 50
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # duplicate some docs so dedup has work to do
+    dupes = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    docs.unionByName(dupes).repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_exact_dedup(spark, docs_dir):
+    from architxt_spark.streaming.corpus import read_document_stream, stream_exact_dedup
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = read_document_stream(spark, docs_dir, schema)
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT fingerprint) AS d FROM dedup_stream").collect()[0]
+    q.stop()
+    batch = spark.read.parquet(docs_dir)
+    n_distinct = batch.select(F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))).distinct().count()
+    assert got["n"] == got["d"] == n_distinct
+
+
+def test_stream_row_trees_append(spark, docs_dir):
+    from architxt_spark.streaming.corpus import read_document_stream, stream_row_trees
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = read_document_stream(spark, docs_dir, schema)
+    nodes = stream_row_trees(stream.select("doc_id", "lang", "source"), "documents", ["doc_id"])
+    assert nodes.isStreaming
+    q = (
+        nodes.writeStream.format("memory")
+        .queryName("forest_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT COUNT(DISTINCT tree_id) AS trees, COUNT(*) AS nodes FROM forest_stream"
+    ).collect()[0]
+    q.stop()
+    n_docs = spark.read.parquet(docs_dir).count()
+    assert got["trees"] == n_docs
+    assert got["nodes"] == n_docs * 8  # root + group + 3 ents + 3 leaves
