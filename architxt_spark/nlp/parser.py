@@ -170,3 +170,75 @@ def parse_sentences_df(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, NODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# coordination fixes (fix_coord / fix_conj / fix_all_coord,
+# ``parser/__init__.py:247-407``) — constituency-parser output surgery
+# ---------------------------------------------------------------------------
+
+
+def _is_label(node, label: str) -> bool:
+    return isinstance(node, PyTree) and node.label == label
+
+
+def fix_coord(tree: PyTree) -> bool:
+    """One pass of ``(X pre… (COORD (CCONJ …) b…))`` →
+    ``(CONJ (X pre…) b…)``: the coordinated phrase is lifted next to a copy
+    of its host with the COORD removed.  Returns True if anything changed."""
+    changed = False
+    for i, child in enumerate(list(tree.children)):
+        if not isinstance(child, PyTree):
+            continue
+        coords = [
+            (j, c)
+            for j, c in enumerate(child.children)
+            if _is_label(c, "COORD")
+            and any(_is_label(cc, "CCONJ") for cc in c.children if isinstance(cc, PyTree))
+        ]
+        if coords:
+            j, coord = coords[0]
+            conjuncts = [
+                c for c in coord.children if isinstance(c, PyTree) and not _is_label(c, "CCONJ")
+            ]
+            host = PyTree(child.label, [c for k, c in enumerate(child.children) if k != j])
+            tree.children[i] = PyTree("CONJ", [host, *conjuncts])
+            changed = True
+        else:
+            changed = fix_coord(child) or changed
+    return changed
+
+
+def fix_conj(tree: PyTree) -> bool:
+    """Flatten nested CONJ: ``(CONJ (CONJ a b) c)`` → ``(CONJ a b c)``."""
+    changed = False
+    for i, child in enumerate(list(tree.children)):
+        if not isinstance(child, PyTree):
+            continue
+        if _is_label(child, "CONJ") and any(_is_label(c, "CONJ") for c in child.children):
+            flat: list = []
+            for c in child.children:
+                if _is_label(c, "CONJ"):
+                    flat.extend(c.children)
+                else:
+                    flat.append(c)
+            tree.children[i] = PyTree("CONJ", flat)
+            changed = True
+        else:
+            changed = fix_conj(child) or changed
+    return changed
+
+
+def fix_all_coord(tree: PyTree, max_iterations: int = 100) -> bool:
+    """Fixpoint loop over :func:`fix_coord` then :func:`fix_conj`
+    (``fix_all_coord``, ``parser/__init__.py:380-407``)."""
+    any_change = False
+    for _ in range(max_iterations):
+        if not fix_coord(tree):
+            break
+        any_change = True
+    for _ in range(max_iterations):
+        if not fix_conj(tree):
+            break
+        any_change = True
+    return any_change

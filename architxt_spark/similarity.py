@@ -365,3 +365,45 @@ def entity_cluster_labels(
     return ents.join(
         assignments.withColumnRenamed("node_id", "parent_id"), "parent_id"
     ).select("ent_node_id", "cluster_name")
+
+
+def assign_to_clusters(
+    nodes: DataFrame,
+    index: dict[frozenset, tuple[str, int]],
+    *,
+    tau: float = 0.7,
+    metric: str = DEFAULT_METRIC,
+    max_height: int = DEFAULT_MAX_HEIGHT,
+) -> DataFrame:
+    """Assign NEW candidate subtrees to EXISTING clusters
+    (``TreeClusterer.get_equiv_of``, ``similarity.py:370-432``): exact
+    signature membership first, else the best-scoring cluster signature at
+    or above tau.  The cluster index is the broadcastable signature map
+    from :func:`cluster_forest_with_index`; scoring runs driver-side over
+    the distinct-signature vocabulary only.  Returns
+    (node_id, cluster_name, score)."""
+    spark = nodes.sparkSession
+    cands = candidate_subtrees(nodes, max_height=max_height)
+    distinct = [r["signature"] for r in cands.select("signature").distinct().collect()]
+    fn = METRIC_FUNCS[metric]
+
+    mapping: list[tuple[str, str, float]] = []
+    for s in distinct:
+        ents = frozenset(s.split("|"))
+        if ents in index:
+            mapping.append((s, index[ents][0], 1.0))
+            continue
+        best: tuple[float, str] | None = None
+        for sig_set, (name, _support) in index.items():
+            if not (ents & sig_set):
+                continue  # disjoint entity sets score 0 (reference shortcut)
+            score = fn(ents, sig_set)
+            if score >= tau and (best is None or score > best[0]):
+                best = (score, name)
+        if best is not None:
+            mapping.append((s, best[1], round(best[0], 6)))
+
+    if not mapping:
+        return spark.createDataFrame([], "node_id string, cluster_name string, score double")
+    m = spark.createDataFrame(mapping, "signature string, cluster_name string, score double")
+    return cands.join(F.broadcast(m), "signature").select("node_id", "cluster_name", "score")

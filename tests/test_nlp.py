@@ -111,3 +111,35 @@ def test_parse_sentences_df_forest(spark, brat_df):
         "(UNDEF_d1.0 (ENT::DRUG aspirin) treats (ENT::DISEASE headache))"
     )
     assert rendered["d1.1"] == "(UNDEF_d1.1 (ENT::DRUG ibuprofen) too)"
+
+
+# --- coordination fixes (parser/__init__.py:247-407 golden cases) ---
+
+def test_fix_coord_basic():
+    from architxt_spark.nlp.parser import fix_coord
+    from architxt_spark.trees import parse_tree, format_tree
+
+    t = parse_tree("(S (NP apples (COORD (CCONJ and) (NP oranges))))")
+    assert fix_coord(t)
+    assert format_tree(t) == "(S (CONJ (NP apples) (NP oranges)))"
+
+
+def test_fix_conj_flattens():
+    from architxt_spark.nlp.parser import fix_conj
+    from architxt_spark.trees import parse_tree, format_tree
+
+    t = parse_tree("(S (CONJ (CONJ (NP a) (NP b)) (NP c)))")
+    assert fix_conj(t)
+    assert format_tree(t) == "(S (CONJ (NP a) (NP b) (NP c)))"
+
+
+def test_fix_all_coord_fixpoint():
+    from architxt_spark.nlp.parser import fix_all_coord
+    from architxt_spark.trees import parse_tree, format_tree
+
+    t = parse_tree(
+        "(S (NP apples (COORD (CCONJ and) (NP oranges (COORD (CCONJ and) (NP pears))))))"
+    )
+    assert fix_all_coord(t)
+    out = format_tree(t)
+    assert "COORD" not in out and out.count("CONJ") >= 1

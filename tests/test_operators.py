@@ -227,3 +227,27 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(left, right, "k", n_salts=8, salt_by="lv").select("k", "lv", "rv")
     assert salted.count() == plain.count() == 10002
     assert salted.exceptAll(plain).count() == 0 and plain.exceptAll(salted).count() == 0
+
+
+def test_assign_to_clusters(spark):
+    from architxt_spark.similarity import assign_to_clusters
+    from architxt_spark.trees import forest_from_trees, parse_tree
+
+    index = {
+        frozenset({"a", "b"}): ("ab_cluster", 40),
+        frozenset({"x", "y", "z"}): ("xyz_cluster", 10),
+    }
+    trees = {
+        "exact": parse_tree("(T (ENT::a 1) (ENT::b 2))"),
+        "close": parse_tree("(T (ENT::a 1) (ENT::b 2) (ENT::c 3))"),
+        "far": parse_tree("(T (ENT::q 1))"),
+    }
+    nodes = forest_from_trees(spark, trees)
+    out = assign_to_clusters(nodes, index, tau=0.6)
+    got = {r["node_id"]: (r["cluster_name"], r["score"]) for r in out.collect()}
+    exact = [v for k, v in got.items() if k.startswith("exact")]
+    close = [v for k, v in got.items() if k.startswith("close")]
+    far = [v for k, v in got.items() if k.startswith("far")]
+    assert ("ab_cluster", 1.0) in exact
+    assert any(name == "ab_cluster" and s < 1.0 for name, s in close)
+    assert not far  # disjoint/below-tau signatures stay unassigned
