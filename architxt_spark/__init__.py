@@ -15,6 +15,11 @@ This package re-expresses every operator Spark-first:
 - ``architxt_spark.operators``  — tree-rewriting operations + fixpoint loop
 - ``architxt_spark.metrics``    — FD confidence / redundancy / inspector
 - ``architxt_spark.similarity`` — label-set similarity, LSH clustering
+- ``architxt_spark.sinks``      — SQL / Cypher exporters
+- ``architxt_spark.bucket``     — persistent forest store (parquet generations)
+- ``architxt_spark.nlp``        — BRAT parsing, sentence/entity splitting, parser boundary
+- ``architxt_spark.llm``        — LLM-rewrite plumbing (batching, sanitize, vocab)
+- ``architxt_spark.generator``  — synthetic instances from a schema
 - ``architxt_spark.functions``  — text analysis, dedup, ANN, multimodal
 - ``architxt_spark.streaming``  — Structured Streaming ingestion/aggregation
 

@@ -323,11 +323,17 @@ def cluster_forest_with_index(
                 cnt[n] += 1
 
     cluster_name: dict[str, str] = {}
+    used: set[str] = set()
     for i, (c, cnt) in enumerate(sorted(comp_counts.items())):
-        if cnt:
-            cluster_name[c] = cnt.most_common(1)[0][0]
-        else:
-            cluster_name[c] = f"C{i}"
+        base = cnt.most_common(1)[0][0] if cnt else f"C{i}"
+        # modal labels collide across components (e.g. every tree's ROOT);
+        # deterministic numbering keeps cluster identities distinct
+        name, k = base, 1
+        while name in used:
+            name = f"{base}_{k}"
+            k += 1
+        used.add(name)
+        cluster_name[c] = name
 
     mapping = spark.createDataFrame(
         [(s, cluster_name[comp[s]], comp_support[comp[s]]) for s in sigs],

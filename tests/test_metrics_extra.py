@@ -21,3 +21,34 @@ def test_completeness_merge_preserving():
     # every 'true' class fully inside one predicted cluster → completeness 1
     labels = [("a", "x"), ("a", "x"), ("b", "x"), ("b", "x")]
     assert math.isclose(cluster_completeness(labels), 1.0, abs_tol=1e-9)
+
+
+def test_entity_cluster_labels_ami_end_to_end(spark):
+    """entity_cluster_labels + cluster_ami: clustering two structurally
+    distinct forests must agree perfectly with the table-of-origin labels."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark.metrics import cluster_ami
+    from architxt_spark.similarity import entity_cluster_labels
+    from architxt_spark.sources.documents import row_trees
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    nodes = row_trees(docs, "documents", ["doc_id"]).unionByName(
+        row_trees(nat, "nation", ["n_nationkey"])
+    )
+    labels_df = entity_cluster_labels(nodes)
+    ents = nodes.filter(F.col("node_type") == "ENT").select(
+        F.col("node_id").alias("ent_node_id"),
+        F.when(F.col("node_name").startswith("n_"), "nation").otherwise("documents").alias("truth"),
+    )
+    pairs = [
+        (r["truth"], r["cluster_name"])
+        for r in labels_df.join(ents, "ent_node_id").collect()
+    ]
+    assert len(pairs) > 100
+    assert cluster_ami(pairs) > 0.99
