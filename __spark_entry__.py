@@ -738,6 +738,66 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Property-graph loader round-trip (``read_cypher`` parity,
+    ``loader/cypher.py:17-135``): customer→nation→region as a graph with an
+    attributed (reified) CITIZEN_OF edge and a plain IN_REGION edge, loaded
+    into the meta-model; output = node census of the forest."""
+    from architxt_spark.sources.graph import read_graph
+
+    cus = _t(spark, sf, "customer").filter(F.col("c_acctbal").isNotNull())
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region")
+    nodes = (
+        cus.select(
+            F.concat(F.lit("C"), "c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("detail"),
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("N"), "n_nationkey").alias("id"),
+                F.lit("Nation").alias("label"),
+                F.col("n_name").alias("name"),
+                F.lit(None).cast("string").alias("detail"),
+            )
+        )
+        .unionByName(
+            reg.select(
+                F.concat(F.lit("R"), "r_regionkey").alias("id"),
+                F.lit("Region").alias("label"),
+                F.col("r_name").alias("name"),
+                F.lit(None).cast("string").alias("detail"),
+            )
+        )
+    )
+    rels = cus.select(
+        F.concat(F.lit("C"), "c_custkey").alias("src"),
+        F.concat(F.lit("N"), "c_nationkey").alias("dst"),
+        F.lit("CITIZEN_OF").alias("rel_type"),
+        F.col("c_acctbal").cast("string").alias("balance"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("N"), "n_nationkey").alias("src"),
+            F.concat(F.lit("R"), "n_regionkey").alias("dst"),
+            F.lit("IN_REGION").alias("rel_type"),
+            F.lit(None).cast("string").alias("balance"),
+        )
+    )
+    out = read_graph(nodes, rels, max_depth=4)
+    return (
+        out.groupBy(
+            F.coalesce(
+                "node_type", F.when(F.col("node_name").isNull(), "LEAF").otherwise("ROOT")
+            ).alias("kind"),
+            F.coalesce("node_name", F.lit("")).alias("name"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -805,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionize": q_events_sessionize,
+        "graph_extract": q_graph_extract,
     }
 
 
@@ -1169,5 +1230,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM seq
             GROUP BY user_id, session_seq
+        """,
+        # graph_extract: closed-form census of the BFS forest.  Per customer
+        # tree (root customer c -> nation -> region, CITIZEN_OF reified):
+        # groups Customer×2 CITIZEN_OF×3 Nation×3 Region×2, three RELs,
+        # ENT name×7 detail×2 balance×3.  Nations/regions never referenced
+        # root their own smaller trees.
+        "graph_extract": """
+            WITH
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(COUNT(c_mktsegment) AS BIGINT) AS d
+                  FROM customer WHERE c_acctbal IS NOT NULL),
+            un AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation nn
+                   WHERE NOT EXISTS (SELECT 1 FROM customer cc
+                                     WHERE cc.c_nationkey = nn.n_nationkey
+                                       AND cc.c_acctbal IS NOT NULL)),
+            ur AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region rr
+                   WHERE NOT EXISTS (SELECT 1 FROM nation nn
+                                     WHERE nn.n_regionkey = rr.r_regionkey))
+            SELECT kind, name, cnt FROM (
+                SELECT 'ROOT' AS kind, 'ROOT' AS name, c.n + un.n + ur.n AS cnt FROM c, un, ur
+                UNION ALL SELECT 'GROUP', 'Customer',   2 * n FROM c
+                UNION ALL SELECT 'GROUP', 'CITIZEN_OF', 3 * n FROM c
+                UNION ALL SELECT 'GROUP', 'Nation',     3 * c.n + 2 * un.n FROM c, un
+                UNION ALL SELECT 'GROUP', 'Region',     2 * c.n + 2 * un.n + ur.n FROM c, un, ur
+                UNION ALL SELECT 'REL', 'Customer<->CITIZEN_OF', n FROM c
+                UNION ALL SELECT 'REL', 'CITIZEN_OF<->Nation',   n FROM c
+                UNION ALL SELECT 'REL', 'Nation<->Region', c.n + un.n FROM c, un
+                UNION ALL SELECT 'ENT', 'name',    7 * c.n + 4 * un.n + ur.n FROM c, un, ur
+                UNION ALL SELECT 'ENT', 'detail',  2 * d FROM c
+                UNION ALL SELECT 'ENT', 'balance', 3 * n FROM c
+                UNION ALL SELECT 'LEAF', '',
+                    10 * c.n + 2 * c.d + 4 * un.n + ur.n FROM c, un, ur
+            ) WHERE cnt > 0
         """,
     }

@@ -1,0 +1,335 @@
+"""Property-graph → meta-model loader (the reference's ``read_cypher``).
+
+Mirrors ``architxt/database/loader/cypher.py:17-135``:
+
+- root nodes = nodes with **no incoming edges** (the reference runs
+  ``MATCH (n) WHERE not ()-[]->(n)``, ``loader/cypher.py:24-31``) — here a
+  LEFT ANTI join of the node frame against the relationship targets;
+- one tree per root node, built by a **BFS over relationships**
+  (``loader/cypher.py:52-99``) with each node visited at most once per tree;
+- every visited node becomes ``(GROUP::<label> (ENT::<prop> value)…)``;
+  every traversed edge becomes ``REL::<src_label><-><dst_label>`` holding
+  copies of both endpoint groups (copies share the endpoint's OID, like the
+  relational loader's REL children);
+- an edge **with properties is reified** (``loader/cypher.py:124-131``):
+  the edge becomes ``GROUP::<rel_type>`` holding its properties, plus one
+  REL per endpoint — ``REL::<src_label><-><rel_type>`` and
+  ``REL::<rel_type><-><dst_label>``.
+
+The reference drives this with one Cypher round-trip per BFS step per tree.
+Here the whole forest advances one BFS *level* at a time: a single join of
+the frontier against the relationship frame per level, an anti-join against
+the reached set for visited-once semantics, and a deterministic
+first-edge-wins rule (ordered by ``(rel_type, src)``) when two edges reach
+the same node in one level — so the output is reproducible, which the
+row-at-a-time reference gets for free from its sequential loop.
+
+Input shape matches what a Spark graph connector produces: a node frame
+``(id, label, <property columns…>)`` and a relationship frame
+``(src, dst, rel_type, <property columns…>)``.  There is no Neo4j in this
+environment, so tests build these frames from parquet; against a live graph
+the same frames come from the connector's node/relationship reads.
+
+Scale notes: each BFS level is one shuffle join keyed on the frontier node
+id, plus one anti-join on the reached set — O(depth) shuffles total, not
+O(trees × nodes) queries.  Frontiers are ``localCheckpoint()``ed per level
+so the plan stays linear in depth.  Emission is the same zero-UDF
+explode-of-conditional-structs as the relational loader, and the per-tree
+position assignment is one window over the child descriptors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from architxt_spark.model import NODE_SCHEMA
+
+
+def get_root_nodes(nodes: DataFrame, rels: DataFrame) -> DataFrame:
+    """Nodes with no incoming relationship (``loader/cypher.py:24-31``).
+
+    Falls back to the max-out-degree node when every node has an incoming
+    edge (a cycle) — the same tie-break the relational loader uses for FK
+    cycles (``loader/sql.py:69-102``).
+    """
+    roots = nodes.join(rels.select(F.col("dst").alias("id")), "id", "left_anti")
+    if roots.isEmpty():
+        deg = rels.groupBy(F.col("src").alias("id")).count()
+        top = deg.orderBy(F.desc("count"), "id").limit(1).select("id")
+        roots = nodes.join(top, "id", "left_semi")
+    return roots
+
+
+def _oid(kind: str, namespace: str, *cols: Column) -> Column:
+    parts = [F.lit(namespace), F.lit(kind), *[c.cast("string") for c in cols]]
+    return F.sha2(F.concat_ws("\x1f", *parts), 256)
+
+
+def _traverse(roots: DataFrame, rels: DataFrame, max_depth: int) -> tuple[DataFrame, DataFrame]:
+    """Level-synchronous BFS.
+
+    Returns ``(reached, edges)``: ``reached (tree_id, nid, bfs_depth)`` has
+    one row per node visited per tree (roots included); ``edges (tree_id,
+    src, dst, rel_type, <edge props…>, bfs_depth)`` one row per traversed
+    edge.
+    """
+    frontier = roots.select("tree_id", F.col("id").alias("nid"), F.lit(0).alias("bfs_depth"))
+    reached = frontier
+    edge_levels: list[DataFrame] = []
+
+    for depth in range(1, max_depth + 1):
+        step = (
+            frontier.select("tree_id", "nid")
+            .join(rels, rels["src"] == F.col("nid"))
+            .drop("nid")
+            .join(
+                reached.select("tree_id", F.col("nid").alias("dst")),
+                ["tree_id", "dst"],
+                "left_anti",
+            )
+        )
+        # Visited-once: when several edges reach the same node in one level,
+        # the lowest (rel_type, src) wins — a deterministic stand-in for the
+        # reference's sequential first-come-first-served BFS queue.
+        w = Window.partitionBy("tree_id", "dst").orderBy("rel_type", "src")
+        step = (
+            step.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+            .withColumn("bfs_depth", F.lit(depth))
+        )
+        step = step.localCheckpoint(eager=True)
+        if step.isEmpty():
+            break
+        edge_levels.append(step)
+        frontier = step.select("tree_id", F.col("dst").alias("nid"), "bfs_depth")
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+
+    if edge_levels:
+        edges = edge_levels[0]
+        for e in edge_levels[1:]:
+            edges = edges.unionByName(e)
+    else:
+        edges = (
+            rels.withColumn("tree_id", F.lit(None).cast("string"))
+            .withColumn("bfs_depth", F.lit(0))
+            .limit(0)
+        )
+    return reached, edges
+
+
+def _path_id(tree_id: Column, path: Column) -> Column:
+    return F.concat(tree_id, F.lit(":"), F.concat_ws(".", path.cast("array<string>")))
+
+
+def _emit_groups(df: DataFrame, prop_names: list[str]) -> DataFrame:
+    """``(GROUP::<gname> (ENT::<prop> value)…)`` node rows at ``gpath``.
+
+    ``df`` columns: ``tree_id, gpath (array<int>), gname, goid`` plus one
+    ``v__<prop>`` value column per property.  Zero-UDF explode of
+    conditional structs, like the relational loader; a null property leaves
+    a ``pos`` gap (the relational loader's stable-column-index deviation).
+    """
+    tree_id, gpath = F.col("tree_id"), F.col("gpath")
+
+    def node(path: Column, pos: Column, ntype, nname, leaf, meta) -> Column:
+        return F.struct(
+            tree_id.alias("tree_id"),
+            _path_id(tree_id, path).alias("node_id"),
+            _path_id(tree_id, F.slice(path, 1, F.size(path) - 1)).alias("parent_id"),
+            pos.cast("int").alias("pos"),
+            path.cast("array<int>").alias("path"),
+            F.size(path).cast("int").alias("depth"),
+            F.lit(ntype).cast("string").alias("node_type"),
+            nname.cast("string").alias("node_name"),
+            leaf.cast("string").alias("leaf_value"),
+            meta.cast("map<string,string>").alias("metadata"),
+        )
+
+    structs = [
+        node(
+            gpath,
+            F.element_at(gpath, -1),
+            "GROUP",
+            F.col("gname"),
+            F.lit(None),
+            F.create_map(F.lit("oid"), F.col("goid")),
+        )
+    ]
+    for i, p in enumerate(prop_names):
+        val = F.col(f"v__{p}")
+        ent_path = F.concat(gpath, F.array(F.lit(i)))
+        ent = node(ent_path, F.lit(i), "ENT", F.lit(p), F.lit(None), F.lit(None))
+        leaf = node(
+            F.concat(ent_path, F.array(F.lit(0))), F.lit(0), None, F.lit(None), val, F.lit(None)
+        )
+        structs.append(F.when(val.isNotNull(), ent))
+        structs.append(F.when(val.isNotNull(), leaf))
+
+    from architxt_spark.session import exclude_generate_filter_inference
+
+    exclude_generate_filter_inference(df.sparkSession)
+    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    return df.select(F.explode(arr).alias("n")).select("n.*")
+
+
+def read_graph(
+    nodes: DataFrame,
+    rels: DataFrame,
+    *,
+    namespace: str = "graph",
+    max_depth: int = 10,
+    sample: int = 0,
+) -> DataFrame:
+    """Load a property graph into the node table (``read_cypher``,
+    ``loader/cypher.py:17-135``).
+
+    ``nodes``: ``(id, label, <props…>)``; ``rels``: ``(src, dst, rel_type,
+    <props…>)``.  Returns the canonical node table, one tree per root node.
+    """
+    node_props = [c for c in nodes.columns if c not in ("id", "label")]
+    rel_props = [c for c in rels.columns if c not in ("src", "dst", "rel_type")]
+
+    roots = get_root_nodes(nodes, rels)
+    if sample:
+        roots = roots.orderBy("id").limit(sample)
+    roots = roots.select("id").withColumn("tree_id", _oid("tree", namespace, F.col("id")))
+
+    reached, edges = _traverse(roots, rels, max_depth)
+
+    visited = reached.join(nodes, reached["nid"] == nodes["id"]).select(
+        "tree_id", "nid", "bfs_depth", "label", *node_props
+    )
+    src_n = nodes.select(
+        F.col("id").alias("src"),
+        F.col("label").alias("src_label"),
+        *[F.col(p).alias(f"src__{p}") for p in node_props],
+    )
+    dst_n = nodes.select(
+        F.col("id").alias("dst"),
+        F.col("label").alias("dst_label"),
+        *[F.col(p).alias(f"dst__{p}") for p in node_props],
+    )
+    edges = edges.join(src_n, "src").join(dst_n, "dst")
+    prop_flags = [F.col(p).isNotNull() for p in rel_props]
+    has_props = prop_flags[0] if len(prop_flags) == 1 else (
+        F.greatest(*prop_flags) if prop_flags else F.lit(False)
+    )
+    edges = edges.withColumn("__attributed", F.coalesce(has_props, F.lit(False)))
+    edges = edges.localCheckpoint(eager=False)
+
+    # --- position of each ROOT child subtree -------------------------------
+    # Children: one group per visited node, then per traversed edge its REL
+    # subtree(s) — three children for an attributed edge — ordered by
+    # (kind, BFS depth, id, sub-index), assigned with one window.
+    def skey(kind: int, d: Column, a: Column, sub: int) -> Column:
+        return F.struct(
+            F.lit(kind).alias("k"), d.alias("d"), a.cast("string").alias("a"), F.lit(sub).alias("s")
+        )
+
+    edge_key = F.concat_ws("\x1f", "rel_type", "src", "dst")
+    node_children = visited.select("tree_id", skey(0, F.col("bfs_depth"), F.col("nid"), 0).alias("skey"))
+    plain = edges.filter(~F.col("__attributed"))
+    attr = edges.filter(F.col("__attributed"))
+    children = node_children
+    for df, sub in ((plain, 0), (attr, 0), (attr, 1), (attr, 2)):
+        children = children.unionByName(
+            df.select("tree_id", skey(1, F.col("bfs_depth"), edge_key, sub).alias("skey"))
+        )
+    pos_of = children.withColumn(
+        "cpos", F.row_number().over(Window.partitionBy("tree_id").orderBy("skey")) - 1
+    )
+
+    def with_pos(df: DataFrame, key: Column) -> DataFrame:
+        return df.withColumn("skey", key).join(pos_of, ["tree_id", "skey"]).drop("skey")
+
+    visited = with_pos(visited, skey(0, F.col("bfs_depth"), F.col("nid"), 0))
+    plain0 = with_pos(plain, skey(1, F.col("bfs_depth"), edge_key, 0))
+    attr0 = with_pos(attr, skey(1, F.col("bfs_depth"), edge_key, 0))
+    attr1 = with_pos(attr, skey(1, F.col("bfs_depth"), edge_key, 1))
+    attr2 = with_pos(attr, skey(1, F.col("bfs_depth"), edge_key, 2))
+
+    # --- emission ----------------------------------------------------------
+    out: list[DataFrame] = [
+        roots.select(
+            "tree_id",
+            F.concat(F.col("tree_id"), F.lit(":")).alias("node_id"),
+            F.lit(None).cast("string").alias("parent_id"),
+            F.lit(0).alias("pos"),
+            F.array().cast("array<int>").alias("path"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("node_type"),
+            F.lit("ROOT").alias("node_name"),
+            F.lit(None).cast("string").alias("leaf_value"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+    ]
+
+    def gframe(df: DataFrame, path: Column, name: Column, oid: Column, vals: list[Column], props: list[str]) -> DataFrame:
+        return df.select(
+            "tree_id",
+            path.cast("array<int>").alias("gpath"),
+            name.alias("gname"),
+            oid.alias("goid"),
+            *[v.alias(f"v__{p}") for v, p in zip(vals, props)],
+        )
+
+    node_oid = _oid("node", namespace, F.col("nid"))
+    src_oid = _oid("node", namespace, F.col("src"))
+    dst_oid = _oid("node", namespace, F.col("dst"))
+    nvals = [F.col(p) for p in node_props]
+    svals = [F.col(f"src__{p}") for p in node_props]
+    dvals = [F.col(f"dst__{p}") for p in node_props]
+    evals = [F.col(p) for p in rel_props]
+    eoid = _oid("edge", namespace, F.col("rel_type"), F.col("src"), F.col("dst"))
+    at = F.array(F.col("cpos"))
+    at0 = F.array(F.col("cpos"), F.lit(0))
+    at1 = F.array(F.col("cpos"), F.lit(1))
+
+    node_groups = [
+        gframe(visited, at, F.col("label"), node_oid, nvals, node_props),
+        gframe(plain0, at0, F.col("src_label"), src_oid, svals, node_props),
+        gframe(plain0, at1, F.col("dst_label"), dst_oid, dvals, node_props),
+        gframe(attr1, at0, F.col("src_label"), src_oid, svals, node_props),
+        gframe(attr2, at1, F.col("dst_label"), dst_oid, dvals, node_props),
+    ]
+    edge_groups = [
+        gframe(attr0, at, F.col("rel_type"), eoid, evals, rel_props),
+        gframe(attr1, at1, F.col("rel_type"), eoid, evals, rel_props),
+        gframe(attr2, at0, F.col("rel_type"), eoid, evals, rel_props),
+    ]
+    for frames, props in ((node_groups, node_props), (edge_groups, rel_props)):
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        out.append(_emit_groups(u, props))
+
+    def rel_rows(df: DataFrame, left: Column, right: Column) -> DataFrame:
+        name = F.concat(left, F.lit("<->"), right)
+        path = F.array(F.col("cpos"))
+        return df.select(
+            "tree_id",
+            _path_id(F.col("tree_id"), path).alias("node_id"),
+            F.concat(F.col("tree_id"), F.lit(":")).alias("parent_id"),
+            F.col("cpos").cast("int").alias("pos"),
+            path.cast("array<int>").alias("path"),
+            F.lit(1).alias("depth"),
+            F.lit("REL").alias("node_type"),
+            name.alias("node_name"),
+            F.lit(None).cast("string").alias("leaf_value"),
+            F.create_map(
+                F.lit("oid"), _oid("rel", namespace, name, F.col("src"), F.col("dst")),
+                F.lit("type"), F.col("rel_type"),
+            ).alias("metadata"),
+        )
+
+    out.append(rel_rows(plain0, F.col("src_label"), F.col("dst_label")))
+    out.append(rel_rows(attr1, F.col("src_label"), F.col("rel_type")))
+    out.append(rel_rows(attr2, F.col("rel_type"), F.col("dst_label")))
+
+    result = out[0]
+    for o in out[1:]:
+        result = result.unionByName(o)
+    return result.select([f.name for f in NODE_SCHEMA.fields])
