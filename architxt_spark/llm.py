@@ -88,6 +88,45 @@ def constrained_batches(items: list[tuple[str, str]], max_tokens: int) -> list[l
     return batches
 
 
+def windowed_shuffle(items: list, window_size: int = 10, *, seed: int = 0) -> list:
+    """Deterministic windowed shuffle (``architxt/utils.py:74-98``): items are
+    shuffled only within consecutive windows, so each item moves at most
+    ``window_size`` positions — batches get local diversity while the global
+    order (and thus batch membership) stays roughly stable.  Seeded for
+    reproducible runs, unlike the reference's bare ``random.shuffle``."""
+    import random
+
+    rng = random.Random(seed)
+    out = list(items)
+    for start in range(0, len(out), window_size):
+        window = out[start : start + window_size]
+        rng.shuffle(window)
+        out[start : start + window_size] = window
+    return out
+
+
+def windowed_shuffle_df(nodes: DataFrame, window_size: int = 10, *, seed: int = 0) -> DataFrame:
+    """Distributed analogue of :func:`windowed_shuffle` for the tree frame:
+    trees are bucketed into consecutive windows of the tree_id order and
+    re-ordered by a seeded hash inside each window.  One window + sort, no
+    UDFs; downstream per-partition batching then sees locally-shuffled
+    trees."""
+    from pyspark.sql.window import Window
+
+    order = F.row_number().over(Window.orderBy("tree_id")) - 1
+    trees = (
+        nodes.select("tree_id")
+        .distinct()
+        .withColumn("__w", F.floor(order / window_size))
+        .withColumn("__r", F.xxhash64("tree_id", F.lit(seed)))
+    )
+    return (
+        nodes.join(trees, "tree_id")
+        .sortWithinPartitions("__w", "__r")
+        .drop("__w", "__r")
+    )
+
+
 def llm_rewrite(
     nodes: DataFrame,
     normalizer_factory=FallbackNormalizer,

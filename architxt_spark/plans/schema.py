@@ -68,6 +68,24 @@ class SchemaPlan:
     def entities(self) -> set[str]:
         return {e for ents in self.groups.values() for e in ents}
 
+    def __or__(self, other: "SchemaPlan") -> "SchemaPlan":
+        """Schema union (``Schema.__or__``, ``architxt/schema.py:85-93``):
+        productions merge alternative-wise, same-named groups merge their
+        entity sets, relations union."""
+        productions: dict[str, set[tuple[str, ...]]] = {
+            k: set(v) for k, v in self.productions.items()
+        }
+        for k, v in other.productions.items():
+            productions.setdefault(k, set()).update(v)
+        groups = dict(self.groups)
+        for g, ents in other.groups.items():
+            groups[g] = groups.get(g, frozenset()) | ents
+        return SchemaPlan(
+            productions=productions,
+            groups=groups,
+            relations=set(self.relations) | set(other.relations),
+        )
+
     def as_cfg(self) -> str:
         """Serialize like ``Schema.as_cfg`` — ``ROOT -> …; rules…`` —
         for parity checks and debugging."""

@@ -305,3 +305,43 @@ def node_text(nodes: DataFrame) -> DataFrame:
             ).alias("text")
         )
     )
+
+
+def leaf_positions(nodes: DataFrame) -> DataFrame:
+    """Per-tree leaf index → path (``Tree.leaf_position``,
+    ``architxt/tree.py:558-595``): one window over the leaf rows instead of
+    a per-tree traversal.  Returns (tree_id, leaf_index, node_id, path)."""
+    from pyspark.sql.window import Window
+
+    leaves = nodes.filter(F.col("node_name").isNull() & F.col("leaf_value").isNotNull())
+    w = Window.partitionBy("tree_id").orderBy("path")
+    return leaves.select(
+        "tree_id",
+        (F.row_number().over(w) - 1).alias("leaf_index"),
+        "node_id",
+        "path",
+    )
+
+
+def has_entity_child(nodes: DataFrame) -> DataFrame:
+    """Per-node flag: any DIRECT child is an ENT (``Tree.has_entity_child``,
+    ``architxt/tree.py:712-753``) — one aggregation over child rows.
+    Returns (node_id, has_entity_child)."""
+    return (
+        nodes.filter(F.col("parent_id").isNotNull())
+        .groupBy(F.col("parent_id").alias("node_id"))
+        .agg(F.max(F.col("node_type") == "ENT").alias("has_entity_child"))
+    )
+
+
+def has_unlabelled_nodes(nodes: DataFrame) -> DataFrame:
+    """Per-tree flag: any INTERNAL node has no type (``Tree.
+    has_unlabelled_nodes``, ``architxt/tree.py:712-753``).  Internal =
+    non-leaf, non-root.  Returns (tree_id, has_unlabelled)."""
+    return nodes.groupBy("tree_id").agg(
+        F.max(
+            F.col("node_type").isNull()
+            & F.col("parent_id").isNotNull()
+            & F.col("node_name").isNotNull()
+        ).alias("has_unlabelled")
+    )

@@ -60,3 +60,67 @@ def test_forest_df_and_projections(spark):
     assert texts == {"0": "Alice Bob", "1": "Carol"}
     nt = {r["node_id"]: r["text"] for r in node_text(nodes).collect()}
     assert "Alice" in nt.values() and "Carol" in nt.values()
+
+
+def test_leaf_positions_and_shape_predicates(spark):
+    from architxt_spark.trees import (
+        forest_from_trees,
+        has_entity_child,
+        has_unlabelled_nodes,
+        leaf_positions,
+        parse_tree,
+    )
+
+    t = parse_tree("(ROOT (GROUP::g (ENT::a x) (ENT::b y)) (u (ENT::c z)))")
+    nodes = forest_from_trees(spark, {"t1": t})
+    lp = {r["leaf_index"]: r["path"] for r in leaf_positions(nodes).collect()}
+    assert lp == {0: [0, 0, 0], 1: [0, 1, 0], 2: [1, 0, 0]}
+    hec = {r["node_id"]: r["has_entity_child"] for r in has_entity_child(nodes).collect()}
+    group_id = nodes.filter("node_name = 'g'").first()["node_id"]
+    root_id = nodes.filter("node_name = 'ROOT'").first()["node_id"]
+    assert hec[group_id] is True and hec[root_id] is False
+    hu = has_unlabelled_nodes(nodes).first()
+    assert hu["has_unlabelled"] is True  # the 'u' node
+
+    t2 = parse_tree("(ROOT (GROUP::g (ENT::a x)))")
+    nodes2 = forest_from_trees(spark, {"t2": t2})
+    assert has_unlabelled_nodes(nodes2).first()["has_unlabelled"] is False
+
+
+def test_schema_union():
+    from architxt_spark.plans.schema import Relation, SchemaPlan
+
+    a = SchemaPlan(
+        productions={"GROUP::g": {("ENT::a",)}},
+        groups={"g": frozenset({"a"})},
+        relations={Relation("r", "g", "h")},
+    )
+    b = SchemaPlan(
+        productions={"GROUP::g": {("ENT::b",)}, "GROUP::h": {("ENT::c",)}},
+        groups={"g": frozenset({"b"}), "h": frozenset({"c"})},
+        relations={Relation("r2", "g", "h")},
+    )
+    u = a | b
+    assert u.groups == {"g": frozenset({"a", "b"}), "h": frozenset({"c"})}
+    assert u.productions["GROUP::g"] == {("ENT::a",), ("ENT::b",)}
+    assert {r.name for r in u.relations} == {"r", "r2"}
+    # inputs unchanged
+    assert a.groups["g"] == frozenset({"a"})
+
+
+def test_windowed_shuffle_bounded_displacement(spark):
+    from architxt_spark.llm import windowed_shuffle, windowed_shuffle_df
+
+    items = list(range(100))
+    out = windowed_shuffle(items, window_size=10, seed=1)
+    assert sorted(out) == items and out != items
+    assert all(abs(v - i) < 10 for i, v in enumerate(out))
+    assert out == windowed_shuffle(items, window_size=10, seed=1)  # deterministic
+
+    from architxt_spark.trees import forest_from_trees, parse_tree
+
+    trees = {f"t{i:02d}": parse_tree("(ROOT (ENT::a x))") for i in range(20)}
+    nodes = forest_from_trees(spark, trees)
+    shuffled = windowed_shuffle_df(nodes, window_size=5, seed=2)
+    assert shuffled.count() == nodes.count()
+    assert set(shuffled.columns) == set(nodes.columns)
