@@ -295,7 +295,10 @@ def q_dataset_extract_nation(spark: SparkSession, sf: str) -> DataFrame:
     extraction; must reproduce the source table (FK cols excluded)."""
     from architxt_spark.plans import extract_group_dataset
 
-    nodes = _nation_forest(spark, sf)
+    # Materialize the (tiny) forest once: the pivot's distinct-values job
+    # and the final job otherwise each recompile + re-run the whole
+    # join-explode emission pipeline — ~2x the wall-clock at any SF.
+    nodes = _nation_forest(spark, sf).localCheckpoint(eager=True)
     return extract_group_dataset(nodes, "nation")
 
 
