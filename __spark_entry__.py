@@ -801,6 +801,29 @@ def q_graph_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_typed_export_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Export-time type recovery (``export/sql.py:262-300``): orders with
+    every column stringified (the meta-model's value domain), then the
+    inference pass must win back bigint/double/timestamp/string per column;
+    aggregates over the re-typed frame prove the casts are real."""
+    from architxt_spark.sinks import apply_typed_casts, infer_column_types
+
+    raw = _t(spark, sf, "orders").select(
+        *[F.col(c).cast("string").alias(c) for c in _t(spark, sf, "orders").columns]
+    )
+    types = infer_column_types(raw)
+    typed = apply_typed_casts(raw, types)
+    sig = ",".join(f"{c}:{types[c]}" for c in sorted(types))
+    return typed.agg(
+        F.lit(sig).alias("schema_sig"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -869,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionize": q_events_sessionize,
         "graph_extract": q_graph_extract,
+        "typed_export_orders": q_typed_export_orders,
     }
 
 
@@ -1266,5 +1290,20 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'LEAF', '',
                     10 * c.n + 2 * c.d + 4 * un.n + ur.n FROM c, un, ur
             ) WHERE cnt > 0
+        """,
+        # typed_export_orders: the inference must recover exactly these
+        # column types from the stringified frame; the aggregates then run
+        # on properly-typed values (sum on strings would fail / differ).
+        "typed_export_orders": """
+            SELECT
+                'o_custkey:bigint,o_orderdate:timestamp,o_orderkey:bigint,'
+                || 'o_orderpriority:string,o_orderstatus:string,o_totalprice:double'
+                    AS schema_sig,
+                CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+                strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+                strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+            FROM orders
         """,
     }

@@ -6,6 +6,7 @@ from architxt_spark.sinks.cypher import (
     cypher_relationship_frames,
     export_cypher_script,
 )
+from architxt_spark.sinks.types import apply_typed_casts, infer_column_types
 from architxt_spark.sinks.sql import (
     export_sql_frames,
     group_frame,
@@ -16,6 +17,8 @@ from architxt_spark.sinks.sql import (
 )
 
 __all__ = [
+    "apply_typed_casts",
+    "infer_column_types",
     "cypher_node_frames",
     "cypher_relationship_frames",
     "export_cypher_script",
