@@ -177,10 +177,25 @@ def insert_order(schema: SchemaPlan) -> list[str]:
     return out
 
 
-def export_sql_frames(nodes: DataFrame, schema: SchemaPlan) -> dict[str, DataFrame]:
+def export_sql_frames(
+    nodes: DataFrame, schema: SchemaPlan, *, typed: bool = False
+) -> dict[str, DataFrame]:
     """All frames ready for ``write.jdbc``: per-group frames with FK columns
-    joined in from the REL pairs, plus join-table frames for n-n."""
+    joined in from the REL pairs, plus join-table frames for n-n.
+
+    ``typed=True`` runs the reference's export-time parse chain
+    (``export/sql.py:262-300``) over each group frame's entity columns —
+    see :mod:`architxt_spark.sinks.types` (OID/FK columns stay strings)."""
     frames = {g: group_frame(nodes, g) for g in schema.groups}
+    if typed:
+        from architxt_spark.sinks.types import apply_typed_casts, infer_column_types
+
+        frames = {
+            g: apply_typed_casts(
+                df, infer_column_types(df, [c for c in df.columns if c != OID_COL])
+            )
+            for g, df in frames.items()
+        }
 
     for rel_name, many, one, fk in _rel_sides(schema):
         pairs = relation_pairs(nodes, rel_name)

@@ -105,3 +105,18 @@ def test_collapsible_group_becomes_edge(spark):
         },
     )
     assert schema.find_collapsible_groups() == {"m"}
+
+
+def test_export_sql_frames_typed(spark, nation_forest):
+    """typed=True recovers column types via the export parse chain
+    (``export/sql.py:262-300``): nation keys come back bigint, names stay
+    string; values survive the cast."""
+    schema = schema_from_forest(nation_forest)
+    frames = export_sql_frames(nation_forest, schema, typed=True)
+    nation = frames["nation"]
+    dtypes = dict(nation.dtypes)
+    assert dtypes["n_nationkey"] == "bigint"
+    assert dtypes["n_name"] == "string"
+    assert dtypes["_architxt_oid"] == "string"  # OID column never re-typed
+    keys = sorted(r["n_nationkey"] for r in nation.select("n_nationkey").collect())
+    assert keys == list(range(len(keys)))
