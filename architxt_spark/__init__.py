@@ -20,6 +20,7 @@ This package re-expresses every operator Spark-first:
 - ``architxt_spark.nlp``        — BRAT parsing, sentence/entity splitting, parser boundary
 - ``architxt_spark.llm``        — LLM-rewrite plumbing (batching, sanitize, vocab)
 - ``architxt_spark.generator``  — synthetic instances from a schema
+- ``architxt_spark.pipeline``   — CLI-verb facade (load corpus/sql/graph, simplify, export)
 - ``architxt_spark.functions``  — text analysis, dedup, ANN, multimodal
 - ``architxt_spark.streaming``  — Structured Streaming ingestion/aggregation
 

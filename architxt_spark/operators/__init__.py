@@ -12,4 +12,5 @@ from architxt_spark.operators.engine import (  # noqa: F401
     find_groups,
     rewrite,
     simple_rewrite,
+    simplify_names,
 )

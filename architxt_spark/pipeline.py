@@ -1,0 +1,148 @@
+"""CLI-verb facade: the reference's top-level entry points as one-call
+pipelines.
+
+The reference drives everything through five CLI verbs
+(``architxt/cli/__init__.py``, ``cli/loader.py``, ``cli/export.py``); this
+module composes the Spark operators into the same verbs so a reference user
+can switch call-for-call:
+
+==============================  =============================================
+reference                        here
+==============================  =============================================
+``architxt load corpus``         :func:`load_corpus`  (``cli/loader.py:163-224``)
+``architxt load sql``            :func:`load_sql`     (``cli/loader.py:98-126``)
+``architxt load graph``          :func:`load_graph`   (``loader/cypher.py:17-135``)
+``architxt load document``       :func:`load_documents`
+``architxt simplify``            :func:`simplify`     (``cli/__init__.py:120-186``)
+``architxt export sql``          :func:`export_sql`   (``cli/export.py:39-56``)
+``architxt export cypher``       :func:`export_cypher`
+==============================  =============================================
+
+Each verb returns DataFrames (the node table, or export frames) — nothing is
+collected; callers chain or write as they wish.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from architxt_spark.plans.schema import SchemaPlan, schema_from_forest
+
+
+def load_corpus(
+    docs: DataFrame,
+    *,
+    entities_filter: list[str] | None = None,
+    entities_mapping: dict[str, str] | None = None,
+    relations_filter: list[str] | None = None,
+    parser_factory=None,
+) -> DataFrame:
+    """Text (+ optional BRAT ``.ann``) → forest (``raw_load_corpus``,
+    ``architxt/nlp/__init__.py:243-321``).
+
+    ``docs``: (doc_id, txt[, ann]).  Sentences are split, standoff entities
+    parsed / filtered / renamed and re-based per sentence, then the parse +
+    entity-insertion boundary emits one tree per sentence.  The reference's
+    md5 parse cache maps to persisting the returned frame (parquet /
+    :class:`~architxt_spark.bucket.ParquetTreeBucket`).
+    """
+    from architxt_spark.nlp import (
+        parse_ann_entities,
+        parse_sentences_df,
+        split_entities,
+        split_sentences,
+    )
+
+    sentences = split_sentences(docs)
+    sent_entities = None
+    if "ann" in docs.columns:
+        ents = parse_ann_entities(
+            docs, allowed=entities_filter, renames=entities_mapping
+        )
+        sent_entities = split_entities(sentences, ents)
+    kwargs = {} if parser_factory is None else {"parser_factory": parser_factory}
+    return parse_sentences_df(sentences, sent_entities, **kwargs)
+
+
+def load_sql(
+    spark: SparkSession,
+    tables: Mapping[str, DataFrame],
+    fks,
+    pks: Mapping[str, list[str]],
+    **kw,
+) -> DataFrame:
+    """Relational DB → forest (``architxt load sql`` →
+    ``loader/sql.py:18-48``); see :func:`~architxt_spark.sources.read_relational`."""
+    from architxt_spark.sources import read_relational
+
+    return read_relational(spark, tables, fks, pks, **kw)
+
+
+def load_graph(nodes: DataFrame, rels: DataFrame, **kw) -> DataFrame:
+    """Property graph → forest (``loader/cypher.py:17-135``); see
+    :func:`~architxt_spark.sources.graph.read_graph`."""
+    from architxt_spark.sources.graph import read_graph
+
+    return read_graph(nodes, rels, **kw)
+
+
+def load_documents(
+    docs: DataFrame, json_col: str = "json", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """Nested documents → forest (``loader/documents.py:32-220``); see
+    :func:`~architxt_spark.sources.documents.read_documents_df`."""
+    from architxt_spark.sources.documents import read_documents_df
+
+    return read_documents_df(docs, json_col, id_col, **kw)
+
+
+def simplify(
+    nodes: DataFrame,
+    *,
+    tau: float = 0.7,
+    epoch: int = 100,
+    min_support: int | None = None,
+) -> tuple[DataFrame, SchemaPlan]:
+    """The core "query" (``architxt simplify`` → ``rewrite()``,
+    ``simplification/tree_rewriting/__init__.py:56-168``): fixpoint rewrite
+    + naming post-pass, then schema induction over the result.
+
+    Returns ``(rewritten nodes, inferred SchemaPlan)``.
+    """
+    from architxt_spark.operators import rewrite, simplify_names
+
+    out = simplify_names(
+        rewrite(nodes, tau=tau, epoch=epoch, min_support=min_support)
+    )
+    return out, schema_from_forest(out)
+
+
+def export_sql(
+    nodes: DataFrame, schema: SchemaPlan | None = None, *, typed: bool = False
+) -> tuple[list[str], dict[str, DataFrame], list[str]]:
+    """Forest → (DDL, per-table frames, topological insert order)
+    (``cli/export.py:39-56`` → ``export/sql.py:47-371``).  Frames are ready
+    for ``df.write.jdbc``; :func:`~architxt_spark.sinks.write_sqlite` is the
+    local test sink."""
+    from architxt_spark.sinks import export_sql_frames, insert_order, schema_ddl
+
+    schema = schema or schema_from_forest(nodes, keep_unlabelled=False)
+    return (
+        schema_ddl(schema),
+        export_sql_frames(nodes, schema, typed=typed),
+        insert_order(schema),
+    )
+
+
+def export_cypher(
+    nodes: DataFrame, schema: SchemaPlan | None = None
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """Forest → (per-label node frames, per-type relationship frames) in
+    graph-connector shape (``export/cypher.py:17-176``); collapsible middle
+    groups become attributed edges."""
+    from architxt_spark.sinks import cypher_node_frames, cypher_relationship_frames
+
+    schema = schema or schema_from_forest(nodes, keep_unlabelled=False)
+    return cypher_node_frames(nodes, schema), cypher_relationship_frames(nodes, schema)

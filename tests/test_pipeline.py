@@ -1,0 +1,73 @@
+"""CLI-verb facade: every reference entry point end-to-end on testdata."""
+
+from pyspark.sql import functions as F
+
+from architxt_spark import pipeline
+from architxt_spark.sources import FK
+
+
+def test_load_corpus_with_annotations(spark):
+    docs = spark.createDataFrame(
+        [("d1", "Alice met Bob.\nCarol left.", "T1\tPERSON 0 5\tAlice\nT2\tPERSON 10 13\tBob\n")],
+        "doc_id string, txt string, ann string",
+    )
+    nodes = pipeline.load_corpus(docs, entities_filter=["PERSON"])
+    assert nodes.select("tree_id").distinct().count() == 2  # one tree per sentence
+    ents = nodes.filter(F.col("node_type") == "ENT")
+    assert ents.count() == 2
+    assert {r["node_name"] for r in ents.collect()} == {"PERSON"}
+
+
+def test_load_sql_simplify_export_sql(spark, sf_dir):
+    tables = {
+        "nation": spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        "region": spark.read.parquet(f"{sf_dir}/region.parquet"),
+    }
+    nodes = pipeline.load_sql(
+        spark,
+        tables,
+        [FK("nation", "n_regionkey", "region", "r_regionkey")],
+        {"nation": ["n_nationkey"], "region": ["r_regionkey"]},
+    )
+    out, schema = pipeline.simplify(nodes, epoch=2)
+    assert schema.groups  # induction found the groups
+    ddl, frames, order = pipeline.export_sql(out, typed=True)
+    assert any(s.startswith("CREATE TABLE") for s in ddl)
+    assert set(order) == set(frames) - {
+        f for f in frames if f.endswith("_assoc")
+    } or set(order) <= set(frames)
+    nation = frames.get("nation")
+    assert nation is not None and dict(nation.dtypes).get("n_nationkey") == "bigint"
+
+
+def test_load_graph_and_export_cypher(spark, sf_dir):
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    gnodes = nat.select(
+        F.concat(F.lit("N"), "n_nationkey").alias("id"),
+        F.lit("Nation").alias("label"),
+        F.col("n_name").alias("name"),
+    ).unionByName(
+        reg.select(
+            F.concat(F.lit("R"), "r_regionkey").alias("id"),
+            F.lit("Region").alias("label"),
+            F.col("r_name").alias("name"),
+        )
+    )
+    grels = nat.select(
+        F.concat(F.lit("N"), "n_nationkey").alias("src"),
+        F.concat(F.lit("R"), "n_regionkey").alias("dst"),
+        F.lit("IN_REGION").alias("rel_type"),
+    )
+    forest = pipeline.load_graph(gnodes, grels)
+    node_frames, rel_frames = pipeline.export_cypher(forest)
+    assert "Nation" in node_frames and "Region" in node_frames
+    assert node_frames["Region"].count() > 0
+
+
+def test_load_documents(spark):
+    docs = spark.createDataFrame(
+        [("1", '{"name": "x", "tags": ["a", "b"]}')], "doc_id string, json string"
+    )
+    nodes = pipeline.load_documents(docs)
+    assert nodes.filter(F.col("node_type") == "ENT").count() >= 1
