@@ -55,6 +55,9 @@ def get_root_nodes(nodes: DataFrame, rels: DataFrame) -> DataFrame:
     cycles (``loader/sql.py:69-102``).
     """
     roots = nodes.join(rels.select(F.col("dst").alias("id")), "id", "left_anti")
+    # Materialized once: the result feeds the emptiness check here, the BFS
+    # frontier, and the ROOT-row emission — one anti-join job, not three.
+    roots = roots.localCheckpoint(eager=True)
     if roots.isEmpty():
         deg = rels.groupBy(F.col("src").alias("id")).count()
         top = deg.orderBy(F.desc("count"), "id").limit(1).select("id")
@@ -105,7 +108,9 @@ def _traverse(roots: DataFrame, rels: DataFrame, max_depth: int) -> tuple[DataFr
             break
         edge_levels.append(step)
         frontier = step.select("tree_id", F.col("dst").alias("nid"), "bfs_depth")
-        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+        # reached stays a lazy union of checkpointed frontiers — shallow
+        # lineage, no extra materialization pass per level.
+        reached = reached.unionByName(frontier)
 
     if edge_levels:
         edges = edge_levels[0]
@@ -199,8 +204,10 @@ def read_graph(
 
     reached, edges = _traverse(roots, rels, max_depth)
 
-    visited = reached.join(nodes, reached["nid"] == nodes["id"]).select(
-        "tree_id", "nid", "bfs_depth", "label", *node_props
+    visited = (
+        reached.join(nodes, reached["nid"] == nodes["id"])
+        .select("tree_id", "nid", "bfs_depth", "label", *node_props)
+        .localCheckpoint(eager=True)
     )
     src_n = nodes.select(
         F.col("id").alias("src"),
@@ -218,7 +225,7 @@ def read_graph(
         F.greatest(*prop_flags) if prop_flags else F.lit(False)
     )
     edges = edges.withColumn("__attributed", F.coalesce(has_props, F.lit(False)))
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=True)
 
     # --- position of each ROOT child subtree -------------------------------
     # Children: one group per visited node, then per traversed edge its REL
@@ -238,9 +245,12 @@ def read_graph(
         children = children.unionByName(
             df.select("tree_id", skey(1, F.col("bfs_depth"), edge_key, sub).alias("skey"))
         )
+    # One row per ROOT child (small); materialized once — five emission
+    # branches join against it and would otherwise each recompute the
+    # union + window subplan.
     pos_of = children.withColumn(
         "cpos", F.row_number().over(Window.partitionBy("tree_id").orderBy("skey")) - 1
-    )
+    ).localCheckpoint(eager=True)
 
     def with_pos(df: DataFrame, key: Column) -> DataFrame:
         return df.withColumn("skey", key).join(pos_of, ["tree_id", "skey"]).drop("skey")
