@@ -241,3 +241,31 @@ def unlabelled_ratio(nodes: DataFrame) -> float:
         F.sum(F.col("node_type").isNull().cast("long")).alias("u"),
     ).collect()[0]
     return (row["u"] / row["n"]) if row["n"] else 0.0
+
+
+def num_productions(nodes: DataFrame) -> int:
+    """Distinct grammar productions in the forest (``Metrics.num_productions``,
+    ``architxt/metrics.py:340-412``): one distinct-count over
+    (parent label, ordered child-label list) — the same aggregation shape as
+    schema induction, but counting instead of collecting."""
+    from architxt_spark.model import label_col
+
+    children = nodes.filter(F.col("parent_id").isNotNull() & F.col("node_name").isNotNull())
+    rhs = (
+        children.groupBy("parent_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", label_col("node_type", "node_name").alias("lbl"))
+                    )
+                ),
+                lambda s: s["lbl"],
+            ).alias("rhs")
+        )
+    )
+    parents = nodes.select(
+        F.col("node_id").alias("parent_id"),
+        label_col("node_type", "node_name").alias("lhs"),
+    )
+    return rhs.join(parents, "parent_id").select("lhs", "rhs").distinct().count()

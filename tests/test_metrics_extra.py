@@ -52,3 +52,19 @@ def test_entity_cluster_labels_ami_end_to_end(spark):
     ]
     assert len(pairs) > 100
     assert cluster_ami(pairs) > 0.99
+
+
+def test_num_productions(spark):
+    from architxt_spark.metrics import num_productions
+    from architxt_spark.trees import forest_from_trees, parse_tree
+
+    trees = {
+        "t1": parse_tree("(ROOT (GROUP::g (ENT::a x) (ENT::b y)))"),
+        "t2": parse_tree("(ROOT (GROUP::g (ENT::a z) (ENT::b w)))"),  # same shape
+        "t3": parse_tree("(ROOT (GROUP::h (ENT::a q)))"),
+    }
+    nodes = forest_from_trees(spark, trees)
+    # productions: ROOT->GROUP::g, GROUP::g->(ENT::a,ENT::b), ENT::a->leaf?  leaves
+    # have null name so ENT productions count once per label set... leaves are
+    # excluded (node_name null), so: ROOT->g, g->(a,b), ROOT->h, h->(a) = 4
+    assert num_productions(nodes) == 4
