@@ -700,6 +700,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ann.lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k via IVF coarse quantizer: deterministic first-N
+    codebook, nearest-cell assignment, nprobe-cell probing, exact cosine
+    inside probed cells (partition-pruning ANN — the data-adaptive
+    complement to sign-LSH)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -880,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": q_split_sentences,
         "nlp_parse_forest": q_nlp_parse_forest,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_distribution": q_lang_distribution,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1208,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE trim(text) <> ''
         """,
         "ann_lsh_topk": ann.lsh_topk_sql("embeddings", dim=64, k=5, max_query_id=10),
+        "ann_ivf_topk": ann.ivf_topk_sql("embeddings", k=5, n_cells=16, nprobe=4, max_query_id=10),
         "lang_distribution": f"""
             SELECT {T.lang_id_sql('text')} AS lang_guess,
                    CAST(COUNT(*) AS BIGINT) AS n_docs

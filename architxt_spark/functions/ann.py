@@ -211,6 +211,148 @@ def lsh_topk_sql(
     """
 
 
+def _assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str,
+    out_id: str,
+    nprobe: int,
+) -> DataFrame:
+    """Rank centroids per vector by cosine (desc, cell_id asc tie-break) and
+    keep the top ``nprobe`` cells.  ``centroids`` is tiny and broadcast, so
+    this is a map-side pass over the corpus — no shuffle until the window,
+    which partitions by the vector id (never all-pairs)."""
+    sims = df.join(F.broadcast(centroids)).select(
+        out_id,
+        vec_col,
+        "cell_id",
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("centroid").cast("array<double>")),
+            6,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("csim").desc(), F.col("cell_id"))
+    return (
+        sims.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .drop("csim", "crank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The coarse codebook is deterministic — the first ``n_cells`` corpus
+    vectors by id (FAISS-style sample-as-centroids training, made
+    reproducible).  Corpus vectors are assigned to their nearest centroid
+    (one cell each); queries probe their ``nprobe`` nearest cells; exact
+    cosine re-scoring happens only inside probed cells.
+
+    At scale this is the partition-pruning ANN: the corpus shuffles once on
+    ``cell_id`` (or is written bucketed by it), and each query touches
+    ``nprobe / n_cells`` of the data instead of all of it.  Complements
+    :func:`lsh_topk` — IVF adapts to the data distribution where sign-LSH
+    is data-independent.  Reference parity: beyond-reference operator per
+    SURVEY §7.5 (similarity search scale path).
+    """
+    centroids = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+    c = _assign_cells(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        centroids,
+        vec_col="cv",
+        out_id="neighbor_id",
+        nprobe=1,
+    )
+    q = _assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        centroids,
+        vec_col="qv",
+        out_id="query_id",
+        nprobe=nprobe,
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    max_query_id: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`ivf_topk` with queries = ``id_col <
+    max_query_id``.  The codebook (first ``n_cells`` ids) and every
+    tie-break are deterministic, so the candidate set matches exactly."""
+    sim = (
+        "list_dot_product({a}.{v}::DOUBLE[], {b}.{v}::DOUBLE[])"
+        " / (sqrt(list_dot_product({a}.{v}::DOUBLE[], {a}.{v}::DOUBLE[]))"
+        " * sqrt(list_dot_product({b}.{v}::DOUBLE[], {b}.{v}::DOUBLE[])))"
+    )
+    cent_sim = sim.format(a="x", b="cent", v=vec_col)
+    cand_sim = sim.format(a="q", b="c", v=vec_col)
+    return f"""
+        WITH cent AS (
+            SELECT {id_col} AS cell_id, {vec_col} FROM {table} WHERE {id_col} < {n_cells}
+        ),
+        assigned AS (
+            SELECT x.{id_col} AS vid, x.{vec_col} AS vec, cent.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY x.{id_col}
+                       ORDER BY ROUND({cent_sim}, 6) DESC, cent.cell_id
+                   ) AS crank
+            FROM {table} x CROSS JOIN cent
+        ),
+        c AS (
+            SELECT vid AS neighbor_id, vec AS {vec_col}, cell_id FROM assigned WHERE crank = 1
+        ),
+        q AS (
+            SELECT vid AS query_id, vec AS {vec_col}, cell_id FROM assigned
+            WHERE crank <= {nprobe} AND vid < {max_query_id}
+        ),
+        sims AS (
+            SELECT q.query_id, c.neighbor_id, {cand_sim} AS sim
+            FROM q JOIN c USING (cell_id)
+            WHERE q.query_id <> c.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 4) AS sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     *,
