@@ -1,0 +1,264 @@
+"""Command-line interface mirroring the reference's ``architxt`` CLI.
+
+Reference surface (``architxt/cli/__init__.py``, ``cli/loader.py``,
+``cli/export.py``):
+
+=====================================  ======================================
+reference                              here (``python -m architxt_spark``)
+=====================================  ======================================
+``architxt load corpus ARCHIVE``       ``load corpus DIR --out NODES``
+``architxt load sql URI``              ``load sql META.json --out NODES``
+``architxt load graph URI``            ``load graph --nodes P --rels P --out NODES``
+``architxt load document FILE``        ``load document FILE... --out NODES``
+``architxt simplify``                  ``simplify NODES --out NODES2``
+``architxt export sql``                ``export sql NODES --out DB.sqlite``
+``architxt export cypher``             ``export cypher NODES --out DIR``
+(inspector stats)                      ``stats NODES``
+=====================================  ======================================
+
+Differences by design: sources are parquet/files + a metadata JSON instead
+of live DB connections (the production path swaps in ``spark.read.jdbc`` /
+the graph connector with the same downstream code), and every verb's
+intermediate is the node table written as parquet — the Spark-native
+equivalent of the reference's ZODB bucket.
+
+``load sql`` metadata JSON shape::
+
+    {"tables": {"name": "path/to.parquet", ...},
+     "pks": {"name": ["pk_col", ...], ...},
+     "fks": [["table", "column", "ref_table", "ref_column"], ...]}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _session(app: str, cpus: str | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"architxt-spark-{app}")
+        .config("spark.sql.shuffle.partitions", os.cpu_count() or 8)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def _write_nodes(nodes: DataFrame, out: str) -> None:
+    nodes.write.mode("overwrite").parquet(out)
+    print(f"wrote node table: {out}")
+
+
+def _read_nodes(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _cmd_load_document(args: argparse.Namespace) -> None:
+    from architxt_spark.sources.documents import read_document_file
+
+    spark = _session("load-document")
+    frames = [
+        read_document_file(spark, p, root_name=args.root_name, raw_read=args.raw_read, sample=args.sample)
+        for p in args.files
+    ]
+    nodes = frames[0]
+    for f in frames[1:]:
+        nodes = nodes.unionByName(f)
+    _write_nodes(nodes, args.out)
+
+
+def _cmd_load_corpus(args: argparse.Namespace) -> None:
+    from architxt_spark.pipeline import load_corpus
+
+    spark = _session("load-corpus")
+    rows = []
+    for name in sorted(os.listdir(args.directory)):
+        if not name.endswith(".txt"):
+            continue
+        doc_id = name[: -len(".txt")]
+        with open(os.path.join(args.directory, name)) as f:
+            txt = f.read()
+        ann_path = os.path.join(args.directory, doc_id + ".ann")
+        ann = None
+        if os.path.exists(ann_path):
+            with open(ann_path) as f:
+                ann = f.read()
+        rows.append((doc_id, txt, ann))
+    if not rows:
+        sys.exit(f"no .txt files in {args.directory}")
+    docs = spark.createDataFrame(rows, "doc_id string, txt string, ann string")
+    if all(r[2] is None for r in rows):
+        docs = docs.drop("ann")
+    nodes = load_corpus(
+        docs,
+        entities_filter=args.entities_filter or None,
+        entities_mapping=dict(kv.split("=", 1) for kv in args.entities_mapping) or None
+        if args.entities_mapping
+        else None,
+    )
+    _write_nodes(nodes, args.out)
+
+
+def _cmd_load_sql(args: argparse.Namespace) -> None:
+    from architxt_spark.pipeline import load_sql
+    from architxt_spark.sources.relational import FK
+
+    spark = _session("load-sql")
+    with open(args.metadata) as f:
+        meta = json.load(f)
+    tables = {t: spark.read.parquet(p) for t, p in meta["tables"].items()}
+    fks = [FK(*edge) for edge in meta.get("fks", [])]
+    nodes = load_sql(
+        spark,
+        tables,
+        fks,
+        meta.get("pks", {}),
+        search_all_instances=args.search_all_instances,
+        sample=args.sample,
+    )
+    _write_nodes(nodes, args.out)
+
+
+def _cmd_load_graph(args: argparse.Namespace) -> None:
+    from architxt_spark.pipeline import load_graph
+
+    spark = _session("load-graph")
+    nodes = load_graph(
+        spark.read.parquet(args.nodes),
+        spark.read.parquet(args.rels),
+        sample=args.sample,
+    )
+    _write_nodes(nodes, args.out)
+
+
+def _cmd_simplify(args: argparse.Namespace) -> None:
+    from architxt_spark.pipeline import simplify
+
+    spark = _session("simplify")
+    nodes = _read_nodes(spark, args.nodes)
+    out, schema = simplify(
+        nodes, tau=args.tau, epoch=args.epoch, min_support=args.min_support
+    )
+    _write_nodes(out, args.out)
+    print("inferred schema:")
+    print(schema.as_cfg())
+
+
+def _cmd_export_sql(args: argparse.Namespace) -> None:
+    from architxt_spark.pipeline import export_sql
+    from architxt_spark.sinks import write_sqlite
+
+    spark = _session("export-sql")
+    nodes = _read_nodes(spark, args.nodes)
+    ddl, frames, order = export_sql(nodes, typed=args.typed)
+    if args.ddl_only:
+        print("\n".join(ddl))
+        return
+    write_sqlite(frames, ddl, args.out, order)
+    print(f"wrote {len(frames)} tables to {args.out}")
+
+
+def _cmd_export_cypher(args: argparse.Namespace) -> None:
+    from architxt_spark.pipeline import export_cypher
+
+    spark = _session("export-cypher")
+    nodes = _read_nodes(spark, args.nodes)
+    node_frames, rel_frames = export_cypher(nodes)
+    for label, df in node_frames.items():
+        df.write.mode("overwrite").parquet(os.path.join(args.out, f"nodes_{label}"))
+    for rel, df in rel_frames.items():
+        df.write.mode("overwrite").parquet(os.path.join(args.out, f"rels_{rel}"))
+    print(
+        f"wrote {len(node_frames)} node frames + {len(rel_frames)} relationship "
+        f"frames to {args.out} (graph-connector shape)"
+    )
+
+
+def _cmd_stats(args: argparse.Namespace) -> None:
+    from architxt_spark.metrics import forest_stats
+
+    spark = _session("stats")
+    print(json.dumps(forest_stats(_read_nodes(spark, args.nodes)), indent=2, default=str))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="architxt-spark", description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    load = sub.add_parser("load", help="ingest a source into the node table")
+    load_sub = load.add_subparsers(dest="source", required=True)
+
+    d = load_sub.add_parser("document", help="JSON/JSONL/CSV/XML/TOML/YAML files")
+    d.add_argument("files", nargs="+")
+    d.add_argument("--out", required=True)
+    d.add_argument("--root-name", default="ROOT")
+    d.add_argument("--raw-read", action="store_true")
+    d.add_argument("--sample", type=int, default=0)
+    d.set_defaults(fn=_cmd_load_document)
+
+    c = load_sub.add_parser("corpus", help="directory of BRAT .txt/.ann pairs")
+    c.add_argument("directory")
+    c.add_argument("--out", required=True)
+    c.add_argument("--entities-filter", nargs="*", default=None)
+    c.add_argument("--entities-mapping", nargs="*", default=None, metavar="OLD=NEW")
+    c.set_defaults(fn=_cmd_load_corpus)
+
+    s = load_sub.add_parser("sql", help="parquet tables + FK metadata JSON")
+    s.add_argument("metadata")
+    s.add_argument("--out", required=True)
+    s.add_argument("--search-all-instances", action="store_true")
+    s.add_argument("--sample", type=int, default=0)
+    s.set_defaults(fn=_cmd_load_sql)
+
+    g = load_sub.add_parser("graph", help="property-graph node/relationship parquet")
+    g.add_argument("--nodes", required=True)
+    g.add_argument("--rels", required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--sample", type=int, default=0)
+    g.set_defaults(fn=_cmd_load_graph)
+
+    si = sub.add_parser("simplify", help="fixpoint rewrite + schema induction")
+    si.add_argument("nodes")
+    si.add_argument("--out", required=True)
+    si.add_argument("--tau", type=float, default=0.7)
+    si.add_argument("--epoch", type=int, default=100)
+    si.add_argument("--min-support", type=int, default=None)
+    si.set_defaults(fn=_cmd_simplify)
+
+    exp = sub.add_parser("export", help="export the node table")
+    exp_sub = exp.add_subparsers(dest="sink", required=True)
+
+    es = exp_sub.add_parser("sql", help="DDL + relational tables (sqlite locally)")
+    es.add_argument("nodes")
+    es.add_argument("--out", default="out.sqlite")
+    es.add_argument("--typed", action="store_true")
+    es.add_argument("--ddl-only", action="store_true")
+    es.set_defaults(fn=_cmd_export_sql)
+
+    ec = exp_sub.add_parser("cypher", help="graph-connector node/relationship frames")
+    ec.add_argument("nodes")
+    ec.add_argument("--out", required=True)
+    ec.set_defaults(fn=_cmd_export_cypher)
+
+    st = sub.add_parser("stats", help="forest inspector statistics")
+    st.add_argument("nodes")
+    st.set_defaults(fn=_cmd_stats)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,28 @@ def test_load_documents(spark):
     )
     nodes = pipeline.load_documents(docs)
     assert nodes.filter(F.col("node_type") == "ENT").count() >= 1
+
+
+def test_cli_load_document_simplify_stats(spark, tmp_path, capsys):
+    """The argparse CLI drives the same verbs (`python -m architxt_spark`)."""
+    from architxt_spark import cli
+
+    doc = tmp_path / "shop.json"
+    doc.write_text(
+        '{"orders": ['
+        '{"id": "1", "customer": {"name": "alice", "city": "paris"},'
+        ' "items": [{"sku": "a1", "qty": "2"}, {"sku": "b2", "qty": "1"}]},'
+        '{"id": "2", "customer": {"name": "bob", "city": "lyon"},'
+        ' "items": [{"sku": "a1", "qty": "5"}]}]}'
+    )
+    nodes_dir = str(tmp_path / "nodes")
+    cli.main(["load", "document", str(doc), "--out", nodes_dir])
+    out_dir = str(tmp_path / "nodes2")
+    cli.main(["simplify", nodes_dir, "--out", out_dir, "--epoch", "2"])
+    captured = capsys.readouterr().out
+    assert "GROUP::" in captured  # inferred schema printed
+    cli.main(["stats", out_dir])
+    stats = capsys.readouterr().out
+    assert '"n_trees": 2' in stats
+    cli.main(["export", "sql", out_dir, "--ddl-only"])
+    assert "CREATE TABLE" in capsys.readouterr().out
