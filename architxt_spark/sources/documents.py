@@ -216,6 +216,20 @@ def read_document_file(
             raise NotImplementedError("YAML documents need pyyaml (not in this environment)") from e
         with open(path) as f:
             data = yaml.safe_load(f)
+    elif ext in (".xlsx", ".xls"):
+        # Reference parses Excel via pandas (``loader/documents.py:22-29``);
+        # one record dict per row, sheet name as the root key.
+        try:
+            import openpyxl  # noqa: F401  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - env without openpyxl
+            raise NotImplementedError("Excel documents need openpyxl (not in this environment)") from e
+        import pandas as _pd
+
+        sheets = _pd.read_excel(path, sheet_name=None, dtype=str)
+        data = {
+            name: [{k: v for k, v in rec.items() if v is not None and v == v} for rec in sheet.to_dict("records")]
+            for name, sheet in sheets.items()
+        }
     else:
         raise ValueError(f"unsupported document format: {ext}")
 

@@ -210,3 +210,36 @@ def test_read_document_file_xml(spark, tmp_path):
     nodes = read_document_file(spark, str(p))
     leaves = {r["leaf_value"] for r in nodes.filter(nodes.leaf_value.isNotNull()).collect()}
     assert {"alice", "bob"} <= leaves
+
+
+def test_read_document_file_yaml(spark, tmp_path):
+    import pytest
+
+    from architxt_spark.sources.documents import read_document_file
+
+    pytest.importorskip("yaml")
+    p = tmp_path / "doc.yaml"
+    p.write_text("people:\n  - name: alice\n  - name: bob\n")
+    nodes = read_document_file(spark, str(p))
+    assert nodes.filter(nodes.node_type == "GROUP").count() == 2
+
+
+def test_read_document_file_excel_gated(spark, tmp_path):
+    """Excel parses via pandas when openpyxl exists; otherwise the parser
+    chain raises the documented NotImplementedError gate."""
+    import pytest
+
+    from architxt_spark.sources.documents import read_document_file
+
+    import zipfile
+
+    p = tmp_path / "doc.xlsx"
+    with zipfile.ZipFile(p, "w") as z:  # zip container so pandas sniffs xlsx
+        z.writestr("[Content_Types].xml", "<Types/>")
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            read_document_file(spark, str(p))
+    else:
+        pytest.skip("openpyxl present - covered by real-workbook environments")
