@@ -295,11 +295,12 @@ def q_dataset_extract_nation(spark: SparkSession, sf: str) -> DataFrame:
     extraction; must reproduce the source table (FK cols excluded)."""
     from architxt_spark.plans import extract_group_dataset
 
-    # Materialize the (tiny) forest once: the pivot's distinct-values job
-    # and the final job otherwise each recompile + re-run the whole
-    # join-explode emission pipeline — ~2x the wall-clock at any SF.
-    nodes = _nation_forest(spark, sf).localCheckpoint(eager=True)
-    return extract_group_dataset(nodes, "nation")
+    # The loader's table schema already fixes the entity columns (nation
+    # minus its FK), so the pivot takes explicit values: no distinct-values
+    # job, no materialization barrier — the extraction is ONE job.
+    nodes = _nation_forest(spark, sf)
+    entities = [c for c in _t(spark, sf, "nation").columns if c != "n_regionkey"]
+    return extract_group_dataset(nodes, "nation", entities=entities)
 
 
 def q_schema_groups_nation(spark: SparkSession, sf: str) -> DataFrame:
