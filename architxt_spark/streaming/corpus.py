@@ -52,6 +52,99 @@ def stream_exact_dedup(
     return with_fp.dropDuplicates(["fingerprint"])
 
 
+def minhash_dedup_batch(
+    batch: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One micro-batch of incremental NEAR-dup filtering against a
+    persistent LSH band index.
+
+    1. MinHash-band the batch documents (same signature pipeline as
+       ``dedup.minhash_lsh_pairs``);
+    2. drop documents sharing any band with the INDEX (near-dup of an
+       already-kept document) — a semi-join on the band key;
+    3. within the batch, greedy keep-the-min-id per colliding pair (the
+       batch twin of ``dedup.dedup_filter``);
+    4. append the SURVIVORS' bands to the index.
+
+    Returns the surviving rows of ``batch``.  The index is a plain parquet
+    directory of band keys: at scale it is the only state, it is
+    append-only (blind write, no merge), and the per-batch work is two
+    shuffles on the band key — independent of corpus history size thanks
+    to the semi-join pushdown on the (bucketable) band column.
+    """
+    from architxt_spark.functions.dedup import minhash_bands, minhash_signature
+
+    spark = batch.sparkSession
+    bands = (
+        batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .select("id", minhash_signature(F.col("t")).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
+        .persist()
+    )
+    try:
+        try:
+            hist = spark.read.parquet(index_path).select("band").distinct()
+            hit_hist = bands.join(hist, "band", "left_semi").select("id").distinct()
+        except Exception:  # first batch: no index yet
+            hit_hist = None
+
+        survivors = bands.select("id").distinct()
+        if hit_hist is not None:
+            survivors = survivors.join(hit_hist, "id", "left_anti")
+
+        # within-batch collisions: drop the greater id of each banded pair
+        kept_bands = bands.join(survivors, "id")
+        a = kept_bands.alias("a")
+        b = kept_bands.alias("b")
+        losers = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") > F.col("b.id")))
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+        # materialize the (small) survivor id set so the index write and the
+        # returned frame don't re-run the signature pipeline after unpersist
+        survivors = survivors.join(losers, "id", "left_anti").localCheckpoint(eager=True)
+
+        bands.join(survivors, "id").select("band", "id").write.mode("append").parquet(index_path)
+        return batch.join(
+            survivors.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+    finally:
+        bands.unpersist()
+
+
+def stream_minhash_dedup(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming near-duplicate filter: ``foreachBatch`` applies
+    :func:`minhash_dedup_batch` per micro-batch and appends survivors to
+    ``out_path``.  The exactly-once contract comes from the checkpoint +
+    idempotence of the index/output appends (re-run batches re-filter against the same
+    index state).  Returns the started query."""
+
+    def run(batch: DataFrame, _epoch: int) -> None:
+        kept = minhash_dedup_batch(batch, index_path, text_col=text_col, id_col=id_col)
+        kept.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_row_trees(stream: DataFrame, table_name: str, id_cols: list[str]) -> DataFrame:
     """Incremental node emission: the batch ``row_trees`` transform applied
     to a stream — stateless (select + explode), so it runs in append mode

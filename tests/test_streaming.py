@@ -170,3 +170,37 @@ def test_stream_row_trees_append(spark, docs_dir):
     n_docs = spark.read.parquet(docs_dir).count()
     assert got["trees"] == n_docs
     assert got["nodes"] == n_docs * 8  # root + group + 3 ents + 3 leaves
+
+
+def test_stream_minhash_near_dedup(spark, tmp_path):
+    """Incremental near-dup: batch 2's near-copy of a batch-1 doc is dropped
+    via the persistent band index; within-batch near-pairs keep the min id."""
+    from architxt_spark.streaming.corpus import read_document_stream, stream_minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to hide from every single hunter nearby"
+    )
+    b1 = [(1, base), (2, base + " with a tiny suffix change here")]  # near pair -> keep 1
+    b2 = [(3, base + " and nothing else matters"), (4, "completely unrelated text about spark "
+          "structured streaming watermarks state stores and checkpoint recovery semantics")]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = stream_minhash_dedup(
+        stream, str(tmp_path / "index"), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 4 in kept  # unrelated text always survives
+    assert 2 not in kept  # near-dup of doc 1 within its batch
+    assert 3 not in kept  # near-dup of doc 1 across batches (via the index)
+    assert 1 in kept
