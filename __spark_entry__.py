@@ -181,6 +181,33 @@ def q_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube
+    (Spark 4 ``DataFrame.groupingSets``): per-status, per-priority, and
+    grand-total aggregates in one pass over the fact table."""
+    orders = _t(spark, sf, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+    )
+
+
+def q_percentile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (median + p90) of order value per
+    priority — single sort-based aggregate, no approximation."""
+    orders = _t(spark, sf, "orders")
+    pct = F.expr("percentile(CAST(o_totalprice AS DOUBLE), array(0.5D, 0.9D))")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_asof_purchase_signup(spark: SparkSession, sf: str) -> DataFrame:
     """AS-OF join (custom operator — union + carry-forward window, one
     shuffle on the key): each purchase attached to the user's most recent
@@ -859,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit_top_orders": q_sort_limit_top_orders,
         "setop_nations_cust_minus_supp": q_setop_nations_cust_minus_supp,
         "rollup_orders": q_rollup_orders,
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "percentile_orders": q_percentile_orders,
         "cube_orders": q_cube_orders,
         "asof_purchase_signup": q_asof_purchase_signup,
         "range_join_signup_clicks": q_range_join_signup_clicks,
@@ -994,6 +1023,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "percentile_orders": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50,
+                   ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            GROUP BY o_orderpriority
         """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority,
