@@ -251,3 +251,33 @@ def test_assign_to_clusters(spark):
     assert ("ab_cluster", 1.0) in exact
     assert any(name == "ab_cluster" and s < 1.0 for name, s in close)
     assert not far  # disjoint/below-tau signatures stay unassigned
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Both sides bucketed by the join key with equal counts -> the join
+    plan has no shuffle Exchange (the 100-TB co-location strategy)."""
+    from architxt_spark.operators.bucketing import (
+        is_exchange_free_join,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    try:
+        a = spark.range(1000).withColumnRenamed("id", "k")
+        b = spark.range(500).withColumnRenamed("id", "k")
+        write_bucketed(a, "bkt.a", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(b, "bkt.b", ["k"], n_buckets=8, sort_cols=["k"])
+        # merge hint on both: comparing SMJ-with-buckets vs SMJ-without,
+        # not SMJ vs broadcast (broadcast has no exchange trivially)
+        joined = read_bucketed(spark, "bkt.a").hint("merge").join(
+            read_bucketed(spark, "bkt.b"), "k"
+        )
+        assert joined.count() == 500
+        assert is_exchange_free_join(joined)
+        # control: the same SMJ on non-bucketed frames DOES shuffle
+        plain = a.hint("merge").join(b, "k")
+        plain.count()
+        assert not is_exchange_free_join(plain)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
