@@ -12,6 +12,12 @@
 """
 
 from architxt_spark.nlp.brat import parse_ann_entities, parse_ann_relations
+from architxt_spark.nlp.enrich import (
+    DictResolver,
+    EntityExtractor,
+    EntityResolver,
+    RegexExtractor,
+)
 from architxt_spark.nlp.sentences import split_entities, split_relations, split_sentences
 from architxt_spark.nlp.parser import enrich_sentence_tree, parse_sentences_df
 
@@ -23,4 +29,8 @@ __all__ = [
     "split_sentences",
     "enrich_sentence_tree",
     "parse_sentences_df",
+    "EntityExtractor",
+    "RegexExtractor",
+    "EntityResolver",
+    "DictResolver",
 ]

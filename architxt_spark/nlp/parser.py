@@ -71,31 +71,45 @@ def enrich_sentence_tree(
     consumed: set[int] = set()
     ents = sorted(entities, key=lambda e: (-(e[2] - e[1]), e[1], e[0]))
     seen_spans: set[tuple[int, int]] = set()
-    for name, start, end in ents:
+    for ent in ents:
+        name, start, end = ent[0], ent[1], ent[2]
+        # optional 4th element: the RESOLVED value (EntityResolver output);
+        # stored as node metadata when it differs from the surface form
+        value = ent[3] if len(ent) > 3 else None
         if (start, end) in seen_spans:
             continue
         seen_spans.add((start, end))
         idxs = tuple(covered(start, end))
         if not idxs:
             continue
+        meta = (
+            {"resolved_value": value}
+            if value is not None and value != " ".join(toks[i] for i in idxs)
+            else None
+        )
 
         outer = next((n_ts for n_ts in inserted if set(idxs) < set(n_ts[1])), None)
         if outer is not None:
-            _unnest(tree, outer[0], name, idxs, toks)
+            _unnest(tree, outer[0], name, idxs, toks, meta)
         else:
-            _insert_entity(tree, name, idxs, toks, consumed)
+            _insert_entity(tree, name, idxs, toks, consumed, meta)
             consumed.update(idxs)
         inserted.append((name, idxs))
     return tree
 
 
 def _insert_entity(
-    tree: PyTree, name: str, idxs: tuple[int, ...], toks: list[str], consumed: set[int]
+    tree: PyTree,
+    name: str,
+    idxs: tuple[int, ...],
+    toks: list[str],
+    consumed: set[int],
+    meta: dict[str, str] | None = None,
 ) -> None:
     """Wrap the idx-th original tokens under (ENT::name …): free tokens are
     removed from the top level; already-consumed tokens are duplicated."""
     free = [i for i in idxs if i not in consumed]
-    ent = PyTree(f"ENT::{name}", [toks[i] for i in idxs])
+    ent = PyTree(f"ENT::{name}", [toks[i] for i in idxs], meta or {})
     if not free:
         tree.children.append(ent)
         return
@@ -116,11 +130,18 @@ def _insert_entity(
     tree.children = out
 
 
-def _unnest(tree: PyTree, outer_name: str, inner_name: str, inner_idxs: tuple[int, ...], toks: list[str]) -> None:
+def _unnest(
+    tree: PyTree,
+    outer_name: str,
+    inner_name: str,
+    inner_idxs: tuple[int, ...],
+    toks: list[str],
+    meta: dict[str, str] | None = None,
+) -> None:
     """(ENT::outer …) → (REL::nested (ENT::outer …) (ENT::inner …))."""
     for i, c in enumerate(tree.children):
         if isinstance(c, PyTree) and c.label == f"ENT::{outer_name}":
-            inner = PyTree(f"ENT::{inner_name}", [toks[t] for t in inner_idxs])
+            inner = PyTree(f"ENT::{inner_name}", [toks[t] for t in inner_idxs], meta or {})
             tree.children[i] = PyTree("REL::nested", [c, inner])
             return
 
@@ -140,13 +161,23 @@ def parse_sentences_df(
     import pandas as pd
 
     if sent_entities is not None:
+        val = (
+            F.col("value")
+            if "value" in sent_entities.columns
+            else F.lit(None).cast("string")
+        )
         e = sent_entities.groupBy("doc_id", "sent_idx").agg(
-            F.collect_list(F.struct("name", "start", "end")).alias("ents")
+            F.collect_list(
+                F.struct("name", "start", "end", val.alias("value"))
+            ).alias("ents")
         )
         src = sentences.join(e, ["doc_id", "sent_idx"], "left")
     else:
         src = sentences.withColumn(
-            "ents", F.lit(None).cast("array<struct<name:string,start:int,end:int>>")
+            "ents",
+            F.lit(None).cast(
+                "array<struct<name:string,start:int,end:int,value:string>>"
+            ),
         )
     src = src.select("doc_id", "sent_idx", "sentence", "ents")
 
@@ -159,7 +190,10 @@ def parse_sentences_df(
                 pdf["doc_id"], pdf["sent_idx"], pdf["sentence"], pdf["ents"]
             ):
                 ent_list = (
-                    [(e["name"], int(e["start"]), int(e["end"])) for e in ents]
+                    [
+                        (e["name"], int(e["start"]), int(e["end"]), e["value"])
+                        for e in ents
+                    ]
                     if ents is not None and len(ents)
                     else []
                 )

@@ -38,6 +38,8 @@ def load_corpus(
     entities_mapping: dict[str, str] | None = None,
     relations_filter: list[str] | None = None,
     parser_factory=None,
+    extractor=None,
+    resolver=None,
 ) -> DataFrame:
     """Text (+ optional BRAT ``.ann``) → forest (``raw_load_corpus``,
     ``architxt/nlp/__init__.py:243-321``).
@@ -47,6 +49,11 @@ def load_corpus(
     entity-insertion boundary emits one tree per sentence.  The reference's
     md5 parse cache maps to persisting the returned frame (parquet /
     :class:`~architxt_spark.bucket.ParquetTreeBucket`).
+
+    ``extractor`` (:class:`~architxt_spark.nlp.enrich.EntityExtractor`)
+    adds NER entities on top of the standoff ones; ``resolver``
+    (:class:`~architxt_spark.nlp.enrich.EntityResolver`) normalizes entity
+    values — the reference's plug-in stages (``nlp/__init__.py:199-205``).
     """
     from architxt_spark.nlp import (
         parse_ann_entities,
@@ -62,6 +69,14 @@ def load_corpus(
             docs, allowed=entities_filter, renames=entities_mapping
         )
         sent_entities = split_entities(sentences, ents)
+    if extractor is not None:
+        found = extractor.extract(sentences)
+        sent_entities = (
+            found if sent_entities is None
+            else sent_entities.unionByName(found)
+        )
+    if resolver is not None and sent_entities is not None:
+        sent_entities = resolver.resolve(sent_entities)
     kwargs = {} if parser_factory is None else {"parser_factory": parser_factory}
     return parse_sentences_df(sentences, sent_entities, **kwargs)
 

@@ -143,3 +143,29 @@ def test_fix_all_coord_fixpoint():
     assert fix_all_coord(t)
     out = format_tree(t)
     assert "COORD" not in out and out.count("CONJ") >= 1
+
+
+def test_regex_extractor_and_resolver(spark):
+    """NER + KB-linking boundaries: gazetteer regex extraction adds ENT
+    nodes; the dict resolver canonicalizes their values (reference
+    entity_extractor.py:16-47 / entity_resolver.py:19-60)."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark import pipeline
+    from architxt_spark.nlp import DictResolver, RegexExtractor
+
+    docs = spark.createDataFrame(
+        [("d1", "Aspirin helps headaches.\nIbuprofen also works.")],
+        "doc_id string, txt string",
+    )
+    extractor = RegexExtractor.from_gazetteer({"DRUG": ["Aspirin", "Ibuprofen"]})
+    resolver = DictResolver({"aspirin": "acetylsalicylic acid"})
+    nodes = pipeline.load_corpus(docs, extractor=extractor, resolver=resolver)
+    ents = nodes.filter(F.col("node_type") == "ENT").collect()
+    assert {r["node_name"] for r in ents} == {"DRUG"}
+    # leaves keep the surface form; the KB-resolved value rides metadata
+    resolved = {
+        (r["metadata"] or {}).get("resolved_value") for r in ents
+    }
+    assert "acetylsalicylic acid" in resolved  # Aspirin resolved
+    assert None in resolved  # Ibuprofen unresolved -> no metadata entry
