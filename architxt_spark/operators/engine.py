@@ -320,6 +320,7 @@ def rewrite(
     min_support: int | None = None,
     epoch: int = 100,
     operations: Iterable[tuple[str, Callable[[PyTree], bool]]] | None = None,
+    on_iteration: Callable[[dict], None] | None = None,
 ) -> DataFrame:
     """Iterative fixpoint rewrite (``rewrite()``,
     ``simplification/tree_rewriting/__init__.py:56-168``).
@@ -327,6 +328,14 @@ def rewrite(
     Per iteration: reduce_all({ENT}) → cluster → find_groups → op chain with
     early-exit at the first op that changed anything.  Stops when an
     iteration simplifies nothing or after ``epoch`` iterations.
+
+    ``on_iteration`` receives a metrics dict per iteration (iteration
+    index, winning operation, rows changed, per-type node census) — the
+    reference's per-iteration MLflow logging (``metrics.py:414-473``,
+    ``tree_rewriting/__init__.py:109-122``); hand it
+    ``mlflow.log_metrics``-shaped sinks, a ``list.append``, or a JSONL
+    writer.  The census is ONE extra aggregation job per iteration, only
+    paid when a callback is installed.
     """
     from architxt_spark.similarity import cluster_forest_with_index
 
@@ -336,7 +345,17 @@ def rewrite(
 
     nodes = nodes.repartition("tree_id").localCheckpoint(eager=True)
 
-    for _ in range(epoch):
+    def census(frame: DataFrame) -> dict:
+        row = frame.agg(
+            F.count("*").alias("n_nodes"),
+            *[
+                F.sum((F.col("node_type") == t).cast("long")).alias(f"n_{t.lower()}")
+                for t in (NodeType.ENT, NodeType.GROUP, NodeType.REL, NodeType.COLL)
+            ],
+        ).collect()[0]
+        return row.asDict()
+
+    for iteration in range(epoch):
         flagged = apply_tree_op(nodes, lambda t: pytree_ops.reduce_all(t, {NodeType.ENT}), "reduce")
         nodes = flagged.drop("changed")
 
@@ -350,6 +369,7 @@ def rewrite(
         )
 
         iteration_changed = False
+        winning_op, n_changed = None, 0
         for name, fn in ops:
             # checkpoint FIRST, count on the materialized frame — otherwise
             # the applyInPandas pipeline runs twice (once for the count,
@@ -359,7 +379,14 @@ def rewrite(
             nodes = flagged.drop("changed")
             if changed:
                 iteration_changed = True
+                winning_op, n_changed = name, changed
                 break  # early-exit (reference ``:566-582``)
+
+        if on_iteration is not None:
+            on_iteration(
+                dict(iteration=iteration, operation=winning_op, trees_changed=n_changed)
+                | census(nodes)
+            )
 
         if not iteration_changed:
             break

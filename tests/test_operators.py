@@ -281,3 +281,23 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         assert not is_exchange_free_join(plain)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_rewrite_iteration_metrics(spark):
+    """on_iteration receives the per-iteration census (reference MLflow
+    logging parity)."""
+    from architxt_spark.operators.engine import rewrite
+    from architxt_spark.trees import PyTree, forest_from_trees
+
+    trees = {
+        f"t{i}": PyTree(
+            "ROOT",
+            [PyTree("X", [PyTree("ENT::a", ["v"]), PyTree("ENT::b", ["w"])])],
+        )
+        for i in range(4)
+    }
+    log: list[dict] = []
+    rewrite(forest_from_trees(spark, trees), epoch=3, on_iteration=log.append)
+    assert log, "callback never fired"
+    assert {"iteration", "operation", "trees_changed", "n_nodes", "n_group"} <= set(log[0])
+    assert log[0]["iteration"] == 0
