@@ -63,6 +63,39 @@ def _changed_count(nodes_with_flag: DataFrame) -> int:
     return nodes_with_flag.filter(F.col("changed") == "1").select("tree_id").distinct().count()
 
 
+def probe_ops(
+    nodes: DataFrame, ops: list[tuple[str, Callable[[PyTree], bool]]]
+) -> list[int]:
+    """Speculatively probe EVERY op in ONE ``applyInPandas`` pass: each op
+    runs against a fresh copy of each tree and only the changed FLAGS come
+    back (no node re-emission).  Returns changed-tree counts per op.
+
+    Early-exit semantics make this exact: the winning op is the first with
+    any change, and every op before it changed nothing — so each op's
+    probe input (the unmodified iteration state) is precisely what it
+    would have seen in the sequential chain.  Replaces up to ``len(ops)``
+    full rewrite passes (serialize → mutate → re-emit → checkpoint →
+    count) with one flag pass + one real pass for the winner."""
+    import pandas as pd
+
+    fns = [f for _, f in ops]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        trees = rows_to_trees(pdf.to_dict("records"))
+        out = []
+        for tid, tree in trees.items():
+            for i, fn in enumerate(fns):
+                out.append((i, 1 if fn(tree.copy()) else 0))
+        return pd.DataFrame(out, columns=["op", "changed"])
+
+    flags = nodes.groupBy("tree_id").applyInPandas(run, "op int, changed int")
+    counts = {
+        r["op"]: r["n"]
+        for r in flags.groupBy("op").agg(F.sum("changed").alias("n")).collect()
+    }
+    return [int(counts.get(i, 0)) for i in range(len(fns))]
+
+
 def simple_rewrite(nodes: DataFrame) -> DataFrame:
     """Baseline rewrite (``architxt/simplification/simple_rewrite.py:19-66``):
     each tree with unlabelled nodes collapses to one GROUP of its distinct
@@ -368,19 +401,22 @@ def rewrite(
             else _operations_with_index(sig_index, min_support)
         )
 
+        # one probe pass finds the early-exit winner; only the winner does
+        # a real rewrite pass (reference sequential chain ``:566-582``)
+        counts = probe_ops(nodes, ops)
+        winner = next((i for i, n in enumerate(counts) if n), None)
+
         iteration_changed = False
         winning_op, n_changed = None, 0
-        for name, fn in ops:
-            # checkpoint FIRST, count on the materialized frame — otherwise
-            # the applyInPandas pipeline runs twice (once for the count,
-            # once for the eager checkpoint)
-            flagged = apply_tree_op(nodes, fn, name).localCheckpoint(eager=True)
-            changed = _changed_count(flagged)
-            nodes = flagged.drop("changed")
-            if changed:
-                iteration_changed = True
-                winning_op, n_changed = name, changed
-                break  # early-exit (reference ``:566-582``)
+        if winner is not None:
+            name, fn = ops[winner]
+            nodes = (
+                apply_tree_op(nodes, fn, name)
+                .drop("changed")
+                .localCheckpoint(eager=True)
+            )
+            iteration_changed = True
+            winning_op, n_changed = name, counts[winner]
 
         if on_iteration is not None:
             on_iteration(
@@ -391,11 +427,13 @@ def rewrite(
         if not iteration_changed:
             break
 
-    # post-process naming passes (``_post_process``, ``:227-259``)
-    for fn in (
-        lambda t: pytree_ops.find_relations(t, naming_only=True),
-        lambda t: pytree_ops.find_collections(t, naming_only=True),
-    ):
-        nodes = apply_tree_op(nodes, fn, "post").drop("changed").localCheckpoint(eager=True)
+    # post-process naming passes (``_post_process``, ``:227-259``) — both
+    # are per-tree independent, so they fuse into ONE applyInPandas pass
+    def post(t: PyTree) -> bool:
+        a = pytree_ops.find_relations(t, naming_only=True)
+        b = pytree_ops.find_collections(t, naming_only=True)
+        return a or b
+
+    nodes = apply_tree_op(nodes, post, "post").drop("changed").localCheckpoint(eager=True)
 
     return simplify_names(nodes)

@@ -58,6 +58,16 @@ class PyTree:
                 out.append(c)
         return out
 
+    def copy(self) -> "PyTree":
+        """Deep copy (``Tree.copy``, ``architxt/tree.py:755-773``) — used
+        by the rewrite loop's speculative op probing."""
+        return PyTree(
+            self.label,
+            [c.copy() if isinstance(c, PyTree) else c for c in self.children],
+            dict(self.metadata),
+            self.oid,
+        )
+
     def __str__(self) -> str:
         return format_tree(self)
 
