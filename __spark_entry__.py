@@ -104,7 +104,7 @@ def q_join_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .filter(F.col("r_name") == "REGION#0")
+        .filter(F.col("r_name") == "EUROPE")
         .groupBy("n_name")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
     )
@@ -429,7 +429,7 @@ def q_dedup_filtered(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    return ann.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
+    return ann.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.5)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -972,7 +972,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
-            WHERE r_name = 'REGION#0'
+            WHERE r_name = 'EUROPE'
             GROUP BY n_name
         """,
         "join_anti_unreferenced": """
@@ -1280,7 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_filtered": f"""
             SELECT id AS doc_id FROM ({dedup.dedup_filter_sql('documents', 'text', 'doc_id')})
         """,
-        "embedding_near_dup": ann.cosine_near_dup_pairs_sql("embeddings", threshold=0.9),
+        "embedding_near_dup": ann.cosine_near_dup_pairs_sql("embeddings", threshold=0.5),
         "embedding_near_dup_lsh": ann.cosine_near_dup_pairs_lsh_sql(
             "embeddings", dim=64, threshold=0.35
         ),
