@@ -183,6 +183,21 @@ def _cmd_export_cypher(args: argparse.Namespace) -> None:
     )
 
 
+def _cmd_export_jsonl(args: argparse.Namespace) -> None:
+    from architxt_spark.trees import write_jsonl_forest
+
+    spark = _session("export-jsonl")
+    write_jsonl_forest(_read_nodes(spark, args.nodes), args.out)
+    print(f"wrote JSONL forest: {args.out}")
+
+
+def _cmd_load_jsonl(args: argparse.Namespace) -> None:
+    from architxt_spark.trees import read_jsonl_forest
+
+    spark = _session("load-jsonl")
+    _write_nodes(read_jsonl_forest(spark, args.path), args.out)
+
+
 def _cmd_stats(args: argparse.Namespace) -> None:
     from architxt_spark.metrics import forest_stats
 
@@ -219,6 +234,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sample", type=int, default=0)
     s.set_defaults(fn=_cmd_load_sql)
 
+    j = load_sub.add_parser("jsonl", help="JSONL forest (Tree.to_json lines)")
+    j.add_argument("path")
+    j.add_argument("--out", required=True)
+    j.set_defaults(fn=_cmd_load_jsonl)
+
     g = load_sub.add_parser("graph", help="property-graph node/relationship parquet")
     g.add_argument("--nodes", required=True)
     g.add_argument("--rels", required=True)
@@ -248,6 +268,11 @@ def build_parser() -> argparse.ArgumentParser:
     ec.add_argument("nodes")
     ec.add_argument("--out", required=True)
     ec.set_defaults(fn=_cmd_export_cypher)
+
+    ej = exp_sub.add_parser("jsonl", help="JSONL forest (Tree.to_json lines)")
+    ej.add_argument("nodes")
+    ej.add_argument("--out", required=True)
+    ej.set_defaults(fn=_cmd_export_jsonl)
 
     st = sub.add_parser("stats", help="forest inspector statistics")
     st.add_argument("nodes")

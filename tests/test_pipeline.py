@@ -96,3 +96,26 @@ def test_cli_load_document_simplify_stats(spark, tmp_path, capsys):
     assert '"n_trees": 2' in stats
     cli.main(["export", "sql", out_dir, "--ddl-only"])
     assert "CREATE TABLE" in capsys.readouterr().out
+
+
+def test_cli_jsonl_round_trip(spark, tmp_path, capsys):
+    """export jsonl -> load jsonl reproduces the forest (forest.py:25-64)."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark import cli
+
+    doc = tmp_path / "d.json"
+    doc.write_text('[{"a": "1", "b": "2"}, {"a": "3", "b": "4"}]')
+    nodes_dir = str(tmp_path / "nodes")
+    cli.main(["load", "document", str(doc), "--out", nodes_dir])
+    jl = str(tmp_path / "forest_jsonl")
+    cli.main(["export", "jsonl", nodes_dir, "--out", jl])
+    back_dir = str(tmp_path / "nodes_back")
+    cli.main(["load", "jsonl", jl, "--out", back_dir])
+    orig = spark.read.parquet(nodes_dir)
+    back = spark.read.parquet(back_dir)
+    assert back.count() == orig.count()
+    key = lambda df: {
+        tuple(r) for r in df.select("node_type", "node_name", "leaf_value", "depth").collect()
+    }
+    assert key(back) == key(orig)
