@@ -99,7 +99,11 @@ def main() -> int:
             continue
         ok = (s_n, s_cols, s_h) == (o_n, o_cols, o_h)
         if ok:
-            print(f"PASS {name} (rows={s_n})")
+            # empty-vs-empty matches are BLIND to filter/logic bugs (a
+            # wrong literal made a join trivially empty once) — make them
+            # loud so each zero gets audited against the data.
+            flag = "  [WARN: empty result — verify 0 is the true answer]" if s_n == 0 else ""
+            print(f"PASS {name} (rows={s_n}){flag}")
             n_pass += 1
         else:
             n_fail += 1
