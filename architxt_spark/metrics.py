@@ -124,7 +124,9 @@ def coverage(source_ent_oids: DataFrame, current_ent_oids: DataFrame) -> float:
     b = current_ent_oids.toDF("oid").distinct()
     inter = a.intersect(b).count()
     union = a.union(b).distinct().count()
-    return inter / union if union else 0.0
+    # empty-vs-empty is a perfect match (jaccard(∅, ∅) == 1.0 in the
+    # reference), not a degenerate zero
+    return inter / union if union else 1.0
 
 
 def entity_oids(nodes: DataFrame) -> DataFrame:
@@ -138,9 +140,12 @@ def cluster_ami(labels: list[tuple[str, str]]) -> float:
     """Adjusted Mutual Information between two label assignments
     (``Metrics.cluster_ami``, ``architxt/metrics.py:240-258``).
 
-    sklearn is unavailable in this environment; this is the standard
-    AMI(max-normalized) from the contingency table, pure Python — label
-    pair lists are bounded by the entity vocabulary, so driver-side is fine.
+    sklearn is unavailable in this environment; this is the standard AMI
+    from the contingency table, pure Python, with sklearn's default
+    *arithmetic* normalization ``(H(a)+H(b))/2 − EMI`` so values are
+    directly comparable to the reference's ``adjusted_mutual_info_score``
+    — label pair lists are bounded by the entity vocabulary, so
+    driver-side is fine.
     """
     if not labels:
         return 0.0
@@ -176,7 +181,7 @@ def cluster_ami(labels: list[tuple[str, str]]) -> float:
                 if p > 0 and nij > 0:
                     emi += p * (nij / n) * math.log((n * nij) / (ai * bj))
     ha, hb = h(a_counts), h(b_counts)
-    denom = max(ha, hb) - emi
+    denom = (ha + hb) / 2 - emi
     if denom == 0:
         return 1.0 if mi == emi else 0.0
     return (mi - emi) / denom

@@ -70,12 +70,15 @@ def probe_ops(
     runs against a fresh copy of each tree and only the changed FLAGS come
     back (no node re-emission).  Returns changed-tree counts per op.
 
-    Early-exit semantics make this exact: the winning op is the first with
-    any change, and every op before it changed nothing — so each op's
-    probe input (the unmodified iteration state) is precisely what it
-    would have seen in the sequential chain.  Replaces up to ``len(ops)``
-    full rewrite passes (serialize → mutate → re-emit → checkpoint →
-    count) with one flag pass + one real pass for the winner."""
+    The probe finds the early-exit winner (first op reporting a change);
+    the caller then applies the chain up to AND including the winner for
+    real, because ops can mutate while returning False (``find_collections``
+    renames existing COLLs, ``_make_group_group_relation`` relabels an
+    existing REL — reference ``operations/collections.py:45-47``,
+    ``operations/relations.py:78``) and those rename-only side effects
+    must persist exactly as in the reference's sequential chain.  Replaces
+    up to ``len(ops)`` full rewrite passes (serialize → mutate → re-emit →
+    checkpoint → count) with one flag pass + one real pass."""
     import pandas as pd
 
     fns = [f for _, f in ops]
@@ -292,9 +295,15 @@ def simplify_names(nodes: DataFrame) -> DataFrame:
         .distinct()
         .collect()
     ]
+    # strip REPEATED _<digits> suffixes and map all-digit base names to
+    # 'UndefinedGroup' (``_get_base_name``: 'Territories_1_5_2' →
+    # 'Territories'; simple_rewrite's numeric group ids → 'UndefinedGroup')
     by_base: dict[str, list[str]] = {}
     for name in sorted(distinct_groups):
-        by_base.setdefault(re.sub(r"_\d+$", "", name), []).append(name)
+        base = re.sub(r"(_\d+)+$", "", name)
+        if re.fullmatch(r"\d*", base):
+            base = "UndefinedGroup"
+        by_base.setdefault(base, []).append(name)
     group_map: dict[str, str] = {}
     for base, names in by_base.items():
         for i, name in enumerate(names):
@@ -401,22 +410,34 @@ def rewrite(
             else _operations_with_index(sig_index, min_support)
         )
 
-        # one probe pass finds the early-exit winner; only the winner does
-        # a real rewrite pass (reference sequential chain ``:566-582``)
+        # one probe pass finds the early-exit winner; the real pass then
+        # runs the chain up to AND including the winner (reference
+        # sequential chain ``:566-582``) so that rename-only mutations
+        # from non-winning ops persist.  When no op reports a change the
+        # full chain still runs once: the reference executes every op in
+        # the final iteration too, and their rename side effects feed the
+        # post-process naming.
         counts = probe_ops(nodes, ops)
         winner = next((i for i, n in enumerate(counts) if n), None)
 
-        iteration_changed = False
-        winning_op, n_changed = None, 0
-        if winner is not None:
-            name, fn = ops[winner]
-            nodes = (
-                apply_tree_op(nodes, fn, name)
-                .drop("changed")
-                .localCheckpoint(eager=True)
-            )
-            iteration_changed = True
-            winning_op, n_changed = name, counts[winner]
+        chain = ops if winner is None else ops[: winner + 1]
+        chain_fns = [f for _, f in chain]
+
+        def run_chain(t: PyTree, _fns=chain_fns) -> bool:
+            changed = False
+            for fn in _fns:
+                changed = fn(t) or changed
+            return changed
+
+        nodes = (
+            apply_tree_op(nodes, run_chain, "chain")
+            .drop("changed")
+            .localCheckpoint(eager=True)
+        )
+
+        iteration_changed = winner is not None
+        winning_op = ops[winner][0] if winner is not None else None
+        n_changed = counts[winner] if winner is not None else 0
 
         if on_iteration is not None:
             on_iteration(

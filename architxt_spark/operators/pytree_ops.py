@@ -211,6 +211,16 @@ def _make_group_group_relation(node: PyTree) -> bool:
     return not was_rel
 
 
+def _copy_clear_oid(tree: PyTree) -> PyTree:
+    out = tree.copy()
+    stack = [out]
+    while stack:
+        n = stack.pop()
+        n.oid = None
+        stack.extend(c for c in n.children if isinstance(c, PyTree))
+    return out
+
+
 def _make_group_collection_relation(node: PyTree) -> bool:
     a, b = node.children
     if _is_typed(a, {NodeType.GROUP}) and _is_typed(b, {NodeType.COLL}):
@@ -232,8 +242,13 @@ def _make_group_collection_relation(node: PyTree) -> bool:
         return False
     n1, n2 = sorted((group.node_name, members[0].node_name))
     rel_label = f"{NodeType.REL}::{n1}<->{n2}"
+    # One fresh deep copy of the GROUP per member (the reference builds
+    # ``group.copy()`` per relation, ``operations/relations.py:112``) with
+    # oids cleared so tree_to_rows regenerates unique path-based node ids —
+    # sharing one PyTree across RELs emits duplicate node_id rows and
+    # corrupts the rebuilt node table.
     for m in members:
-        node.children.append(PyTree(rel_label, [group, m]))
+        node.children.append(PyTree(rel_label, [_copy_clear_oid(group), m]))
     node.children.remove(group)
     node.children.remove(coll)
     return True

@@ -58,8 +58,10 @@ EXACT_PAIRS_LIMIT = 2000
 
 
 def jaccard(x: set[str] | frozenset[str], y: set[str] | frozenset[str]) -> float:
+    """Two empty sets are identical ⇒ 1.0 (reference doctest
+    ``jaccard(set(), set()) == 1.0``, ``architxt/similarity.py``)."""
     if not x and not y:
-        return 0.0
+        return 1.0
     return len(x & y) / len(x | y)
 
 

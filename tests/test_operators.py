@@ -100,6 +100,35 @@ def test_find_relations_collection():
     assert s == "(SENT (REL::A<->B (GROUP::A x) (GROUP::B 1)) (REL::A<->B (GROUP::A x) (GROUP::B 2)))"
 
 
+def test_find_relations_collection_distinct_group_copies():
+    """Each distributed REL must carry its OWN deep copy of the GROUP
+    (reference ``relations.py:112`` ``group.copy()``) with cleared oids —
+    a shared PyTree emits duplicate node_id rows through tree_to_rows and
+    corrupts the rebuilt node table."""
+    from architxt_spark.trees import PyTree, parse_tree, tree_to_rows, rows_to_trees, format_tree
+
+    t = parse_tree("(SENT (GROUP::A (ENT::x v)) (COLL::B (GROUP::B (ENT::y 1)) (GROUP::B (ENT::y 2))))")
+    # give every node an oid, as engine trees from rows_to_trees carry
+    stack = [t]
+    i = 0
+    while stack:
+        n = stack.pop()
+        n.oid = f"oid{i}"
+        i += 1
+        stack.extend(c for c in n.children if isinstance(c, PyTree))
+    assert find_relations(t)
+    groups = [
+        rel.children[0] if rel.children[0].node_name == "A" else rel.children[1]
+        for rel in t.children
+    ]
+    assert groups[0] is not groups[1]
+    rows = tree_to_rows(t, "t0")
+    ids = [r["node_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate node_id rows from shared GROUP copy"
+    rebuilt = rows_to_trees(rows)["t0"]
+    assert format_tree(rebuilt) == format_tree(t)
+
+
 def test_find_relations_collection_same_group():
     changed, s = run(find_relations, "(SENT (GROUP::A x) (COLL::A (GROUP::A 1) (GROUP::A 2)))")
     assert not changed and s == "(SENT (GROUP::A x) (COLL::A (GROUP::A 1) (GROUP::A 2)))"
@@ -125,7 +154,7 @@ def test_similarity_metrics():
     from architxt_spark.similarity import context_similarity, jaccard, jaro_winkler, levenshtein_ratio
 
     assert jaccard({"a", "b"}, {"b", "c"}) == pytest.approx(1 / 3)
-    assert jaccard(set(), set()) == 0.0
+    assert jaccard(set(), set()) == 1.0  # reference doctest: identical empties
     assert levenshtein_ratio("kitten", "sitting") == pytest.approx(1 - 3 / 7)
     assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-3)
     a = [frozenset({"x", "y"}), frozenset({"p"})]
@@ -208,6 +237,29 @@ def test_simplify_names(spark):
     assert rendered["t1"] == "(ROOT (REL::city<->person (GROUP::person (ENT::a x)) (GROUP::city (ENT::b y))))"
     assert rendered["t2"] == "(ROOT (GROUP::person_1 (ENT::c z)))"
     assert rendered["t3"] == "(ROOT (COLL::city (GROUP::city (ENT::b y))))"
+
+
+def test_simplify_names_repeated_suffix_and_numeric(spark):
+    """``_get_base_name`` parity: repeated ``_<digits>`` suffixes strip in
+    one pass and all-digit base names fall back to 'UndefinedGroup'."""
+    from architxt_spark.operators.engine import simplify_names
+    from architxt_spark.trees import forest_from_trees, parse_tree, rows_to_trees, format_tree
+
+    trees = {
+        "t1": parse_tree("(ROOT (GROUP::Territories_1_5_2 (ENT::a x)))"),
+        "t2": parse_tree("(ROOT (GROUP::7 (ENT::b y)))"),
+        "t3": parse_tree("(ROOT (GROUP::12_3 (ENT::c z)))"),
+    }
+    out = simplify_names(forest_from_trees(spark, trees))
+    rendered = {
+        tid: format_tree(t)
+        for tid, t in rows_to_trees([r.asDict() for r in out.collect()]).items()
+    }
+    assert rendered["t1"] == "(ROOT (GROUP::Territories (ENT::a x)))"
+    # both numeric names share the UndefinedGroup base → deterministic
+    # numbering by sorted original name ("12_3" < "7" lexicographically)
+    assert rendered["t3"] == "(ROOT (GROUP::UndefinedGroup (ENT::c z)))"
+    assert rendered["t2"] == "(ROOT (GROUP::UndefinedGroup_1 (ENT::b y)))"
 
 
 def test_salted_join_matches_plain_join(spark):
