@@ -301,15 +301,18 @@ def cluster_forest_with_index(
     cands = candidate_subtrees(nodes, max_height=max_height)
     cands.cache()
 
-    sig_stats = cands.groupBy("signature").agg(
-        F.count("*").alias("sig_count"),
-        F.collect_list("node_name").alias("names"),
+    # Aggregate to (signature, node_name, count) BEFORE collecting: the
+    # driver then sees rows bounded by |signature vocab| × |name vocab|,
+    # never O(#subtrees) — a collect_list of member names would ship every
+    # candidate's name for hot signatures and OOM at scale.
+    sig_stats = cands.groupBy("signature", "node_name").agg(
+        F.count("*").alias("name_count")
     )
     rows = sig_stats.collect()
-    sigs = [r["signature"] for r in rows]
     empty = spark.createDataFrame([], "node_id string, cluster_name string, support long")
-    if not sigs:
+    if not rows:
         return empty, {}
+    sigs = sorted({r["signature"] for r in rows})
 
     comp = _cluster_signatures(sigs, tau, metric)
 
@@ -318,16 +321,16 @@ def cluster_forest_with_index(
     comp_support: dict[str, int] = {}
     for r in rows:
         c = comp[r["signature"]]
-        comp_support[c] = comp_support.get(c, 0) + r["sig_count"]
+        comp_support[c] = comp_support.get(c, 0) + r["name_count"]
         cnt = comp_counts.setdefault(c, Counter())
-        for n in r["names"]:
-            if n:
-                cnt[n] += 1
+        if r["node_name"]:
+            cnt[r["node_name"]] += r["name_count"]
 
     cluster_name: dict[str, str] = {}
     used: set[str] = set()
     for i, (c, cnt) in enumerate(sorted(comp_counts.items())):
-        base = cnt.most_common(1)[0][0] if cnt else f"C{i}"
+        # deterministic modal name: highest count, ties to the smallest name
+        base = min(cnt, key=lambda n: (-cnt[n], n)) if cnt else f"C{i}"
         # modal labels collide across components (e.g. every tree's ROOT);
         # deterministic numbering keeps cluster identities distinct
         name, k = base, 1

@@ -353,3 +353,50 @@ def test_rewrite_iteration_metrics(spark):
     assert log, "callback never fired"
     assert {"iteration", "operation", "trees_changed", "n_nodes", "n_group"} <= set(log[0])
     assert log[0]["iteration"] == 0
+
+
+def test_cluster_driver_collect_is_aggregate_bounded(spark):
+    """The clustering driver step must collect (signature, node_name, count)
+    aggregate rows — bounded by the signature × name vocabulary — never a
+    per-member list (one hot signature at scale would OOM the driver).
+    Many trees sharing ONE signature must reach the driver as ONE row per
+    (signature, name), and clustering must still work."""
+    from architxt_spark.similarity import cluster_forest_with_index
+    from architxt_spark.trees import forest_from_trees, parse_tree
+
+    trees = {
+        f"t{i}": parse_tree("(ROOT (GROUP::person (ENT::name x) (ENT::age 1)))")
+        for i in range(200)
+    }
+    nodes = forest_from_trees(spark, trees)
+    out, index = cluster_forest_with_index(nodes)
+    # sanity: the hot signature clustered with full support (ROOT and
+    # GROUP both produce the {name, age} signature → 2 candidates/tree)
+    sig = frozenset({"name", "age"})
+    assert sig in index and index[sig][1] == 400
+    # the driver-side frame is the aggregate: its row count equals the
+    # distinct (signature, node_name) pairs, NOT the member count
+    from architxt_spark.similarity import candidate_subtrees
+
+    cands = candidate_subtrees(nodes)
+    agg_rows = cands.groupBy("signature", "node_name").count().count()
+    assert agg_rows < 10  # vocab-bounded
+    assert out.count() >= 200
+
+
+def test_dedup_leaves_session_conf_unchanged(spark):
+    """Dedup must not mutate session-global optimizer conf (an earlier
+    revision set spark.sql.optimizer.excludedRules as a side effect,
+    changing every other query's plans)."""
+    from architxt_spark.functions import dedup as D
+
+    before = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different text about spark optimizers")],
+        "doc_id long, text string",
+    )
+    D.minhash_lsh_pairs(docs, "text", "doc_id").count()
+    D.exact_duplicates(docs, "text", "doc_id").count()
+    assert spark.conf.get("spark.sql.optimizer.excludedRules", None) == before
