@@ -514,6 +514,69 @@ def q_cluster_documents(spark: SparkSession, sf: str) -> DataFrame:
     return asg.select("support").distinct()
 
 
+def q_cluster_instance_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Instance-mode clustering (context-weighted similarity, reference
+    ``TreeClusterer.fit`` with ``schema_only=False``): a heterogeneous
+    forest where B-shaped subtrees share the entity signature
+    ``{doc_id, n_chars}`` but sit under disjoint ancestor contexts —
+    signature mode merges them into one cluster; instance mode separates
+    them at τ=0.8 (their context-weighted jaccard similarity is 0.714).
+
+    Even doc rows emit ``(ROOT (W (A lang source f1 (B doc_id n_chars))))``,
+    odd rows ``(ROOT (C extra (B doc_id n_chars)))``.  Expected cluster
+    supports: B-even = E, B-odd = O, the even ROOT/W/A blob = 3E, the odd
+    ROOT/C blob = 2O (E/O = even/odd doc counts)."""
+    from architxt_spark.similarity import cluster_forest_instance
+
+    even = [
+        ("r", None, None, "ROOT"), ("0", "r", None, "W"), ("0.0", "0", None, "A"),
+        ("0.0.0", "0.0", "ENT", "lang"), ("0.0.1", "0.0", "ENT", "source"),
+        ("0.0.2", "0.0", "ENT", "f1"), ("0.0.3", "0.0", None, "B"),
+        ("0.0.3.0", "0.0.3", "ENT", "doc_id"), ("0.0.3.1", "0.0.3", "ENT", "n_chars"),
+    ]
+    odd = [
+        ("r", None, None, "ROOT"), ("0", "r", None, "C"),
+        ("0.0", "0", "ENT", "extra"), ("0.1", "0", None, "B"),
+        ("0.1.0", "0.1", "ENT", "doc_id"), ("0.1.1", "0.1", "ENT", "n_chars"),
+    ]
+
+    def emit(tpl):
+        structs = []
+        for suffix, parent, ntype, nname in tpl:
+            path = [] if suffix == "r" else [int(x) for x in suffix.split(".")]
+            parent_expr = (
+                "CAST(NULL AS STRING)" if parent is None
+                else f"concat(__tid, ':{parent}')"
+            )
+            path_expr = (
+                "CAST(array() AS ARRAY<INT>)" if not path
+                else "array(" + ",".join(map(str, path)) + ")"
+            )
+            structs.append(
+                "named_struct("
+                "'tree_id', __tid, "
+                f"'node_id', concat(__tid, ':{suffix}'), "
+                f"'parent_id', {parent_expr}, "
+                f"'pos', {path[-1] if path else 0}, "
+                f"'path', {path_expr}, "
+                f"'depth', {len(path)}, "
+                f"'node_type', {'CAST(NULL AS STRING)' if ntype is None else repr(ntype)}, "
+                f"'node_name', '{nname}', "
+                "'leaf_value', CAST(NULL AS STRING), "
+                "'metadata', CAST(NULL AS MAP<STRING,STRING>))"
+            )
+        return "array(" + ", ".join(structs) + ")"
+
+    nodes = (
+        _t(spark, sf, "documents")
+        .select(F.concat(F.lit("d"), F.col("doc_id")).alias("__tid"), (F.col("doc_id") % 2).alias("par"))
+        .select(F.explode(F.expr(f"CASE WHEN par = 0 THEN {emit(even)} ELSE {emit(odd)} END")).alias("n"))
+        .select("n.*")
+    )
+    asg = cluster_forest_instance(nodes, tau=0.8, metric="jaccard")
+    return asg.select("support").distinct()
+
+
 def q_tree_leaves_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered token projection per tree (Tree.leaves): nation trees render
     group + REL-copy + referenced-region leaves in path order."""
@@ -881,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already-driver-verified ones after, so any prefix the gate takes
     # maximizes newly-verified coverage.
     first = [
+        "cluster_instance_documents",
         "dedup_simhash",
         "dedup_filtered",
         "embedding_near_dup",
@@ -927,6 +991,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_rewrite_documents": q_simple_rewrite_documents,
         "rewrite_documents": q_rewrite_documents,
         "cluster_documents": q_cluster_documents,
+        "cluster_instance_documents": q_cluster_instance_documents,
         "tree_leaves_nation": q_tree_leaves_nation,
         "extract_valid_trees": q_extract_valid_trees,
         "coverage_metric": q_coverage_metric,
@@ -1188,6 +1253,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_documents": """
             SELECT CAST(2 * COUNT(*) AS BIGINT) AS support FROM documents
+        """,
+        "cluster_instance_documents": """
+            WITH c AS (
+                SELECT
+                    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e,
+                    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o
+                FROM documents
+            )
+            SELECT DISTINCT support FROM (
+                SELECT e AS support FROM c
+                UNION ALL SELECT o FROM c
+                UNION ALL SELECT 3 * e FROM c
+                UNION ALL SELECT 2 * o FROM c
+            )
         """,
         "tree_leaves_nation": """
             SELECT CAST(n_nationkey AS VARCHAR) || ' ' || n_name || ' ' ||

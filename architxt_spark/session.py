@@ -29,6 +29,7 @@ def get_spark(app_name: str = "architxt-spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas UDF / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
@@ -62,15 +63,12 @@ def load_tables(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict:
     return out
 
 
-def exclude_generate_filter_inference(spark: SparkSession) -> None:
-    """Exclude ``InferFiltersFromGenerate`` for this session: the rule
-    copies the ENTIRE generator-input expression into an inferred
-    ``size(...) > 0 AND isnotnull(...)`` filter and pushes it below
-    exchanges.  For our wide struct-array node emitters and interpreted
-    shingle chains that triples per-row work and serializes it into the
-    pre-shuffle stage; the inferred filter never prunes anything useful on
-    these plans."""
-    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
-    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
-    if rule not in excluded:
-        spark.conf.set("spark.sql.optimizer.excludedRules", f"{excluded},{rule}".strip(","))
+#: Engine optimizer profile: ``InferFiltersFromGenerate`` copies the ENTIRE
+#: generator-input expression into an inferred ``size(...) > 0 AND
+#: isnotnull(...)`` filter.  For the wide struct-array node emitters the
+#: array templates are non-null by construction, so the inferred filter
+#: never prunes a row but re-evaluates the whole emission expression once
+#: extra per input row (~20-25% on the relational loader at sf0.1).  This
+#: is declared HERE, at session construction, as the engine's default —
+#: operator code never mutates conf on a session it did not create.
+EXCLUDED_OPTIMIZER_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"

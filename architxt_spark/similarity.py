@@ -161,6 +161,19 @@ def _tree_height(node: PyTree) -> int:
     return max(hs, default=1)
 
 
+def _collect_entities(node: PyTree) -> list[PyTree]:
+    acc = []
+    for c in node.children:
+        if isinstance(c, PyTree):
+            if c.node_type == NodeType.ENT:
+                acc.append(c)
+            else:
+                acc.extend(_collect_entities(c))
+    if node.node_type == NodeType.ENT:
+        acc.append(node)
+    return acc
+
+
 def candidate_subtrees(nodes: DataFrame, *, max_height: int = DEFAULT_MAX_HEIGHT) -> DataFrame:
     """(tree_id, node_id, node_name, signature) for candidate subtrees:
     height ≤ max_height, not ENT, ≥1 entity, no duplicate entity labels
@@ -174,10 +187,7 @@ def candidate_subtrees(nodes: DataFrame, *, max_height: int = DEFAULT_MAX_HEIGHT
             def walk(node: PyTree, path: list[int]) -> None:
                 nid = node.oid or f"{tid}:{'.'.join(map(str, path)) or 'r'}"
                 if node.node_type != NodeType.ENT and _tree_height(node) <= max_height:
-                    ents = [
-                        e.node_name
-                        for e in _entities(node)
-                    ]
+                    ents = [e.node_name for e in _collect_entities(node)]
                     if ents and len(ents) == len(set(ents)):
                         out.append(
                             dict(
@@ -194,20 +204,250 @@ def candidate_subtrees(nodes: DataFrame, *, max_height: int = DEFAULT_MAX_HEIGHT
             walk(tree, [])
         return pd.DataFrame(out, columns=["tree_id", "node_id", "node_name", "signature"])
 
-    def _entities(node: PyTree) -> list[PyTree]:
-        acc = []
-        for c in node.children:
-            if isinstance(c, PyTree):
-                if c.node_type == NodeType.ENT:
-                    acc.append(c)
-                else:
-                    acc.extend(_entities(c))
-        if node.node_type == NodeType.ENT:
-            acc.append(node)
-        return acc
-
     return nodes.groupBy("tree_id").applyInPandas(
         extract, "tree_id string, node_id string, node_name string, signature string"
+    )
+
+
+def candidate_contexts(
+    nodes: DataFrame,
+    *,
+    max_height: int = DEFAULT_MAX_HEIGHT,
+    max_ctx: int = MAX_SIM_CTX_DEPTH,
+) -> DataFrame:
+    """(tree_id, node_id, node_name, typed_label, signature, ctx) for
+    candidate subtrees, where ``ctx`` is the ancestor context the
+    instance-mode similarity walks (``similarity.py:141-168``): one level
+    per ancestor starting at the candidate itself (level 0), each level a
+    struct of the node's typed label (``TYPE::name`` when the node carries
+    a NodeType, else null — untyped syntactic nodes never take the
+    label-equality shortcut) and its sorted entity-label set.  The walk
+    stops at the root or after ``max_ctx`` levels, exactly like the
+    reference's ancestor loop."""
+    import pandas as pd
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for tid, tree in rows_to_trees(pdf.to_dict("records")).items():
+
+            def walk(node: PyTree, path: list[int], ancestors: list[PyTree]) -> None:
+                nid = node.oid or f"{tid}:{'.'.join(map(str, path)) or 'r'}"
+                if node.node_type != NodeType.ENT and _tree_height(node) <= max_height:
+                    ents = [e.node_name for e in _collect_entities(node)]
+                    if ents and len(ents) == len(set(ents)):
+                        chain = [node, *reversed(ancestors)][:max_ctx]
+                        ctx = [
+                            {
+                                "label": (
+                                    f"{n.node_type}::{n.node_name}" if n.node_type else None
+                                ),
+                                "ents": sorted({e.node_name for e in _collect_entities(n)}),
+                            }
+                            for n in chain
+                        ]
+                        out.append(
+                            dict(
+                                tree_id=tid,
+                                node_id=nid,
+                                node_name=node.node_name or "",
+                                typed_label=(
+                                    f"{node.node_type}::{node.node_name}"
+                                    if node.node_type
+                                    else None
+                                ),
+                                signature="|".join(sorted(set(ents))),
+                                ctx=ctx,
+                            )
+                        )
+                for i, c in enumerate(node.children):
+                    if isinstance(c, PyTree):
+                        walk(c, path + [i], ancestors + [node])
+
+            walk(tree, [], [])
+        return pd.DataFrame(
+            out,
+            columns=["tree_id", "node_id", "node_name", "typed_label", "signature", "ctx"],
+        )
+
+    return nodes.groupBy("tree_id").applyInPandas(
+        extract,
+        "tree_id string, node_id string, node_name string, typed_label string, "
+        "signature string, ctx array<struct<label string, ents array<string>>>",
+    )
+
+
+def instance_similarity(
+    ctx_x: list[dict], ctx_y: list[dict], metric: str = DEFAULT_METRIC
+) -> float:
+    """Instance-mode context similarity (``similarity.py:92-168``), over
+    the ``(label, ents)`` level structs from :func:`candidate_contexts`:
+
+    - disjoint level-0 entity sets ⇒ 0.0;
+    - equal typed labels at level 0 ⇒ 1.0 (strong structural equivalence);
+    - else the decay-weighted mean over ancestor levels, where a level
+      scores 1.0 when both labels are typed and equal, else
+      ``metric(ents_x, ents_y)``."""
+    if not ctx_x or not ctx_y:
+        return 0.0
+    e0x, e0y = set(ctx_x[0]["ents"]), set(ctx_y[0]["ents"])
+    if e0x and e0y and not (e0x & e0y):
+        return 0.0
+    if ctx_x[0]["label"] is not None and ctx_x[0]["label"] == ctx_y[0]["label"]:
+        return 1.0
+    fn = METRIC_FUNCS[metric]
+    num = den = 0.0
+    for i in range(min(len(ctx_x), len(ctx_y), MAX_SIM_CTX_DEPTH)):
+        lx, ly = ctx_x[i]["label"], ctx_y[i]["label"]
+        sim = 1.0 if (lx is not None and lx == ly) else fn(set(ctx_x[i]["ents"]), set(ctx_y[i]["ents"]))
+        w = DECAY ** -i
+        num += w * sim
+        den += w
+    return min(max(num / den, 0.0), 1.0) if den else 0.0
+
+
+#: JVM-side context fingerprint — md5 over a canonical rendering of the
+#: (label, ents) level structs; whole-stage codegen, no Python UDF.
+_CTX_FP_EXPR = (
+    "md5(array_join(transform(ctx, lvl -> "
+    "concat(coalesce(lvl.label, ''), '\x02', array_join(lvl.ents, '|'))"
+    "), '\x01'))"
+)
+
+
+def cluster_forest_instance(
+    nodes: DataFrame,
+    *,
+    tau: float = 0.7,
+    metric: str = DEFAULT_METRIC,
+    max_height: int = DEFAULT_MAX_HEIGHT,
+    min_cluster_size: int = 2,
+) -> DataFrame:
+    """Instance-mode subtree clustering (``TreeClusterer.fit`` with
+    ``schema_only=False``, ``similarity.py:200-368``): pairwise
+    context-weighted similarity over candidate subtrees, single-linkage
+    components at τ, clusters below ``min_cluster_size`` dropped, named
+    ``{modal typed member label}_{ordinal}`` (``:359-366``).
+
+    Spark shape — exact-by-collapse instead of O(n²) over instances:
+
+    1. every candidate is mapped to a **representative**
+       ``(typed_label, ctx_fingerprint)``.  This collapse is *lossless*
+       under the reference metric: two candidates with the same typed
+       label score 1.0 outright, and two candidates with byte-identical
+       contexts score 1.0 level-by-level — either way they always land in
+       the same single-linkage component.  One shuffle
+       (groupBy rep key); the driver only ever sees DISTINCT reps, which
+       are schema-bounded (label vocabulary × distinct context shapes),
+       not corpus-bounded.
+    2. rep pairs: all-pairs under ``EXACT_PAIRS_LIMIT``, else banded
+       MinHash-LSH on the level-0 entity sets (a shared level-0 entity is
+       necessary for a non-zero score, so banding on it loses no τ-edge
+       candidates worth having);
+    3. exact rescoring with :func:`instance_similarity` + union-find;
+       same-typed-label reps are pre-unioned (they are mutually 1.0).
+
+    Returns assignments ``(node_id, cluster_name, support)``.
+    """
+    spark = nodes.sparkSession
+    cands = candidate_contexts(nodes, max_height=max_height)
+
+    with_rep = cands.withColumn("ctx_fp", F.expr(_CTX_FP_EXPR))
+
+    # one row per distinct (typed_label, ctx_fp): the rep's ctx plus its
+    # member count and modal-name counts — all driver rows are aggregates
+    rep_stats = (
+        with_rep.groupBy("typed_label", "ctx_fp")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.first("ctx").alias("ctx"),
+            F.first("node_name").alias("a_name"),
+        )
+        .collect()
+    )
+    if not rep_stats:
+        return spark.createDataFrame([], "node_id string, cluster_name string, support long")
+
+    reps = sorted(rep_stats, key=lambda r: (r["typed_label"] or "", r["ctx_fp"]))
+    keys = [f"{r['typed_label'] or ''}\x00{r['ctx_fp']}" for r in reps]
+    ctxs = [[lvl.asDict() for lvl in r["ctx"]] for r in reps]
+
+    uf = _UnionFind()
+    # same typed label ⇒ similarity 1.0 ⇒ same component
+    by_label: dict[str, str] = {}
+    for k, r in zip(keys, reps):
+        uf.find(k)
+        if r["typed_label"]:
+            if r["typed_label"] in by_label:
+                uf.union(by_label[r["typed_label"]], k)
+            else:
+                by_label[r["typed_label"]] = k
+
+    if len(keys) <= EXACT_PAIRS_LIMIT:
+        pair_idx: Iterator[tuple[int, int]] = (
+            (i, j) for i in range(len(keys)) for j in range(i + 1, len(keys))
+        )
+    else:
+        buckets: dict[str, list[int]] = {}
+        for i, ctx in enumerate(ctxs):
+            for band in _minhash_bands(ctx[0]["ents"] or ["\x00empty"]):
+                buckets.setdefault(band, []).append(i)
+        seen: set[tuple[int, int]] = set()
+        acc: list[tuple[int, int]] = []
+        for members in buckets.values():
+            for ii, a in enumerate(members):
+                for b in members[ii + 1 :]:
+                    key = (a, b) if a < b else (b, a)
+                    if key not in seen:
+                        seen.add(key)
+                        acc.append(key)
+        pair_idx = iter(acc)
+
+    for i, j in pair_idx:
+        if uf.find(keys[i]) == uf.find(keys[j]):
+            continue
+        if instance_similarity(ctxs[i], ctxs[j], metric) >= tau:
+            uf.union(keys[i], keys[j])
+
+    comp_of = {k: uf.find(k) for k in keys}
+    comp_support: dict[str, int] = {}
+    comp_names: dict[str, Counter] = {}
+    for k, r in zip(keys, reps):
+        c = comp_of[k]
+        comp_support[c] = comp_support.get(c, 0) + r["n_members"]
+        cnt = comp_names.setdefault(c, Counter())
+        if r["typed_label"]:
+            # reference counts label *names* of typed members (:360-362)
+            cnt[r["typed_label"].split("::", 1)[1]] += r["n_members"]
+
+    cluster_name: dict[str, str] = {}
+    ordinal = 0
+    for c in sorted(comp_support):
+        if comp_support[c] < min_cluster_size:
+            continue
+        cnt = comp_names[c]
+        base = min(cnt, key=lambda n: (-cnt[n], n)) if cnt else None
+        cluster_name[c] = f"{base}_{ordinal}" if base else str(ordinal)
+        ordinal += 1
+
+    mapping_rows = [
+        (r["typed_label"], r["ctx_fp"], cluster_name[comp_of[k]], comp_support[comp_of[k]])
+        for k, r in zip(keys, reps)
+        if comp_of[k] in cluster_name
+    ]
+    if not mapping_rows:
+        return spark.createDataFrame([], "node_id string, cluster_name string, support long")
+    mapping = spark.createDataFrame(
+        mapping_rows, "typed_label string, ctx_fp string, cluster_name string, support long"
+    )
+    return (
+        with_rep.join(
+            F.broadcast(mapping),
+            on=[
+                with_rep["ctx_fp"] == mapping["ctx_fp"],
+                with_rep["typed_label"].eqNullSafe(mapping["typed_label"]),
+            ],
+        )
+        .select("node_id", "cluster_name", "support")
     )
 
 

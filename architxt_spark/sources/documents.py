@@ -299,7 +299,4 @@ def row_trees(df: DataFrame, table_name: str, id_cols: list[str]) -> DataFrame:
         structs.append(F.when(val.isNotNull(), ent))
         structs.append(F.when(val.isNotNull(), leaf))
     arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
-    from architxt_spark.session import exclude_generate_filter_inference
-
-    exclude_generate_filter_inference(df.sparkSession)
     return df.select(F.explode(arr).alias("n")).select("n.*")

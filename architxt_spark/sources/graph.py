@@ -173,9 +173,6 @@ def _emit_groups(df: DataFrame, prop_names: list[str]) -> DataFrame:
         structs.append(F.when(val.isNotNull(), ent))
         structs.append(F.when(val.isNotNull(), leaf))
 
-    from architxt_spark.session import exclude_generate_filter_inference
-
-    exclude_generate_filter_inference(df.sparkSession)
     arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
     return df.select(F.explode(arr).alias("n")).select("n.*")
 

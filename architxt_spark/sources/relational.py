@@ -285,9 +285,6 @@ def _emit_nodes(df: DataFrame, shape: _Shape, tree_id: str) -> DataFrame:
         )
         structs.append(f"CASE WHEN {t['cond']} THEN {s} END" if t["cond"] is not None else s)
     arr = f"filter(array({', '.join(structs)}), x -> x IS NOT NULL)"
-    from architxt_spark.session import exclude_generate_filter_inference
-
-    exclude_generate_filter_inference(df.sparkSession)
     return (
         df.withColumn("__tid", F.expr(tree_id))
         .select(F.explode(F.expr(arr)).alias("n"))

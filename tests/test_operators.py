@@ -399,4 +399,8 @@ def test_dedup_leaves_session_conf_unchanged(spark):
     )
     D.minhash_lsh_pairs(docs, "text", "doc_id").count()
     D.exact_duplicates(docs, "text", "doc_id").count()
+    # the node-emitting loaders must not mutate foreign sessions either
+    from architxt_spark.sources.documents import row_trees
+
+    row_trees(docs.select("doc_id"), "documents", ["doc_id"]).count()
     assert spark.conf.get("spark.sql.optimizer.excludedRules", None) == before
