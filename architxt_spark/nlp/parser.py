@@ -30,6 +30,126 @@ class StubParser:
     def parse(self, sentence: str) -> PyTree:
         return PyTree("SENT", [t for t in sentence.split() if t])
 
+    def parse_batch(self, sentences: list[str]) -> list[PyTree]:
+        return [self.parse(s) for s in sentences]
+
+
+class CoreNLPParser:
+    """Stanford CoreNLP HTTP client (``parser/corenlp.py:19-45``), stdlib
+    urllib only — no heavyweight NLP dependency.
+
+    The reference wraps nltk's ``CoreNLPParser``; the wire protocol is the
+    public CoreNLP server API: POST raw UTF-8 text to
+    ``{url}/?properties={json}`` with ``annotators=tokenize,ssplit,pos,
+    parse`` and ``outputFormat=json``; the response carries one
+    ``sentences[i].parse`` bracket string per input sentence.  Sentences
+    are newline-joined per batch with ``ssplit.eolonly`` so ONE request
+    parses ``batch_size`` sentences (the reference batches the same way
+    through ``raw_parse_sents``); like the reference we keep the first
+    candidate parse and unwrap the ``(ROOT …)`` wrapper.
+
+    Executor usage: construct per partition (see :func:`corenlp_factory`);
+    requests retry ``retries`` times with backoff, and if the server is
+    unreachable the parser degrades to :class:`StubParser` output for the
+    remainder of the partition instead of failing the job (env-gated
+    boundary — no CoreNLP server ships in this container)."""
+
+    def __init__(
+        self,
+        url: str,
+        *,
+        language: str = "en",
+        batch_size: int = 128,
+        timeout: float = 60.0,
+        retries: int = 2,
+        fallback_to_stub: bool = True,
+    ) -> None:
+        self.url = url.rstrip("/")
+        self.language = language
+        self.batch_size = batch_size
+        self.timeout = timeout
+        self.retries = retries
+        self.fallback_to_stub = fallback_to_stub
+        self._stub: StubParser | None = None  # set after an unreachable-server error
+        self.requests_made = 0
+
+    # -- wire ---------------------------------------------------------------
+
+    def _request(self, text: str) -> dict:
+        import json
+        import time
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        props = {
+            "annotators": "tokenize,ssplit,pos,parse",
+            "outputFormat": "json",
+            "ssplit.eolonly": "true",
+            "tokenize.language": self.language,
+        }
+        qs = urllib.parse.urlencode({"properties": json.dumps(props)})
+        req = urllib.request.Request(
+            f"{self.url}/?{qs}",
+            data=text.encode("utf-8"),
+            headers={"Content-Type": "text/plain; charset=utf-8"},
+            method="POST",
+        )
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                self.requests_made += 1
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except (urllib.error.URLError, OSError, json.JSONDecodeError) as e:  # noqa: PERF203
+                last = e
+                if attempt < self.retries:
+                    time.sleep(0.2 * (2**attempt))
+        raise ConnectionError(f"CoreNLP server at {self.url} unreachable: {last}")
+
+    # -- parsing ------------------------------------------------------------
+
+    def parse_batch(self, sentences: list[str]) -> list[PyTree]:
+        from architxt_spark.trees import parse_tree
+
+        out: list[PyTree] = []
+        for i in range(0, len(sentences), self.batch_size):
+            batch = [s.replace("\n", " ") or " " for s in sentences[i : i + self.batch_size]]
+            if self._stub is not None:
+                out.extend(self._stub.parse_batch(batch))
+                continue
+            try:
+                payload = self._request("\n".join(batch))
+            except ConnectionError:
+                if not self.fallback_to_stub:
+                    raise
+                self._stub = StubParser()
+                out.extend(self._stub.parse_batch(batch))
+                continue
+            parses = [s.get("parse", "") for s in payload.get("sentences", [])]
+            for sent, bracket in zip(batch, parses):
+                if not bracket:
+                    out.append(StubParser().parse(sent))
+                    continue
+                tree = parse_tree(" ".join(bracket.split()))
+                # unwrap (ROOT (S …)) like the reference's ``next(tree)[0]``
+                if tree.node_name == "ROOT" and tree.children and isinstance(tree.children[0], PyTree):
+                    tree = tree.children[0]
+                out.append(tree)
+        return out
+
+    def parse(self, sentence: str) -> PyTree:
+        return self.parse_batch([sentence])[0]
+
+
+def corenlp_factory(url: str, **kwargs):
+    """Picklable parser factory for :func:`parse_sentences_df`:
+    ``parse_sentences_df(sents, parser_factory=corenlp_factory(url))``
+    constructs one HTTP client per partition batch iterator."""
+    import functools
+
+    return functools.partial(CoreNLPParser, url, **kwargs)
+
 
 def _align_tokens(sentence: str) -> list[tuple[int, int]]:
     """Whitespace-token char spans (``align_tokens`` semantics)."""
@@ -46,6 +166,8 @@ def enrich_sentence_tree(
     sentence: str,
     entities: list[tuple[str, int, int]],
     parser: StubParser | None = None,
+    *,
+    tree: PyTree | None = None,
 ) -> PyTree:
     """Parse + insert entities (``enrich_tree`` / ``ins_ent``,
     ``parser/__init__.py:179-560``):
@@ -59,8 +181,9 @@ def enrich_sentence_tree(
     - tokens already consumed by another entity are DUPLICATED into the
       new one (partial-overlap rule, ``:606-626``).
     """
-    parser = parser or StubParser()
-    tree = parser.parse(sentence)
+    if tree is None:
+        parser = parser or StubParser()
+        tree = parser.parse(sentence)
     spans = _align_tokens(sentence)
     toks = [sentence[s:e] for s, e in spans]
 
@@ -186,8 +309,16 @@ def parse_sentences_df(
         cols = [f.name for f in NODE_SCHEMA.fields]
         for pdf in batches:
             rows: list[dict] = []
-            for doc_id, sent_idx, sentence, ents in zip(
-                pdf["doc_id"], pdf["sent_idx"], pdf["sentence"], pdf["ents"]
+            # one parse_batch per Arrow batch: HTTP parsers send ONE
+            # request per `batch_size` sentences instead of one per row
+            sents = [str(s) for s in pdf["sentence"]]
+            trees = (
+                parser.parse_batch(sents)
+                if hasattr(parser, "parse_batch")
+                else [parser.parse(s) for s in sents]
+            )
+            for doc_id, sent_idx, sentence, ents, ptree in zip(
+                pdf["doc_id"], pdf["sent_idx"], sents, pdf["ents"], trees
             ):
                 ent_list = (
                     [
@@ -197,7 +328,7 @@ def parse_sentences_df(
                     if ents is not None and len(ents)
                     else []
                 )
-                tree = enrich_sentence_tree(str(sentence), ent_list, parser)
+                tree = enrich_sentence_tree(sentence, ent_list, tree=ptree)
                 tree_id = f"{doc_id}.{sent_idx}"
                 tree.label = f"UNDEF_{tree_id}"
                 rows.extend(tree_to_rows(tree, tree_id))
