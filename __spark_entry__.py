@@ -577,6 +577,31 @@ def q_cluster_instance_documents(spark: SparkSession, sf: str) -> DataFrame:
     return asg.select("support").distinct()
 
 
+def q_llm_label_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM schema labelling (prompt builders + renaming application,
+    reference ``labelling/__init__.py:71-163``) with the deterministic
+    StubChatModel: schema groups/relations are renamed from their
+    attribute lists and the broadcast-map rename is applied to the forest."""
+    from architxt_spark.labelling import (
+        StubChatModel,
+        apply_renamings,
+        llm_group_labelling,
+        llm_relation_labelling,
+    )
+    from architxt_spark.plans.schema import schema_from_forest
+
+    nodes = _nation_forest(spark, sf)
+    schema = schema_from_forest(nodes)
+    g = llm_group_labelling(schema, StubChatModel(), nodes=nodes)
+    r = llm_relation_labelling(schema, StubChatModel(), group_renames=g)
+    out = apply_renamings(nodes, g | r)
+    return (
+        out.filter(F.col("node_type").isin("GROUP", "REL"))
+        .groupBy("node_type", "node_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_tree_leaves_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered token projection per tree (Tree.leaves): nation trees render
     group + REL-copy + referenced-region leaves in path order."""
@@ -945,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # maximizes newly-verified coverage.
     first = [
         "cluster_instance_documents",
+        "llm_label_schema",
         "dedup_simhash",
         "dedup_filtered",
         "embedding_near_dup",
@@ -992,6 +1018,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_documents": q_rewrite_documents,
         "cluster_documents": q_cluster_documents,
         "cluster_instance_documents": q_cluster_instance_documents,
+        "llm_label_schema": q_llm_label_schema,
         "tree_leaves_nation": q_tree_leaves_nation,
         "extract_valid_trees": q_extract_valid_trees,
         "coverage_metric": q_coverage_metric,
@@ -1253,6 +1280,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_documents": """
             SELECT CAST(2 * COUNT(*) AS BIGINT) AS support FROM documents
+        """,
+        "llm_label_schema": """
+            WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation)
+            SELECT 'GROUP' AS node_type, 'N_NAME_N_NATIONKEY' AS node_name,
+                   CAST(2 * n AS BIGINT) AS n FROM c
+            UNION ALL
+            SELECT 'GROUP', 'R_NAME_R_REGIONKEY', CAST(2 * n AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'REL', 'N_NAME_N_NATIONKEY_R_NAME_R_REGIONKEY', CAST(n AS BIGINT) FROM c
         """,
         "cluster_instance_documents": """
             WITH c AS (
