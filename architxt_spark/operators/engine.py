@@ -258,6 +258,13 @@ DEFAULT_OPERATIONS: tuple[tuple[str, Callable[[PyTree], bool]], ...] = (
 )
 
 
+#: ops that can mutate a tree while returning False (rename-only side
+#: effects) — the only non-winners the real chain pass must re-run
+RENAME_SIDE_EFFECT_OPS = frozenset(
+    {"find_collections", "find_collections_2", "find_relations"}
+)
+
+
 def _operations_with_index(
     index: dict, min_support: int
 ) -> list[tuple[str, Callable[[PyTree], bool]]]:
@@ -413,15 +420,24 @@ def rewrite(
         # one probe pass finds the early-exit winner; the real pass then
         # runs the chain up to AND including the winner (reference
         # sequential chain ``:566-582``) so that rename-only mutations
-        # from non-winning ops persist.  When no op reports a change the
-        # full chain still runs once: the reference executes every op in
-        # the final iteration too, and their rename side effects feed the
+        # from non-winning ops persist.  Non-winning ops WITHOUT rename
+        # side effects provably changed nothing (the probe said so) and
+        # are skipped; only find_collections (renames existing COLLs,
+        # reference collections.py:45-47) and find_relations (relabels an
+        # existing REL, relations.py:78) can mutate while reporting no
+        # change.  When no op reports a change the rename-capable ops
+        # still run once: the reference executes every op in the final
+        # iteration too, and their rename side effects feed the
         # post-process naming.
         counts = probe_ops(nodes, ops)
         winner = next((i for i, n in enumerate(counts) if n), None)
 
-        chain = ops if winner is None else ops[: winner + 1]
-        chain_fns = [f for _, f in chain]
+        upto = ops if winner is None else ops[: winner + 1]
+        chain_fns = [
+            f
+            for i, (name, f) in enumerate(upto)
+            if i == winner or name in RENAME_SIDE_EFFECT_OPS
+        ]
 
         def run_chain(t: PyTree, _fns=chain_fns) -> bool:
             changed = False
@@ -429,11 +445,12 @@ def rewrite(
                 changed = fn(t) or changed
             return changed
 
-        nodes = (
-            apply_tree_op(nodes, run_chain, "chain")
-            .drop("changed")
-            .localCheckpoint(eager=True)
-        )
+        if chain_fns:
+            nodes = (
+                apply_tree_op(nodes, run_chain, "chain")
+                .drop("changed")
+                .localCheckpoint(eager=True)
+            )
 
         iteration_changed = winner is not None
         winning_op = ops[winner][0] if winner is not None else None
