@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from architxt_spark.functions import ann, dedup
+from architxt_spark.functions import ann, dedup, sampling
 from architxt_spark.functions import text as T
 
 
@@ -950,6 +950,37 @@ def q_typed_export_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sampling_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (mixture curation):
+    per-lang keep fractions, pure filter (no shuffle — the predicate rides
+    the parquet scan)."""
+    from architxt_spark.functions import sampling as S
+
+    docs = _t(spark, sf, "documents")
+    out = S.stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "es": 0.25, "de": 0.25},
+        "doc_id",
+        default_fraction=0.1,
+        salt="r2",
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_sampling_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-stratum top-N mixture take by hash order — the
+    scale-safe two-phase (threshold pre-filter, then bounded window)
+    selection; must equal the oracle's plain windowed top-N."""
+    from architxt_spark.functions import sampling as S
+
+    docs = _t(spark, sf, "documents")
+    out = S.mixture_take(
+        docs, "lang", {"en": 50, "fr": 20, "zh": 10}, "doc_id", salt="mix"
+    )
+    return out.select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -969,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already-driver-verified ones after, so any prefix the gate takes
     # maximizes newly-verified coverage.
     first = [
+        "sampling_stratified",
+        "sampling_mixture",
         "cluster_instance_documents",
         "llm_label_schema",
         "dedup_simhash",
@@ -1047,6 +1080,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "graph_extract": q_graph_extract,
         "typed_export_orders": q_typed_export_orders,
+        "sampling_stratified": q_sampling_stratified,
+        "sampling_mixture": q_sampling_mixture,
     }
 
 
@@ -1499,4 +1534,23 @@ def oracle_sql() -> dict[str, str]:
                 CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
             FROM orders
         """,
+        "sampling_stratified": (
+            "SELECT doc_id, lang FROM ("
+            + sampling.stratified_sample_sql(
+                "documents",
+                "lang",
+                {"en": 0.5, "es": 0.25, "de": 0.25},
+                "doc_id",
+                default_fraction=0.1,
+                salt="r2",
+            )
+            + ")"
+        ),
+        "sampling_mixture": (
+            "SELECT doc_id, lang FROM ("
+            + sampling.mixture_take_sql(
+                "documents", "lang", {"en": 50, "fr": 20, "zh": 10}, "doc_id", salt="mix"
+            )
+            + ")"
+        ),
     }

@@ -1,0 +1,263 @@
+"""Deterministic sampling / mixture operators for training-data curation.
+
+Domain-mixture construction ("40% web, 30% code, ...") and stratified
+downsampling are the first operations a 100-TB curation pipeline runs
+after dedup.  Both are hash-based (md5 over the document id + salt) so:
+
+- a document's keep/drop decision depends only on ``(id, salt)`` — never
+  on partitioning, row order, or cluster size — making runs resumable and
+  auditable, and letting the DuckDB oracle reproduce decisions exactly;
+- re-sampling with a new salt draws an independent sample without
+  reshuffling data.
+
+Scale shapes:
+
+- ``stratified_sample`` is a pure filter (no shuffle, pushdown-friendly —
+  the predicate sits directly on the parquet scan).
+- ``mixture_take`` needs exact per-stratum top-N by hash order.  A naive
+  ``row_number() OVER (PARTITION BY stratum)`` sends EVERY row of a
+  stratum to one task — a scale-killer when one stratum holds billions of
+  rows.  Instead we pre-filter each stratum to ``~margin × target``
+  survivors using the uniformity of the hash key (threshold =
+  ``target / stratum_total × margin``), then window over the bounded
+  survivor set.  The driver widens the threshold and retries in the
+  (measure-zero at scale) case the margin under-shoots; the selected set
+  is always the EXACT global top-N, matching the oracle's plain
+  ``row_number``.
+
+Each function has a Spark-Column form and a DuckDB-SQL form generated
+from the same constants (md5 digit-position arithmetic mirrors
+``dedup._shingle_ints_sql``).  No reference counterpart — this is one of
+the beyond-reference pipeline operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: decision resolution — fractions are exact to 1e-6
+HASH_MOD = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Spark column forms
+# ---------------------------------------------------------------------------
+
+
+def sample_key(id_col: Column, salt: str = "") -> Column:
+    """Uniform deterministic key in ``[0, HASH_MOD)`` from an id column.
+
+    28-bit int from the first 7 hex digits of ``md5(id || salt)`` (same
+    construction as the dedup shingle hash), reduced mod ``HASH_MOD``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    return h % HASH_MOD
+
+
+def _threshold_expr(
+    strata_col: Column,
+    thresholds: Mapping[str, int],
+    default_threshold: int,
+) -> Column:
+    expr = F.lit(default_threshold)
+    for value, thr in sorted(thresholds.items()):
+        expr = F.when(strata_col == value, F.lit(thr)).otherwise(expr)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str,
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    Pure filter — no shuffle, no state; the sampling predicate is sargable
+    and rides the parquet scan.  Unknown strata fall back to
+    ``default_fraction``.
+    """
+    thresholds = {k: int(round(v * HASH_MOD)) for k, v in fractions.items()}
+    thr = _threshold_expr(
+        F.col(strata_col), thresholds, int(round(default_fraction * HASH_MOD))
+    )
+    return df.filter(sample_key(F.col(id_col), salt) < thr)
+
+
+def mixture_take(
+    df: DataFrame,
+    strata_col: str,
+    counts: Mapping[str, int],
+    id_col: str,
+    *,
+    salt: str = "",
+    margin: float = 1.5,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT per-stratum top-``counts[s]`` rows by hash order.
+
+    Equivalent to ``row_number() OVER (PARTITION BY stratum ORDER BY
+    key, id) <= counts[stratum]`` but scale-safe: a hash-threshold
+    pre-filter bounds the windowed rows to ``~margin × target`` per
+    stratum.  Strata not in ``counts`` are dropped.
+    """
+    strata = sorted(counts)
+    key = sample_key(F.col(id_col), salt)
+    pool = df.filter(F.col(strata_col).isin(strata)).withColumn("__key", key)
+
+    # one small agg: stratum totals drive the pre-filter thresholds
+    totals = {
+        r[0]: r[1]
+        for r in pool.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+
+    for _ in range(max_rounds):
+        thresholds = {}
+        for s in strata:
+            total = totals.get(s, 0)
+            want = min(counts[s], total)
+            if total == 0 or want >= total:
+                thresholds[s] = HASH_MOD  # take everything there is
+            else:
+                thresholds[s] = min(
+                    HASH_MOD, int(HASH_MOD * want / total * margin) + 1
+                )
+        thr = _threshold_expr(F.col(strata_col), thresholds, 0)
+        survivors = pool.filter(F.col("__key") < thr)
+
+        # exactness check: every stratum must have >= min(target, total)
+        # survivors, else the uniformity margin under-shot — widen & retry
+        got = {
+            r[0]: r[1]
+            for r in survivors.groupBy(strata_col)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if all(
+            got.get(s, 0) >= min(counts[s], totals.get(s, 0)) for s in strata
+        ):
+            break
+        margin *= 2.0
+    else:  # pragma: no cover — uniform hash cannot miss 8 doublings
+        survivors = pool
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy("__key", id_col)
+    limit = _threshold_expr(F.col(strata_col), dict(counts), 0)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+        .drop("__key", "__rn")
+    )
+
+
+def proportional_counts(
+    df: DataFrame,
+    strata_col: str,
+    weights: Mapping[str, float],
+    total: int,
+) -> dict[str, int]:
+    """Turn mixture weights into per-stratum take counts, capped at each
+    stratum's actual size (largest-remainder rounding).  One tiny agg —
+    the result dict is the plan ``mixture_take`` executes."""
+    sizes = {
+        r[0]: r[1]
+        for r in df.filter(F.col(strata_col).isin(sorted(weights)))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    wsum = sum(weights.values()) or 1.0
+    raw = {s: total * w / wsum for s, w in weights.items()}
+    counts = {s: min(int(raw[s]), sizes.get(s, 0)) for s in weights}
+    remainders = sorted(
+        ((raw[s] - int(raw[s]), s) for s in weights), reverse=True
+    )
+    short = total - sum(counts.values())
+    for _, s in remainders:
+        if short <= 0:
+            break
+        if counts[s] < sizes.get(s, 0):
+            counts[s] += 1
+            short -= 1
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL forms
+# ---------------------------------------------------------------------------
+
+
+def sample_key_sql(id_col: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`sample_key` — md5 digit-position arithmetic
+    (DuckDB has no ``conv()``), equal to Spark's ``conv(substr(md5,1,7))``."""
+    h = f"md5(CAST({id_col} AS VARCHAR) || '{salt}')"
+    digit = f"(strpos('0123456789abcdef', substr({h}, {{d}}, 1)) - 1)"
+    num = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (6 - d)}" for d in range(7))
+    return f"(CAST({num} AS BIGINT) % {HASH_MOD})"
+
+
+def _threshold_case_sql(
+    strata_col: str, thresholds: Mapping[str, int], default_threshold: int
+) -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {t}" for v, t in sorted(thresholds.items())
+    )
+    return f"CASE {strata_col} {whens} ELSE {default_threshold} END"
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str,
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> str:
+    thresholds = {k: int(round(v * HASH_MOD)) for k, v in fractions.items()}
+    case = _threshold_case_sql(
+        strata_col, thresholds, int(round(default_fraction * HASH_MOD))
+    )
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {sample_key_sql(id_col, salt)} < {case}"
+    )
+
+
+def mixture_take_sql(
+    table: str,
+    strata_col: str,
+    counts: Mapping[str, int],
+    id_col: str,
+    *,
+    salt: str = "",
+) -> str:
+    """Plain windowed top-N — the oracle shape ``mixture_take`` must match
+    exactly (the threshold pre-filter is a pure optimization)."""
+    in_list = ", ".join(f"'{s}'" for s in sorted(counts))
+    case = _threshold_case_sql(strata_col, dict(counts), 0)
+    key = sample_key_sql(id_col, salt)
+    return f"""
+        SELECT * EXCLUDE (__key, __rn) FROM (
+            SELECT *, {key} AS __key,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {strata_col}
+                       ORDER BY {key}, {id_col}
+                   ) AS __rn
+            FROM {table}
+            WHERE {strata_col} IN ({in_list})
+        )
+        WHERE __rn <= {case}
+    """

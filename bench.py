@@ -18,13 +18,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: headline set: one per operator family (scan, agg, join, window, schema
-#: pipeline, text, dedup, ann, events) — enough signal without running all 30.
+#: pipeline, graph, typed export, rewrite loop, text, dedup, ann, events) —
+#: enough signal without running all 61.
 HEADLINE = [
     "scan_filter_project",
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "window_topk_orders",
     "dataset_extract_nation",
+    "graph_extract",
+    "typed_export_orders",
+    "rewrite_documents",
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",

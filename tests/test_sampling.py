@@ -1,0 +1,101 @@
+"""Sampling / mixture operators — determinism, exactness, edge cases.
+
+The DuckDB oracle (selfcheck `sampling_stratified` / `sampling_mixture`)
+covers cross-engine parity; these tests cover the properties the oracle
+can't see: order-independence, salt independence, under-sized strata, and
+the pre-filter's exactness guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from architxt_spark.functions import sampling as S
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_stratified_deterministic_and_order_independent(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    fr = {"en": 0.5, "es": 0.25}
+    a = S.stratified_sample(docs, "lang", fr, "doc_id", salt="s1")
+    b = S.stratified_sample(
+        docs.orderBy(F.rand(7)).repartition(7), "lang", fr, "doc_id", salt="s1"
+    )
+    ids_a = sorted(r[0] for r in a.select("doc_id").collect())
+    ids_b = sorted(r[0] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+
+
+def test_stratified_default_fraction_zero_drops_unknown_strata(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = S.stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
+    langs = {r[0] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en  # fraction 1.0 keeps everything
+
+
+def test_different_salt_draws_different_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    fr = {"en": 0.5}
+    a = {r[0] for r in S.stratified_sample(docs, "lang", fr, "doc_id", salt="x").select("doc_id").collect()}
+    b = {r[0] for r in S.stratified_sample(docs, "lang", fr, "doc_id", salt="y").select("doc_id").collect()}
+    assert a != b  # independent draws (astronomically unlikely to collide)
+
+
+def test_mixture_take_exact_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    counts = {"en": 10, "fr": 5}
+    out = S.mixture_take(docs, "lang", counts, "doc_id", salt="m")
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert got == counts
+
+
+def test_mixture_take_caps_at_stratum_size(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_fr = docs.filter(F.col("lang") == "fr").count()
+    out = S.mixture_take(docs, "lang", {"fr": n_fr + 1000}, "doc_id")
+    assert out.count() == n_fr
+
+
+def test_mixture_prefilter_matches_plain_window(spark, sf_dir):
+    """The threshold pre-filter is a pure optimization: tiny margin forces
+    the widen-and-retry loop, and the result must still be the exact
+    global top-N per stratum."""
+    docs = _docs(spark, sf_dir)
+    counts = {"en": 7, "de": 3}
+    fast = S.mixture_take(docs, "lang", counts, "doc_id", salt="z", margin=1.01)
+
+    from pyspark.sql import Window
+
+    key = S.sample_key(F.col("doc_id"), "z")
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    limit = F.when(F.col("lang") == "en", 7).when(F.col("lang") == "de", 3).otherwise(0)
+    plain = (
+        docs.filter(F.col("lang").isin(["en", "de"]))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+        .drop("__rn")
+    )
+    assert sorted(r[0] for r in fast.select("doc_id").collect()) == sorted(
+        r[0] for r in plain.select("doc_id").collect()
+    )
+
+
+def test_proportional_counts_largest_remainder(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    plan = S.proportional_counts(docs, "lang", {"en": 2.0, "fr": 1.0}, 30)
+    assert sum(plan.values()) == 30
+    assert plan["en"] == 20 and plan["fr"] == 10
+
+
+def test_stratified_sample_is_pushdown_filter(spark, sf_dir):
+    """Scale shape: the sampling predicate must compile to a plain Filter
+    over the scan — no Exchange anywhere in the plan."""
+    docs = _docs(spark, sf_dir)
+    out = S.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
