@@ -981,6 +981,29 @@ def q_sampling_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_sampling_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: deterministic layout (hash
+    bucket, hash order), per-bucket cumsum windows — never one global
+    window task."""
+    from architxt_spark.functions import sampling as S
+
+    docs = _t(spark, sf, "documents")
+    out = S.pack_sequences(docs, "doc_id", "n_chars", 4096, n_buckets=8, salt="pk")
+    return out.select("doc_id", "pack_bucket", "pack_seq", "pack_offset")
+
+
+def q_sampling_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified upsampling (fractional epochs): en×2.5,
+    fr×0.5, everything else passes through once."""
+    from architxt_spark.functions import sampling as S
+
+    docs = _t(spark, sf, "documents")
+    out = S.upsample_stratified(
+        docs, "lang", {"en": 2.5, "fr": 0.5}, "doc_id", salt="up"
+    )
+    return out.select("doc_id", "lang", "copy_n")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1000,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already-driver-verified ones after, so any prefix the gate takes
     # maximizes newly-verified coverage.
     first = [
+        "sampling_pack",
+        "sampling_upsample",
         "sampling_stratified",
         "sampling_mixture",
         "cluster_instance_documents",
@@ -1082,6 +1107,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_export_orders": q_typed_export_orders,
         "sampling_stratified": q_sampling_stratified,
         "sampling_mixture": q_sampling_mixture,
+        "sampling_pack": q_sampling_pack,
+        "sampling_upsample": q_sampling_upsample,
     }
 
 
@@ -1550,6 +1577,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM ("
             + sampling.mixture_take_sql(
                 "documents", "lang", {"en": 50, "fr": 20, "zh": 10}, "doc_id", salt="mix"
+            )
+            + ")"
+        ),
+        "sampling_pack": (
+            "SELECT doc_id, pack_bucket, pack_seq, pack_offset FROM ("
+            + sampling.pack_sequences_sql(
+                "documents", "doc_id", "n_chars", 4096, n_buckets=8, salt="pk"
+            )
+            + ")"
+        ),
+        "sampling_upsample": (
+            "SELECT doc_id, lang, copy_n FROM ("
+            + sampling.upsample_stratified_sql(
+                "documents", "lang", {"en": 2.5, "fr": 0.5}, "doc_id", salt="up"
             )
             + ")"
         ),

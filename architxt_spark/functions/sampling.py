@@ -194,6 +194,100 @@ def proportional_counts(
     return counts
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    *,
+    n_buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document the id of
+    the fixed-``budget`` training sequence its first token lands in.
+
+    Documents are laid out deterministically — hash bucket, then hash
+    order within the bucket — and chunked at ``budget`` boundaries, the
+    standard concat-then-chunk pretraining layout.  Appends:
+
+    - ``pack_bucket``  — which independent packing stream the doc is in
+    - ``pack_seq``     — sequence index within the bucket
+      (``floor(preceding-token-sum / budget)``)
+    - ``pack_offset``  — the doc's first-token offset inside the stream
+
+    Scale shape: the cumulative sum windows over ``pack_bucket``, never
+    globally — one task per bucket, each bounded to ``~N/n_buckets``
+    rows; raise ``n_buckets`` with cluster size.  Downstream chunkers
+    read one bucket per task and slice locally.
+    """
+    key = sample_key(F.col(id_col), salt)
+    bucket = key % n_buckets
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("__key", key)
+        .withColumn("pack_bucket", bucket)
+        .withColumn(
+            "pack_offset",
+            F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "pack_seq", (F.col("pack_offset") / F.lit(budget)).cast("long")
+        )
+        .drop("__key")
+    )
+
+
+def upsample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    factors: Mapping[str, float],
+    id_col: str,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Repeat each row of stratum ``s`` ``factors[s]`` times in
+    expectation, deterministically — the mixture-weights-above-1 case
+    ("2.5 epochs of code").
+
+    Integer part: every row repeats ``floor(f)`` times.  Fractional
+    part: one extra copy iff the row's hash key < ``frac(f)`` — the same
+    per-(id, salt) decision rule as :func:`stratified_sample`, so an
+    up-then-down-sampled corpus is reproducible end to end.  Appends
+    ``copy_n`` (0-based copy index) so downstream packing/shuffling can
+    distinguish repeats.  Strata not in ``factors`` pass through once.
+
+    Scale shape: a narrow ``explode(sequence(...))`` — no shuffle, no
+    window; output size is exactly the expected token multiple.
+    """
+    n_copies = F.lit(1)
+    for value, f in sorted(factors.items()):
+        whole = int(f)
+        frac_thr = int(round((f - whole) * HASH_MOD))
+        extra = (
+            (sample_key(F.col(id_col), salt) < frac_thr).cast("int")
+            if frac_thr
+            else F.lit(0)
+        )
+        n_copies = F.when(
+            F.col(strata_col) == value, F.lit(whole) + extra
+        ).otherwise(n_copies)
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy_n", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL forms
 # ---------------------------------------------------------------------------
@@ -234,6 +328,62 @@ def stratified_sample_sql(
         f"SELECT * FROM {table} "
         f"WHERE {sample_key_sql(id_col, salt)} < {case}"
     )
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    *,
+    n_buckets: int = 64,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (plain windowed cumsum)."""
+    key = sample_key_sql(id_col, salt)
+    return f"""
+        SELECT * EXCLUDE (__key),
+               CAST(FLOOR(pack_offset / {budget}) AS BIGINT) AS pack_seq
+        FROM (
+            SELECT *, {key} AS __key,
+                   (__key % {n_buckets}) AS pack_bucket,
+                   CAST(COALESCE(SUM({token_col}) OVER (
+                       PARTITION BY (__key % {n_buckets})
+                       ORDER BY __key, {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS pack_offset
+            FROM {table}
+        )
+    """
+
+
+def upsample_stratified_sql(
+    table: str,
+    strata_col: str,
+    factors: Mapping[str, float],
+    id_col: str,
+    *,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`upsample_stratified` — a static numbers
+    table joined on ``copy_n < n`` stands in for Spark's
+    ``explode(sequence(...))`` (DuckDB's ``generate_series`` cannot take
+    lateral column arguments)."""
+    key = sample_key_sql(id_col, salt)
+    n = "1"
+    max_n = 1
+    for value, f in sorted(factors.items()):
+        whole = int(f)
+        frac_thr = int(round((f - whole) * HASH_MOD))
+        extra = f" + CASE WHEN {key} < {frac_thr} THEN 1 ELSE 0 END" if frac_thr else ""
+        n = f"CASE WHEN {strata_col} = '{value}' THEN {whole}{extra} ELSE {n} END"
+        max_n = max(max_n, whole + (1 if frac_thr else 0))
+    return f"""
+        SELECT t.* EXCLUDE (__n), g.copy_n
+        FROM (SELECT *, ({n}) AS __n FROM {table}) t
+        JOIN (SELECT CAST(range AS INT) AS copy_n FROM range(0, {max_n})) g
+          ON g.copy_n < t.__n
+    """
 
 
 def mixture_take_sql(

@@ -92,6 +92,77 @@ def test_proportional_counts_largest_remainder(spark, sf_dir):
     assert plan["en"] == 20 and plan["fr"] == 10
 
 
+def test_pack_sequences_contiguous_offsets(spark, sf_dir):
+    """Within a bucket, offsets are the running token sum in (key, id)
+    order and pack_seq chunks them at the budget boundary."""
+    docs = _docs(spark, sf_dir)
+    out = S.pack_sequences(docs, "doc_id", "n_chars", 4096, n_buckets=4, salt="p")
+    pdf = (
+        out.select("doc_id", "n_chars", "pack_bucket", "pack_seq", "pack_offset")
+        .withColumn("__key", S.sample_key(F.col("doc_id"), "p"))
+        .toPandas()
+        .sort_values(["pack_bucket", "__key", "doc_id"])
+    )
+    for _, grp in pdf.groupby("pack_bucket"):
+        expect = 0
+        for row in grp.itertuples():
+            assert row.pack_offset == expect
+            assert row.pack_seq == expect // 4096
+            expect += row.n_chars
+
+
+def test_pack_sequences_order_independent(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = S.pack_sequences(docs, "doc_id", "n_chars", 2048, salt="q")
+    b = S.pack_sequences(
+        docs.orderBy(F.rand(3)).repartition(5), "doc_id", "n_chars", 2048, salt="q"
+    )
+    cols = ["doc_id", "pack_bucket", "pack_seq", "pack_offset"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_pack_sequences_windows_per_bucket(spark, sf_dir):
+    """Scale shape: the cumsum window partitions by pack_bucket — never a
+    single global window task."""
+    docs = _docs(spark, sf_dir)
+    out = S.pack_sequences(docs, "doc_id", "n_chars", 4096)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(pack_bucket" in plan
+
+
+def test_upsample_integer_and_fractional_copies(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = S.upsample_stratified(
+        docs, "lang", {"en": 2.5, "fr": 0.5}, "doc_id", salt="u"
+    )
+    per_doc = {
+        (r[0]): r[1]
+        for r in out.filter(F.col("lang").isin(["en", "fr"]))
+        .groupBy("doc_id", "lang")
+        .count()
+        .select("doc_id", "count")
+        .collect()
+    }
+    en_ids = {r[0] for r in docs.filter(F.col("lang") == "en").select("doc_id").collect()}
+    fr_total = docs.filter(F.col("lang") == "fr").count()
+    for doc, n in per_doc.items():
+        assert n in ((2, 3) if doc in en_ids else (1,))
+    fr_kept = out.filter(F.col("lang") == "fr").count()
+    assert 0 < fr_kept < fr_total  # ~half keep one copy, never more
+    # untouched strata pass through exactly once, copy_n == 0
+    de = out.filter(F.col("lang") == "de")
+    assert de.count() == docs.filter(F.col("lang") == "de").count()
+    assert de.filter(F.col("copy_n") != 0).count() == 0
+
+
+def test_upsample_factor_zero_drops_stratum(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = S.upsample_stratified(docs, "lang", {"en": 0.0}, "doc_id")
+    assert out.filter(F.col("lang") == "en").count() == 0
+
+
 def test_stratified_sample_is_pushdown_filter(spark, sf_dir):
     """Scale shape: the sampling predicate must compile to a plain Filter
     over the scan — no Exchange anywhere in the plan."""
