@@ -87,8 +87,17 @@ def probe_ops(
         trees = rows_to_trees(pdf.to_dict("records"))
         out = []
         for tid, tree in trees.items():
+            # stop at the tree's first changing op: the caller only needs
+            # the globally-first changed op (min over trees of each
+            # tree's first change — unaffected by skipping later ops) and
+            # its exact tree count (every tree reaches the winner index,
+            # since no tree changes before it).  Halves probe work in the
+            # common one-op-wins case.
             for i, fn in enumerate(fns):
-                out.append((i, 1 if fn(tree.copy()) else 0))
+                changed = 1 if fn(tree.copy()) else 0
+                out.append((i, changed))
+                if changed:
+                    break
         return pd.DataFrame(out, columns=["op", "changed"])
 
     flags = nodes.groupBy("tree_id").applyInPandas(run, "op int, changed int")
