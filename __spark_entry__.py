@@ -38,8 +38,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # naive micros == UTC wall clock; session TZ is pinned to UTC above,
+        # so the cast is value-preserving and unix_micros/window work.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

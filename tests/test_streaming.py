@@ -17,7 +17,11 @@ def event_dir(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("events_stream"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     ev.repartition(4).write.mode("overwrite").parquet(path)
     return path
 
