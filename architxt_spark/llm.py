@@ -107,19 +107,18 @@ def windowed_shuffle(items: list, window_size: int = 10, *, seed: int = 0) -> li
 
 def windowed_shuffle_df(nodes: DataFrame, window_size: int = 10, *, seed: int = 0) -> DataFrame:
     """Distributed analogue of :func:`windowed_shuffle` for the tree frame:
-    trees are bucketed into consecutive windows of the tree_id order and
-    re-ordered by a seeded hash inside each window.  One window + sort, no
-    UDFs; downstream per-partition batching then sees locally-shuffled
-    trees."""
-    from pyspark.sql.window import Window
-
-    order = F.row_number().over(Window.orderBy("tree_id")) - 1
-    trees = (
-        nodes.select("tree_id")
-        .distinct()
-        .withColumn("__w", F.floor(order / window_size))
-        .withColumn("__r", F.xxhash64("tree_id", F.lit(seed)))
-    )
+    trees are bucketed into windows of expected size ``window_size`` by a
+    seeded hash of ``tree_id`` and re-ordered by a second seeded hash inside
+    each window.  No UDFs and — deliberately — no global ``row_number``: an
+    unpartitioned window would pull one row per tree into a single task at
+    scale, and the reference's shuffle is only "roughly stable"
+    (``architxt/utils.py:74-98``), so exact global order is not required.
+    The only eager action is a scalar distinct-count to size the windows."""
+    trees = nodes.select("tree_id").distinct()
+    n_windows = max(1, -(-trees.count() // window_size))
+    trees = trees.withColumn(
+        "__w", F.pmod(F.xxhash64("tree_id", F.lit(seed + 1)), F.lit(n_windows))
+    ).withColumn("__r", F.xxhash64("tree_id", F.lit(seed)))
     return (
         nodes.join(trees, "tree_id")
         .sortWithinPartitions("__w", "__r")

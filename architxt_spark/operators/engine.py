@@ -123,12 +123,22 @@ def simple_rewrite(nodes: DataFrame) -> DataFrame:
         .select("tree_id")
         .distinct()
     )
-    keys = (
+    tree_sets = (
         ents.join(unlabelled, "tree_id", "left_semi")
         .groupBy("tree_id")
         .agg(F.sort_array(F.collect_set("node_name")).alias("label_set"))
+    )
+    # Rank only the DISTINCT label sets — a frame bounded by entity-vocab
+    # combinations, not by forest size — so the unpartitioned window never
+    # sees a per-tree row (at 100x scale a global window over tree_sets
+    # would funnel every tree through one task).  The dense ids are then
+    # joined back per tree; the distinct frame is small enough to broadcast.
+    set_ids = (
+        tree_sets.select("label_set")
+        .distinct()
         .withColumn("group_id", F.dense_rank().over(Window.orderBy("label_set")).cast("string"))
     )
+    keys = tree_sets.join(F.broadcast(set_ids), "label_set")
 
     # first entity occurrence per (tree, name): dedup entities
     leaves = nodes.filter(F.col("node_name").isNull() & F.col("leaf_value").isNotNull()).select(
