@@ -1028,21 +1028,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already-driver-verified ones after, so any prefix the gate takes
     # maximizes newly-verified coverage.
     first = [
-        "sampling_pack",
-        "sampling_upsample",
-        "sampling_stratified",
-        "sampling_mixture",
-        "cluster_instance_documents",
-        "llm_label_schema",
-        "dedup_simhash",
-        "dedup_filtered",
-        "embedding_near_dup",
-        "embedding_near_dup_lsh",
-        "ann_topk",
-        "events_hourly_rollup",
-        "events_sessionize",
-        "graph_extract",
-        "typed_export_orders",
+        # round 3 rotation: the 15 queries whose only round-2 evidence was
+        # the judge's selfcheck rerun, plus the two paths whose code was
+        # touched this round (global-window fixes).
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "export_sql_ddl",
+        "export_cypher_stats",
+        "multimodal_byte_meta",
+        "multimodal_features",
+        "gen_instance",
+        "llm_rewrite_stub",
+        "extract_vocab",
+        "split_sentences",
+        "nlp_parse_forest",
+        "lang_distribution",
+        "simple_rewrite_documents",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
