@@ -201,10 +201,8 @@ def read_graph(
 
     reached, edges = _traverse(roots, rels, max_depth)
 
-    visited = (
-        reached.join(nodes, reached["nid"] == nodes["id"])
-        .select("tree_id", "nid", "bfs_depth", "label", *node_props)
-        .localCheckpoint(eager=True)
+    visited = reached.join(nodes, reached["nid"] == nodes["id"]).select(
+        "tree_id", "nid", "bfs_depth", "label", *node_props
     )
     src_n = nodes.select(
         F.col("id").alias("src"),
@@ -222,41 +220,54 @@ def read_graph(
         F.greatest(*prop_flags) if prop_flags else F.lit(False)
     )
     edges = edges.withColumn("__attributed", F.coalesce(has_props, F.lit(False)))
-    edges = edges.localCheckpoint(eager=True)
 
     # --- position of each ROOT child subtree -------------------------------
     # Children: one group per visited node, then per traversed edge its REL
     # subtree(s) — three children for an attributed edge — ordered by
-    # (kind, BFS depth, id, sub-index), assigned with one window.
+    # (kind, BFS depth, id, sub-index).  The payload columns of every branch
+    # ride along in ONE unified frame (unionByName allowMissingColumns; the
+    # branches are row-disjoint, so shared column names cannot clash), the
+    # position window runs once partitioned by tree, and the result is
+    # checkpointed once.  Every emission branch below is then a FILTER of
+    # this frame — the previous shape joined a separate pos_of frame back
+    # into each of 5+3 branches, and those 8 shuffle-join stages dominated
+    # wall-clock at small SF while buying nothing at scale.
     def skey(kind: int, d: Column, a: Column, sub: int) -> Column:
         return F.struct(
             F.lit(kind).alias("k"), d.alias("d"), a.cast("string").alias("a"), F.lit(sub).alias("s")
         )
 
     edge_key = F.concat_ws("\x1f", "rel_type", "src", "dst")
-    node_children = visited.select("tree_id", skey(0, F.col("bfs_depth"), F.col("nid"), 0).alias("skey"))
     plain = edges.filter(~F.col("__attributed"))
     attr = edges.filter(F.col("__attributed"))
-    children = node_children
+    branches = [
+        visited.withColumn("skey", skey(0, F.col("bfs_depth"), F.col("nid"), 0)).withColumn(
+            "__kind", F.lit(0)
+        ).withColumn("__sub", F.lit(0))
+    ]
     for df, sub in ((plain, 0), (attr, 0), (attr, 1), (attr, 2)):
-        children = children.unionByName(
-            df.select("tree_id", skey(1, F.col("bfs_depth"), edge_key, sub).alias("skey"))
+        branches.append(
+            df.withColumn("skey", skey(1, F.col("bfs_depth"), edge_key, sub))
+            .withColumn("__kind", F.lit(1))
+            .withColumn("__sub", F.lit(sub))
         )
-    # One row per ROOT child (small); materialized once — five emission
-    # branches join against it and would otherwise each recompute the
-    # union + window subplan.
-    pos_of = children.withColumn(
-        "cpos", F.row_number().over(Window.partitionBy("tree_id").orderBy("skey")) - 1
-    ).localCheckpoint(eager=True)
+    children = branches[0]
+    for b in branches[1:]:
+        children = children.unionByName(b, allowMissingColumns=True)
+    children = (
+        children.withColumn(
+            "cpos", F.row_number().over(Window.partitionBy("tree_id").orderBy("skey")) - 1
+        )
+        .drop("skey")
+        .localCheckpoint(eager=True)
+    )
 
-    def with_pos(df: DataFrame, key: Column) -> DataFrame:
-        return df.withColumn("skey", key).join(pos_of, ["tree_id", "skey"]).drop("skey")
-
-    visited = with_pos(visited, skey(0, F.col("bfs_depth"), F.col("nid"), 0))
-    plain0 = with_pos(plain, skey(1, F.col("bfs_depth"), edge_key, 0))
-    attr0 = with_pos(attr, skey(1, F.col("bfs_depth"), edge_key, 0))
-    attr1 = with_pos(attr, skey(1, F.col("bfs_depth"), edge_key, 1))
-    attr2 = with_pos(attr, skey(1, F.col("bfs_depth"), edge_key, 2))
+    is_edge = F.col("__kind") == 1
+    visited = children.filter(F.col("__kind") == 0)
+    plain0 = children.filter(is_edge & ~F.col("__attributed"))
+    attr0 = children.filter(is_edge & F.col("__attributed") & (F.col("__sub") == 0))
+    attr1 = children.filter(is_edge & F.col("__attributed") & (F.col("__sub") == 1))
+    attr2 = children.filter(is_edge & F.col("__attributed") & (F.col("__sub") == 2))
 
     # --- emission ----------------------------------------------------------
     out: list[DataFrame] = [
