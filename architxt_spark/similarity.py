@@ -314,6 +314,74 @@ _CTX_FP_EXPR = (
 )
 
 
+def _hdbscan_flat_cut(
+    member_idx: list[int],
+    ctxs: list[list[dict]],
+    mults: list[int],
+    metric: str,
+    *,
+    eps: float,
+    min_samples: int = 2,
+) -> list[list[int]]:
+    """DBSCAN*-style flat cut of the HDBSCAN hierarchy at ``eps`` for one
+    single-linkage component — the semantics of the reference's
+    ``HDBSCAN(metric='precomputed', cluster_selection_epsilon=1-tau,
+    min_cluster_size=2)`` (``similarity.py:242-246,317-326``), without the
+    hdbscan dependency (absent from this container):
+
+    - core distance per rep honours multiplicity: a rep standing for ``m``
+      identical instances contributes ``m-1`` (jittered-)zero distances to
+      its own neighbourhood, so ``core = k``-th nearest other-instance
+      distance with ``k = min_samples`` — identical to the library's
+      row-partition over the instance matrix;
+    - mutual reachability ``mr(i,j) = max(core_i, core_j, d_ij)``;
+    - points stay together iff connected at ``mr <= eps``.
+
+    This is the finest flat clustering consistent with
+    ``cluster_selection_epsilon`` ("clusters below eps are never split");
+    the eom stability pass can only pick *coarser* groupings born above
+    eps, which meta-model forests at tau >= 0.5 do not produce.  It is
+    exactly where single-linkage over-merges: a sparse chain's endpoint
+    whose second-nearest instance lies beyond eps gets core > eps and
+    detaches, so chained components shed their far members instead of
+    absorbing them.  Per-component equals the global cut because any
+    instance within eps of a point is necessarily in the same
+    tau-component (d <= eps ⇔ sim >= tau).
+    """
+    n = len(member_idx)
+    if n == 1:
+        return [member_idx]
+    sims = [[1.0] * n for _ in range(n)]
+    for a in range(n):
+        for b in range(a + 1, n):
+            s = instance_similarity(ctxs[member_idx[a]], ctxs[member_idx[b]], metric)
+            sims[a][b] = sims[b][a] = s
+    dist = [[1.0 - sims[a][b] for b in range(n)] for a in range(n)]
+
+    core = [0.0] * n
+    for a in range(n):
+        ds = [0.0] * (mults[member_idx[a]] - 1)
+        for b in range(n):
+            if b != a:
+                ds.extend([dist[a][b]] * min(mults[member_idx[b]], min_samples))
+        ds.sort()
+        if len(ds) >= min_samples:
+            core[a] = ds[min_samples - 1]
+        elif ds:
+            core[a] = ds[-1]
+
+    uf = _UnionFind()
+    for a in range(n):
+        uf.find(a)
+        for b in range(a + 1, n):
+            if max(core[a], core[b], dist[a][b]) <= eps:
+                uf.union(a, b)
+    subs: dict[int, list[int]] = {}
+    for a in range(n):
+        subs.setdefault(uf.find(a), []).append(member_idx[a])
+    return list(subs.values())
+
+
 def cluster_forest_instance(
     nodes: DataFrame,
     *,
@@ -321,6 +389,7 @@ def cluster_forest_instance(
     metric: str = DEFAULT_METRIC,
     max_height: int = DEFAULT_MAX_HEIGHT,
     min_cluster_size: int = 2,
+    refine: bool = True,
 ) -> DataFrame:
     """Instance-mode subtree clustering (``TreeClusterer.fit`` with
     ``schema_only=False``, ``similarity.py:200-368``): pairwise
@@ -344,7 +413,12 @@ def cluster_forest_instance(
        necessary for a non-zero score, so banding on it loses no τ-edge
        candidates worth having);
     3. exact rescoring with :func:`instance_similarity` + union-find;
-       same-typed-label reps are pre-unioned (they are mutually 1.0).
+       same-typed-label reps are pre-unioned (they are mutually 1.0);
+    4. HDBSCAN refinement (``refine=True``, the reference's
+       ``cluster_selection_epsilon=1-tau`` semantics): each component is
+       re-cut at mutual reachability <= 1-tau via
+       :func:`_hdbscan_flat_cut`, shedding sparse chain members that pure
+       single-linkage over-merges.
 
     Returns assignments ``(node_id, cluster_name, support)``.
     """
@@ -409,6 +483,23 @@ def cluster_forest_instance(
             uf.union(keys[i], keys[j])
 
     comp_of = {k: uf.find(k) for k in keys}
+    if refine:
+        # HDBSCAN refinement (reference similarity.py:242-246): re-cut each
+        # single-linkage component at mutual-reachability <= 1-tau so that
+        # sparse chain members single-linkage over-merged detach.  The
+        # refined component id is the lexicographic min of its member keys
+        # (deterministic, independent of union order).
+        comps_idx: dict[str, list[int]] = {}
+        for i, k in enumerate(keys):
+            comps_idx.setdefault(comp_of[k], []).append(i)
+        mults = [r["n_members"] for r in reps]
+        refined: dict[str, str] = {}
+        for members in comps_idx.values():
+            for sub in _hdbscan_flat_cut(members, ctxs, mults, metric, eps=1 - tau):
+                sub_id = min(keys[i] for i in sub)
+                for i in sub:
+                    refined[keys[i]] = sub_id
+        comp_of = refined
     comp_support: dict[str, int] = {}
     comp_names: dict[str, Counter] = {}
     for k, r in zip(keys, reps):

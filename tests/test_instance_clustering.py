@@ -142,3 +142,59 @@ def test_typed_label_pre_union(spark):
     assert by_node["a:0.2"] == by_node["b:0"]
     # reference naming: modal typed member label + ordinal
     assert by_node["a:0.2"].startswith("g_")
+
+
+def _chain_forest(spark):
+    """Sliding-window entity sets t_i..t_{i+7} (shift 1): adjacent windows
+    score jaccard-weighted sim ~0.785 (>= tau=0.7), skip-one ~0.61 (< tau).
+    Single-linkage chains all four into one component; the HDBSCAN cut
+    (mutual reachability at eps=1-tau) detaches the endpoints, whose
+    second-nearest instance lies beyond eps.  The (ENT::z) duplicate child
+    keeps ROOT out of the candidate set so every window is a singleton
+    instance."""
+    trees = {}
+    for w, name in enumerate("abcd"):
+        ents = " ".join(f"(ENT::t{w + i} v)" for i in range(8))
+        trees[name] = parse_tree(
+            f"(ROOT (X {ents}) (Y (ENT::z 1) (ENT::z 2)))"
+        )
+    return forest_from_trees(spark, trees)
+
+
+def test_hdbscan_cut_splits_chained_component(spark):
+    nodes = _chain_forest(spark)
+    single = cluster_forest_instance(nodes, tau=0.7, metric="jaccard", refine=False)
+    refined = cluster_forest_instance(nodes, tau=0.7, metric="jaccard")
+
+    s_rows = single.collect()
+    assert {r["support"] for r in s_rows} == {4}  # one over-merged chain
+    assert len(s_rows) == 4
+
+    r_rows = refined.collect()
+    # endpoints a and d shed (support-1 singletons dropped); b+c survive
+    assert len(r_rows) == 2
+    assert {r["support"] for r in r_rows} == {2}
+    kept_trees = {r["node_id"].split(":", 1)[0] for r in r_rows}
+    assert kept_trees == {"b", "c"}
+    assert len({r["cluster_name"] for r in r_rows}) == 1
+
+
+def test_hdbscan_cut_respects_multiplicity(spark):
+    """A rep standing for >=2 identical instances has core distance ~0:
+    dense blobs keep their within-eps neighbours, so a pendant window that
+    touches a duplicated window survives the cut."""
+    trees = {}
+    for w, name in enumerate("abcd"):
+        ents = " ".join(f"(ENT::t{w + i} v)" for i in range(8))
+        trees[name] = parse_tree(f"(ROOT (X {ents}) (Y (ENT::z 1) (ENT::z 2)))")
+    # duplicate the endpoint windows: a2 == a, d2 == d
+    for name, src in (("a2", 0), ("d2", 3)):
+        ents = " ".join(f"(ENT::t{src + i} v)" for i in range(8))
+        trees[name] = parse_tree(f"(ROOT (X {ents}) (Y (ENT::z 1) (ENT::z 2)))")
+    nodes = forest_from_trees(spark, trees)
+    refined = cluster_forest_instance(nodes, tau=0.7, metric="jaccard")
+    rows = refined.collect()
+    # duplicated endpoints now have core 0; every mr edge along the chain
+    # is <= eps, so the whole 6-instance chain stays one cluster
+    assert len(rows) == 6
+    assert {r["support"] for r in rows} == {6}
