@@ -390,6 +390,7 @@ def cluster_forest_instance(
     max_height: int = DEFAULT_MAX_HEIGHT,
     min_cluster_size: int = 2,
     refine: bool = True,
+    rep_budget: int = 50_000,
 ) -> DataFrame:
     """Instance-mode subtree clustering (``TreeClusterer.fit`` with
     ``schema_only=False``, ``similarity.py:200-368``): pairwise
@@ -428,7 +429,13 @@ def cluster_forest_instance(
     with_rep = cands.withColumn("ctx_fp", F.expr(_CTX_FP_EXPR))
 
     # one row per distinct (typed_label, ctx_fp): the rep's ctx plus its
-    # member count and modal-name counts — all driver rows are aggregates
+    # member count and modal-name counts — all driver rows are aggregates.
+    # The rep set is schema-bounded (label vocabulary × distinct context
+    # shapes) for meta-model forests, but pathologically heterogeneous
+    # corpora (deep unlabelled syntax trees) can multiply context shapes —
+    # so the collect is capped at rep_budget+1 rows and the operator
+    # degrades LOUDLY to signature-mode clustering past the budget instead
+    # of OOMing the driver.
     rep_stats = (
         with_rep.groupBy("typed_label", "ctx_fp")
         .agg(
@@ -436,8 +443,21 @@ def cluster_forest_instance(
             F.first("ctx").alias("ctx"),
             F.first("node_name").alias("a_name"),
         )
+        .limit(rep_budget + 1)
         .collect()
     )
+    if len(rep_stats) > rep_budget:
+        import warnings
+
+        warnings.warn(
+            f"cluster_forest_instance: > {rep_budget} distinct "
+            "(typed_label, ctx) representatives — context shapes are not "
+            "schema-bounded on this forest; degrading to signature-mode "
+            "clustering (raise rep_budget to force instance mode)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return cluster_forest(nodes, tau=tau, metric=metric, max_height=max_height)
     if not rep_stats:
         return spark.createDataFrame([], "node_id string, cluster_name string, support long")
 

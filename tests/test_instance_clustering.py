@@ -198,3 +198,34 @@ def test_hdbscan_cut_respects_multiplicity(spark):
     # is <= eps, so the whole 6-instance chain stays one cluster
     assert len(rows) == 6
     assert {r["support"] for r in rows} == {6}
+
+
+def test_rep_budget_guard_degrades_to_signature_mode(spark):
+    """Past rep_budget distinct (typed_label, ctx) reps the operator must
+    warn and fall back to signature-mode clustering rather than collect an
+    unbounded rep set onto the driver."""
+    import warnings
+
+    trees = {
+        f"t{i}": parse_tree(f"(ROOT (X (ENT::a v) (ENT::b v) (ENT::u{i} v)))")
+        for i in range(12)
+    }
+    nodes = forest_from_trees(spark, trees)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = cluster_forest_instance(nodes, tau=0.7, metric="jaccard", rep_budget=5)
+        rows = out.collect()
+    assert any("signature-mode" in str(w.message) for w in caught)
+
+    expected = cluster_forest(nodes, tau=0.7, metric="jaccard").collect()
+    assert out.columns == ["node_id", "cluster_name", "support"]
+    assert sorted((r["node_id"], r["cluster_name"], r["support"]) for r in rows) == sorted(
+        (r["node_id"], r["cluster_name"], r["support"]) for r in expected
+    )
+
+    # with an adequate budget the same forest stays in instance mode (no warning)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cluster_forest_instance(nodes, tau=0.7, metric="jaccard").collect()
+    assert not any("signature-mode" in str(w.message) for w in caught)
