@@ -151,6 +151,135 @@ def corenlp_factory(url: str, **kwargs):
     return functools.partial(CoreNLPParser, url, **kwargs)
 
 
+#: Public benepar model names per language (``parser/benepar.py:22-34``).
+DEFAULT_BENEPAR_MODELS = {
+    "English": "benepar_en3",
+    "Chinese": "benepar_zh2",
+    "Arabic": "benepar_ar2",
+    "German": "benepar_de2",
+    "Basque": "benepar_eu2",
+    "French": "benepar_fr2",
+    "Hebrew": "benepar_he2",
+    "Hungarian": "benepar_hu2",
+    "Korean": "benepar_ko2",
+    "Polish": "benepar_pl2",
+    "Swedish": "benepar_sv2",
+}
+
+#: spaCy components the parse does not need (``parser/benepar.py:36``).
+SPACY_DISABLED_PIPELINES = ("parser", "senter", "sentencizer", "ner", "textcat", "lemmatizer", "tagger")
+
+#: One loaded pipeline per (executor process × language) — the Spark
+#: analogue of broadcasting the model: a worker pays the spaCy/benepar
+#: load once and every partition it runs reuses it.  (An actual
+#: ``sc.broadcast`` would pickle the whole model into the driver and every
+#: task's closure; lazy per-process loading ships only the model *name*.)
+_BENEPAR_MODELS: dict = {}
+
+
+class BeneparParser:
+    """spaCy + benepar constituency parser (``parser/benepar.py:49-87``)
+    behind the same ``parse_batch`` protocol as :class:`CoreNLPParser` /
+    :class:`StubParser`, so it plugs straight into
+    :func:`parse_sentences_df` via :func:`benepar_factory`.
+
+    Reference semantics mirrored: one spaCy pipeline per language with the
+    non-parse components disabled, a ``force_single_sent`` component so
+    each input string is exactly one sentence, benepar appended last,
+    ``nlp.pipe(batch_size=…)`` batching, and each parse re-labelled
+    ``SENT`` (``:83-87``).
+
+    Env-gated boundary: spaCy/benepar are not installed in this container.
+    With ``fallback_to_stub=True`` (default) an unavailable import degrades
+    to :class:`StubParser` output; tests inject a fake pipeline through
+    ``model_loader`` to exercise the real batch path."""
+
+    def __init__(
+        self,
+        *,
+        spacy_models: dict[str, str] | None = None,
+        benepar_models: dict[str, str] | None = None,
+        language: str = "English",
+        batch_size: int = 128,
+        model_loader=None,
+        fallback_to_stub: bool = True,
+    ) -> None:
+        self.spacy_models = spacy_models or {"English": "en_core_web_md"}
+        self.benepar_models = benepar_models or dict(DEFAULT_BENEPAR_MODELS)
+        self.language = language
+        self.batch_size = batch_size
+        self.model_loader = model_loader
+        self.fallback_to_stub = fallback_to_stub
+        self._stub: StubParser | None = None
+
+    def _load_model(self):
+        key = (self.language, self.spacy_models.get(self.language), id(self.model_loader))
+        if key in _BENEPAR_MODELS:
+            return _BENEPAR_MODELS[key]
+        if self.model_loader is not None:
+            nlp = self.model_loader(self.language)
+        else:
+            import benepar  # noqa: F401  (registers the spaCy factory)
+            import spacy
+            from spacy import Language
+
+            if not Language.has_factory("force_single_sent"):
+
+                @Language.component("force_single_sent")
+                def _force_single_sent(doc):
+                    for t in doc:
+                        t.is_sent_start = False
+                    if len(doc):
+                        doc[0].is_sent_start = True
+                    return doc
+
+            nlp = spacy.load(
+                self.spacy_models[self.language], disable=list(SPACY_DISABLED_PIPELINES)
+            )
+            nlp.add_pipe("force_single_sent")
+            nlp.add_pipe("benepar", config={"model": self.benepar_models[self.language]}, last=True)
+        _BENEPAR_MODELS[key] = nlp
+        return nlp
+
+    def parse_batch(self, sentences: list[str]) -> list[PyTree]:
+        from architxt_spark.trees import parse_tree
+
+        clean = [s.replace("\n", " ").strip() or " " for s in sentences]
+        if self._stub is None:
+            try:
+                nlp = self._load_model()
+            except (ImportError, OSError) as e:
+                if not self.fallback_to_stub:
+                    raise ImportError(
+                        "BeneparParser needs the spacy + benepar packages and their "
+                        f"models (none in this container): {e}"
+                    ) from e
+                self._stub = StubParser()
+        if self._stub is not None:
+            return self._stub.parse_batch(clean)
+
+        out: list[PyTree] = []
+        for doc in nlp.pipe(clean, batch_size=self.batch_size):
+            sent = next(iter(doc.sents))
+            tree = parse_tree(" ".join(sent._.parse_string.split()))
+            tree.label = "SENT"  # reference: ``tree.label = 'SENT'``
+            out.append(tree)
+        return out
+
+    def parse(self, sentence: str) -> PyTree:
+        return self.parse_batch([sentence])[0]
+
+
+def benepar_factory(**kwargs):
+    """Picklable parser factory for :func:`parse_sentences_df`:
+    ``parse_sentences_df(sents, parser_factory=benepar_factory(language='English'))``
+    builds one :class:`BeneparParser` per partition batch iterator; the
+    underlying pipeline is loaded once per executor process."""
+    import functools
+
+    return functools.partial(BeneparParser, **kwargs)
+
+
 def _align_tokens(sentence: str) -> list[tuple[int, int]]:
     """Whitespace-token char spans (``align_tokens`` semantics)."""
     spans = []
