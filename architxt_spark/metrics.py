@@ -274,3 +274,41 @@ def num_productions(nodes: DataFrame) -> int:
         label_col("node_type", "node_name").alias("lhs"),
     )
     return rhs.join(parents, "parent_id").select("lhs", "rhs").distinct().count()
+
+
+def mlflow_iteration_logger(mlflow_module=None):
+    """Import-gated MLflow binding for :func:`architxt_spark.operators.
+    engine.rewrite`'s ``on_iteration`` callback — the reference's
+    per-iteration experiment logging (``Metrics.log_to_mlflow``,
+    ``architxt/metrics.py:414-473``).
+
+    Returns a callback that maps the rewrite census dict onto the
+    reference's metric names and logs them to the ACTIVE run with
+    ``step=iteration``; with no active run each call is a no-op (reference
+    ``:423-424``).  mlflow is resolved at construction so a missing
+    package fails at wiring time, not mid-rewrite; tests inject a fake
+    through ``mlflow_module``.
+    """
+    if mlflow_module is None:
+        import mlflow as mlflow_module  # not in this container — env-gated
+
+    names = {
+        "n_nodes": "nodes.count",
+        "n_ent": "entities.count",
+        "n_group": "groups.count",
+        "n_rel": "relations.count",
+        "n_coll": "collections.count",
+        "trees_changed": "rewrite.trees_changed",
+    }
+
+    def log(info: dict) -> None:
+        if not mlflow_module.active_run():
+            return
+        metrics = {
+            name: float(info[key])
+            for key, name in names.items()
+            if info.get(key) is not None
+        }
+        mlflow_module.log_metrics(metrics, step=int(info.get("iteration", 0)))
+
+    return log

@@ -68,3 +68,51 @@ def test_num_productions(spark):
     # have null name so ENT productions count once per label set... leaves are
     # excluded (node_name null), so: ROOT->g, g->(a,b), ROOT->h, h->(a) = 4
     assert num_productions(nodes) == 4
+
+
+def test_mlflow_iteration_logger_with_fake_module(spark):
+    """The binding logs reference-named metrics per iteration step to the
+    active run, no-ops without one, and wires into rewrite()'s callback."""
+    from architxt_spark.metrics import mlflow_iteration_logger
+
+    class FakeMlflow:
+        def __init__(self):
+            self.run = None
+            self.logged = []
+
+        def active_run(self):
+            return self.run
+
+        def log_metrics(self, metrics, step=None):
+            self.logged.append((step, dict(metrics)))
+
+    fake = FakeMlflow()
+    cb = mlflow_iteration_logger(fake)
+
+    cb({"iteration": 0, "n_nodes": 10, "n_ent": 4, "trees_changed": 2})
+    assert fake.logged == []  # no active run -> no-op
+
+    fake.run = object()
+    cb({"iteration": 3, "n_nodes": 10, "n_ent": 4, "n_group": 1,
+        "n_rel": 0, "n_coll": None, "trees_changed": 2, "operation": "find_subgroups"})
+    assert len(fake.logged) == 1
+    step, metrics = fake.logged[0]
+    assert step == 3
+    assert metrics == {
+        "nodes.count": 10.0,
+        "entities.count": 4.0,
+        "groups.count": 1.0,
+        "relations.count": 0.0,
+        "rewrite.trees_changed": 2.0,
+    }
+
+    # end-to-end: rewrite() drives the callback once per iteration
+    from architxt_spark.operators.engine import rewrite
+    from architxt_spark.trees import forest_from_trees, parse_tree
+
+    trees = {
+        f"t{i}": parse_tree("(ROOT (X (ENT::a 1) (ENT::b 2)))") for i in range(4)
+    }
+    rewrite(forest_from_trees(spark, trees), epoch=2, on_iteration=cb)
+    assert len(fake.logged) >= 2
+    assert all(m["nodes.count"] > 0 for _, m in fake.logged[1:])
