@@ -46,10 +46,21 @@ def _spread(df: DataFrame) -> DataFrame:
     exploded-row redesign made that moot — the generator child is now a
     barrier-projected column, so the inferred filter is cheap (re-measured
     at sf0.1: 2.61s with the rule vs 2.78s without).  No session conf is
-    mutated anymore."""
+    mutated anymore.
+
+    The small-input check reads ``df.inputFiles()`` — pure metadata, no
+    job, and unlike ``df.rdd.getNumPartitions()`` it does not build the
+    RDD-conversion plan on every call.  Non-file sources report no files
+    and are left alone (their upstream already chose a partitioning); a
+    single file smaller than ``maxPartitionBytes × cores`` is exactly the
+    tiny-test-file case this guards."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — unknown source: assume upstream partitioning
+        return df
+    if 0 < n_inputs < target:
         return df.repartition(target)
     return df
 

@@ -35,6 +35,7 @@ HEADLINE = [
     "ann_topk",
     "events_hourly_rollup",
     "events_sessionize",
+    "sampling_mixture",
 ]
 
 
@@ -76,17 +77,26 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — warm-up must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # Repeated minimum per query (BASELINE.md measurement protocol): this
+    # host shows 2-4x run-to-run noise under neighbor load (measured:
+    # identical code, 38.6s vs 115s totals minutes apart), so a single
+    # draw is not a measurement.  The minimum of REPEATS runs is the
+    # honest steady-state number the 2x regression bar applies to.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s min of {repeats} ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
