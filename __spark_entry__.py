@@ -408,6 +408,78 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of repeated word bi/trigrams
+    per document — pure column ops, no shuffle beyond the scan."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.dup_ngram_fraction(F.col("text"), 2), 5).alias("rep_bigram"),
+        F.round(T.dup_ngram_fraction(F.col("text"), 3), 5).alias("rep_trigram"),
+    )
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII spans (the synthetic corpus has none):
+    same expression as the oracle SQL so redaction is comparable."""
+    d = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" contact user"), d, F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".42"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call +1 555 867 5309")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PII_INJECT_SQL = (
+    "text"
+    " || (case when doc_id % 7 = 0 then ' contact user' || cast(doc_id as varchar) || '@example.com now' else '' end)"
+    " || (case when doc_id % 11 = 0 then ' from 10.0.' || cast(doc_id % 256 as varchar) || '.42' else '' end)"
+    " || (case when doc_id % 13 = 0 then ' call +1 555 867 5309' else '' end)"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over deterministically-injected spans: per-kind match
+    counts plus an md5 of the redacted text, so the oracle verifies the
+    exact redaction output byte-for-byte.  JVM-side regexp only."""
+    docs = _with_synthetic_pii(_t(spark, sf, "documents"))
+    t = F.col("text")
+    return docs.filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 13 == 0)
+    ).select(
+        "doc_id",
+        T.pii_count(t, "email").cast("long").alias("n_email"),
+        T.pii_count(t, "ipv4").cast("long").alias("n_ip"),
+        T.pii_count(t, "phone").cast("long").alias("n_phone"),
+        F.md5(T.redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination screen: documents sharing >= 30% of their
+    distinct word trigrams with a held-out 'benchmark' slice (doc_id < 25
+    stands in for the eval set).  Scale shape: the benchmark gram set is
+    bounded and broadcast; one shuffle for the per-doc aggregate."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.shingles(F.col("text"), 3))).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") < 25).select("gram").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") >= 25)
+        .join(F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*")).alias("frac"))
+    )
+    return hits.filter(F.col("frac") >= 0.3).select(
+        "doc_id", F.round("frac", 5).alias("overlap_frac")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf, "documents"), "text", "doc_id")
 
@@ -1080,6 +1152,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redundancy_customer": q_redundancy_customer,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "pii_redaction": q_pii_redaction,
+        "contamination_check": q_contamination_check,
         "doc_loader_json_props": q_doc_loader_json_props,
         "simple_rewrite_documents": q_simple_rewrite_documents,
         "rewrite_documents": q_rewrite_documents,
@@ -1335,6 +1410,37 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": f"""
             SELECT doc_id, ROUND({T.quality_score_sql('text')}, 5) AS quality
             FROM documents
+        """,
+        "text_repetition": f"""
+            SELECT doc_id,
+                   ROUND({T.dup_ngram_fraction_sql('text', 2)}, 5) AS rep_bigram,
+                   ROUND({T.dup_ngram_fraction_sql('text', 3)}, 5) AS rep_trigram
+            FROM documents
+        """,
+        "pii_redaction": f"""
+            WITH p AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+            SELECT doc_id,
+                   CAST({T.pii_count_sql('text', 'email')} AS BIGINT) AS n_email,
+                   CAST({T.pii_count_sql('text', 'ipv4')} AS BIGINT) AS n_ip,
+                   CAST({T.pii_count_sql('text', 'phone')} AS BIGINT) AS n_phone,
+                   md5({T.redact_pii_sql('text')}) AS redacted_md5
+            FROM p
+            WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+        """,
+        "contamination_check": f"""
+            WITH grams AS (
+                SELECT doc_id, unnest(list_distinct({T.shingles_sql('text', 3)})) AS gram
+                FROM documents
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id < 25
+            ), hits AS (
+                SELECT g.doc_id,
+                       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS frac
+                FROM grams g LEFT JOIN bench b USING (gram)
+                WHERE g.doc_id >= 25
+                GROUP BY g.doc_id
+            )
+            SELECT doc_id, ROUND(frac, 5) AS overlap_frac FROM hits WHERE frac >= 0.3
         """,
         "doc_loader_json_props": """
             SELECT DISTINCT CAST(props->>'k' AS VARCHAR) AS k FROM events

@@ -205,3 +205,65 @@ def shingles_sql(col: str, n: int = 3) -> str:
         f" i -> array_to_string(({t})[i + 1 : i + {n}], ' '))"
         f" else [] end)"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / PII / contamination (training-data hygiene family)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Repetition score: fraction of word n-grams that are repeats
+    (Gopher-style repetition signal re-expressed for single-line corpora:
+    ``1 - distinct_ngrams / total_ngrams``).  Pure column ops."""
+    sh = shingles(col, n)
+    return F.when(
+        F.size(sh) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction_sql(col: str, n: int = 2) -> str:
+    sh = shingles_sql(col, n)
+    return (
+        f"(case when len({sh}) > 0 then"
+        f" 1.0 - len(list_distinct({sh})) / cast(len({sh}) as double)"
+        f" else 0.0 end)"
+    )
+
+
+#: (kind, pattern, replacement) — patterns restricted to syntax with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB) so the same
+#: chain yields byte-identical redactions on both engines.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{3,4}", "<PHONE>"),
+)
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (JVM-side ``regexp_count``)."""
+    pattern = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def pii_count_sql(col: str, kind: str) -> str:
+    pattern = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its placeholder, chained in
+    ``PII_PATTERNS`` order (email before ipv4/phone so digit runs inside
+    addresses are consumed first)."""
+    out = col
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def redact_pii_sql(col: str) -> str:
+    out = col
+    for _, pattern, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pattern}', '{repl}', 'g')"
+    return out

@@ -170,3 +170,34 @@ def test_stratified_sample_is_pushdown_filter(spark, sf_dir):
     out = S.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_text_hygiene_functions(spark):
+    """Repetition fraction edge cases + PII redaction chain order."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 2 distinct of 5
+            (2, "one two three four"),   # all distinct
+            (3, "x"),                    # fewer tokens than n -> 0.0
+            (4, "mail me at bob@x.io or 10.0.0.1 or +1 555 123 4567"),
+        ],
+        "id int, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.round(T.dup_ngram_fraction(F.col("text"), 2), 5).alias("rep"),
+            T.redact_pii(F.col("text")).alias("red"),
+            T.pii_count(F.col("text"), "email").alias("ne"),
+        ).collect()
+    }
+    assert rows[1]["rep"] == 0.6
+    assert rows[2]["rep"] == 0.0
+    assert rows[3]["rep"] == 0.0
+    assert rows[4]["red"] == "mail me at <EMAIL> or <IP> or <PHONE>"
+    assert rows[4]["ne"] == 1 and rows[1]["ne"] == 0
