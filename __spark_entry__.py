@@ -1119,6 +1119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_parse_forest",
         "lang_distribution",
         "simple_rewrite_documents",
+        "text_repetition",
+        "pii_redaction",
+        "contamination_check",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
