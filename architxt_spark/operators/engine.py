@@ -425,10 +425,15 @@ def rewrite(
 
     for iteration in range(epoch):
         flagged = apply_tree_op(nodes, lambda t: pytree_ops.reduce_all(t, {NodeType.ENT}), "reduce")
-        nodes = flagged.drop("changed")
+        # Materialize once: the reduce output feeds clustering, find_groups,
+        # the probe pass and the chain pass — without the checkpoint the
+        # Arrow reduce pass re-executes for each of them (measured 3x per
+        # iteration).  Same for the find_groups join pipeline below, which
+        # both the probe and the chain consume.
+        nodes = flagged.drop("changed").localCheckpoint(eager=True)
 
         assignments, sig_index = cluster_forest_with_index(nodes, tau=tau)
-        nodes = find_groups(nodes, assignments, min_support)
+        nodes = find_groups(nodes, assignments, min_support).localCheckpoint(eager=True)
 
         ops = (
             list(operations)
