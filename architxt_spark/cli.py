@@ -205,6 +205,49 @@ def _cmd_stats(args: argparse.Namespace) -> None:
     print(json.dumps(forest_stats(_read_nodes(spark, args.nodes)), indent=2, default=str))
 
 
+def _cmd_generate(args: argparse.Namespace) -> None:
+    """Reference ``generate`` verb (``cli/__init__.py:437-466``): synthetic
+    instances of the demo medical schema."""
+    from architxt_spark.generator import gen_instance
+    from architxt_spark.plans.schema import Relation, SchemaPlan
+
+    spark = _session("generate")
+    schema = SchemaPlan.from_description(
+        groups={
+            "SOSY": frozenset({"SOSY", "ANATOMIE", "SUBSTANCE"}),
+            "TREATMENT": frozenset({"SUBSTANCE", "DOSAGE", "ADMINISTRATION", "FREQUENCY"}),
+            "EXAM": frozenset({"DIAGNOSTIC_PROCEDURE", "ANATOMIE"}),
+        },
+        relations={
+            Relation("PRESCRIPTION", "SOSY", "TREATMENT"),
+            Relation("EXAM_RESULT", "EXAM", "SOSY"),
+        },
+        collections=args.collections,
+    )
+    print(schema.as_cfg())
+    nodes = gen_instance(
+        spark, schema, size=args.size, generate_collections=args.collections
+    )
+    _write_nodes(nodes, args.out)
+    print(f"generated {nodes.select('tree_id').distinct().count()} instances")
+
+
+def _cmd_cleanup(args: argparse.Namespace) -> None:
+    """Reference ``cleanup`` verb (``cli/__init__.py:76-118``): keep only
+    the schema-valid tree structure (labelled productions)."""
+    from architxt_spark.metrics import forest_stats
+    from architxt_spark.plans.schema import extract_valid_trees, schema_from_forest
+
+    spark = _session("cleanup")
+    nodes = _read_nodes(spark, args.nodes)
+    schema = schema_from_forest(nodes, keep_unlabelled=False)
+    print(schema.as_cfg())
+    out = extract_valid_trees(nodes, schema)
+    _write_nodes(out, args.out)
+    if args.metrics:
+        print(json.dumps(forest_stats(out), indent=2, default=str))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="architxt-spark", description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -277,6 +320,18 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stats", help="forest inspector statistics")
     st.add_argument("nodes")
     st.set_defaults(fn=_cmd_stats)
+
+    gen = sub.add_parser("generate", help="synthetic instances of the demo schema")
+    gen.add_argument("--out", required=True)
+    gen.add_argument("--size", type=int, default=100)
+    gen.add_argument("--collections", action="store_true")
+    gen.set_defaults(fn=_cmd_generate)
+
+    cl = sub.add_parser("cleanup", help="keep only the schema-valid tree structure")
+    cl.add_argument("nodes")
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--metrics", action="store_true")
+    cl.set_defaults(fn=_cmd_cleanup)
     return p
 
 

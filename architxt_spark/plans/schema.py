@@ -68,6 +68,31 @@ class SchemaPlan:
     def entities(self) -> set[str]:
         return {e for ents in self.groups.values() for e in ents}
 
+    @classmethod
+    def from_description(
+        cls,
+        *,
+        groups: dict[str, frozenset[str]] | None = None,
+        relations: "set[Relation] | None" = None,
+        collections: bool = True,
+    ) -> "SchemaPlan":
+        """Build a schema from a declarative description
+        (``Schema.from_description``, ``architxt/schema.py:103-142``):
+        productions derive from the group entity sets and relation
+        endpoints, with an optional COLL rule per group/relation."""
+        groups = dict(groups or {})
+        relations = set(relations or ())
+        productions: dict[str, set[tuple[str, ...]]] = {}
+        for g, ents in groups.items():
+            productions[f"GROUP::{g}"] = {tuple(f"ENT::{e}" for e in sorted(ents))}
+            if collections:
+                productions[f"COLL::{g}"] = {(f"GROUP::{g}",)}
+        for r in relations:
+            productions[f"REL::{r.name}"] = {(f"GROUP::{r.left}", f"GROUP::{r.right}")}
+            if collections:
+                productions[f"COLL::{r.name}"] = {(f"REL::{r.name}",)}
+        return cls(productions=productions, groups=groups, relations=relations)
+
     def __or__(self, other: "SchemaPlan") -> "SchemaPlan":
         """Schema union (``Schema.__or__``, ``architxt/schema.py:85-93``):
         productions merge alternative-wise, same-named groups merge their

@@ -119,3 +119,23 @@ def test_cli_jsonl_round_trip(spark, tmp_path, capsys):
         tuple(r) for r in df.select("node_type", "node_name", "leaf_value", "depth").collect()
     }
     assert key(back) == key(orig)
+
+
+def test_cli_generate_and_cleanup(spark, tmp_path, capsys):
+    """Reference ``generate`` / ``cleanup`` verbs: synthetic instances of
+    the demo schema, then a cleanup pass keeps only schema-valid trees."""
+    from architxt_spark import cli
+
+    gen_dir = str(tmp_path / "gen")
+    cli.main(["generate", "--out", gen_dir, "--size", "5"])
+    out = capsys.readouterr().out
+    assert "GROUP::SOSY" in out and "REL::PRESCRIPTION" in out
+    assert "generated 25 instances" in out  # 3 groups + 2 relations, 5 each
+
+    clean_dir = str(tmp_path / "clean")
+    cli.main(["cleanup", gen_dir, "--out", clean_dir, "--metrics"])
+    out = capsys.readouterr().out
+    assert "GROUP::" in out and '"n_trees"' in out
+
+    back = spark.read.parquet(clean_dir)
+    assert back.select("tree_id").distinct().count() == 25
