@@ -494,6 +494,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash pairs → distributed hash-min
+    connected components (the scale path for dedup cluster formation —
+    no driver-side union-find)."""
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), "text", "doc_id")
+    return dedup.connected_components(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_buckets(_t(spark, sf, "documents"), "text", "doc_id")
 
@@ -1122,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition",
         "pii_redaction",
         "contamination_check",
+        "dedup_components",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1183,6 +1192,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_filtered": q_dedup_filtered,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1589,6 +1599,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_duplicates_sql("documents", "text", "doc_id"),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),
+        "dedup_components": dedup.connected_components_sql(
+            dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id")
+        ),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(
             "documents", "text", "doc_id", threshold=0.2
         ),

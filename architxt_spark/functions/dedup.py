@@ -492,3 +492,81 @@ def dedup_filter_sql(
         drop_near AS (SELECT DISTINCT id_b AS id FROM near WHERE est_jaccard >= {near_threshold})
         SELECT id FROM keep_exact WHERE id NOT IN (SELECT id FROM drop_near)
     """
+
+
+# ---------------------------------------------------------------------------
+# connected components (pairs -> dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a pair frame: ``(id,
+    component)`` with component = the minimum id reachable through the
+    pairs.  The scale path for turning pairwise near-dup output
+    (:func:`minhash_lsh_pairs`, :func:`ngram_jaccard_pairs`,
+    ``cosine_near_dup_pairs``) into transitive dedup CLUSTERS — a
+    driver-side union-find would collect every pair.
+
+    Hash-min label propagation: per round, every vertex takes the min of
+    its own label and its neighbours' (one join + one map-combinable
+    groupBy-min), checkpointed so lineage stays linear in rounds.
+    Converges in O(component diameter) rounds — near-dup components are
+    shallow (stars/short chains), so the bound is small; ``max_iterations``
+    caps pathological chains, and the loop exits on the first round with
+    no label change (an aggregate-only job, no collect of rows).
+    """
+    e1 = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = (
+        e1.unionByName(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels.select(F.col("id").alias("src"), "component"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("id", F.col("component").alias("old")), "id")
+            .filter(F.col("component") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels
+
+
+def connected_components_sql(pairs_sql: str, left: str = "id_a", right: str = "id_b") -> str:
+    """DuckDB oracle twin: min-label reachability via a recursive CTE."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT {left} AS src, {right} AS dst FROM pairs
+            UNION
+            SELECT {right}, {left} FROM pairs
+        ),
+        reach(id, component) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id, MIN(component) AS component FROM reach GROUP BY id
+    """

@@ -201,3 +201,29 @@ def test_text_hygiene_functions(spark):
     assert rows[3]["rep"] == 0.0
     assert rows[4]["red"] == "mail me at <EMAIL> or <IP> or <PHONE>"
     assert rows[4]["ne"] == 1 and rows[1]["ne"] == 0
+
+
+def test_connected_components_chain_and_stars(spark):
+    """Hash-min propagation needs multiple rounds on a chain; star and
+    singleton-edge components converge immediately; labels are min ids."""
+    from architxt_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), star 10-(11,12,13), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (11, 10), (10, 12), (13, 10), (20, 21)],
+        "id_a int, id_b int",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+    # max_iterations caps rounds: a single round on the chain cannot
+    # finish, but output is still a valid (partial) labelling
+    partial = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iterations=1).collect()
+    }
+    assert partial[2] == 1 and partial[5] == 4  # one hop propagated only
