@@ -911,6 +911,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with a TRAINED coarse codebook: two deterministic Lloyd rounds
+    (assign-to-nearest + rounded per-dimension means, empty cells keep
+    their centroid) before the same probe/re-score path — the
+    data-adaptive quantizer the first-N codebook approximates."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = ann.train_codebook(emb, n_cells=16, iterations=2)
+    return ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4, centroids=cb)
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1131,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction",
         "contamination_check",
         "dedup_components",
+        "ann_ivf_trained",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1188,6 +1200,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_parse_forest": q_nlp_parse_forest,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "lang_distribution": q_lang_distribution,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1591,6 +1604,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": ann.lsh_topk_sql("embeddings", dim=64, k=5, max_query_id=10),
         "ann_ivf_topk": ann.ivf_topk_sql("embeddings", k=5, n_cells=16, nprobe=4, max_query_id=10),
+        "ann_ivf_trained": ann.ivf_topk_sql(
+            "embeddings", k=5, n_cells=16, nprobe=4, max_query_id=10,
+            codebook_ctes=ann.train_codebook_ctes("embeddings", n_cells=16, iterations=2),
+        ),
         "lang_distribution": f"""
             SELECT {T.lang_id_sql('text')} AS lang_guess,
                    CAST(COUNT(*) AS BIGINT) AS n_docs

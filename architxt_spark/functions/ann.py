@@ -249,12 +249,14 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
     The coarse codebook is deterministic — the first ``n_cells`` corpus
     vectors by id (FAISS-style sample-as-centroids training, made
-    reproducible).  Corpus vectors are assigned to their nearest centroid
+    reproducible), or a trained one passed via ``centroids``
+    (see :func:`train_codebook`).  Corpus vectors are assigned to their nearest centroid
     (one cell each); queries probe their ``nprobe`` nearest cells; exact
     cosine re-scoring happens only inside probed cells.
 
@@ -265,9 +267,10 @@ def ivf_topk(
     is data-independent.  Reference parity: beyond-reference operator per
     SURVEY §7.5 (similarity search scale path).
     """
-    centroids = embeddings.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
-    )
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
     c = _assign_cells(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         centroids,
@@ -308,21 +311,31 @@ def ivf_topk_sql(
     n_cells: int = 16,
     nprobe: int = 4,
     max_query_id: int = 10,
+    codebook_ctes: tuple[str, str] | None = None,
 ) -> str:
     """DuckDB oracle for :func:`ivf_topk` with queries = ``id_col <
-    max_query_id``.  The codebook (first ``n_cells`` ids) and every
-    tie-break are deterministic, so the candidate set matches exactly."""
+    max_query_id``.  The codebook (first ``n_cells`` ids, or the trained
+    CTE chain from :func:`train_codebook_ctes` via ``codebook_ctes``) and
+    every tie-break are deterministic, so the candidate set matches
+    exactly."""
     sim = (
         "list_dot_product({a}.{v}::DOUBLE[], {b}.{v}::DOUBLE[])"
         " / (sqrt(list_dot_product({a}.{v}::DOUBLE[], {a}.{v}::DOUBLE[]))"
         " * sqrt(list_dot_product({b}.{v}::DOUBLE[], {b}.{v}::DOUBLE[])))"
     )
-    cent_sim = sim.format(a="x", b="cent", v=vec_col)
     cand_sim = sim.format(a="q", b="c", v=vec_col)
+    if codebook_ctes is not None:
+        chain, name = codebook_ctes
+        cent_clause = f"{chain}, cent AS (SELECT cell_id, centroid AS {vec_col} FROM {name})"
+        cent_sim = sim.format(a="x", b="cent", v=vec_col)
+    else:
+        cent_sim = sim.format(a="x", b="cent", v=vec_col)
+        cent_clause = (
+            f"cent AS (SELECT {id_col} AS cell_id, {vec_col} FROM {table}"
+            f" WHERE {id_col} < {n_cells})"
+        )
     return f"""
-        WITH cent AS (
-            SELECT {id_col} AS cell_id, {vec_col} FROM {table} WHERE {id_col} < {n_cells}
-        ),
+        WITH {cent_clause},
         assigned AS (
             SELECT x.{id_col} AS vid, x.{vec_col} AS vec, cent.cell_id,
                    ROW_NUMBER() OVER (
@@ -454,3 +467,108 @@ def cosine_near_dup_pairs_sql(
         FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
         WHERE ROUND({sim}, 4) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF codebook training (Lloyd iterations, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def train_codebook(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means for the IVF coarse codebook:
+    first-``n_cells``-by-id init, then ``iterations`` rounds of
+    assign-to-nearest (cosine rounded to 6, cell-id tie-break — the same
+    ranking :func:`_assign_cells` uses at query time) + per-dimension mean
+    (rounded to 6 so floating summation order cannot leak into the
+    result).  Empty cells keep their previous centroid.
+
+    Scale shape: centroids stay broadcast-sized; each round is one
+    map-side assignment pass plus one map-combinable (cell, dim) mean —
+    O(iterations) shuffles of ``n_cells × dim`` aggregates, never an
+    all-pairs.  Returns ``(cell_id, centroid array<double>)`` for
+    :func:`ivf_topk`'s ``centroids`` parameter.
+    """
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"),
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: F.round(x, 6)).alias(
+            "centroid"
+        ),
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    for _ in range(iterations):
+        assigned = _assign_cells(vecs, cents, vec_col="v", out_id="vid", nprobe=1)
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], 6),
+                ).alias("new_c")
+            )
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select("cell_id", F.coalesce("new_c", "centroid").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def train_codebook_ctes(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 2,
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`train_codebook`: returns ``(cte_sql, name)``
+    where ``cte_sql`` is a comma-joined CTE chain (to splice after WITH)
+    and ``name`` selects ``(cell_id, centroid)`` after the unrolled
+    iterations."""
+    sim = (
+        "(list_dot_product(v.vec, c.centroid)"
+        " / (sqrt(list_dot_product(v.vec, v.vec))"
+        " * sqrt(list_dot_product(c.centroid, c.centroid))))"
+    )
+    parts = [
+        f"vecs AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS vec FROM {table})",
+        f"cb0 AS (SELECT {id_col} AS cell_id,"
+        f" list_transform({vec_col}::DOUBLE[], x -> round(x, 6)) AS centroid"
+        f" FROM {table} WHERE {id_col} < {n_cells})",
+    ]
+    prev = "cb0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"s{i} AS (SELECT v.vid, v.vec, c.cell_id,"
+            f" ROW_NUMBER() OVER (PARTITION BY v.vid"
+            f" ORDER BY ROUND({sim}, 6) DESC, c.cell_id) AS rk"
+            f" FROM vecs v CROSS JOIN {prev} c)"
+        )
+        parts.append(
+            f"e{i} AS (SELECT cell_id, unnest(vec) AS val,"
+            f" generate_subscripts(vec, 1) AS ord FROM s{i} WHERE rk = 1)"
+        )
+        parts.append(
+            f"n{i} AS (SELECT cell_id, list(round(m, 6) ORDER BY ord) AS centroid FROM"
+            f" (SELECT cell_id, ord, avg(val) AS m FROM e{i} GROUP BY cell_id, ord)"
+            f" GROUP BY cell_id)"
+        )
+        parts.append(
+            f"cb{i} AS (SELECT p.cell_id, coalesce(n.centroid, p.centroid) AS centroid"
+            f" FROM {prev} p LEFT JOIN n{i} n USING (cell_id))"
+        )
+        prev = f"cb{i}"
+    return ", ".join(parts), prev

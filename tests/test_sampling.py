@@ -227,3 +227,22 @@ def test_connected_components_chain_and_stars(spark):
         for r in connected_components(pairs, max_iterations=1).collect()
     }
     assert partial[2] == 1 and partial[5] == 4  # one hop propagated only
+
+
+def test_train_codebook_moves_centroids_and_keeps_empty_cells(spark):
+    """Two clear blobs: centroids assigned members move to the blob means;
+    a centroid that attracts nothing keeps its init vector."""
+    from architxt_spark.functions.ann import train_codebook
+
+    rows = [(0, [0.0, 10.0]), (1, [100.0, 0.0]), (2, [-5.0, -5.0])]
+    rows += [(i, [0.0, float(8 + i % 3)]) for i in range(3, 13)]      # blob A ~ +y
+    rows += [(i, [float(90 + i % 5), 0.0]) for i in range(13, 23)]    # blob B ~ +x
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cb = {r["cell_id"]: r["centroid"] for r in
+          train_codebook(emb, n_cells=3, iterations=2).collect()}
+    assert set(cb) == {0, 1, 2}
+    # cosine clustering: cell 0 gets the +y blob, cell 1 the +x blob
+    assert cb[0][0] == 0.0 and cb[0][1] > 0
+    assert cb[1][1] == 0.0 and cb[1][0] > 0
+    # nothing points to (-5,-5): init centroid retained exactly (rounded)
+    assert cb[2] == [-5.0, -5.0]
