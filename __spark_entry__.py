@@ -494,6 +494,43 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (MOSS-style): per-doc
+    total n-gram hashes vs the ~1/w kept by winnowing — the sub-linear
+    fingerprint set for plagiarism screening.  Pure column ops."""
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(T.shingle_fingerprints(t, 3)).cast("long").alias("n_grams"),
+        F.size(T.winnow_fingerprints(t, 3, 4)).cast("long").alias("n_winnowed"),
+    )
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style composite quality filter: per-document rule flags
+    (word-count bounds, mean word length, repetition, stopword presence)
+    plus the overall keep decision and BPE-ish token count."""
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    n_tok = T.token_count(t)
+    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_tok, F.lit(1))
+    f_words = n_tok.between(20, 100000)
+    f_wordlen = mean_wl.between(3.0, 10.0)
+    f_rep = T.dup_ngram_fraction(t, 2) <= 0.2
+    f_stop = T.stopword_ratio(t) >= 0.02
+    keep = f_words & f_wordlen & f_rep & f_stop
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count(t).cast("long").alias("bpe_tokens"),
+        f_words.cast("long").alias("f_words"),
+        f_wordlen.cast("long").alias("f_wordlen"),
+        f_rep.cast("long").alias("f_rep"),
+        f_stop.cast("long").alias("f_stop"),
+        keep.cast("long").alias("keep"),
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clusters: MinHash pairs → distributed hash-min
     connected components (the scale path for dedup cluster formation —
@@ -1143,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check",
         "dedup_components",
         "ann_ivf_trained",
+        "doc_fingerprint_winnow",
+        "gopher_quality_flags",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1206,6 +1245,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
+        "gopher_quality_flags": q_gopher_quality_flags,
         "dedup_simhash": q_dedup_simhash,
         "dedup_filtered": q_dedup_filtered,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1616,6 +1657,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_duplicates_sql("documents", "text", "doc_id"),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),
+        "doc_fingerprint_winnow": f"""
+            SELECT doc_id,
+                   CAST(len({T.shingle_fingerprints_sql('text', 3)}) AS BIGINT) AS n_grams,
+                   CAST(len({T.winnow_fingerprints_sql('text', 3, 4)}) AS BIGINT) AS n_winnowed
+            FROM documents
+        """,
+        "gopher_quality_flags": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       {T.token_count_sql('text')} AS n_tok,
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                           / greatest({T.token_count_sql('text')}, 1) AS mean_wl,
+                       {T.dup_ngram_fraction_sql('text', 2)} AS rep,
+                       {T.stopword_ratio_sql('text')} AS stopr,
+                       {T.bpe_token_count_sql('text')} AS bpe
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(bpe AS BIGINT) AS bpe_tokens,
+                   CAST(n_tok BETWEEN 20 AND 100000 AS BIGINT) AS f_words,
+                   CAST(mean_wl BETWEEN 3.0 AND 10.0 AS BIGINT) AS f_wordlen,
+                   CAST(rep <= 0.2 AS BIGINT) AS f_rep,
+                   CAST(stopr >= 0.02 AS BIGINT) AS f_stop,
+                   CAST((n_tok BETWEEN 20 AND 100000) AND (mean_wl BETWEEN 3.0 AND 10.0)
+                        AND rep <= 0.2 AND stopr >= 0.02 AS BIGINT) AS keep
+            FROM q
+        """,
         "dedup_components": dedup.connected_components_sql(
             dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id")
         ),

@@ -267,3 +267,62 @@ def redact_pii_sql(col: str) -> str:
     for _, pattern, repl in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pattern}', '{repl}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprints (winnowing) + BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+def shingle_fingerprints(col: Column, n: int = 3) -> Column:
+    """Rolling window fingerprints: one md5 per word n-gram (md5 because it
+    is the hash both engines share bit-for-bit — the oracle twin must
+    produce identical values)."""
+    return F.transform(shingles(col, n), lambda s: F.md5(s))
+
+
+def shingle_fingerprints_sql(col: str, n: int = 3) -> str:
+    return f"list_transform({shingles_sql(col, n)}, s -> md5(s))"
+
+
+def winnow_fingerprints(col: Column, n: int = 3, w: int = 4) -> Column:
+    """Winnowing (MOSS-style document fingerprint): the minimum shingle
+    hash of each sliding window of ``w`` consecutive n-gram hashes,
+    deduplicated.  Guarantees any shared run of >= n+w-1 tokens between two
+    documents shares a fingerprint, with ~1/w of the hashes kept — the
+    sub-linear fingerprint set for plagiarism/near-dup screening at scale.
+    Pure column ops (no explode until the caller chooses to)."""
+    h = shingle_fingerprints(col, n)
+    mins = F.when(
+        F.size(h) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(h) - w),
+            lambda i: F.array_min(F.slice(h, i + 1, w)),
+        ),
+    ).otherwise(F.when(F.size(h) > 0, F.array(F.array_min(h))).otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(mins)
+
+
+def winnow_fingerprints_sql(col: str, n: int = 3, w: int = 4) -> str:
+    h = shingle_fingerprints_sql(col, n)
+    return (
+        f"list_distinct((CASE WHEN len({h}) >= {w} THEN"
+        f" list_transform(range(0, len({h}) - {w} + 1), i -> list_min(({h})[i + 1 : i + {w}]))"
+        f" WHEN len({h}) > 0 THEN [list_min({h})]"
+        f" ELSE [] END))"
+    )
+
+
+#: BPE-ish pre-tokenizer classes: letter runs, short digit runs, punct runs
+#: (identical semantics in Java regex and RE2).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under a BPE-style pre-tokenization (letters / digit
+    triples / punctuation runs) — the whitespace count underestimates
+    LLM-tokenizer load on punctuation-heavy text."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
+def bpe_token_count_sql(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_TOKEN_PATTERN}'))"

@@ -246,3 +246,27 @@ def test_train_codebook_moves_centroids_and_keeps_empty_cells(spark):
     assert cb[1][1] == 0.0 and cb[1][0] > 0
     # nothing points to (-5,-5): init centroid retained exactly (rounded)
     assert cb[2] == [-5.0, -5.0]
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= n+w-1 tokens must share at least one
+    winnowed fingerprint; disjoint docs share none."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = n+w-1 (3+4-1)
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"other prefix {shared} different end"),
+            (3, "completely unrelated token soup here now"),
+        ],
+        "id int, text string",
+    )
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", winnow_fingerprints(F.col("text"), 3, 4).alias("fp")).collect()
+    }
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
