@@ -1,0 +1,59 @@
+"""Physical-plan regression tests for the headline queries' scale
+properties: filters pushed to the parquet scan, dimensions broadcast, no
+cartesian products in pair generation.  PLANS.md documents these shapes;
+these tests gate them."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    return e
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_project_pushdown(spark, entry):
+    plan = _plan(entry.q_scan_filter_project(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # column pruning: full lineitem has 16 columns; the read schema must not
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert read_schema.count(":") <= 6
+
+
+def test_join_revenue_broadcasts_dimensions(spark, entry):
+    plan = _plan(entry.q_join_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle at this size
+
+
+def test_contamination_broadcasts_benchmark_set(spark, entry):
+    plan = _plan(entry.q_contamination_check(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pair_generators_avoid_cartesian(spark, entry):
+    for q in ("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard"):
+        plan = _plan(getattr(entry, q)(spark, SF))
+        assert "CartesianProduct" not in plan, q
+
+
+def test_hygiene_scans_have_no_exchange(spark, entry):
+    """Per-doc hygiene ops are scan+project only — any Exchange is a
+    regression."""
+    for q in ("q_text_repetition", "q_gopher_quality_flags", "q_doc_fingerprint_winnow"):
+        plan = _plan(getattr(entry, q)(spark, SF))
+        assert "Exchange" not in plan, q
