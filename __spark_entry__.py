@@ -230,6 +230,24 @@ def q_asof_purchase_signup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_forward_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward AS-OF with tolerance (pandas merge_asof parity): each
+    signup attached to the user's NEXT purchase within 7 days — same
+    union + carry window, one shuffle, direction flipped."""
+    from architxt_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf)
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    out = asof_join(
+        signups, purchases, by=["user_id"], right_cols=["event_id"],
+        direction="forward", tolerance_seconds=7 * 86400,
+    )
+    return out.select(
+        "user_id", "event_id", F.col("event_id_right").alias("next_purchase")
+    )
+
+
 def q_range_join_signup_clicks(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: clicks landing in the hour after each
     signup, counted per signup."""
@@ -1182,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained",
         "doc_fingerprint_winnow",
         "gopher_quality_flags",
+        "asof_forward_tolerance",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1203,6 +1222,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_orders": q_percentile_orders,
         "cube_orders": q_cube_orders,
         "asof_purchase_signup": q_asof_purchase_signup,
+        "asof_forward_tolerance": q_asof_forward_tolerance,
         "range_join_signup_clicks": q_range_join_signup_clicks,
         "string_funcs_parts": q_string_funcs_parts,
         "date_math_orders": q_date_math_orders,
@@ -1657,6 +1677,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_duplicates_sql("documents", "text", "doc_id"),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),
+        "asof_forward_tolerance": """
+            WITH s AS (
+                SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'
+            ), p AS (
+                SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+            ), j AS (
+                SELECT s.user_id, s.event_id, p.event_id AS pe,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.user_id, s.event_id
+                           ORDER BY p.ts, p.event_id
+                       ) AS rk
+                FROM s JOIN p ON p.user_id = s.user_id
+                            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+            )
+            SELECT s.user_id, s.event_id, j.pe AS next_purchase
+            FROM s LEFT JOIN (SELECT user_id, event_id, pe FROM j WHERE rk = 1) j
+                 USING (user_id, event_id)
+        """,
         "doc_fingerprint_winnow": f"""
             SELECT doc_id,
                    CAST(len({T.shingle_fingerprints_sql('text', 3)}) AS BIGINT) AS n_grams,

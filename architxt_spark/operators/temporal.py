@@ -24,10 +24,19 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row at or before its
-    timestamp (per ``by`` key); right columns get ``suffix``.  Left rows
-    with no prior right row keep NULLs (left-outer as-of semantics)."""
+    """For each left row, attach the nearest right row per ``by`` key —
+    the most recent at-or-before its timestamp (``direction='backward'``,
+    default) or the earliest at-or-after it (``'forward'``); right columns
+    get ``suffix``.  ``tolerance_seconds`` nulls out matches farther than
+    the tolerance (pandas ``merge_asof`` semantics).  Left rows with no
+    match keep NULLs (left-outer as-of).  Either direction is the same
+    union + carry window: ONE shuffle on the key, never a range
+    self-join."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in by and c != right_ts]
     payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
 
@@ -49,18 +58,36 @@ def asof_join(
         ).alias("__l"),
         payload.alias("__r"),
     )
-    # right rows sort BEFORE left rows at equal timestamps (__src desc), so
-    # a right row at exactly left.ts matches — the ASOF convention.
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__ts").asc(), F.col("__src").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # Equal-timestamp rights must land INSIDE the left row's frame so an
+    # exact-ts right matches (the ASOF convention): backward frames end at
+    # the current row, so rights sort before lefts (__src desc); forward
+    # frames start at the current row, so rights sort after (__src asc).
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__ts").asc(), F.col("__src").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last("__r", ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__ts").asc(), F.col("__src").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first("__r", ignorenulls=True)
     carried = (
         l_tag.unionByName(r_tag)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .withColumn("__match", pick.over(w))
         .filter(F.col("__src") == 0)
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts").cast("double") - F.col("__match")["__rts"].cast("double")
+        )
+        carried = carried.withColumn(
+            "__match", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__match"))
+        )
     out_cols = [F.col("__l")[c].alias(c) for c in left.columns]
     out_cols += [F.col("__match")["__rts"].alias(f"{right_ts}{suffix}")]
     out_cols += [F.col("__match")[c].alias(f"{c}{suffix}") for c in right_cols]

@@ -404,3 +404,47 @@ def test_dedup_leaves_session_conf_unchanged(spark):
 
     row_trees(docs.select("doc_id"), "documents", ["doc_id"]).count()
     assert spark.conf.get("spark.sql.optimizer.excludedRules", None) == before
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """Forward direction picks the earliest right at-or-after each left ts;
+    tolerance nulls matches beyond the window; exact-ts rights match in
+    both directions."""
+    from architxt_spark.operators.temporal import asof_join
+    import pytest
+
+    left = spark.createDataFrame(
+        [("u", "l1", 100.0), ("u", "l2", 250.0), ("u", "l3", 900.0)],
+        "user string, lid string, ts double",
+    )
+    right = spark.createDataFrame(
+        [("u", "r1", 100.0), ("u", "r2", 300.0)],
+        "user string, rid string, ts double",
+    )
+    fwd = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(
+            left, right, by=["user"], right_cols=["rid"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"l1": "r1", "l2": "r2", "l3": None}
+
+    tol = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(
+            left, right, by=["user"], right_cols=["rid"],
+            direction="forward", tolerance_seconds=40,
+        ).collect()
+    }
+    assert tol == {"l1": "r1", "l2": None, "l3": None}  # 250->300 gap is 50 > 40
+
+    back = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(
+            left, right, by=["user"], right_cols=["rid"], direction="backward"
+        ).collect()
+    }
+    assert back == {"l1": "r1", "l2": "r1", "l3": "r2"}
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, by=["user"], direction="nearest")
