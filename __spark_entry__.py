@@ -230,6 +230,55 @@ def q_asof_purchase_signup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_unpivot_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): numeric order columns into
+    (metric, value) rows, averaged per metric — the inverse of the
+    extraction pivot, narrow transform + one agg exchange."""
+    o = _t(spark, sf, "orders")
+    long = o.unpivot(
+        ["o_orderkey"],
+        ["o_totalprice", "o_custkey"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("metric").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_funnel_signup_view_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel: users reaching signup -> first view at-or-after it
+    -> first purchase at-or-after that view.  Per-stage one groupBy(user)
+    + one join — never a per-user event sort on the driver."""
+    ev = _events(spark, sf)
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    vi = (
+        ev.filter(F.col("event_type") == "view")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(vi, "user_id")
+        .filter(F.col("ts") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    stages = (
+        su.select(F.lit("1_signup").alias("stage"), "user_id")
+        .unionByName(vi.select(F.lit("2_view").alias("stage"), "user_id"))
+        .unionByName(pu.select(F.lit("3_purchase").alias("stage"), "user_id"))
+    )
+    return stages.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
 def q_asof_forward_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     """Forward AS-OF with tolerance (pandas merge_asof parity): each
     signup attached to the user's NEXT purchase within 7 days — same
@@ -1201,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_winnow",
         "gopher_quality_flags",
         "asof_forward_tolerance",
+        "unpivot_orders",
+        "funnel_signup_view_purchase",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1223,6 +1274,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": q_cube_orders,
         "asof_purchase_signup": q_asof_purchase_signup,
         "asof_forward_tolerance": q_asof_forward_tolerance,
+        "unpivot_orders": q_unpivot_orders,
+        "funnel_signup_view_purchase": q_funnel_signup_view_purchase,
         "range_join_signup_clicks": q_range_join_signup_clicks,
         "string_funcs_parts": q_string_funcs_parts,
         "date_math_orders": q_date_math_orders,
@@ -1677,6 +1730,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_duplicates_sql("documents", "text", "doc_id"),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),
+        "unpivot_orders": """
+            WITH long AS (
+                SELECT 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+                UNION ALL
+                SELECT 'o_custkey', o_custkey FROM orders
+            )
+            SELECT metric, ROUND(AVG(value), 4) AS avg_value,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM long GROUP BY metric
+        """,
+        "funnel_signup_view_purchase": """
+            WITH su AS (
+                SELECT user_id, MIN(ts) AS st FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), vi AS (
+                SELECT e.user_id, MIN(e.ts) AS vt FROM events e JOIN su USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= su.st GROUP BY e.user_id
+            ), pu AS (
+                SELECT e.user_id, MIN(e.ts) AS pt FROM events e JOIN vi USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= vi.vt GROUP BY e.user_id
+            ), stages AS (
+                SELECT '1_signup' AS stage, user_id FROM su
+                UNION ALL SELECT '2_view', user_id FROM vi
+                UNION ALL SELECT '3_purchase', user_id FROM pu
+            )
+            SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM stages GROUP BY stage
+        """,
         "asof_forward_tolerance": """
             WITH s AS (
                 SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'
