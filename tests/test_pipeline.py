@@ -139,3 +139,43 @@ def test_cli_generate_and_cleanup(spark, tmp_path, capsys):
 
     back = spark.read.parquet(clean_dir)
     assert back.select("tree_id").distinct().count() == 25
+
+
+def test_cached_load_corpus_hits_on_same_content(spark, tmp_path, monkeypatch):
+    """Same corpus content + params -> parquet cache hit (no re-parse);
+    changed content or params -> new key, re-parse."""
+    import architxt_spark.pipeline as P
+
+    docs = spark.createDataFrame(
+        [("d1", "Alice likes apples . Bob hates rain .", None)],
+        "doc_id string, txt string, ann string",
+    )
+    cache = str(tmp_path / "cache")
+
+    calls = []
+    real = P.load_corpus
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "load_corpus", counting)
+
+    first = P.cached_load_corpus(docs, cache_dir=cache).collect()
+    assert len(calls) == 1 and first
+
+    again = P.cached_load_corpus(docs, cache_dir=cache).collect()
+    assert len(calls) == 1  # cache hit: load_corpus not re-invoked
+    assert sorted(map(str, again)) == sorted(map(str, first))
+
+    # different parse params -> different key -> re-parse
+    P.cached_load_corpus(docs, cache_dir=cache, entities_filter=["X"]).collect()
+    assert len(calls) == 2
+
+    # different content -> different key
+    docs2 = spark.createDataFrame(
+        [("d1", "Completely different text .", None)],
+        "doc_id string, txt string, ann string",
+    )
+    P.cached_load_corpus(docs2, cache_dir=cache)
+    assert len(calls) == 3
