@@ -598,6 +598,12 @@ def q_gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup screening: pairs sharing >= 2 kept
+    fingerprints — the ~1/w-cost sibling of the full shingle index."""
+    return dedup.winnow_pairs(_t(spark, sf, "documents"), "text", "doc_id")
+
+
 def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clusters: MinHash pairs → distributed hash-min
     connected components (the scale path for dedup cluster formation —
@@ -1252,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_tolerance",
         "unpivot_orders",
         "funnel_signup_view_purchase",
+        "dedup_winnow_pairs",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1318,6 +1325,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "gopher_quality_flags": q_gopher_quality_flags,
         "dedup_simhash": q_dedup_simhash,
@@ -1803,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
                         AND rep <= 0.2 AND stopr >= 0.02 AS BIGINT) AS keep
             FROM q
         """,
+        "dedup_winnow_pairs": dedup.winnow_pairs_sql("documents", "text", "doc_id"),
         "dedup_components": dedup.connected_components_sql(
             dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id")
         ),

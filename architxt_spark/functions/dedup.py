@@ -570,3 +570,66 @@ def connected_components_sql(pairs_sql: str, left: str = "id_a", right: str = "i
         )
         SELECT id, MIN(component) AS component FROM reach GROUP BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# winnowed fingerprint near-dup (sub-linear index)
+# ---------------------------------------------------------------------------
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    w: int = 4,
+    min_common: int = 2,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing >= ``min_common``
+    WINNOWED fingerprints (:func:`architxt_spark.functions.text.
+    winnow_fingerprints`): any shared token run of >= n+w-1 tokens
+    guarantees a shared fingerprint, so real overlaps survive while the
+    inverted index carries only ~1/w of the shingle hashes — the
+    sub-linear sibling of :func:`ngram_jaccard_pairs` for corpus-scale
+    screening.  Same index shape: explode, DF-cap the degenerate
+    fingerprints (broadcast anti-join), self-join, count per pair."""
+    base = _spread(df).select(
+        F.col(id_col).alias("id"), T.winnow_fingerprints(F.col(text_col), n, w).alias("fp")
+    ).filter(F.size("fp") > 0)
+    inv = base.select("id", F.explode("fp").alias("f"))
+    heavy = inv.groupBy("f").count().filter(F.col("count") > max_fp_df).select("f")
+    inv = inv.join(F.broadcast(heavy), "f", "left_anti")
+    return (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def winnow_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    w: int = 4,
+    min_common: int = 2,
+    max_fp_df: int = 1000,
+) -> str:
+    fp = T.winnow_fingerprints_sql(text_col, n, w)
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {fp} AS fp FROM {table} WHERE len({fp}) > 0
+        ),
+        inv0 AS (SELECT id, unnest(fp) AS f FROM base),
+        heavy AS (SELECT f FROM inv0 GROUP BY f HAVING count(*) > {max_fp_df}),
+        inv AS (SELECT * FROM inv0 WHERE f NOT IN (SELECT f FROM heavy))
+        SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b ON a.f = b.f AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING count(*) >= {min_common}
+    """
