@@ -230,6 +230,52 @@ def q_asof_purchase_signup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): lineitem joined to orders with
+    the left side's keys spread over 16 salts and the right replicated to
+    meet them — semantically identical to the plain join, so the oracle is
+    the unsalted SQL.  The salt derives from the stable line id, so
+    retries are deterministic."""
+    from architxt_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(li, o, "l_orderkey", n_salts=16, salt_by="l_linenumber")
+    return j.groupBy("o_orderstatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by signup week, counted by
+    weeks-since-signup in which they had any later event.  Two aggs + one
+    join; the cohort matrix is small by construction."""
+    ev = _events(spark, sf)
+    first = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    active = (
+        ev.join(first, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (F.col("ts").cast("double") - F.col("cohort_week").cast("double")) / (7 * 86400)
+            ).cast("long").alias("week_n"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_n").agg(
+        F.count("*").alias("n_users")
+    )
+
+
 def q_unpivot_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt (wide -> long): numeric order columns into
     (metric, value) rows, averaged per metric — the inverse of the
@@ -1259,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_orders",
         "funnel_signup_view_purchase",
         "dedup_winnow_pairs",
+        "join_salted_revenue",
+        "retention_cohorts",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1282,6 +1330,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_signup": q_asof_purchase_signup,
         "asof_forward_tolerance": q_asof_forward_tolerance,
         "unpivot_orders": q_unpivot_orders,
+        "join_salted_revenue": q_join_salted_revenue,
+        "retention_cohorts": q_retention_cohorts,
         "funnel_signup_view_purchase": q_funnel_signup_view_purchase,
         "range_join_signup_clicks": q_range_join_signup_clicks,
         "string_funcs_parts": q_string_funcs_parts,
@@ -1738,6 +1788,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_duplicates_sql("documents", "text", "doc_id"),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),
+        "join_salted_revenue": """
+            SELECT o.o_orderstatus,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        "retention_cohorts": """
+            WITH first AS (
+                SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+                FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), active AS (
+                SELECT DISTINCT e.user_id, f.cohort_week,
+                       CAST(FLOOR((epoch(e.ts) - epoch(f.cohort_week)) / (7 * 86400)) AS BIGINT) AS week_n
+                FROM events e JOIN first f USING (user_id)
+                WHERE e.ts >= f.cohort_week
+            )
+            SELECT cohort_week, week_n, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM active GROUP BY cohort_week, week_n
+        """,
         "unpivot_orders": """
             WITH long AS (
                 SELECT 'o_totalprice' AS metric, o_totalprice AS value FROM orders
