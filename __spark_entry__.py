@@ -230,6 +230,38 @@ def q_asof_purchase_signup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_rollup_streaming(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming end-to-end under the correctness gate: the
+    windowed rollup runs as a REAL stream (file source, availableNow
+    trigger, memory sink, complete mode so every window is emitted at
+    stream end) and must hash-match the same batch oracle as
+    events_hourly_rollup."""
+    from architxt_spark.streaming.events import read_event_stream, stream_hourly_rollup
+
+    name = "arch_stream_rollup"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = read_event_stream(spark, sf, glob="events.parquet").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    query = (
+        stream_hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("value_sum"), 2).cast("double").alias("value_sum"),
+    )
+
+
 def q_join_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Salted equi-join (operators/skew.py): lineitem joined to orders with
     the left side's keys spread over 16 salts and the right replicated to
@@ -1307,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs",
         "join_salted_revenue",
         "retention_cohorts",
+        "events_rollup_streaming",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1331,6 +1364,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_tolerance": q_asof_forward_tolerance,
         "unpivot_orders": q_unpivot_orders,
         "join_salted_revenue": q_join_salted_revenue,
+        "events_rollup_streaming": q_events_rollup_streaming,
         "retention_cohorts": q_retention_cohorts,
         "funnel_signup_view_purchase": q_funnel_signup_view_purchase,
         "range_join_signup_clicks": q_range_join_signup_clicks,
@@ -1788,6 +1822,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_duplicates_sql("documents", "text", "doc_id"),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),
+        "events_rollup_streaming": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS value_sum
+            FROM events
+            GROUP BY 1, 2
+        """,
         "join_salted_revenue": """
             SELECT o.o_orderstatus,
                    ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -71,19 +71,22 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def read_event_stream(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, schema: str | None = None, *, glob: str | None = None
+) -> DataFrame:
     """File-source stream over an events directory (one file = one
-    micro-batch unit).  ``maxFilesPerTrigger`` bounds batch size."""
+    micro-batch unit).  ``maxFilesPerTrigger`` bounds batch size; ``glob``
+    filters file names (the file source requires a DIRECTORY path, so a
+    single-file layout is addressed as dir + pathGlobFilter)."""
     if schema is None:
         schema = (
             "event_id long, ts timestamp, user_id long, event_type string,"
             " value double, props string"
         )
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(path)
-    )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 4)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
 
 
 def stream_sessionize(
