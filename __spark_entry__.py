@@ -262,6 +262,38 @@ def q_events_rollup_streaming(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_sessionize_streaming(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming under the gate (rows-only check — the
+    operator is not SQL-expressible): gap-based sessionization via
+    applyInPandasWithState over a real stream.  With availableNow the
+    whole file is one micro-batch, so every session closed by an in-batch
+    gap emits deterministically; each user's trailing open session stays
+    in state (its event-time timeout never fires once the stream ends),
+    which is exactly the unbounded-stream semantics."""
+    from architxt_spark.streaming.events import read_event_stream, stream_sessionize
+
+    name = "arch_stream_sessionize"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = read_event_stream(spark, sf, glob="events.parquet")
+    query = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def q_join_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Salted equi-join (operators/skew.py): lineitem joined to orders with
     the left side's keys spread over 16 salts and the right replicated to
@@ -1340,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_salted_revenue",
         "retention_cohorts",
         "events_rollup_streaming",
+        "events_sessionize_streaming",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1365,6 +1398,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_orders": q_unpivot_orders,
         "join_salted_revenue": q_join_salted_revenue,
         "events_rollup_streaming": q_events_rollup_streaming,
+        "events_sessionize_streaming": q_events_sessionize_streaming,
         "retention_cohorts": q_retention_cohorts,
         "funnel_signup_view_purchase": q_funnel_signup_view_purchase,
         "range_join_signup_clicks": q_range_join_signup_clicks,
