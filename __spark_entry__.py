@@ -230,6 +230,15 @@ def q_asof_purchase_signup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _await_stream(query, timeout: int = 300) -> None:
+    """availableNow still races a slow host: comparing the memory sink while
+    the stream is mid-flight would surface as a baffling data mismatch, so a
+    timeout fails loudly instead."""
+    if not query.awaitTermination(timeout):
+        query.stop()
+        raise TimeoutError(f"stream {query.name!r} did not finish in {timeout}s")
+
+
 def q_events_rollup_streaming(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming end-to-end under the correctness gate: the
     windowed rollup runs as a REAL stream (file source, availableNow
@@ -253,7 +262,7 @@ def q_events_rollup_streaming(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name).select(
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
@@ -263,13 +272,15 @@ def q_events_rollup_streaming(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_events_sessionize_streaming(spark: SparkSession, sf: str) -> DataFrame:
-    """CUSTOM STATEFUL streaming under the gate (rows-only check — the
-    operator is not SQL-expressible): gap-based sessionization via
-    applyInPandasWithState over a real stream.  With availableNow the
-    whole file is one micro-batch, so every session closed by an in-batch
-    gap emits deterministically; each user's trailing open session stays
-    in state (its event-time timeout never fires once the stream ends),
-    which is exactly the unbounded-stream semantics."""
+    """CUSTOM STATEFUL streaming under the FULL hash gate: gap-based
+    sessionization via applyInPandasWithState over a real stream.  With
+    availableNow the whole file is one micro-batch, so every session
+    closed by an in-batch gap emits deterministically; each user's
+    trailing open session stays in state (its event-time timeout never
+    fires once the stream ends) — exactly the unbounded-stream semantics.
+    The emitted set is therefore SQL-expressible after all: the batch
+    sessionization MINUS each user's last (still-open) session, which the
+    oracle states with a QUALIFY row_number() DESC > 1 filter."""
     from architxt_spark.streaming.events import read_event_stream, stream_sessionize
 
     name = "arch_stream_sessionize"
@@ -285,7 +296,7 @@ def q_events_sessionize_streaming(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -2002,6 +2013,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM seq
             GROUP BY user_id, session_seq
+        """,
+        # Streaming sessionizer: the stream emits (a) every session closed
+        # by an in-batch gap = all but each user's last session, PLUS (b)
+        # trailing sessions whose event-time timeout (session_end + gap)
+        # fell strictly below the final watermark (max event ts - the 2h
+        # watermark delay) — availableNow runs a last empty batch in which
+        # those timeouts fire.  Only each user's last session that ended
+        # within 2.5h of stream max stays open (unemitted).
+        "events_sessionize_streaming": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            seq AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM gaps
+            ),
+            sessions AS (
+                SELECT user_id, session_seq, MIN(ts) AS session_start,
+                       MAX(ts) AS session_end,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       (SELECT MAX(ts) FROM events) AS max_ts
+                FROM seq
+                GROUP BY user_id, session_seq
+            )
+            SELECT user_id,
+                   strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+                   n_events
+            FROM sessions
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY session_seq DESC) > 1
+                 OR session_end + INTERVAL 30 MINUTE < max_ts - INTERVAL 2 HOUR
         """,
         # graph_extract: closed-form census of the BFS forest.  Per customer
         # tree (root customer c -> nation -> region, CITIZEN_OF reified):

@@ -83,6 +83,12 @@ def read_event_stream(
             "event_id long, ts timestamp, user_id long, event_type string,"
             " value double, props string"
         )
+    # Self-contained session setup: the events parquet carries
+    # TIMESTAMP(NANOS) (rejected by default), and formatted timestamps must
+    # be TZ-stable regardless of which query ran earlier in the session —
+    # never rely on a batch query having pinned these as a side effect.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 4)
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
