@@ -305,6 +305,35 @@ def q_events_sessionize_streaming(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental cross-batch near-dup under the FULL hash gate: the
+    foreachBatch stream (``streaming/corpus.py``) filters each micro-batch
+    against the persistent LSH band index.  Determinism: the documents
+    table is split into two files (even doc_ids, then odd) and the stream
+    is run twice against the SAME checkpoint — run 1 seeds the index from
+    file A, run 2 (availableNow picks up only the new file) filters file B
+    against A's surviving bands.  The oracle replays both batches in SQL
+    over the identical md5 band keys."""
+    import shutil
+
+    from architxt_spark.streaming.corpus import stream_minhash_dedup
+
+    scratch = "/root/repo/.scratch/stream_dedup"
+    shutil.rmtree(scratch, ignore_errors=True)
+    src, index, out, ckpt = (f"{scratch}/{d}" for d in ("src", "index", "out", "ckpt"))
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    for batch_filter in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        docs.filter(batch_filter).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        _await_stream(stream_minhash_dedup(stream, index, out, ckpt))
+    return spark.read.parquet(out).select("doc_id")
+
+
 def q_join_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Salted equi-join (operators/skew.py): lineitem joined to orders with
     the left side's keys spread over 16 salts and the right replicated to
@@ -1410,6 +1439,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_salted_revenue": q_join_salted_revenue,
         "events_rollup_streaming": q_events_rollup_streaming,
         "events_sessionize_streaming": q_events_sessionize_streaming,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
         "retention_cohorts": q_retention_cohorts,
         "funnel_signup_view_purchase": q_funnel_signup_view_purchase,
         "range_join_signup_clicks": q_range_join_signup_clicks,
@@ -1979,6 +2009,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_filtered": f"""
             SELECT id AS doc_id FROM ({dedup.dedup_filter_sql('documents', 'text', 'doc_id')})
         """,
+        "stream_minhash_dedup": dedup.stream_minhash_dedup_sql(
+            "documents", "text", "doc_id"
+        ),
         "embedding_near_dup": ann.cosine_near_dup_pairs_sql("embeddings", threshold=0.5),
         "embedding_near_dup_lsh": ann.cosine_near_dup_pairs_lsh_sql(
             "embeddings", dim=64, threshold=0.35

@@ -494,6 +494,69 @@ def dedup_filter_sql(
     """
 
 
+def stream_minhash_dedup_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin of the two-batch incremental near-dup run staged by the
+    gate query: batch A = even ids, batch B = odd ids, replaying
+    ``streaming.corpus.minhash_dedup_batch``'s exact keep-set logic —
+    within-batch losers share a band with ANY smaller surviving id, batch
+    B is first screened against batch A's surviving band index.  Band keys
+    are the same md5-derived strings as the Spark side, so the replay is
+    bit-exact."""
+    k, r = MINHASH_K, MINHASH_BAND_SIZE
+    hs = _shingle_ints_sql(text_col)
+    a_lst = "[" + ", ".join(str(a) for a in _MINHASH_A) + "]"
+    b_lst = "[" + ", ".join(str(b) for b in _MINHASH_B) + "]"
+    sig = (
+        f"list_transform(range(0, {k}),"
+        f" i -> list_min(list_transform(hs, h -> (h * ({a_lst})[i+1] + ({b_lst})[i+1]) % {_MINHASH_MOD})))"
+    )
+    return f"""
+        WITH ints AS (
+            SELECT {id_col} AS id, {hs} AS hs FROM {table}
+        ),
+        sigs AS (
+            SELECT id, {sig} AS sig FROM ints WHERE len(hs) > 0
+        ),
+        banded AS (
+            SELECT id,
+                   unnest(list_transform(range(0, {k // r}),
+                          b -> b::varchar || ':' ||
+                               array_to_string(list_transform(sig[b*{r}+1 : b*{r}+{r}], x -> x::varchar), '|'))) AS band
+            FROM sigs
+        ),
+        a_band AS (SELECT * FROM banded WHERE id % 2 = 0),
+        b_band AS (SELECT * FROM banded WHERE id % 2 = 1),
+        a_losers AS (
+            SELECT DISTINCT x.id FROM a_band x
+            JOIN a_band y ON x.band = y.band AND y.id < x.id
+        ),
+        kept_a AS (
+            SELECT DISTINCT id FROM a_band
+            WHERE id NOT IN (SELECT id FROM a_losers)
+        ),
+        index_bands AS (
+            SELECT DISTINCT band FROM a_band WHERE id IN (SELECT id FROM kept_a)
+        ),
+        b_surv AS (
+            SELECT DISTINCT id FROM b_band
+            WHERE id NOT IN (SELECT DISTINCT id FROM b_band
+                             WHERE band IN (SELECT band FROM index_bands))
+        ),
+        b_losers AS (
+            SELECT DISTINCT x.id FROM b_band x
+            JOIN b_band y ON x.band = y.band AND y.id < x.id
+            WHERE x.id IN (SELECT id FROM b_surv)
+              AND y.id IN (SELECT id FROM b_surv)
+        ),
+        kept_b AS (
+            SELECT id FROM b_surv WHERE id NOT IN (SELECT id FROM b_losers)
+        )
+        SELECT id AS {id_col} FROM kept_a
+        UNION ALL
+        SELECT id AS {id_col} FROM kept_b
+    """
+
+
 # ---------------------------------------------------------------------------
 # connected components (pairs -> dedup clusters)
 # ---------------------------------------------------------------------------
