@@ -729,6 +729,36 @@ def entity_cluster_labels(
     ).select("ent_node_id", "cluster_name")
 
 
+def _metric_score(metric: str, a_ents: F.Column, b_ents: F.Column) -> F.Column:
+    """Column-level twin of ``METRIC_FUNCS[metric]`` over two SORTED
+    entity-label arrays (signature order is canonical, so ``array_join``
+    reproduces the ``" ".join(sorted(...))`` strings the Python metrics
+    compare)."""
+    if metric == "jaccard":
+        return F.size(F.array_intersect(a_ents, b_ents)) / F.size(
+            F.array_union(a_ents, b_ents)
+        )
+    a_s = F.array_join(a_ents, " ")
+    b_s = F.array_join(b_ents, " ")
+    if metric == "levenshtein":
+        return F.when(a_s == b_s, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.levenshtein(a_s, b_s) / F.greatest(F.length(a_s), F.length(b_s))
+        )
+    if metric == "jaro":
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _jw_fn(a, b):
+            return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)])
+
+        # module uses `from __future__ import annotations` (stringized
+        # hints), so give pandas_udf real class annotations directly
+        _jw_fn.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+        _jw = pandas_udf(_jw_fn, "double")
+        return _jw(a_s, b_s)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def assign_to_clusters(
     nodes: DataFrame,
     index: dict[frozenset, tuple[str, int]],
@@ -740,32 +770,54 @@ def assign_to_clusters(
     """Assign NEW candidate subtrees to EXISTING clusters
     (``TreeClusterer.get_equiv_of``, ``similarity.py:370-432``): exact
     signature membership first, else the best-scoring cluster signature at
-    or above tau.  The cluster index is the broadcastable signature map
-    from :func:`cluster_forest_with_index`; scoring runs driver-side over
-    the distinct-signature vocabulary only.  Returns
-    (node_id, cluster_name, score)."""
+    or above tau (ties broken to the smallest index signature).  Returns
+    (node_id, cluster_name, score).
+
+    Scale shape: the small cluster index is broadcast against the DISTINCT
+    signature frame and scored with column expressions (arrow-batched UDF
+    for jaro) — sig×index pairs never touch the driver, and the pair count
+    is |distinct signatures| × |index|, both vocabulary-bounded."""
+    from pyspark.sql import Window
+
     spark = nodes.sparkSession
     cands = candidate_subtrees(nodes, max_height=max_height)
-    distinct = [r["signature"] for r in cands.select("signature").distinct().collect()]
-    fn = METRIC_FUNCS[metric]
-
-    mapping: list[tuple[str, str, float]] = []
-    for s in distinct:
-        ents = frozenset(s.split("|"))
-        if ents in index:
-            mapping.append((s, index[ents][0], 1.0))
-            continue
-        best: tuple[float, str] | None = None
-        for sig_set, (name, _support) in index.items():
-            if not (ents & sig_set):
-                continue  # disjoint entity sets score 0 (reference shortcut)
-            score = fn(ents, sig_set)
-            if score >= tau and (best is None or score > best[0]):
-                best = (score, name)
-        if best is not None:
-            mapping.append((s, best[1], round(best[0], 6)))
-
-    if not mapping:
+    if not index:
         return spark.createDataFrame([], "node_id string, cluster_name string, score double")
-    m = spark.createDataFrame(mapping, "signature string, cluster_name string, score double")
+
+    idx = spark.createDataFrame(
+        [("|".join(sorted(fs)), name) for fs, (name, _support) in index.items()],
+        "idx_sig string, idx_cluster string",
+    ).withColumn("idx_ents", F.split("idx_sig", r"\|"))
+
+    d = (
+        cands.select("signature")
+        .distinct()
+        .withColumn("ents", F.split("signature", r"\|"))
+    )
+
+    # exact signature membership: score pinned to 1.0 regardless of tau
+    exact = d.join(
+        F.broadcast(idx), d["signature"] == idx["idx_sig"]
+    ).select("signature", F.col("idx_cluster").alias("cluster_name"), F.lit(1.0).alias("score"))
+
+    # fuzzy: disjoint entity sets score 0 (reference shortcut) -> the
+    # arrays_overlap predicate prunes them inside the broadcast join
+    scored = (
+        d.join(exact.select("signature"), "signature", "left_anti")
+        .join(F.broadcast(idx), F.arrays_overlap(F.col("ents"), F.col("idx_ents")))
+        .withColumn("raw", _metric_score(metric, F.col("ents"), F.col("idx_ents")))
+        .filter(F.col("raw") >= tau)
+    )
+    w = Window.partitionBy("signature").orderBy(F.col("raw").desc(), F.col("idx_sig"))
+    fuzzy = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "signature",
+            F.col("idx_cluster").alias("cluster_name"),
+            F.round("raw", 6).alias("score"),
+        )
+    )
+
+    m = exact.unionByName(fuzzy)
     return cands.join(F.broadcast(m), "signature").select("node_id", "cluster_name", "score")

@@ -305,6 +305,53 @@ def test_assign_to_clusters(spark):
     assert not far  # disjoint/below-tau signatures stay unassigned
 
 
+def test_assign_to_clusters_metrics_match_python(spark):
+    """The vectorized (broadcast-join) scoring must reproduce the Python
+    metric functions exactly, per metric, including the tie-break to the
+    smallest index signature."""
+    from architxt_spark.similarity import METRIC_FUNCS, assign_to_clusters
+    from architxt_spark.trees import forest_from_trees, parse_tree
+
+    index = {
+        frozenset({"a", "b", "c"}): ("abc", 5),
+        frozenset({"a", "b", "d"}): ("abd", 5),  # ties with abc vs {a,b}
+        frozenset({"p", "q"}): ("pq", 2),
+    }
+    trees = {
+        "t1": parse_tree("(T (ENT::a 1) (ENT::b 2))"),
+        "t2": parse_tree("(T (ENT::p 1) (ENT::q 2) (ENT::a 3))"),
+    }
+    nodes = forest_from_trees(spark, trees)
+    for metric in ("jaccard", "levenshtein", "jaro"):
+        got = {
+            r["node_id"]: (r["cluster_name"], r["score"])
+            for r in assign_to_clusters(nodes, index, tau=0.3, metric=metric).collect()
+        }
+        fn = METRIC_FUNCS[metric]
+        for sig_ents in ({"a", "b"}, {"p", "q", "a"}):
+            best = None
+            for fs, (name, _s) in sorted(index.items(), key=lambda kv: sorted(kv[0])):
+                if fs == frozenset(sig_ents):
+                    best = (1.0, name)
+                    break
+                if not (sig_ents & fs):
+                    continue
+                score = fn(sig_ents, fs)
+                if score >= 0.3 and (best is None or score > best[0]):
+                    best = (score, name)
+            matching = [
+                v for k, v in got.items()
+                if ("t1" in k) == (sig_ents == {"a", "b"})
+            ]
+            if best is None:
+                assert not matching
+            else:
+                assert matching, f"{metric}: expected a match for {sig_ents}"
+                name, score = matching[0]
+                assert name == best[1], (metric, sig_ents)
+                assert abs(score - round(best[0], 6)) < 1e-9, (metric, sig_ents)
+
+
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
     """Both sides bucketed by the join key with equal counts -> the join
     plan has no shuffle Exchange (the 100-TB co-location strategy)."""
