@@ -596,6 +596,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iterations):
         msgs = edges.join(
             labels.select(F.col("id").alias("src"), "component"), "src"
@@ -614,6 +615,15 @@ def connected_components(
         labels = new
         if not changed:
             break
+    if changed:
+        # silently returning unconverged labels would surface downstream as
+        # an opaque cluster/oracle mismatch — a component deeper than the
+        # round budget must be loud instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations}"
+            f" iterations ({changed} labels still changing); a component's"
+            " diameter exceeds the round budget — raise max_iterations"
+        )
     return labels
 
 

@@ -62,17 +62,23 @@ def asof_join(
     # exact-ts right matches (the ASOF convention): backward frames end at
     # the current row, so rights sort before lefts (__src desc); forward
     # frames start at the current row, so rights sort after (__src asc).
+    # The payload struct is the FINAL sort key so ties on (key, ts) among
+    # right rows resolve deterministically to the SMALLEST payload
+    # (ts, then right_cols in order) instead of an engine-dependent pick:
+    # backward's `last` sees equal-ts rights ordered desc, forward's
+    # `first` sees them asc — both select the minimum.  Payload columns
+    # must therefore be orderable types (true of any id/scalar payload).
     if direction == "backward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__ts").asc(), F.col("__src").desc())
+            .orderBy(F.col("__ts").asc(), F.col("__src").desc(), F.col("__r").desc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = F.last("__r", ignorenulls=True)
     else:
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__ts").asc(), F.col("__src").asc())
+            .orderBy(F.col("__ts").asc(), F.col("__src").asc(), F.col("__r").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = F.first("__r", ignorenulls=True)

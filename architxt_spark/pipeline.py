@@ -163,6 +163,38 @@ def export_cypher(
     return cypher_node_frames(nodes, schema), cypher_relationship_frames(nodes, schema)
 
 
+def _component_id(obj) -> str:
+    """Deterministic identity of a parse-pipeline component for the cache
+    key (the reference's ``_get_cache_key`` hashes ``language``,
+    ``extractor.name`` and ``resolver.name`` — ``architxt/nlp/__init__.py``).
+    ``functools.partial`` keeps its args/keywords (a partial differing only
+    in ``language=`` must MISS); config-bearing components (patterns,
+    canonical maps, an explicit ``name``) fold a digest of that config in."""
+    import hashlib
+    import json
+
+    if obj is None:
+        return "None"
+    func = getattr(obj, "func", None)
+    if func is not None and hasattr(obj, "keywords"):  # functools.partial
+        inner = getattr(func, "__name__", None) or type(func).__name__
+        return (
+            f"{inner}(args={list(obj.args)!r},"
+            f" kwargs={sorted((obj.keywords or {}).items())!r})"
+        )
+    name = getattr(obj, "__name__", None) or type(obj).__name__
+    for attr in ("name", "patterns", "canonical"):
+        cfg = getattr(obj, attr, None)
+        if cfg is not None:
+            blob = (
+                json.dumps(sorted(cfg.items()), default=str)
+                if isinstance(cfg, dict)
+                else str(cfg)
+            )
+            return f"{name}:{hashlib.md5(blob.encode()).hexdigest()}"
+    return name
+
+
 def corpus_cache_key(
     docs: DataFrame,
     *,
@@ -170,6 +202,8 @@ def corpus_cache_key(
     entities_mapping: Mapping[str, str] | None = None,
     relations_filter: list[str] | None = None,
     parser_name: str = "StubParser",
+    extractor_id: str = "None",
+    resolver_id: str = "None",
 ) -> str:
     """Content-hash cache key for a parsed corpus (the reference's md5
     parse-cache key, ``architxt/nlp/__init__.py:45-76``): md5 over the
@@ -193,6 +227,8 @@ def corpus_cache_key(
             "em": sorted((entities_mapping or {}).items()),
             "rf": sorted(relations_filter) if relations_filter else None,
             "parser": parser_name,
+            "extractor": extractor_id,
+            "resolver": resolver_id,
         },
         sort_keys=True,
     )
@@ -221,14 +257,15 @@ def cached_load_corpus(
     node schema exactly."""
     import os
 
-    parser_name = getattr(parser_factory, "func", parser_factory)
-    parser_name = getattr(parser_name, "__name__", str(parser_name)) if parser_factory else "StubParser"
+    parser_name = _component_id(parser_factory) if parser_factory else "StubParser"
     key = corpus_cache_key(
         docs,
         entities_filter=entities_filter,
         entities_mapping=entities_mapping,
         relations_filter=relations_filter,
         parser_name=parser_name,
+        extractor_id=_component_id(extractor),
+        resolver_id=_component_id(resolver),
     )
     path = os.path.join(cache_dir, key)
     spark = docs.sparkSession

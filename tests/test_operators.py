@@ -495,3 +495,26 @@ def test_asof_join_forward_and_tolerance(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, by=["user"], direction="nearest")
+
+
+def test_asof_join_duplicate_ts_tie_break_deterministic(spark):
+    """Several right rows sharing the same (key, ts) must resolve to the
+    SMALLEST payload (matching the oracle's ORDER BY ts, id tie-break),
+    not an engine-dependent pick — in both directions."""
+    from architxt_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", "l1", 200.0)], "user string, lid string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("u", "rB", 100.0), ("u", "rA", 100.0), ("u", "rD", 300.0), ("u", "rC", 300.0)],
+        "user string, rid string, ts double",
+    ).repartition(4)  # spread ties across partitions to tempt nondeterminism
+    back = asof_join(
+        left, right, by=["user"], right_cols=["rid"], direction="backward"
+    ).collect()
+    assert [r["rid_right"] for r in back] == ["rA"]
+    fwd = asof_join(
+        left, right, by=["user"], right_cols=["rid"], direction="forward"
+    ).collect()
+    assert [r["rid_right"] for r in fwd] == ["rC"]

@@ -179,3 +179,61 @@ def test_cached_load_corpus_hits_on_same_content(spark, tmp_path, monkeypatch):
     )
     P.cached_load_corpus(docs2, cache_dir=cache)
     assert len(calls) == 3
+
+
+def test_cached_load_corpus_misses_on_component_change(spark, tmp_path, monkeypatch):
+    """Extractor / resolver / parser-partial-kwargs identity is part of the
+    cache key: swapping any of them must MISS, not silently return the
+    other pipeline's parse (reference ``_get_cache_key`` hashes language +
+    extractor.name + resolver.name)."""
+    import functools
+
+    import architxt_spark.pipeline as P
+    from architxt_spark.nlp.enrich import DictResolver, RegexExtractor
+
+    docs = spark.createDataFrame(
+        [("d1", "Alice likes apples .", None)],
+        "doc_id string, txt string, ann string",
+    )
+    cache = str(tmp_path / "cache")
+
+    calls = []
+    real = P.load_corpus
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "load_corpus", counting)
+
+    P.cached_load_corpus(docs, cache_dir=cache).collect()
+    assert len(calls) == 1
+
+    # adding an extractor must miss; re-running with the SAME config hits
+    ex = RegexExtractor({"FRUIT": r"\bapples\b"})
+    P.cached_load_corpus(docs, cache_dir=cache, extractor=ex).collect()
+    assert len(calls) == 2
+    P.cached_load_corpus(
+        docs, cache_dir=cache, extractor=RegexExtractor({"FRUIT": r"\bapples\b"})
+    ).collect()
+    assert len(calls) == 2
+    # a different pattern set is a different extractor identity
+    P.cached_load_corpus(
+        docs, cache_dir=cache, extractor=RegexExtractor({"NAME": r"\bAlice\b"})
+    ).collect()
+    assert len(calls) == 3
+
+    # resolver identity counts too
+    P.cached_load_corpus(
+        docs, cache_dir=cache, resolver=DictResolver({"apples": "apple"})
+    ).collect()
+    assert len(calls) == 4
+
+    # parser partial KEYWORDS count: language=... must not be dropped
+    from architxt_spark.nlp.parser import StubParser
+
+    p_en = functools.partial(StubParser, language="en")
+    p_fr = functools.partial(StubParser, language="fr")
+    k_en = P._component_id(p_en)
+    k_fr = P._component_id(p_fr)
+    assert k_en != k_fr and "language" in k_en

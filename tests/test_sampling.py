@@ -220,13 +220,12 @@ def test_connected_components_chain_and_stars(spark):
         20: 20, 21: 20,
     }
 
-    # max_iterations caps rounds: a single round on the chain cannot
-    # finish, but output is still a valid (partial) labelling
-    partial = {
-        r["id"]: r["component"]
-        for r in connected_components(pairs, max_iterations=1).collect()
-    }
-    assert partial[2] == 1 and partial[5] == 4  # one hop propagated only
+    # an exhausted round budget must raise, not silently return partial
+    # (wrong) component labels that would surface as an oracle mismatch
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
 
 
 def test_train_codebook_moves_centroids_and_keeps_empty_cells(spark):
