@@ -243,3 +243,38 @@ def test_read_document_file_excel_gated(spark, tmp_path):
             read_document_file(spark, str(p))
     else:
         pytest.skip("openpyxl present - covered by real-workbook environments")
+
+
+def test_read_document_file_excel_parses_with_fake_engine(spark, tmp_path, monkeypatch):
+    """The Excel branch end-to-end behind a FAKE openpyxl + stubbed
+    pandas.read_excel: one sheet-name-rooted record list per sheet, NaN
+    cells dropped (reference parser chain ``loader/documents.py:22-29``)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from architxt_spark.sources.documents import read_document_file
+
+    monkeypatch.setitem(sys.modules, "openpyxl", types.ModuleType("openpyxl"))
+
+    def fake_read_excel(path, sheet_name=None, dtype=None):
+        assert sheet_name is None  # all sheets requested
+        return {
+            "people": pd.DataFrame(
+                [{"name": "alice", "age": "3"}, {"name": "bob", "age": float("nan")}]
+            ),
+            "places": pd.DataFrame([{"city": "paris"}]),
+        }
+
+    monkeypatch.setattr(pd, "read_excel", fake_read_excel)
+    p = tmp_path / "doc.xlsx"
+    p.write_bytes(b"")  # content never read by the fake engine
+    nodes = read_document_file(spark, str(p))
+    ents = {r["node_name"] for r in nodes.filter(nodes.node_type == "ENT").collect()}
+    assert ents == {"name", "age", "city"}
+    leaves = {r["leaf_value"] for r in nodes.filter(nodes.leaf_value.isNotNull()).collect()}
+    assert {"alice", "bob", "paris", "3"} <= leaves
+    # bob's NaN age cell is dropped, not emitted as a 'nan' entity
+    bob_age = nodes.filter((nodes.node_type == "ENT") & (nodes.leaf_value == "nan"))
+    assert "nan" not in leaves and bob_age.count() == 0
