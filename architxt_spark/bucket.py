@@ -39,6 +39,7 @@ class ParquetTreeBucket:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._active_txn = None
         os.makedirs(root, exist_ok=True)
 
     # -- pointers ---------------------------------------------------------
@@ -109,8 +110,35 @@ class ParquetTreeBucket:
     def transaction(self):
         """Collect mutations and commit once: ``txn.upsert(df)`` /
         ``txn.discard(ids)`` inside the block apply atomically at exit
-        (mirrors the reference's transaction manager)."""
+        (mirrors the reference's explicit transaction manager,
+        ``bucket/zodb.py:231-239``).
+
+        - An exception inside the block ABORTS: staged mutations are
+          discarded, the prior generation stays current and readable, and
+          the exception propagates.
+        - ``txn.savepoint()`` marks a mid-transaction point;
+          ``sp.rollback()`` discards every mutation staged after it
+          (``zodb.py:204-205`` — savepoints do not survive an abort).
+          Rolling back invalidates any later savepoint.
+        - Re-entering ``transaction()`` while one is active JOINS the
+          outer transaction (the reference's ``AlreadyInTransaction``
+          branch): mutations commit once, at outer exit."""
+        if self._active_txn is not None:
+            yield self._active_txn
+            return
+
         staged: list[tuple[str, object]] = []
+
+        class _Savepoint:
+            def __init__(sp, mark: int) -> None:
+                sp._mark = mark
+
+            def rollback(sp) -> None:
+                if sp._mark > len(staged):
+                    raise ValueError(
+                        "savepoint invalidated by an earlier rollback"
+                    )
+                del staged[sp._mark:]
 
         class _Txn:
             def upsert(self, df: DataFrame) -> None:
@@ -119,7 +147,17 @@ class ParquetTreeBucket:
             def discard(self, ids: list[str]) -> None:
                 staged.append(("discard", ids))
 
-        yield _Txn()
+            def savepoint(self) -> _Savepoint:
+                return _Savepoint(len(staged))
+
+        self._active_txn = _Txn()
+        try:
+            yield self._active_txn
+        except BaseException:
+            staged.clear()  # abort: nothing reaches storage
+            raise
+        finally:
+            self._active_txn = None
         current = self.read()
         for kind, payload in staged:
             if kind == "upsert":
