@@ -285,30 +285,72 @@ def mlflow_iteration_logger(mlflow_module=None):
     Returns a callback that maps the rewrite census dict onto the
     reference's metric names and logs them to the ACTIVE run with
     ``step=iteration``; with no active run each call is a no-op (reference
-    ``:423-424``).  mlflow is resolved at construction so a missing
-    package fails at wiring time, not mid-rewrite; tests inject a fake
-    through ``mlflow_module``.
+    ``:423-424``).  Parity beyond per-step metrics:
+
+    - the rewrite params dict (``info["params"]``: nb_sentences / tau /
+      epoch / min_support / edit_ops) is logged ONCE via ``log_params``
+      (reference ``tree_rewriting/__init__.py:109-122``);
+    - distinct-label counts and count/distinct ratios per node type plus
+      the unlabeled count/ratio (reference ``log_to_mlflow`` metric set);
+    - the schema-size series behind the reference's figure is logged per
+      iteration as a ``log_table`` artifact when the module supports it.
+
+    mlflow is resolved at construction so a missing package fails at
+    wiring time, not mid-rewrite; tests inject a fake through
+    ``mlflow_module``.
     """
     if mlflow_module is None:
         import mlflow as mlflow_module  # not in this container — env-gated
 
     names = {
         "n_nodes": "nodes.count",
+        "n_unlabeled": "unlabeled.count",
         "n_ent": "entities.count",
+        "n_distinct_ent": "entities.distinct_count",
         "n_group": "groups.count",
+        "n_distinct_group": "groups.distinct_count",
         "n_rel": "relations.count",
+        "n_distinct_rel": "relations.distinct_count",
         "n_coll": "collections.count",
+        "n_distinct_coll": "collections.distinct_count",
         "trees_changed": "rewrite.trees_changed",
     }
+    ratios = {
+        "entities.ratio": ("n_ent", "n_distinct_ent"),
+        "groups.ratio": ("n_group", "n_distinct_group"),
+        "relations.ratio": ("n_rel", "n_distinct_rel"),
+        "collections.ratio": ("n_coll", "n_distinct_coll"),
+        "unlabeled.ratio": ("n_unlabeled", "n_nodes"),
+    }
+    params_logged = []
 
     def log(info: dict) -> None:
         if not mlflow_module.active_run():
             return
+        step = int(info.get("iteration", 0))
+        if not params_logged and info.get("params"):
+            mlflow_module.log_params(info["params"])
+            params_logged.append(True)
         metrics = {
             name: float(info[key])
             for key, name in names.items()
             if info.get(key) is not None
         }
-        mlflow_module.log_metrics(metrics, step=int(info.get("iteration", 0)))
+        for name, (num, den) in ratios.items():
+            if info.get(num) is not None and info.get(den) is not None:
+                metrics[name] = float(info[num]) / info[den] if info[den] else 0.0
+        mlflow_module.log_metrics(metrics, step=step)
+        if hasattr(mlflow_module, "log_table"):
+            kinds = ["entities", "groups", "relations", "collections"]
+            keys = ["n_ent", "n_group", "n_rel", "n_coll"]
+            if all(info.get(k) is not None for k in keys):
+                mlflow_module.log_table(
+                    {
+                        "kind": kinds,
+                        "count": [int(info[k]) for k in keys],
+                        "distinct": [int(info.get(f"n_distinct{k[1:]}", 0)) for k in keys],
+                    },
+                    artifact_file=f"rewrite/schema_size/{step}.json",
+                )
 
     return log

@@ -414,12 +414,26 @@ def rewrite(
     nodes = nodes.repartition("tree_id").localCheckpoint(eager=True)
 
     def census(frame: DataFrame) -> dict:
+        types = (NodeType.ENT, NodeType.GROUP, NodeType.REL, NodeType.COLL)
         row = frame.agg(
             F.count("*").alias("n_nodes"),
             *[
                 F.sum((F.col("node_type") == t).cast("long")).alias(f"n_{t.lower()}")
-                for t in (NodeType.ENT, NodeType.GROUP, NodeType.REL, NodeType.COLL)
+                for t in types
             ],
+            *[
+                F.countDistinct(
+                    F.when(F.col("node_type") == t, F.col("node_name"))
+                ).alias(f"n_distinct_{t.lower()}")
+                for t in types
+            ],
+            F.sum(
+                (
+                    F.col("node_type").isNull()
+                    & F.col("parent_id").isNotNull()
+                    & F.col("node_name").isNotNull()
+                ).cast("long")
+            ).alias("n_unlabeled"),
         ).collect()[0]
         return row.asDict()
 
@@ -482,7 +496,20 @@ def rewrite(
 
         if on_iteration is not None:
             on_iteration(
-                dict(iteration=iteration, operation=winning_op, trees_changed=n_changed)
+                dict(
+                    iteration=iteration,
+                    operation=winning_op,
+                    trees_changed=n_changed,
+                    # the reference's run params (tree_rewriting:110-122),
+                    # logged once by mlflow-shaped sinks
+                    params=dict(
+                        nb_sentences=n_trees,
+                        tau=tau,
+                        epoch=epoch,
+                        min_support=min_support,
+                        edit_ops=", ".join(name for name, _ in ops),
+                    ),
+                )
                 | census(nodes)
             )
 

@@ -79,12 +79,20 @@ def test_mlflow_iteration_logger_with_fake_module(spark):
         def __init__(self):
             self.run = None
             self.logged = []
+            self.params = []
+            self.tables = []
 
         def active_run(self):
             return self.run
 
         def log_metrics(self, metrics, step=None):
             self.logged.append((step, dict(metrics)))
+
+        def log_params(self, params):
+            self.params.append(dict(params))
+
+        def log_table(self, data, artifact_file=None):
+            self.tables.append((artifact_file, data))
 
     fake = FakeMlflow()
     cb = mlflow_iteration_logger(fake)
@@ -105,8 +113,10 @@ def test_mlflow_iteration_logger_with_fake_module(spark):
         "relations.count": 0.0,
         "rewrite.trees_changed": 2.0,
     }
+    assert fake.tables == []  # incomplete census -> no schema-size table
 
-    # end-to-end: rewrite() drives the callback once per iteration
+    # end-to-end: rewrite() drives the callback once per iteration; the
+    # run params log exactly once, the schema-size figure data per step
     from architxt_spark.operators.engine import rewrite
     from architxt_spark.trees import forest_from_trees, parse_tree
 
@@ -116,3 +126,15 @@ def test_mlflow_iteration_logger_with_fake_module(spark):
     rewrite(forest_from_trees(spark, trees), epoch=2, on_iteration=cb)
     assert len(fake.logged) >= 2
     assert all(m["nodes.count"] > 0 for _, m in fake.logged[1:])
+    assert len(fake.params) == 1
+    p = fake.params[0]
+    assert p["tau"] == 0.7 and p["nb_sentences"] == 4 and "edit_ops" in p
+    assert len(fake.tables) == len(fake.logged) - 1
+    art, data = fake.tables[0]
+    assert art == "rewrite/schema_size/0.json"
+    assert data["kind"] == ["entities", "groups", "relations", "collections"]
+    assert data["count"][0] > 0  # entities present
+    # the fuller reference metric set: distinct counts + ratios
+    last = fake.logged[-1][1]
+    assert "entities.distinct_count" in last and "entities.ratio" in last
+    assert "unlabeled.ratio" in last
