@@ -19,21 +19,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: headline set: one per operator family (scan, agg, join, window, schema
 #: pipeline, graph, typed export, rewrite loop, text, dedup, ann, events) —
-#: enough signal without running all 61.
+#: enough signal without running the full registry.  Round-4 renames:
+#: window_topk_orders→window_orders, text_stats→text_profile,
+#: dedup_exact→dedup_filtered (exact dedup folded into the keep-set),
+#: events_hourly_rollup→its streaming twin's batch body via
+#: events_sessionize staying as the events representative.
 HEADLINE = [
     "scan_filter_project",
     "agg_pricing_summary",
     "join_revenue_by_nation",
-    "window_topk_orders",
+    "window_orders",
     "dataset_extract_nation",
     "graph_extract",
     "typed_export_orders",
     "rewrite_documents",
-    "text_stats",
-    "dedup_exact",
+    "text_profile",
+    "dedup_filtered",
     "dedup_minhash_lsh",
     "ann_topk",
-    "events_hourly_rollup",
     "events_sessionize",
     "sampling_mixture",
 ]

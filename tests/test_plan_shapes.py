@@ -54,6 +54,6 @@ def test_pair_generators_avoid_cartesian(spark, entry):
 def test_hygiene_scans_have_no_exchange(spark, entry):
     """Per-doc hygiene ops are scan+project only — any Exchange is a
     regression."""
-    for q in ("q_text_repetition", "q_gopher_quality_flags", "q_doc_fingerprint_winnow"):
+    for q in ("q_text_profile", "q_gopher_quality_flags", "q_doc_fingerprint_winnow"):
         plan = _plan(getattr(entry, q)(spark, SF))
         assert "Exchange" not in plan, q

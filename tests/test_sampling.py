@@ -1,6 +1,6 @@
 """Sampling / mixture operators — determinism, exactness, edge cases.
 
-The DuckDB oracle (selfcheck `sampling_stratified` / `sampling_mixture`)
+The DuckDB oracle (selfcheck `sampling_strata` / `sampling_mixture`)
 covers cross-engine parity; these tests cover the properties the oracle
 can't see: order-independence, salt independence, under-sized strata, and
 the pre-filter's exactness guarantee.
