@@ -82,35 +82,57 @@ def _traverse(roots: DataFrame, rels: DataFrame, max_depth: int) -> tuple[DataFr
     reached = frontier
     edge_levels: list[DataFrame] = []
 
-    for depth in range(1, max_depth + 1):
-        step = (
-            frontier.select("tree_id", "nid")
-            .join(rels, rels["src"] == F.col("nid"))
-            .drop("nid")
-            .join(
-                reached.select("tree_id", F.col("nid").alias("dst")),
-                ["tree_id", "dst"],
-                "left_anti",
+    # The relationship frame is probed once per BFS level; without pinning
+    # it, every level re-runs its upstream plan (at 100 TB: a full edge-set
+    # scan per level).  MEMORY_AND_DISK persistence of the edge frame across
+    # an iterative traversal is the standard shape (GraphX does the same);
+    # the first level's join materializes it, later levels read blocks.
+    from pyspark import StorageLevel
+
+    rels = rels.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for depth in range(1, max_depth + 1):
+            step = (
+                frontier.select("tree_id", "nid")
+                .join(rels, rels["src"] == F.col("nid"))
+                .drop("nid")
+                .join(
+                    reached.select("tree_id", F.col("nid").alias("dst")),
+                    ["tree_id", "dst"],
+                    "left_anti",
+                )
             )
-        )
-        # Visited-once: when several edges reach the same node in one level,
-        # the lowest (rel_type, src) wins — a deterministic stand-in for the
-        # reference's sequential first-come-first-served BFS queue.
-        w = Window.partitionBy("tree_id", "dst").orderBy("rel_type", "src")
-        step = (
-            step.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
-            .withColumn("bfs_depth", F.lit(depth))
-        )
-        step = step.localCheckpoint(eager=True)
-        if step.isEmpty():
-            break
-        edge_levels.append(step)
-        frontier = step.select("tree_id", F.col("dst").alias("nid"), "bfs_depth")
-        # reached stays a lazy union of checkpointed frontiers — shallow
-        # lineage, no extra materialization pass per level.
-        reached = reached.unionByName(frontier)
+            # Visited-once: when several edges reach the same node in one
+            # level, the lowest (rel_type, src) wins — a deterministic
+            # stand-in for the reference's sequential first-come-first-served
+            # BFS queue.  A hash aggregate with min_by (map-side partial
+            # combine, no sort) replaces the earlier row_number window: same
+            # result on unique (rel_type, src, dst) edges, one shuffle of
+            # pre-combined groups instead of a full sort of the level.
+            payload = [c for c in step.columns if c not in ("tree_id", "dst")]
+            step = (
+                step.groupBy("tree_id", "dst")
+                .agg(
+                    F.min_by(
+                        F.struct(*[F.col(c) for c in payload]),
+                        F.struct("rel_type", "src"),
+                    ).alias("__e")
+                )
+                .select("tree_id", "dst", "__e.*")
+                .withColumn("bfs_depth", F.lit(depth))
+            )
+            step = step.localCheckpoint(eager=True)
+            if step.isEmpty():
+                break
+            edge_levels.append(step)
+            frontier = step.select("tree_id", F.col("dst").alias("nid"), "bfs_depth")
+            # reached stays a lazy union of checkpointed frontiers — shallow
+            # lineage, no extra materialization pass per level.
+            reached = reached.unionByName(frontier)
+    finally:
+        # Safe to release immediately: every surviving frame below is built
+        # from eagerly checkpointed per-level steps, not from ``rels``.
+        rels.unpersist()
 
     if edge_levels:
         edges = edge_levels[0]
