@@ -437,8 +437,22 @@ def rewrite(
         ).collect()[0]
         return row.asDict()
 
+    # Deferred chain fns: when no per-iteration census is needed
+    # (``on_iteration is None``), iteration k's winning-op chain is not run
+    # as its own Arrow pass — it is fused into iteration k+1's reduce pass
+    # (both are per-tree PyTree transforms, and reduce(chain(x)) over one
+    # serialize/deserialize round-trip ≡ the two separate passes).  This
+    # drops one full applyInPandas pass + one checkpoint per iteration.
+    pending: list[Callable[[PyTree], bool]] = []
+
     for iteration in range(epoch):
-        flagged = apply_tree_op(nodes, lambda t: pytree_ops.reduce_all(t, {NodeType.ENT}), "reduce")
+        def run_reduce(t: PyTree, _fns=tuple(pending)) -> bool:
+            for fn in _fns:
+                fn(t)
+            return pytree_ops.reduce_all(t, {NodeType.ENT})
+
+        flagged = apply_tree_op(nodes, run_reduce, "reduce")
+        pending = []
         # Materialize once: the reduce output feeds clustering, find_groups,
         # the probe pass and the chain pass — without the checkpoint the
         # Arrow reduce pass re-executes for each of them (measured 3x per
@@ -484,11 +498,17 @@ def rewrite(
             return changed
 
         if chain_fns:
-            nodes = (
-                apply_tree_op(nodes, run_chain, "chain")
-                .drop("changed")
-                .localCheckpoint(eager=True)
-            )
+            if on_iteration is None:
+                # fused into the next reduce pass (or the post pass below)
+                pending = chain_fns
+            else:
+                # the census the callback receives must see the chain's
+                # effects, so the chain runs as its own pass here
+                nodes = (
+                    apply_tree_op(nodes, run_chain, "chain")
+                    .drop("changed")
+                    .localCheckpoint(eager=True)
+                )
 
         iteration_changed = winner is not None
         winning_op = ops[winner][0] if winner is not None else None
@@ -517,8 +537,11 @@ def rewrite(
             break
 
     # post-process naming passes (``_post_process``, ``:227-259``) — both
-    # are per-tree independent, so they fuse into ONE applyInPandas pass
-    def post(t: PyTree) -> bool:
+    # are per-tree independent, so they fuse into ONE applyInPandas pass,
+    # together with any chain fns the last iteration deferred
+    def post(t: PyTree, _fns=tuple(pending)) -> bool:
+        for fn in _fns:
+            fn(t)
         a = pytree_ops.find_relations(t, naming_only=True)
         b = pytree_ops.find_collections(t, naming_only=True)
         return a or b
