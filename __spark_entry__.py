@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from architxt_spark.functions import ann, dedup, sampling
+from architxt_spark.functions import ann, dedup, sampling, search
 from architxt_spark.functions import text as T
 
 
@@ -759,6 +759,19 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return brute.unionByName(lsh)
 
 
+#: BM25 demo query: a fixed small bag of terms from the corpus vocabulary.
+_BM25_TERMS = ["spark", "vector", "stream"]
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-k over the documents corpus — one
+    codegen scan for per-term token counts, a 1-row stats aggregate
+    broadcast back, TakeOrdered for the top-k (`functions/search.py`)."""
+    return search.bm25_topk(
+        _t(spark, sf, "documents").select("doc_id", "text"), _BM25_TERMS, k=25
+    )
+
+
 # ---------------------------------------------------------------------------
 # meta-model pipeline II: document loader, rewrite ops, clustering
 # ---------------------------------------------------------------------------
@@ -1319,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_strata",
         "embedding_near_dup",
         "ann_topk",
+        "bm25_topk",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
         "dataset_extract_nation",
@@ -1392,6 +1406,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": q_split_sentences,
         "nlp_parse_forest": q_nlp_parse_forest,
         "ann_topk": q_ann_topk,
+        "bm25_topk": q_bm25_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "lang_distribution": q_lang_distribution,
@@ -1915,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
             + ann.lsh_topk_sql("embeddings", dim=64, k=5, max_query_id=10)
             + ")"
         ),
+        "bm25_topk": search.bm25_topk_sql("documents", _BM25_TERMS, k=25),
         "events_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts,

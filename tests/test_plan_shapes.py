@@ -57,3 +57,13 @@ def test_hygiene_scans_have_no_exchange(spark, entry):
     for q in ("q_text_profile", "q_gopher_quality_flags", "q_doc_fingerprint_winnow"):
         plan = _plan(getattr(entry, q)(spark, SF))
         assert "Exchange" not in plan, q
+
+
+def test_bm25_single_scan_codegen(spark, entry):
+    """BM25: no token explode, no Python UDF, stats broadcast back, top-k
+    as TakeOrdered (never a global sort materialization)."""
+    plan = _plan(entry.q_bm25_topk(spark, SF))
+    assert "Generate" not in plan  # no explode of the token stream
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
