@@ -1289,6 +1289,23 @@ def q_sampling_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_sampling_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixture (probability ∝ size^alpha, the standard
+    multilingual rebalancing): exact integer largest-remainder allocation
+    over fixed-point weights, then the hash-order mixture take.  The
+    oracle recomputes the whole allocation in SQL."""
+    from architxt_spark.functions import sampling as S
+
+    docs = _t(spark, sf, "documents")
+    counts = S.temperature_counts(docs, "lang", _TEMP_STRATA, total=120, alpha=0.5)
+    return S.mixture_take(docs, "lang", counts, "doc_id", salt="temp").select(
+        "doc_id", "lang"
+    )
+
+
+_TEMP_STRATA = ["en", "fr", "zh", "de", "es"]
+
+
 def q_sampling_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk sequence packing: deterministic layout (hash
     bucket, hash order), per-bucket cumsum windows — never one global
@@ -1333,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup",
         "ann_topk",
         "bm25_topk",
+        "sampling_temperature",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
         "dataset_extract_nation",
@@ -1424,6 +1442,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_export_orders": q_typed_export_orders,
         "sampling_strata": q_sampling_strata,
         "sampling_mixture": q_sampling_mixture,
+        "sampling_temperature": q_sampling_temperature,
         "sampling_pack": q_sampling_pack,
     }
 
@@ -2060,6 +2079,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM ("
             + sampling.mixture_take_sql(
                 "documents", "lang", {"en": 50, "fr": 20, "zh": 10}, "doc_id", salt="mix"
+            )
+            + ")"
+        ),
+        "sampling_temperature": (
+            "SELECT doc_id, lang FROM ("
+            + sampling.temperature_take_sql(
+                "documents", "lang", _TEMP_STRATA, 120, "doc_id", alpha=0.5, salt="temp"
             )
             + ")"
         ),

@@ -194,6 +194,158 @@ def proportional_counts(
     return counts
 
 
+#: fixed-point scale for temperature weights — ``floor(n^alpha * 1e6)``
+#: turns the (libm-identical on both engines) ``pow`` into an integer, so
+#: the whole largest-remainder allocation below is EXACT integer
+#: arithmetic: no float summation order, no rounding-mode ambiguity,
+#: bit-identical between the Python driver and the DuckDB oracle.
+TEMP_WEIGHT_SCALE = 1_000_000
+
+
+def temperature_counts(
+    df: DataFrame,
+    strata_col: str,
+    strata: list[str],
+    total: int,
+    *,
+    alpha: float = 0.5,
+) -> dict[str, int]:
+    """Per-stratum take counts for TEMPERATURE-scaled mixing: probability
+    ∝ ``size^alpha`` (the standard multilingual/domain rebalancing —
+    ``alpha=1`` is proportional, ``alpha=0`` uniform, ``alpha≈0.3–0.7``
+    upweights small domains).
+
+    One tiny aggregate (stratum sizes, vocab-bounded collect), then the
+    EXACT cap-aware allocation by water-filling: sorted by ``size/weight``
+    (the ratio at which a stratum saturates), the saturated strata form a
+    prefix — each takes its full size; the rest split the remaining budget
+    by largest remainder over fixed-point integer weights
+    ``floor(size^alpha * 1e6)``.  All arithmetic past the ``pow`` is
+    integer, so the DuckDB form (:func:`temperature_take_sql`) reproduces
+    the allocation bit-for-bit.  Feed the result to :func:`mixture_take`.
+    """
+    import math
+
+    sizes = {
+        r[0]: r[1]
+        for r in df.filter(F.col(strata_col).isin(sorted(strata)))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    counts = {s: 0 for s in strata}
+    live = [s for s in strata if sizes.get(s, 0) > 0]
+    wt = {s: math.floor(math.pow(sizes[s], alpha) * TEMP_WEIGHT_SCALE) for s in live}
+
+    # water-filling: in size/weight order, a stratum saturates while its
+    # cap is at or below its fair share of what remains (prefix property)
+    order = sorted(live, key=lambda s: (sizes[s] / wt[s], s))
+    budget, wsum = total, sum(wt.values())
+    tail: list[str] = []
+    for i, s in enumerate(order):
+        if not tail and wsum > 0 and sizes[s] * wsum <= budget * wt[s]:
+            counts[s] = sizes[s]
+            budget -= sizes[s]
+            wsum -= wt[s]
+        else:
+            tail.append(s)
+
+    if tail and wsum > 0 and budget > 0:
+        base = {s: budget * wt[s] // wsum for s in tail}
+        rem = {s: budget * wt[s] % wsum for s in tail}
+        short = budget - sum(base.values())
+        # largest remainder first, stratum name desc on ties — matches the
+        # SQL rank ORDER BY rem DESC, stratum DESC.  A non-saturated
+        # stratum always has size >= base + 1, so no re-capping is needed.
+        for _, s in sorted(((rem[s], s) for s in tail), reverse=True):
+            if short <= 0:
+                break
+            base[s] += 1
+            short -= 1
+        counts.update(base)
+    return counts
+
+
+def temperature_take_sql(
+    table: str,
+    strata_col: str,
+    strata: list[str],
+    total: int,
+    id_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> str:
+    """DuckDB form: recomputes the water-filling allocation IN SQL (same
+    integer arithmetic as :func:`temperature_counts` — saturation prefix
+    via windowed cumulative sums, largest remainder on the tail) and takes
+    the plain windowed per-stratum top-N — verifying both the weighting
+    math and the selection."""
+    in_list = ", ".join(f"'{s}'" for s in sorted(strata))
+    key = sample_key_sql(id_col, salt)
+    ratio_order = "ORDER BY __n * 1.0 / __w, __s"
+    return f"""
+        WITH __sizes AS (
+            SELECT {strata_col} AS __s, count(*) AS __n
+            FROM {table} WHERE {strata_col} IN ({in_list})
+            GROUP BY 1
+        ), __wt AS (
+            SELECT __s, __n,
+                   CAST(floor(pow(__n, {alpha}) * {TEMP_WEIGHT_SCALE}) AS BIGINT) AS __w
+            FROM __sizes
+        ), __ord AS (
+            SELECT __s, __n, __w,
+                   row_number() OVER ({ratio_order}) AS __pos,
+                   COALESCE(sum(__n) OVER ({ratio_order}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __cn,
+                   COALESCE(sum(__w) OVER ({ratio_order}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __cw,
+                   (SELECT sum(__w) FROM __wt) AS __wsum
+            FROM __wt
+        ), __flag AS (
+            SELECT *, (__n * (__wsum - __cw) <= ({total} - __cn) * __w) AS __sat
+            FROM __ord
+        ), __b AS (
+            SELECT COALESCE(min(CASE WHEN NOT __sat THEN __pos END),
+                            COALESCE(max(__pos), 0) + 1) AS __bpos
+            FROM __flag
+        ), __satset AS (
+            SELECT __s, __n AS __take FROM __flag, __b WHERE __pos < __bpos
+        ), __params AS (
+            SELECT {total} - COALESCE((SELECT sum(__take) FROM __satset), 0) AS __r,
+                   (SELECT COALESCE(sum(__w), 0) FROM __wt)
+                   - COALESCE((SELECT sum(f.__w) FROM __flag f, __b
+                               WHERE f.__pos < __bpos), 0) AS __wrem
+        ), __tailbase AS (
+            SELECT f.__s, p.__r * f.__w // p.__wrem AS __base,
+                   p.__r * f.__w % p.__wrem AS __rem
+            FROM __flag f, __b, __params p
+            WHERE f.__pos >= __bpos AND p.__wrem > 0 AND p.__r > 0
+        ), __deficit AS (
+            SELECT (SELECT __r FROM __params) - COALESCE(sum(__base), 0) AS __d
+            FROM __tailbase
+        ), __tailtake AS (
+            SELECT __s, __base + CASE WHEN
+                       row_number() OVER (ORDER BY __rem DESC, __s DESC)
+                       <= (SELECT __d FROM __deficit)
+                   THEN 1 ELSE 0 END AS __take
+            FROM __tailbase
+        ), __take AS (
+            SELECT * FROM __satset UNION ALL SELECT * FROM __tailtake
+        )
+        SELECT * EXCLUDE (__key, __rn, __s, __take) FROM (
+            SELECT t.*, {key} AS __key,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {strata_col}
+                       ORDER BY {key}, {id_col}
+                   ) AS __rn,
+                   tk.__s, tk.__take
+            FROM {table} t JOIN __take tk ON t.{strata_col} = tk.__s
+        )
+        WHERE __rn <= __take
+    """
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -8,6 +8,7 @@ the pre-filter's exactness guarantee.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from architxt_spark.functions import sampling as S
@@ -269,3 +270,58 @@ def test_winnowing_shared_run_guarantee(spark):
     }
     assert fps[1] & fps[2]
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_temperature_counts_allocation(spark):
+    """alpha=1 is proportional, alpha=0 uniform, caps respected, total
+    preserved when capacity allows."""
+    from architxt_spark.functions.sampling import temperature_counts
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, dom string")
+
+    prop = temperature_counts(df, "dom", ["big", "small"], total=50, alpha=1.0)
+    assert prop == {"big": 45, "small": 5}
+
+    uni = temperature_counts(df, "dom", ["big", "small"], total=16, alpha=0.0)
+    assert uni == {"big": 8, "small": 8}
+
+    # sqrt temperature upweights the small domain vs proportional
+    temp = temperature_counts(df, "dom", ["big", "small"], total=50, alpha=0.5)
+    assert temp["small"] > 5 and sum(temp.values()) == 50
+
+    # cap: the small stratum cannot give more rows than it has; the
+    # overflow goes to the uncapped stratum
+    capped = temperature_counts(df, "dom", ["big", "small"], total=60, alpha=0.0)
+    assert capped == {"big": 50, "small": 10}
+
+    # missing stratum contributes nothing and breaks nothing
+    miss = temperature_counts(df, "dom", ["big", "small", "absent"], total=10, alpha=0.5)
+    assert miss["absent"] == 0 and sum(miss.values()) == 10
+
+
+def test_temperature_take_matches_duckdb(spark):
+    """The SQL form recomputes the integer allocation and selection
+    identically, including a capped stratum."""
+    duckdb = pytest.importorskip("duckdb")
+
+    from architxt_spark.functions.sampling import (
+        mixture_take,
+        temperature_counts,
+        temperature_take_sql,
+    )
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, dom string")
+    counts = temperature_counts(df, "dom", ["big", "small"], total=60, alpha=0.0)
+    got = sorted(
+        (r.id, r.dom)
+        for r in mixture_take(df, "dom", counts, "id", salt="t").select("id", "dom").collect()
+    )
+
+    con = duckdb.connect()
+    con.register("tbl", df.toPandas())
+    sql = "SELECT id, dom FROM (" + temperature_take_sql(
+        "tbl", "dom", ["big", "small"], 60, "id", alpha=0.0, salt="t"
+    ) + ")"
+    assert got == sorted((i, d) for i, d in con.execute(sql).fetchall())
