@@ -759,6 +759,14 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return brute.unionByName(lsh)
 
 
+def q_ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN: vectors compressed to m sub-codes,
+    queries scored by asymmetric distance (broadcast per-query lookup
+    tables, decimal sub-score sums) — the memory side of IVF-PQ."""
+    emb = _t(spark, sf, "embeddings")
+    return ann.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 #: BM25 demo query: a fixed small bag of terms from the corpus vocabulary.
 _BM25_TERMS = ["spark", "vector", "stream"]
 
@@ -1350,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup",
         "ann_topk",
         "bm25_topk",
+        "ann_pq_adc",
         "sampling_temperature",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
@@ -1425,6 +1434,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_parse_forest": q_nlp_parse_forest,
         "ann_topk": q_ann_topk,
         "bm25_topk": q_bm25_topk,
+        "ann_pq_adc": q_ann_pq_adc,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "lang_distribution": q_lang_distribution,
@@ -1950,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "bm25_topk": search.bm25_topk_sql("documents", _BM25_TERMS, k=25),
+        "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "events_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts,

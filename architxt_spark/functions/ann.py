@@ -572,3 +572,193 @@ def train_codebook_ctes(
         )
         prev = f"cb{i}"
     return ", ".join(parts), prev
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance scoring
+# ---------------------------------------------------------------------------
+
+
+def _unit(vec: Column) -> Column:
+    """Unit-normalize, each component rounded to 6 (the cosine-PQ recipe:
+    normalize first, then inner product == cosine; rounding pins the
+    cross-engine float boundary once, at the source)."""
+    n = F.sqrt(dot(vec, vec))
+    return F.transform(vec, lambda x: F.round(x / n, 6))
+
+
+def _unit_sql(vec: str) -> str:
+    return (
+        f"list_transform({vec}, x -> round(x / sqrt(list_dot_product({vec}, {vec})), 6))"
+    )
+
+
+def _subspaces(df: DataFrame, id_name: str, vec: Column, m: int, d: int) -> DataFrame:
+    """Explode a vector column into ``m`` subvectors of ``d`` dims:
+    ``(id, sub, sv)``."""
+    parts = F.array(
+        *[
+            F.struct(F.lit(s).alias("sub"), F.slice(vec, s * d + 1, d).alias("sv"))
+            for s in range(m)
+        ]
+    )
+    return df.select(id_name, F.explode(parts).alias("x")).select(
+        id_name, F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k by PRODUCT QUANTIZATION with asymmetric distance
+    (ADC) — the memory-side of the IVF-PQ architecture every billion-vector
+    ANN deployment uses: each vector is compressed to ``m`` one-byte codes
+    (nearest sub-centroid per ``dim/m``-dim subspace, L2, deterministic
+    tie-break), and a query scores a vector as the sum over subspaces of
+    ``dot(query_sub, sub_centroid[code])`` — the query side stays
+    full-precision, the corpus side is ~``dim*4/m``× smaller.
+
+    Sub-codebooks here are the deterministic first-``ksub``-by-id
+    subvectors (the trained path is per-subspace
+    :func:`train_codebook` — orthogonal, same shape as ``ann_ivf_trained``).
+    Vectors are unit-normalized first so inner-product ADC approximates
+    cosine ranking.
+
+    Scale shape: codebooks (``m × ksub`` rows) and the per-query lookup
+    tables (``queries × m × ksub``) are broadcast; encoding is one
+    map-side pass over the corpus; scoring shuffles ``corpus × queries ×
+    m`` pre-aggregated sub-scores into a (query, vector) sum — map-side
+    combinable, never an all-pairs on raw vectors.  Sub-scores are summed
+    as DECIMAL(18,6) so accumulation order cannot leak into the hash.
+    """
+    d = dim // m
+    cb = _subspaces(
+        embeddings.filter(F.col(id_col) < ksub).select(
+            F.col(id_col).alias("code"), _unit(F.col(vec_col).cast("array<double>")).alias("nv")
+        ),
+        "code",
+        F.col("nv"),
+        m,
+        d,
+    ).select("sub", "code", F.col("sv").alias("centroid"))
+
+    corpus = _subspaces(
+        embeddings.select(
+            F.col(id_col).alias("nid"), _unit(F.col(vec_col).cast("array<double>")).alias("nv")
+        ),
+        "nid",
+        F.col("nv"),
+        m,
+        d,
+    )
+    dist = corpus.join(F.broadcast(cb), "sub").select(
+        "nid",
+        "sub",
+        "code",
+        F.round(_l2(F.col("sv"), F.col("centroid")), 6).alias("l2"),
+    )
+    wenc = Window.partitionBy("nid", "sub").orderBy("l2", "code")
+    codes = (
+        dist.withColumn("rk", F.row_number().over(wenc)).filter(F.col("rk") == 1).select("nid", "sub", "code")
+    )
+
+    qsub = _subspaces(
+        queries.select(
+            F.col(id_col).alias("query_id"), _unit(F.col(vec_col).cast("array<double>")).alias("nv")
+        ),
+        "query_id",
+        F.col("nv"),
+        m,
+        d,
+    )
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(dot(F.col("sv"), F.col("centroid")), 6).cast("decimal(18,6)").alias("part"),
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("nid"))
+        .groupBy("query_id", F.col("nid").alias("neighbor_id"))
+        .agg(F.sum("part").alias("dscore"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dscore").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id", F.round(F.col("dscore").cast("double"), 4).alias("adc")
+        )
+    )
+
+
+def pq_topk_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    max_query_id: int = 10,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` with queries = ``id_col <
+    max_query_id`` — same normalization rounding, same L2/IP rounding,
+    same DECIMAL sub-score summation."""
+    d = dim // m
+    subs = ", ".join(str(s) for s in range(m))
+    nv = _unit_sql(f"{vec_col}::DOUBLE[]")
+    return f"""
+        WITH norm AS (
+            SELECT {id_col} AS vid, {nv} AS nv FROM {table}
+        ), subsp AS (
+            SELECT vid, s.sub, nv[s.sub * {d} + 1 : s.sub * {d} + {d}] AS sv
+            FROM norm, (SELECT unnest([{subs}]) AS sub) s
+        ), cb AS (
+            SELECT sub, vid AS code, sv AS centroid FROM subsp WHERE vid < {ksub}
+        ), enc AS (
+            SELECT vid AS nid, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY
+                       round(list_dot_product(list_transform(list_zip(sv, centroid),
+                                 p -> p[1] - p[2]),
+                             list_transform(list_zip(sv, centroid),
+                                 p -> p[1] - p[2])), 6), code) AS rk
+            FROM subsp JOIN cb USING (sub)
+        ), codes AS (
+            SELECT nid, sub, code FROM enc WHERE rk = 1
+        ), lut AS (
+            SELECT q.vid AS query_id, q.sub, c.code,
+                   CAST(round(list_dot_product(q.sv, c.centroid), 6) AS DECIMAL(18,6)) AS part
+            FROM subsp q JOIN cb c USING (sub) WHERE q.vid < {max_query_id}
+        ), scored AS (
+            SELECT l.query_id, codes.nid AS neighbor_id, sum(l.part) AS dscore
+            FROM codes JOIN lut l USING (sub, code)
+            WHERE l.query_id <> codes.nid
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT query_id, neighbor_id, dscore,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dscore DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+               round(CAST(dscore AS DOUBLE), 4) AS adc
+        FROM ranked WHERE rank <= {k}
+    """

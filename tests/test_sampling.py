@@ -325,3 +325,39 @@ def test_temperature_take_matches_duckdb(spark):
         "tbl", "dom", ["big", "small"], 60, "id", alpha=0.0, salt="t"
     ) + ")"
     assert got == sorted((i, d) for i, d in con.execute(sql).fetchall())
+
+
+def test_pq_adc_recall_against_brute_force(spark):
+    """PQ/ADC ranking on separable clusters recovers the same top
+    neighbors as exact cosine: vectors near cluster A must rank other
+    A-members above B-members."""
+    import math
+
+    from architxt_spark.functions.ann import brute_force_topk, pq_topk
+
+    def vec(center, jitter, dim=16):
+        return [center[i % 2] + jitter * math.sin(i + 1) for i in range(dim)]
+
+    # even ids = cluster A, odd ids = cluster B, so the first-ksub-by-id
+    # sub-codebooks see both clusters
+    rows = [
+        (2 * i, vec((10.0, 0.0), 0.1 * i)) for i in range(8)
+    ] + [(2 * i + 1, vec((0.0, 10.0), 0.1 * i)) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2)
+
+    exact = brute_force_topk(emb, q, k=3).collect()
+    approx = pq_topk(emb, q, dim=16, m=4, ksub=8, k=3).collect()
+
+    def tops(rows_):
+        out = {}
+        for r in rows_:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    ex, ap = tops(exact), tops(approx)
+    for qid in ex:
+        # all approx neighbors come from the query's own cluster...
+        assert all(n % 2 == qid % 2 for n in ap[qid])
+        # ...and overlap the exact set on at least 2 of 3
+        assert len(ex[qid] & ap[qid]) >= 2
