@@ -767,6 +767,15 @@ def q_ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     return ann.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic BPE merge training: one word-count shuffle, then
+    merge iterations on the vocab-bounded word frame; greedy merge order
+    via literal separator-string replace (`functions/bpe.py`)."""
+    from architxt_spark.functions import bpe
+
+    return bpe.train_bpe_merges(_t(spark, sf, "documents").select("text"), n_merges=6)
+
+
 #: BM25 demo query: a fixed small bag of terms from the corpus vocabulary.
 _BM25_TERMS = ["spark", "vector", "stream"]
 
@@ -1359,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk",
         "bm25_topk",
         "ann_pq_adc",
+        "bpe_train_merges",
         "sampling_temperature",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
@@ -1435,6 +1445,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "bm25_topk": q_bm25_topk,
         "ann_pq_adc": q_ann_pq_adc,
+        "bpe_train_merges": q_bpe_train_merges,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "lang_distribution": q_lang_distribution,
@@ -1455,6 +1466,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_temperature": q_sampling_temperature,
         "sampling_pack": q_sampling_pack,
     }
+
+
+def _bpe_sql() -> str:
+    from architxt_spark.functions import bpe
+
+    return bpe.train_bpe_merges_sql("documents", n_merges=6)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1961,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": search.bm25_topk_sql("documents", _BM25_TERMS, k=25),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
+        "bpe_train_merges": _bpe_sql(),
         "events_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts,

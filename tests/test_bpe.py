@@ -1,0 +1,45 @@
+"""BPE merge training (functions/bpe.py)."""
+
+import pytest
+
+from architxt_spark.functions import bpe
+
+
+@pytest.fixture()
+def corpus(spark):
+    text = "low low low lower lower newest newest newest newest widest"
+    return spark.createDataFrame([(1, text)], ["doc_id", "text"])
+
+
+def test_bpe_first_merges_hand_checked(corpus):
+    # pair counts: (w,e)=6 wins round 1; (l,o)=5 ties (s,t)=5 and wins
+    # lexicographically in round 2; (s,t)=5 wins round 3
+    out = bpe.train_bpe_merges(corpus, n_merges=3).collect()
+    got = [(r.step, r.left, r.right, r.merged, r.freq) for r in out]
+    assert got == [
+        (1, "w", "e", "we", 6),
+        (2, "l", "o", "lo", 5),
+        (3, "s", "t", "st", 5),
+    ]
+
+
+def test_bpe_greedy_overlap(spark):
+    # "aaaa" x2: (a,a) counted 3 times per word = 6; the greedy merge
+    # takes non-overlapping leftmost pairs -> "aa","aa"
+    df = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    out = bpe.train_bpe_merges(df, n_merges=2).collect()
+    assert (out[0].left, out[0].right, out[0].freq) == ("a", "a", 6)
+    # round 2 sees ["aa","aa"] per word -> pair (aa,aa) twice
+    assert (out[1].left, out[1].right, out[1].freq) == ("aa", "aa", 2)
+
+
+def test_bpe_matches_duckdb(corpus):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    oracle = con.execute(bpe.train_bpe_merges_sql("documents", n_merges=4)).fetchall()
+    got = [
+        (r.step, r.left, r.right, r.merged, r.freq)
+        for r in bpe.train_bpe_merges(corpus, n_merges=4).collect()
+    ]
+    assert got == oracle
