@@ -767,6 +767,15 @@ def q_ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     return ann.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM perplexity quality scoring (CCNet-style filter): two
+    wordcount groupBys train the LM, per-doc transitions join the count
+    tables, decimal log-prob sums (`functions/lm.py`)."""
+    from architxt_spark.functions import lm
+
+    return lm.bigram_lm_perplexity(_t(spark, sf, "documents").select("doc_id", "text"))
+
+
 def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic BPE merge training: one word-count shuffle, then
     merge iterations on the vocab-bounded word frame; greedy merge order
@@ -1369,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk",
         "ann_pq_adc",
         "bpe_train_merges",
+        "lm_perplexity",
         "sampling_temperature",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
@@ -1446,6 +1456,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "ann_pq_adc": q_ann_pq_adc,
         "bpe_train_merges": q_bpe_train_merges,
+        "lm_perplexity": q_lm_perplexity,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "lang_distribution": q_lang_distribution,
@@ -1472,6 +1483,12 @@ def _bpe_sql() -> str:
     from architxt_spark.functions import bpe
 
     return bpe.train_bpe_merges_sql("documents", n_merges=6)
+
+
+def _lm_sql() -> str:
+    from architxt_spark.functions import lm
+
+    return lm.bigram_lm_perplexity_sql("documents")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1979,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": search.bm25_topk_sql("documents", _BM25_TERMS, k=25),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
+        "lm_perplexity": _lm_sql(),
         "events_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts,

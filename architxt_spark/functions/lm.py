@@ -1,0 +1,121 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+filter: documents whose token stream surprises a corpus LM (high
+perplexity) are boilerplate/garbled candidates; very low perplexity flags
+templated repetition.
+
+Here the bigram LM is trained on the scored corpus itself (one pass);
+production pipelines train on a clean reference corpus instead — same
+shapes, different input frame.
+
+Scale shape: training is two map-combinable groupBys (unigram and bigram
+counts — canonical wordcount); scoring joins each document's transitions
+against the count tables keyed on the words (shuffle hash joins, never
+broadcast-dependent: the bigram vocabulary grows with the corpus), plus a
+1-row vocabulary-size aggregate broadcast back.  Per-transition log
+probabilities are rounded to 6 and summed as DECIMAL(18,6), so float
+accumulation order cannot leak into results; the final ``exp`` is one
+deterministic libm call per document on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from architxt_spark.functions.search import retrieval_tokens, retrieval_tokens_sql
+
+#: add-k smoothing constant
+SMOOTH_K = 0.5
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """Per-document bigram perplexity under an add-``k``-smoothed LM
+    trained on ``docs`` itself.
+
+    Returns ``(id_col, n_trans, ppl)``; documents with fewer than two
+    tokens get ``n_trans = 0`` and NULL perplexity.
+    """
+    toks = retrieval_tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__t"))
+    trans = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    uni = (
+        base.select(F.explode("__t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = trans.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vsize = uni.agg(F.count("*").alias("v"))
+
+    logp = F.round(
+        F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        trans.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_trans"), F.sum(logp).alias("__lsum"))
+    )
+    ppl = F.round(F.exp(-(F.col("__lsum").cast("double") / F.col("n_trans"))), 4)
+    out = scored.select(id_col, "n_trans", ppl.alias("ppl"))
+    # short documents (0 or 1 token) produce no transitions: re-attach
+    short = base.filter(F.size("__t") < 2).select(
+        id_col, F.lit(0).cast("long").alias("n_trans"), F.lit(None).cast("double").alias("ppl")
+    )
+    return out.unionByName(short)
+
+
+def bigram_lm_perplexity_sql(
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = SMOOTH_K,
+) -> str:
+    """DuckDB twin — same tokenizer, rounding, decimal summation."""
+    toks = retrieval_tokens_sql(text_col)
+    return f"""
+        WITH __base AS (
+            SELECT {id_col}, {toks} AS t FROM {table}
+        ), __trans AS (
+            SELECT {id_col}, t[j] AS w1, t[j+1] AS w2 FROM (
+                SELECT {id_col}, unnest(generate_series(1, len(t)-1)) AS j, t FROM __base
+            )
+        ), __uni AS (
+            SELECT w1, count(*) AS c1 FROM (
+                SELECT unnest(t) AS w1 FROM __base
+            ) GROUP BY 1
+        ), __bi AS (
+            SELECT w1, w2, count(*) AS c2 FROM __trans GROUP BY 1, 2
+        ), __v AS (SELECT count(*) AS v FROM __uni),
+        __scored AS (
+            SELECT t.{id_col}, count(*) AS n_trans,
+                   sum(CAST(round(ln((b.c2 + {k}) / (u.c1 + {k} * v.v)), 6)
+                       AS DECIMAL(18,6))) AS lsum
+            FROM __trans t
+            JOIN __bi b USING (w1, w2)
+            JOIN __uni u USING (w1)
+            CROSS JOIN __v v
+            GROUP BY 1
+        )
+        SELECT {id_col}, n_trans, round(exp(-(CAST(lsum AS DOUBLE) / n_trans)), 4) AS ppl
+        FROM __scored
+        UNION ALL
+        SELECT {id_col}, CAST(0 AS BIGINT) AS n_trans, CAST(NULL AS DOUBLE) AS ppl
+        FROM __base WHERE len(t) < 2
+    """

@@ -1,0 +1,47 @@
+"""Bigram-LM perplexity scoring (functions/lm.py)."""
+
+import math
+
+import pytest
+
+from architxt_spark.functions import lm
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "a b a b"), (2, "a"), (3, "b c")], ["doc_id", "text"]
+    )
+
+
+def test_perplexity_hand_computed(corpus):
+    out = {r.doc_id: r for r in lm.bigram_lm_perplexity(corpus).collect()}
+
+    # unigrams a:3 b:3 c:1 (V=3); bigrams (a,b):2 (b,a):1 (b,c):1; k=0.5
+    p_ab = (2 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (3 + 0.5 * 3)
+    lsum = round(math.log(p_ab), 6) * 2 + round(math.log(p_ba), 6)
+    expect = round(math.exp(-lsum / 3), 4)
+    assert out[1].n_trans == 3
+    assert out[1].ppl == pytest.approx(expect, abs=1e-4)
+
+    # single-token doc: no transitions, NULL perplexity
+    assert out[2].n_trans == 0 and out[2].ppl is None
+
+    # a repeated/templated doc scores LOWER perplexity than a rare one
+    assert out[1].ppl < out[3].ppl
+
+
+def test_perplexity_matches_duckdb(corpus):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    oracle = sorted(
+        con.execute(lm.bigram_lm_perplexity_sql("documents")).fetchall()
+    )
+    got = sorted(
+        (r.doc_id, r.n_trans, r.ppl) for r in lm.bigram_lm_perplexity(corpus).collect()
+    )
+    for (gi, gn, gp), (oi, on, op) in zip(got, oracle):
+        assert gi == oi and gn == on
+        assert (gp is None and op is None) or gp == pytest.approx(op)
