@@ -39,6 +39,9 @@ HEADLINE = [
     "ann_topk",
     "events_sessionize",
     "sampling_mixture",
+    # r4 additions: lexical retrieval and LM-quality scoring families
+    "bm25_topk",
+    "lm_perplexity",
 ]
 
 

@@ -67,3 +67,20 @@ def test_bm25_single_scan_codegen(spark, entry):
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_no_cartesian_no_python(spark, entry):
+    """PQ/ADC: codebooks and LUTs broadcast; scoring is a hash join +
+    aggregation — no cartesian on raw vectors, no Python in the plan."""
+    plan = _plan(entry.q_ann_pq_adc(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_perplexity_shuffle_joins_no_cartesian(spark, entry):
+    """LM scoring: transitions join count tables keyed on words; the only
+    nested-loop is the broadcast of the 1-row vocab-size aggregate."""
+    plan = _plan(entry.q_lm_perplexity(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
