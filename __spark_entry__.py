@@ -710,6 +710,15 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.winnow_pairs(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def q_dedup_exact_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact shared-span detection (exact-substring dedup signal): DF-capped
+    positioned-shingle inverted index + diagonal run extension; returns the
+    longest exact shared token run per document pair."""
+    return dedup.exact_span_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", min_tokens=12
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clusters: MinHash pairs → distributed hash-min
     connected components (the scale path for dedup cluster formation —
@@ -1379,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc",
         "bpe_train_merges",
         "lm_perplexity",
+        "dedup_exact_spans",
         "sampling_temperature",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
@@ -1464,6 +1474,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "dedup_exact_spans": q_dedup_exact_spans,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "gopher_quality_flags": q_gopher_quality_flags,
         "dedup_simhash": q_dedup_simhash,
@@ -1966,6 +1977,9 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "dedup_winnow_pairs": dedup.winnow_pairs_sql("documents", "text", "doc_id"),
+        "dedup_exact_spans": dedup.exact_span_pairs_sql(
+            "documents", "text", "doc_id", min_tokens=12
+        ),
         "dedup_components": dedup.connected_components_sql(
             dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id")
         ),

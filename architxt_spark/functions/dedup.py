@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from architxt_spark.functions import text as T
 
@@ -705,4 +706,96 @@ def winnow_pairs_sql(
         FROM inv a JOIN inv b ON a.f = b.f AND a.id < b.id
         GROUP BY a.id, b.id
         HAVING count(*) >= {min_common}
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact shared-span detection (suffix-array-style exact substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def exact_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    min_tokens: int = 8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Document pairs sharing an EXACT token run of at least ``min_tokens``
+    tokens, with the longest shared run length — the exact-substring dedup
+    signal (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") that the winnowing screen approximates.
+
+    Technique: positioned ``n``-gram hashes, an inverted-index self-join
+    (document-frequency-capped like the other pair generators — never
+    all-pairs), then run extension by the DIAGONAL trick: matches of a pair
+    with equal ``pos_b - pos_a`` lie on one diagonal, and consecutive
+    ``pos_a`` values on a diagonal form islands — ``island = pos_a -
+    row_number()`` — each island of ``m`` matched n-grams being a shared
+    run of ``m + n - 1`` tokens.  The extension window partitions by
+    (pair, diagonal): bounded by that pair's matches, never a global sort.
+
+    Returns ``(id_a, id_b, max_span)`` with ``id_a < id_b``.
+    """
+    fp = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(T.shingle_fingerprints(F.col(text_col), n)).alias("pos", "h"),
+    )
+    heavy = fp.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
+    fp = fp.join(F.broadcast(heavy), "h", "left_anti")
+
+    a = fp.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
+    b = fp.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
+    m = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+
+    w = Window.partitionBy("id_a", "id_b", F.col("pb") - F.col("pa")).orderBy("pa")
+    runs = (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", (F.col("pb") - F.col("pa")).alias("diag"), "island")
+        .agg((F.count("*") + F.lit(n - 1)).alias("span"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(F.max("span").alias("max_span"))
+        .filter(F.col("max_span") >= min_tokens)
+    )
+
+
+def exact_span_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    min_tokens: int = 8,
+    max_shingle_df: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`exact_span_pairs`."""
+    fps = T.shingle_fingerprints_sql(text_col, n)
+    return f"""
+        WITH fp_all AS (
+            SELECT {id_col} AS id, generate_subscripts(f, 1) - 1 AS pos, unnest(f) AS h
+            FROM (SELECT {id_col}, {fps} AS f FROM {table})
+        ),
+        heavy AS (SELECT h FROM fp_all GROUP BY h HAVING count(*) > {max_shingle_df}),
+        fp AS (SELECT * FROM fp_all WHERE h NOT IN (SELECT h FROM heavy)),
+        m AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb
+            FROM fp a JOIN fp b ON a.h = b.h AND a.id < b.id
+        ),
+        runs AS (
+            SELECT id_a, id_b, pb - pa AS diag,
+                   pa - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, pb - pa ORDER BY pa) AS island
+            FROM m
+        ),
+        spans AS (
+            SELECT id_a, id_b, CAST(count(*) + {n - 1} AS BIGINT) AS span
+            FROM runs GROUP BY id_a, id_b, diag, island
+        )
+        SELECT id_a, id_b, max(span) AS max_span
+        FROM spans GROUP BY id_a, id_b
+        HAVING max(span) >= {min_tokens}
     """

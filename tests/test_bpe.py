@@ -43,3 +43,31 @@ def test_bpe_matches_duckdb(corpus):
         for r in bpe.train_bpe_merges(corpus, n_merges=4).collect()
     ]
     assert got == oracle
+
+
+def test_exact_span_pairs_hand_checked(spark):
+    """Two docs sharing an exact 10-token run report max_span=10; scattered
+    single-trigram overlaps stay below the threshold."""
+    from architxt_spark.functions.dedup import exact_span_pairs
+
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {run} gamma delta"),
+            (2, f"{run} zeta eta theta iota"),
+            (3, "alpha beta gamma unrelated words here t5 t6 t7 only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_a, r.id_b): r.max_span
+        for r in exact_span_pairs(df, "text", "doc_id", n=3, min_tokens=8).collect()
+    }
+    assert out == {(1, 2): 10}
+
+    # lowering the threshold surfaces the 3-token overlap of docs 1/3
+    out5 = {
+        (r.id_a, r.id_b): r.max_span
+        for r in exact_span_pairs(df, "text", "doc_id", n=3, min_tokens=3).collect()
+    }
+    assert out5[(1, 3)] == 3 and out5[(2, 3)] == 3 and out5[(1, 2)] == 10

@@ -84,3 +84,11 @@ def test_lm_perplexity_shuffle_joins_no_cartesian(spark, entry):
     plan = _plan(entry.q_lm_perplexity(spark, SF))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_exact_spans_no_cartesian(spark, entry):
+    """Exact-span detection pairs via the DF-capped shingle inverted index;
+    the run-extension window partitions by (pair, diagonal)."""
+    plan = _plan(entry.q_dedup_exact_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
