@@ -181,8 +181,15 @@ class ScispacyResolver(EntityResolver):
     NAME when ``resolve_text`` else concept id.  Runs as one Arrow-batched
     pass over the entity frame; the generator loads once per executor.
 
-    The reference's optional Google-translate step is out of engine scope
-    (network service); ``cleanup`` is honoured with a stdlib ASCII fold.
+    The reference's optional pre-linking TRANSLATION step
+    (``scispacy.py:55-83``: entity text → English before candidate
+    generation, via Google Translate) is a network service, so it is a
+    pluggable seam here: pass ``translate=True`` plus a picklable
+    ``translator`` callable ``list[str] -> list[str]`` (a production
+    deployment injects its translation-service client; tests inject a
+    fake).  Translation runs once per Arrow batch, before linking, like
+    the reference's per-entity await but batched.  ``cleanup`` is
+    honoured with a stdlib ASCII fold.
     """
 
     def __init__(
@@ -193,12 +200,21 @@ class ScispacyResolver(EntityResolver):
         threshold: float = 0.7,
         resolve_text: bool = True,
         generator_loader=None,
+        translate: bool = False,
+        translator=None,
     ) -> None:
         self.kb_name = kb_name
         self.cleanup = cleanup
         self.threshold = threshold
         self.resolve_text = resolve_text
         self.generator_loader = generator_loader
+        self.translate = translate
+        self.translator = translator
+        if translate and translator is None:
+            raise ValueError(
+                "translate=True needs a translator callable (list[str] -> list[str]); "
+                "the reference's googletrans client is a network service not present here"
+            )
         if generator_loader is None:
             try:
                 import scispacy  # noqa: F401
@@ -230,6 +246,8 @@ class ScispacyResolver(EntityResolver):
             threshold=self.threshold,
             resolve_text=self.resolve_text,
             generator_loader=self.generator_loader,
+            translate=self.translate,
+            translator=self.translator,
         )
         cols = sent_entities.columns
         schema = sent_entities.schema
@@ -239,6 +257,9 @@ class ScispacyResolver(EntityResolver):
             gen = resolver._load()
             for pdf in batches:
                 values = ["" if v is None else str(v) for v in pdf["value"]]
+                if resolver.translate:
+                    # ONE translation call per Arrow batch, before linking
+                    values = list(resolver.translator(values))
                 # ONE candidate-generation call per Arrow batch
                 candidates = gen(values, 1)
                 out = []

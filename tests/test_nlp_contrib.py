@@ -150,3 +150,56 @@ def test_scispacy_resolver_with_fake_generator(spark):
 
 def test_cleanup_text_folds_ascii():
     assert _cleanup_text("Café  au   LAIT") == "cafe au lait"
+
+
+def test_scispacy_resolver_translation_seam(spark):
+    """The reference's pre-linking translation step (scispacy.py:55-83) as
+    an injected batch translator: non-English entity text is translated
+    before candidate generation, so the linker matches."""
+
+    def _fake_translate(values):
+        table = {"Acétaminophène": "Acetaminophen", "eau": "water"}
+        return [table.get(v, v) for v in values]
+
+    def loader(kb_name):
+        class Cand:
+            def __init__(self, cid, sim):
+                self.concept_id, self.similarities = cid, [sim]
+
+        class KBEnt:
+            def __init__(self, name):
+                self.canonical_name = name
+
+        class KB:
+            cui_to_entity = {"C001": KBEnt("Paracetamol")}
+
+        class Gen:
+            kb = KB()
+
+            def __call__(self, values, k):
+                return [
+                    [Cand("C001", 0.9)] if "acetamin" in v.lower() else [Cand("C002", 0.3)]
+                    for v in values
+                ]
+
+        return Gen()
+
+    ents = spark.createDataFrame(
+        [("d1", 0, "e1", "DRUG", 0, 14, "Acétaminophène")],
+        "doc_id string, sent_idx int, ent_id string, name string, start int, end int, value string",
+    )
+    res = ScispacyResolver(
+        generator_loader=loader, translate=True, translator=_fake_translate
+    )
+    out = {r["ent_id"]: r["value"] for r in res.resolve(ents).collect()}
+    assert out == {"e1": "Paracetamol"}
+
+    # untranslated, the French value misses the linker and passes through
+    res_plain = ScispacyResolver(generator_loader=loader)
+    out_plain = {r["ent_id"]: r["value"] for r in res_plain.resolve(ents).collect()}
+    assert out_plain == {"e1": "Acétaminophène"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="translator"):
+        ScispacyResolver(generator_loader=loader, translate=True)
