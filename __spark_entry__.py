@@ -1341,6 +1341,21 @@ def q_sampling_temperature(spark: SparkSession, sf: str) -> DataFrame:
 _TEMP_STRATA = ["en", "fr", "zh", "de", "es"]
 
 
+def q_sampling_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-proportional document sampling (token-budget curation):
+    keep probability ∝ n_chars, decided by exact decimal-integer
+    comparison against the one-row weight total — a pure scan filter."""
+    from architxt_spark.functions import sampling as S
+
+    return S.weighted_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        "doc_id",
+        target=100,
+        salt="wt",
+    )
+
+
 def q_sampling_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk sequence packing: deterministic layout (hash
     bucket, hash order), per-bucket cumsum windows — never one global
@@ -1390,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity",
         "dedup_exact_spans",
         "sampling_temperature",
+        "sampling_weighted",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
         "dataset_extract_nation",
@@ -1486,6 +1502,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_strata": q_sampling_strata,
         "sampling_mixture": q_sampling_mixture,
         "sampling_temperature": q_sampling_temperature,
+        "sampling_weighted": q_sampling_weighted,
         "sampling_pack": q_sampling_pack,
     }
 
@@ -2147,6 +2164,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM ("
             + sampling.temperature_take_sql(
                 "documents", "lang", _TEMP_STRATA, 120, "doc_id", alpha=0.5, salt="temp"
+            )
+            + ")"
+        ),
+        "sampling_weighted": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            + sampling.weighted_sample_sql(
+                "(SELECT doc_id, lang, n_chars FROM documents)",
+                "n_chars",
+                "doc_id",
+                100,
+                salt="wt",
             )
             + ")"
         ),

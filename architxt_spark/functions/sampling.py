@@ -563,3 +563,61 @@ def mixture_take_sql(
         )
         WHERE __rn <= {case}
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    target: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Weight-proportional sampling without replacement: row ``i`` is kept
+    with probability ``min(1, target * w_i / W)`` where ``W = sum(w)`` —
+    e.g. length-proportional document sampling against a token budget
+    (expected kept-token count ≈ ``target/W`` of the corpus, long docs
+    proportionally more likely).
+
+    Same determinism contract as the other samplers (keep/drop depends
+    only on ``(id, salt)``), plus an EXACT decision rule: keep iff
+    ``key(id) * W < HASH_MOD * target * w_i`` evaluated in DECIMAL(38,0)
+    integer arithmetic — no float ratio, so the DuckDB oracle reproduces
+    every decision bit-for-bit even when ``W`` is a 100-TB-scale sum.
+
+    Scale shape: ``W`` is one aggregate row broadcast back; the decision
+    is a pure per-row filter on the scan — no shuffle of data rows.
+    """
+    d38 = "decimal(38,0)"
+    totals = df.agg(F.sum(F.col(weight_col)).cast(d38).alias("__w_total"))
+    key = sample_key(F.col(id_col), salt).cast(d38)
+    rhs = (
+        F.lit(HASH_MOD).cast(d38)
+        * F.lit(target).cast(d38)
+        * F.col(weight_col).cast(d38)
+    )
+    return (
+        df.crossJoin(F.broadcast(totals))
+        .filter(key * F.col("__w_total") < rhs)
+        .drop("__w_total")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    weight_col: str,
+    id_col: str,
+    target: int,
+    *,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — HUGEINT arithmetic holds
+    the same exact products."""
+    key = sample_key_sql(id_col, salt)
+    return f"""
+        SELECT * FROM {table}, (
+            SELECT CAST(sum({weight_col}) AS HUGEINT) AS __w_total FROM {table}
+        )
+        WHERE CAST({key} AS HUGEINT) * __w_total
+              < CAST({HASH_MOD} AS HUGEINT) * {target} * CAST({weight_col} AS HUGEINT)
+    """

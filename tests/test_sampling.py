@@ -361,3 +361,22 @@ def test_pq_adc_recall_against_brute_force(spark):
         assert all(n % 2 == qid % 2 for n in ap[qid])
         # ...and overlap the exact set on at least 2 of 3
         assert len(ex[qid] & ap[qid]) >= 2
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from architxt_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 1) for i in range(200)] + [(999, 2000)]
+    df = spark.createDataFrame(rows, "id int, w long")
+
+    # the heavy row's keep probability clips at 1 (target*w > W) — always kept
+    out1 = sorted(r.id for r in weighted_sample(df, "w", "id", target=3, salt="x").collect())
+    assert 999 in out1
+    # light rows keep with p = 3/2200 each — nearly none survive
+    assert len(out1) <= 5
+
+    # decision depends only on (id, salt): re-run identical, new salt differs
+    out2 = sorted(r.id for r in weighted_sample(df, "w", "id", target=3, salt="x").collect())
+    assert out1 == out2
+    out3 = sorted(r.id for r in weighted_sample(df, "w", "id", target=3, salt="y").collect())
+    assert 999 in out3  # clipped probability is salt-independent
