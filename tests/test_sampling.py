@@ -380,3 +380,15 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     assert out1 == out2
     out3 = sorted(r.id for r in weighted_sample(df, "w", "id", target=3, salt="y").collect())
     assert 999 in out3  # clipped probability is salt-independent
+
+
+def test_weighted_sample_no_data_shuffle(spark, sf_dir):
+    """Scale shape: besides the 1-row total broadcast, the decision is a
+    pure filter on the scan — no Exchange of data rows in the plan."""
+    from architxt_spark.functions.sampling import weighted_sample
+
+    out = weighted_sample(_docs(spark, sf_dir), "n_chars", "doc_id", target=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning", plan)
