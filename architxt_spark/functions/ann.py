@@ -645,6 +645,8 @@ def pq_topk(
     combinable, never an all-pairs on raw vectors.  Sub-scores are summed
     as DECIMAL(18,6) so accumulation order cannot leak into the hash.
     """
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     d = dim // m
     cb = _subspaces(
         embeddings.filter(F.col(id_col) < ksub).select(
@@ -722,6 +724,8 @@ def pq_topk_sql(
     """DuckDB twin of :func:`pq_topk` with queries = ``id_col <
     max_query_id`` — same normalization rounding, same L2/IP rounding,
     same DECIMAL sub-score summation."""
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     d = dim // m
     subs = ", ".join(str(s) for s in range(m))
     nv = _unit_sql(f"{vec_col}::DOUBLE[]")

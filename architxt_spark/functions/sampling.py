@@ -615,7 +615,7 @@ def weighted_sample_sql(
     the same exact products."""
     key = sample_key_sql(id_col, salt)
     return f"""
-        SELECT * FROM {table}, (
+        SELECT * EXCLUDE (__w_total) FROM {table}, (
             SELECT CAST(sum({weight_col}) AS HUGEINT) AS __w_total FROM {table}
         )
         WHERE CAST({key} AS HUGEINT) * __w_total

@@ -68,6 +68,8 @@ def bm25_topk(
     Returns ``(id_col, bm25)`` with ``bm25`` rounded to 4 places, ordered
     by ``(bm25 DESC, id_col)``.
     """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     toks = retrieval_tokens(F.col(text_col)).alias("__toks")
     base = docs.select(F.col(id_col), toks).select(
         id_col,
@@ -118,6 +120,8 @@ def bm25_topk_sql(
 ) -> str:
     """DuckDB form of :func:`bm25_topk` — same tokenizer, same float
     evaluation order, same rounded-score ranking."""
+    if not terms:
+        raise ValueError("bm25_topk_sql needs at least one query term")
     tf_cols = ",\n            ".join(
         f"len(list_filter(__toks, x -> x = '{t}')) AS __tf_{i}" for i, t in enumerate(terms)
     )

@@ -407,6 +407,11 @@ def rewrite(
     """
     from architxt_spark.similarity import cluster_forest_with_index
 
+    # materialize once: a one-shot iterable would be exhausted after the
+    # first iteration's list() and silently end the loop early
+    if operations is not None:
+        operations = list(operations)
+
     n_trees = nodes.select("tree_id").distinct().count()
     if min_support is None:
         min_support = max(n_trees // 10, 2)
