@@ -518,3 +518,30 @@ def test_asof_join_duplicate_ts_tie_break_deterministic(spark):
         left, right, by=["user"], right_cols=["rid"], direction="forward"
     ).collect()
     assert [r["rid_right"] for r in fwd] == ["rC"]
+
+
+def test_rewrite_accepts_one_shot_operations_iterable(spark):
+    """A generator passed as `operations` must behave like a list across
+    iterations (the loop materializes it once) — every epoch still sees
+    the ops, counted via call tracking."""
+    from architxt_spark.operators.engine import rewrite
+    from architxt_spark.trees import PyTree, forest_from_trees
+
+    trees = {
+        f"t{i}": PyTree(
+            "ROOT",
+            [PyTree("X", [PyTree("ENT::a", ["v"]), PyTree("ENT::b", ["w"])])],
+        )
+        for i in range(3)
+    }
+    calls: list[int] = []
+
+    def noop(t, _c=calls):
+        return False
+
+    log: list[dict] = []
+    gen = (op for op in [("noop", noop)])
+    rewrite(forest_from_trees(spark, trees), epoch=2, operations=gen, on_iteration=log.append)
+    # with a one-shot iterable un-materialized, iteration 2 would see zero
+    # ops; the callback must record the op name in EVERY iteration
+    assert [e["params"]["edit_ops"] for e in log] == ["noop"] * len(log)
