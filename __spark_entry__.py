@@ -776,6 +776,16 @@ def q_ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     return ann.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (context-window prep): narrow
+    per-doc explode, pure slicing, no shuffle (`functions/text.py`)."""
+    return T.chunk_documents(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        chunk_tokens=64,
+        overlap=16,
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """Bigram-LM perplexity quality scoring (CCNet-style filter): two
     wordcount groupBys train the LM, per-doc transitions join the count
@@ -1406,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_spans",
         "sampling_temperature",
         "sampling_weighted",
+        "doc_chunking",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
         "dataset_extract_nation",
@@ -1483,6 +1494,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": q_ann_pq_adc,
         "bpe_train_merges": q_bpe_train_merges,
         "lm_perplexity": q_lm_perplexity,
+        "doc_chunking": q_doc_chunking,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "lang_distribution": q_lang_distribution,
@@ -2028,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
         "lm_perplexity": _lm_sql(),
+        "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "events_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts,

@@ -326,3 +326,79 @@ def bpe_token_count(col: Column) -> Column:
 
 def bpe_token_count_sql(col: str) -> str:
     return f"len(regexp_extract_all({col}, '{BPE_TOKEN_PATTERN}'))"
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token windows — the
+    context-window preparation step between curation and packing: chunk
+    ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final window may be short.
+
+    Returns ``(id_col, chunk_id, n_tokens, chunk_md5)`` — the md5 of the
+    space-joined window, so verification rows stay small whatever the
+    chunk size.
+
+    Scale shape: one narrow explode per document (no shuffle anywhere —
+    the operator is partition-local); deterministic pure slicing, so the
+    DuckDB twin reproduces windows exactly.
+    """
+    from architxt_spark.functions.search import retrieval_tokens
+
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = retrieval_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") > 0)
+    starts = F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))
+    out = base.select(
+        id_col, "__t", F.explode(starts).alias("__start")
+    ).select(
+        id_col,
+        (F.col("__start") / stride).cast("int").alias("chunk_id"),
+        F.slice(F.col("__t"), F.col("__start") + 1, chunk_tokens).alias("__c"),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.size("__c").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.col("__c"), " ")).alias("chunk_md5"),
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    from architxt_spark.functions.search import retrieval_tokens_sql
+
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = retrieval_tokens_sql(text_col)
+    return f"""
+        SELECT {id_col}, CAST(s // {stride} AS INT) AS chunk_id,
+               CAST(len(t[s + 1 : s + {chunk_tokens}]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(t[s + 1 : s + {chunk_tokens}], ' ')) AS chunk_md5
+        FROM (
+            SELECT {id_col}, t, unnest(generate_series(0, len(t) - 1, {stride})) AS s
+            FROM (SELECT {id_col}, {toks} AS t FROM {table})
+            WHERE len(t) > 0
+        )
+    """

@@ -45,3 +45,34 @@ def test_perplexity_matches_duckdb(corpus):
     for (gi, gn, gp), (oi, on, op) in zip(got, oracle):
         assert gi == oi and gn == on
         assert (gp is None and op is None) or gp == pytest.approx(op)
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: stride = chunk - overlap; windows overlap by
+    `overlap` tokens; final window short; empty docs emit nothing."""
+    from architxt_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")], ["doc_id", "text"])
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens)
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    )
+    # doc1: starts 0,2,4,6,8 -> sizes 4,4,4,4,2; doc2: one short window
+    assert rows == [
+        (1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 4), (1, 4, 2),
+        (2, 0, 2),
+    ]
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from architxt_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
