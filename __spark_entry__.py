@@ -776,6 +776,13 @@ def q_ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     return ann.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus n-gram heavy hitters (boilerplate-detection statistic):
+    explode + map-combinable groupBy, TakeOrdered top-k, deterministic
+    (doc_freq, total_freq, gram) ranking."""
+    return T.ngram_stats(_t(spark, sf, "documents").select("doc_id", "text"), k=50)
+
+
 def q_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping token-window chunking (context-window prep): narrow
     per-doc explode, pure slicing, no shuffle (`functions/text.py`)."""
@@ -1417,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_temperature",
         "sampling_weighted",
         "doc_chunking",
+        "ngram_stats",
         # absent from the round-3 driver file (judge-selfcheck only)
         "distinct_parts_per_brand",
         "dataset_extract_nation",
@@ -1495,6 +1503,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": q_bpe_train_merges,
         "lm_perplexity": q_lm_perplexity,
         "doc_chunking": q_doc_chunking,
+        "ngram_stats": q_ngram_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "lang_distribution": q_lang_distribution,
@@ -2041,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_merges": _bpe_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
+        "ngram_stats": T.ngram_stats_sql("documents", k=50),
         "events_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts,

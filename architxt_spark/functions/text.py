@@ -402,3 +402,53 @@ def chunk_documents_sql(
             WHERE len(t) > 0
         )
     """
+
+
+def ngram_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    k: int = 50,
+):
+    """Corpus n-gram heavy hitters: the top-``k`` n-grams by document
+    frequency (then total occurrences, then the gram itself — fully
+    deterministic ranking).  The boilerplate-detection statistic C4-style
+    cleaning pipelines compute before writing their blocklists.
+
+    Scale shape: one explode + map-combinable groupBy (canonical
+    wordcount over grams); the top-k is TakeOrdered.  Exact, not
+    sketched — heavy hitters concentrate mass, and the gram-keyed
+    shuffle is skew-safe after partial aggregation.
+    """
+    grams = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("__d").alias("doc_freq"),
+            F.count("*").cast("long").alias("total_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("total_freq"), "gram")
+        .limit(k)
+    )
+
+
+def ngram_stats_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", *, n: int = 3, k: int = 50
+) -> str:
+    """DuckDB twin of :func:`ngram_stats`."""
+    return f"""
+        SELECT gram, CAST(count(DISTINCT __d) AS BIGINT) AS doc_freq,
+               CAST(count(*) AS BIGINT) AS total_freq
+        FROM (
+            SELECT {id_col} AS __d, unnest({shingles_sql(text_col, n)}) AS gram
+            FROM {table}
+        )
+        GROUP BY gram
+        ORDER BY doc_freq DESC, total_freq DESC, gram
+        LIMIT {k}
+    """

@@ -76,3 +76,21 @@ def test_chunk_documents_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ngram_stats_ranking(spark):
+    from architxt_spark.functions.text import ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox jumps the quick fox sleeps"),
+            (2, "the quick fox runs"),
+            (3, "lazy dogs sleep"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = ngram_stats(df, n=3, k=3).collect()
+    # "the quick fox" appears in docs 1 (twice) and 2 -> doc_freq 2, total 3
+    assert (rows[0].gram, rows[0].doc_freq, rows[0].total_freq) == ("the quick fox", 2, 3)
+    # remaining grams all have doc_freq 1: ties broken by total then gram
+    assert all(r.doc_freq == 1 for r in rows[1:])
