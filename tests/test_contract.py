@@ -1,0 +1,33 @@
+"""Driver-contract invariants for __spark_entry__.py."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_registry_oracle_alignment():
+    """Every queries() entry must have an oracle_sql() twin and vice
+    versa — a new operator can't silently land without its gate."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    assert set(q) == set(o), (
+        f"missing oracles: {sorted(set(q) - set(o))}; "
+        f"orphan oracles: {sorted(set(o) - set(q))}"
+    )
+
+
+def test_rotation_prefix_is_valid_and_first():
+    """The rotation prefix must reference real queries and actually lead
+    the registry ordering (the driver gates roughly the first 50)."""
+    import __spark_entry__ as E
+
+    q = E.queries()
+    allq = E._all_queries()
+    names = list(q)
+    assert set(names) == set(allq)
+    # new r4 operators must sit inside the driver's ~50-row window
+    for k in ("bm25_topk", "ann_pq_adc", "bpe_train_merges", "lm_perplexity",
+              "dedup_exact_spans", "sampling_temperature", "sampling_weighted",
+              "doc_chunking", "ngram_stats"):
+        assert names.index(k) < 50, k
