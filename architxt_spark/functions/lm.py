@@ -3,9 +3,11 @@ filter: documents whose token stream surprises a corpus LM (high
 perplexity) are boilerplate/garbled candidates; very low perplexity flags
 templated repetition.
 
-Here the bigram LM is trained on the scored corpus itself (one pass);
-production pipelines train on a clean reference corpus instead — same
-shapes, different input frame.
+By default the bigram LM is trained on the scored corpus itself (one
+pass); pass ``train_docs=`` to train on a clean reference corpus and
+score a different frame — the CCNet shape (train on Wikipedia, score the
+crawl).  Unseen words/bigrams in the scored frame fall back to the add-k
+smoothing floor (count 0), exactly as the formula dictates.
 
 Scale shape: training is two map-combinable groupBys (unigram and bigram
 counts — canonical wordcount); scoring joins each document's transitions
@@ -28,45 +30,68 @@ from architxt_spark.functions.search import retrieval_tokens, retrieval_tokens_s
 SMOOTH_K = 0.5
 
 
+def _transitions(base: DataFrame, id_col: str) -> DataFrame:
+    """(id, w1, w2) bigram transitions; the slice length is clamped to 0 so
+    zero-token documents (empty / punctuation-only / non-Latin under the
+    ``[^a-z0-9]+`` tokenizer) produce no rows instead of crashing the
+    ``F.slice`` with a negative length."""
+    n = F.greatest(F.size("__t") - 1, F.lit(0))
+    return base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, n).alias("w1"),
+                F.slice(F.col("__t"), 2, n).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
 def bigram_lm_perplexity(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = SMOOTH_K,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bigram perplexity under an add-``k``-smoothed LM
-    trained on ``docs`` itself.
+    trained on ``train_docs`` (default: ``docs`` itself).
 
     Returns ``(id_col, n_trans, ppl)``; documents with fewer than two
-    tokens get ``n_trans = 0`` and NULL perplexity.
+    tokens get ``n_trans = 0`` and NULL perplexity.  Words/bigrams absent
+    from the training corpus score with count 0 (the smoothing floor).
     """
     toks = retrieval_tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("__t"))
-    trans = base.select(
-        id_col,
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
-                F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
-            )
-        ).alias("p"),
-    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    trans = _transitions(base, id_col)
+
+    if train_docs is None:
+        tbase, ttrans = base, trans
+    else:
+        tbase = train_docs.select(
+            F.col(id_col), retrieval_tokens(F.col(text_col)).alias("__t")
+        )
+        ttrans = _transitions(tbase, id_col)
 
     uni = (
-        base.select(F.explode("__t").alias("w1"))
+        tbase.select(F.explode("__t").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
     )
-    bi = trans.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    bi = ttrans.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     vsize = uni.agg(F.count("*").alias("v"))
 
     logp = F.round(
-        F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))), 6
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
+        ),
+        6,
     ).cast("decimal(18,6)")
     scored = (
-        trans.join(bi, ["w1", "w2"])
-        .join(uni, "w1")
+        trans.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
         .crossJoin(F.broadcast(vsize))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_trans"), F.sum(logp).alias("__lsum"))

@@ -345,6 +345,9 @@ def chunk_documents(
     context-window preparation step between curation and packing: chunk
     ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
     ``stride = chunk_tokens - overlap``; the final window may be short.
+    A window is emitted only if it adds tokens beyond the previous one
+    (its start is capped at ``len - overlap - 1``), so no chunk is ever
+    fully contained in its predecessor.
 
     Returns ``(id_col, chunk_id, n_tokens, chunk_md5)`` — the md5 of the
     space-joined window, so verification rows stay small whatever the
@@ -361,7 +364,8 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = retrieval_tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") > 0)
-    starts = F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))
+    last_start = F.greatest(F.size("__t") - overlap - 1, F.lit(0))
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     out = base.select(
         id_col, "__t", F.explode(starts).alias("__start")
     ).select(
@@ -397,7 +401,8 @@ def chunk_documents_sql(
                CAST(len(t[s + 1 : s + {chunk_tokens}]) AS BIGINT) AS n_tokens,
                md5(array_to_string(t[s + 1 : s + {chunk_tokens}], ' ')) AS chunk_md5
         FROM (
-            SELECT {id_col}, t, unnest(generate_series(0, len(t) - 1, {stride})) AS s
+            SELECT {id_col}, t,
+                   unnest(generate_series(0, greatest(len(t) - {overlap} - 1, 0), {stride})) AS s
             FROM (SELECT {id_col}, {toks} AS t FROM {table})
             WHERE len(t) > 0
         )

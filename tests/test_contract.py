@@ -1,8 +1,9 @@
 """Driver-contract invariants for __spark_entry__.py."""
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def test_registry_oracle_alignment():

@@ -47,6 +47,41 @@ def test_perplexity_matches_duckdb(corpus):
         assert (gp is None and op is None) or gp == pytest.approx(op)
 
 
+def test_perplexity_zero_token_docs(spark):
+    """Empty / punctuation-only / non-Latin docs (0 retrieval tokens) must
+    get n_trans=0 + NULL ppl, not crash the slice with a negative length."""
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, "!!! ..."), (4, "中文文本")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in lm.bigram_lm_perplexity(df).collect()}
+    assert out[1].n_trans == 2 and out[1].ppl is not None
+    for d in (2, 3, 4):
+        assert out[d].n_trans == 0 and out[d].ppl is None
+
+
+def test_perplexity_train_on_reference_corpus(spark):
+    """CCNet shape: train the LM on a clean frame, score another.  Hand
+    check one seen transition + the unseen-word smoothing floor."""
+    train = spark.createDataFrame([(10, "a b a b")], ["doc_id", "text"])
+    score = spark.createDataFrame([(1, "a b"), (2, "z q")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in lm.bigram_lm_perplexity(score, train_docs=train).collect()}
+
+    # train stats: unigrams a:2 b:2 (V=2); bigram (a,b):2; k=0.5
+    p_ab = (2 + 0.5) / (2 + 0.5 * 2)
+    assert out[1].n_trans == 1
+    assert out[1].ppl == pytest.approx(round(math.exp(-round(math.log(p_ab), 6)), 4), abs=1e-4)
+
+    # fully unseen transition: c2=0, c1=0 -> k / (k*V) = 1/V
+    p_unseen = 0.5 / (0.5 * 2)
+    assert out[2].n_trans == 1
+    assert out[2].ppl == pytest.approx(round(math.exp(-round(math.log(p_unseen), 6)), 4), abs=1e-4)
+
+    # self-train default unchanged by the left-join refactor
+    self_out = {r.doc_id: r for r in lm.bigram_lm_perplexity(train).collect()}
+    assert self_out[10].n_trans == 3 and self_out[10].ppl is not None
+
+
 def test_chunk_documents_windows(spark):
     """Chunk boundaries: stride = chunk - overlap; windows overlap by
     `overlap` tokens; final window short; empty docs emit nothing."""
@@ -58,9 +93,12 @@ def test_chunk_documents_windows(spark):
         (r.doc_id, r.chunk_id, r.n_tokens)
         for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
     )
-    # doc1: starts 0,2,4,6,8 -> sizes 4,4,4,4,2; doc2: one short window
+    # doc1: starts 0,2,4,6 -> sizes 4,4,4,4.  A start of 8 would cover
+    # only w8,w9 — already inside the start-6 window — so it is NOT
+    # emitted (starts are capped at len - overlap - 1 = 7).
+    # doc2: one short window.
     assert rows == [
-        (1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 4), (1, 4, 2),
+        (1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 4),
         (2, 0, 2),
     ]
 
