@@ -20,6 +20,36 @@ from pyspark.sql import functions as F
 
 LSH_PLANES = 8
 
+#: number of deterministic hash-salt slices in the partial top-k phase
+TOPK_SALTS = 32
+
+
+def _two_phase_topk(sims: DataFrame, k: int, score_col: str, *, n_salts: int = TOPK_SALTS) -> DataFrame:
+    """Bounded per-query top-k over a ``(query_id, neighbor_id, score)``
+    candidate frame.
+
+    Phase 1 ranks inside ``(query_id, salt)`` slices — the salt is a
+    deterministic hash of ``neighbor_id`` — so no single task ever sorts
+    more than ~|candidates|/n_salts rows for one query; phase 2 ranks only
+    the ≤ ``n_salts × k`` survivors per query.  Both phases use the same
+    TOTAL order (score desc, neighbor_id asc — neighbor ids are unique),
+    so every globally-top-k row is top-k within its slice and the result
+    is IDENTICAL to a single global window.  This removes the one-task
+    O(corpus) sort a plain ``Window.partitionBy(query_id)`` implies for
+    brute-force/PQ, where the candidate set is the entire corpus; at
+    cluster scale set ``n_salts`` to the input partition count.
+    """
+    order = [F.col(score_col).desc(), F.col("neighbor_id").asc()]
+    salted = sims.withColumn("__salt", F.pmod(F.hash("neighbor_id"), F.lit(n_salts)))
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__prank", F.row_number().over(w1))
+        .filter(F.col("__prank") <= k)
+        .drop("__salt", "__prank")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return survivors.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -59,11 +89,8 @@ def brute_force_topk(
             cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    return _two_phase_topk(sims, k, "sim").select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim")
     )
 
 
@@ -151,11 +178,8 @@ def lsh_topk(
             cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    return _two_phase_topk(sims, k, "sim").select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim")
     )
 
 
@@ -294,11 +318,8 @@ def ivf_topk(
             cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    return _two_phase_topk(sims, k, "sim").select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim")
     )
 
 
@@ -700,13 +721,8 @@ def pq_topk(
         .groupBy("query_id", F.col("nid").alias("neighbor_id"))
         .agg(F.sum("part").alias("dscore"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dscore").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "rank", "neighbor_id", F.round(F.col("dscore").cast("double"), 4).alias("adc")
-        )
+    return _two_phase_topk(scored, k, "dscore").select(
+        "query_id", "rank", "neighbor_id", F.round(F.col("dscore").cast("double"), 4).alias("adc")
     )
 
 

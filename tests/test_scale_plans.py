@@ -82,3 +82,71 @@ def test_windowed_shuffle_df_has_no_window_at_all(spark):
         .collect()
     ]
     assert sorted(a) == sorted(b)
+
+
+def _emb_frame(spark, n=40, dim=8):
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        vec = []
+        for j in range(dim):
+            h = hashlib.md5(f"{i}:{j}".encode()).digest()[0]
+            vec.append((h - 127.5) / 127.5)
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ann_topk_finalization_is_two_phase(spark):
+    """Round-4 verdict: the per-query row_number window over the UNREDUCED
+    candidate frame was the last one-task O(corpus) sort.  Pin the fixed
+    shape for all four ANN variants: a salted partial window
+    (query_id, __salt) feeds a __prank filter, and only then does a
+    query_id-only window rank the ~n_salts*k survivors — so the TOPMOST
+    window in every plan must be that bounded finalizer."""
+    from architxt_spark.functions.ann import brute_force_topk, ivf_topk, lsh_topk, pq_topk
+
+    emb = _emb_frame(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    frames = {
+        "brute": brute_force_topk(emb, q, k=3),
+        "lsh": lsh_topk(emb, q, dim=8, k=3),
+        "ivf": ivf_topk(emb, q, k=3, n_cells=4, nprobe=2),
+        "pq": pq_topk(emb, q, dim=8, m=4, ksub=4, k=3),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        win_idx = [i for i, ln in enumerate(lines) if "Window [" in ln]
+        salted = [i for i in win_idx if "__salt" in lines[i]]
+        assert salted, f"{name}: partial (query_id, __salt) top-k phase missing"
+        # plans print top-down: the first window is the final rank()
+        top = win_idx[0]
+        assert "__salt" not in lines[top], f"{name}: topmost window should be the finalizer"
+        prank_filters = [
+            i for i, ln in enumerate(lines) if "Filter" in ln and "__prank" in ln
+        ]
+        assert any(
+            top < i < salted[0] for i in prank_filters
+        ), f"{name}: finalizer window must consume the __prank-reduced frame"
+
+    # identical results to a single global window (total order => lossless)
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id) for r in frames["brute"].collect()
+    )
+    import math
+
+    rows = _emb_frame(spark).collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    expect = []
+    for qid in range(3):
+        sims = sorted(
+            ((-cos(vecs[qid], v), nid) for nid, v in vecs.items() if nid != qid),
+        )[:3]
+        expect += [(qid, r + 1, nid) for r, (_, nid) in enumerate(sims)]
+    assert got == sorted(expect)
