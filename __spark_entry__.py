@@ -811,6 +811,23 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     return bpe.train_bpe_merges(_t(spark, sf, "documents").select("text"), n_merges=6)
 
 
+def q_bpe_encode_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-then-apply tokenizer pair: learn 6 BPE merges on the corpus
+    (one wordcount job + driver-local merge loop on the vocab-bounded
+    frame), then greedy-encode every word occurrence with the merge chain
+    folded into literal codegen replaces — one map-side pass — and count
+    the resulting tokens (`functions/bpe.py`)."""
+    from architxt_spark.functions import bpe
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = bpe.train_bpe_merges(docs, n_merges=6)
+    return (
+        bpe.bpe_encode(docs, merges)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 #: BM25 demo query: a fixed small bag of terms from the corpus vocabulary.
 _BM25_TERMS = ["spark", "vector", "stream"]
 
@@ -1419,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk",
         "ann_pq_adc",
         "bpe_train_merges",
+        "bpe_encode_counts",
         "lm_perplexity",
         "dedup_exact_spans",
         "sampling_temperature",
@@ -1501,6 +1519,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "ann_pq_adc": q_ann_pq_adc,
         "bpe_train_merges": q_bpe_train_merges,
+        "bpe_encode_counts": q_bpe_encode_counts,
         "lm_perplexity": q_lm_perplexity,
         "doc_chunking": q_doc_chunking,
         "ngram_stats": q_ngram_stats,
@@ -1532,6 +1551,12 @@ def _bpe_sql() -> str:
     from architxt_spark.functions import bpe
 
     return bpe.train_bpe_merges_sql("documents", n_merges=6)
+
+
+def _bpe_encode_sql() -> str:
+    from architxt_spark.functions import bpe
+
+    return bpe.bpe_encode_counts_sql("documents", n_merges=6)
 
 
 def _lm_sql() -> str:
@@ -2048,6 +2073,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": search.bm25_topk_sql("documents", _BM25_TERMS, k=25),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
+        "bpe_encode_counts": _bpe_encode_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),
