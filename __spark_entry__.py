@@ -1209,6 +1209,18 @@ def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     return ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4, centroids=cb)
 
 
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means the embeddings with
+    the trained IVF codebook (2 deterministic Lloyd rounds), then drop
+    within-cell cosine near-duplicates above the threshold — pairs are
+    generated ONLY inside a cell (shuffle on cell_id, never all-pairs),
+    min-id representative kept (`functions/ann.py` semantic_dedup)."""
+    emb = _t(spark, sf, "embeddings")
+    cb = ann.train_codebook(emb, n_cells=16, iterations=2)
+    return ann.semantic_dedup(emb, n_cells=16, threshold=0.35, centroids=cb)
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1437,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc",
         "bpe_train_merges",
         "bpe_encode_counts",
+        "semantic_dedup",
         "lm_perplexity",
         "dedup_exact_spans",
         "sampling_temperature",
@@ -1525,6 +1538,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_stats": q_ngram_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "semantic_dedup": q_semantic_dedup,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1945,6 +1959,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE trim(text) <> ''
         """,
         "ann_ivf_topk": ann.ivf_topk_sql("embeddings", k=5, n_cells=16, nprobe=4, max_query_id=10),
+        "semantic_dedup": ann.semantic_dedup_sql(
+            "embeddings",
+            n_cells=16,
+            threshold=0.35,
+            codebook_ctes=ann.train_codebook_ctes("embeddings", n_cells=16, iterations=2),
+        ),
         "ann_ivf_trained": ann.ivf_topk_sql(
             "embeddings", k=5, n_cells=16, nprobe=4, max_query_id=10,
             codebook_ctes=ann.train_codebook_ctes("embeddings", n_cells=16, iterations=2),

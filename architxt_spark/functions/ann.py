@@ -782,3 +782,111 @@ def pq_topk_sql(
                round(CAST(dscore AS DOUBLE), 4) AS adc
         FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the IVF
+    coarse quantizer, then drop within-cell cosine near-duplicates.
+
+    A vector is dropped iff a LOWER-id vector in the SAME cell has
+    cosine ≥ ``threshold`` with it (rounded to 6 — boundary-stable across
+    engines); the min-id representative of every semantic near-dup group
+    survives, the same deterministic greedy rule the near-dup document
+    filters use.  Returns ``(id_col, cell_id, kept)`` for every vector.
+
+    Scale shape: this is exactly why SemDeDup clusters first — candidate
+    pairs are generated ONLY within a cell (one shuffle on ``cell_id``,
+    never corpus all-pairs), and cells are k-means-balanced so the
+    within-cell quadratic stays bounded; the codebook (trained via
+    :func:`train_codebook` or the deterministic first-``n_cells`` ids) is
+    broadcast.  Composes :func:`_assign_cells` with the exact-cosine
+    rescoring of :func:`cosine_near_dup_pairs`.
+    """
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
+    assigned = _assign_cells(
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        centroids,
+        vec_col="v",
+        out_id="vid",
+        nprobe=1,
+    )
+    a = assigned.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "cell_id")
+    b = assigned.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "cell_id")
+    drops = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return assigned.join(drops, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cell_id",
+        F.col("__drop").isNull().alias("kept"),
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    codebook_ctes: tuple[str, str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (deterministic codebook, or
+    the unrolled k-means chain via ``codebook_ctes``)."""
+    sim = (
+        "list_dot_product({a}.{v}, {b}.{v})"
+        " / (sqrt(list_dot_product({a}.{v}, {a}.{v}))"
+        " * sqrt(list_dot_product({b}.{v}, {b}.{v})))"
+    )
+    cent_sim = sim.format(a="x", b="cent", v="vec")
+    pair_sim = sim.format(a="a", b="b", v="vec")
+    if codebook_ctes is not None:
+        chain, name = codebook_ctes
+        cent_clause = f"{chain}, cent AS (SELECT cell_id, centroid AS vec FROM {name})"
+    else:
+        cent_clause = (
+            f"cent AS (SELECT {id_col} AS cell_id, {vec_col}::DOUBLE[] AS vec"
+            f" FROM {table} WHERE {id_col} < {n_cells})"
+        )
+    return f"""
+        WITH {cent_clause},
+        vx AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS vec FROM {table}),
+        ranked AS (
+            SELECT x.vid, x.vec, cent.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY x.vid
+                       ORDER BY ROUND({cent_sim}, 6) DESC, cent.cell_id
+                   ) AS crank
+            FROM vx x CROSS JOIN cent
+        ),
+        assigned AS (SELECT vid, vec, cell_id FROM ranked WHERE crank = 1),
+        drops AS (
+            SELECT DISTINCT b.vid FROM assigned a JOIN assigned b USING (cell_id)
+            WHERE a.vid < b.vid AND ROUND({pair_sim}, 6) >= {threshold}
+        )
+        SELECT a.vid AS {id_col}, a.cell_id, (d.vid IS NULL) AS kept
+        FROM assigned a LEFT JOIN drops d ON a.vid = d.vid
+    """

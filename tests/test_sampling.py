@@ -392,3 +392,52 @@ def test_weighted_sample_no_data_shuffle(spark, sf_dir):
     import re
 
     assert not re.search(r"Exchange hashpartitioning", plan)
+
+
+def test_semantic_dedup_within_cell_min_id_kept(spark):
+    """SemDeDup: near-identical vectors in one semantic cluster collapse to
+    the min-id representative; cross-cell similarity never drops anything;
+    candidate pairs are generated only inside a cell (plan: the pair join
+    is keyed on cell_id, no cartesian product)."""
+    from architxt_spark.functions.ann import semantic_dedup
+
+    rows = [
+        (0, [0.0, 10.0]),     # centroid A (+y)
+        (1, [100.0, 0.0]),    # centroid B (+x)
+        (2, [0.0, 9.0]),      # +y blob: near-dup of 0 and 5
+        (5, [0.1, 9.5]),
+        (7, [90.0, 1.0]),     # +x blob: near-dup of 1
+        (8, [60.0, 80.0]),    # diagonal: lands in a cell, far from others
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_cells=2, threshold=0.99).collect()}
+    assert out[0]["kept"] is True            # min id of the +y group
+    assert out[2]["kept"] is False and out[5]["kept"] is False
+    assert out[1]["kept"] is True            # min id of the +x group
+    assert out[7]["kept"] is False
+    assert out[8]["kept"] is True            # nothing within 0.99 of it
+
+    plan = (
+        semantic_dedup(emb, n_cells=2, threshold=0.99)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_matches_duckdb(spark):
+    import pytest
+
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.ann import semantic_dedup, semantic_dedup_sql
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    oracle = sorted(con.execute(semantic_dedup_sql("embeddings", n_cells=4, threshold=0.9)).fetchall())
+    got = sorted(
+        (r["vec_id"], r["cell_id"], r["kept"])
+        for r in semantic_dedup(emb, n_cells=4, threshold=0.9).collect()
+    )
+    assert got == oracle
+    assert any(not k for _, _, k in got)  # the fixture must exercise drops
