@@ -861,6 +861,29 @@ def _unlabelled_doc_forest(spark: SparkSession, sf: str, limit: int | None = Non
     )
 
 
+
+#: Batched BM25 eval-sweep query bags (query_id, term bag).
+_BM25_BAGS = [
+    (1, ["spark", "vector"]),
+    (2, ["stream", "data"]),
+    (3, ["model", "graph", "model"]),
+]
+
+
+def q_bm25_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched BM25 retrieval: several query bags scored in ONE corpus
+    pass — tokens explode once and semi-join the broadcast query
+    vocabulary, per-term parts sum as DECIMAL(18,6), per-query top-k via
+    the salted two-phase window (`functions/search.py` bm25_topk_batch).
+    Bag 3 repeats a term to exercise query-term-frequency weighting."""
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _BM25_BAGS], "query_id int, terms array<string>"
+    )
+    return search.bm25_topk_batch(
+        _t(spark, sf, "documents").select("doc_id", "text"), qdf, k=15
+    )
+
+
 def q_doc_loader_json_props(spark: SparkSession, sf: str) -> DataFrame:
     """Document loader (dict→GROUP/ENT normalization) over the events.props
     JSON column → dataset extraction of the induced 'root' group."""
@@ -1450,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges",
         "bpe_encode_counts",
         "semantic_dedup",
+        "bm25_batch",
         "lm_perplexity",
         "dedup_exact_spans",
         "sampling_temperature",
@@ -1530,6 +1554,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_parse_forest": q_nlp_parse_forest,
         "ann_topk": q_ann_topk,
         "bm25_topk": q_bm25_topk,
+        "bm25_batch": q_bm25_batch,
         "ann_pq_adc": q_ann_pq_adc,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_counts": q_bpe_encode_counts,
@@ -2091,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "bm25_topk": search.bm25_topk_sql("documents", _BM25_TERMS, k=25),
+        "bm25_batch": search.bm25_topk_batch_sql("documents", _BM25_BAGS, k=15),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
         "bpe_encode_counts": _bpe_encode_sql(),

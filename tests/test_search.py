@@ -57,3 +57,60 @@ def test_bm25_matches_duckdb_oracle(corpus):
     ).fetchall()
     got = [(r.doc_id, r.bm25) for r in search.bm25_topk(corpus, ["spark", "stream"], k=5).collect()]
     assert got == [(i, pytest.approx(s)) for i, s in oracle]
+
+
+def test_bm25_batch_matches_single_query(corpus, spark):
+    """A one-bag batch must rank documents exactly as the single-query
+    expression chain does (over the docs that match at least one term)."""
+    single = {
+        r.doc_id: r.bm25
+        for r in search.bm25_topk(corpus, ["spark", "stream"], k=5).collect()
+        if r.bm25 > 0
+    }
+    qdf = spark.createDataFrame([(1, ["spark", "stream"])], "query_id int, terms array<string>")
+    batch = {
+        r.doc_id: r.bm25 for r in search.bm25_topk_batch(corpus, qdf, k=5).collect()
+    }
+    assert set(batch) == set(single)
+    for d, s in single.items():
+        assert batch[d] == pytest.approx(s, abs=2e-4)
+
+
+def test_bm25_batch_multiple_queries_and_qtf(corpus, spark):
+    """Independent bags score independently; a repeated term doubles its
+    contribution (query term frequency weighting)."""
+    qdf = spark.createDataFrame(
+        [(1, ["spark"]), (2, ["vector"]), (3, ["spark", "spark"])],
+        "query_id int, terms array<string>",
+    )
+    out = search.bm25_topk_batch(corpus, qdf, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.bm25
+    # query 2 retrieves only the vector doc
+    assert set(by_q[2]) == {3}
+    # query 1 retrieves the three spark docs
+    assert set(by_q[1]) == {1, 2, 5}
+    # qtf doubling: same retrieved set, doubled scores
+    for d in by_q[1]:
+        assert by_q[3][d] == pytest.approx(2 * by_q[1][d], abs=2e-4)
+    # ranks are 1..n per query
+    ranks = sorted(r.rank for r in rows if r.query_id == 1)
+    assert ranks == [1, 2, 3]
+
+
+def test_bm25_batch_matches_duckdb(corpus):
+    duckdb = pytest.importorskip("duckdb")
+    bags = [(1, ["spark", "stream"]), (2, ["vector", "fast"])]
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    oracle = sorted(
+        con.execute(search.bm25_topk_batch_sql("documents", bags, k=4)).fetchall()
+    )
+    spark_df = corpus.sparkSession.createDataFrame(bags, "query_id int, terms array<string>")
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.bm25)
+        for r in search.bm25_topk_batch(corpus, spark_df, k=4).collect()
+    )
+    assert got == oracle
