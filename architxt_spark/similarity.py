@@ -821,3 +821,68 @@ def assign_to_clusters(
 
     m = exact.unionByName(fuzzy)
     return cands.join(F.broadcast(m), "signature").select("node_id", "cluster_name", "score")
+
+
+def mlflow_log_clustering(
+    clusters: DataFrame,
+    base_path: str,
+    *,
+    cluster_col: str = "cluster_name",
+    mlflow_module=None,
+    plt_module=None,
+) -> None:
+    """Log the clustering result as MLflow artifacts — parity for the
+    reference's ``TreeClusterer.mlflow_plot``
+    (``architxt/similarity.py:493-511``), which renders the HDBSCAN
+    condensed / single-linkage tree figures.
+
+    This engine's clustering lives in a distributed frame rather than a
+    fitted clusterer object, so the equivalent artifact is the cluster
+    census profile (cluster → member count, size-ranked): rendered with
+    matplotlib via ``mlflow.log_figure`` when both are importable, and
+    ALWAYS emitted as a ``log_table`` JSON artifact so headless driver
+    containers keep the artifact.  No active run → no-op; plot failures
+    warn instead of raising, both exactly as the reference.  The census
+    aggregate is cluster-bounded before it reaches the driver.
+    """
+    import warnings
+
+    if mlflow_module is None:
+        import mlflow as mlflow_module  # env-gated: absent from this container
+    if not mlflow_module.active_run():
+        return
+
+    census = (
+        clusters.groupBy(cluster_col)
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), cluster_col)
+        .collect()
+    )
+    names = [r[cluster_col] for r in census]
+    sizes = [r["size"] for r in census]
+    if hasattr(mlflow_module, "log_table"):
+        mlflow_module.log_table(
+            {"cluster": names, "size": sizes},
+            artifact_file=f"{base_path}/condensed_tree.json",
+        )
+
+    if plt_module is None:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt_module
+        except Exception:
+            return
+    if not hasattr(mlflow_module, "log_figure"):
+        return
+    try:
+        fig, ax = plt_module.subplots(figsize=(8, max(2.0, len(names) * 0.3)))
+        ax.barh(names, sizes)
+        ax.invert_yaxis()
+        ax.set_xlabel("cluster size")
+        ax.set_title("cluster census (condensed-tree profile)")
+        mlflow_module.log_figure(fig, f"{base_path}/condensed_tree.svg")
+        plt_module.close(fig)
+    except Exception as error:  # reference warns and continues (:503-505)
+        warnings.warn(f"Could not plot cluster census: {error}", stacklevel=2)

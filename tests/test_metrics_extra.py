@@ -138,3 +138,68 @@ def test_mlflow_iteration_logger_with_fake_module(spark):
     last = fake.logged[-1][1]
     assert "entities.distinct_count" in last and "entities.ratio" in last
     assert "unlabeled.ratio" in last
+
+
+def test_mlflow_log_clustering_artifacts(spark):
+    """Figure parity for TreeClusterer.mlflow_plot: the cluster census is
+    always logged as a table artifact; with a matplotlib-like module and
+    log_figure available, a figure artifact lands too; no active run is a
+    no-op."""
+    from architxt_spark.similarity import mlflow_log_clustering
+
+    clusters = spark.createDataFrame(
+        [("n1", "person_1"), ("n2", "person_1"), ("n3", "city_2")],
+        ["node_id", "cluster_name"],
+    )
+
+    class FakeMlflow:
+        def __init__(self):
+            self.run = None
+            self.tables = []
+            self.figures = []
+
+        def active_run(self):
+            return self.run
+
+        def log_table(self, data, artifact_file=None):
+            self.tables.append((artifact_file, data))
+
+        def log_figure(self, fig, artifact_file):
+            self.figures.append((artifact_file, fig))
+
+    class FakeAx:
+        def barh(self, *a):
+            pass
+
+        def invert_yaxis(self):
+            pass
+
+        def set_xlabel(self, *a):
+            pass
+
+        def set_title(self, *a):
+            pass
+
+    class FakePlt:
+        def subplots(self, figsize=None):
+            return "fig", FakeAx()
+
+        def close(self, fig):
+            pass
+
+    fake = FakeMlflow()
+    mlflow_log_clustering(clusters, "clustering/3", mlflow_module=fake, plt_module=FakePlt())
+    assert fake.tables == [] and fake.figures == []  # no active run
+
+    fake.run = object()
+    mlflow_log_clustering(clusters, "clustering/3", mlflow_module=fake, plt_module=FakePlt())
+    assert fake.tables == [
+        ("clustering/3/condensed_tree.json", {"cluster": ["person_1", "city_2"], "size": [2, 1]})
+    ]
+    assert fake.figures == [("clustering/3/condensed_tree.svg", "fig")]
+
+    # without matplotlib (plt injection refused by import): table only
+    fake2 = FakeMlflow()
+    fake2.run = object()
+    mlflow_log_clustering(clusters, "c", mlflow_module=fake2)
+    assert len(fake2.tables) == 1 and fake2.figures == []
