@@ -46,7 +46,7 @@ def test_contamination_broadcasts_benchmark_set(spark, entry):
 
 
 def test_pair_generators_avoid_cartesian(spark, entry):
-    for q in ("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_winnow_pairs"):
+    for q in ("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard"):  # jaccard now folds winnow in
         plan = _plan(getattr(entry, q)(spark, SF))
         assert "CartesianProduct" not in plan, q
 
