@@ -1246,6 +1246,20 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return ann.semantic_dedup(emb, n_cells=16, threshold=0.35, centroids=cb)
 
 
+
+def q_dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): hashed word
+    unigram+bigram bucket models of a target slice (doc_id < 25 stands in
+    for the vetted corpus) vs the raw corpus; per-doc mean log probability
+    ratio with DECIMAL summation.  Bucket tables are bounded and
+    broadcast; the only data-row shuffle is the per-doc sum
+    (`functions/dsir.py`)."""
+    from architxt_spark.functions import dsir
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return dsir.dsir_scores(docs, docs.filter(F.col("doc_id") < 25))
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1463,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch",
         "bpe_encode_counts",
         "semantic_dedup",
+        "dsir_scores",
         "ann_ivf_topk",
         "dedup_ngram_jaccard",
         "nlp_parse_forest",
@@ -1574,6 +1589,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_stats": q_ngram_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_scores": q_dsir_scores,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1605,6 +1621,12 @@ def _bpe_encode_sql() -> str:
     from architxt_spark.functions import bpe
 
     return bpe.bpe_encode_counts_sql("documents", n_merges=6)
+
+
+def _dsir_sql() -> str:
+    from architxt_spark.functions import dsir
+
+    return dsir.dsir_scores_sql("documents", "doc_id < 25")
 
 
 def _lm_sql() -> str:
@@ -2141,6 +2163,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
         "bpe_encode_counts": _bpe_encode_sql(),
+        "dsir_scores": _dsir_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

@@ -1,0 +1,184 @@
+"""DSIR-style importance weighting for data selection (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Given a small TARGET corpus (the distribution you want more of — e.g.
+vetted high-quality documents) and the raw corpus to select from, score
+every raw document by how much more likely its hashed n-gram features
+are under the target bucket model than under the raw bucket model:
+
+    score(d) = mean over features f of  log( p_target(b(f)) / p_raw(b(f)) )
+
+with hashed word unigram+bigram features bucketed into ``n_buckets`` and
+add-k smoothed bucket probabilities.  High scores = "looks like the
+target"; resampling keeps the top slice (deterministically here — the
+paper adds Gumbel noise, which a seeded ``sample_key`` salt reproduces if
+wanted).
+
+Scale shape: feature extraction is one narrow explode per document (no
+shuffle); the two bucket-count models are map-combinable groupBys whose
+output is BOUNDED BY ``n_buckets`` (not the corpus); the log-ratio table
+(≤ ``n_buckets`` rows) and the two 1-row totals are broadcast back, so
+scoring is one shuffle keyed on the document id for the per-doc sum.
+Per-feature log ratios are rounded to 6 and summed as DECIMAL(18,6), so
+float accumulation order cannot leak into scores.
+
+Cross-engine determinism: buckets come from the md5 digit-position
+construction shared with the dedup/sampling modules (28-bit int of the
+first 7 hex digits, mod ``n_buckets``), identical in Spark (``conv``)
+and DuckDB (digit arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from architxt_spark.functions import text as T
+
+#: default feature-hash bucket count (the paper uses 10k; 2048 keeps the
+#: broadcast table tiny while leaving collisions rare at test scale)
+N_BUCKETS = 2048
+
+#: add-k smoothing constant for bucket probabilities
+SMOOTH_K = 1.0
+
+
+def _feature_bucket(s: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long") % n_buckets
+    )
+
+
+def _doc_features(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    """(id, bucket) — one row per word unigram/bigram occurrence."""
+    feats = F.concat(
+        T.shingles(F.col(text_col), 1), T.shingles(F.col(text_col), 2)
+    )
+    return docs.select(
+        F.col(id_col).alias("__id"), F.explode(feats).alias("__f")
+    ).select("__id", _feature_bucket(F.col("__f"), n_buckets).alias("__b"))
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """Per-document DSIR importance score of ``docs`` against ``target``.
+
+    Returns ``(id_col, n_feats, dsir_score)``; documents with no features
+    (empty/whitespace text) get ``n_feats = 0`` and NULL score.
+    ``dsir_score`` is the mean per-feature log probability ratio, rounded
+    to 4.
+    """
+    raw_feats = _doc_features(docs, id_col, text_col, n_buckets)
+    tgt_feats = _doc_features(target, id_col, text_col, n_buckets)
+
+    raw_counts = raw_feats.groupBy("__b").agg(F.count("*").alias("__cr"))
+    tgt_counts = tgt_feats.groupBy("__b").agg(F.count("*").alias("__ct"))
+    raw_total = raw_feats.agg(F.count("*").alias("__nr"))
+    tgt_total = tgt_feats.agg(F.count("*").alias("__nt"))
+
+    # bucket-bounded ratio table: log((ct+k)/(nt+k*B)) - log((cr+k)/(nr+k*B))
+    ratios = (
+        raw_counts.join(tgt_counts, "__b", "full_outer")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(k))
+                    / (F.col("__nt") + F.lit(k) * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(k))
+                    / (F.col("__nr") + F.lit(k) * n_buckets)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("__lr"),
+        )
+    )
+
+    scored = (
+        raw_feats.join(F.broadcast(ratios), "__b")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_feats"), F.sum("__lr").alias("__lsum"))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_feats",
+            F.round(F.col("__lsum").cast("double") / F.col("n_feats"), 4).alias(
+                "dsir_score"
+            ),
+        )
+    )
+    empty = docs.select(F.col(id_col), F.col(text_col)).where(
+        F.size(T.tokens(F.col(text_col))) == 0
+    ).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_feats"),
+        F.lit(None).cast("double").alias("dsir_score"),
+    )
+    return scored.unionByName(empty)
+
+
+def dsir_scores_sql(
+    table: str,
+    target_where: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    k: float = SMOOTH_K,
+) -> str:
+    """DuckDB twin — ``target_where`` is a predicate selecting the target
+    slice from ``table`` (the query-level convention for oracle replay);
+    same bucket hash, same smoothing, same DECIMAL summation."""
+    uni = T.shingles_sql(text_col, 1)
+    bi = T.shingles_sql(text_col, 2)
+    digit = "(strpos('0123456789abcdef', substr(md5(f), {d}, 1)) - 1)"
+    h = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (6 - d)}" for d in range(7))
+    bucket = f"(CAST({h} AS BIGINT) % {n_buckets})"
+    return f"""
+        WITH __rawf AS (
+            SELECT {id_col} AS id, {bucket} AS b FROM (
+                SELECT {id_col}, unnest(list_concat({uni}, {bi})) AS f FROM {table}
+            )
+        ),
+        __tgtf AS (
+            SELECT {bucket} AS b FROM (
+                SELECT unnest(list_concat({uni}, {bi})) AS f FROM {table}
+                WHERE {target_where}
+            )
+        ),
+        __rc AS (SELECT b, count(*) AS cr FROM __rawf GROUP BY 1),
+        __tc AS (SELECT b, count(*) AS ct FROM __tgtf GROUP BY 1),
+        __rt AS (SELECT count(*) AS nr FROM __rawf),
+        __tt AS (SELECT count(*) AS nt FROM __tgtf),
+        __ratio AS (
+            SELECT coalesce(__rc.b, __tc.b) AS b,
+                   CAST(round(
+                       ln((coalesce(ct, 0) + {k}) / (nt + {k} * {n_buckets}))
+                       - ln((coalesce(cr, 0) + {k}) / (nr + {k} * {n_buckets})), 6)
+                   AS DECIMAL(18,6)) AS lr
+            FROM __rc FULL OUTER JOIN __tc ON __rc.b = __tc.b
+            CROSS JOIN __rt CROSS JOIN __tt
+        ),
+        __scored AS (
+            SELECT id, count(*) AS n_feats, sum(lr) AS lsum
+            FROM __rawf JOIN __ratio USING (b)
+            GROUP BY 1
+        )
+        SELECT id AS {id_col}, n_feats,
+               round(CAST(lsum AS DOUBLE) / n_feats, 4) AS dsir_score
+        FROM __scored
+        UNION ALL
+        SELECT {id_col}, CAST(0 AS BIGINT) AS n_feats, CAST(NULL AS DOUBLE) AS dsir_score
+        FROM {table} WHERE len({T.tokens_sql(text_col)}) = 0
+    """
