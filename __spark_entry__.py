@@ -720,6 +720,17 @@ def q_gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style paragraph-hash dedup over non-overlapping token
+    windows: chunk md5s, corpus-wide occurrence counts, keep-first rule —
+    one narrow chunk explode + one map-combinable hash groupBy + a join
+    back on the hash; no windows (`functions/dedup.py` chunk_dedup)."""
+    return dedup.chunk_dedup(
+        _t(spark, sf, "documents"), "text", "doc_id", chunk_tokens=32
+    )
+
+
 def q_dedup_exact_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Exact shared-span detection (exact-substring dedup signal): DF-capped
     positioned-shingle inverted index + diagonal run extension; returns the
@@ -1478,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_counts",
         "semantic_dedup",
         "dsir_scores",
+        "chunk_dedup",
         "ann_ivf_topk",
         "dedup_ngram_jaccard",
         "nlp_parse_forest",
@@ -1595,6 +1607,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_exact_spans": q_dedup_exact_spans,
+        "chunk_dedup": q_chunk_dedup,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "gopher_quality_flags": q_gopher_quality_flags,
         "dedup_simhash": q_dedup_simhash,
@@ -2123,6 +2136,9 @@ def oracle_sql() -> dict[str, str]:
                         AND rep <= 0.2 AND stopr >= 0.02 AS BIGINT) AS keep
             FROM q
         """,
+        "chunk_dedup": dedup.chunk_dedup_sql(
+            "documents", "text", "doc_id", chunk_tokens=32
+        ),
         "dedup_exact_spans": dedup.exact_span_pairs_sql(
             "documents", "text", "doc_id", min_tokens=12
         ),

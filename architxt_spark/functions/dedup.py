@@ -799,3 +799,84 @@ def exact_span_pairs_sql(
         FROM spans GROUP BY id_a, id_b
         HAVING max(span) >= {min_tokens}
     """
+
+
+# ---------------------------------------------------------------------------
+# chunk-hash deduplication (CCNet paragraph-hash dedup, windowed)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """CCNet-style paragraph-hash deduplication, with NON-OVERLAPPING
+    fixed token windows standing in for paragraphs (corpora without
+    newline structure — the general case after normalization — need a
+    deterministic segmentation anyway).
+
+    Every chunk is hashed (md5 of the space-joined window, via
+    :func:`architxt_spark.functions.text.chunk_documents` with
+    ``overlap=0``); a chunk occurrence is KEPT iff it is the first
+    occurrence of its hash in ``(id, chunk_id)`` order — exactly CCNet's
+    keep-first-paragraph rule.  Returns
+    ``(id_col, chunk_id, chunk_md5, n_occ, kept)``; ``n_occ`` is the
+    corpus-wide occurrence count of the chunk's hash, so downstream can
+    both strip duplicated chunks and compute per-document duplication
+    fractions.
+
+    Scale shape: one narrow per-doc explode (the chunker — no shuffle),
+    then ONE map-combinable groupBy on ``chunk_md5`` (min-struct + count
+    partially aggregate map-side) and a shuffle-hash join back on the
+    hash.  No windows, no all-pairs, no driver state.
+    """
+    chunks = T.chunk_documents(
+        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0
+    ).select(F.col(id_col).alias("id"), "chunk_id", "chunk_md5")
+    firsts = chunks.groupBy("chunk_md5").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("id", "chunk_id")).alias("__first"),
+    )
+    return (
+        chunks.join(firsts, "chunk_md5")
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_id",
+            "chunk_md5",
+            "n_occ",
+            (
+                (F.col("id") == F.col("__first.id"))
+                & (F.col("chunk_id") == F.col("__first.chunk_id"))
+            ).alias("kept"),
+        )
+    )
+
+
+def chunk_dedup_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 64,
+) -> str:
+    """DuckDB twin of :func:`chunk_dedup`."""
+    inner = T.chunk_documents_sql(
+        table, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0
+    )
+    return f"""
+        WITH __chunks AS (
+            SELECT {id_col} AS id, chunk_id, chunk_md5 FROM ({inner})
+        ),
+        __firsts AS (
+            SELECT chunk_md5, count(*) AS n_occ,
+                   min(struct_pack(id := id, chunk_id := chunk_id)) AS first_occ
+            FROM __chunks GROUP BY 1
+        )
+        SELECT c.id AS {id_col}, c.chunk_id, c.chunk_md5,
+               CAST(f.n_occ AS BIGINT) AS n_occ,
+               (c.id = f.first_occ.id AND c.chunk_id = f.first_occ.chunk_id) AS kept
+        FROM __chunks c JOIN __firsts f USING (chunk_md5)
+    """

@@ -150,3 +150,56 @@ def test_exact_span_pairs_hand_checked(spark):
         for r in exact_span_pairs(df, "text", "doc_id", n=3, min_tokens=3).collect()
     }
     assert out5[(1, 3)] == 3 and out5[(2, 3)] == 3 and out5[(1, 2)] == 10
+
+
+def test_chunk_dedup_keep_first_rule(spark):
+    """Chunks repeating across (or within) documents keep only their first
+    (doc, chunk) occurrence; unique chunks all keep."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark.functions.dedup import chunk_dedup
+
+    seg = " ".join(f"w{i}" for i in range(4))      # one 4-token window
+    other = " ".join(f"x{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg} {other}"),     # chunks: seg, other
+            (2, f"{seg} {seg}"),       # duplicate of doc1-chunk0, twice
+            (3, other),                # duplicate of doc1-chunk1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.n_occ, r.kept)
+        for r in chunk_dedup(df, "text", "doc_id", chunk_tokens=4).collect()
+    }
+    assert out[(1, 0)] == (3, True)    # seg first occurrence
+    assert out[(2, 0)] == (3, False) and out[(2, 1)] == (3, False)
+    assert out[(1, 1)] == (2, True)    # other first occurrence
+    assert out[(3, 0)] == (2, False)
+
+    # no window operators: the keep rule is a hash-agg + join
+    plan = (
+        chunk_dedup(df, "text", "doc_id", chunk_tokens=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
+def test_chunk_dedup_matches_duckdb(spark):
+    import pytest as _p
+
+    duckdb = _p.importorskip("duckdb")
+    from architxt_spark.functions.dedup import chunk_dedup, chunk_dedup_sql
+
+    rows = [(i, " ".join(f"t{(i * 3 + j) % 17}" for j in range(20))) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(con.execute(chunk_dedup_sql("documents", "text", "doc_id", chunk_tokens=8)).fetchall())
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_md5, r.n_occ, r.kept)
+        for r in chunk_dedup(df, "text", "doc_id", chunk_tokens=8).collect()
+    )
+    assert got == oracle
+    assert any(not k for *_, k in got)
