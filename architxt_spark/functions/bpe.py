@@ -141,21 +141,38 @@ def bpe_encode(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "expr",
 ) -> DataFrame:
     """Greedy BPE-encode documents with a trained merge table; returns
     ``(id_col, pos, sub, token)`` — word position and symbol index within
     the word, so the token stream order is fully reconstructible.
 
-    The merge table (vocab-bounded — ``n_merges`` rows) is collected and
-    folded into a chain of literal ``replace`` expressions applied in
-    training order, exactly the trainer's doubled-separator semantics:
-    the whole encode is one codegen'd map-side pass over the corpus with
-    a narrow per-word explode — no shuffle, no Python row path.
+    Two engines, identical results (parity-tested):
+
+    - ``engine="expr"`` (default): the merge table (vocab-bounded) folds
+      into a chain of literal ``replace`` expressions applied in training
+      order, exactly the trainer's doubled-separator semantics — one
+      codegen'd map-side pass with a narrow per-word explode, no shuffle,
+      no Python row path.  Right up to a few hundred merges, after which
+      the expression tree gets impractically deep.
+    - ``engine="pandas"``: Arrow-batched ``mapInPandas`` with the merge
+      RANK table broadcast in the closure and a per-batch word cache —
+      the production-tokenizer path for 32k+ merge tables.  Applies the
+      lowest-rank present pair repeatedly, which is provably identical to
+      sequential training-order application (a merge can only create
+      pairs involving its OWN new symbol, and that symbol cannot occur in
+      any earlier-trained pair), the standard tokenizer equivalence.
+      Still map-side only: no shuffle.
     """
     if isinstance(merges, DataFrame):
         ms = [(r["left"], r["right"]) for r in merges.orderBy("step").collect()]
     else:
         ms = list(merges)
+
+    if engine == "pandas":
+        return _bpe_encode_pandas(docs, ms, id_col, text_col)
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}; use 'expr' or 'pandas'")
 
     toks = retrieval_tokens(F.col(text_col))
     base = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "__w"))
@@ -170,6 +187,65 @@ def bpe_encode(
     return base.select(
         id_col, "pos", F.posexplode(syms).alias("sub", "token")
     )
+
+
+def _bpe_encode_pandas(
+    docs: DataFrame, ms: list[tuple[str, str]], id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow-batched encode: rank-priority merging with a per-batch word
+    cache (web text repeats words heavily, so the cache hit rate is the
+    type/token ratio)."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    rank = {pair: i for i, pair in enumerate(ms)}
+    token_re = re.compile(r"[^a-z0-9]+")
+
+    out_schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("pos", IntegerType()),
+            StructField("sub", IntegerType()),
+            StructField("token", StringType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def word_syms(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w)
+                while len(syms) > 1:
+                    pairs = {
+                        (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+                    } & rank.keys()
+                    if not pairs:
+                        break
+                    left, right = min(pairs, key=rank.__getitem__)
+                    syms = _merge_word(syms, left, right)
+                got = cache[w] = syms
+            return got
+
+        for pdf in batches:
+            ids, poss, subs, toks = [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in token_re.split((txt or "").lower()) if w]
+                for pos, w in enumerate(words):
+                    for sub, tok in enumerate(word_syms(w)):
+                        ids.append(did)
+                        poss.append(pos)
+                        subs.append(sub)
+                        toks.append(tok)
+            yield pd.DataFrame(
+                {id_col: ids, "pos": poss, "sub": subs, "token": toks}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(encode, out_schema)
 
 
 # ---------------------------------------------------------------------------

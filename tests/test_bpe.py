@@ -203,3 +203,36 @@ def test_chunk_dedup_matches_duckdb(spark):
     )
     assert got == oracle
     assert any(not k for *_, k in got)
+
+
+def test_bpe_encode_pandas_engine_parity(corpus, spark):
+    """The Arrow mapInPandas encode path (rank-priority merging, word
+    cache) must produce byte-identical rows to the codegen replace-chain
+    path — including at a merge count past expression-chain comfort."""
+    merges = bpe.train_bpe_merges(corpus, n_merges=4)
+    expr_rows = sorted(
+        map(tuple, bpe.bpe_encode(corpus, merges).collect())
+    )
+    pandas_rows = sorted(
+        map(tuple, bpe.bpe_encode(corpus, merges, engine="pandas").collect())
+    )
+    assert expr_rows == pandas_rows
+
+    # larger merge table through the pandas path only (its raison d'etre)
+    words = " ".join(f"tok{i}abcdefgh" * (i % 3 + 1) for i in range(120))
+    big = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    merges64 = bpe.train_bpe_merges(big, n_merges=64)
+    out = bpe.bpe_encode(big, merges64, engine="pandas")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # still map-side only
+    small = sorted(map(tuple, bpe.bpe_encode(big, merges64.limit(20)).collect()))
+    # spot equivalence on a prefix of the merge table (both engines)
+    small_p = sorted(
+        map(tuple, bpe.bpe_encode(big, merges64.limit(20), engine="pandas").collect())
+    )
+    assert small == small_p
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown engine"):
+        bpe.bpe_encode(corpus, merges, engine="bogus")
