@@ -890,3 +890,81 @@ def semantic_dedup_sql(
         SELECT a.vid AS {id_col}, a.cell_id, (d.vid IS NULL) AS kept
         FROM assigned a LEFT JOIN drops d ON a.vid = d.vid
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: cell-partitioned parquet + partition-pruned probing
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted file as parquet PARTITIONED BY
+    ``cell_id`` — the at-rest layout PLANS.md's IVF note promises: each
+    corpus vector lands in its nearest-centroid directory, so query-time
+    probing is parquet partition PRUNING (probed cells are read, the rest
+    never touch I/O).  One map-side assignment pass + one write; rewrite
+    the index when the codebook retrains."""
+    assigned = _assign_cells(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        centroids,
+        vec_col="v",
+        out_id="vec_id",
+        nprobe=1,
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k against a :func:`build_ivf_index` parquet index: queries
+    rank the broadcast centroids, the probed cell ids (≤ |queries| ×
+    nprobe — a bounded aggregate-first collect) become a partition-column
+    ``isin`` filter, and parquet partition pruning skips every unprobed
+    cell's files entirely.  Re-scoring and the two-phase top-k are
+    identical to :func:`ivf_topk`, so results match the in-memory path
+    exactly for the same codebook."""
+    q = _assign_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        ),
+        centroids,
+        vec_col="qv",
+        out_id="query_id",
+        nprobe=nprobe,
+    )
+    probed = [r["cell_id"] for r in q.select("cell_id").distinct().collect()]
+    corpus = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell_id").isin(probed))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell_id")
+    )
+    sims = (
+        corpus.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    return _two_phase_topk(sims, k, "sim").select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim")
+    )

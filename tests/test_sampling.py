@@ -441,3 +441,46 @@ def test_semantic_dedup_matches_duckdb(spark):
     )
     assert got == oracle
     assert any(not k for _, _, k in got)  # the fixture must exercise drops
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index layout: writing partitions by cell_id and
+    probing prunes unprobed cells at the parquet scan (PartitionFilters),
+    with results identical to the in-memory ivf_topk for the same
+    codebook."""
+    import hashlib
+
+    from architxt_spark.functions.ann import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_codebook,
+    )
+
+    rows = []
+    for i in range(60):
+        vec = []
+        for j in range(8):
+            h = hashlib.md5(f"{i}:{j}".encode()).digest()[0]
+            vec.append((h - 127.5) / 127.5)
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cb = train_codebook(emb, n_cells=6, iterations=1)
+    queries = emb.filter("vec_id < 3")
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, cb, path)
+
+    got = ivf_topk_indexed(spark, path, queries, cb, k=4, nprobe=2)
+    expect = sorted(
+        map(tuple, ivf_topk(emb, queries, k=4, n_cells=6, nprobe=2, centroids=cb).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == expect
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # the scan must carry the isin pruning predicate on the partition col
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell_id" in m.group(1), plan[:2000]
