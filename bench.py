@@ -42,6 +42,9 @@ HEADLINE = [
     # r4 additions: lexical retrieval and LM-quality scoring families
     "bm25_topk",
     "lm_perplexity",
+    # r5 additions: semantic (embedding k-means) dedup and DSIR selection
+    "semantic_dedup",
+    "dsir_scores",
 ]
 
 
