@@ -642,8 +642,13 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     stands in for the eval set).  Scale shape: the benchmark gram set is
     bounded and broadcast; one shuffle for the per-doc aggregate."""
     docs = _t(spark, sf, "documents").select("doc_id", "text")
+    # tokens materialized first (shingles_of_tokens contract) so the split
+    # is evaluated once per row, not once per gram
     grams = docs.select(
-        "doc_id", F.explode(F.array_distinct(T.shingles(F.col("text"), 3))).alias("gram")
+        "doc_id", T.tokens(F.col("text")).alias("__t")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles_of_tokens(F.col("__t"), 3))).alias("gram"),
     )
     bench = grams.filter(F.col("doc_id") < 25).select("gram").distinct()
     hits = (

@@ -427,9 +427,13 @@ def ngram_stats(
     sketched — heavy hitters concentrate mass, and the gram-keyed
     shuffle is skew-safe after partial aggregation.
     """
+    # materialize tokens first (shingles_of_tokens contract): inlining the
+    # split into the shingle lambda re-evaluates it once per gram
     grams = df.select(
-        F.col(id_col).alias("__d"),
-        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+        F.col(id_col).alias("__d"), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        "__d",
+        F.explode(shingles_of_tokens(F.col("__t"), n)).alias("gram"),
     )
     return (
         grams.groupBy("gram")
