@@ -300,7 +300,10 @@ def ngram_jaccard_pairs(
     BOTH the candidate and the similarity side, so the result is exact over
     the capped universe and identical across engines.  The heavy-shingle
     set is tiny by construction — anti-joined as a broadcast."""
-    base = _shingle_frame(df, text_col, id_col).filter(F.size("sh") > 0)
+    # no size guard: explode drops empty arrays, and a size() filter
+    # gets predicate-pushed through the projection barrier, inlining the
+    # whole shingle chain into the filter (per-element re-evaluation)
+    base = _shingle_frame(df, text_col, id_col)
     # persist BEFORE deriving the DF counts: shingle hashing runs once; the
     # heavy-set aggregation and the anti-join both read the cached index.
     inv = base.select("id", F.explode("sh").alias("s")).persist()
@@ -668,11 +671,25 @@ def winnow_pairs(
     inverted index carries only ~1/w of the shingle hashes — the
     sub-linear sibling of :func:`ngram_jaccard_pairs` for corpus-scale
     screening.  Same index shape: explode, DF-cap the degenerate
-    fingerprints (broadcast anti-join), self-join, count per pair."""
-    base = _spread(df).select(
-        F.col(id_col).alias("id"), T.winnow_fingerprints(F.col(text_col), n, w).alias("fp")
-    ).filter(F.size("fp") > 0)
-    inv = base.select("id", F.explode("fp").alias("f"))
+    fingerprints (broadcast anti-join), self-join, count per pair.
+
+    The fingerprint chain is materialized STEPWISE (tokens → shingles →
+    hashes → winnowed mins, each behind a projection) and the inverted
+    index is persisted before the self-join: an inlined chain under the
+    explode re-evaluates per output row (benched 485 s vs sub-second at
+    sf0.1)."""
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("__t"))
+        .select("id", T.shingles_of_tokens(F.col("__t"), n).alias("__sh"))
+        .select("id", F.transform("__sh", lambda s: F.md5(s)).alias("__h"))
+        # no size(fp) filter: explode drops empties, and the pushed-down
+        # predicate would inline the whole winnow chain (241 s vs 1.4 s
+        # at sf0.1 — the pushdown re-triggers per-element re-evaluation)
+        .select("id", T.winnow_of_hashes(F.col("__h"), w).alias("fp"))
+    )
+    inv = base.select("id", F.explode("fp").alias("f")).persist()
+    inv.count()  # eager: hash once; heavy-set agg + self-join read the cache
     heavy = inv.groupBy("f").count().filter(F.col("count") > max_fp_df).select("f")
     inv = inv.join(F.broadcast(heavy), "f", "left_anti")
     return (
@@ -739,9 +756,15 @@ def exact_span_pairs(
 
     Returns ``(id_a, id_b, max_span)`` with ``id_a < id_b``.
     """
-    fp = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(T.shingle_fingerprints(F.col(text_col), n)).alias("pos", "h"),
+    # hash chain materialized stepwise before the posexplode — a generator
+    # re-evaluates its expression per OUTPUT row, so an inlined chain is
+    # O(shingles) per emitted shingle (see winnow_pairs)
+    fp = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("__t"))
+        .select("id", T.shingles_of_tokens(F.col("__t"), n).alias("__sh"))
+        .select("id", F.transform("__sh", lambda s: F.md5(s)).alias("__h"))
+        .select("id", F.posexplode("__h").alias("pos", "h"))
     )
     heavy = fp.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
     fp = fp.join(F.broadcast(heavy), "h", "left_anti")
