@@ -769,9 +769,12 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     all-pairs cosine baseline AND the sign-LSH-bucketed scale variant
     (shuffle on bucket keys, never all-pairs)."""
     emb = _t(spark, sf, "embeddings")
-    brute = ann.cosine_near_dup_pairs(emb, threshold=0.5).select(
-        F.lit("brute").alias("variant"), "*"
-    )
+    # the all-pairs baseline runs on a bounded id-slice: it is the LABELLED
+    # correctness reference, and unbounded it is quadratic in the corpus
+    # (80 s at sf0.1 for 25M pairs); the LSH scale path stays full-corpus
+    brute = ann.cosine_near_dup_pairs(
+        emb.filter(F.col("vec_id") < 1000), threshold=0.5
+    ).select(F.lit("brute").alias("variant"), "*")
     lsh = ann.cosine_near_dup_pairs_lsh(emb, dim=64, threshold=0.35).select(
         F.lit("lsh").alias("variant"), "*"
     )
@@ -2167,7 +2170,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dup": (
             "SELECT 'brute' AS variant, * FROM ("
-            + ann.cosine_near_dup_pairs_sql("embeddings", threshold=0.5)
+            + ann.cosine_near_dup_pairs_sql(
+                "(SELECT * FROM embeddings WHERE vec_id < 1000)", threshold=0.5
+            )
             + ") UNION ALL SELECT 'lsh' AS variant, * FROM ("
             + ann.cosine_near_dup_pairs_lsh_sql("embeddings", dim=64, threshold=0.35)
             + ")"
