@@ -174,6 +174,19 @@ def _collect_entities(node: PyTree) -> list[PyTree]:
     return acc
 
 
+
+def _spread_by_tree(nodes: DataFrame) -> DataFrame:
+    """Hash-partition by tree_id at driver parallelism before a pandas
+    group walk.  AQE's size-based shuffle coalescing sees a few MB of
+    node rows and folds the applyInPandas exchange into ONE task,
+    serializing the per-tree Python work (16-21 s single-threaded at
+    sf0.1); an explicit repartition pins the width — and because it
+    already satisfies the required ClusteredDistribution(tree_id), the
+    groupBy adds no second exchange."""
+    spark = nodes.sparkSession
+    return nodes.repartition(spark.sparkContext.defaultParallelism, "tree_id")
+
+
 def candidate_subtrees(nodes: DataFrame, *, max_height: int = DEFAULT_MAX_HEIGHT) -> DataFrame:
     """(tree_id, node_id, node_name, signature) for candidate subtrees:
     height ≤ max_height, not ENT, ≥1 entity, no duplicate entity labels
@@ -204,7 +217,7 @@ def candidate_subtrees(nodes: DataFrame, *, max_height: int = DEFAULT_MAX_HEIGHT
             walk(tree, [])
         return pd.DataFrame(out, columns=["tree_id", "node_id", "node_name", "signature"])
 
-    return nodes.groupBy("tree_id").applyInPandas(
+    return _spread_by_tree(nodes).groupBy("tree_id").applyInPandas(
         extract, "tree_id string, node_id string, node_name string, signature string"
     )
 
@@ -269,7 +282,7 @@ def candidate_contexts(
             columns=["tree_id", "node_id", "node_name", "typed_label", "signature", "ctx"],
         )
 
-    return nodes.groupBy("tree_id").applyInPandas(
+    return _spread_by_tree(nodes).groupBy("tree_id").applyInPandas(
         extract,
         "tree_id string, node_id string, node_name string, typed_label string, "
         "signature string, ctx array<struct<label string, ents array<string>>>",
