@@ -416,7 +416,12 @@ def rewrite(
     if min_support is None:
         min_support = max(n_trees // 10, 2)
 
-    nodes = nodes.repartition("tree_id").localCheckpoint(eager=True)
+    # explicit width: repartition("tree_id") without a count is AQE-
+    # coalescible, and a few MB of node rows collapse to ONE task —
+    # serializing every per-tree applyInPandas pass of the whole loop
+    nodes = nodes.repartition(
+        nodes.sparkSession.sparkContext.defaultParallelism, "tree_id"
+    ).localCheckpoint(eager=True)
 
     def census(frame: DataFrame) -> dict:
         types = (NodeType.ENT, NodeType.GROUP, NodeType.REL, NodeType.COLL)
