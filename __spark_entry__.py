@@ -736,6 +736,19 @@ def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_chunk_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Transform side of chunk-hash dedup: rebuild each document from its
+    first-occurrence chunks only, verified via md5 of the rebuilt text
+    (`functions/dedup.py` strip_duplicate_chunks)."""
+    out = dedup.strip_duplicate_chunks(
+        _t(spark, sf, "documents"), "text", "doc_id", chunk_tokens=32
+    )
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_chunks", "n_kept"
+    )
+
+
 def q_dedup_exact_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Exact shared-span detection (exact-substring dedup signal): DF-capped
     positioned-shingle inverted index + diagonal run extension; returns the
@@ -1501,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup",
         "dsir_scores",
         "chunk_dedup",
+        "chunk_strip",
         "ann_ivf_topk",
         "dedup_ngram_jaccard",
         "nlp_parse_forest",
@@ -1619,6 +1633,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_exact_spans": q_dedup_exact_spans,
         "chunk_dedup": q_chunk_dedup,
+        "chunk_strip": q_chunk_strip,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "gopher_quality_flags": q_gopher_quality_flags,
         "dedup_simhash": q_dedup_simhash,
@@ -2147,6 +2162,11 @@ def oracle_sql() -> dict[str, str]:
                         AND rep <= 0.2 AND stopr >= 0.02 AS BIGINT) AS keep
             FROM q
         """,
+        "chunk_strip": (
+            "SELECT doc_id, md5(clean_text) AS clean_md5, n_chunks, n_kept FROM ("
+            + dedup.strip_duplicate_chunks_sql("documents", "text", "doc_id", chunk_tokens=32)
+            + ")"
+        ),
         "chunk_dedup": dedup.chunk_dedup_sql(
             "documents", "text", "doc_id", chunk_tokens=32
         ),

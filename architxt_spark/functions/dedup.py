@@ -903,3 +903,132 @@ def chunk_dedup_sql(
                (c.id = f.first_occ.id AND c.chunk_id = f.first_occ.chunk_id) AS kept
         FROM __chunks c JOIN __firsts f USING (chunk_md5)
     """
+
+
+def strip_duplicate_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """The TRANSFORM side of :func:`chunk_dedup`: rebuild every document
+    keeping only its chunks that are the FIRST global occurrence of their
+    hash, in original order — what a CCNet-style pipeline actually writes
+    out after paragraph-hash dedup.
+
+    Returns ``(id_col, clean_text, n_chunks, n_kept)`` for every input
+    document (documents whose every chunk was seen earlier elsewhere keep
+    an empty ``clean_text``).  The rebuilt text is the space-joined
+    retrieval-token stream (lower-cased, punctuation-stripped) — the same
+    normalization the chunk hashes are computed over.
+
+    Scale shape: one narrow per-doc window explode carrying the chunk
+    text, one map-combinable groupBy on the hash for the keep-first rule,
+    a hash join back, and one per-doc aggregation whose chunk list is
+    sorted in-row (``array_sort`` on (chunk_id, text) structs) so the
+    rebuild is order-deterministic without a window.
+    """
+    from architxt_spark.functions.search import retrieval_tokens
+
+    toks = retrieval_tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    last_start = F.greatest(F.size("__t") - 1, F.lit(0))
+    starts = F.sequence(F.lit(0), last_start, F.lit(chunk_tokens))
+    chunks = (
+        base.select("id", "__t", F.explode(starts).alias("__start"))
+        .filter(F.col("__start") < F.size("__t"))
+        .select(
+            "id",
+            (F.col("__start") / chunk_tokens).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__t"), F.col("__start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+    )
+    firsts = chunks.groupBy("chunk_md5").agg(
+        F.min(F.struct("id", "chunk_id")).alias("__first")
+    )
+    kept = (
+        chunks.join(firsts, "chunk_md5")
+        .filter(
+            (F.col("id") == F.col("__first.id"))
+            & (F.col("chunk_id") == F.col("__first.chunk_id"))
+        )
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = chunks.groupBy("id").agg(F.count("*").alias("n_chunks"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def strip_duplicate_chunks_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 64,
+) -> str:
+    """DuckDB twin of :func:`strip_duplicate_chunks`."""
+    from architxt_spark.functions.search import retrieval_tokens_sql
+
+    toks = retrieval_tokens_sql(text_col)
+    return f"""
+        WITH __base AS (
+            SELECT {id_col} AS id, {toks} AS t FROM {table}
+        ),
+        __chunks AS (
+            SELECT id, CAST(s // {chunk_tokens} AS INT) AS chunk_id,
+                   array_to_string(t[s + 1 : s + {chunk_tokens}], ' ') AS chunk_text,
+                   md5(array_to_string(t[s + 1 : s + {chunk_tokens}], ' ')) AS chunk_md5
+            FROM (
+                SELECT id, t,
+                       unnest(generate_series(0, greatest(len(t) - 1, 0), {chunk_tokens})) AS s
+                FROM __base
+            )
+            WHERE s < len(t)
+        ),
+        __firsts AS (
+            SELECT chunk_md5,
+                   min(struct_pack(id := id, chunk_id := chunk_id)) AS first_occ
+            FROM __chunks GROUP BY 1
+        ),
+        __kept AS (
+            SELECT c.id,
+                   string_agg(c.chunk_text, ' ' ORDER BY c.chunk_id) AS clean_text,
+                   count(*) AS n_kept
+            FROM __chunks c JOIN __firsts f USING (chunk_md5)
+            WHERE c.id = f.first_occ.id AND c.chunk_id = f.first_occ.chunk_id
+            GROUP BY 1
+        ),
+        __totals AS (
+            SELECT id, count(*) AS n_chunks FROM __chunks GROUP BY 1
+        )
+        SELECT b.id AS {id_col},
+               coalesce(k.clean_text, '') AS clean_text,
+               CAST(coalesce(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM __base b
+        LEFT JOIN __totals t USING (id)
+        LEFT JOIN __kept k USING (id)
+    """

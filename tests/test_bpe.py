@@ -236,3 +236,57 @@ def test_bpe_encode_pandas_engine_parity(corpus, spark):
 
     with _p.raises(ValueError, match="unknown engine"):
         bpe.bpe_encode(corpus, merges, engine="bogus")
+
+
+def test_strip_duplicate_chunks_rebuild(spark):
+    """Clean text keeps first-occurrence chunks in order; later duplicates
+    (cross-doc AND within-doc) are stripped; fully-duplicated docs come
+    back empty but present."""
+    from architxt_spark.functions.dedup import strip_duplicate_chunks
+
+    seg = "w0 w1 w2 w3"
+    other = "x0 x1 x2 x3"
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg} {other}"),
+            (2, f"{seg} {seg} y0 y1"),   # chunk0 dup of doc1, chunk1 dup within run
+            (3, seg),                     # fully duplicated
+            (4, ""),                      # no tokens at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in strip_duplicate_chunks(df, "text", "doc_id", chunk_tokens=4).collect()
+    }
+    assert out[1].clean_text == f"{seg} {other}" and out[1].n_kept == 2
+    # doc2: chunk0 (= seg) dropped (doc1 owns it), chunk1 (= seg again)
+    # dropped, chunk2 ("y0 y1") kept
+    assert out[2].clean_text == "y0 y1" and (out[2].n_chunks, out[2].n_kept) == (3, 1)
+    assert out[3].clean_text == "" and out[3].n_chunks == 1 and out[3].n_kept == 0
+    assert out[4].clean_text == "" and out[4].n_chunks == 0
+
+
+def test_strip_duplicate_chunks_matches_duckdb(spark):
+    import pytest as _p
+
+    duckdb = _p.importorskip("duckdb")
+    from architxt_spark.functions.dedup import (
+        strip_duplicate_chunks,
+        strip_duplicate_chunks_sql,
+    )
+
+    rows = [(i, " ".join(f"t{(i * 3 + j) % 17}" for j in range(20))) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(
+        con.execute(
+            strip_duplicate_chunks_sql("documents", "text", "doc_id", chunk_tokens=8)
+        ).fetchall()
+    )
+    got = sorted(
+        map(tuple, strip_duplicate_chunks(df, "text", "doc_id", chunk_tokens=8).collect())
+    )
+    assert got == oracle
+    assert any(nk < nc for _, _, nc, nk in got)  # fixture exercises drops
