@@ -870,6 +870,17 @@ def q_bpe_encode_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer vocabulary induced by the trained merge table: corpus
+    character alphabet (id-ordered) + merges in training order — ids are
+    prefix-stable under retraining (`functions/bpe.py` vocab_from_merges)."""
+    from architxt_spark.functions import bpe
+
+    docs = _t(spark, sf, "documents").select("text")
+    merges = bpe.train_bpe_merges(docs, n_merges=6)
+    return bpe.vocab_from_merges(docs, merges)
+
+
 #: BM25 demo query: a fixed small bag of terms from the corpus vocabulary.
 _BM25_TERMS = ["spark", "vector", "stream"]
 
@@ -1511,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added, or code-touched this round
         "bm25_batch",
         "bpe_encode_counts",
+        "bpe_vocab",
         "semantic_dedup",
         "dsir_scores",
         "chunk_dedup",
@@ -1621,6 +1633,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": q_ann_pq_adc,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_counts": q_bpe_encode_counts,
+        "bpe_vocab": q_bpe_vocab,
         "lm_perplexity": q_lm_perplexity,
         "doc_chunking": q_doc_chunking,
         "ngram_stats": q_ngram_stats,
@@ -1666,6 +1679,12 @@ def _dsir_sql() -> str:
     from architxt_spark.functions import dsir
 
     return dsir.dsir_scores_sql("documents", "doc_id < 25")
+
+
+def _bpe_vocab_sql() -> str:
+    from architxt_spark.functions import bpe
+
+    return bpe.vocab_from_merges_sql("documents", n_merges=6)
 
 
 def _lm_sql() -> str:
@@ -2212,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
         "bpe_encode_counts": _bpe_encode_sql(),
+        "bpe_vocab": _bpe_vocab_sql(),
         "dsir_scores": _dsir_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),

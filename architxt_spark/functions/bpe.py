@@ -320,3 +320,72 @@ def bpe_encode_counts_sql(
             FROM {prev}
         ) GROUP BY token"""
     )
+
+
+def vocab_from_merges(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """The tokenizer VOCABULARY a trained merge table induces: the corpus
+    character alphabet (id-ordered lexicographically, like the byte
+    alphabet of a production tokenizer) followed by one entry per merge in
+    training order — ``token_id`` is stable under retraining prefixes, so
+    an encoder checkpointed at merge k reads the same ids.
+
+    Returns ``(token_id, token, kind)`` with ``kind`` ∈ {'char','merge'}.
+    Scale shape: the alphabet is one explode + distinct over corpus
+    CHARACTERS (map-combinable, alphabet-bounded output); the merge rows
+    are the vocab-bounded merge table itself.
+    """
+    spark = docs.sparkSession
+    if isinstance(merges, DataFrame):
+        ms = [r["merged"] for r in merges.orderBy("step").collect()]
+    else:
+        ms = [left + right for left, right in merges]
+
+    chars = (
+        docs.select(
+            F.explode(
+                F.split(F.concat_ws("", retrieval_tokens(F.col(text_col))), "")
+            ).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .distinct()
+        .orderBy("ch")
+        .collect()
+    )
+    rows = [(i, r["ch"], "char") for i, r in enumerate(chars)]
+    rows += [(len(rows) + i, m, "merge") for i, m in enumerate(ms)]
+    return spark.createDataFrame(rows, "token_id int, token string, kind string")
+
+
+def vocab_from_merges_sql(table: str, *, text_col: str = "text", n_merges: int = 6) -> str:
+    """DuckDB replay: alphabet from the same retrieval tokens + the
+    unrolled training chain's merges, id-ordered identically."""
+    parts = _training_ctes(table, text_col=text_col, n_merges=n_merges)
+    merge_union = " UNION ALL ".join(
+        f"SELECT {i} AS step, l || r AS token FROM __b{i}" for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""", __chars AS (
+            SELECT DISTINCT ch FROM (
+                SELECT unnest(string_split(array_to_string({retrieval_tokens_sql(text_col)}, ''), '')) AS ch
+                FROM {table}
+            ) WHERE ch <> ''
+        ),
+        __alpha AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY ch) - 1 AS INT) AS token_id,
+                   ch AS token, 'char' AS kind
+            FROM __chars
+        ),
+        __n AS (SELECT count(*) AS n FROM __alpha),
+        __merges AS (
+            SELECT CAST(n + step - 1 AS INT) AS token_id, token, 'merge' AS kind
+            FROM ({merge_union}) CROSS JOIN __n
+        )
+        SELECT * FROM __alpha UNION ALL SELECT * FROM __merges"""
+    )

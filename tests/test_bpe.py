@@ -290,3 +290,33 @@ def test_strip_duplicate_chunks_matches_duckdb(spark):
     )
     assert got == oracle
     assert any(nk < nc for _, _, nc, nk in got)  # fixture exercises drops
+
+
+def test_vocab_from_merges(corpus, spark):
+    """Alphabet chars id-ordered, then merges in training order; ids are
+    prefix-stable under retraining with more merges."""
+    m3 = bpe.train_bpe_merges(corpus, n_merges=3)
+    v3 = bpe.vocab_from_merges(corpus, m3).collect()
+    chars = [r.token for r in v3 if r.kind == "char"]
+    merges = [(r.token_id, r.token) for r in v3 if r.kind == "merge"]
+    # corpus chars: d e i l n o r s t w
+    assert chars == sorted(set("lowlowernewestwidest"))
+    n = len(chars)
+    assert merges == [(n, "we"), (n + 1, "lo"), (n + 2, "st")]
+    # prefix stability
+    m4 = bpe.train_bpe_merges(corpus, n_merges=4)
+    v4 = {r.token_id: r.token for r in bpe.vocab_from_merges(corpus, m4).collect()}
+    for r in v3:
+        assert v4[r.token_id] == r.token
+
+
+def test_vocab_from_merges_matches_duckdb(corpus):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    oracle = sorted(
+        con.execute(bpe.vocab_from_merges_sql("documents", n_merges=4)).fetchall()
+    )
+    m = bpe.train_bpe_merges(corpus, n_merges=4)
+    got = sorted(map(tuple, bpe.vocab_from_merges(corpus, m).collect()))
+    assert got == oracle
