@@ -32,3 +32,10 @@ def test_rotation_prefix_is_valid_and_first():
               "dedup_exact_spans", "sampling_temperature", "sampling_weighted",
               "doc_chunking", "ngram_stats"):
         assert names.index(k) < 50, k
+    # r5: every entry added, folded, or code-touched this round, plus the
+    # 24 whose last driver verdict predates r4, must also lead the window
+    for k in ("bm25_batch", "bpe_encode_counts", "bpe_vocab", "semantic_dedup",
+              "dsir_scores", "chunk_dedup", "chunk_strip", "ann_ivf_topk",
+              "dedup_ngram_jaccard", "nlp_parse_forest", "ann_topk",
+              "stream_minhash_dedup", "embedding_near_dup"):
+        assert names.index(k) < 50, k
