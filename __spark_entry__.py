@@ -1306,6 +1306,23 @@ def q_dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
     return dsir.dsir_scores(docs, docs.filter(F.col("doc_id") < 25))
 
 
+
+def q_fm_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Flajolet-Martin PCSA cardinality sketch over the corpus token
+    stream, alongside the exact distinct count for error visibility: one
+    map-combinable bit_or aggregate of m bucket bitmaps — the 100-TB
+    cardinality pattern where exact count_distinct would shuffle every
+    value (`functions/sketch.py`)."""
+    from architxt_spark.functions import sketch
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    est = sketch.fm_count_distinct(toks, "tok", m=256)
+    exact = toks.agg(F.count_distinct("tok").cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1525,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab",
         "semantic_dedup",
         "dsir_scores",
+        "fm_distinct_tokens",
         "chunk_dedup",
         "chunk_strip",
         "ann_ivf_topk",
@@ -1640,6 +1658,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
         "dsir_scores": q_dsir_scores,
+        "fm_distinct_tokens": q_fm_distinct_tokens,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1685,6 +1704,20 @@ def _bpe_vocab_sql() -> str:
     from architxt_spark.functions import bpe
 
     return bpe.vocab_from_merges_sql("documents", n_merges=6)
+
+
+def _fm_sql() -> str:
+    from architxt_spark.functions import sketch
+
+    inner = sketch.fm_count_distinct_sql(
+        f"(SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents)", "tok", m=256
+    )
+    return f"""
+        SELECT s.m, s.est_distinct, e.exact_distinct FROM ({inner}) s CROSS JOIN (
+            SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+            FROM (SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents)
+        ) e
+    """
 
 
 def _lm_sql() -> str:
@@ -2233,6 +2266,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_counts": _bpe_encode_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "dsir_scores": _dsir_sql(),
+        "fm_distinct_tokens": _fm_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),
