@@ -1323,6 +1323,33 @@ def q_fm_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+
+def q_kmv_token_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set-operation sketches: token-vocabulary overlap between the
+    even- and odd-doc_id halves of the corpus — two mergeable k-min-hash
+    sketches (only k longs each cross the wire), then distinct/union/
+    Jaccard estimates as pure array ops, with the exact Jaccard
+    side-by-side (`functions/sketch.py` kmv_sketch/kmv_estimates)."""
+    from architxt_spark.functions import sketch
+
+    docs = _t(spark, sf, "documents")
+    toks = lambda pred: docs.filter(pred).select(
+        F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    even, odd = toks(F.col("doc_id") % 2 == 0), toks(F.col("doc_id") % 2 == 1)
+    est = sketch.kmv_estimates(
+        sketch.kmv_sketch(even, "tok", k=64), sketch.kmv_sketch(odd, "tok", k=64), k=64
+    )
+    ev = even.select("tok").distinct()
+    od = odd.select("tok").distinct()
+    exact = (
+        ev.join(od, "tok").agg(F.count("*").alias("__i"))
+        .crossJoin(F.broadcast(ev.unionByName(od).distinct().agg(F.count("*").alias("__u"))))
+        .select(F.round(F.col("__i") / F.col("__u"), 4).alias("exact_jaccard"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1543,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup",
         "dsir_scores",
         "fm_distinct_tokens",
+        "kmv_token_overlap",
         "chunk_dedup",
         "chunk_strip",
         "ann_ivf_topk",
@@ -1659,6 +1687,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_scores": q_dsir_scores,
         "fm_distinct_tokens": q_fm_distinct_tokens,
+        "kmv_token_overlap": q_kmv_token_overlap,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1717,6 +1746,28 @@ def _fm_sql() -> str:
             SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
             FROM (SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents)
         ) e
+    """
+
+
+def _kmv_sql() -> str:
+    from architxt_spark.functions import sketch
+
+    even = f"(SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents WHERE doc_id % 2 = 0)"
+    odd = f"(SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents WHERE doc_id % 2 = 1)"
+    est = sketch.kmv_estimates_sql(
+        sketch.kmv_sketch_sql(even, "tok", k=64),
+        sketch.kmv_sketch_sql(odd, "tok", k=64),
+        k=64,
+    )
+    return f"""
+        SELECT e.*, x.exact_jaccard FROM ({est}) e CROSS JOIN (
+            SELECT round(CAST(i.c AS DOUBLE) / u.c, 4) AS exact_jaccard FROM
+                (SELECT count(*) AS c FROM
+                    (SELECT tok FROM {even} INTERSECT SELECT tok FROM {odd})) i
+                CROSS JOIN
+                (SELECT count(*) AS c FROM
+                    (SELECT tok FROM {even} UNION SELECT tok FROM {odd})) u
+        ) x
     """
 
 
@@ -2267,6 +2318,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_sql(),
         "dsir_scores": _dsir_sql(),
         "fm_distinct_tokens": _fm_sql(),
+        "kmv_token_overlap": _kmv_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

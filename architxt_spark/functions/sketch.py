@@ -128,3 +128,121 @@ def fm_count_distinct_sql(table: str, value_expr: str, *, m: int = 256) -> str:
                AS est_distinct
         FROM __r
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: mergeable distinct + set-operation estimates
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    k: int = 128,
+) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002): the ``k``
+    smallest distinct 60-bit hashes of the value set, as one row
+    ``(hashes array<long>)``.
+
+    Fully deterministic (md5 order statistics — no RNG, no partitioning
+    sensitivity) and MERGEABLE: the union sketch of two sets is the k
+    smallest of the concatenated sketches, which is how multi-table /
+    multi-day sketches compose without touching raw data again.
+
+    Scale shape: distinct-hash then ``TakeOrdered``-style global k-min —
+    per-partition top-k heaps, only ``k`` longs cross the wire.
+    """
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashes = (
+        df.select(_hash60(col).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+        .orderBy("__h")
+        .limit(k)
+    )
+    return hashes.agg(F.sort_array(F.collect_list("__h")).alias("hashes"))
+
+
+def kmv_estimates(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int = 128,
+) -> DataFrame:
+    """Distinct/union/intersection/Jaccard estimates from two KMV
+    sketches — one row ``(est_a, est_b, est_union, est_jaccard)``.
+
+    Union: k smallest of the merged hash lists, estimate ``(k-1) *
+    2^60 / kth_min`` (when a side has fewer than k distinct values its
+    sketch IS the exact hash set, and the estimate degrades gracefully to
+    near-exact).  Jaccard: fraction of the union sketch's hashes present
+    in both input sketches (the standard KMV intersection trick) —
+    everything array ops on two 1-row frames, no data motion.
+    """
+    two_sixty = float(1 << HASH_BITS)
+
+    def est(h: Column) -> Column:
+        n = F.size(h)
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.round(F.lit(k - 1) * F.lit(two_sixty) / F.element_at(h, k), 1)
+        )
+
+    a = sketch_a.select(F.col("hashes").alias("ha"))
+    b = sketch_b.select(F.col("hashes").alias("hb"))
+    joined = a.crossJoin(b)
+    union_full = F.array_sort(F.array_union(F.col("ha"), F.col("hb")))
+    union_k = F.slice(union_full, 1, k)
+    both = F.size(
+        F.filter(
+            union_k,
+            lambda x: F.array_contains(F.col("ha"), x)
+            & F.array_contains(F.col("hb"), x),
+        )
+    )
+    return joined.select(
+        est(F.col("ha")).alias("est_a"),
+        est(F.col("hb")).alias("est_b"),
+        est(union_k).alias("est_union"),
+        F.round(both / F.size(union_k), 4).alias("est_jaccard"),
+    )
+
+
+def kmv_sketch_sql(table: str, value_expr: str, *, k: int = 128) -> str:
+    """DuckDB twin of :func:`kmv_sketch`."""
+    h = _hash60_sql(value_expr)
+    return f"""
+        SELECT list_sort(list(h)) AS hashes FROM (
+            SELECT DISTINCT CAST({h} AS BIGINT) AS h FROM {table}
+            WHERE {value_expr} IS NOT NULL
+            ORDER BY h LIMIT {k}
+        )
+    """
+
+
+def kmv_estimates_sql(sketch_a_sql: str, sketch_b_sql: str, *, k: int = 128) -> str:
+    """DuckDB twin of :func:`kmv_estimates` over two sketch subqueries."""
+    two_sixty = float(1 << HASH_BITS)
+
+    def est(h: str) -> str:
+        return (
+            f"CASE WHEN len({h}) < {k} THEN CAST(len({h}) AS DOUBLE)"
+            f" ELSE round({k - 1} * {two_sixty} / ({h})[{k}], 1) END"
+        )
+
+    return f"""
+        WITH a AS (SELECT hashes AS ha FROM ({sketch_a_sql})),
+        b AS (SELECT hashes AS hb FROM ({sketch_b_sql})),
+        j AS (
+            SELECT ha, hb,
+                   (list_sort(list_distinct(list_concat(ha, hb))))[1:{k}] AS uk
+            FROM a CROSS JOIN b
+        )
+        SELECT {est('ha')} AS est_a,
+               {est('hb')} AS est_b,
+               {est('uk')} AS est_union,
+               round(CAST(len(list_filter(uk, x -> list_contains(ha, x)
+                         AND list_contains(hb, x))) AS DOUBLE) / len(uk), 4)
+               AS est_jaccard
+        FROM j
+    """

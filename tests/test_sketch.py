@@ -48,3 +48,47 @@ def test_fm_is_one_map_combinable_aggregate(spark):
     )
     assert "partial_bit_or" in plan or "bit_or" in plan
     assert "Window" not in plan
+
+
+def test_kmv_estimates_accuracy_and_merge(spark):
+    """KMV: distinct estimates track truth (~1/sqrt(k)); Jaccard of
+    overlapping sets lands near the true value; small sets are near-exact."""
+    from architxt_spark.functions.sketch import kmv_estimates, kmv_sketch
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(3000)], "v string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(1500, 4500)], "v string")
+    sa, sb = kmv_sketch(a, "v", k=128), kmv_sketch(b, "v", k=128)
+    row = kmv_estimates(sa, sb, k=128).collect()[0]
+    assert abs(row.est_a - 3000) / 3000 < 0.25
+    assert abs(row.est_b - 3000) / 3000 < 0.25
+    assert abs(row.est_union - 4500) / 4500 < 0.25
+    # true jaccard = 1500/4500 = 0.333
+    assert abs(row.est_jaccard - 1 / 3) < 0.15
+
+    # tiny sets: sketch IS the exact hash set -> exact counts
+    ta = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+    tb = spark.createDataFrame([("y",), ("z",), ("w",)], "v string")
+    r = kmv_estimates(kmv_sketch(ta, "v"), kmv_sketch(tb, "v")).collect()[0]
+    assert (r.est_a, r.est_b, r.est_union) == (3.0, 3.0, 4.0)
+    assert r.est_jaccard == 0.5
+
+
+def test_kmv_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.sketch import (
+        kmv_estimates,
+        kmv_estimates_sql,
+        kmv_sketch,
+        kmv_sketch_sql,
+    )
+
+    a = spark.createDataFrame([(f"t{i * 3 % 700}",) for i in range(2000)], "v string")
+    b = spark.createDataFrame([(f"t{i * 3 % 700 + 350}",) for i in range(2000)], "v string")
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    oracle = con.execute(
+        kmv_estimates_sql(kmv_sketch_sql("ta", "v", k=64), kmv_sketch_sql("tb", "v", k=64), k=64)
+    ).fetchall()[0]
+    got = kmv_estimates(kmv_sketch(a, "v", k=64), kmv_sketch(b, "v", k=64), k=64).collect()[0]
+    assert tuple(got) == oracle
