@@ -1350,6 +1350,24 @@ def q_kmv_token_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+
+def q_bloom_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Bloom membership screen: build the filter over the
+    benchmark slice's token vocabulary (doc_id < 25), probe the full
+    corpus vocabulary — the broadcast pre-join contamination screen,
+    reproducible across engines unlike the JVM bloom machinery
+    (`functions/sketch.py` bloom_build/bloom_probe)."""
+    from architxt_spark.functions import sketch
+
+    docs = _t(spark, sf, "documents")
+    toks = lambda frame: frame.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    bloom = sketch.bloom_build(
+        toks(docs.filter(F.col("doc_id") < 25)), "tok", n_bits=2048, n_hashes=3
+    )
+    vocab = toks(docs).distinct()
+    return sketch.bloom_probe(vocab, bloom, "tok", n_bits=2048, n_hashes=3)
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1571,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores",
         "fm_distinct_tokens",
         "kmv_token_overlap",
+        "bloom_screen",
         "chunk_dedup",
         "chunk_strip",
         "ann_ivf_topk",
@@ -1688,6 +1707,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "fm_distinct_tokens": q_fm_distinct_tokens,
         "kmv_token_overlap": q_kmv_token_overlap,
+        "bloom_screen": q_bloom_screen,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1769,6 +1789,16 @@ def _kmv_sql() -> str:
                     (SELECT tok FROM {even} UNION SELECT tok FROM {odd})) u
         ) x
     """
+
+
+def _bloom_sql() -> str:
+    from architxt_spark.functions import sketch
+
+    bench = f"(SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents WHERE doc_id < 25)"
+    vocab = f"(SELECT DISTINCT tok FROM (SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents))"
+    return sketch.bloom_membership_sql(
+        bench, "tok", vocab, "tok", "tok", n_bits=2048, n_hashes=3
+    )
 
 
 def _lm_sql() -> str:
@@ -2319,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": _dsir_sql(),
         "fm_distinct_tokens": _fm_sql(),
         "kmv_token_overlap": _kmv_sql(),
+        "bloom_screen": _bloom_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

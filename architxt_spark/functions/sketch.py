@@ -246,3 +246,143 @@ def kmv_estimates_sql(sketch_a_sql: str, sketch_b_sql: str, *, k: int = 128) -> 
                AS est_jaccard
         FROM j
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bloom filter: reproducible membership screening
+# ---------------------------------------------------------------------------
+
+#: bits per filter word — 63, not 64, so every bit mask is an exact
+#: power of two representable as a positive BIGINT via ``pow(2.0, b)``
+#: (no shift-by-column needed, identical on both engines).
+BLOOM_WORD = 63
+
+
+def _bloom_pos(v: Column, i: int, n_bits: int) -> Column:
+    return _hash60(F.concat(F.lit(f"{i}:"), v)) % n_bits
+
+
+def _bloom_pos_sql(v: str, i: int, n_bits: int) -> str:
+    return f"({_hash60_sql(chr(39) + f'{i}:' + chr(39) + ' || ' + v)} % {n_bits})"
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over the distinct values of ``value_col`` —
+    returned as ``(word_idx, bits)`` rows (63-bit words; absent words are
+    all-zero).
+
+    Spark's built-in bloom machinery (``bloomFilter``, runtime bloom
+    joins) uses JVM hashing and is not reproducible outside the JVM; this
+    one derives its ``n_hashes`` bit positions from ``md5(i || ':' ||
+    value)``, so any engine — or a later session — rebuilds the exact
+    same filter.  Build is one explode (``n_hashes`` rows per value) +
+    one map-combinable ``bit_or`` groupBy whose output is bounded by
+    ``n_bits/63`` words: ship THAT as the broadcast side instead of the
+    value set itself — the membership-screening pattern ahead of an
+    expensive join (contamination, blocklists) at 100 TB.
+    """
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(col.cast("string").alias("__v")).filter(F.col("__v").isNotNull())
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col("__v"), i, n_bits) for i in range(n_hashes)])
+    ).alias("__p")
+    return (
+        base.select(pos)
+        .select(
+            F.floor(F.col("__p") / BLOOM_WORD).cast("long").alias("word_idx"),
+            F.pow(F.lit(2.0), (F.col("__p") % BLOOM_WORD).cast("int"))
+            .cast("long")
+            .alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(__bit)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: Column | str,
+    *,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter: appends boolean ``out_col`` —
+    true iff ALL hash bits are set (possibly member); false is a
+    DEFINITE non-member.  The filter words (≤ ``n_bits/63`` rows) are
+    collected into a literal map, so the probe is pure codegen column
+    ops: no join, no shuffle — how a broadcast bloom screen runs."""
+    words = {int(r["word_idx"]): int(r["bits"]) for r in bloom.collect()}
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = col.cast("string")
+    if not words:
+        return df.withColumn(out_col, F.lit(False))
+    wmap = F.create_map(
+        *[F.lit(x).cast("long") for kv in words.items() for x in kv]
+    )
+    test = F.lit(True)
+    for i in range(n_hashes):
+        p = _bloom_pos(v, i, n_bits)
+        word = F.coalesce(
+            F.element_at(wmap, F.floor(p / BLOOM_WORD).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        mask = F.pow(F.lit(2.0), (p % BLOOM_WORD).cast("int")).cast("long")
+        test = test & (word.bitwiseAND(mask) != 0)
+    return df.withColumn(out_col, test)
+
+
+def bloom_membership_sql(
+    build_table: str,
+    build_expr: str,
+    probe_table: str,
+    probe_id: str,
+    probe_expr: str,
+    *,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+) -> str:
+    """DuckDB replay of build-then-probe: returns ``(probe_id,
+    maybe_member)`` per probe row — same hashes, words, and bit tests."""
+    build_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('v', i, n_bits)} AS p FROM __vals"
+        for i in range(n_hashes)
+    )
+    probe_checks = []
+    for i in range(n_hashes):
+        pos = _bloom_pos_sql("v", i, n_bits)
+        probe_checks.append(
+            f"SELECT id, v, {i} AS hi, CAST(floor(({pos}) / {BLOOM_WORD}) AS BIGINT) AS w,"
+            f" CAST(pow(2.0, ({pos}) % {BLOOM_WORD}) AS BIGINT) AS mask FROM __probe"
+        )
+    probe_pos = " UNION ALL ".join(probe_checks)
+    return f"""
+        WITH __vals AS (
+            SELECT DISTINCT CAST({build_expr} AS VARCHAR) AS v FROM {build_table}
+            WHERE {build_expr} IS NOT NULL
+        ),
+        __pos AS ({build_pos}),
+        __bloom AS (
+            SELECT CAST(floor(p / {BLOOM_WORD}) AS BIGINT) AS w,
+                   bit_or(CAST(pow(2.0, p % {BLOOM_WORD}) AS BIGINT)) AS bits
+            FROM __pos GROUP BY 1
+        ),
+        __probe AS (
+            SELECT {probe_id} AS id, CAST({probe_expr} AS VARCHAR) AS v
+            FROM {probe_table} WHERE {probe_expr} IS NOT NULL
+        ),
+        __checks AS ({probe_pos}),
+        __tested AS (
+            SELECT c.id, c.v, (coalesce(b.bits, 0) & c.mask) <> 0 AS hit
+            FROM __checks c LEFT JOIN __bloom b ON c.w = b.w
+        )
+        SELECT id AS {probe_id}, bool_and(hit) AS maybe_member
+        FROM __tested GROUP BY id, v
+    """

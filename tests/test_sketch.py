@@ -92,3 +92,55 @@ def test_kmv_matches_duckdb(spark):
     ).fetchall()[0]
     got = kmv_estimates(kmv_sketch(a, "v", k=64), kmv_sketch(b, "v", k=64), k=64).collect()[0]
     assert tuple(got) == oracle
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from architxt_spark.functions.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(500)], "v string")
+    bloom = bloom_build(members, "v", n_bits=8192, n_hashes=4)
+    probe = spark.createDataFrame(
+        [(f"m{i}",) for i in range(500)] + [(f"x{i}",) for i in range(500)], "v string"
+    )
+    rows = bloom_probe(probe, bloom, "v", n_bits=8192, n_hashes=4).collect()
+    member_hits = [r.maybe_member for r in rows if r.v.startswith("m")]
+    non_hits = [r.maybe_member for r in rows if r.v.startswith("x")]
+    assert all(member_hits), "bloom filters never false-negative"
+    # n=500, m=8192, k=4 -> fp ~ (1-e^{-kn/m})^k ~ 0.5%; allow 5%
+    assert sum(non_hits) / len(non_hits) < 0.05
+
+    # probe plan is join-free codegen
+    plan = (
+        bloom_probe(probe, bloom, "v", n_bits=8192, n_hashes=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_bloom_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.sketch import (
+        bloom_build,
+        bloom_membership_sql,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(80)], "v string")
+    probe = spark.createDataFrame(
+        [(f"m{i}",) for i in range(40, 120)], "v string"
+    ).distinct()
+    con = duckdb.connect()
+    con.register("mem", members.toPandas())
+    con.register("pr", probe.toPandas())
+    oracle = dict(
+        con.execute(
+            bloom_membership_sql("mem", "v", "pr", "v", "v", n_bits=512, n_hashes=3)
+        ).fetchall()
+    )
+    bloom = bloom_build(members, "v", n_bits=512, n_hashes=3)
+    got = {
+        r.v: r.maybe_member
+        for r in bloom_probe(probe, bloom, "v", n_bits=512, n_hashes=3).collect()
+    }
+    assert got == oracle
+    assert all(got[f"m{i}"] for i in range(40, 80))
