@@ -1579,6 +1579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code-touched this round, go FIRST so any prefix the gate takes
     # maximizes newly-verified coverage.
     first = [
+        "fm_distinct_tokens",
+        "kmv_token_overlap",
+        "bloom_screen",
         # r3-only driver verdicts (the r4 gate prefix did not reach these;
         # every one must get a fresh r5 driver verdict) + entries folded,
         # added, or code-touched this round
@@ -1587,9 +1590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab",
         "semantic_dedup",
         "dsir_scores",
-        "fm_distinct_tokens",
-        "kmv_token_overlap",
-        "bloom_screen",
         "chunk_dedup",
         "chunk_strip",
         "ann_ivf_topk",
