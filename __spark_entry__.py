@@ -1368,6 +1368,36 @@ def q_bloom_screen(spark: SparkSession, sf: str) -> DataFrame:
     return sketch.bloom_probe(vocab, bloom, "tok", n_bits=2048, n_hashes=3)
 
 
+
+def q_stream_fm_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental streaming cardinality: the documents table split into
+    two files streams through foreachBatch, each batch appending its FM
+    bucket bitmaps to parquet state; the final estimate bit_or-merges the
+    state.  Because the sketch state is an idempotent commutative
+    monoid, the streamed estimate is BIT-IDENTICAL to the batch sketch
+    over the whole corpus — which is exactly what the oracle computes
+    (`streaming/corpus.py` stream_fm_distinct, `functions/sketch.py`)."""
+    import shutil
+
+    from architxt_spark.functions.sketch import fm_estimate
+    from architxt_spark.streaming.corpus import stream_fm_distinct
+
+    scratch = "/root/repo/.scratch/stream_fm"
+    shutil.rmtree(scratch, ignore_errors=True)
+    src_dir, state, ckpt = (f"{scratch}/{d}" for d in ("src", "state", "ckpt"))
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    for batch_filter in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        docs.filter(batch_filter).coalesce(1).write.mode("append").parquet(src_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        _await_stream(stream_fm_distinct(stream, state, ckpt, m=256))
+    return fm_estimate(spark.read.parquet(state), m=256)
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1582,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm_distinct_tokens",
         "kmv_token_overlap",
         "bloom_screen",
+        "stream_fm_distinct",
         # r3-only driver verdicts (the r4 gate prefix did not reach these;
         # every one must get a fresh r5 driver verdict) + entries folded,
         # added, or code-touched this round
@@ -1708,6 +1739,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm_distinct_tokens": q_fm_distinct_tokens,
         "kmv_token_overlap": q_kmv_token_overlap,
         "bloom_screen": q_bloom_screen,
+        "stream_fm_distinct": q_stream_fm_distinct,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1798,6 +1830,17 @@ def _bloom_sql() -> str:
     vocab = f"(SELECT DISTINCT tok FROM (SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents))"
     return sketch.bloom_membership_sql(
         bench, "tok", vocab, "tok", "tok", n_bits=2048, n_hashes=3
+    )
+
+
+def _stream_fm_sql() -> str:
+    # merge-invariance: the streamed two-batch state bit_or-merges to the
+    # SAME bitmaps as one batch pass over the whole corpus, so the oracle
+    # is simply the batch FM estimate over every document token
+    from architxt_spark.functions import sketch
+
+    return sketch.fm_count_distinct_sql(
+        f"(SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents)", "tok", m=256
     )
 
 
@@ -2350,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
         "fm_distinct_tokens": _fm_sql(),
         "kmv_token_overlap": _kmv_sql(),
         "bloom_screen": _bloom_sql(),
+        "stream_fm_distinct": _stream_fm_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

@@ -64,12 +64,25 @@ def fm_count_distinct(
     (count-distinct semantics).  Buckets no value hashed into contribute
     ``R = 0`` — the ``sum/m`` mean handles them without densification.
     """
+    return fm_estimate(fm_bitmaps(df, value_col, m=m), m=m)
+
+
+def fm_bitmaps(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    m: int = 256,
+) -> DataFrame:
+    """The mergeable FM state: per-bucket rank bitmaps ``(bucket,
+    bitmap)``.  Two states over any data splits merge by ``bit_or`` per
+    bucket — order- and partition-independent, which is what makes the
+    sketch exactly replayable in incremental/streaming settings."""
     if m & (m - 1):
         raise ValueError(f"m={m} must be a power of two")
     col = F.col(value_col) if isinstance(value_col, str) else value_col
     base = df.select(_hash60(col).alias("__h")).filter(F.col("__h").isNotNull())
     base = base.select(
-        (F.col("__h") % m).alias("__b"),
+        (F.col("__h") % m).alias("bucket"),
         # integer division: `/` is DOUBLE division in Spark, and a 53-bit
         # mantissa silently mangles the low bits of a 60-bit hash
         F.expr(f"__h DIV {m}").alias("__w"),
@@ -81,11 +94,18 @@ def fm_count_distinct(
         f"CASE WHEN __w = 0 THEN CAST(1 AS BIGINT) << {HASH_BITS}"
         " ELSE __w & -__w END"
     )
-    bitmaps = (
-        base.select("__b", bit.alias("__bit"))
-        .groupBy("__b")
-        .agg(F.expr("bit_or(__bit)").alias("__bm"))
+    return (
+        base.select("bucket", bit.alias("__bit"))
+        .groupBy("bucket")
+        .agg(F.expr("bit_or(__bit)").alias("bitmap"))
     )
+
+
+def fm_estimate(bitmaps: DataFrame, *, m: int = 256) -> DataFrame:
+    """Estimate from a ``(bucket, bitmap)`` state frame (possibly holding
+    multiple mergeable rows per bucket, e.g. appended streaming batches —
+    they are ``bit_or``-combined first)."""
+    merged = bitmaps.groupBy("bucket").agg(F.expr("bit_or(bitmap)").alias("__bm"))
     # lowest unset bit of the bitmap, as an exact power of two
     low_zero = F.expr("CAST((~__bm) & (__bm + 1) AS DOUBLE)")
     r = F.log2(low_zero).cast("int").alias("__r")
@@ -94,7 +114,7 @@ def fm_count_distinct(
         .cast("long")
         .alias("est_distinct")
     )
-    return bitmaps.select("__b", r).agg(F.lit(m).alias("m"), est)
+    return merged.select("bucket", r).agg(F.lit(m).alias("m"), est)
 
 
 def fm_count_distinct_sql(table: str, value_expr: str, *, m: int = 256) -> str:

@@ -161,3 +161,39 @@ def stream_row_trees(stream: DataFrame, table_name: str, id_cols: list[str]) -> 
     from architxt_spark.sources.documents import row_trees
 
     return row_trees(stream, table_name, id_cols)
+
+
+def stream_fm_distinct(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    *,
+    text_col: str = "text",
+    m: int = 256,
+):
+    """Incremental corpus-vocabulary cardinality: each micro-batch
+    appends its Flajolet–Martin bucket bitmaps
+    (:func:`architxt_spark.functions.sketch.fm_bitmaps` over the batch's
+    tokens) to an append-only parquet state; the live estimate is
+    :func:`~architxt_spark.functions.sketch.fm_estimate` over that state,
+    which ``bit_or``-merges all appended rows per bucket.
+
+    Exactly-once comes FREE from algebra, not bookkeeping: ``bit_or`` is
+    idempotent and commutative, so a replayed batch re-appending its
+    bitmaps cannot change the merged state — the strongest possible
+    streaming-state story (contrast minhash dedup, which relies on
+    checkpoint + append idempotence).  The state is ≤ m rows per batch,
+    independent of batch size.  Returns the started query.
+    """
+    from architxt_spark.functions.sketch import fm_bitmaps
+
+    def run(batch: DataFrame, _epoch: int) -> None:
+        toks = batch.select(F.explode(T.tokens(F.col(text_col))).alias("tok"))
+        fm_bitmaps(toks, "tok", m=m).write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

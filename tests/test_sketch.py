@@ -144,3 +144,25 @@ def test_bloom_matches_duckdb(spark):
     }
     assert got == oracle
     assert all(got[f"m{i}"] for i in range(40, 80))
+
+
+def test_fm_state_is_idempotent_commutative_monoid(spark, tmp_path):
+    """The streaming-state claim: appending a batch's bitmaps TWICE (a
+    replayed micro-batch) or in any order yields the identical estimate —
+    bit_or is an idempotent commutative monoid, so exactly-once needs no
+    bookkeeping."""
+    from architxt_spark.functions.sketch import fm_bitmaps, fm_count_distinct, fm_estimate
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(800)], "v string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(400, 1200)], "v string")
+    pa, pb = fm_bitmaps(a, "v", m=64), fm_bitmaps(b, "v", m=64)
+
+    whole = fm_count_distinct(
+        a.unionByName(b), "v", m=64
+    ).collect()[0].est_distinct
+    merged = fm_estimate(pa.unionByName(pb), m=64).collect()[0].est_distinct
+    replayed = fm_estimate(
+        pa.unionByName(pb).unionByName(pa), m=64
+    ).collect()[0].est_distinct
+    reordered = fm_estimate(pb.unionByName(pa), m=64).collect()[0].est_distinct
+    assert whole == merged == replayed == reordered
