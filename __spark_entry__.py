@@ -1398,6 +1398,29 @@ def q_stream_fm_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return fm_estimate(spark.read.parquet(state), m=256)
 
 
+
+def q_cms_token_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min frequency sketch: build over the corpus token stream,
+    probe the benchmark slice's vocabulary with the exact counts
+    side-by-side — the "how often" member of the deterministic sketch
+    suite (`functions/sketch.py` cms_build/cms_query)."""
+    from architxt_spark.functions import sketch
+
+    docs = _t(spark, sf, "documents")
+    stream = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cms = sketch.cms_build(stream, "tok", width=1024, depth=4)
+    vocab = (
+        docs.filter(F.col("doc_id") < 25)
+        .select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    est = sketch.cms_query(vocab, cms, "tok", width=1024, depth=4)
+    exact = stream.groupBy("tok").agg(F.count("*").cast("long").alias("exact_count"))
+    return est.join(exact, "tok", "left").select(
+        "tok", "est_count", F.coalesce("exact_count", F.lit(0)).alias("exact_count")
+    )
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1612,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm_distinct_tokens",
         "kmv_token_overlap",
         "bloom_screen",
+        "cms_token_freq",
         "stream_fm_distinct",
         # r3-only driver verdicts (the r4 gate prefix did not reach these;
         # every one must get a fresh r5 driver verdict) + entries folded,
@@ -1740,6 +1764,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_token_overlap": q_kmv_token_overlap,
         "bloom_screen": q_bloom_screen,
         "stream_fm_distinct": q_stream_fm_distinct,
+        "cms_token_freq": q_cms_token_freq,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1842,6 +1867,24 @@ def _stream_fm_sql() -> str:
     return sketch.fm_count_distinct_sql(
         f"(SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents)", "tok", m=256
     )
+
+
+def _cms_sql() -> str:
+    from architxt_spark.functions import sketch
+
+    stream = f"(SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents)"
+    vocab = (
+        f"(SELECT DISTINCT tok FROM (SELECT unnest({T.tokens_sql('text')}) AS tok"
+        f" FROM documents WHERE doc_id < 25))"
+    )
+    est = sketch.cms_estimates_sql(stream, "tok", vocab, "tok", "tok", width=1024, depth=4)
+    return f"""
+        SELECT e.tok, e.est_count,
+               CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
+        FROM ({est}) e LEFT JOIN (
+            SELECT tok, count(*) AS exact_count FROM {stream} GROUP BY 1
+        ) x USING (tok)
+    """
 
 
 def _lm_sql() -> str:
@@ -2394,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_token_overlap": _kmv_sql(),
         "bloom_screen": _bloom_sql(),
         "stream_fm_distinct": _stream_fm_sql(),
+        "cms_token_freq": _cms_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

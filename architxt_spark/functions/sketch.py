@@ -406,3 +406,136 @@ def bloom_membership_sql(
         SELECT id AS {probe_id}, bool_and(hit) AS maybe_member
         FROM __tested GROUP BY id, v
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the value
+    stream — returned as ``(row_idx, col_idx, cnt)`` cells (absent cells
+    are zero).  Completes the sketch suite: FM/KMV answer "how many
+    distinct", Bloom answers "is it a member", count-min answers "how
+    often" — all deterministic md5 positions, unlike Spark's
+    ``countMinSketch`` JVM hashing.
+
+    Build is one explode (``depth`` rows per occurrence) + a
+    map-combinable sum groupBy bounded by ``depth × width`` cells.  Cells
+    MERGE by addition (commutative monoid — multi-day sketches add), and
+    the estimate ``min_i cells[i][h_i(v)]`` over-counts only (one-sided
+    error ≤ e·N/width with prob 1−e^−depth).
+    """
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(col.cast("string").alias("__v")).filter(F.col("__v").isNotNull())
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    (_hash60(F.concat(F.lit(f"{i}:"), F.col("__v"))) % width).alias("c"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("__p")
+    return (
+        base.select(pos)
+        .select(F.col("__p.r").alias("row_idx"), F.col("__p.c").alias("col_idx"))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_query(
+    df: DataFrame,
+    cms: DataFrame,
+    value_col: Column | str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_build` sketch:
+    appends ``out_col`` = min over the ``depth`` hashed cells.  The
+    sketch (≤ depth×width rows) is collected into a literal map, so the
+    probe is pure codegen — no join, no shuffle."""
+    cells = {
+        (int(r["row_idx"]), int(r["col_idx"])): int(r["cnt"]) for r in cms.collect()
+    }
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = col.cast("string")
+    if not cells:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    maps = []
+    for i in range(depth):
+        row_cells = {c: n for (r, c), n in cells.items() if r == i}
+        if row_cells:
+            maps.append(
+                F.create_map(
+                    *[F.lit(x).cast("long") for kv in row_cells.items() for x in kv]
+                )
+            )
+        else:
+            maps.append(None)
+    est = None
+    for i in range(depth):
+        p = _hash60(F.concat(F.lit(f"{i}:"), v)) % width
+        cell = (
+            F.coalesce(F.element_at(maps[i], p), F.lit(0).cast("long"))
+            if maps[i] is not None
+            else F.lit(0).cast("long")
+        )
+        est = cell if est is None else F.least(est, cell)
+    return df.withColumn(out_col, est)
+
+
+def cms_estimates_sql(
+    build_table: str,
+    build_expr: str,
+    probe_table: str,
+    probe_id: str,
+    probe_expr: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> str:
+    """DuckDB replay of build-then-query: ``(probe_id, est_count)``."""
+    build_pos = " UNION ALL ".join(
+        f"SELECT {i} AS r,"
+        f" ({_hash60_sql(chr(39) + f'{i}:' + chr(39) + ' || v')} % {width}) AS c"
+        f" FROM __vals"
+        for i in range(depth)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT id, v, {i} AS r,"
+        f" ({_hash60_sql(chr(39) + f'{i}:' + chr(39) + ' || v')} % {width}) AS c"
+        f" FROM __probe"
+        for i in range(depth)
+    )
+    return f"""
+        WITH __vals AS (
+            SELECT CAST({build_expr} AS VARCHAR) AS v FROM {build_table}
+            WHERE {build_expr} IS NOT NULL
+        ),
+        __pos AS ({build_pos}),
+        __cells AS (SELECT r, c, count(*) AS cnt FROM __pos GROUP BY 1, 2),
+        __probe AS (
+            SELECT {probe_id} AS id, CAST({probe_expr} AS VARCHAR) AS v
+            FROM {probe_table} WHERE {probe_expr} IS NOT NULL
+        ),
+        __pp AS ({probe_pos}),
+        __joined AS (
+            SELECT p.id, p.v, coalesce(cl.cnt, 0) AS cnt
+            FROM __pp p LEFT JOIN __cells cl ON p.r = cl.r AND p.c = cl.c
+        )
+        SELECT id AS {probe_id}, CAST(min(cnt) AS BIGINT) AS est_count
+        FROM __joined GROUP BY id, v
+    """

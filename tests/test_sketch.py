@@ -166,3 +166,49 @@ def test_fm_state_is_idempotent_commutative_monoid(spark, tmp_path):
     ).collect()[0].est_distinct
     reordered = fm_estimate(pb.unionByName(pa), m=64).collect()[0].est_distinct
     assert whole == merged == replayed == reordered
+
+
+def test_cms_one_sided_error_and_exactness(spark):
+    """Count-min never under-counts; with a sparse stream and a wide
+    sketch the estimates are exact; probe plan is join-free."""
+    from architxt_spark.functions.sketch import cms_build, cms_query
+
+    stream = spark.createDataFrame(
+        [(f"v{i % 50}",) for i in range(1000)], "v string"  # each value 20x
+    )
+    cms = cms_build(stream, "v", width=2048, depth=4)
+    probe = spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)] + [("absent",)], "v string"
+    )
+    out = {r.v: r.est_count for r in cms_query(probe, cms, "v", width=2048, depth=4).collect()}
+    assert all(out[f"v{i}"] >= 20 for i in range(50))  # one-sided
+    assert sum(out[f"v{i}"] == 20 for i in range(50)) >= 48  # mostly exact
+    assert out["absent"] <= 2  # tiny over-count at most
+
+    plan = (
+        cms_query(probe, cms, "v", width=2048, depth=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_cms_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.sketch import cms_build, cms_estimates_sql, cms_query
+
+    stream = spark.createDataFrame([(f"t{i % 30}",) for i in range(600)], "v string")
+    probe = spark.createDataFrame([(f"t{i}",) for i in range(40)], "v string")
+    con = duckdb.connect()
+    con.register("st", stream.toPandas())
+    con.register("pr", probe.toPandas())
+    oracle = dict(
+        con.execute(
+            cms_estimates_sql("st", "v", "pr", "v", "v", width=256, depth=3)
+        ).fetchall()
+    )
+    cms = cms_build(stream, "v", width=256, depth=3)
+    got = {
+        r.v: r.est_count
+        for r in cms_query(probe, cms, "v", width=256, depth=3).collect()
+    }
+    assert got == oracle
