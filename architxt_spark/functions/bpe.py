@@ -307,9 +307,15 @@ def bpe_encode_counts_sql(
         " || chr(31) || chr(31) AS s FROM __occ)"
     )
     for i in range(1, n_merges + 1):
+        # LEFT JOIN + CASE, not a cross join: if training exhausted the
+        # pair supply before step i, __b{i} is EMPTY and a cross join
+        # would cascade every later __e to zero rows (dropping all token
+        # counts) while the Spark encoder simply stops merging
         parts.append(
-            f"__e{i} AS (SELECT replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),"
-            f" chr(31)||l||r||chr(31)) AS s FROM {prev}, __b{i})"
+            f"__e{i} AS (SELECT CASE WHEN l IS NULL THEN s"
+            f" ELSE replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),"
+            f" chr(31)||l||r||chr(31)) END AS s"
+            f" FROM {prev} LEFT JOIN __b{i} ON TRUE)"
         )
         prev = f"__e{i}"
     return (

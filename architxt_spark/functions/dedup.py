@@ -306,26 +306,31 @@ def ngram_jaccard_pairs(
     base = _shingle_frame(df, text_col, id_col)
     # persist BEFORE deriving the DF counts: shingle hashing runs once; the
     # heavy-set aggregation and the anti-join both read the cached index.
-    inv = base.select("id", F.explode("sh").alias("s")).persist()
-    inv.count()  # eager for the same both-branches-race reason as minhash
-    heavy = inv.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
-    inv = inv.join(F.broadcast(heavy), "s", "left_anti")
-    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
-    common = (
-        inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    raw = base.select("id", F.explode("sh").alias("s")).persist()
+    raw.count()  # eager for the same both-branches-race reason as minhash
+    try:
+        heavy = raw.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
+        inv = raw.join(F.broadcast(heavy), "s", "left_anti")
+        sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+        common = (
+            inv.alias("a")
+            .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        out = (
+            common.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # materialize the SMALL pair frame, then release the cached index
+        return out.localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
 
 
 def ngram_jaccard_pairs_sql(
@@ -688,17 +693,23 @@ def winnow_pairs(
         # at sf0.1 — the pushdown re-triggers per-element re-evaluation)
         .select("id", T.winnow_of_hashes(F.col("__h"), w).alias("fp"))
     )
-    inv = base.select("id", F.explode("fp").alias("f")).persist()
-    inv.count()  # eager: hash once; heavy-set agg + self-join read the cache
-    heavy = inv.groupBy("f").count().filter(F.col("count") > max_fp_df).select("f")
-    inv = inv.join(F.broadcast(heavy), "f", "left_anti")
-    return (
-        inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
-    )
+    raw = base.select("id", F.explode("fp").alias("f")).persist()
+    raw.count()  # eager: hash once; heavy-set agg + self-join read the cache
+    try:
+        heavy = raw.groupBy("f").count().filter(F.col("count") > max_fp_df).select("f")
+        inv = raw.join(F.broadcast(heavy), "f", "left_anti")
+        out = (
+            inv.alias("a")
+            .join(inv.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= min_common)
+        )
+        # materialize the SMALL pair frame so the big exploded index can be
+        # released now instead of leaking cached blocks for the session
+        return out.localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
 
 
 def winnow_pairs_sql(
@@ -933,6 +944,10 @@ def strip_duplicate_chunks(
 
     toks = retrieval_tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    # NOTE: this windowing must stay hash-identical to text.chunk_documents
+    # with overlap=0 (chunk_dedup's filter side) — with zero overlap the
+    # start cap reduces to len-1, so the formulas below coincide with the
+    # chunker's; test_chunk_filter_and_transform_agree pins the agreement
     last_start = F.greatest(F.size("__t") - 1, F.lit(0))
     starts = F.sequence(F.lit(0), last_start, F.lit(chunk_tokens))
     chunks = (
@@ -950,29 +965,33 @@ def strip_duplicate_chunks(
     firsts = chunks.groupBy("chunk_md5").agg(
         F.min(F.struct("id", "chunk_id")).alias("__first")
     )
-    kept = (
+    # ONE per-doc aggregation over the flagged chunks: collect_list drops
+    # the NULLs the when() leaves for non-first occurrences, so kept-chunk
+    # assembly and the total/kept counts come out of the same pass (the
+    # chunk lineage — the heaviest scan — is not re-tokenized twice)
+    kept_struct = F.when(
+        (F.col("id") == F.col("__first.id"))
+        & (F.col("chunk_id") == F.col("__first.chunk_id")),
+        F.struct("chunk_id", "chunk_text"),
+    )
+    per_doc = (
         chunks.join(firsts, "chunk_md5")
-        .filter(
-            (F.col("id") == F.col("__first.id"))
-            & (F.col("chunk_id") == F.col("__first.chunk_id"))
-        )
         .groupBy("id")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
-                    lambda s: s["chunk_text"],
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda st: st["chunk_text"],
                 ),
                 " ",
             ).alias("clean_text"),
-            F.count("*").alias("n_kept"),
+            F.count("*").alias("n_chunks"),
+            F.count(kept_struct).alias("n_kept"),
         )
     )
-    totals = chunks.groupBy("id").agg(F.count("*").alias("n_chunks"))
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(kept, "id", "left")
+        .join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -224,7 +224,9 @@ def kmv_estimates(
         est(F.col("ha")).alias("est_a"),
         est(F.col("hb")).alias("est_b"),
         est(union_k).alias("est_union"),
-        F.round(both / F.size(union_k), 4).alias("est_jaccard"),
+        F.when(
+            F.size(union_k) > 0, F.round(both / F.size(union_k), 4)
+        ).alias("est_jaccard"),
     )
 
 
@@ -232,7 +234,7 @@ def kmv_sketch_sql(table: str, value_expr: str, *, k: int = 128) -> str:
     """DuckDB twin of :func:`kmv_sketch`."""
     h = _hash60_sql(value_expr)
     return f"""
-        SELECT list_sort(list(h)) AS hashes FROM (
+        SELECT coalesce(list_sort(list(h)), []) AS hashes FROM (
             SELECT DISTINCT CAST({h} AS BIGINT) AS h FROM {table}
             WHERE {value_expr} IS NOT NULL
             ORDER BY h LIMIT {k}
@@ -261,9 +263,10 @@ def kmv_estimates_sql(sketch_a_sql: str, sketch_b_sql: str, *, k: int = 128) -> 
         SELECT {est('ha')} AS est_a,
                {est('hb')} AS est_b,
                {est('uk')} AS est_union,
-               round(CAST(len(list_filter(uk, x -> list_contains(ha, x)
+               CASE WHEN len(uk) > 0 THEN
+                   round(CAST(len(list_filter(uk, x -> list_contains(ha, x)
                          AND list_contains(hb, x))) AS DOUBLE) / len(uk), 4)
-               AS est_jaccard
+               END AS est_jaccard
         FROM j
     """
 
@@ -395,8 +398,10 @@ def bloom_membership_sql(
             FROM __pos GROUP BY 1
         ),
         __probe AS (
+            -- NULL probe values stay (NULL membership), matching the Spark
+            -- probe which appends a column without dropping rows
             SELECT {probe_id} AS id, CAST({probe_expr} AS VARCHAR) AS v
-            FROM {probe_table} WHERE {probe_expr} IS NOT NULL
+            FROM {probe_table}
         ),
         __checks AS ({probe_pos}),
         __tested AS (
@@ -528,8 +533,10 @@ def cms_estimates_sql(
         __pos AS ({build_pos}),
         __cells AS (SELECT r, c, count(*) AS cnt FROM __pos GROUP BY 1, 2),
         __probe AS (
+            -- NULL probe values stay, matching the Spark probe (est 0 via
+            -- the coalesce on both engines)
             SELECT {probe_id} AS id, CAST({probe_expr} AS VARCHAR) AS v
-            FROM {probe_table} WHERE {probe_expr} IS NOT NULL
+            FROM {probe_table}
         ),
         __pp AS ({probe_pos}),
         __joined AS (

@@ -320,3 +320,26 @@ def test_vocab_from_merges_matches_duckdb(corpus):
     m = bpe.train_bpe_merges(corpus, n_merges=4)
     got = sorted(map(tuple, bpe.vocab_from_merges(corpus, m).collect()))
     assert got == oracle
+
+
+def test_bpe_encode_counts_sql_survives_merge_exhaustion(spark):
+    """Reviewer repro: a corpus whose pair supply exhausts before n_merges
+    must still encode (the Spark trainer just stops merging; the SQL
+    replay's empty __b CTEs must pass rows through, not cross-join them
+    away)."""
+    duckdb = pytest.importorskip("duckdb")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = dict(con.execute(bpe.bpe_encode_counts_sql("documents", n_merges=6)).fetchall())
+    merges = bpe.train_bpe_merges(df, n_merges=6)
+    got = {
+        r.token: r.cnt
+        for r in bpe.bpe_encode(df, merges)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == oracle == {"ab": 3}

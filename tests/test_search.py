@@ -114,3 +114,25 @@ def test_bm25_batch_matches_duckdb(corpus):
         for r in search.bm25_topk_batch(corpus, spark_df, k=4).collect()
     )
     assert got == oracle
+
+
+def test_bm25_batch_null_text_parity(corpus, spark):
+    """NULL-text documents: Spark's size(tokens(NULL)) is NULL (not the
+    legacy -1), so avgdl skips them on both engines while n_docs counts
+    them — scores must hash-match."""
+    duckdb = pytest.importorskip("duckdb")
+    with_null = corpus.unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    bags = [(1, ["spark", "stream"])]
+    con = duckdb.connect()
+    con.register("documents", with_null.toPandas())
+    oracle = sorted(
+        con.execute(search.bm25_topk_batch_sql("documents", bags, k=5)).fetchall()
+    )
+    qdf = spark.createDataFrame(bags, "query_id int, terms array<string>")
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.bm25)
+        for r in search.bm25_topk_batch(with_null, qdf, k=5).collect()
+    )
+    assert got == oracle

@@ -212,3 +212,71 @@ def test_cms_matches_duckdb(spark):
         for r in cms_query(probe, cms, "v", width=256, depth=3).collect()
     }
     assert got == oracle
+
+
+def test_kmv_empty_side_parity(spark):
+    """Reviewer repro: an empty sketch side must estimate 0.0 on BOTH
+    engines (DuckDB's list() over zero rows is NULL — now coalesced)."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.sketch import (
+        kmv_estimates,
+        kmv_estimates_sql,
+        kmv_sketch,
+        kmv_sketch_sql,
+    )
+
+    a = spark.createDataFrame([], "v string")
+    b = spark.createDataFrame([("x",), ("y",)], "v string")
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    oracle = con.execute(
+        kmv_estimates_sql(kmv_sketch_sql("ta", "v"), kmv_sketch_sql("tb", "v"))
+    ).fetchall()[0]
+    got = tuple(kmv_estimates(kmv_sketch(a, "v"), kmv_sketch(b, "v")).collect()[0])
+    assert got == oracle == (0.0, 2.0, 2.0, 0.0)
+
+
+def test_bloom_and_cms_null_probe_parity(spark):
+    """NULL probe values keep their row with NULL membership / zero count
+    on BOTH engines (the SQL twins no longer drop them)."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.sketch import (
+        bloom_build,
+        bloom_membership_sql,
+        bloom_probe,
+        cms_build,
+        cms_estimates_sql,
+        cms_query,
+    )
+
+    members = spark.createDataFrame([("a",), ("b",)], "v string")
+    probe = spark.createDataFrame([("a",), ("zz",), (None,)], "v string")
+    con = duckdb.connect()
+    con.register("mem", members.toPandas())
+    con.register("pr", probe.toPandas())
+
+    b_oracle = dict(
+        con.execute(
+            bloom_membership_sql("mem", "v", "pr", "v", "v", n_bits=256, n_hashes=3)
+        ).fetchall()
+    )
+    bloom = bloom_build(members, "v", n_bits=256, n_hashes=3)
+    b_got = {
+        r.v: r.maybe_member
+        for r in bloom_probe(probe, bloom, "v", n_bits=256, n_hashes=3).collect()
+    }
+    assert b_got == b_oracle
+    assert b_got["a"] is True and b_got[None] is None
+
+    c_oracle = dict(
+        con.execute(
+            cms_estimates_sql("mem", "v", "pr", "v", "v", width=128, depth=3)
+        ).fetchall()
+    )
+    cms = cms_build(members, "v", width=128, depth=3)
+    c_got = {
+        r.v: r.est_count for r in cms_query(probe, cms, "v", width=128, depth=3).collect()
+    }
+    assert c_got == c_oracle
+    assert c_got["a"] == 1 and c_got[None] == 0
