@@ -1421,6 +1421,18 @@ def q_cms_token_freq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation chain census: Gopher quality gate (pure scan
+    filter — junk never reaches a shuffle) then exact + MinHash near-dup
+    removal on the survivors; one (stage, n_docs) row per stage
+    (`functions/curation.py` curate_corpus)."""
+    from architxt_spark.functions.curation import curate_corpus
+
+    _, census = curate_corpus(_t(spark, sf, "documents").select("doc_id", "text"))
+    return census
+
+
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic as an aggregation (corpus language census)."""
     docs = _t(spark, sf, "documents")
@@ -1636,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_token_overlap",
         "bloom_screen",
         "cms_token_freq",
+        "curation_pipeline",
         "stream_fm_distinct",
         # r3-only driver verdicts (the r4 gate prefix did not reach these;
         # every one must get a fresh r5 driver verdict) + entries folded,
@@ -1765,6 +1778,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "stream_fm_distinct": q_stream_fm_distinct,
         "cms_token_freq": q_cms_token_freq,
+        "curation_pipeline": q_curation_pipeline,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1885,6 +1899,12 @@ def _cms_sql() -> str:
             SELECT tok, count(*) AS exact_count FROM {stream} GROUP BY 1
         ) x USING (tok)
     """
+
+
+def _curation_sql() -> str:
+    from architxt_spark.functions.curation import curation_census_sql
+
+    return curation_census_sql("documents")
 
 
 def _lm_sql() -> str:
@@ -2438,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_screen": _bloom_sql(),
         "stream_fm_distinct": _stream_fm_sql(),
         "cms_token_freq": _cms_sql(),
+        "curation_pipeline": _curation_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

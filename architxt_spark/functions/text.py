@@ -484,3 +484,30 @@ def ngram_stats_sql(
         ORDER BY doc_freq DESC, total_freq DESC, gram
         LIMIT {k}
     """
+
+
+def gopher_keep(col: Column) -> Column:
+    """The Gopher composite keep decision as one boolean column — the
+    rule set `__spark_entry__.q_gopher_quality_flags` reports flag-by-flag
+    (word-count 20..100k, mean word length 3..10, repeated-bigram
+    fraction ≤ 0.2, stopword ratio ≥ 0.02), packaged for pipeline
+    composition (pure scan filter, no shuffle)."""
+    n_tok = token_count(col)
+    mean_wl = F.length(F.regexp_replace(col, r"\s+", "")) / F.greatest(n_tok, F.lit(1))
+    return (
+        n_tok.between(20, 100000)
+        & mean_wl.between(3.0, 10.0)
+        & (dup_ngram_fraction(col, 2) <= 0.2)
+        & (stopword_ratio(col) >= 0.02)
+    )
+
+
+def gopher_keep_sql(col: str) -> str:
+    """DuckDB twin of :func:`gopher_keep`."""
+    return (
+        f"(({token_count_sql(col)} BETWEEN 20 AND 100000)"
+        f" AND ((length(regexp_replace({col}, '\\s+', '', 'g'))"
+        f" / greatest({token_count_sql(col)}, 1)) BETWEEN 3.0 AND 10.0)"
+        f" AND ({dup_ngram_fraction_sql(col, 2)} <= 0.2)"
+        f" AND ({stopword_ratio_sql(col)} >= 0.02))"
+    )

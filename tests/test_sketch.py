@@ -280,3 +280,54 @@ def test_bloom_and_cms_null_probe_parity(spark):
     }
     assert c_got == c_oracle
     assert c_got["a"] == 1 and c_got[None] == 0
+
+
+def test_curate_corpus_census_and_survivors(spark):
+    """Pipeline integration: quality gate first, then exact+near dedup;
+    census counts the survivors after each stage; kept frame preserves the
+    input schema."""
+    from architxt_spark.functions.curation import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while the sun sets "
+        "behind distant hills and children play near the quiet river bank "
+        "watching boats drift slowly toward the old wooden bridge "
+    )
+    rows = [
+        (1, good + "alpha"),
+        (2, good + "alpha"),       # exact duplicate of 1 -> dropped
+        (3, "a completely separate narrative is told here about mountain "
+            "climbers who ascend frozen ridges at dawn carrying heavy ropes "
+            "and iron tools toward the summit while storms gather in the east"),
+        (4, "short junk"),          # fails word-count gate
+        (5, "a a a a a a a a a a a a a a a a a a a a a a a a"),  # repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, census = curate_corpus(df)
+    c = {r.stage: r.n_docs for r in census.collect()}
+    assert c["input"] == 5
+    assert c["quality"] == 3          # 4 and 5 gated out
+    assert c["dedup"] == 2            # 2 deduped away
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_curation_census_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.curation import curate_corpus, curation_census_sql
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while the sun sets "
+        "behind distant hills and children play near the quiet river bank "
+    )
+    rows = [(i, base + f"tail number {i % 4} closes the story") for i in range(16)] + [
+        (100, "junk"),
+        (101, "b b b b b b b b b b b b b b b b b b b b b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(con.execute(curation_census_sql("documents")).fetchall())
+    _, census = curate_corpus(df)
+    got = sorted((r.stage, r.n_docs) for r in census.collect())
+    assert got == oracle
