@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from architxt_spark.functions import text as T
-from architxt_spark.functions.dedup import dedup_filter, dedup_filter_sql
+from architxt_spark.functions.dedup import _spread, dedup_filter, dedup_filter_sql
 
 
 def curate_corpus(
@@ -37,7 +37,19 @@ def curate_corpus(
     ``quality`` → ``dedup`` (each count is the survivors AFTER that
     stage).  ``kept_docs`` is the original schema filtered to the final
     survivor set."""
-    quality = docs.filter(T.gopher_keep(F.col(text_col)))
+    # materialize the gate's survivors ONCE: the census, the fingerprint
+    # pass, and the minhash index all read this frame, and re-evaluating
+    # the (shingle-heavy) quality predicate per consumer benched 33 s vs
+    # ~3 s at sf0.1.  At cluster scale this is the stage boundary a real
+    # pipeline writes to storage anyway.
+    # materialize the spread layout BEFORE filtering: Catalyst pushes the
+    # filter below a repartition exchange, so without the barrier the
+    # (shingle-heavy) predicate runs on the single-partition file scan —
+    # 12 s single-task vs sub-second 32-way at sf0.1
+    spread = _spread(docs).localCheckpoint(eager=True)
+    quality = spread.filter(T.gopher_keep(F.col(text_col))).localCheckpoint(
+        eager=True
+    )
     keep_ids = dedup_filter(quality, text_col, id_col, near_threshold=near_threshold)
     kept = docs.join(
         keep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
