@@ -663,7 +663,12 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), "text", "doc_id")
+    """Banded MinHash LSH candidate pairs, hot bands capped (the
+    production shape — a band shared by >max_band_df docs is boilerplate
+    and would emit a quadratic pair set)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", max_band_df=1000
+    )
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -762,7 +767,9 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clusters: MinHash pairs → distributed hash-min
     connected components (the scale path for dedup cluster formation —
     no driver-side union-find)."""
-    pairs = dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), "text", "doc_id")
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", max_band_df=1000
+    )
     return dedup.connected_components(pairs)
 
 
@@ -2317,7 +2324,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         """,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id"),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(
+            "documents", "text", "doc_id", max_band_df=1000
+        ),
         "events_rollup_streaming": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    event_type,
@@ -2413,7 +2422,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", min_tokens=12
         ),
         "dedup_components": dedup.connected_components_sql(
-            dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id")
+            dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id", max_band_df=1000)
         ),
         "dedup_ngram_jaccard": (
             "SELECT 'jaccard' AS variant, id_a, id_b, jaccard AS score FROM ("

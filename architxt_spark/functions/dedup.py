@@ -182,7 +182,13 @@ def minhash_bands(sig: Column, k: int = MINHASH_K, band_size: int = MINHASH_BAND
     ])
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_band_df: int | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band, with the
     minhash-estimated Jaccard (fraction of equal signature components).
 
@@ -190,7 +196,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     codegen (not per-element in an interpreted lambda); the 16 permutation
     minima are ONE map-side-combinable groupBy — the shuffle carries 16
     longs per document.  The band self-join carries (id, band) only — the
-    signature arrays rejoin AFTER the distinct."""
+    signature arrays rejoin AFTER the distinct.
+
+    ``max_band_df`` caps the band self-join's hot buckets: a band shared by
+    M documents emits M·(M−1)/2 pairs, and on web data the modal duplicate
+    class is exactly millions of near-identical copies of one template —
+    an uncapped bucket is the one quadratic blowup this operator can hit
+    at 100 TB.  Bands with document frequency > ``max_band_df`` are
+    excluded from pair generation (mirroring ``ngram_jaccard_pairs``'
+    ``max_shingle_df``), making the result exact over the capped band
+    universe and identical across engines.  Production keep-set paths
+    (:func:`dedup_filter`) additionally restrict the input to
+    exact-duplicate representatives first, which removes the dominant
+    hot-band source without changing the keep-set at all."""
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("long")
     hs_rows = _shingle_rows(df, text_col, id_col).select("id", h.alias("h"))
     mins = [
@@ -206,6 +224,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     base.count()  # eager: both self-join branches would otherwise race to
     # materialize the cache and compute the signature pipeline twice
     banded = base.select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
+    if max_band_df is not None:
+        heavy = (
+            banded.groupBy("band").count().filter(F.col("count") > max_band_df).select("band")
+        )
+        banded = banded.join(F.broadcast(heavy), "band", "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -239,7 +262,9 @@ def _shingle_ints_sql(text_col: str) -> str:
     )
 
 
-def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str) -> str:
+def minhash_lsh_pairs_sql(
+    table: str, text_col: str, id_col: str, *, max_band_df: int | None = None
+) -> str:
     k, r = MINHASH_K, MINHASH_BAND_SIZE
     a_lst = "[" + ", ".join(str(a) for a in _MINHASH_A) + "]"
     b_lst = "[" + ", ".join(str(b) for b in _MINHASH_B) + "]"
@@ -248,6 +273,17 @@ def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str) -> str:
         f"list_transform(range(0, {k}),"
         f" i -> list_min(list_transform(hs, h -> (h * ({a_lst})[i+1] + ({b_lst})[i+1]) % {_MINHASH_MOD})))"
     )
+    band_src = "banded"
+    band_cap = ""
+    if max_band_df is not None:
+        band_cap = f""",
+        heavy_bands AS (
+            SELECT band FROM banded GROUP BY band HAVING COUNT(*) > {max_band_df}
+        ),
+        banded_ok AS (
+            SELECT * FROM banded WHERE band NOT IN (SELECT band FROM heavy_bands)
+        )"""
+        band_src = "banded_ok"
     return f"""
         WITH ints AS (
             SELECT {id_col} AS id, {hs} AS hs FROM {table}
@@ -261,10 +297,10 @@ def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str) -> str:
                           b -> b::varchar || ':' ||
                                array_to_string(list_transform(sig[b*{r}+1 : b*{r}+{r}], x -> x::varchar), '|'))) AS band
             FROM sigs
-        ),
+        ){band_cap},
         pairs AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+            FROM {band_src} a JOIN {band_src} b ON a.band = b.band AND a.id < b.id
         )
         SELECT id_a, id_b,
                ROUND(len(list_filter(list_transform(range(1, len(sa.sig)+1), i -> sa.sig[i] = sb.sig[i]), e -> e))
@@ -467,6 +503,7 @@ def dedup_filter(
     id_col: str,
     *,
     near_threshold: float = 0.5,
+    max_band_df: int = 10_000,
 ) -> DataFrame:
     """Documents surviving deduplication: per exact-duplicate group only the
     min-id representative survives, and the greater id of every MinHash
@@ -475,12 +512,29 @@ def dedup_filter(
 
     Scale shape: both inputs are the already-scalable building blocks
     (fingerprint groupBy + banded LSH join); the final filter is one
-    broadcast-able anti-join on the (small) drop set."""
+    broadcast-able anti-join on the (small) drop set.
+
+    The near-dup pass runs over exact-duplicate REPRESENTATIVES only (one
+    semi-join on the exact keep-set before signature computation).  This is
+    keep-set-exact, not an approximation: an exact-dup loser has a
+    bit-identical signature to its (smaller-id) representative, so any pair
+    ``(loser, x)`` that would drop ``x`` is also witnessed by
+    ``(representative, x)`` with the same bands and the same est_jaccard —
+    restricting to representatives removes rows but never drops evidence.
+    On web data the modal duplicate class is millions of byte-identical
+    template copies; without the restriction those copies share every band
+    and emit M²/2 candidate pairs.  ``max_band_df`` bounds the residual
+    near-identical-but-not-exact bucket the same way (exact over the
+    capped band universe; mirrored in the SQL twin)."""
     fp = _spread(df).select(
         F.col(id_col).alias("id"), T.fingerprint(F.col(text_col)).alias("fp")
     )
-    keep_exact = fp.groupBy("fp").agg(F.min("id").alias("id")).select("id")
-    near = minhash_lsh_pairs(df, text_col, id_col).filter(
+    keep_exact = fp.groupBy("fp").agg(F.min("id").alias("id")).select("id").persist()
+    keep_exact.count()  # eager: reps semi-join + final anti-join both read it
+    reps = df.join(
+        keep_exact.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    near = minhash_lsh_pairs(reps, text_col, id_col, max_band_df=max_band_df).filter(
         F.col("est_jaccard") >= near_threshold
     )
     drop_near = near.select(F.col("id_b").alias("id")).distinct()
@@ -488,9 +542,20 @@ def dedup_filter(
 
 
 def dedup_filter_sql(
-    table: str, text_col: str, id_col: str, *, near_threshold: float = 0.5
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    near_threshold: float = 0.5,
+    max_band_df: int = 10_000,
 ) -> str:
-    pairs = minhash_lsh_pairs_sql(table, text_col, id_col)
+    reps = f"""(
+            SELECT t.* FROM {table} t
+            WHERE t.{id_col} IN (
+                SELECT MIN({id_col}) FROM {table} GROUP BY {T.fingerprint_sql(text_col)}
+            )
+        )"""
+    pairs = minhash_lsh_pairs_sql(reps, text_col, id_col, max_band_df=max_band_df)
     return f"""
         WITH keep_exact AS (
             SELECT MIN({id_col}) AS id
