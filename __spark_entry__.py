@@ -1384,13 +1384,15 @@ def q_stream_fm_distinct(spark: SparkSession, sf: str) -> DataFrame:
     monoid, the streamed estimate is BIT-IDENTICAL to the batch sketch
     over the whole corpus — which is exactly what the oracle computes
     (`streaming/corpus.py` stream_fm_distinct, `functions/sketch.py`)."""
-    import shutil
+    import tempfile
 
     from architxt_spark.functions.sketch import fm_estimate
     from architxt_spark.streaming.corpus import stream_fm_distinct
 
-    scratch = "/root/repo/.scratch/stream_fm"
-    shutil.rmtree(scratch, ignore_errors=True)
+    # fresh scratch per invocation: hermetic (repo-location-independent)
+    # and safe under concurrent drivers; the state dir must outlive this
+    # call (the returned frame reads it lazily), so no cleanup here
+    scratch = tempfile.mkdtemp(prefix="architxt_stream_fm_")
     src_dir, state, ckpt = (f"{scratch}/{d}" for d in ("src", "state", "ckpt"))
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")

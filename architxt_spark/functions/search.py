@@ -244,7 +244,9 @@ def bm25_topk_batch_sql(
     if not query_bags:
         raise ValueError("bm25_topk_batch_sql needs at least one query")
     values = ", ".join(
-        f"({qid}, '{t}')" for qid, terms in query_bags for t in terms
+        f"({int(qid)}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for qid, terms in query_bags
+        for t in terms
     )
     idf = "ln(1.0 + (__n_docs - CAST(__df AS DOUBLE) + 0.5) / (CAST(__df AS DOUBLE) + 0.5))"
     norm = f"(CAST(__tf AS DOUBLE) + {k1} * ({1.0 - b} + {b} * __dl / __avgdl))"

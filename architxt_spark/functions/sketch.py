@@ -346,7 +346,9 @@ def bloom_probe(
     col = F.col(value_col) if isinstance(value_col, str) else value_col
     v = col.cast("string")
     if not words:
-        return df.withColumn(out_col, F.lit(False))
+        # NULL probes stay NULL (matching the non-empty path, where the
+        # cast/hash chain propagates NULL, and the SQL twin's bool_and)
+        return df.withColumn(out_col, F.when(v.isNotNull(), F.lit(False)))
     wmap = F.create_map(
         *[F.lit(x).cast("long") for kv in words.items() for x in kv]
     )

@@ -854,9 +854,12 @@ def mlflow_log_clustering(
     census profile (cluster → member count, size-ranked): rendered with
     matplotlib via ``mlflow.log_figure`` when both are importable, and
     ALWAYS emitted as a ``log_table`` JSON artifact so headless driver
-    containers keep the artifact.  No active run → no-op; plot failures
-    warn instead of raising, both exactly as the reference.  The census
-    aggregate is cluster-bounded before it reaches the driver.
+    containers keep the artifact.  Plot failures warn instead of raising,
+    as the reference does; the no-active-run no-op is an INTENTIONAL
+    DEVIATION (the reference logs unconditionally and lets mlflow's
+    fluent API auto-start a run — in a shared Spark driver an implicit
+    run would swallow artifacts into an anonymous experiment).  The
+    census aggregate is cluster-bounded before it reaches the driver.
     """
     import warnings
 

@@ -282,6 +282,36 @@ def test_bloom_and_cms_null_probe_parity(spark):
     assert c_got["a"] == 1 and c_got[None] == 0
 
 
+def test_bloom_empty_build_side_null_probe_parity(spark):
+    """Empty filter: non-NULL probes are definite non-members (False), but
+    NULL probes stay NULL — matching the non-empty path and the SQL twin
+    (bool_and over NULL hits)."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.sketch import (
+        bloom_build,
+        bloom_membership_sql,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([], "v string")
+    probe = spark.createDataFrame([("a",), (None,)], "v string")
+    con = duckdb.connect()
+    con.register("mem", members.toPandas())
+    con.register("pr", probe.toPandas())
+    oracle = dict(
+        con.execute(
+            bloom_membership_sql("mem", "v", "pr", "v", "v", n_bits=256, n_hashes=3)
+        ).fetchall()
+    )
+    bloom = bloom_build(members, "v", n_bits=256, n_hashes=3)
+    got = {
+        r.v: r.maybe_member
+        for r in bloom_probe(probe, bloom, "v", n_bits=256, n_hashes=3).collect()
+    }
+    assert got == oracle
+    assert got["a"] is False and got[None] is None
+
+
 def test_curate_corpus_census_and_survivors(spark):
     """Pipeline integration: quality gate first, then exact+near dedup;
     census counts the survivors after each stage; kept frame preserves the
