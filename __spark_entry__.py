@@ -1431,6 +1431,88 @@ def q_cms_token_freq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_sketch_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry fold of the deterministic sketch suite (FM-PCSA
+    cardinality, KMV set-operations, Bloom membership, count-min
+    frequency) into ONE tagged long-form frame — (sketch, k, metric,
+    value) — zero coverage loss vs the former four entries: every value
+    each sketch produced is a row here, exact counterparts included."""
+
+    def melt(df: DataFrame, tag: str, key_col: str | None, metrics: list[str]) -> DataFrame:
+        parts = [
+            df.select(
+                F.lit(tag).alias("sketch"),
+                (F.col(key_col).cast("string") if key_col else F.lit("")).alias("k"),
+                F.lit(m).alias("metric"),
+                F.col(m).cast("double").alias("value"),
+            )
+            for m in metrics
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    fm = q_fm_distinct_tokens(spark, sf)
+    kmv = q_kmv_token_overlap(spark, sf)
+    bloom = q_bloom_screen(spark, sf).withColumn(
+        "member", F.col("maybe_member").cast("int")
+    )
+    cms = q_cms_token_freq(spark, sf)
+    return (
+        melt(fm, "fm", None, ["m", "est_distinct", "exact_distinct"])
+        .unionByName(
+            melt(kmv, "kmv", None, ["est_a", "est_b", "est_union", "est_jaccard", "exact_jaccard"])
+        )
+        .unionByName(melt(bloom, "bloom", "tok", ["member"]))
+        .unionByName(melt(cms, "cms", "tok", ["est_count", "exact_count"]))
+    )
+
+
+def q_bpe_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry fold of the trained-tokenizer pair: 'encode' rows are the
+    per-token occurrence counts of the train-then-apply encoder (former
+    bpe_encode_counts), 'vocab' rows the induced vocabulary with n =
+    token_id (former bpe_vocab).  One (part, token, kind, n) frame."""
+    enc = q_bpe_encode_counts(spark, sf).select(
+        F.lit("encode").alias("part"),
+        "token",
+        F.lit("").alias("kind"),
+        F.col("cnt").cast("long").alias("n"),
+    )
+    voc = q_bpe_vocab(spark, sf).select(
+        F.lit("vocab").alias("part"),
+        "token",
+        "kind",
+        F.col("token_id").cast("long").alias("n"),
+    )
+    return enc.unionByName(voc)
+
+
+def q_chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry fold of chunk-hash dedup: 'detect' rows are the per-chunk
+    occurrence/keep decisions (former chunk_dedup), 'strip' rows the
+    rebuilt-document verification (former chunk_strip; chunk_id = -1,
+    h = md5 of the rebuilt text, a = n_chunks, b = n_kept)."""
+    det = q_chunk_dedup(spark, sf).select(
+        F.lit("detect").alias("part"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_md5").alias("h"),
+        F.col("n_occ").cast("long").alias("a"),
+        F.col("kept").cast("long").alias("b"),
+    )
+    strip = q_chunk_strip(spark, sf).select(
+        F.lit("strip").alias("part"),
+        "doc_id",
+        F.lit(-1).cast("long").alias("chunk_id"),
+        F.col("clean_md5").alias("h"),
+        F.col("n_chunks").cast("long").alias("a"),
+        F.col("n_kept").cast("long").alias("b"),
+    )
+    return det.unionByName(strip)
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation chain census: Gopher quality gate (pure scan
     filter — junk never reaches a shuffle) then exact + MinHash near-dup
@@ -1648,76 +1730,59 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     # The driver gate records verdicts for roughly the FIRST 50 registry
-    # entries per round.  Keep the registry prefix-robust: queries without
-    # a round-3 driver verdict, plus every entry folded/renamed or
-    # code-touched this round, go FIRST so any prefix the gate takes
-    # maximizes newly-verified coverage.
+    # entries per round.  Keep the registry prefix-robust: queries whose
+    # last driver verdict is oldest (r4-only after round 5), plus every
+    # entry folded/renamed or code-touched this round, go FIRST so any
+    # prefix the gate takes maximizes newly-verified coverage.
     first = [
-        "fm_distinct_tokens",
-        "kmv_token_overlap",
-        "bloom_screen",
-        "cms_token_freq",
-        "curation_pipeline",
-        "stream_fm_distinct",
-        # r3-only driver verdicts (the r4 gate prefix did not reach these;
-        # every one must get a fresh r5 driver verdict) + entries folded,
-        # added, or code-touched this round
-        "bm25_batch",
-        "bpe_encode_counts",
-        "bpe_vocab",
-        "semantic_dedup",
-        "dsir_scores",
-        "chunk_dedup",
-        "chunk_strip",
-        "ann_ivf_topk",
-        "dedup_ngram_jaccard",
-        "nlp_parse_forest",
-        "funnel_signup_view_purchase",
-        "range_join_signup_clicks",
-        "string_funcs_parts",
-        "date_math_orders",
-        "json_props_events",
-        "pii_redaction",
-        "contamination_check",
-        "simple_rewrite_documents",
-        "export_sql_ddl",
-        "export_cypher_stats",
-        "gen_instance",
-        "llm_rewrite_stub",
-        "extract_vocab",
-        "lang_distribution",
-        "dedup_minhash_lsh",
-        "dedup_components",
-        "doc_fingerprint_winnow",
-        "gopher_quality_flags",
-        # r4-green but code-touched in round 5 (two-phase ANN top-k,
-        # LM zero-token guard, chunk cap, driver-local BPE trainer)
-        "ann_topk",
-        "ann_pq_adc",
-        "lm_perplexity",
-        "doc_chunking",
-        "bpe_train_merges",
-        # round-4 folds/new entries rotate next (verdicts one round old)
-        "stream_minhash_dedup",
-        "events_sessionize_streaming",
-        "grouping_orders",
-        "asof_events",
-        "window_orders",
-        "join_filtered_customers",
-        "metrics_customer",
-        "text_profile",
-        "multimodal_profile",
-        "sampling_strata",
-        "embedding_near_dup",
-        "bm25_topk",
-        "dedup_exact_spans",
-        "sampling_temperature",
-        "sampling_weighted",
-        "ngram_stats",
+        # the 34 entries whose only driver verdict is round-4 (the r5 gate
+        # prefix did not reach them); after r6 every registry entry has a
+        # driver verdict <= 2 rounds old
+        "scan_filter_project",
+        "agg_pricing_summary",
+        "join_revenue_by_nation",
+        "sort_limit_top_orders",
+        "setop_nations_cust_minus_supp",
+        "percentile_orders",
+        "unpivot_orders",
+        "join_salted_revenue",
+        "events_rollup_streaming",
+        "retention_cohorts",
         "distinct_parts_per_brand",
         "dataset_extract_nation",
         "schema_groups_nation",
         "forest_stats_documents",
+        "doc_loader_json_props",
+        "rewrite_documents",
+        "cluster_documents",
+        "cluster_instance_documents",
+        "llm_label_schema",
+        "tree_leaves_nation",
+        "extract_valid_trees",
+        "coverage_metric",
+        "bm25_topk",
+        "ngram_stats",
+        "dedup_exact_spans",
+        "dedup_simhash",
+        "dedup_filtered",
+        "events_sessionize",
+        "graph_extract",
+        "typed_export_orders",
+        "sampling_mixture",
+        "sampling_temperature",
+        "sampling_weighted",
+        "sampling_pack",
+        # entries folded, added, or code-touched in round 6 (hot-band cap,
+        # exact-rep dedup restriction, sketch/BPE/chunk registry folds,
+        # bloom NULL fix, tempfile scratch, bm25 SQL escaping)
+        "sketch_suite",
+        "bpe_tokenizer",
+        "chunk_pipeline",
+        "dedup_minhash_lsh",
+        "dedup_components",
+        "curation_pipeline",
+        "stream_fm_distinct",
+        "bm25_batch",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -1774,27 +1839,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,
         "ann_pq_adc": q_ann_pq_adc,
         "bpe_train_merges": q_bpe_train_merges,
-        "bpe_encode_counts": q_bpe_encode_counts,
-        "bpe_vocab": q_bpe_vocab,
+        "bpe_tokenizer": q_bpe_tokenizer,
         "lm_perplexity": q_lm_perplexity,
         "doc_chunking": q_doc_chunking,
         "ngram_stats": q_ngram_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
         "dsir_scores": q_dsir_scores,
-        "fm_distinct_tokens": q_fm_distinct_tokens,
-        "kmv_token_overlap": q_kmv_token_overlap,
-        "bloom_screen": q_bloom_screen,
+        "sketch_suite": q_sketch_suite,
         "stream_fm_distinct": q_stream_fm_distinct,
-        "cms_token_freq": q_cms_token_freq,
         "curation_pipeline": q_curation_pipeline,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_exact_spans": q_dedup_exact_spans,
-        "chunk_dedup": q_chunk_dedup,
-        "chunk_strip": q_chunk_strip,
+        "chunk_pipeline": q_chunk_pipeline,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "gopher_quality_flags": q_gopher_quality_flags,
         "dedup_simhash": q_dedup_simhash,
@@ -1907,6 +1967,53 @@ def _cms_sql() -> str:
         FROM ({est}) e LEFT JOIN (
             SELECT tok, count(*) AS exact_count FROM {stream} GROUP BY 1
         ) x USING (tok)
+    """
+
+
+def _sketch_suite_sql() -> str:
+    def melt(tag: str, src: str, key_expr: str, metrics: list[tuple[str, str]]) -> str:
+        return " UNION ALL ".join(
+            f"SELECT '{tag}' AS sketch, {key_expr} AS k, '{name}' AS metric,"
+            f" CAST({expr} AS DOUBLE) AS value FROM {src}"
+            for name, expr in metrics
+        )
+
+    branches = " UNION ALL ".join([
+        melt("fm", "__fm", "''", [("m", "m"), ("est_distinct", "est_distinct"), ("exact_distinct", "exact_distinct")]),
+        melt("kmv", "__kmv", "''", [(c, c) for c in ("est_a", "est_b", "est_union", "est_jaccard", "exact_jaccard")]),
+        melt("bloom", "__bloom", "CAST(tok AS VARCHAR)", [("member", "CAST(maybe_member AS INT)")]),
+        melt("cms", "__cms", "CAST(tok AS VARCHAR)", [("est_count", "est_count"), ("exact_count", "exact_count")]),
+    ])
+    return f"""
+        WITH __fm AS ({_fm_sql()}),
+             __kmv AS ({_kmv_sql()}),
+             __bloom AS ({_bloom_sql()}),
+             __cms AS ({_cms_sql()})
+        {branches}
+    """
+
+
+def _bpe_tokenizer_sql() -> str:
+    return f"""
+        SELECT 'encode' AS part, token, '' AS kind, CAST(cnt AS BIGINT) AS n
+        FROM ({_bpe_encode_sql()})
+        UNION ALL
+        SELECT 'vocab', token, kind, CAST(token_id AS BIGINT)
+        FROM ({_bpe_vocab_sql()})
+    """
+
+
+def _chunk_pipeline_sql() -> str:
+    detect = dedup.chunk_dedup_sql("documents", "text", "doc_id", chunk_tokens=32)
+    strip = dedup.strip_duplicate_chunks_sql("documents", "text", "doc_id", chunk_tokens=32)
+    return f"""
+        SELECT 'detect' AS part, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               chunk_md5 AS h, CAST(n_occ AS BIGINT) AS a, CAST(kept AS BIGINT) AS b
+        FROM ({detect})
+        UNION ALL
+        SELECT 'strip', doc_id, CAST(-1 AS BIGINT), md5(clean_text),
+               CAST(n_chunks AS BIGINT), CAST(n_kept AS BIGINT)
+        FROM ({strip})
     """
 
 
@@ -2412,14 +2519,7 @@ def oracle_sql() -> dict[str, str]:
                         AND rep <= 0.2 AND stopr >= 0.02 AS BIGINT) AS keep
             FROM q
         """,
-        "chunk_strip": (
-            "SELECT doc_id, md5(clean_text) AS clean_md5, n_chunks, n_kept FROM ("
-            + dedup.strip_duplicate_chunks_sql("documents", "text", "doc_id", chunk_tokens=32)
-            + ")"
-        ),
-        "chunk_dedup": dedup.chunk_dedup_sql(
-            "documents", "text", "doc_id", chunk_tokens=32
-        ),
+        "chunk_pipeline": _chunk_pipeline_sql(),
         "dedup_exact_spans": dedup.exact_span_pairs_sql(
             "documents", "text", "doc_id", min_tokens=12
         ),
@@ -2461,14 +2561,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch": search.bm25_topk_batch_sql("documents", _BM25_BAGS, k=15),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
-        "bpe_encode_counts": _bpe_encode_sql(),
-        "bpe_vocab": _bpe_vocab_sql(),
+        "bpe_tokenizer": _bpe_tokenizer_sql(),
         "dsir_scores": _dsir_sql(),
-        "fm_distinct_tokens": _fm_sql(),
-        "kmv_token_overlap": _kmv_sql(),
-        "bloom_screen": _bloom_sql(),
+        "sketch_suite": _sketch_suite_sql(),
         "stream_fm_distinct": _stream_fm_sql(),
-        "cms_token_freq": _cms_sql(),
         "curation_pipeline": _curation_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),

@@ -27,17 +27,22 @@ def test_rotation_prefix_is_valid_and_first():
     allq = E._all_queries()
     names = list(q)
     assert set(names) == set(allq)
-    # r4 operators: near the gate window (their verdicts are at most one
-    # round old, so drifting a few rows past ~50 as r5 entries land is OK)
-    for k in ("bm25_topk", "ann_pq_adc", "bpe_train_merges", "lm_perplexity",
-              "dedup_exact_spans", "sampling_temperature", "sampling_weighted",
-              "doc_chunking", "ngram_stats"):
-        assert names.index(k) < 56, k
-    # r5: every entry added, folded, or code-touched this round, plus the
-    # 24 whose last driver verdict predates r4, must also lead the window
-    for k in ("bm25_batch", "bpe_encode_counts", "bpe_vocab", "semantic_dedup",
-              "dsir_scores", "chunk_dedup", "chunk_strip", "ann_ivf_topk",
-              "dedup_ngram_jaccard", "nlp_parse_forest", "ann_topk",
-              "stream_minhash_dedup", "embedding_near_dup",
-              "fm_distinct_tokens", "kmv_token_overlap", "bloom_screen"):
+    # the 34 entries whose only driver verdict is round-4 must head the
+    # r6 window so every registry entry ends the round with a verdict
+    # <= 2 rounds old
+    for k in ("scan_filter_project", "agg_pricing_summary",
+              "join_revenue_by_nation", "sort_limit_top_orders",
+              "percentile_orders", "unpivot_orders", "events_rollup_streaming",
+              "retention_cohorts", "dataset_extract_nation",
+              "forest_stats_documents", "rewrite_documents",
+              "cluster_documents", "cluster_instance_documents",
+              "tree_leaves_nation", "coverage_metric", "bm25_topk",
+              "dedup_simhash", "dedup_filtered", "graph_extract",
+              "typed_export_orders", "sampling_mixture", "sampling_pack"):
+        assert names.index(k) < 34, k
+    # r6: every entry folded, added, or code-touched this round must also
+    # lead the window
+    for k in ("sketch_suite", "bpe_tokenizer", "chunk_pipeline",
+              "dedup_minhash_lsh", "dedup_components", "curation_pipeline",
+              "stream_fm_distinct", "bm25_batch"):
         assert names.index(k) < 50, k
