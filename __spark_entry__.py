@@ -1168,18 +1168,77 @@ def _media_frame(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal column plumbing end to end in one frame: JVM-side byte
-    metadata (length + content hash, no decode) joined to the
-    Arrow-batched mapInPandas feature extraction (deterministic fake
-    decoder — real codecs stubbed)."""
-    from architxt_spark.functions.multimodal import extract_features, with_byte_metadata
+    """Multimodal columns end to end, two tagged variants in one frame.
+
+    'plumbing': JVM-side byte metadata (length + content hash, no
+    decode) joined to the Arrow-batched mapInPandas feature extraction
+    (s=content_md5, a=n_bytes, b=has_feature).
+
+    'decoded': REAL stdlib codecs — per doc_id a structurally valid PNG
+    (even ids; dims derived from the id) or silent WAV (odd ids) is
+    synthesized, then decoded back by decode_media_meta; the oracle
+    replays the encoding arithmetic, so a decoder that misreads any
+    header byte hash-mismatches (s=fmt; png: a=width, b=height; wav:
+    a=n_channels, b=sample_rate, c=duration_ms)."""
+    import pandas as pd
+
+    from architxt_spark.functions.multimodal import (
+        decode_media_meta,
+        extract_features,
+        make_png_bytes,
+        make_wav_bytes,
+        with_byte_metadata,
+    )
 
     media = _media_frame(spark, sf)
     meta = with_byte_metadata(media).select("media_id", "n_bytes", "content_md5")
     feats = extract_features(media).select(
         "media_id", "kind", (F.size("feature") == 16).alias("has_feature")
     )
-    return meta.join(feats, "media_id")
+    plumbing = meta.join(feats, "media_id").select(
+        F.lit("plumbing").alias("variant"),
+        "media_id",
+        F.col("content_md5").alias("s"),
+        F.col("n_bytes").cast("long").alias("a"),
+        F.col("has_feature").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+
+    def build(batches):
+        for pdf in batches:
+            kinds, contents = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    kinds.append("image")
+                    contents.append(make_png_bytes(d % 64 + 1, (d * 7) % 64 + 1))
+                else:
+                    kinds.append("audio")
+                    contents.append(
+                        make_wav_bytes((d // 2) % 2 + 1, 8000, (d % 50 + 1) * 80)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "kind": kinds,
+                    "content": contents,
+                }
+            )
+
+    real_media = (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(build, "media_id string, kind string, content binary")
+    )
+    decoded = decode_media_meta(real_media).select(
+        F.lit("decoded").alias("variant"),
+        "media_id",
+        F.col("fmt").alias("s"),
+        F.coalesce(F.col("width"), F.col("n_channels")).cast("long").alias("a"),
+        F.coalesce(F.col("height"), F.col("sample_rate")).cast("long").alias("b"),
+        F.col("duration_ms").cast("long").alias("c"),
+    )
+    return plumbing.unionByName(decoded)
 
 
 def q_gen_instance(spark: SparkSession, sf: str) -> DataFrame:
@@ -2363,11 +2422,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'edge_merge', CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
         """,
         "multimodal_profile": """
-            SELECT CAST(doc_id AS VARCHAR) AS media_id,
-                   CAST(strlen(text) AS BIGINT) AS n_bytes,
-                   md5(text) AS content_md5,
-                   'image' AS kind,
-                   TRUE AS has_feature
+            SELECT 'plumbing' AS variant, CAST(doc_id AS VARCHAR) AS media_id,
+                   md5(text) AS s,
+                   CAST(strlen(text) AS BIGINT) AS a,
+                   CAST(1 AS BIGINT) AS b,
+                   CAST(NULL AS BIGINT) AS c
+            FROM documents
+            UNION ALL
+            SELECT 'decoded', CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1
+                             ELSE (doc_id // 2) % 2 + 1 END AS BIGINT),
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 64 + 1
+                             ELSE 8000 END AS BIGINT),
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN NULL
+                             ELSE (doc_id % 50 + 1) * 10 END AS BIGINT)
             FROM documents
         """,
         "gen_instance": """

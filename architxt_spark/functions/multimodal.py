@@ -2,12 +2,14 @@
 typed metadata.
 
 Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual codec work (image decode, audio
-resample, video frame extraction) is STUBBED — the decode libraries
-(Pillow / librosa / pyav) are not in this container.  Each stub either
-raises ``NotImplementedError`` (real-codec path) or runs a clearly-marked
-deterministic fake (test path) so the distributed machinery can be
-exercised end to end.
+signatures) is real and tested.  Codec status: PNG dimensions and WAV
+channel/rate/duration decode for REAL with the stdlib (struct on the
+IHDR header; the ``wave`` module) — both per-row in the Arrow boundary
+and, for PNG, as a pure JVM codegen column op (:func:`png_dims_cols`).
+Other formats (JPEG entropy decode, video frame extraction, audio
+resample) genuinely need external libraries (Pillow / librosa / pyav —
+not in this container) and raise ``NotImplementedError`` on the
+real-codec path, with a clearly-marked deterministic fake for tests.
 
 Design notes for 100 TB of media:
 
@@ -65,11 +67,114 @@ def repartition_by_bytes(df: DataFrame, total_bytes: int, target_partition_bytes
     return df.repartition(n)
 
 
-def decode_image(content: bytes) -> tuple[int, int]:
-    """Real decode path — requires an image codec library.
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    STUB: Pillow is not available in this container."""
-    raise NotImplementedError("image decode requires Pillow/opencv; not in this environment")
+
+def decode_png_dims(content: bytes) -> tuple[int, int]:
+    """REAL stdlib PNG header decode: width/height from the IHDR chunk
+    (always the first chunk, offset 16, two big-endian uint32s — PNG spec
+    §11.2.2).  No codec library needed for dimensions."""
+    import struct
+
+    if len(content) < 24 or content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    if content[12:16] != b"IHDR":
+        raise ValueError("not a PNG (first chunk is not IHDR)")
+    width, height = struct.unpack(">II", content[16:24])
+    return width, height
+
+
+def decode_wav_meta(content: bytes) -> tuple[int, int, int]:
+    """REAL stdlib WAV decode via the ``wave`` module: returns
+    ``(n_channels, sample_rate, duration_ms)``.  Handles non-canonical
+    chunk layouts because ``wave`` walks the RIFF chunks properly."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        n_frames = w.getnframes()
+    return n_channels, sample_rate, n_frames * 1000 // sample_rate
+
+
+def sniff_format(content: bytes) -> str | None:
+    """Magic-byte format sniff for the real-decoder dispatch."""
+    if content[:8] == PNG_MAGIC:
+        return "png"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def png_dims_cols(content_col) -> tuple:
+    """JVM-side codegen PNG dimension extraction — the scale path: width
+    and height straight out of the IHDR header bytes via
+    substring+hex+conv, NULL for non-PNG content.  No Python worker, no
+    Arrow transfer; at 100 TB the header read is a pure column op on the
+    binary column."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    is_png = (F.hex(F.substring(c, 1, 8)) == "89504E470D0A1A0A") & (
+        F.hex(F.substring(c, 13, 4)) == "49484452"
+    )
+    width = F.conv(F.hex(F.substring(c, 17, 4)), 16, 10).cast("int")
+    height = F.conv(F.hex(F.substring(c, 21, 4)), 16, 10).cast("int")
+    return F.when(is_png, width), F.when(is_png, height)
+
+
+def decode_media_meta(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """REAL-decoder metadata pass over media rows via ``mapInPandas``:
+    PNG and WAV decode with the stdlib decoders above; other formats
+    raise ``NotImplementedError`` when ``strict`` (they genuinely need
+    external codecs) or yield NULL metadata otherwise.
+
+    Returns ``(media_id, kind, fmt, width, height, n_channels,
+    sample_rate, duration_ms)``."""
+    import pandas as pd
+
+    out_schema = (
+        "media_id string, kind string, fmt string, width int, height int,"
+        " n_channels int, sample_rate int, duration_ms long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                fmt = sniff_format(bytes(content)) if content is not None else None
+                w = h = ch = sr = dur = None
+                if fmt == "png":
+                    w, h = decode_png_dims(bytes(content))
+                elif fmt == "wav":
+                    ch, sr, dur = decode_wav_meta(bytes(content))
+                elif strict:
+                    raise NotImplementedError(
+                        f"media_id={media_id}: only PNG/WAV decode without"
+                        " external codecs (Pillow/pyav not in this environment)"
+                    )
+                rows.append((media_id, kind, fmt, w, h, ch, sr, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "fmt", "width", "height",
+                    "n_channels", "sample_rate", "duration_ms",
+                ],
+            )
+
+    return df.select("media_id", "kind", "content").mapInPandas(run, out_schema)
+
+
+def decode_image(content: bytes) -> tuple[int, int]:
+    """Real decode path.  PNG dimensions decode with the stdlib
+    (:func:`decode_png_dims`); other image formats require a codec
+    library (Pillow/opencv — not in this container)."""
+    if content[:8] == PNG_MAGIC:
+        return decode_png_dims(content)
+    raise NotImplementedError(
+        "non-PNG image decode requires Pillow/opencv; not in this environment"
+    )
 
 
 def fake_decode_dims(content: bytes) -> tuple[int, int]:
@@ -114,6 +219,47 @@ def extract_features(df: DataFrame, *, use_fake_decoder: bool = True) -> DataFra
             )
 
     return df.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def make_png_bytes(width: int, height: int) -> bytes:
+    """Deterministic minimal-PNG fixture builder (signature + IHDR + an
+    empty IDAT + IEND, correct CRCs): a structurally valid PNG whose
+    dimensions round-trip through any header decoder.  Fixture/test
+    helper — the pixel data is empty, not a renderable image."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav_bytes(n_channels: int, sample_rate: int, n_frames: int) -> bytes:
+    """Deterministic silent-WAV fixture builder via the stdlib ``wave``
+    writer — a real RIFF/WAVE file whose metadata round-trips through
+    :func:`decode_wav_meta`."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * n_channels * n_frames)
+    return buf.getvalue()
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
