@@ -154,6 +154,97 @@ def read_documents_df(
     return src.mapInPandas(convert, NODE_SCHEMA)
 
 
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'B7' → 1 (zero-based column index from the letter prefix)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_xlsx_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
+    """Read-only ``.xlsx`` parser on stdlib ``zipfile`` + ``ElementTree``:
+    sheet name → list of row records (first row = header), every value a
+    string (the meta-model's value domain — same shape as the reference's
+    ``pandas.read_excel(dtype=str).to_dict('records')``,
+    ``loader/documents.py:22-29``).  Handles shared strings, inline
+    strings, booleans, and sparse rows (missing cells are absent keys)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+
+        # shared strings table (absent when the workbook has none)
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")):
+                # <si> holds one <t> or rich-text runs of <r><t>…
+                shared.append(
+                    "".join(t.text or "" for t in si.iter() if local(t.tag) == "t")
+                )
+
+        # workbook sheet names → relationship ids → sheet part targets
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_target = {
+            rel.get("Id"): rel.get("Target") for rel in rels if rel.get("Id")
+        }
+        rid_attr = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+
+        out: dict[str, list[dict[str, str]]] = {}
+        for sheet in wb.iter():
+            if local(sheet.tag) != "sheet":
+                continue
+            target = rid_target.get(sheet.get(rid_attr), "")
+            part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+            if part not in names:
+                continue
+
+            rows: list[dict[int, str]] = []
+            for row in ET.fromstring(z.read(part)).iter():
+                if local(row.tag) != "row":
+                    continue
+                cells: dict[int, str] = {}
+                for c in row:
+                    if local(c.tag) != "c":
+                        continue
+                    ref = c.get("r") or ""
+                    ctype = c.get("t", "n")
+                    v = None
+                    for child in c:
+                        if local(child.tag) == "v":
+                            v = child.text
+                        elif local(child.tag) == "is":  # inline string
+                            v = "".join(
+                                t.text or "" for t in child.iter() if local(t.tag) == "t"
+                            )
+                    if v is None:
+                        continue
+                    if ctype == "s":
+                        v = shared[int(v)]
+                    elif ctype == "b":
+                        v = str(v in ("1", "true", "TRUE"))
+                    cells[_xlsx_col_index(ref)] = v
+                if cells:
+                    rows.append(cells)
+
+            if not rows:
+                out[sheet.get("name", part)] = []
+                continue
+            header_cells, body = rows[0], rows[1:]
+            header = {i: name for i, name in header_cells.items()}
+            out[sheet.get("name", part)] = [
+                {header[i]: v for i, v in r.items() if i in header} for r in body
+            ]
+        return out
+
+
 def read_document_file(
     spark,
     path: str,
@@ -216,20 +307,15 @@ def read_document_file(
             raise NotImplementedError("YAML documents need pyyaml (not in this environment)") from e
         with open(path) as f:
             data = yaml.safe_load(f)
-    elif ext in (".xlsx", ".xls"):
+    elif ext == ".xlsx":
         # Reference parses Excel via pandas (``loader/documents.py:22-29``);
-        # one record dict per row, sheet name as the root key.
-        try:
-            import openpyxl  # noqa: F401  # type: ignore[import-not-found]
-        except ImportError as e:  # pragma: no cover - env without openpyxl
-            raise NotImplementedError("Excel documents need openpyxl (not in this environment)") from e
-        import pandas as _pd
-
-        sheets = _pd.read_excel(path, sheet_name=None, dtype=str)
-        data = {
-            name: [{k: v for k, v in rec.items() if v is not None and v == v} for rec in sheet.to_dict("records")]
-            for name, sheet in sheets.items()
-        }
+        # one record dict per row, sheet name as the root key.  xlsx is a
+        # zip of XML, so read-only cell extraction needs no openpyxl —
+        # stdlib zipfile + ElementTree (sharedStrings + sheetData walk).
+        data = _read_xlsx_stdlib(path)
+    elif ext == ".xls":
+        # legacy binary BIFF format genuinely needs a codec library
+        raise NotImplementedError(".xls (binary BIFF) needs xlrd; use .xlsx")
     else:
         raise ValueError(f"unsupported document format: {ext}")
 

@@ -224,57 +224,140 @@ def test_read_document_file_yaml(spark, tmp_path):
     assert nodes.filter(nodes.node_type == "GROUP").count() == 2
 
 
-def test_read_document_file_excel_gated(spark, tmp_path):
-    """Excel parses via pandas when openpyxl exists; otherwise the parser
-    chain raises the documented NotImplementedError gate."""
+def _write_xlsx(path, sheets):
+    """Hand-rolled minimal xlsx (zip of spreadsheetml XML parts): shared
+    strings for every cell unless a (type, raw) tuple overrides it."""
+    import zipfile
+
+    MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    RELNS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    PKG = "http://schemas.openxmlformats.org/package/2006/relationships"
+    strings, sidx = [], {}
+
+    def sref(v):
+        if v not in sidx:
+            sidx[v] = len(strings)
+            strings.append(v)
+        return sidx[v]
+
+    def colletter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    sheet_parts = []
+    for rows in sheets.values():
+        rws = []
+        for rnum, row in enumerate(rows, 1):
+            cells = []
+            for ci, v in enumerate(row):
+                if v is None:
+                    continue
+                ref = f"{colletter(ci)}{rnum}"
+                if isinstance(v, tuple):  # (cell_type, raw_xml_value)
+                    t, raw = v
+                    if t == "inlineStr":
+                        cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{raw}</t></is></c>')
+                    else:
+                        cells.append(f'<c r="{ref}" t="{t}"><v>{raw}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>')
+            rws.append(f'<row r="{rnum}">{"".join(cells)}</row>')
+        sheet_parts.append(
+            f'<worksheet xmlns="{MAIN}"><sheetData>{"".join(rws)}</sheetData></worksheet>'
+        )
+
+    sheet_decls = "".join(
+        f'<sheet name="{name}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, name in enumerate(sheets)
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i+1}" Type="{RELNS}/worksheet"'
+        f' Target="worksheets/sheet{i+1}.xml"/>'
+        for i in range(len(sheets))
+    )
+    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{MAIN}" xmlns:r="{RELNS}">'
+            f"<sheets>{sheet_decls}</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{PKG}">{rels}</Relationships>',
+        )
+        z.writestr("xl/sharedStrings.xml", f'<sst xmlns="{MAIN}">{sst}</sst>')
+        for i, part in enumerate(sheet_parts):
+            z.writestr(f"xl/worksheets/sheet{i+1}.xml", part)
+
+
+def _shape(nodes):
+    return sorted(
+        (r["node_type"] or "", r["node_name"] or "", r["leaf_value"] or "")
+        for r in nodes.collect()
+    )
+
+
+def test_read_document_file_xlsx_matches_json_equivalent(spark, tmp_path):
+    """Golden: the stdlib xlsx reader produces the SAME forest shape as
+    the JSON loader fed the equivalent {sheet: [records]} document — the
+    parser chain's contract (reference ``loader/documents.py:22-29``)."""
+    from architxt_spark.sources.documents import read_document_file
+
+    x = tmp_path / "doc.xlsx"
+    _write_xlsx(x, {"people": [["name", "age"], ["alice", "3"], ["bob", "5"]]})
+    j = tmp_path / "doc.json"
+    j.write_text(
+        '{"people": [{"name": "alice", "age": "3"},'
+        ' {"name": "bob", "age": "5"}]}'
+    )
+    assert _shape(read_document_file(spark, str(x))) == _shape(
+        read_document_file(spark, str(j))
+    )
+
+
+def test_read_document_file_xlsx_cell_types_and_sparse_rows(spark, tmp_path):
+    """Inline strings, booleans, raw numbers, multi-sheet, and sparse
+    rows (missing cells = absent record keys, like the reference's
+    NaN-dropping)."""
+    from architxt_spark.sources.documents import read_document_file
+
+    p = tmp_path / "typed.xlsx"
+    _write_xlsx(
+        p,
+        {
+            "people": [
+                ["name", "ok", "score"],
+                [("inlineStr", "carol"), ("b", "1"), ("n", "42")],
+                ["dave", None, ("n", "7.5")],  # sparse: no 'ok' cell
+            ],
+            "places": [["city"], ["paris"]],
+        },
+    )
+    nodes = read_document_file(spark, str(p))
+    leaves = {r["leaf_value"] for r in nodes.filter(nodes.leaf_value.isNotNull()).collect()}
+    assert {"carol", "True", "42", "dave", "7.5", "paris"} <= leaves
+    ents = {r["node_name"] for r in nodes.filter(nodes.node_type == "ENT").collect()}
+    assert ents == {"name", "ok", "score", "city"}
+    # dave's missing 'ok' cell must not synthesize an entity
+    dave_ok = nodes.filter(
+        (nodes.node_type == "ENT") & (nodes.leaf_value == "None")
+    )
+    assert dave_ok.count() == 0
+
+
+def test_read_document_file_xls_gated(spark, tmp_path):
+    """Legacy binary .xls genuinely needs xlrd — documented gate."""
     import pytest
 
     from architxt_spark.sources.documents import read_document_file
 
-    import zipfile
-
-    p = tmp_path / "doc.xlsx"
-    with zipfile.ZipFile(p, "w") as z:  # zip container so pandas sniffs xlsx
-        z.writestr("[Content_Types].xml", "<Types/>")
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            read_document_file(spark, str(p))
-    else:
-        pytest.skip("openpyxl present - covered by real-workbook environments")
-
-
-def test_read_document_file_excel_parses_with_fake_engine(spark, tmp_path, monkeypatch):
-    """The Excel branch end-to-end behind a FAKE openpyxl + stubbed
-    pandas.read_excel: one sheet-name-rooted record list per sheet, NaN
-    cells dropped (reference parser chain ``loader/documents.py:22-29``)."""
-    import sys
-    import types
-
-    import pandas as pd
-
-    from architxt_spark.sources.documents import read_document_file
-
-    monkeypatch.setitem(sys.modules, "openpyxl", types.ModuleType("openpyxl"))
-
-    def fake_read_excel(path, sheet_name=None, dtype=None):
-        assert sheet_name is None  # all sheets requested
-        return {
-            "people": pd.DataFrame(
-                [{"name": "alice", "age": "3"}, {"name": "bob", "age": float("nan")}]
-            ),
-            "places": pd.DataFrame([{"city": "paris"}]),
-        }
-
-    monkeypatch.setattr(pd, "read_excel", fake_read_excel)
-    p = tmp_path / "doc.xlsx"
-    p.write_bytes(b"")  # content never read by the fake engine
-    nodes = read_document_file(spark, str(p))
-    ents = {r["node_name"] for r in nodes.filter(nodes.node_type == "ENT").collect()}
-    assert ents == {"name", "age", "city"}
-    leaves = {r["leaf_value"] for r in nodes.filter(nodes.leaf_value.isNotNull()).collect()}
-    assert {"alice", "bob", "paris", "3"} <= leaves
-    # bob's NaN age cell is dropped, not emitted as a 'nan' entity
-    bob_age = nodes.filter((nodes.node_type == "ENT") & (nodes.leaf_value == "nan"))
-    assert "nan" not in leaves and bob_age.count() == 0
+    p = tmp_path / "doc.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0 legacy biff")
+    with pytest.raises(NotImplementedError, match="xls"):
+        read_document_file(spark, str(p))
