@@ -17,6 +17,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from architxt_spark.session import stage_barrier
 
 LSH_PLANES = 8
 
@@ -542,7 +543,7 @@ def train_codebook(
         cents = (
             cents.join(means, "cell_id", "left")
             .select("cell_id", F.coalesce("new_c", "centroid").alias("centroid"))
-            .localCheckpoint(eager=True)
+            .transform(stage_barrier)
         )
     return cents
 

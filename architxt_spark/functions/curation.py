@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from architxt_spark.functions import text as T
 from architxt_spark.functions.dedup import _spread, dedup_filter, dedup_filter_sql
+from architxt_spark.session import stage_barrier
 
 
 def curate_corpus(
@@ -46,10 +47,8 @@ def curate_corpus(
     # filter below a repartition exchange, so without the barrier the
     # (shingle-heavy) predicate runs on the single-partition file scan —
     # 12 s single-task vs sub-second 32-way at sf0.1
-    spread = _spread(docs).localCheckpoint(eager=True)
-    quality = spread.filter(T.gopher_keep(F.col(text_col))).localCheckpoint(
-        eager=True
-    )
+    spread = _spread(docs).transform(stage_barrier)
+    quality = spread.filter(T.gopher_keep(F.col(text_col))).transform(stage_barrier)
     keep_ids = dedup_filter(quality, text_col, id_col, near_threshold=near_threshold)
     kept = docs.join(
         keep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from architxt_spark.functions import text as T
+from architxt_spark.session import stage_barrier
 
 MINHASH_K = 16
 MINHASH_BAND_SIZE = 4
@@ -364,7 +365,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
         # materialize the SMALL pair frame, then release the cached index
-        return out.localCheckpoint(eager=True)
+        return out.transform(stage_barrier)
     finally:
         raw.unpersist()
 
@@ -662,13 +663,13 @@ def connected_components(
     edges = (
         e1.unionByName(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stage_barrier)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .transform(stage_barrier)
     )
     changed = 0
     for _ in range(max_iterations):
@@ -679,7 +680,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(stage_barrier)
         )
         changed = (
             new.join(labels.select("id", F.col("component").alias("old")), "id")
@@ -772,7 +773,7 @@ def winnow_pairs(
         )
         # materialize the SMALL pair frame so the big exploded index can be
         # released now instead of leaking cached blocks for the session
-        return out.localCheckpoint(eager=True)
+        return out.transform(stage_barrier)
     finally:
         raw.unpersist()
 

@@ -35,6 +35,7 @@ from pyspark.sql.types import StructField, StructType, StringType
 from architxt_spark.model import NODE_SCHEMA, NodeType
 from architxt_spark.operators import pytree_ops
 from architxt_spark.trees import PyTree, rows_to_trees, tree_to_rows
+from architxt_spark.session import stage_barrier
 
 #: node schema + per-tree change flag (carried on every row of the tree).
 _OP_SCHEMA = StructType(list(NODE_SCHEMA.fields) + [StructField("changed", StringType(), True)])
@@ -421,7 +422,7 @@ def rewrite(
     # serializing every per-tree applyInPandas pass of the whole loop
     nodes = nodes.repartition(
         nodes.sparkSession.sparkContext.defaultParallelism, "tree_id"
-    ).localCheckpoint(eager=True)
+    ).transform(stage_barrier)
 
     def census(frame: DataFrame) -> dict:
         types = (NodeType.ENT, NodeType.GROUP, NodeType.REL, NodeType.COLL)
@@ -468,10 +469,10 @@ def rewrite(
         # Arrow reduce pass re-executes for each of them (measured 3x per
         # iteration).  Same for the find_groups join pipeline below, which
         # both the probe and the chain consume.
-        nodes = flagged.drop("changed").localCheckpoint(eager=True)
+        nodes = flagged.drop("changed").transform(stage_barrier)
 
         assignments, sig_index = cluster_forest_with_index(nodes, tau=tau)
-        nodes = find_groups(nodes, assignments, min_support).localCheckpoint(eager=True)
+        nodes = find_groups(nodes, assignments, min_support).transform(stage_barrier)
 
         ops = (
             list(operations)
@@ -517,7 +518,7 @@ def rewrite(
                 nodes = (
                     apply_tree_op(nodes, run_chain, "chain")
                     .drop("changed")
-                    .localCheckpoint(eager=True)
+                    .transform(stage_barrier)
                 )
 
         iteration_changed = winner is not None
@@ -556,6 +557,6 @@ def rewrite(
         b = pytree_ops.find_collections(t, naming_only=True)
         return a or b
 
-    nodes = apply_tree_op(nodes, post, "post").drop("changed").localCheckpoint(eager=True)
+    nodes = apply_tree_op(nodes, post, "post").drop("changed").transform(stage_barrier)
 
     return simplify_names(nodes)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from architxt_spark.model import NodeType
+from architxt_spark.session import stage_barrier
 
 
 class RelationOrientation(str, Enum):
@@ -451,7 +452,7 @@ def extract_valid_trees(nodes: DataFrame, schema: SchemaPlan) -> DataFrame:
             .drop("p_id", "gp_id", "p_valid")
         )
         moved = relinked.filter(F.col("_moved")).limit(1).count()
-        nodes = relinked.drop("_moved").localCheckpoint(eager=True)
+        nodes = relinked.drop("_moved").transform(stage_barrier)
         if not moved:
             break
 

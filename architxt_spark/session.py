@@ -39,6 +39,87 @@ def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+#: Runtime conf flag switching the engine's stage barriers from
+#: executor-local checkpoints to reliable (checkpoint-dir) checkpoints.
+DURABLE_BARRIERS_CONF = "spark.architxt.durableBarriers"
+
+
+def enable_durable_barriers(spark: SparkSession, checkpoint_dir: str) -> None:
+    """Switch every :func:`stage_barrier` in this session to RELIABLE
+    checkpoints written under ``checkpoint_dir`` — the cluster posture.
+
+    ``localCheckpoint`` stores non-replicated executor blocks: fast, but
+    after lineage truncation an executor loss fails the job.  Fine on
+    local[N] (one process) and for short interactive runs; NOT fine for a
+    100-TB run on 1000 preemptible executors.  Point ``checkpoint_dir``
+    at durable shared storage (HDFS/S3/GCS) there."""
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    spark.conf.set(DURABLE_BARRIERS_CONF, "true")
+
+
+def disable_durable_barriers(spark: SparkSession) -> None:
+    spark.conf.set(DURABLE_BARRIERS_CONF, "false")
+
+
+def stage_barrier(df, *, eager: bool = True):
+    """Lineage-truncating stage barrier used between pipeline stages
+    (quality gate → dedup, BFS levels, rewrite iterations).
+
+    The barrier itself is a deliberate plan shape: it stops Catalyst from
+    pushing expensive predicates below an exchange / re-running a
+    shingle-heavy stage per consumer, and it truncates iterative lineage
+    so plans don't grow unboundedly.  Default = ``localCheckpoint``
+    (executor-local, fast).  With durable barriers enabled
+    (:func:`enable_durable_barriers`) = reliable ``checkpoint`` to the
+    session's checkpoint dir, which survives executor loss."""
+    spark = df.sparkSession
+    try:
+        durable = spark.conf.get(DURABLE_BARRIERS_CONF, "false") == "true"
+    except Exception:  # noqa: BLE001 — conf layer unavailable (mock frames)
+        durable = False
+    if durable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def cluster_conf(
+    *,
+    executors: int = 1000,
+    executor_cores: int = 4,
+    target_partition_mb: int = 256,
+) -> dict[str, str]:
+    """The documented 100-TB cluster posture as one artifact — the knobs
+    this engine assumes when the same code runs on a real cluster.  Feed
+    into ``SparkSession.builder.config(map=cluster_conf())``.
+
+    Rationale per key:
+
+    - shuffle partitions ≈ 2× total cores so AQE coalesces DOWN from a
+      ceiling rather than splitting up (it can only merge);
+    - ``maxPartitionBytes`` sizes scan splits so a task's working set
+      fits executor memory with room for shuffle spill;
+    - AQE on, with skew-join splitting — the runtime guard for the skew
+      this engine cannot know statically;
+    - broadcast threshold raised to 256 MB: at 1000 executors a
+      shuffle-hash join of a dimension table costs three orders of
+      magnitude more network than one broadcast;
+    - reliable barriers on (see :func:`enable_durable_barriers`) —
+      executor loss is an EXPECTED event at this scale."""
+    total_cores = executors * executor_cores
+    return {
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb << 20),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 << 20),
+        "spark.sql.autoBroadcastJoinThreshold": str(256 << 20),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.optimizer.excludedRules": EXCLUDED_OPTIMIZER_RULES,
+        DURABLE_BARRIERS_CONF: "true",
+    }
+
+
 TPCH_TABLES = (
     "region",
     "nation",

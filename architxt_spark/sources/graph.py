@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from architxt_spark.model import NODE_SCHEMA
+from architxt_spark.session import stage_barrier
 
 
 def get_root_nodes(nodes: DataFrame, rels: DataFrame) -> DataFrame:
@@ -57,7 +58,7 @@ def get_root_nodes(nodes: DataFrame, rels: DataFrame) -> DataFrame:
     roots = nodes.join(rels.select(F.col("dst").alias("id")), "id", "left_anti")
     # Materialized once: the result feeds the emptiness check here, the BFS
     # frontier, and the ROOT-row emission — one anti-join job, not three.
-    roots = roots.localCheckpoint(eager=True)
+    roots = roots.transform(stage_barrier)
     if roots.isEmpty():
         deg = rels.groupBy(F.col("src").alias("id")).count()
         top = deg.orderBy(F.desc("count"), "id").limit(1).select("id")
@@ -121,7 +122,7 @@ def _traverse(roots: DataFrame, rels: DataFrame, max_depth: int) -> tuple[DataFr
                 .select("tree_id", "dst", "__e.*")
                 .withColumn("bfs_depth", F.lit(depth))
             )
-            step = step.localCheckpoint(eager=True)
+            step = step.transform(stage_barrier)
             if step.isEmpty():
                 break
             edge_levels.append(step)
@@ -281,7 +282,7 @@ def read_graph(
             "cpos", F.row_number().over(Window.partitionBy("tree_id").orderBy("skey")) - 1
         )
         .drop("skey")
-        .localCheckpoint(eager=True)
+        .transform(stage_barrier)
     )
 
     is_edge = F.col("__kind") == 1

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from architxt_spark.functions import text as T
+from architxt_spark.session import stage_barrier
 
 
 def read_document_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -117,7 +118,7 @@ def minhash_dedup_batch(
         )
         # materialize the (small) survivor id set so the index write and the
         # returned frame don't re-run the signature pipeline after unpersist
-        survivors = survivors.join(losers, "id", "left_anti").localCheckpoint(eager=True)
+        survivors = survivors.join(losers, "id", "left_anti").transform(stage_barrier)
 
         bands.join(survivors, "id").select("band", "id").write.mode("append").parquet(index_path)
         return batch.join(

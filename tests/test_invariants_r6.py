@@ -100,6 +100,44 @@ def test_thousand_exact_copies_emit_zero_candidate_pairs(spark):
     assert kept == [0, m, m + 1, m + 2, m + 3, m + 4]
 
 
+def test_durable_barriers_identical_results(spark, tmp_path):
+    """stage_barrier with durable mode on: reliable checkpoint files land
+    under the checkpoint dir and every operator that barriers produces
+    IDENTICAL results — the 100-TB posture where executor loss after
+    lineage truncation must not fail the job."""
+    import os
+
+    from architxt_spark.functions.curation import curate_corpus
+    from architxt_spark.session import (
+        disable_durable_barriers,
+        enable_durable_barriers,
+    )
+
+    df = _near_dup_corpus(spark, seed=31)
+    kept_local, census_local = curate_corpus(df)
+    baseline = (
+        sorted(r.doc_id for r in kept_local.collect()),
+        sorted((r.stage, r.n_docs) for r in census_local.collect()),
+    )
+
+    enable_durable_barriers(spark, str(tmp_path / "ckpt"))
+    try:
+        kept_d, census_d = curate_corpus(df)
+        got = (
+            sorted(r.doc_id for r in kept_d.collect()),
+            sorted((r.stage, r.n_docs) for r in census_d.collect()),
+        )
+        assert got == baseline
+        ckpt_files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(tmp_path / "ckpt")
+            for f in fs
+        ]
+        assert ckpt_files, "durable mode must write reliable checkpoint files"
+    finally:
+        disable_durable_barriers(spark)
+
+
 def test_capped_pairs_and_filter_match_duckdb(spark):
     duckdb = pytest.importorskip("duckdb")
     df = _near_dup_corpus(spark, seed=23)
