@@ -498,16 +498,7 @@ def cluster_forest_instance(
         for i, ctx in enumerate(ctxs):
             for band in _minhash_bands(ctx[0]["ents"] or ["\x00empty"]):
                 buckets.setdefault(band, []).append(i)
-        seen: set[tuple[int, int]] = set()
-        acc: list[tuple[int, int]] = []
-        for members in buckets.values():
-            for ii, a in enumerate(members):
-                for b in members[ii + 1 :]:
-                    key = (a, b) if a < b else (b, a)
-                    if key not in seen:
-                        seen.add(key)
-                        acc.append(key)
-        pair_idx = iter(acc)
+        pair_idx = _banded_candidate_pairs(buckets)
 
     for i, j in pair_idx:
         if uf.find(keys[i]) == uf.find(keys[j]):
@@ -593,6 +584,58 @@ def _minhash_bands(tokens: list[str], n_hashes: int = 16, band_size: int = 4) ->
     ]
 
 
+#: Per-bucket member budget for the driver-side banded pair generators.
+SIG_BUCKET_BUDGET = 256
+
+
+def _banded_candidate_pairs(buckets: dict, budget: int = SIG_BUCKET_BUDGET) -> Iterator:
+    """Deduped candidate pairs from LSH buckets with a per-bucket budget:
+    a bucket exceeding ``budget`` members contributes anchor-chained
+    pairs (each member vs the bucket min) instead of all pairs — O(M)
+    work for a hot bucket instead of M²/2, so one degenerate band can
+    never build a quadratic ``seen`` set on the driver (the same
+    exposure :func:`~architxt_spark.functions.dedup.minhash_lsh_pairs`
+    caps with ``max_band_df`` on the distributed side).  Union-find
+    transitivity keeps everything the anchor links connected; recall is
+    reduced only for within-bucket pairs neither of which matches the
+    anchor — degradation is LOUD (RuntimeWarning), mirroring
+    ``rep_budget``."""
+    import warnings
+
+    seen: set = set()
+    cand: list = []
+    hot = 0
+    for members in buckets.values():
+        if len(members) > budget:
+            hot += 1
+            anchor = min(members)
+            it = (
+                (anchor, b) if anchor < b else (b, anchor)
+                for b in members
+                if b != anchor
+            )
+        else:
+            it = (
+                (a, b) if a < b else (b, a)
+                for i, a in enumerate(members)
+                for b in members[i + 1 :]
+            )
+        for key in it:
+            if key not in seen:
+                seen.add(key)
+                cand.append(key)
+    if hot:
+        warnings.warn(
+            f"banded signature clustering: {hot} hot bucket(s) exceeded "
+            f"{budget} members; their pairs were chained to the bucket "
+            "anchor (reduced within-bucket recall — raise "
+            "SIG_BUCKET_BUDGET to force all-pairs)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return iter(cand)
+
+
 class _UnionFind:
     def __init__(self) -> None:
         self.parent: dict[str, str] = {}
@@ -623,21 +666,13 @@ def _cluster_signatures(
             (a, b) for i, a in enumerate(sigs) for b in sigs[i + 1 :]
         )
     else:
-        # LSH banding on the distinct signature set
+        # LSH banding on the distinct signature set (per-bucket budget —
+        # a hot band degrades to anchor chaining, never quadratic)
         buckets: dict[str, list[str]] = {}
         for s in sigs:
             for band in _minhash_bands(sorted(sets[s])):
                 buckets.setdefault(band, []).append(s)
-        seen = set()
-        cand = []
-        for members in buckets.values():
-            for i, a in enumerate(members):
-                for b in members[i + 1 :]:
-                    key = (a, b) if a < b else (b, a)
-                    if key not in seen:
-                        seen.add(key)
-                        cand.append(key)
-        pairs = iter(cand)
+        pairs = _banded_candidate_pairs(buckets)
 
     for a, b in pairs:
         if sets[a] & sets[b] and fn(sets[a], sets[b]) >= tau:

@@ -138,6 +138,31 @@ def test_durable_barriers_identical_results(spark, tmp_path):
         disable_durable_barriers(spark)
 
 
+def test_banded_pair_budget_bounds_hot_buckets():
+    """A pathological hot signature bucket generates O(M) anchor-chained
+    pairs under the budget — with a loud RuntimeWarning — instead of
+    M²/2; cool buckets still get exact all-pairs."""
+    import warnings
+
+    from architxt_spark.similarity import _banded_candidate_pairs
+
+    hot = {"band0": [f"s{i:05d}" for i in range(1000)]}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = list(_banded_candidate_pairs(hot, budget=256))
+    assert len(pairs) == 999  # anchor chain, not 499500 all-pairs
+    anchor = "s00000"
+    assert all(a == anchor for a, _ in pairs)
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+    cool = {"b1": ["a", "b", "c"], "b2": ["b", "c", "d"]}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = sorted(_banded_candidate_pairs(cool, budget=256))
+    assert pairs == [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert not w  # dedup across buckets, no warning
+
+
 def test_capped_pairs_and_filter_match_duckdb(spark):
     duckdb = pytest.importorskip("duckdb")
     df = _near_dup_corpus(spark, seed=23)
