@@ -135,17 +135,28 @@ def _sym_string(token: Column) -> Column:
     return F.concat(F.regexp_replace(token, "(.)", SEP + SEP + "$1"), F.lit(SEP + SEP))
 
 
+#: Above this merge count the literal-replace expression chain gets
+#: impractically deep (codegen blowup, 64KB JVM method limits force
+#: interpreted fallback) — ``engine="auto"`` switches to the Arrow
+#: rank-priority engine past it.  Cost model at sf0.1 in BASELINE.md.
+BPE_EXPR_MAX_MERGES = 256
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: DataFrame | list[tuple[str, str]],
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    engine: str = "expr",
+    engine: str = "auto",
 ) -> DataFrame:
     """Greedy BPE-encode documents with a trained merge table; returns
     ``(id_col, pos, sub, token)`` — word position and symbol index within
     the word, so the token stream order is fully reconstructible.
+
+    ``engine="auto"`` (default) picks by merge count: the codegen expr
+    chain up to ``BPE_EXPR_MAX_MERGES`` merges, the Arrow engine beyond
+    (a 32k-merge expression tree would be thousands of nested replaces).
 
     Two engines, identical results (parity-tested):
 
@@ -169,10 +180,12 @@ def bpe_encode(
     else:
         ms = list(merges)
 
+    if engine == "auto":
+        engine = "pandas" if len(ms) > BPE_EXPR_MAX_MERGES else "expr"
     if engine == "pandas":
         return _bpe_encode_pandas(docs, ms, id_col, text_col)
     if engine != "expr":
-        raise ValueError(f"unknown engine {engine!r}; use 'expr' or 'pandas'")
+        raise ValueError(f"unknown engine {engine!r}; use 'auto', 'expr' or 'pandas'")
 
     toks = retrieval_tokens(F.col(text_col))
     base = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "__w"))

@@ -238,6 +238,29 @@ def test_bpe_encode_pandas_engine_parity(corpus, spark):
         bpe.bpe_encode(corpus, merges, engine="bogus")
 
 
+def test_bpe_encode_auto_engine_threshold(corpus, spark, monkeypatch):
+    """engine='auto' (the default) selects by merge count: expr chain up
+    to BPE_EXPR_MAX_MERGES, Arrow engine beyond."""
+    chosen = []
+    real_pandas = bpe._bpe_encode_pandas
+
+    def spy(docs, ms, id_col, text_col):
+        chosen.append("pandas")
+        return real_pandas(docs, ms, id_col, text_col)
+
+    monkeypatch.setattr(bpe, "_bpe_encode_pandas", spy)
+
+    small = [("a", "b")] * 3
+    out = bpe.bpe_encode(corpus, small)  # default auto → expr
+    assert chosen == []
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower()
+
+    big = [(f"x{i}", f"y{i}") for i in range(bpe.BPE_EXPR_MAX_MERGES + 1)]
+    bpe.bpe_encode(corpus, big)  # auto → pandas
+    assert chosen == ["pandas"]
+
+
 def test_strip_duplicate_chunks_rebuild(spark):
     """Clean text keeps first-occurrence chunks in order; later duplicates
     (cross-doc AND within-doc) are stripped; fully-duplicated docs come
