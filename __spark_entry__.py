@@ -1572,14 +1572,30 @@ def q_chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return det.unionByName(strip)
 
 
+#: curation-pipeline mixture: per-language take counts for the exact
+#: mixture stage (shared by the Spark query and its DuckDB twin)
+_CURATE_MIX = {"en": 60, "fr": 25, "de": 25, "es": 25, "zh": 25}
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end curation chain census: Gopher quality gate (pure scan
-    filter — junk never reaches a shuffle) then exact + MinHash near-dup
-    removal on the survivors; one (stage, n_docs) row per stage
+    """End-to-end curation chain census, the full pretraining shape:
+    Gopher quality gate (pure scan filter — junk never reaches a
+    shuffle) → exact + MinHash near-dup removal over exact
+    representatives → exact per-language mixture take → concat-and-chunk
+    sequence packing; one (stage, n_docs) row per stage — the pack row
+    counts the training sequences produced
     (`functions/curation.py` curate_corpus)."""
     from architxt_spark.functions.curation import curate_corpus
 
-    _, census = curate_corpus(_t(spark, sf, "documents").select("doc_id", "text"))
+    _, census = curate_corpus(
+        _t(spark, sf, "documents").select("doc_id", "text", "lang", "n_chars"),
+        mixture_col="lang",
+        mixture_counts=_CURATE_MIX,
+        pack_token_col="n_chars",
+        pack_budget=4096,
+        pack_buckets=8,
+        salt="cur",
+    )
     return census
 
 
@@ -2079,7 +2095,15 @@ def _chunk_pipeline_sql() -> str:
 def _curation_sql() -> str:
     from architxt_spark.functions.curation import curation_census_sql
 
-    return curation_census_sql("documents")
+    return curation_census_sql(
+        "documents",
+        mixture_col="lang",
+        mixture_counts=_CURATE_MIX,
+        pack_token_col="n_chars",
+        pack_budget=4096,
+        pack_buckets=8,
+        salt="cur",
+    )
 
 
 def _lm_sql() -> str:

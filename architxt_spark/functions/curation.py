@@ -1,22 +1,31 @@
 """End-to-end corpus curation pipeline: the integration operator that
-chains the hygiene and dedup primitives the way a real pretraining-data
-run does — quality-gate first (cheap per-row flags prune the junk before
-anything pays a shuffle), then exact + near-duplicate removal on the
-survivors.
+chains the hygiene, dedup, and data-selection primitives the way a real
+pretraining-data run does — quality-gate first (cheap per-row flags prune
+the junk before anything pays a shuffle), exact + near-duplicate removal
+on the survivors, then (optionally) an exact mixture take over a strata
+column and concat-and-chunk sequence packing: the full chain a 100-TB
+run actually ships.
 
 Scale shape follows from the parts: the Gopher quality gate is a pure
-scan filter (no shuffle — junk never reaches the dedup index), and
+scan filter (no shuffle — junk never reaches the dedup index),
 ``dedup_filter`` is one fingerprint groupBy + the banded minhash index
-on the REDUCED corpus.  Stage ordering matters at 100 TB: the quality
-gate typically drops 30–60% of a web crawl, and every dropped row is a
-row the minhash shuffle never carries.
+on the REDUCED corpus (near-dup pass over exact representatives only),
+``mixture_take`` is a hash-threshold pre-filter + bounded per-stratum
+window, and ``pack_sequences`` windows per hash bucket, never globally.
+Stage ordering matters at 100 TB: the quality gate typically drops
+30–60% of a web crawl, and every dropped row is a row the minhash
+shuffle never carries; sampling before packing means the pack layout is
+computed only for rows that ship.
 
 Cross-engine determinism: every stage reuses an existing twin-tested
-primitive (`text.gopher_keep`, `dedup.dedup_filter`), so the census
+primitive (`text.gopher_keep`, `dedup.dedup_filter`,
+`sampling.mixture_take`, `sampling.pack_sequences`), so the census
 counts replay exactly in DuckDB.
 """
 
 from __future__ import annotations
+
+from typing import Mapping
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,12 +41,29 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     near_threshold: float = 0.5,
+    mixture_col: str | None = None,
+    mixture_counts: Mapping[str, int] | None = None,
+    pack_token_col: str | None = None,
+    pack_budget: int = 4096,
+    pack_buckets: int = 8,
+    salt: str = "",
 ) -> tuple[DataFrame, DataFrame]:
-    """Run the curation chain; returns ``(kept_docs, census)`` where
-    ``census`` is ``(stage, n_docs)`` for stages ``input`` →
-    ``quality`` → ``dedup`` (each count is the survivors AFTER that
-    stage).  ``kept_docs`` is the original schema filtered to the final
-    survivor set."""
+    """Run the curation chain; returns ``(kept_docs, census)``.
+
+    ``census`` is ``(stage, n_docs)`` for stages ``input`` → ``quality``
+    → ``dedup`` [→ ``sample``] [→ ``pack``]; each count is the survivors
+    AFTER that stage, except ``pack`` whose count is the number of
+    fixed-budget training SEQUENCES produced (packing transforms, it
+    does not filter).  ``kept_docs`` is the original schema filtered to
+    the final survivor set, plus the pack layout columns when packing is
+    on.
+
+    ``mixture_col``+``mixture_counts`` enable the exact per-stratum
+    mixture take after dedup (compose with
+    :func:`~architxt_spark.functions.sampling.temperature_counts` or
+    :func:`~architxt_spark.functions.sampling.proportional_counts` to
+    derive the counts); ``pack_token_col`` enables concat-and-chunk
+    sequence packing of the sampled survivors."""
     # materialize the gate's survivors ONCE: the census, the fingerprint
     # pass, and the minhash index all read this frame, and re-evaluating
     # the (shingle-heavy) quality predicate per consumer benched 33 s vs
@@ -47,8 +73,8 @@ def curate_corpus(
     # filter below a repartition exchange, so without the barrier the
     # (shingle-heavy) predicate runs on the single-partition file scan —
     # 12 s single-task vs sub-second 32-way at sf0.1
-    spread = _spread(docs).transform(stage_barrier)
-    quality = spread.filter(T.gopher_keep(F.col(text_col))).transform(stage_barrier)
+    spread = stage_barrier(_spread(docs))
+    quality = stage_barrier(spread.filter(T.gopher_keep(F.col(text_col))))
     keep_ids = dedup_filter(quality, text_col, id_col, near_threshold=near_threshold)
     kept = docs.join(
         keep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
@@ -64,6 +90,28 @@ def curate_corpus(
         .unionByName(stage("quality", quality))
         .unionByName(stage("dedup", kept))
     )
+
+    if mixture_col is not None and mixture_counts is not None:
+        from architxt_spark.functions.sampling import mixture_take
+
+        kept = stage_barrier(
+            mixture_take(kept, mixture_col, mixture_counts, id_col, salt=salt)
+        )
+        census = census.unionByName(stage("sample", kept))
+
+    if pack_token_col is not None:
+        from architxt_spark.functions.sampling import pack_sequences
+
+        kept = pack_sequences(
+            kept, id_col, pack_token_col, pack_budget, n_buckets=pack_buckets, salt=salt
+        )
+        n_seqs = (
+            kept.select("pack_bucket", "pack_seq")
+            .distinct()
+            .agg(F.lit("pack").alias("stage"), F.count("*").cast("long").alias("n_docs"))
+        )
+        census = census.unionByName(n_seqs)
+
     return kept, census
 
 
@@ -73,15 +121,42 @@ def curation_census_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     near_threshold: float = 0.5,
+    mixture_col: str | None = None,
+    mixture_counts: Mapping[str, int] | None = None,
+    pack_token_col: str | None = None,
+    pack_budget: int = 4096,
+    pack_buckets: int = 8,
+    salt: str = "",
 ) -> str:
-    """DuckDB replay of the census: the same gate predicate and dedup
-    keep-set, nested as subqueries."""
+    """DuckDB replay of the census: the same gate predicate, dedup
+    keep-set, mixture take, and pack layout, nested as subqueries."""
     quality = f"(SELECT * FROM {table} WHERE {T.gopher_keep_sql(text_col)})"
     dedup_keep = dedup_filter_sql(quality, text_col, id_col, near_threshold=near_threshold)
-    return f"""
-        SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM {table}
-        UNION ALL
-        SELECT 'quality', CAST(count(*) AS BIGINT) FROM {quality}
-        UNION ALL
-        SELECT 'dedup', CAST(count(*) AS BIGINT) FROM ({dedup_keep})
-    """
+    survivors = (
+        f"(SELECT t.* FROM {table} t"
+        f" WHERE t.{id_col} IN (SELECT id FROM ({dedup_keep})))"
+    )
+    parts = [
+        f"SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM {table}",
+        f"SELECT 'quality', CAST(count(*) AS BIGINT) FROM {quality}",
+        f"SELECT 'dedup', CAST(count(*) AS BIGINT) FROM ({dedup_keep})",
+    ]
+    current = survivors
+    if mixture_col is not None and mixture_counts is not None:
+        from architxt_spark.functions.sampling import mixture_take_sql
+
+        current = (
+            f"({mixture_take_sql(current, mixture_col, mixture_counts, id_col, salt=salt)})"
+        )
+        parts.append(f"SELECT 'sample', CAST(count(*) AS BIGINT) FROM {current}")
+    if pack_token_col is not None:
+        from architxt_spark.functions.sampling import pack_sequences_sql
+
+        packed = pack_sequences_sql(
+            current, id_col, pack_token_col, pack_budget, n_buckets=pack_buckets, salt=salt
+        )
+        parts.append(
+            "SELECT 'pack', CAST(count(*) AS BIGINT) FROM "
+            f"(SELECT DISTINCT pack_bucket, pack_seq FROM ({packed}))"
+        )
+    return "\n        UNION ALL\n        ".join(parts)

@@ -342,6 +342,44 @@ def test_curate_corpus_census_and_survivors(spark):
     assert kept.columns == ["doc_id", "text"]
 
 
+def test_curation_full_chain_sample_and_pack(spark):
+    """The extended chain: mixture take after dedup (exact per-stratum
+    counts) and sequence packing (census counts the packed sequences);
+    census replays in DuckDB stage for stage."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.curation import curate_corpus, curation_census_sql
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while the sun sets "
+        "behind distant hills and children play near the quiet river bank "
+    )
+    rows = [
+        (i, base + f"story {i % 7} variant {i}", "en" if i % 3 else "fr", 40 + i % 9)
+        for i in range(24)
+    ] + [(100, "junk", "en", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    kw = dict(
+        mixture_col="lang",
+        mixture_counts={"en": 5, "fr": 4},
+        pack_token_col="n_chars",
+        pack_budget=100,
+        pack_buckets=2,
+        salt="t",
+    )
+    kept, census = curate_corpus(df, **kw)
+    got = sorted((r.stage, r.n_docs) for r in census.collect())
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(con.execute(curation_census_sql("documents", **kw)).fetchall())
+    assert got == oracle
+    c = dict(got)
+    assert c["sample"] <= 9 and c["sample"] <= c["dedup"]
+    assert c["pack"] >= 1
+    # kept frame carries the pack layout
+    assert {"pack_bucket", "pack_seq", "pack_offset"} <= set(kept.columns)
+
+
 def test_curation_census_matches_duckdb(spark):
     duckdb = pytest.importorskip("duckdb")
     from architxt_spark.functions.curation import curate_corpus, curation_census_sql
