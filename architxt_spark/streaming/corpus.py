@@ -107,13 +107,18 @@ def minhash_dedup_batch(
         if hit_hist is not None:
             survivors = survivors.join(hit_hist, "id", "left_anti")
 
-        # within-batch collisions: drop the greater id of each banded pair
+        # within-batch collisions: drop every id that shares a band with
+        # any smaller id.  Computed via ONE band-min aggregation instead
+        # of a band self-join: x is a loser iff x > min(id) of some band
+        # it occupies — identical result, but a hot band of M
+        # near-identical docs costs O(M) aggregation rows, not M²/2 join
+        # rows (the streaming twin of the batch hot-band cap).
         kept_bands = bands.join(survivors, "id")
-        a = kept_bands.alias("a")
-        b = kept_bands.alias("b")
+        band_min = kept_bands.groupBy("band").agg(F.min("id").alias("__min_id"))
         losers = (
-            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") > F.col("b.id")))
-            .select(F.col("a.id").alias("id"))
+            kept_bands.join(band_min, "band")
+            .filter(F.col("id") > F.col("__min_id"))
+            .select("id")
             .distinct()
         )
         # materialize the (small) survivor id set so the index write and the

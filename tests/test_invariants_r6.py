@@ -163,6 +163,30 @@ def test_banded_pair_budget_bounds_hot_buckets():
     assert not w  # dedup across buckets, no warning
 
 
+def test_streaming_batch_hot_band_is_linear(spark, tmp_path):
+    """minhash_dedup_batch's within-batch loser set now comes from one
+    band-min aggregation (x loses iff x > min(id) of a shared band) —
+    identical keep-set to the old band self-join, O(M) for a hot band.
+    1000 near-identical docs in one batch keep exactly the min id."""
+    from architxt_spark.streaming.corpus import minhash_dedup_batch
+
+    m = 1000
+    rows = [(i, BASE + "batch template body") for i in range(m)]
+    rows += [(5000 + u, f"totally different doc about subject {u} here") for u in range(3)]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = minhash_dedup_batch(batch, str(tmp_path / "idx"))
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 5000, 5001, 5002]
+
+    # second batch: everything colliding with the index is dropped
+    batch2 = spark.createDataFrame(
+        [(9000, BASE + "batch template tail again"), (9001, "fresh novel content entirely")],
+        ["doc_id", "text"],
+    )
+    kept2 = sorted(r.doc_id for r in minhash_dedup_batch(batch2, str(tmp_path / "idx")).collect())
+    assert kept2 == [9001]
+
+
 def test_capped_pairs_and_filter_match_duckdb(spark):
     duckdb = pytest.importorskip("duckdb")
     df = _near_dup_corpus(spark, seed=23)
