@@ -150,3 +150,31 @@ def test_ann_topk_finalization_is_two_phase(spark):
         )[:3]
         expect += [(qid, r + 1, nid) for r, (_, nid) in enumerate(sims)]
     assert got == sorted(expect)
+
+
+def test_dedup_filter_restricts_minhash_to_exact_reps(spark):
+    """Round-6 hot-band fix, pinned at the plan level: dedup_filter's
+    minhash pipeline must read the representative semi-join (LeftSemi on
+    the id), and the band self-join must sit above the band-DF anti-join
+    (the max_band_df cap)."""
+    from architxt_spark.functions.dedup import dedup_filter
+
+    rows = [(i, f"some document body with words number {i % 5} repeated") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_filter(df, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "exact-representative semi-join missing"
+    assert "CartesianProduct" not in plan
+    # the band cap's anti-join (heavy bands excluded before pairing)
+    assert "LeftAnti" in plan
+
+
+def test_minhash_band_cap_is_anti_join_not_cartesian(spark):
+    from architxt_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [(i, f"document number {i} content body here") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_lsh_pairs(df, "text", "doc_id", max_band_df=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # heavy-band exclusion
