@@ -1577,6 +1577,25 @@ def q_chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 _CURATE_MIX = {"en": 60, "fr": 25, "de": 25, "es": 25, "zh": 25}
 
 
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style model-based quality filter: hashed-unigram linear
+    classifier trained with 3 deterministic full-batch perceptron
+    iterations (pos = the vetted doc_id<25 slice, neg = the rest), then
+    every document scored by its integer margin — bit-exact across
+    engines, the CCNet/LLaMA pipeline's quality-model stage
+    (`functions/classifier.py`)."""
+    from architxt_spark.functions.classifier import (
+        classifier_score,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    w = train_quality_classifier(
+        docs.filter(F.col("doc_id") < 25), docs.filter(F.col("doc_id") >= 25)
+    )
+    return classifier_score(docs, w)
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation chain census, the full pretraining shape:
     Gopher quality gate (pure scan filter — junk never reaches a
@@ -1850,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries folded, added, or code-touched in round 6 (hot-band cap,
         # exact-rep dedup restriction, sketch/BPE/chunk registry folds,
         # bloom NULL fix, tempfile scratch, bm25 SQL escaping)
+        "quality_classifier",
         "sketch_suite",
         "bpe_tokenizer",
         "chunk_pipeline",
@@ -1924,6 +1944,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_suite": q_sketch_suite,
         "stream_fm_distinct": q_stream_fm_distinct,
         "curation_pipeline": q_curation_pipeline,
+        "quality_classifier": q_quality_classifier,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2090,6 +2111,12 @@ def _chunk_pipeline_sql() -> str:
                CAST(n_chunks AS BIGINT), CAST(n_kept AS BIGINT)
         FROM ({strip})
     """
+
+
+def _classifier_sql() -> str:
+    from architxt_spark.functions.classifier import quality_classifier_sql
+
+    return quality_classifier_sql("documents", "doc_id < 25", "doc_id >= 25")
 
 
 def _curation_sql() -> str:
@@ -2659,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_suite": _sketch_suite_sql(),
         "stream_fm_distinct": _stream_fm_sql(),
         "curation_pipeline": _curation_sql(),
+        "quality_classifier": _classifier_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

@@ -1,0 +1,236 @@
+"""fastText-style hashed linear quality classifier — the "model-based
+quality filter" stage of CCNet/LLaMA-class pretraining pipelines (a small
+linear model trained to separate a vetted high-quality slice from the raw
+crawl, then used to score every crawl document).
+
+The model is a bucket-hashed linear classifier trained with
+DETERMINISTIC full-batch perceptron iterations:
+
+    margin_i  = Σ_b w[b] · x_i[b]          (x = hashed-unigram counts)
+    miss_i    = y_i · margin_i ≤ 0
+    w'[b]     = w[b] + Σ_{miss} y_i · x_i[b]
+
+Everything is INTEGER arithmetic — no learning-rate float, no sigmoid —
+so training and scoring are bit-exact across engines and the DuckDB twin
+replays the iterations as unrolled CTEs (the ``train_codebook`` /
+``train_bpe_merges`` precedent).  A perceptron is the right trade here:
+the standard fastText quality filter is itself a linear model over
+hashed n-grams; what matters for the pipeline is a reproducible margin
+ordering, not probability calibration (threshold the margin as you would
+the fastText score).
+
+Scale shape: features are one narrow explode per document (no shuffle);
+each training iteration is TWO map-combinable aggregations (per-doc
+margin, then per-bucket gradient over the misclassified set) — 2·K jobs
+total for K iterations, independent of corpus width; the weight table is
+bounded by ``n_buckets`` (collected to the driver between iterations —
+tiny — which also truncates the iteration lineage) and broadcast for
+scoring, so scoring the full crawl is one shuffle keyed on the document
+id.  The bucket hash is the md5 digit-position construction shared with
+dedup/sampling/DSIR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from architxt_spark.functions import text as T
+from architxt_spark.functions.dsir import _feature_bucket
+
+#: default feature-hash bucket count (fastText uses 2M for word n-grams;
+#: 1024 keeps the broadcast/collect table tiny at test scale)
+N_BUCKETS = 1024
+
+#: default full-batch perceptron passes
+ITERATIONS = 3
+
+
+def _labelled_features(
+    pos: DataFrame,
+    neg: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, y, b, x): per-document hashed-unigram bucket counts with the
+    ±1 label.  One narrow explode per corpus side."""
+
+    def side(df: DataFrame, y: int) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("__t")
+        )
+        return (
+            toks.select("id", _feature_bucket(F.col("__t"), n_buckets).alias("b"))
+            .groupBy("id", "b")
+            .agg(F.count("*").cast("long").alias("x"))
+            .withColumn("y", F.lit(y))
+        )
+
+    return side(pos, 1).unionByName(side(neg, -1))
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """Train the hashed perceptron; returns the weight table
+    ``(b, w)`` — one BIGINT weight per feature bucket seen in training
+    (zero-weight buckets included, so the table is the model artifact)."""
+    spark = pos.sparkSession
+    feats = _labelled_features(pos, neg, id_col, text_col, n_buckets).persist()
+    feats.count()  # eager: every iteration reads the cached frame
+    try:
+        weights = {
+            r["b"]: 0 for r in feats.select("b").distinct().collect()
+        }
+        for _ in range(iterations):
+            wdf = spark.createDataFrame(
+                [(b, w) for b, w in sorted(weights.items())], "b long, w long"
+            )
+            margins = (
+                feats.join(F.broadcast(wdf), "b")
+                .groupBy("id")
+                .agg(
+                    F.first("y").alias("y"),
+                    F.sum(F.col("w") * F.col("x")).alias("margin"),
+                )
+            )
+            miss = margins.filter(F.col("y") * F.col("margin") <= 0).select("id", "y")
+            grad = (
+                feats.drop("y")
+                .join(miss, "id")
+                .groupBy("b")
+                .agg(F.sum(F.col("y") * F.col("x")).alias("g"))
+            )
+            for r in grad.collect():  # bounded by n_buckets
+                weights[r["b"]] += r["g"]
+        return spark.createDataFrame(
+            [(b, w) for b, w in sorted(weights.items())], "b long, w long"
+        )
+    finally:
+        feats.unpersist()
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Score documents with a trained weight table: ``(id_col, n_feats,
+    margin, pred)`` — integer margin (exact), pred = sign (0-margin and
+    feature-less documents score as rejects, the conservative gate)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("__t")
+    )
+    feats = (
+        toks.select("id", _feature_bucket(F.col("__t"), n_buckets).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "b", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("x").alias("n_feats"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0)) * F.col("x")).alias("margin"),
+        )
+    )
+    empty = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+        .where(F.size(T.tokens(F.col(text_col))) == 0)
+        .select("id", F.lit(0).cast("long").alias("n_feats"), F.lit(0).cast("long").alias("margin"))
+    )
+    return scored.unionByName(empty).select(
+        F.col("id").alias(id_col),
+        "n_feats",
+        "margin",
+        (F.col("margin") > 0).cast("int").alias("pred"),
+    )
+
+
+def quality_classifier_sql(
+    table: str,
+    pos_where: str,
+    neg_where: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    iterations: int = ITERATIONS,
+) -> str:
+    """DuckDB twin: train on the ``pos_where``/``neg_where`` slices of
+    ``table`` with the iterations unrolled as CTEs, then score every row
+    of ``table`` — same bucket hash, same integer arithmetic, so margins
+    are bit-identical."""
+    digit = "(strpos('0123456789abcdef', substr(md5(f), {d}, 1)) - 1)"
+    h = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (6 - d)}" for d in range(7))
+    bucket = f"(CAST({h} AS BIGINT) % {n_buckets})"
+    toks = T.tokens_sql(text_col)
+
+    parts = [
+        f"""__feat AS (
+            SELECT id, y, b, CAST(count(*) AS BIGINT) AS x FROM (
+                SELECT {id_col} AS id, 1 AS y, {bucket} AS b FROM (
+                    SELECT {id_col}, unnest({toks}) AS f FROM {table} WHERE {pos_where}
+                )
+                UNION ALL
+                SELECT {id_col} AS id, -1 AS y, {bucket} AS b FROM (
+                    SELECT {id_col}, unnest({toks}) AS f FROM {table} WHERE {neg_where}
+                )
+            ) GROUP BY 1, 2, 3
+        )""",
+        "__w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM __feat)",
+    ]
+    prev = "__w0"
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""__m{t} AS (
+                SELECT f.id, any_value(f.y) AS y, sum(w.w * f.x) AS margin
+                FROM __feat f JOIN {prev} w USING (b) GROUP BY f.id
+            )"""
+        )
+        parts.append(
+            f"""__g{t} AS (
+                SELECT f.b, sum(f.y * f.x) AS g
+                FROM __feat f JOIN __m{t} m ON f.id = m.id
+                WHERE m.y * m.margin <= 0 GROUP BY f.b
+            )"""
+        )
+        parts.append(
+            f"""__w{t} AS (
+                SELECT w.b, w.w + coalesce(g.g, 0) AS w
+                FROM {prev} w LEFT JOIN __g{t} g USING (b)
+            )"""
+        )
+        prev = f"__w{t}"
+    return f"""
+        WITH {', '.join(parts)},
+        __docf AS (
+            SELECT id, b, CAST(count(*) AS BIGINT) AS x FROM (
+                SELECT {id_col} AS id, {bucket} AS b FROM (
+                    SELECT {id_col}, unnest({toks}) AS f FROM {table}
+                )
+            ) GROUP BY 1, 2
+        ),
+        __scored AS (
+            SELECT f.id, sum(f.x) AS n_feats,
+                   sum(coalesce(w.w, 0) * f.x) AS margin
+            FROM __docf f LEFT JOIN {prev} w USING (b) GROUP BY f.id
+        )
+        SELECT id AS {id_col}, CAST(n_feats AS BIGINT) AS n_feats,
+               CAST(margin AS BIGINT) AS margin,
+               CAST(margin > 0 AS INT) AS pred
+        FROM __scored
+        UNION ALL
+        SELECT {id_col}, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        FROM {table} WHERE len({toks}) = 0
+    """
