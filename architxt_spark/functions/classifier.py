@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from architxt_spark.functions import text as T
+from architxt_spark.functions.dedup import _spread
 from architxt_spark.functions.dsir import _feature_bucket
 
 #: default feature-hash bucket count (fastText uses 2M for word n-grams;
@@ -57,7 +58,7 @@ def _labelled_features(
     ±1 label.  One narrow explode per corpus side."""
 
     def side(df: DataFrame, y: int) -> DataFrame:
-        toks = df.select(
+        toks = _spread(df).select(
             F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("__t")
         )
         return (
@@ -128,7 +129,7 @@ def classifier_score(
     """Score documents with a trained weight table: ``(id_col, n_feats,
     margin, pred)`` — integer margin (exact), pred = sign (0-margin and
     feature-less documents score as rejects, the conservative gate)."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("__t")
     )
     feats = (
