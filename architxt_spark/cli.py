@@ -248,6 +248,36 @@ def _cmd_cleanup(args: argparse.Namespace) -> None:
         print(json.dumps(forest_stats(out), indent=2, default=str))
 
 
+def _cmd_curate(args: argparse.Namespace) -> None:
+    """Beyond-reference verb: run the pretraining curation chain
+    (quality gate -> exact+near dedup [-> mixture take] [-> packing])
+    over a parquet documents table; writes survivors, prints the census."""
+    import json as _json
+
+    from architxt_spark.functions.curation import curate_corpus
+
+    spark = _session("curate")
+    docs = spark.read.parquet(args.docs)
+    counts = _json.loads(args.mixture_counts) if args.mixture_counts else None
+    if args.durable_checkpoints:
+        from architxt_spark.session import enable_durable_barriers
+
+        enable_durable_barriers(spark, args.durable_checkpoints)
+    kept, census = curate_corpus(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        near_threshold=args.near_threshold,
+        mixture_col=args.mixture_col,
+        mixture_counts=counts,
+        pack_token_col=args.pack_token_col,
+        pack_budget=args.pack_budget,
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    for r in census.collect():
+        print(f"{r['stage']}\t{r['n_docs']}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="architxt-spark", description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -326,6 +356,20 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--size", type=int, default=100)
     gen.add_argument("--collections", action="store_true")
     gen.set_defaults(fn=_cmd_generate)
+
+    cu = sub.add_parser("curate", help="pretraining curation chain over a parquet corpus")
+    cu.add_argument("docs", help="parquet documents table")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--near-threshold", type=float, default=0.5)
+    cu.add_argument("--mixture-col", default=None)
+    cu.add_argument("--mixture-counts", default=None, help='JSON, e.g. {"en": 1000}')
+    cu.add_argument("--pack-token-col", default=None)
+    cu.add_argument("--pack-budget", type=int, default=4096)
+    cu.add_argument("--durable-checkpoints", default=None, metavar="DIR",
+                    help="reliable checkpoint dir (cluster posture)")
+    cu.set_defaults(fn=_cmd_curate)
 
     cl = sub.add_parser("cleanup", help="keep only the schema-valid tree structure")
     cl.add_argument("nodes")

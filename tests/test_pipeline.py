@@ -237,3 +237,42 @@ def test_cached_load_corpus_misses_on_component_change(spark, tmp_path, monkeypa
     k_en = P._component_id(p_en)
     k_fr = P._component_id(p_fr)
     assert k_en != k_fr and "language" in k_en
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """The curate verb runs the pretraining chain end to end from the CLI:
+    census printed per stage, survivors written to parquet."""
+    from architxt_spark import cli
+
+    import random
+
+    rng = random.Random(7)
+    words = (
+        "the quick brown fox jumps over lazy dog sun sets behind distant "
+        "hills children play near quiet river bank morning evening winter "
+        "summer garden market stories travel music painting harbor"
+    ).split()
+    # "the and" prefix guarantees the stopword-ratio gate passes
+    texts = ["the and " + " ".join(rng.sample(words, 22)) for _ in range(8)]
+    rows = [(i, texts[i], "en", 40 + i) for i in range(8)] + [
+        (100, "junk", "en", 1),
+        (101, texts[0], "en", 40),  # exact duplicate of doc 0
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"]).write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    cli.main([
+        "curate", src, "--out", out,
+        "--mixture-col", "lang", "--mixture-counts", '{"en": 5}',
+        "--pack-token-col", "n_chars", "--pack-budget", "120",
+    ])
+    census = dict(
+        ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    assert census["input"] == "10" and census["quality"] == "9"
+    assert int(census["dedup"]) <= 8 and census["sample"] == "5"
+    assert int(census["pack"]) >= 1
+    kept = spark.read.parquet(out)
+    assert kept.count() == 5
+    assert {"pack_bucket", "pack_seq", "pack_offset"} <= set(kept.columns)
