@@ -1596,6 +1596,19 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return classifier_score(docs, w)
 
 
+def q_domain_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level curation signals (URL-screening stage): per-domain
+    doc counts, corpus-wide duplicate-fingerprint counts, deterministic
+    mean quality, and a blocklist flag — the domain-bounded frame a
+    crawl pipeline broadcasts as its keep/drop side input
+    (`functions/domains.py`)."""
+    from architxt_spark.functions.domains import domain_profile
+
+    return domain_profile(
+        _t(spark, sf, "documents"), blocklist=("src3", "src7")
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation chain census, the full pretraining shape:
     Gopher quality gate (pure scan filter — junk never reaches a
@@ -1870,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-rep dedup restriction, sketch/BPE/chunk registry folds,
         # bloom NULL fix, tempfile scratch, bm25 SQL escaping)
         "quality_classifier",
+        "domain_profile",
         "sketch_suite",
         "bpe_tokenizer",
         "chunk_pipeline",
@@ -1945,6 +1959,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_fm_distinct": q_stream_fm_distinct,
         "curation_pipeline": q_curation_pipeline,
         "quality_classifier": q_quality_classifier,
+        "domain_profile": q_domain_profile,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2111,6 +2126,12 @@ def _chunk_pipeline_sql() -> str:
                CAST(n_chunks AS BIGINT), CAST(n_kept AS BIGINT)
         FROM ({strip})
     """
+
+
+def _domains_sql() -> str:
+    from architxt_spark.functions.domains import domain_profile_sql
+
+    return domain_profile_sql("documents", blocklist=("src3", "src7"))
 
 
 def _classifier_sql() -> str:
@@ -2687,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_fm_distinct": _stream_fm_sql(),
         "curation_pipeline": _curation_sql(),
         "quality_classifier": _classifier_sql(),
+        "domain_profile": _domains_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

@@ -1,0 +1,125 @@
+"""Domain-level curation signals — the URL/domain screening stage of a
+web-crawl pipeline (RefinedWeb/C4 both filter by domain before any
+per-document work: a blocklist, plus per-domain statistics to find spam
+and mirror domains).
+
+The test corpus's ``source`` column stands in for the registrable
+domain; on real crawl data pass the extracted eTLD+1.
+
+Scale shape: one fingerprint groupBy (map-combinable, 16-byte keys) for
+corpus-wide duplicate counts, one join back on the hash, then ONE
+domain-keyed aggregation — output bounded by the domain vocabulary,
+which is exactly the frame an operator would broadcast back as a
+keep/drop side input.  The blocklist is a literal ``isin`` (pushdown
+filter), never a join.
+
+Determinism: per-document quality scores are rounded to 6 and summed as
+DECIMAL before the mean, so float accumulation order cannot leak into
+the per-domain statistics (the DSIR/LM convention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from architxt_spark.functions import text as T
+from architxt_spark.functions.dedup import _spread
+
+
+def domain_profile(
+    docs: DataFrame,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: Sequence[str] = (),
+) -> DataFrame:
+    """Per-domain curation statistics: ``(domain, n_docs, dup_docs,
+    mean_quality, blocked)`` — document count, documents whose content
+    fingerprint occurs more than once CORPUS-WIDE (mirror/boilerplate
+    signal), deterministic mean quality score, and the blocklist flag."""
+    base = _spread(docs).select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("id"),
+        T.fingerprint(F.col(text_col)).alias("fp"),
+        F.round(T.quality_score(F.col(text_col)), 6).cast("decimal(18,6)").alias("q"),
+    )
+    fp_counts = base.groupBy("fp").agg(F.count("*").alias("__n_fp"))
+    joined = base.join(fp_counts, "fp")
+    blocked = (
+        F.col("domain").isin(list(blocklist)) if blocklist else F.lit(False)
+    )
+    return (
+        joined.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("__n_fp") > 1).cast("long")).alias("dup_docs"),
+            F.round(F.sum("q").cast("double") / F.count("*"), 4).alias("mean_quality"),
+        )
+        .withColumn("blocked", blocked.cast("int"))
+    )
+
+
+def domain_screen(
+    docs: DataFrame,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: Sequence[str] = (),
+    max_dup_fraction: float = 0.5,
+) -> DataFrame:
+    """Documents surviving the domain screen: blocklisted domains drop
+    (pushdown filter — no join), and domains whose corpus-wide duplicate
+    fraction exceeds ``max_dup_fraction`` drop entirely (the spam/mirror
+    rule).  The domain verdict table is domain-bounded and broadcast."""
+    profile = domain_profile(
+        docs,
+        domain_col=domain_col,
+        text_col=text_col,
+        id_col=id_col,
+        blocklist=blocklist,
+    )
+    bad = profile.filter(
+        (F.col("blocked") == 1)
+        | (F.col("dup_docs") / F.col("n_docs") > max_dup_fraction)
+    ).select(F.col("domain").alias(domain_col))
+    out = docs
+    if blocklist:
+        out = out.filter(~F.col(domain_col).isin(list(blocklist)))
+    return out.join(F.broadcast(bad), domain_col, "left_anti")
+
+
+def domain_profile_sql(
+    table: str,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: Sequence[str] = (),
+) -> str:
+    block = (
+        f"CAST({domain_col} IN ({', '.join(repr(b) for b in blocklist)}) AS INT)"
+        if blocklist
+        else "0"
+    )
+    return f"""
+        WITH __base AS (
+            SELECT {domain_col} AS domain, {id_col} AS id,
+                   {T.fingerprint_sql(text_col)} AS fp,
+                   CAST(round({T.quality_score_sql(text_col)}, 6) AS DECIMAL(18,6)) AS q,
+                   {block} AS blocked
+            FROM {table}
+        ),
+        __fpc AS (SELECT fp, count(*) AS n_fp FROM __base GROUP BY 1)
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+               round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS mean_quality,
+               any_value(blocked) AS blocked
+        FROM __base JOIN __fpc USING (fp)
+        GROUP BY domain
+    """
