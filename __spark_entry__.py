@@ -1373,6 +1373,19 @@ def q_dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR resampling step (the paper's selection loop closed):
+    Gumbel-top-k over the importance weights, with the Gumbel draw
+    derived deterministically from the salted document hash — global
+    top-k via TakeOrdered, never a full sort (`functions/dsir.py`)."""
+    from architxt_spark.functions import dsir
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return dsir.dsir_select(
+        docs, docs.filter(F.col("doc_id") < 25), k=50, salt="ds"
+    )
+
+
 def q_fm_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Flajolet-Martin PCSA cardinality sketch over the corpus token
     stream, alongside the exact distinct count for error visibility: one
@@ -1884,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom NULL fix, tempfile scratch, bm25 SQL escaping)
         "quality_classifier",
         "domain_profile",
+        "dsir_select",
         "sketch_suite",
         "bpe_tokenizer",
         "chunk_pipeline",
@@ -1955,6 +1969,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
         "dsir_scores": q_dsir_scores,
+        "dsir_select": q_dsir_select,
         "sketch_suite": q_sketch_suite,
         "stream_fm_distinct": q_stream_fm_distinct,
         "curation_pipeline": q_curation_pipeline,
@@ -2004,6 +2019,12 @@ def _bpe_vocab_sql() -> str:
     from architxt_spark.functions import bpe
 
     return bpe.vocab_from_merges_sql("documents", n_merges=6)
+
+
+def _dsir_select_sql() -> str:
+    from architxt_spark.functions import dsir
+
+    return dsir.dsir_select_sql("documents", "doc_id < 25", k=50, salt="ds")
 
 
 def _fm_sql() -> str:
@@ -2704,6 +2725,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_merges": _bpe_sql(),
         "bpe_tokenizer": _bpe_tokenizer_sql(),
         "dsir_scores": _dsir_sql(),
+        "dsir_select": _dsir_select_sql(),
         "sketch_suite": _sketch_suite_sql(),
         "stream_fm_distinct": _stream_fm_sql(),
         "curation_pipeline": _curation_sql(),

@@ -196,3 +196,87 @@ def dsir_scores_sql(
         SELECT {id_col}, CAST(0 AS BIGINT) AS n_feats, CAST(NULL AS DOUBLE) AS dsir_score
         FROM {table} WHERE len({T.tokens_sql(text_col)}) = 0
     """
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    smooth_k: float = SMOOTH_K,
+    salt: str = "",
+) -> DataFrame:
+    """The DSIR paper's RESAMPLING step: keep ``k`` documents drawn
+    without replacement with probability ∝ importance weight, via the
+    Gumbel-top-k trick — rank by ``log w_i + g_i`` where ``g_i`` is a
+    Gumbel(0,1) draw, here derived DETERMINISTICALLY from the salted
+    document hash (``u = (key + 0.5) / HASH_MOD``, ``g = −ln(−ln u)``),
+    so the draw is reproducible and bit-identical across engines.
+
+    ``log w_i`` is the document's total (not mean) log probability
+    ratio — ``dsir_score × n_feats``.  Returns ``(id_col, sel_key,
+    sel_rank)`` for the selected documents, ranked best-first.
+
+    Scale shape: scoring is :func:`dsir_scores` (bounded broadcast
+    models); the global top-k is ``orderBy().limit(k)`` which Spark
+    executes as TakeOrderedAndProject — per-partition k-heaps plus one
+    driver merge of ≤ partitions×k rows, never a full sort shuffle.
+    Feature-less documents (NULL score) are not selectable."""
+    from architxt_spark.functions.sampling import HASH_MOD, sample_key
+
+    scored = dsir_scores(
+        docs, target, id_col=id_col, text_col=text_col, n_buckets=n_buckets, k=smooth_k
+    ).filter(F.col("dsir_score").isNotNull())
+    key = sample_key(F.col(id_col), salt)
+    u = (key + F.lit(0.5)) / F.lit(float(HASH_MOD))
+    gumbel = -F.log(-F.log(u))
+    sel = F.round(
+        F.col("dsir_score") * F.col("n_feats") + gumbel, 6
+    ).alias("sel_key")
+    ranked = (
+        scored.select(F.col(id_col), sel)
+        .orderBy(F.col("sel_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("sel_key").desc(), F.col(id_col))
+    return ranked.withColumn("sel_rank", F.row_number().over(w).cast("int"))
+
+
+def dsir_select_sql(
+    table: str,
+    target_where: str,
+    *,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    smooth_k: float = SMOOTH_K,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`dsir_select` — same deterministic Gumbel
+    construction over the shared hash, same rounding."""
+    from architxt_spark.functions.sampling import HASH_MOD, sample_key_sql
+
+    scores = dsir_scores_sql(
+        table, target_where, id_col=id_col, text_col=text_col, n_buckets=n_buckets, k=smooth_k
+    )
+    key = sample_key_sql(id_col, salt)
+    return f"""
+        WITH __sc AS ({scores}),
+        __sel AS (
+            SELECT {id_col},
+                   round(dsir_score * n_feats
+                         - ln(-ln(({key} + 0.5) / {float(HASH_MOD)})), 6) AS sel_key
+            FROM __sc WHERE dsir_score IS NOT NULL
+        )
+        SELECT {id_col}, sel_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY sel_key DESC, {id_col}) AS INT) AS sel_rank
+        FROM __sel
+        ORDER BY sel_key DESC, {id_col}
+        LIMIT {k}
+    """

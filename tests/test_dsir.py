@@ -58,3 +58,47 @@ def test_dsir_ratio_table_is_bucket_bounded(corpus):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_select_gumbel_topk(spark):
+    """Selection: deterministic Gumbel-top-k — k rows, ranks 1..k,
+    higher importance weights selected more; global top-k runs as
+    TakeOrdered (no full sort exchange)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from architxt_spark.functions.dsir import dsir_select, dsir_select_sql
+
+    rows = [
+        (i, "target style words alpha beta gamma delta " + f"x{i}")
+        for i in range(20)
+    ] + [
+        (100 + i, "raw crawl junk filler noise content " + f"y{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = df.filter(F.col("doc_id") < 20)
+
+    out = dsir_select(df, target, k=10, n_buckets=256, salt="s")
+    got = [(r.doc_id, r.sel_key, r.sel_rank) for r in out.collect()]
+    assert len(got) == 10
+    assert sorted(r[2] for r in got) == list(range(1, 11))
+    # importance weighting dominates the Gumbel noise here: the selected
+    # set is mostly target-like documents
+    assert sum(1 for d, *_ in got if d < 20) >= 7
+    # determinism
+    again = [(r.doc_id, r.sel_key, r.sel_rank)
+             for r in dsir_select(df, target, k=10, n_buckets=256, salt="s").collect()]
+    assert sorted(got) == sorted(again)
+    plan = dsir_select(df, target, k=10, n_buckets=256, salt="s")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(
+        con.execute(
+            dsir_select_sql("documents", "doc_id < 20", k=10, n_buckets=256, salt="s")
+        ).fetchall()
+    )
+    assert sorted(got) == oracle
