@@ -82,3 +82,13 @@ def test_scoring_is_broadcast_no_cartesian(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_perceptron_label_flip_negates_weights(spark):
+    """Swapping pos/neg exactly negates every weight (integer perceptron
+    symmetry) — a structural invariant float training wouldn't give."""
+    pos, neg = _corpus(spark)
+    w1 = {r.b: r.w for r in train_quality_classifier(pos, neg, n_buckets=128, iterations=2).collect()}
+    w2 = {r.b: r.w for r in train_quality_classifier(neg, pos, n_buckets=128, iterations=2).collect()}
+    assert set(w1) == set(w2)
+    assert all(w2[b] == -w for b, w in w1.items())
