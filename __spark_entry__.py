@@ -662,6 +662,21 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decontam_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-level eval decontamination: corpus-x-benchmark MinHash
+    near-dup candidates (the doc-level complement of the n-gram
+    contamination_check) — benchmark band index broadcast, corpus never
+    shuffled on the band key (`functions/dedup.py` minhash_cross_pairs)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.minhash_cross_pairs(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        "text",
+        "doc_id",
+        max_band_df=1000,
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Banded MinHash LSH candidate pairs, hot bands capped (the
     production shape — a band shared by >max_band_df docs is boilerplate
@@ -1898,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier",
         "domain_profile",
         "dsir_select",
+        "decontam_near_dup",
         "sketch_suite",
         "bpe_tokenizer",
         "chunk_pipeline",
@@ -1977,6 +1993,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_profile": q_domain_profile,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "decontam_near_dup": q_decontam_near_dup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_exact_spans": q_dedup_exact_spans,
@@ -2597,6 +2614,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(
             "documents", "text", "doc_id", max_band_df=1000
+        ),
+        "decontam_near_dup": dedup.minhash_cross_pairs_sql(
+            "(SELECT * FROM documents WHERE doc_id >= 25)",
+            "(SELECT * FROM documents WHERE doc_id < 25)",
+            "text",
+            "doc_id",
+            max_band_df=1000,
         ),
         "events_rollup_streaming": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

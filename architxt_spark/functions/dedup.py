@@ -252,6 +252,166 @@ def minhash_lsh_pairs(
     )
 
 
+def _signature_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sig): the 16-permutation minhash signature frame — the shared
+    front half of every banded operator (codegen shingle hashing, ONE
+    map-combinable groupBy)."""
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("long")
+    hs_rows = _shingle_rows(df, text_col, id_col).select("id", h.alias("h"))
+    mins = [
+        F.min((F.col("h") * _MINHASH_A[i] + _MINHASH_B[i]) % _MINHASH_MOD).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    return (
+        hs_rows.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig"))
+    )
+
+
+def minhash_cross_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Document-level decontamination candidates: ``(corpus_id, bench_id,
+    est_jaccard)`` for corpus×benchmark pairs sharing ≥1 LSH band — the
+    near-dup screen that removes TRAINING documents overlapping an
+    EVALUATION set (the document-level complement of the n-gram
+    ``contamination_check``).
+
+    Scale shape: the benchmark side is small by definition (an eval
+    suite), so its band index BROADCASTS — the corpus is scanned once
+    and never shuffled on the band key; ``max_band_df`` caps degenerate
+    corpus-side bands exactly as in :func:`minhash_lsh_pairs`."""
+    ca = _signature_frame(corpus, text_col, id_col).persist()
+    ca.count()  # eager: banding + the est rejoin both read it
+    cb = _signature_frame(
+        benchmark, bench_text_col or text_col, bench_id_col or id_col
+    ).persist()
+    cb.count()
+    banded_a = ca.select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
+    if max_band_df is not None:
+        heavy = (
+            banded_a.groupBy("band").count().filter(F.col("count") > max_band_df).select("band")
+        )
+        banded_a = banded_a.join(F.broadcast(heavy), "band", "left_anti")
+    banded_b = cb.select(
+        F.col("id").alias("bench_id"), F.explode(minhash_bands(F.col("sig"))).alias("band")
+    )
+    pairs = (
+        banded_a.join(F.broadcast(banded_b), "band")
+        .select(F.col("id").alias("corpus_id"), "bench_id")
+        .distinct()
+    )
+    sa = ca.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_a"))
+    sb = cb.select(F.col("id").alias("bench_id"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda e: e,
+        )
+    ) / F.size(F.col("sig_a"))
+    return (
+        pairs.join(sa, "corpus_id")
+        .join(F.broadcast(sb), "bench_id")
+        .select("corpus_id", "bench_id", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+def decontaminate_filter(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    max_band_df: int | None = 10_000,
+) -> DataFrame:
+    """Corpus rows surviving document-level eval decontamination: any row
+    whose minhash similarity to ANY benchmark document reaches
+    ``threshold`` is dropped.  The drop set is benchmark-bounded and the
+    final filter is one anti-join."""
+    hits = (
+        minhash_cross_pairs(
+            corpus,
+            benchmark,
+            text_col,
+            id_col,
+            bench_text_col=bench_text_col,
+            bench_id_col=bench_id_col,
+            max_band_df=max_band_df,
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")
+
+
+def minhash_cross_pairs_sql(
+    corpus_table: str,
+    bench_table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    max_band_df: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`minhash_cross_pairs` (same signatures, same
+    band strings, same cap)."""
+    k, r = MINHASH_K, MINHASH_BAND_SIZE
+    a_lst = "[" + ", ".join(str(a) for a in _MINHASH_A) + "]"
+    b_lst = "[" + ", ".join(str(b) for b in _MINHASH_B) + "]"
+    hs = _shingle_ints_sql(text_col)
+    sig = (
+        f"list_transform(range(0, {k}),"
+        f" i -> list_min(list_transform(hs, h -> (h * ({a_lst})[i+1] + ({b_lst})[i+1]) % {_MINHASH_MOD})))"
+    )
+    band = (
+        f"unnest(list_transform(range(0, {k // r}),"
+        f" b -> b::varchar || ':' ||"
+        f" array_to_string(list_transform(sig[b*{r}+1 : b*{r}+{r}], x -> x::varchar), '|')))"
+    )
+    band_src = "__ba"
+    cap = ""
+    if max_band_df is not None:
+        cap = f""",
+        __heavy AS (SELECT band FROM __ba GROUP BY band HAVING COUNT(*) > {max_band_df}),
+        __ba_ok AS (SELECT * FROM __ba WHERE band NOT IN (SELECT band FROM __heavy))"""
+        band_src = "__ba_ok"
+    return f"""
+        WITH __sa AS (
+            SELECT id, {sig} AS sig FROM (
+                SELECT {id_col} AS id, {hs} AS hs FROM {corpus_table}
+            ) WHERE len(hs) > 0
+        ),
+        __sb AS (
+            SELECT id, {sig} AS sig FROM (
+                SELECT {id_col} AS id, {hs} AS hs FROM {bench_table}
+            ) WHERE len(hs) > 0
+        ),
+        __ba AS (SELECT id, {band} AS band FROM __sa),
+        __bb AS (SELECT id, {band} AS band FROM __sb){cap},
+        __pairs AS (
+            SELECT DISTINCT a.id AS corpus_id, b.id AS bench_id
+            FROM {band_src} a JOIN __bb b ON a.band = b.band
+        )
+        SELECT corpus_id, bench_id,
+               ROUND(len(list_filter(list_transform(range(1, len(sa.sig)+1), i -> sa.sig[i] = sb.sig[i]), e -> e))
+                     / CAST(len(sa.sig) AS DOUBLE), 4) AS est_jaccard
+        FROM __pairs
+        JOIN __sa sa ON sa.id = __pairs.corpus_id
+        JOIN __sb sb ON sb.id = __pairs.bench_id
+    """
+
+
 def _shingle_ints_sql(text_col: str) -> str:
     # 28-bit int from the first 7 hex digits of md5 — digit-position
     # arithmetic (DuckDB has no conv()); equals Spark's conv(substr(md5,1,7)).

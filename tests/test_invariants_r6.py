@@ -187,6 +187,57 @@ def test_streaming_batch_hot_band_is_linear(spark, tmp_path):
     assert kept2 == [9001]
 
 
+def test_decontaminate_drops_benchmark_near_dups(spark):
+    """Document-level eval decontamination: a training doc near-identical
+    to a benchmark doc is dropped; unrelated docs survive; the benchmark
+    band index broadcasts (plan)."""
+    import pytest
+    from architxt_spark.functions.dedup import (
+        decontaminate_filter,
+        minhash_cross_pairs,
+        minhash_cross_pairs_sql,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, BASE + "benchmark question one"), (1, BASE + "benchmark question two")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, BASE + "benchmark question one"),  # contaminated (near-exact)
+            (101, "completely unrelated training document about chemistry"),
+            (102, "another unrelated training document about railways"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate_filter(corpus, bench, "text", "doc_id").collect()
+    )
+    assert kept == [101, 102]
+
+    pairs = minhash_cross_pairs(corpus, bench, "text", "doc_id")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.register("corpus", corpus.toPandas())
+    con.register("bench", bench.toPandas())
+    oracle = sorted(
+        con.execute(
+            minhash_cross_pairs_sql("corpus", "bench", "text", "doc_id", max_band_df=50)
+        ).fetchall()
+    )
+    got = sorted(
+        (r.corpus_id, r.bench_id, r.est_jaccard)
+        for r in minhash_cross_pairs(
+            corpus, bench, "text", "doc_id", max_band_df=50
+        ).collect()
+    )
+    assert got == oracle and len(got) >= 1
+
+
 def test_capped_pairs_and_filter_match_duckdb(spark):
     duckdb = pytest.importorskip("duckdb")
     df = _near_dup_corpus(spark, seed=23)
