@@ -210,18 +210,7 @@ def minhash_lsh_pairs(
     (:func:`dedup_filter`) additionally restrict the input to
     exact-duplicate representatives first, which removes the dominant
     hot-band source without changing the keep-set at all."""
-    h = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("long")
-    hs_rows = _shingle_rows(df, text_col, id_col).select("id", h.alias("h"))
-    mins = [
-        F.min((F.col("h") * _MINHASH_A[i] + _MINHASH_B[i]) % _MINHASH_MOD).alias(f"m{i}")
-        for i in range(MINHASH_K)
-    ]
-    base = (
-        hs_rows.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig"))
-        .persist()
-    )
+    base = _signature_frame(df, text_col, id_col).persist()
     base.count()  # eager: both self-join branches would otherwise race to
     # materialize the cache and compute the signature pipeline twice
     banded = base.select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
