@@ -1557,10 +1557,14 @@ def q_sketch_suite(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_bpe_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
-    """Registry fold of the trained-tokenizer pair: 'encode' rows are the
+    """Registry fold of the trained tokenizer: 'encode' rows are the
     per-token occurrence counts of the train-then-apply encoder (former
     bpe_encode_counts), 'vocab' rows the induced vocabulary with n =
-    token_id (former bpe_vocab).  One (part, token, kind, n) frame."""
+    token_id (former bpe_vocab), 'fertility' rows the per-language
+    word/token counts that drive per-language token budgeting (token =
+    lang, kind = n_words|n_tokens).  One (part, token, kind, n) frame."""
+    from architxt_spark.functions import bpe
+
     enc = q_bpe_encode_counts(spark, sf).select(
         F.lit("encode").alias("part"),
         "token",
@@ -1573,7 +1577,23 @@ def q_bpe_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
         "kind",
         F.col("token_id").cast("long").alias("n"),
     )
-    return enc.unionByName(voc)
+    docs = _t(spark, sf, "documents").select("lang", "text")
+    merges = bpe.train_bpe_merges(docs, n_merges=6)
+    fert = bpe.bpe_fertility(docs, merges, group_col="lang")
+    fert_rows = fert.select(
+        F.lit("fertility").alias("part"),
+        F.col("lang").alias("token"),
+        F.lit("n_words").alias("kind"),
+        F.col("n_words").alias("n"),
+    ).unionByName(
+        fert.select(
+            F.lit("fertility").alias("part"),
+            F.col("lang").alias("token"),
+            F.lit("n_tokens").alias("kind"),
+            F.col("n_tokens").alias("n"),
+        )
+    )
+    return enc.unionByName(voc).unionByName(fert_rows)
 
 
 def q_chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -2143,12 +2163,19 @@ def _sketch_suite_sql() -> str:
 
 
 def _bpe_tokenizer_sql() -> str:
+    from architxt_spark.functions import bpe
+
+    fert = bpe.bpe_fertility_sql("documents", "lang", n_merges=6)
     return f"""
         SELECT 'encode' AS part, token, '' AS kind, CAST(cnt AS BIGINT) AS n
         FROM ({_bpe_encode_sql()})
         UNION ALL
         SELECT 'vocab', token, kind, CAST(token_id AS BIGINT)
         FROM ({_bpe_vocab_sql()})
+        UNION ALL
+        SELECT 'fertility', lang, 'n_words', n_words FROM ({fert})
+        UNION ALL
+        SELECT 'fertility', lang, 'n_tokens', n_tokens FROM ({fert})
     """
 
 

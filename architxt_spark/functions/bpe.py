@@ -408,3 +408,74 @@ def vocab_from_merges_sql(table: str, *, text_col: str = "text", n_merges: int =
         )
         SELECT * FROM __alpha UNION ALL SELECT * FROM __merges"""
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    *,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Trained-tokenizer FERTILITY statistics per group (typically per
+    language): ``(group, n_words, n_tokens)`` — word occurrences vs BPE
+    tokens produced, the ratio that drives per-language token budgeting
+    in mixture design (a language the tokenizer fragments 3× needs 3×
+    the document budget for the same token share).
+
+    Scale shape: the group label rides the encode explode as the row tag
+    (no join back), so the whole statistic is the map-side encode pass
+    plus ONE group-keyed aggregation bounded by the group vocabulary."""
+    base = docs.select(F.col(group_col).alias("g"), F.col(text_col).alias("__txt"))
+    n_words = (
+        base.select("g", F.size(retrieval_tokens(F.col("__txt"))).alias("__nw"))
+        .groupBy("g")
+        .agg(F.sum("__nw").cast("long").alias("n_words"))
+    )
+    enc = bpe_encode(base, merges, id_col="g", text_col="__txt")
+    n_tokens = enc.groupBy("g").agg(F.count("*").cast("long").alias("n_tokens"))
+    return (
+        n_words.join(n_tokens, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_words",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_fertility_sql(
+    table: str, group_col: str, *, text_col: str = "text", n_merges: int = 6
+) -> str:
+    """DuckDB twin of :func:`bpe_fertility` — the encode chain with the
+    group label carried through each CTE."""
+    parts = _training_ctes(table, text_col=text_col, n_merges=n_merges)
+    parts.append(
+        f"__occ AS (SELECT {group_col} AS g, unnest({retrieval_tokens_sql(text_col)}) AS w"
+        f" FROM {table})"
+    )
+    prev = "__e0"
+    parts.append(
+        "__e0 AS (SELECT g, regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g')"
+        " || chr(31) || chr(31) AS s FROM __occ)"
+    )
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"__e{i} AS (SELECT g, CASE WHEN l IS NULL THEN s"
+            f" ELSE replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),"
+            f" chr(31)||l||r||chr(31)) END AS s"
+            f" FROM {prev} LEFT JOIN __b{i} ON TRUE)"
+        )
+        prev = f"__e{i}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""", __nw AS (SELECT g, CAST(count(*) AS BIGINT) AS n_words FROM __occ GROUP BY g),
+        __nt AS (
+            SELECT g, CAST(sum(len(list_filter(string_split(s, chr(31)), x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM {prev} GROUP BY g
+        )
+        SELECT __nw.g AS {group_col}, n_words,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM __nw LEFT JOIN __nt USING (g)"""
+    )

@@ -366,3 +366,50 @@ def test_bpe_encode_counts_sql_survives_merge_exhaustion(spark):
         .collect()
     }
     assert got == oracle == {"ab": 3}
+
+
+def test_bpe_fertility_counts(spark):
+    """Per-group fertility: n_words = word occurrences, n_tokens = BPE
+    tokens produced; with zero merges every char is a token; groups ride
+    the encode as the row tag (no join back — plan has one aggregation
+    exchange over the group key)."""
+    rows = [
+        (1, "aa bb", "en"),
+        (2, "aa", "en"),
+        (3, "ccc", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.lang: (r.n_words, r.n_tokens)
+        for r in bpe.bpe_fertility(df, [], group_col="lang").collect()
+    }
+    assert got == {"en": (3, 6), "fr": (1, 3)}  # chars, no merges
+
+    # with one merge (a,a): en tokens 3*? 'aa'->1 sym each, 'bb' stays 2
+    got2 = {
+        r.lang: (r.n_words, r.n_tokens)
+        for r in bpe.bpe_fertility(df, [("a", "a")], group_col="lang").collect()
+    }
+    assert got2["en"] == (3, 4) and got2["fr"] == (1, 3)
+
+
+def test_bpe_fertility_matches_duckdb(spark):
+    import pytest as _p
+
+    duckdb = _p.importorskip("duckdb")
+    rows = [
+        (i, "low lower lowest newer newest wider " * (i % 2 + 1), ["en", "fr"][i % 2])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(
+        con.execute(bpe.bpe_fertility_sql("documents", "lang", n_merges=4)).fetchall()
+    )
+    merges = bpe.train_bpe_merges(df, n_merges=4)
+    got = sorted(
+        (r.lang, r.n_words, r.n_tokens)
+        for r in bpe.bpe_fertility(df, merges, group_col="lang").collect()
+    )
+    assert got == oracle
