@@ -45,6 +45,10 @@ HEADLINE = [
     # r5 additions: semantic (embedding k-means) dedup and DSIR selection
     "semantic_dedup",
     "dsir_scores",
+    # r6 additions: the model-based quality filter and the end-to-end
+    # curation chain (gate -> dedup -> mixture -> packing, census)
+    "quality_classifier",
+    "curation_pipeline",
 ]
 
 
