@@ -311,12 +311,19 @@ def q_stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     file A, run 2 (availableNow picks up only the new file) filters file B
     against A's surviving bands.  The oracle replays both batches in SQL
     over the identical md5 band keys."""
-    import shutil
-
     from architxt_spark.streaming.corpus import stream_minhash_dedup
 
-    scratch = "/root/repo/.scratch/stream_dedup"
-    shutil.rmtree(scratch, ignore_errors=True)
+    return _two_batch_stream(spark, sf, stream_minhash_dedup)
+
+
+def _two_batch_stream(spark: SparkSession, sf: str, stream_fn) -> DataFrame:
+    """Shared deterministic two-batch replay harness: even doc_ids stream
+    first (seeding the persistent index), then odd ones; per-invocation
+    tempfile scratch (hermetic, concurrent-driver safe — the out dir must
+    outlive this call, read lazily)."""
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="architxt_stream_")
     src, index, out, ckpt = (f"{scratch}/{d}" for d in ("src", "index", "out", "ckpt"))
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
@@ -327,8 +334,19 @@ def q_stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        _await_stream(stream_minhash_dedup(stream, index, out, ckpt))
+        _await_stream(stream_fn(stream, index, out, ckpt))
     return spark.read.parquet(out).select("doc_id")
+
+
+def q_stream_curate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingestion curation under the full hash gate: per
+    micro-batch Gopher gate THEN incremental cross-batch near-dup against
+    the persistent band index (`streaming/corpus.py` stream_curate) —
+    same two-batch deterministic replay as stream_minhash_dedup; the
+    oracle replays both batches over the pre-gated table."""
+    from architxt_spark.streaming.corpus import stream_curate
+
+    return _two_batch_stream(spark, sf, stream_curate)
 
 
 def q_join_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
@@ -1934,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_profile",
         "dsir_select",
         "decontam_near_dup",
+        "stream_curate",
         "sketch_suite",
         "bpe_tokenizer",
         "chunk_pipeline",
@@ -1963,6 +1982,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_streaming": q_events_rollup_streaming,
         "events_sessionize_streaming": q_events_sessionize_streaming,
         "stream_minhash_dedup": q_stream_minhash_dedup,
+        "stream_curate": q_stream_curate,
         "retention_cohorts": q_retention_cohorts,
         "funnel_signup_view_purchase": q_funnel_signup_view_purchase,
         "range_join_signup_clicks": q_range_join_signup_clicks,
@@ -2753,6 +2773,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_minhash_dedup": dedup.stream_minhash_dedup_sql(
             "documents", "text", "doc_id"
+        ),
+        "stream_curate": dedup.stream_minhash_dedup_sql(
+            f"(SELECT * FROM documents WHERE {T.gopher_keep_sql('text')})",
+            "text",
+            "doc_id",
         ),
         "embedding_near_dup": (
             "SELECT 'brute' AS variant, * FROM ("

@@ -160,6 +160,36 @@ def stream_minhash_dedup(
     )
 
 
+def stream_curate(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming corpus CURATION: per micro-batch, the Gopher quality
+    gate prunes junk BEFORE any shuffle (gated rows never reach the
+    minhash index), then :func:`minhash_dedup_batch` filters against the
+    persistent cross-batch band index; survivors append to ``out_path``.
+    The ingestion-time twin of :func:`~architxt_spark.functions.curation.
+    curate_corpus`'s gate→dedup prefix — the shape a live crawl firehose
+    runs instead of nightly batch jobs."""
+
+    def run(batch: DataFrame, _epoch: int) -> None:
+        gated = batch.filter(T.gopher_keep(F.col(text_col)))
+        kept = minhash_dedup_batch(gated, index_path, text_col=text_col, id_col=id_col)
+        kept.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_row_trees(stream: DataFrame, table_name: str, id_cols: list[str]) -> DataFrame:
     """Incremental node emission: the batch ``row_trees`` transform applied
     to a stream — stateless (select + explode), so it runs in append mode

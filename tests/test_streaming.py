@@ -208,3 +208,36 @@ def test_stream_minhash_near_dedup(spark, tmp_path):
     assert 2 not in kept  # near-dup of doc 1 within its batch
     assert 3 not in kept  # near-dup of doc 1 across batches (via the index)
     assert 1 in kept
+
+
+def test_stream_curate_gates_then_dedups(spark, tmp_path):
+    """Ingestion curation: junk is gated per micro-batch BEFORE the band
+    index sees it; cross-batch near-dups of kept docs are dropped."""
+    import pyspark.sql.functions as F
+
+    from architxt_spark.streaming.corpus import stream_curate
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while the sun sets "
+        "behind distant hills and children play near the quiet river bank "
+    )
+    rows_a = [(0, base + "first story"), (1, "junk"), (2, base + "first story")]
+    rows_b = [(10, base + "first story"), (11, base.replace("quick", "slow") * 1)]
+    src, index, out, ckpt = (str(tmp_path / d) for d in ("src", "index", "out", "ckpt"))
+
+    for rows in (rows_a, rows_b):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_curate(stream, index, out, ckpt)
+        q.awaitTermination(300)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # 1 gated (junk), 2 near-dup of 0 within batch A, 10 near-dup of 0
+    # across batches; 11 differs enough only if bands differ — accept
+    # either but 0 must survive and 1/2/10 must not
+    assert 0 in kept and not {1, 2, 10} & set(kept)
