@@ -143,8 +143,12 @@ def decode_media_meta(df: DataFrame, *, strict: bool = True) -> DataFrame:
             for media_id, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
-                fmt = sniff_format(bytes(content)) if content is not None else None
                 w = h = ch = sr = dur = None
+                if content is None:
+                    # missing payload is NULL metadata, not a codec error
+                    rows.append((media_id, kind, None, w, h, ch, sr, dur))
+                    continue
+                fmt = sniff_format(bytes(content))
                 if fmt == "png":
                     w, h = decode_png_dims(bytes(content))
                 elif fmt == "wav":

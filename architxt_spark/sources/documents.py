@@ -211,6 +211,7 @@ def _read_xlsx_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
                 if local(row.tag) != "row":
                     continue
                 cells: dict[int, str] = {}
+                next_idx = 0  # implicit position for writers that omit r=
                 for c in row:
                     if local(c.tag) != "c":
                         continue
@@ -224,13 +225,15 @@ def _read_xlsx_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
                             v = "".join(
                                 t.text or "" for t in child.iter() if local(t.tag) == "t"
                             )
+                    idx = _xlsx_col_index(ref) if ref else next_idx
+                    next_idx = idx + 1
                     if v is None:
                         continue
                     if ctype == "s":
                         v = shared[int(v)]
                     elif ctype == "b":
                         v = str(v in ("1", "true", "TRUE"))
-                    cells[_xlsx_col_index(ref)] = v
+                    cells[idx] = v
                 if cells:
                     rows.append(cells)
 

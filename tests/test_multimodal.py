@@ -58,6 +58,14 @@ def test_decode_media_meta_strict_and_lax(spark):
     lax = {r.media_id: r for r in M.decode_media_meta(mixed, strict=False).collect()}
     assert lax["x1"].fmt is None and lax["x1"].width is None
 
+    # NULL content is missing data, not a codec error — NULL metadata
+    # even in strict mode
+    with_null = spark.createDataFrame(
+        rows + [("n1", "image", None)], "media_id string, kind string, content binary"
+    )
+    got2 = {r.media_id: r for r in M.decode_media_meta(with_null, strict=True).collect()}
+    assert got2["n1"].fmt is None and got2["n1"].width is None
+
 
 def test_jvm_png_dims_match_python_decoder(spark):
     import pyspark.sql.functions as F
