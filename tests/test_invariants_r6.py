@@ -59,12 +59,26 @@ def _old_dedup_filter(df, text_col, id_col, *, near_threshold=0.5):
     return keep_exact.join(drop_near, "id", "left_anti").select("id")
 
 
-def test_rep_restriction_preserves_keepset_exactly(spark):
-    df = _near_dup_corpus(spark)
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_rep_restriction_preserves_keepset_exactly(spark, seed):
+    df = _near_dup_corpus(spark, seed=seed)
     new = sorted(r.id for r in D.dedup_filter(df, "text", "doc_id").collect())
     old = sorted(r.id for r in _old_dedup_filter(df, "text", "doc_id").collect())
     assert new == old
     assert len(new) > 0
+
+
+def test_census_is_monotone_through_filtering_stages(spark):
+    """input >= quality >= dedup >= sample for any corpus (packing is a
+    transform, excluded)."""
+    from architxt_spark.functions.curation import curate_corpus
+
+    df = _near_dup_corpus(spark, seed=53).withColumn("lang", F.lit("en"))
+    _, census = curate_corpus(
+        df, mixture_col="lang", mixture_counts={"en": 7}, salt="m"
+    )
+    c = {r.stage: r.n_docs for r in census.collect()}
+    assert c["input"] >= c["quality"] >= c["dedup"] >= c["sample"]
 
 
 def test_band_cap_kills_boilerplate_pair_blowup(spark):
