@@ -120,3 +120,45 @@ def test_nested_transaction_joins_outer(spark, bucket):
             assert bucket.oids() == []  # nothing applied at inner exit
         assert bucket.oids() == []
     assert sorted(bucket.oids()) == ["t1", "t2"]
+
+
+def test_bucketed_nodes_skip_tree_keyed_exchange(spark, tmp_path):
+    """The bucketed layout is the point: a tree_id groupBy over the
+    bucketed table plans WITHOUT an Exchange (bucket-local aggregation),
+    while the plain parquet read of the same data shuffles."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from architxt_spark.bucket import read_bucketed_nodes, write_bucketed_nodes
+    from architxt_spark.trees import forest_from_trees, parse_tree
+
+    trees = {
+        f"t{i}": parse_tree("(ROOT (GROUP::g (ENT::a v) (ENT::b w)))")
+        for i in range(20)
+    }
+    nodes = forest_from_trees(spark, trees)
+    table = f"bucketed_nodes_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed_nodes(nodes, table, n_buckets=4)
+        bucketed = read_bucketed_nodes(spark, table)
+        agg = bucketed.groupBy("tree_id").agg(F.count("*").alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 20
+
+        # same data, plain read → the shuffle the bucketing removes
+        plain = nodes.groupBy("tree_id").agg(F.count("*").alias("n"))
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+
+        # bucketed self-join on tree_id also plans without a SHUFFLE
+        # exchange (a tiny side may still broadcast — that's fine; the
+        # claim is no hashpartitioning shuffle of either bucketed side)
+        j = bucketed.alias("x").join(
+            read_bucketed_nodes(spark, table).alias("y"), "tree_id"
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in jplan, jplan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
