@@ -101,11 +101,8 @@ def domain_profile_sql(
     id_col: str = "doc_id",
     blocklist: Sequence[str] = (),
 ) -> str:
-    block = (
-        f"CAST({domain_col} IN ({', '.join(repr(b) for b in blocklist)}) AS INT)"
-        if blocklist
-        else "0"
-    )
+    quoted = ", ".join("'" + b.replace("'", "''") + "'" for b in blocklist)
+    block = f"CAST({domain_col} IN ({quoted}) AS INT)" if blocklist else "0"
     return f"""
         WITH __base AS (
             SELECT {domain_col} AS domain, {id_col} AS id,
