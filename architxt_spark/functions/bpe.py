@@ -427,10 +427,14 @@ def bpe_fertility(
     (no join back), so the whole statistic is the map-side encode pass
     plus ONE group-keyed aggregation bounded by the group vocabulary."""
     base = docs.select(F.col(group_col).alias("g"), F.col(text_col).alias("__txt"))
+    # explode-count, not size-sum: groups whose documents produce zero
+    # tokens (empty/NULL text) vanish on BOTH engines (the SQL twin's
+    # __occ has no rows for them), instead of surfacing a NULL-count row
+    # only on the Spark side
     n_words = (
-        base.select("g", F.size(retrieval_tokens(F.col("__txt"))).alias("__nw"))
+        base.select("g", F.explode(retrieval_tokens(F.col("__txt"))).alias("__w"))
         .groupBy("g")
-        .agg(F.sum("__nw").cast("long").alias("n_words"))
+        .agg(F.count("*").cast("long").alias("n_words"))
     )
     enc = bpe_encode(base, merges, id_col="g", text_col="__txt")
     n_tokens = enc.groupBy("g").agg(F.count("*").cast("long").alias("n_tokens"))
