@@ -680,19 +680,33 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_decontam_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """Document-level eval decontamination: corpus-x-benchmark MinHash
-    near-dup candidates (the doc-level complement of the n-gram
-    contamination_check) — benchmark band index broadcast, corpus never
-    shuffled on the band key (`functions/dedup.py` minhash_cross_pairs)."""
+def q_contamination_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry fold of both contamination screens against the held-out
+    benchmark slice (doc_id < 25): 'ngram' rows = the distinct-trigram
+    overlap check (id_b NULL, score = overlap fraction >= 0.3); 'doc'
+    rows = document-level MinHash near-dup candidates (score =
+    est_jaccard; benchmark band index broadcast, corpus never shuffled
+    on the band key).  One (variant, id_a, id_b, score) frame."""
+    ngram = q_contamination_check(spark, sf).select(
+        F.lit("ngram").alias("variant"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("overlap_frac").alias("score"),
+    )
     docs = _t(spark, sf, "documents")
-    return dedup.minhash_cross_pairs(
+    doc = dedup.minhash_cross_pairs(
         docs.filter(F.col("doc_id") >= 25),
         docs.filter(F.col("doc_id") < 25),
         "text",
         "doc_id",
         max_band_df=1000,
+    ).select(
+        F.lit("doc").alias("variant"),
+        F.col("corpus_id").alias("id_a"),
+        F.col("bench_id").alias("id_b"),
+        F.col("est_jaccard").alias("score"),
     )
+    return ngram.unionByName(doc)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -1406,17 +1420,30 @@ def q_dsir_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
-def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
-    """DSIR resampling step (the paper's selection loop closed):
-    Gumbel-top-k over the importance weights, with the Gumbel draw
-    derived deterministically from the salted document hash — global
-    top-k via TakeOrdered, never a full sort (`functions/dsir.py`)."""
+def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry fold of the DSIR pair: 'score' rows are the per-document
+    importance weights (a = n_feats, b = dsir_score; former
+    dsir_scores); 'select' rows the Gumbel-top-k resampling take
+    (a = sel_key, b = sel_rank; former dsir_select — deterministic
+    Gumbel from the salted doc hash, global top-k via TakeOrdered).
+    One (part, doc_id, a, b) frame (`functions/dsir.py`)."""
     from architxt_spark.functions import dsir
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    return dsir.dsir_select(
-        docs, docs.filter(F.col("doc_id") < 25), k=50, salt="ds"
+    target = docs.filter(F.col("doc_id") < 25)
+    score = dsir.dsir_scores(docs, target).select(
+        F.lit("score").alias("part"),
+        "doc_id",
+        F.col("n_feats").cast("double").alias("a"),
+        F.col("dsir_score").alias("b"),
     )
+    select = dsir.dsir_select(docs, target, k=50, salt="ds").select(
+        F.lit("select").alias("part"),
+        "doc_id",
+        F.col("sel_key").alias("a"),
+        F.col("sel_rank").cast("double").alias("b"),
+    )
+    return score.unionByName(select)
 
 
 def q_fm_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
@@ -1950,8 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom NULL fix, tempfile scratch, bm25 SQL escaping)
         "quality_classifier",
         "domain_profile",
-        "dsir_select",
-        "decontam_near_dup",
+        "dsir",
+        "contamination_screen",
         "stream_curate",
         "sketch_suite",
         "bpe_tokenizer",
@@ -1996,7 +2023,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_customer": q_metrics_customer,
         "text_profile": q_text_profile,
         "pii_redaction": q_pii_redaction,
-        "contamination_check": q_contamination_check,
+        "contamination_screen": q_contamination_screen,
         "doc_loader_json_props": q_doc_loader_json_props,
         "simple_rewrite_documents": q_simple_rewrite_documents,
         "rewrite_documents": q_rewrite_documents,
@@ -2024,8 +2051,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_stats": q_ngram_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
-        "dsir_scores": q_dsir_scores,
-        "dsir_select": q_dsir_select,
+        "dsir": q_dsir,
         "sketch_suite": q_sketch_suite,
         "stream_fm_distinct": q_stream_fm_distinct,
         "curation_pipeline": q_curation_pipeline,
@@ -2033,7 +2059,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_profile": q_domain_profile,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "decontam_near_dup": q_decontam_near_dup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_exact_spans": q_dedup_exact_spans,
@@ -2082,6 +2107,16 @@ def _dsir_select_sql() -> str:
     from architxt_spark.functions import dsir
 
     return dsir.dsir_select_sql("documents", "doc_id < 25", k=50, salt="ds")
+
+
+def _dsir_fold_sql() -> str:
+    return (
+        "SELECT 'score' AS part, doc_id, CAST(n_feats AS DOUBLE) AS a, dsir_score AS b FROM ("
+        + _dsir_sql()
+        + ") UNION ALL SELECT 'select', doc_id, sel_key, CAST(sel_rank AS DOUBLE) FROM ("
+        + _dsir_select_sql()
+        + ")"
+    )
 
 
 def _fm_sql() -> str:
@@ -2223,6 +2258,38 @@ def _classifier_sql() -> str:
     from architxt_spark.functions.classifier import quality_classifier_sql
 
     return quality_classifier_sql("documents", "doc_id < 25", "doc_id >= 25")
+
+
+def _contam_screen_sql() -> str:
+    ngram = f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct({T.shingles_sql("text", 3)})) AS gram
+            FROM documents
+        ), bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id < 25
+        ), hits AS (
+            SELECT g.doc_id,
+                   sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS frac
+            FROM grams g LEFT JOIN bench b USING (gram)
+            WHERE g.doc_id >= 25
+            GROUP BY g.doc_id
+        )
+        SELECT doc_id AS id_a, ROUND(frac, 5) AS score FROM hits WHERE frac >= 0.3
+    """
+    cross = dedup.minhash_cross_pairs_sql(
+        "(SELECT * FROM documents WHERE doc_id >= 25)",
+        "(SELECT * FROM documents WHERE doc_id < 25)",
+        "text",
+        "doc_id",
+        max_band_df=1000,
+    )
+    return (
+        "SELECT 'ngram' AS variant, id_a, CAST(NULL AS BIGINT) AS id_b, score FROM ("
+        + ngram
+        + ") UNION ALL SELECT 'doc', corpus_id, bench_id, est_jaccard FROM ("
+        + cross
+        + ")"
+    )
 
 
 def _curation_sql() -> str:
@@ -2491,21 +2558,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
         """,
-        "contamination_check": f"""
-            WITH grams AS (
-                SELECT doc_id, unnest(list_distinct({T.shingles_sql('text', 3)})) AS gram
-                FROM documents
-            ), bench AS (
-                SELECT DISTINCT gram FROM grams WHERE doc_id < 25
-            ), hits AS (
-                SELECT g.doc_id,
-                       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS frac
-                FROM grams g LEFT JOIN bench b USING (gram)
-                WHERE g.doc_id >= 25
-                GROUP BY g.doc_id
-            )
-            SELECT doc_id, ROUND(frac, 5) AS overlap_frac FROM hits WHERE frac >= 0.3
-        """,
+        "contamination_screen": _contam_screen_sql(),
         "doc_loader_json_props": """
             SELECT DISTINCT CAST(props->>'k' AS VARCHAR) AS k FROM events
         """,
@@ -2662,13 +2715,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(
             "documents", "text", "doc_id", max_band_df=1000
         ),
-        "decontam_near_dup": dedup.minhash_cross_pairs_sql(
-            "(SELECT * FROM documents WHERE doc_id >= 25)",
-            "(SELECT * FROM documents WHERE doc_id < 25)",
-            "text",
-            "doc_id",
-            max_band_df=1000,
-        ),
         "events_rollup_streaming": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    event_type,
@@ -2800,8 +2846,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
         "bpe_tokenizer": _bpe_tokenizer_sql(),
-        "dsir_scores": _dsir_sql(),
-        "dsir_select": _dsir_select_sql(),
+        "dsir": _dsir_fold_sql(),
         "sketch_suite": _sketch_suite_sql(),
         "stream_fm_distinct": _stream_fm_sql(),
         "curation_pipeline": _curation_sql(),

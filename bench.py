@@ -44,7 +44,7 @@ HEADLINE = [
     "lm_perplexity",
     # r5 additions: semantic (embedding k-means) dedup and DSIR selection
     "semantic_dedup",
-    "dsir_scores",
+    "dsir",
     # r6 additions: the model-based quality filter and the end-to-end
     # curation chain (gate -> dedup -> mixture -> packing, census)
     "quality_classifier",
