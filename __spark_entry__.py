@@ -778,6 +778,41 @@ def q_gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line-level web cleaning (Raffel et al. 2020 §2.2): keep
+    lines ending in terminal punctuation with ≥5 words and no
+    javascript/cookie-policy boilerplate; drop pages with lorem ipsum, a
+    curly brace, or <3 sentences after cleaning.  The flat test corpus has
+    no newlines, so the query synthesizes a deterministic multi-line page
+    (sentence breaks at 'table'/'line' tokens + rule-marker injections
+    keyed on doc_id) identically on both engines — every rule fires
+    non-degenerately.  Pure scan-side projection, no shuffle
+    (`functions/text.py` c4_clean / c4_keep)."""
+    docs = _t(spark, sf, "documents")
+    page = F.concat(
+        F.regexp_replace(F.col("text"), " (table|line) ", ".\n"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nyou must enable javascript to view this page.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nwe have updated our privacy policy today.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", page.alias("page"))
+    cleaned = staged.select(
+        "doc_id", "page", T.c4_clean(F.col("page")).alias("clean")
+    )
+    return cleaned.select(
+        "doc_id",
+        F.size(F.split("page", "\n")).cast("long").alias("n_lines"),
+        F.when(F.col("clean") == "", F.lit(0))
+        .otherwise(F.size(F.split("clean", "\n")))
+        .cast("long")
+        .alias("n_kept"),
+        F.regexp_count("clean", F.lit(r"[.!?]")).cast("long").alias("n_sent"),
+        T.c4_keep(F.col("page"), F.col("clean")).cast("long").alias("keep"),
+        F.md5("clean").alias("clean_fp"),
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style paragraph-hash dedup over non-overlapping token
     windows: chunk md5s, corpus-wide occurrence counts, keep-first rule —
@@ -1980,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir",
         "contamination_screen",
         "stream_curate",
+        "c4_clean",
         "sketch_suite",
         "bpe_tokenizer",
         "chunk_pipeline",
@@ -2076,7 +2112,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_temperature": q_sampling_temperature,
         "sampling_weighted": q_sampling_weighted,
         "sampling_pack": q_sampling_pack,
+        "c4_clean": q_c4_clean,
     }
+
+
+def _c4_clean_sql() -> str:
+    page = (
+        "regexp_replace(text, ' (table|line) ', '.' || chr(10), 'g')"
+        " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'you must enable javascript to view this page.' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'we have updated our privacy policy today.' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END"
+        " || CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END"
+    )
+    return f"""
+        WITH staged AS (SELECT doc_id, {page} AS page FROM documents),
+        cleaned AS (
+            SELECT doc_id, page, {T.c4_clean_sql('page')} AS clean FROM staged
+        )
+        SELECT doc_id,
+               CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
+               CAST(CASE WHEN clean = '' THEN 0
+                         ELSE len(string_split(clean, chr(10))) END AS BIGINT) AS n_kept,
+               CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sent,
+               CAST({T.c4_keep_sql('page', 'clean')} AS BIGINT) AS keep,
+               md5(clean) AS clean_fp
+        FROM cleaned
+    """
 
 
 def _bpe_sql() -> str:
@@ -2850,6 +2911,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_suite": _sketch_suite_sql(),
         "stream_fm_distinct": _stream_fm_sql(),
         "curation_pipeline": _curation_sql(),
+        "c4_clean": _c4_clean_sql(),
         "quality_classifier": _classifier_sql(),
         "domain_profile": _domains_sql(),
         "lm_perplexity": _lm_sql(),

@@ -511,3 +511,101 @@ def gopher_keep_sql(col: str) -> str:
         f" AND ({dup_ngram_fraction_sql(col, 2)} <= 0.2)"
         f" AND ({stopword_ratio_sql(col)} >= 0.02))"
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, §2.2; the published
+# rule set behind the C4 corpus.  Reference parity note: the reference has
+# no web-cleaning pass — this is part of the beyond-reference pretraining
+# pipeline, sited here next to the Gopher gate it composes with.)
+# ---------------------------------------------------------------------------
+
+#: Lines containing any of these (case-insensitive) are boilerplate
+#: cookie/policy notices — dropped by the C4 line filter.
+C4_POLICY_SUBSTRINGS: tuple[str, ...] = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+#: A line must have at least this many whitespace-separated words.
+C4_MIN_LINE_WORDS = 5
+
+#: A cleaned page must have at least this many sentence terminators.
+C4_MIN_SENTENCES = 3
+
+#: Terminal punctuation a retained line must end with.
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def _c4_line_keep(line: Column) -> Column:
+    """C4 per-line keep predicate (applied to the raw split line): the
+    trimmed line ends in terminal punctuation, has ≥ 5 words, and is not a
+    javascript/cookie-policy boilerplate notice.  Pure codegen — runs
+    inside a higher-order ``filter`` over the line array."""
+    t = F.trim(line)
+    low = F.lower(t)
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")))
+    keep = t.rlike(_C4_TERMINAL_RE) & (words >= C4_MIN_LINE_WORDS)
+    keep = keep & ~low.contains("javascript")
+    for s in C4_POLICY_SUBSTRINGS:
+        keep = keep & ~low.contains(s)
+    return keep
+
+
+def c4_clean(col: Column) -> Column:
+    """Cleaned page text: newline-joined subset of lines passing
+    :func:`_c4_line_keep`.  No shuffle — a scan-side projection."""
+    return F.array_join(F.filter(F.split(col, "\n"), _c4_line_keep), "\n")
+
+
+def c4_keep(col: Column, cleaned: Column) -> Column:
+    """C4 page-level keep decision: the page (original text) contains no
+    ``lorem ipsum`` and no curly brace (code), and the CLEANED text still
+    has ≥ 3 sentence terminators.  Pass the :func:`c4_clean` output as
+    ``cleaned`` (ideally via a projection barrier so the line filter runs
+    once)."""
+    low = F.lower(col)
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    return (
+        ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+        & (n_sent >= C4_MIN_SENTENCES)
+    )
+
+
+def _c4_line_keep_sql(line: str) -> str:
+    t = f"trim({line})"
+    low = f"lower({t})"
+    words = f"len(list_filter(regexp_split_to_array({t}, '\\s+'), w -> w <> ''))"
+    preds = [
+        f"regexp_matches({t}, '{_C4_TERMINAL_RE}')",
+        f"{words} >= {C4_MIN_LINE_WORDS}",
+        f"NOT contains({low}, 'javascript')",
+    ]
+    preds += [f"NOT contains({low}, '{s}')" for s in C4_POLICY_SUBSTRINGS]
+    return "(" + " AND ".join(preds) + ")"
+
+
+def c4_clean_sql(col: str) -> str:
+    """DuckDB twin of :func:`c4_clean`.  DuckDB's ``array_to_string``
+    returns NULL for an empty list where Spark's ``array_join`` returns
+    ``''`` — the CASE/coalesce pins both engines to: NULL in → NULL out,
+    all-lines-dropped → empty string."""
+    joined = (
+        f"array_to_string(list_filter(string_split({col}, chr(10)),"
+        f" l -> {_c4_line_keep_sql('l')}), chr(10))"
+    )
+    return f"CASE WHEN {col} IS NULL THEN NULL ELSE coalesce({joined}, '') END"
+
+
+def c4_keep_sql(col: str, cleaned: str) -> str:
+    """DuckDB twin of :func:`c4_keep`."""
+    return (
+        f"(NOT contains(lower({col}), 'lorem ipsum')"
+        f" AND NOT contains(lower({col}), '{{')"
+        f" AND len(regexp_extract_all({cleaned}, '[.!?]')) >= {C4_MIN_SENTENCES})"
+    )

@@ -1,0 +1,87 @@
+"""C4-style line-level cleaning (functions/text.py c4_clean / c4_keep).
+
+Rule-by-rule unit coverage plus the DuckDB-twin parity the registry
+oracle relies on (including the empty/NULL edge where DuckDB's
+array_to_string diverges from Spark's array_join).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from architxt_spark.functions import text as T
+
+DOCS = [
+    # kept: 3 good sentences; bad lines (short/no-punct/js/policy) dropped
+    (1, 'This is a good long sentence here.\nshort one.\nno punct at all five words\n'
+        'Please enable javascript to view.\nWe value your privacy policy here.\n'
+        'Another fine long sentence stands here!\nAnd a third good sentence ends here?'),
+    # page-level lorem ipsum drop (lines themselves fine)
+    (2, 'lorem ipsum dolor sit amet consectetur.\nThis good long sentence is kept fine.\n'
+        'Second good long sentence right here.\nThird good long sentence goes here.'),
+    # page-level curly-brace drop
+    (3, 'function f() { return 1; }\nA perfectly good long sentence here.\n'
+        'Second good long sentence right here.\nThird good long sentence goes here.'),
+    # quote-terminal line counts; 3 sentences -> kept
+    (4, 'He said "this line ends with a quote"\nOne more very good sentence here.\n'
+        'Yet another quite good sentence here.\nFinal very good sentence ends here.'),
+    # too few sentences after cleaning -> dropped
+    (5, 'Only one good long sentence here.\nAnd a second good sentence here.'),
+    (6, ''),
+]
+
+
+@pytest.fixture(scope="module")
+def cleaned(spark):
+    df = spark.createDataFrame(DOCS, "id long, text string")
+    clean = T.c4_clean(F.col("text"))
+    rows = (
+        df.select("id", clean.alias("clean"), T.c4_keep(F.col("text"), clean).alias("keep"))
+        .orderBy("id")
+        .collect()
+    )
+    return {r.id: r for r in rows}
+
+
+def test_line_rules(cleaned):
+    kept_lines = cleaned[1].clean.split("\n")
+    assert kept_lines == [
+        "This is a good long sentence here.",
+        "Another fine long sentence stands here!",
+        "And a third good sentence ends here?",
+    ]
+    assert cleaned[1].keep
+
+
+def test_page_rules(cleaned):
+    assert not cleaned[2].keep  # lorem ipsum
+    assert not cleaned[3].keep  # curly brace
+    assert cleaned[4].keep      # quote-terminated line counts as terminal
+    assert '"this line ends with a quote"' in cleaned[4].clean
+    assert not cleaned[5].keep  # < 3 sentences after cleaning
+
+
+def test_empty_doc(cleaned):
+    assert cleaned[6].clean == ""
+    assert cleaned[6].keep is False
+
+
+def test_duckdb_twin_parity(spark):
+    docs = DOCS + [(7, None)]
+    df = spark.createDataFrame(docs, "id long, text string")
+    clean = T.c4_clean(F.col("text"))
+    srows = (
+        df.select("id", clean.alias("clean"), T.c4_keep(F.col("text"), clean).alias("keep"))
+        .orderBy("id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs, columns=["id", "text"]))
+    c = T.c4_clean_sql("text")
+    drows = con.execute(
+        f"SELECT id, {c} AS clean, {T.c4_keep_sql('text', c)} AS keep FROM d ORDER BY id"
+    ).fetchall()
+    for s, (_, dclean, dkeep) in zip(srows, drows):
+        assert s.clean == dclean, s.id
+        assert s.keep == dkeep, s.id
