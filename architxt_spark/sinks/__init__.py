@@ -1,6 +1,7 @@
 """Sinks / exporters: forest → relational DB (DDL + FK-wired frames) and
 forest → property graph (node/relationship frames, Cypher script)."""
 
+from architxt_spark.sinks.corpus import corpus_manifest, verify_corpus, write_corpus
 from architxt_spark.sinks.cypher import (
     cypher_node_frames,
     cypher_relationship_frames,
@@ -18,6 +19,9 @@ from architxt_spark.sinks.sql import (
 
 __all__ = [
     "apply_typed_casts",
+    "corpus_manifest",
+    "verify_corpus",
+    "write_corpus",
     "infer_column_types",
     "cypher_node_frames",
     "cypher_relationship_frames",

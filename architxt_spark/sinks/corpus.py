@@ -1,0 +1,123 @@
+"""Curated-corpus parquet sink: the artifact a pretraining run actually
+ships — hive-partitioned parquet plus a per-partition manifest.
+
+Beyond-reference component (the reference exports to SQL/Cypher/JSONL
+only; a 100-TB curation run lands on object storage as partitioned
+parquet).  Scale design:
+
+- **Partition layout**: ``partitionBy(*partition_cols)`` gives hive-style
+  directories (``lang=en/…``) so downstream training readers prune
+  partitions for free (mixture re-weighting by language/source reads only
+  the strata it needs).
+- **Small-files control**: naive ``partitionBy`` writes one file per
+  (task × partition-value) — with P partition values and T upstream
+  tasks, up to P·T files.  We repartition on the partition columns plus a
+  bounded ``file_bucket`` salt first, so each partition value lands in at
+  most ``files_per_partition`` tasks → at most that many files.  At
+  100 TB you raise ``files_per_partition`` to keep individual files in
+  the 128 MB–1 GB sweet spot; the shuffle this costs is the one that
+  co-locates rows by partition value, which the write needs anyway.
+- **Manifest**: one tiny aggregate per partition value (doc count, token
+  sum, content hash XOR) written next to the data — the integrity record
+  a resumable multi-job backfill checks before re-writing a partition.
+  The content hash is order-independent (XOR of per-row md5 prefixes) so
+  re-writes with different task layouts verify identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: bounded writer-salt domain; actual fan-out per partition value is
+#: ``files_per_partition`` ≤ this.
+_MAX_FILES_PER_PARTITION = 4096
+
+
+def corpus_manifest(
+    df: DataFrame,
+    partition_cols: list[str],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-partition integrity summary: ``(*partition_cols, n_docs,
+    n_chars, content_hash)``.  ``content_hash`` is the XOR of the first
+    15 hex digits of each row's text md5 — commutative, so it is
+    independent of row order and file layout."""
+    row_hash = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
+    xor_all = F.aggregate(
+        F.collect_list(row_hash), F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+    )
+    return df.groupBy(*partition_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+        xor_all.alias("content_hash"),
+    )
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    text_col: str = "text",
+    files_per_partition: int = 1,
+    mode: str = "error",
+) -> DataFrame:
+    """Write the curated corpus as hive-partitioned parquet under
+    ``path``/data with a manifest at ``path``/manifest; returns the
+    manifest frame (already materialized by the write).
+
+    ``files_per_partition`` bounds output files per partition value —
+    size it so files land near your block size (at local test scale 1 is
+    right; a 100-TB run uses hundreds)."""
+    if not 1 <= files_per_partition <= _MAX_FILES_PER_PARTITION:
+        raise ValueError(f"files_per_partition must be in 1..{_MAX_FILES_PER_PARTITION}")
+    salt = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 7), 16, 10).cast("long")
+        % files_per_partition
+    )
+    placed = df.withColumn("__file_bucket", salt).repartition(
+        *[F.col(c) for c in partition_cols], F.col("__file_bucket")
+    )
+    (
+        placed.drop("__file_bucket")
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(os.path.join(path, "data"))
+    )
+    manifest = corpus_manifest(df, partition_cols, text_col=text_col)
+    manifest.write.mode(mode).parquet(os.path.join(path, "manifest"))
+    return manifest
+
+
+def verify_corpus(spark: SparkSession, path: str, *, text_col: str = "text") -> DataFrame:
+    """Re-derive the manifest from the written data and diff it against
+    the stored one: ``(*partition_cols, ok)`` per partition value — the
+    check a resumable backfill runs before deciding which partitions to
+    re-write.  Reads only the data files (manifest columns are recomputed
+    with the same order-independent hash)."""
+    stored = spark.read.parquet(os.path.join(path, "manifest"))
+    partition_cols = [c for c in stored.columns if c not in ("n_docs", "n_chars", "content_hash")]
+    actual = corpus_manifest(
+        spark.read.parquet(os.path.join(path, "data")), partition_cols, text_col=text_col
+    )
+    a = actual.select(
+        *partition_cols,
+        F.col("n_docs").alias("a_docs"),
+        F.col("n_chars").alias("a_chars"),
+        F.col("content_hash").alias("a_hash"),
+    )
+    return (
+        stored.join(a, partition_cols, "full_outer")
+        .select(
+            *partition_cols,
+            (
+                (F.col("n_docs") == F.col("a_docs"))
+                & (F.col("n_chars") == F.col("a_chars"))
+                & (F.col("content_hash") == F.col("a_hash"))
+            ).alias("ok"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Partitioned curated-corpus parquet sink (sinks/corpus.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from architxt_spark.sinks.corpus import corpus_manifest, verify_corpus, write_corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_write_partition_layout_and_roundtrip(spark, docs, tmp_path):
+    path = str(tmp_path / "corpus")
+    manifest = write_corpus(docs, path, partition_cols=["lang"])
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    dirs = {d for d in os.listdir(f"{path}/data") if d.startswith("lang=")}
+    assert dirs == {f"lang={l}" for l in langs}
+    # one data file per partition value at files_per_partition=1
+    for d in dirs:
+        files = [f for f in os.listdir(f"{path}/data/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    back = spark.read.parquet(f"{path}/data")
+    assert back.count() == docs.count()
+    got = {
+        tuple(sorted(r.asDict().items()))
+        for r in back.select(*docs.columns).collect()
+    }
+    want = {tuple(sorted(r.asDict().items())) for r in docs.collect()}
+    assert got == want
+    assert manifest.count() == len(langs)
+
+
+def test_manifest_is_order_independent(docs):
+    a = {r.lang: r.content_hash for r in corpus_manifest(docs, ["lang"]).collect()}
+    shuffled = docs.orderBy(F.md5("text")).repartition(7)
+    b = {r.lang: r.content_hash for r in corpus_manifest(shuffled, ["lang"]).collect()}
+    assert a == b
+
+
+def test_verify_detects_tamper(spark, docs, tmp_path):
+    path = str(tmp_path / "corpus")
+    write_corpus(docs, path, partition_cols=["lang"])
+    ok = verify_corpus(spark, path)
+    assert all(r.ok for r in ok.collect())
+    # drop one partition's data files and re-verify
+    victim = sorted(d for d in os.listdir(f"{path}/data") if d.startswith("lang="))[0]
+    for f in os.listdir(f"{path}/data/{victim}"):
+        if f.endswith(".parquet"):
+            os.remove(f"{path}/data/{victim}/{f}")
+    again = {}
+    for r in verify_corpus(spark, path).collect():
+        again[r.lang] = bool(r.ok) if r.ok is not None else False
+    bad_lang = victim.split("=", 1)[1]
+    assert again[bad_lang] is False
+    assert sum(1 for v in again.values() if v) == len(again) - 1
+
+
+def test_files_per_partition_bounds_fanout(spark, docs, tmp_path):
+    path = str(tmp_path / "corpus3")
+    write_corpus(docs, path, partition_cols=["lang"], files_per_partition=3)
+    for d in os.listdir(f"{path}/data"):
+        if not d.startswith("lang="):
+            continue
+        files = [f for f in os.listdir(f"{path}/data/{d}") if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 3, d
+    with pytest.raises(ValueError):
+        write_corpus(docs, str(tmp_path / "x"), partition_cols=["lang"], files_per_partition=0)
