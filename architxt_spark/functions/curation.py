@@ -41,6 +41,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     near_threshold: float = 0.5,
+    line_clean: bool = False,
     mixture_col: str | None = None,
     mixture_counts: Mapping[str, int] | None = None,
     pack_token_col: str | None = None,
@@ -58,6 +59,14 @@ def curate_corpus(
     the final survivor set, plus the pack layout columns when packing is
     on.
 
+    ``line_clean=True`` prepends the C4 line-level web-cleaning stage
+    (:func:`~architxt_spark.functions.text.c4_clean`): boilerplate lines
+    are stripped from ``text_col`` and pages failing the C4 gate are
+    dropped BEFORE the quality gate, so nav-menu/cookie-notice lines
+    never reach the shingle index (census row ``clean``).  Off by
+    default — it assumes newline-structured web pages; single-line
+    corpora would gate everything out.
+
     ``mixture_col``+``mixture_counts`` enable the exact per-stratum
     mixture take after dedup (compose with
     :func:`~architxt_spark.functions.sampling.temperature_counts` or
@@ -74,14 +83,25 @@ def curate_corpus(
     # (shingle-heavy) predicate runs on the single-partition file scan —
     # 12 s single-task vs sub-second 32-way at sf0.1
     spread = stage_barrier(_spread(docs))
-    quality = stage_barrier(spread.filter(T.gopher_keep(F.col(text_col))))
+    base = spread
+    clean_frame = None
+    if line_clean:
+        cleaned_text = T.c4_clean(F.col(text_col))
+        staged = spread.withColumn("__c4_clean", cleaned_text)
+        clean_frame = stage_barrier(
+            staged.filter(T.c4_keep(F.col(text_col), F.col("__c4_clean")))
+            .withColumn(text_col, F.col("__c4_clean"))
+            .drop("__c4_clean")
+        )
+        base = clean_frame
+    quality = stage_barrier(base.filter(T.gopher_keep(F.col(text_col))))
     keep_ids = dedup_filter(quality, text_col, id_col, near_threshold=near_threshold)
     # barrier the survivor frame: the census row, the mixture stage's
     # internal threshold collects, and the returned frame would each
     # re-run the whole minhash dedup chain otherwise (measured ~11 s →
     # ~6 s at sf0.1 with sampling+packing on)
     kept = stage_barrier(
-        docs.join(keep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi")
+        base.join(keep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi")
     )
 
     def stage(name: str, frame: DataFrame) -> DataFrame:
@@ -89,10 +109,11 @@ def curate_corpus(
             F.lit(name).alias("stage"), F.count("*").cast("long").alias("n_docs")
         )
 
-    census = (
-        stage("input", docs)
-        .unionByName(stage("quality", quality))
-        .unionByName(stage("dedup", kept))
+    census = stage("input", docs)
+    if clean_frame is not None:
+        census = census.unionByName(stage("clean", clean_frame))
+    census = census.unionByName(stage("quality", quality)).unionByName(
+        stage("dedup", kept)
     )
 
     if mixture_col is not None and mixture_counts is not None:
@@ -125,6 +146,7 @@ def curation_census_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     near_threshold: float = 0.5,
+    line_clean: bool = False,
     mixture_col: str | None = None,
     mixture_counts: Mapping[str, int] | None = None,
     pack_token_col: str | None = None,
@@ -134,14 +156,25 @@ def curation_census_sql(
 ) -> str:
     """DuckDB replay of the census: the same gate predicate, dedup
     keep-set, mixture take, and pack layout, nested as subqueries."""
-    quality = f"(SELECT * FROM {table} WHERE {T.gopher_keep_sql(text_col)})"
+    base = table
+    if line_clean:
+        clean_expr = T.c4_clean_sql(text_col)
+        base = (
+            f"(SELECT * REPLACE ({clean_expr} AS {text_col}) FROM {table}"
+            f" WHERE {T.c4_keep_sql(text_col, clean_expr)})"
+        )
+    quality = f"(SELECT * FROM {base} WHERE {T.gopher_keep_sql(text_col)})"
     dedup_keep = dedup_filter_sql(quality, text_col, id_col, near_threshold=near_threshold)
     survivors = (
-        f"(SELECT t.* FROM {table} t"
+        f"(SELECT t.* FROM {base} t"
         f" WHERE t.{id_col} IN (SELECT id FROM ({dedup_keep})))"
     )
     parts = [
         f"SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM {table}",
+    ]
+    if line_clean:
+        parts.append(f"SELECT 'clean', CAST(count(*) AS BIGINT) FROM {base}")
+    parts += [
         f"SELECT 'quality', CAST(count(*) AS BIGINT) FROM {quality}",
         f"SELECT 'dedup', CAST(count(*) AS BIGINT) FROM ({dedup_keep})",
     ]

@@ -85,3 +85,37 @@ def test_duckdb_twin_parity(spark):
     for s, (_, dclean, dkeep) in zip(srows, drows):
         assert s.clean == dclean, s.id
         assert s.keep == dkeep, s.id
+
+
+def test_curation_line_clean_stage(spark):
+    """line_clean=True prepends the C4 stage: census gains a 'clean' row
+    (replayed in DuckDB) and survivors carry CLEANED text."""
+    from architxt_spark.functions.curation import curate_corpus, curation_census_sql
+
+    def page(i, extra=""):
+        lines = [
+            f"The sturdy engine number {i} hums along the valley track today.",
+            f"Every carriage behind it carries {i + 3} crates of ripe fruit now.",
+            "Please enable javascript to view this fancy widget.",
+            f"Workers at the station wave as the long train {i} passes by.",
+            f"The evening light settles over the quiet platform number {i}.",
+        ]
+        return "\n".join(lines) + extra
+
+    rows = [(i, page(i)) for i in range(8)]
+    rows.append((50, page(50, "\nlorem ipsum dolor sit amet.")))  # page-level drop
+    rows.append((51, "short.\ntiny line.\nno."))                  # all lines dropped
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, census = curate_corpus(df, line_clean=True)
+    got = sorted((r.stage, r.n_docs) for r in census.collect())
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(con.execute(curation_census_sql("documents", line_clean=True)).fetchall())
+    assert got == oracle
+    c = dict(got)
+    assert c["input"] == 10 and c["clean"] == 8
+    assert c["quality"] <= c["clean"] and c["dedup"] <= c["quality"]
+    for r in kept.collect():
+        assert "javascript" not in r.text
