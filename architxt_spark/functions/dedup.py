@@ -1266,3 +1266,49 @@ def strip_duplicate_chunks_sql(
         LEFT JOIN __totals t USING (id)
         LEFT JOIN __kept k USING (id)
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planning
+# ---------------------------------------------------------------------------
+
+
+def lsh_collision_probability(s: float, bands: int, rows: int) -> float:
+    """P(candidate pair | true Jaccard s) for banded minhash:
+    ``1 − (1 − s^rows)^bands`` (MMDS ch.3).  Monotone increasing in s —
+    the S-curve whose inflection the planner positions."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_plan(threshold: float, n_perm: int = MINHASH_K) -> dict:
+    """Choose ``(bands, rows)`` for a banded-minhash index targeting a
+    Jaccard ``threshold``: over divisor pairs ``bands·rows = n_perm``,
+    pick the pair whose S-curve inflection ``(1/bands)^(1/rows)`` lands
+    nearest the threshold.  Returns bands/rows, the inflection point, and
+    the candidate-recall at the threshold — the numbers to check before
+    re-indexing a 100-TB corpus (more bands ⇒ more recall AND more index
+    rows/shuffle volume; fewer bands ⇒ cheaper but leaky near the
+    threshold).
+
+    The library default (``n_perm=16``, band size 4 ⇒ 4 bands) has its
+    inflection at ``(1/4)^(1/4) ≈ 0.707`` — tuned for the ≥0.5 near-dup
+    regime `dedup_filter` ships with."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if n_perm < 2:
+        raise ValueError("n_perm must be ≥ 2")
+    best = None
+    for rows in range(1, n_perm + 1):
+        if n_perm % rows:
+            continue
+        bands = n_perm // rows
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        cand = {
+            "bands": bands,
+            "rows": rows,
+            "inflection": inflection,
+            "p_at_threshold": lsh_collision_probability(threshold, bands, rows),
+        }
+        if best is None or abs(inflection - threshold) < abs(best["inflection"] - threshold):
+            best = cand
+    return best

@@ -275,3 +275,34 @@ def test_capped_pairs_and_filter_match_duckdb(spark):
         r[0] for r in con.execute(D.dedup_filter_sql("documents", "text", "doc_id")).fetchall()
     )
     assert got_keep == want_keep
+
+
+def test_lsh_plan_targets_threshold():
+    """Planner picks the divisor pair whose S-curve inflection is nearest
+    the target; probability curve is monotone and matches the closed
+    form; library default (16 perms, 4×4) is the 0.707-inflection plan."""
+    from architxt_spark.functions.dedup import lsh_collision_probability, lsh_plan
+
+    p = lsh_plan(0.7)
+    assert (p["bands"], p["rows"]) == (4, 4)
+    assert abs(p["inflection"] - 0.25**0.25) < 1e-12
+
+    for n_perm in (8, 16, 64):
+        for t in (0.2, 0.5, 0.8, 0.95):
+            plan = lsh_plan(t, n_perm)
+            assert plan["bands"] * plan["rows"] == n_perm
+            # no other divisor pair lands closer
+            for r in range(1, n_perm + 1):
+                if n_perm % r:
+                    continue
+                assert abs(plan["inflection"] - t) <= abs((1 / (n_perm // r)) ** (1 / r) - t) + 1e-12
+            # S-curve is monotone in s
+            probs = [lsh_collision_probability(s / 10, plan["bands"], plan["rows"]) for s in range(11)]
+            assert probs == sorted(probs)
+            assert probs[0] == 0.0 and abs(probs[-1] - 1.0) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lsh_plan(0.0)
+    with _pytest.raises(ValueError):
+        lsh_plan(0.5, 1)
