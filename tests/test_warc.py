@@ -1,0 +1,105 @@
+"""WARC source (sources/warc.py): parser, HTTP split, HTML strip, and the
+distributed binaryFile→mapInPandas reader on plain + gzip fixtures."""
+
+import gzip
+
+import pytest
+
+from architxt_spark.sources.warc import (
+    build_warc,
+    html_to_text,
+    parse_warc,
+    read_warc,
+    split_http_response,
+)
+
+HTML = (
+    b"<html><head><title>T</title><style>p{color:red}</style>"
+    b"<script>var x=1;</script></head>"
+    b"<body><h1>Big &amp; bold</h1><p>First good paragraph here.</p>\n"
+    b"<p>Second fine paragraph there.</p></body></html>"
+)
+
+
+def _records():
+    return [
+        {"warc_type": "warcinfo", "payload": b"software: test\r\n", "content_type": "application/warc-fields"},
+        {"warc_type": "response", "target_uri": "http://a.example/x", "payload": HTML},
+        {"warc_type": "response", "target_uri": "http://b.example/y",
+         "payload": b"\x00\x01binary", "content_type": "application/octet-stream"},
+        {"warc_type": "request", "target_uri": "http://a.example/x",
+         "payload": b"GET /x HTTP/1.1\r\n\r\n"},
+    ]
+
+
+def test_parse_roundtrip():
+    recs = list(parse_warc(build_warc(_records())))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "response", "request"]
+    assert recs[1]["target_uri"] == "http://a.example/x"
+    status, ctype, payload = split_http_response(recs[1]["body"])
+    assert status == 200 and ctype == "text/html" and payload == HTML
+
+
+def test_parse_stops_at_garbage():
+    data = build_warc(_records()[:2]) + b"NOT A WARC RECORD"
+    assert len(list(parse_warc(data))) == 2
+    # truncated body: record dropped, no raise
+    good = build_warc(_records()[:1])
+    assert list(parse_warc(good[:-10])) == []
+
+
+def test_html_to_text():
+    text = html_to_text(HTML)
+    assert "First good paragraph here." in text
+    assert "Second fine paragraph there." in text
+    assert "Big & bold" in text
+    assert "var x=1" not in text and "color:red" not in text and "<p>" not in text
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    raw = build_warc(_records())
+    (tmp_path / "a.warc").write_bytes(raw)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(raw))
+
+    df = read_warc(spark, str(tmp_path)).cache()
+    rows = df.collect()
+    # default record_types=('response',): 2 responses per file, 2 files
+    assert len(rows) == 4
+    by_uri = {(r.path.split("/")[-1], r.target_uri): r for r in rows}
+    for fname in ("a.warc", "b.warc.gz"):
+        html_row = by_uri[(fname, "http://a.example/x")]
+        assert html_row.http_status == 200
+        assert bytes(html_row.payload) == HTML
+        assert "First good paragraph here." in html_row.text
+        bin_row = by_uri[(fname, "http://b.example/y")]
+        assert bin_row.text == "" and bytes(bin_row.payload) == b"\x00\x01binary"
+
+    all_types = read_warc(spark, str(tmp_path / "a.warc"), record_types=())
+    assert {r.warc_type for r in all_types.collect()} == {
+        "warcinfo", "response", "request"
+    }
+
+
+def test_read_warc_composes_with_curation(spark, tmp_path):
+    """The advertised chain: WARC → text → C4 line clean."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark.functions import text as T
+
+    page = (
+        b"<html><body>"
+        b"<p>The first proper sentence of the page stands here.</p>"
+        b"<p>Please enable javascript to continue.</p>"
+        b"<p>A second proper sentence follows right after it.</p>"
+        b"<p>The third proper sentence closes the page nicely.</p>"
+        b"</body></html>"
+    )
+    (tmp_path / "c.warc").write_bytes(
+        build_warc([{"warc_type": "response", "target_uri": "http://c/", "payload": page}])
+    )
+    df = read_warc(spark, str(tmp_path / "c.warc"))
+    clean = T.c4_clean(F.col("text"))
+    row = df.select(clean.alias("clean"), T.c4_keep(F.col("text"), clean).alias("keep")).first()
+    assert row.keep is True
+    assert "javascript" not in row.clean
+    assert row.clean.count("\n") == 2  # three kept sentences
