@@ -168,6 +168,7 @@ def stream_curate(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    line_clean: bool = False,
 ):
     """Streaming corpus CURATION: per micro-batch, the Gopher quality
     gate prunes junk BEFORE any shuffle (gated rows never reach the
@@ -175,9 +176,19 @@ def stream_curate(
     persistent cross-batch band index; survivors append to ``out_path``.
     The ingestion-time twin of :func:`~architxt_spark.functions.curation.
     curate_corpus`'s gate→dedup prefix — the shape a live crawl firehose
-    runs instead of nightly batch jobs."""
+    runs instead of nightly batch jobs.  ``line_clean=True`` prepends the
+    C4 line filter + page gate (newline-structured web pages), matching
+    the batch chain's option."""
 
     def run(batch: DataFrame, _epoch: int) -> None:
+        if line_clean:
+            cleaned = T.c4_clean(F.col(text_col))
+            batch = (
+                batch.withColumn("__c4_clean", cleaned)
+                .filter(T.c4_keep(F.col(text_col), F.col("__c4_clean")))
+                .withColumn(text_col, F.col("__c4_clean"))
+                .drop("__c4_clean")
+            )
         gated = batch.filter(T.gopher_keep(F.col(text_col)))
         kept = minhash_dedup_batch(gated, index_path, text_col=text_col, id_col=id_col)
         kept.write.mode("append").parquet(out_path)

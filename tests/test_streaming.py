@@ -241,3 +241,29 @@ def test_stream_curate_gates_then_dedups(spark, tmp_path):
     # across batches; 11 differs enough only if bands differ — accept
     # either but 0 must survive and 1/2/10 must not
     assert 0 in kept and not {1, 2, 10} & set(kept)
+
+
+def test_stream_curate_line_clean(spark, tmp_path):
+    """line_clean=True strips boilerplate lines and drops failed pages
+    inside each micro-batch before the gate/index stages."""
+    from architxt_spark.streaming.corpus import stream_curate
+
+    def page(i):
+        lines = [
+            f"The sturdy engine number {i} hums along the valley track today and all the passengers watch.",
+            f"Every carriage behind it carries {i + 3} crates of ripe fruit toward the busy market square.",
+            "Please enable javascript to view this widget.",
+            f"Workers at the little station wave as the long train {i} rolls slowly past the gate.",
+            f"The warm evening light settles over the quiet platform number {i} as the day winds down.",
+        ]
+        return "\n".join(lines)
+
+    rows = [(0, page(0)), (1, page(1) + "\nlorem ipsum dolor sit amet.")]
+    src, index, out, ckpt = (str(tmp_path / d) for d in ("src", "index", "out", "ckpt"))
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_curate(stream, index, out, ckpt, line_clean=True)
+    q.awaitTermination(300)
+    kept = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(kept) == {0}  # doc 1 fails the C4 page gate
+    assert "javascript" not in kept[0]
