@@ -1463,16 +1463,20 @@ def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     Gumbel from the salted doc hash, global top-k via TakeOrdered).
     One (part, doc_id, a, b) frame (`functions/dsir.py`)."""
     from architxt_spark.functions import dsir
+    from architxt_spark.session import stage_barrier
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") < 25)
-    score = dsir.dsir_scores(docs, target).select(
+    # one scoring pass (the bucket models + per-doc DECIMAL sums) feeds
+    # BOTH parts — without the barrier the select branch re-runs it
+    scored = stage_barrier(dsir.dsir_scores(docs, target))
+    score = scored.select(
         F.lit("score").alias("part"),
         "doc_id",
         F.col("n_feats").cast("double").alias("a"),
         F.col("dsir_score").alias("b"),
     )
-    select = dsir.dsir_select(docs, target, k=50, salt="ds").select(
+    select = dsir.dsir_select_from_scores(scored, k=50, salt="ds").select(
         F.lit("select").alias("part"),
         "doc_id",
         F.col("sel_key").alias("a"),

@@ -225,11 +225,22 @@ def dsir_select(
     executes as TakeOrderedAndProject — per-partition k-heaps plus one
     driver merge of ≤ partitions×k rows, never a full sort shuffle.
     Feature-less documents (NULL score) are not selectable."""
-    from architxt_spark.functions.sampling import HASH_MOD, sample_key
-
     scored = dsir_scores(
         docs, target, id_col=id_col, text_col=text_col, n_buckets=n_buckets, k=smooth_k
-    ).filter(F.col("dsir_score").isNotNull())
+    )
+    return dsir_select_from_scores(scored, k=k, id_col=id_col, salt=salt)
+
+
+def dsir_select_from_scores(
+    scored: DataFrame, *, k: int = 100, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """The Gumbel-top-k step alone, over an ALREADY-SCORED frame
+    (``dsir_scores`` output) — lets callers that need both the weights
+    and the take share one scoring pass behind a barrier instead of
+    running the bucket models twice."""
+    from architxt_spark.functions.sampling import HASH_MOD, sample_key
+
+    scored = scored.filter(F.col("dsir_score").isNotNull())
     key = sample_key(F.col(id_col), salt)
     u = (key + F.lit(0.5)) / F.lit(float(HASH_MOD))
     gumbel = -F.log(-F.log(u))
