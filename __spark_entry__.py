@@ -1646,23 +1646,34 @@ def q_bpe_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
     bpe_encode_counts), 'vocab' rows the induced vocabulary with n =
     token_id (former bpe_vocab), 'fertility' rows the per-language
     word/token counts that drive per-language token budgeting (token =
-    lang, kind = n_words|n_tokens).  One (part, token, kind, n) frame."""
+    lang, kind = n_words|n_tokens).  One (part, token, kind, n) frame.
+    The merge table trains ONCE (one corpus wordcount job) and feeds all
+    three branches — the former per-branch retraining tripled the
+    wordcount shuffle for identical merges."""
     from architxt_spark.functions import bpe
 
-    enc = q_bpe_encode_counts(spark, sf).select(
-        F.lit("encode").alias("part"),
-        "token",
-        F.lit("").alias("kind"),
-        F.col("cnt").cast("long").alias("n"),
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    merges = [
+        (r.left, r.right)
+        for r in bpe.train_bpe_merges(docs, n_merges=6).orderBy("step").collect()
+    ]
+    enc = (
+        bpe.bpe_encode(docs, merges)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.lit("encode").alias("part"),
+            "token",
+            F.lit("").alias("kind"),
+            F.col("cnt").cast("long").alias("n"),
+        )
     )
-    voc = q_bpe_vocab(spark, sf).select(
+    voc = bpe.vocab_from_merges(docs, merges).select(
         F.lit("vocab").alias("part"),
         "token",
         "kind",
         F.col("token_id").cast("long").alias("n"),
     )
-    docs = _t(spark, sf, "documents").select("lang", "text")
-    merges = bpe.train_bpe_merges(docs, n_merges=6)
     fert = bpe.bpe_fertility(docs, merges, group_col="lang")
     fert_rows = fert.select(
         F.lit("fertility").alias("part"),
