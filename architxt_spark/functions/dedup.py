@@ -121,12 +121,35 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingle_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, holds: list | None = None
+) -> DataFrame:
     """(id, s) rows — one row per DISTINCT shingle per document.  The
     exploded-row form is the fast path: downstream hashing runs row-wise in
     whole-stage codegen instead of per-element inside interpreted
-    higher-order functions."""
-    return _shingle_frame(df, text_col, id_col).select("id", F.explode("sh").alias("s"))
+    higher-order functions.
+
+    The shingle arrays are persisted BEFORE the explode: the Generate's
+    inferred ``size(sh) > 0`` filter inlines the interpreted
+    token/shingle chain and re-evaluates it on both sides of the
+    generator — measured 7.4 s vs 0.6 s at sf0.1 for the bare exploded
+    count (same failure mode as `winnow_pairs`; materialize-then-explode
+    is the library rule for every explode over a higher-order chain).
+    ``persist`` rather than a checkpoint barrier keeps lineage intact
+    (executor loss recomputes).  The persist is OPT-IN via ``holds``:
+    pass a list to receive the cache handle (and ``unpersist()`` it once
+    your downstream frame is materialized — the arrays are a within-job
+    scratch index, not a result).  Callers whose first consumer is a
+    map-side aggregation (the minhash signature groupBy) measured
+    FASTER without it — the cache write costs more than the one extra
+    filter-side evaluation there — so they pass ``holds=None``; callers
+    that fan the exploded rows into a self-join index (n-gram Jaccard,
+    winnowing) measured 17.6 s → ~3 s at sf0.1 with it."""
+    sh = _shingle_frame(df, text_col, id_col)
+    if holds is not None:
+        sh = sh.persist()
+        holds.append(sh)
+    return sh.select("id", F.explode("sh").alias("s"))
 
 
 def _shingle_int_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -244,7 +267,8 @@ def minhash_lsh_pairs(
 def _signature_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sig): the 16-permutation minhash signature frame — the shared
     front half of every banded operator (codegen shingle hashing, ONE
-    map-combinable groupBy)."""
+    map-combinable groupBy — which is why this path skips the shingle
+    scratch persist; see `_shingle_rows`)."""
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("long")
     hs_rows = _shingle_rows(df, text_col, id_col).select("id", h.alias("h"))
     mins = [
@@ -488,12 +512,15 @@ def ngram_jaccard_pairs(
     set is tiny by construction — anti-joined as a broadcast."""
     # no size guard: explode drops empty arrays, and a size() filter
     # gets predicate-pushed through the projection barrier, inlining the
-    # whole shingle chain into the filter (per-element re-evaluation)
-    base = _shingle_frame(df, text_col, id_col)
-    # persist BEFORE deriving the DF counts: shingle hashing runs once; the
-    # heavy-set aggregation and the anti-join both read the cached index.
-    raw = base.select("id", F.explode("sh").alias("s")).persist()
+    # whole shingle chain into the filter (per-element re-evaluation);
+    # _shingle_rows persists the arrays before the explode for the same
+    # reason (scratch handle released below).  persist the exploded
+    # index: the heavy-set aggregation and both self-join sides read it.
+    holds: list = []
+    raw = _shingle_rows(df, text_col, id_col, holds).persist()
     raw.count()  # eager for the same both-branches-race reason as minhash
+    for hold in holds:
+        hold.unpersist()
     try:
         heavy = raw.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
         inv = raw.join(F.broadcast(heavy), "s", "left_anti")
@@ -893,23 +920,26 @@ def winnow_pairs(
     screening.  Same index shape: explode, DF-cap the degenerate
     fingerprints (broadcast anti-join), self-join, count per pair.
 
-    The fingerprint chain is materialized STEPWISE (tokens → shingles →
-    hashes → winnowed mins, each behind a projection) and the inverted
-    index is persisted before the self-join: an inlined chain under the
-    explode re-evaluates per output row (benched 485 s vs sub-second at
-    sf0.1)."""
+    The fingerprint frame is PERSISTED before the explode:
+    CollapseProject re-inlines the stepwise chain into the Generate's
+    inferred ``size(fp) > 0`` filter, and the interpreted higher-order
+    winnow then re-evaluates per row on both sides of it (benched 224 s
+    vs 4 s at sf0.1 — same failure mode the library's "never pass a raw
+    shingle chain into an exploded hot path" rule exists for; see
+    `_shingle_rows` for why persist, not a checkpoint barrier).  The
+    exploded index is additionally persisted: the heavy-set aggregate
+    and both self-join sides read it."""
     base = (
         _spread(df)
         .select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("__t"))
         .select("id", T.shingles_of_tokens(F.col("__t"), n).alias("__sh"))
         .select("id", F.transform("__sh", lambda s: F.md5(s)).alias("__h"))
-        # no size(fp) filter: explode drops empties, and the pushed-down
-        # predicate would inline the whole winnow chain (241 s vs 1.4 s
-        # at sf0.1 — the pushdown re-triggers per-element re-evaluation)
         .select("id", T.winnow_of_hashes(F.col("__h"), w).alias("fp"))
+        .persist()
     )
     raw = base.select("id", F.explode("fp").alias("f")).persist()
     raw.count()  # eager: hash once; heavy-set agg + self-join read the cache
+    base.unpersist()  # scratch arrays folded into the exploded index now
     try:
         heavy = raw.groupBy("f").count().filter(F.col("count") > max_fp_df).select("f")
         inv = raw.join(F.broadcast(heavy), "f", "left_anti")
