@@ -264,13 +264,18 @@ def minhash_lsh_pairs(
     )
 
 
-def _signature_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _signature_frame(
+    df: DataFrame, text_col: str, id_col: str, holds: list | None = None
+) -> DataFrame:
     """(id, sig): the 16-permutation minhash signature frame — the shared
     front half of every banded operator (codegen shingle hashing, ONE
-    map-combinable groupBy — which is why this path skips the shingle
-    scratch persist; see `_shingle_rows`)."""
+    map-combinable groupBy).  On a plain parquet scan the shingle scratch
+    persist is a net loss (see `_shingle_rows`), so the default skips it;
+    pass ``holds`` when ``df`` carries an expensive lineage (a gated
+    micro-batch, a semi-joined reps frame) that must not be re-evaluated
+    on both sides of the explode."""
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("long")
-    hs_rows = _shingle_rows(df, text_col, id_col).select("id", h.alias("h"))
+    hs_rows = _shingle_rows(df, text_col, id_col, holds).select("id", h.alias("h"))
     mins = [
         F.min((F.col("h") * _MINHASH_A[i] + _MINHASH_B[i]) % _MINHASH_MOD).alias(f"m{i}")
         for i in range(MINHASH_K)

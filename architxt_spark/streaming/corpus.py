@@ -77,25 +77,31 @@ def minhash_dedup_batch(
     shuffles on the band key — independent of corpus history size thanks
     to the semi-join pushdown on the (bucketable) band column.
     """
-    from architxt_spark.functions.dedup import (
-        _shingle_int_frame,
-        minhash_bands,
-        minhash_signature_of_ints,
-    )
+    from architxt_spark.functions.dedup import _signature_frame, _spread, minhash_bands
 
     spark = batch.sparkSession
-    # the FRAME pipeline, not the single-expression signature form: the
-    # stepwise barriers hash each shingle once, and _spread re-partitions
-    # the (typically single-file, single-partition) micro-batch so the
-    # hashing parallelizes — the inlined form benched 35 s per micro-batch
-    # at sf0.1 against ~2 s for this shape
+    # barrier the micro-batch once: the signature pipeline AND the final
+    # survivor semi-join both read it, and upstream gate predicates
+    # (interpreted higher-order chains) must not run twice.  Micro-batches
+    # are bounded, so the executor-local checkpoint is small by contract.
+    batch = stage_barrier(_spread(batch))
+    # the EXPLODED-ROW signature pipeline (the same one the batch banded
+    # operators share): shingles explode to rows so the md5/permutation
+    # math runs row-wise in whole-stage codegen, and the 16 minima are one
+    # map-combinable groupBy.  The interpreted higher-order form
+    # (per-element transform + array_min chains) benched 16 s per
+    # micro-batch at sf0.1 against ~3 s for this shape; `_spread` inside
+    # the pipeline re-partitions the (typically single-file,
+    # single-partition) micro-batch so hashing parallelizes.
+    holds: list = []
     bands = (
-        _shingle_int_frame(batch, text_col, id_col)
-        .select("id", minhash_signature_of_ints(F.col("hs")).alias("sig"))
-        .filter(F.col("sig").isNotNull())
+        _signature_frame(batch, text_col, id_col, holds)
         .select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
         .persist()
     )
+    bands.count()  # eager: fold the gated-batch lineage into the cache once
+    for h in holds:  # then release the shingle scratch arrays
+        h.unpersist()
     try:
         try:
             hist = spark.read.parquet(index_path).select("band").distinct()
@@ -181,6 +187,12 @@ def stream_curate(
     the batch chain's option."""
 
     def run(batch: DataFrame, _epoch: int) -> None:
+        from architxt_spark.functions.dedup import _spread
+
+        # micro-batches arrive as one partition per triggered file — spread
+        # BEFORE the (interpreted-higher-order) gate predicates so they run
+        # 32-way, not single-threaded (the same rule as curate_corpus)
+        batch = _spread(batch)
         if line_clean:
             cleaned = T.c4_clean(F.col(text_col))
             batch = (
