@@ -250,14 +250,30 @@ def _cmd_cleanup(args: argparse.Namespace) -> None:
 
 def _cmd_curate(args: argparse.Namespace) -> None:
     """Beyond-reference verb: run the pretraining curation chain
-    (quality gate -> exact+near dedup [-> mixture take] [-> packing])
-    over a parquet documents table; writes survivors, prints the census."""
+    ([C4 line clean ->] quality gate -> exact+near dedup [-> mixture
+    take] [-> packing]) over a parquet documents table — or, with
+    ``--warc``, straight off WARC/CommonCrawl archives (records become
+    documents with a stable hash id) — and write survivors to plain
+    parquet or, with ``--partition-by``, through the partitioned corpus
+    sink (hive layout + integrity manifest).  Prints the census."""
     import json as _json
 
     from architxt_spark.functions.curation import curate_corpus
 
     spark = _session("curate")
-    docs = spark.read.parquet(args.docs)
+    if args.warc:
+        from pyspark.sql import functions as F
+
+        from architxt_spark.sources.warc import read_warc
+
+        recs = read_warc(spark, args.docs)
+        docs = recs.select(
+            F.xxhash64("path", "record_id").alias(args.id_col),
+            F.col("text").alias(args.text_col),
+            F.col("target_uri").alias("url"),
+        )
+    else:
+        docs = spark.read.parquet(args.docs)
     counts = _json.loads(args.mixture_counts) if args.mixture_counts else None
     if args.durable_checkpoints:
         from architxt_spark.session import enable_durable_barriers
@@ -268,12 +284,24 @@ def _cmd_curate(args: argparse.Namespace) -> None:
         text_col=args.text_col,
         id_col=args.id_col,
         near_threshold=args.near_threshold,
+        line_clean=args.line_clean,
         mixture_col=args.mixture_col,
         mixture_counts=counts,
         pack_token_col=args.pack_token_col,
         pack_budget=args.pack_budget,
     )
-    kept.write.mode("overwrite").parquet(args.out)
+    if args.partition_by:
+        from architxt_spark.sinks.corpus import write_corpus
+
+        write_corpus(
+            kept,
+            args.out,
+            partition_cols=args.partition_by,
+            text_col=args.text_col,
+            mode="overwrite",
+        )
+    else:
+        kept.write.mode("overwrite").parquet(args.out)
     for r in census.collect():
         print(f"{r['stage']}\t{r['n_docs']}")
 
@@ -369,6 +397,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--pack-budget", type=int, default=4096)
     cu.add_argument("--durable-checkpoints", default=None, metavar="DIR",
                     help="reliable checkpoint dir (cluster posture)")
+    cu.add_argument("--warc", action="store_true",
+                    help="input is a directory of WARC/WARC.gz archives")
+    cu.add_argument("--line-clean", action="store_true",
+                    help="prepend the C4 line filter + page gate")
+    cu.add_argument("--partition-by", nargs="+", default=None, metavar="COL",
+                    help="write through the partitioned corpus sink")
     cu.set_defaults(fn=_cmd_curate)
 
     cl = sub.add_parser("cleanup", help="keep only the schema-valid tree structure")

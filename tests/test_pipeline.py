@@ -276,3 +276,53 @@ def test_cli_curate(spark, tmp_path, capsys):
     kept = spark.read.parquet(out)
     assert kept.count() == 5
     assert {"pack_bucket", "pack_seq", "pack_offset"} <= set(kept.columns)
+
+
+def test_cli_curate_from_warc(spark, tmp_path, capsys):
+    """The full round-6 chain from the CLI: WARC archives in, C4 line
+    clean + gate + dedup, partitioned corpus sink out with manifest."""
+    from architxt_spark import cli
+    from architxt_spark.sources.warc import build_warc
+
+    import random
+
+    rng = random.Random(13)
+    words = (
+        "the quick brown fox jumps over lazy dog sun sets behind distant "
+        "hills children play near quiet river bank morning evening winter "
+        "summer garden market stories travel music painting harbor"
+    ).split()
+
+    def page(i):
+        # four 8-word sentences (terminal punct) + a boilerplate line;
+        # "the and" keeps the stopword gate happy
+        sents = [
+            "The and " + " ".join(rng.sample(words, 8)) + "." for _ in range(4)
+        ]
+        sents.insert(2, "Please enable javascript to view this page.")
+        body = "".join(f"<p>{s}</p>" for s in sents)
+        return f"<html><body>{body}</body></html>".encode()
+
+    recs = [
+        {"warc_type": "response", "target_uri": f"http://ex/{i}", "payload": page(i)}
+        for i in range(6)
+    ]
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(build_warc(recs))
+
+    out = str(tmp_path / "corpus")
+    cli.main([
+        "curate", str(warc_dir), "--out", out,
+        "--warc", "--line-clean", "--partition-by", "url",
+    ])
+    census = dict(
+        ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    assert census["input"] == "6" and census["clean"] == "6"
+    kept = spark.read.parquet(f"{out}/data")
+    assert 1 <= kept.count() <= 6
+    for r in kept.collect():
+        assert "javascript" not in r.text and "<p>" not in r.text
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert manifest.count() == kept.select("url").distinct().count()
