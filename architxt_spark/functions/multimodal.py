@@ -2,14 +2,15 @@
 typed metadata.
 
 Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested.  Codec status: PNG dimensions and WAV
-channel/rate/duration decode for REAL with the stdlib (struct on the
-IHDR header; the ``wave`` module) — both per-row in the Arrow boundary
-and, for PNG, as a pure JVM codegen column op (:func:`png_dims_cols`).
-Other formats (JPEG entropy decode, video frame extraction, audio
-resample) genuinely need external libraries (Pillow / librosa / pyav —
-not in this container) and raise ``NotImplementedError`` on the
-real-codec path, with a clearly-marked deterministic fake for tests.
+signatures) is real and tested.  Codec status: PNG/JPEG/GIF dimensions
+and WAV channel/rate/duration decode for REAL with the stdlib (struct
+header reads, a JPEG SOF marker walk, the ``wave`` module) — per-row in
+the Arrow boundary and, for PNG, as a pure JVM codegen column op
+(:func:`png_dims_cols`).  Full pixel/sample decode (resize, frame
+extraction, resample) genuinely needs external libraries (Pillow /
+librosa / pyav — not in this container) and raises
+``NotImplementedError`` on the real-codec path, with a clearly-marked
+deterministic fake for tests.
 
 Design notes for 100 TB of media:
 
@@ -98,12 +99,55 @@ def decode_wav_meta(content: bytes) -> tuple[int, int, int]:
     return n_channels, sample_rate, n_frames * 1000 // sample_rate
 
 
+def decode_jpeg_dims(content: bytes) -> tuple[int, int]:
+    """REAL stdlib JPEG header decode: walk the marker segments to the
+    first start-of-frame (SOF0–SOF15, excluding DHT/DAC/RST markers) and
+    read the big-endian height/width (JPEG/JFIF B.2.2).  Dimensions only
+    — entropy-coded data never touched, so no codec library needed."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    i = 2
+    n = len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            raise ValueError("not a JPEG (lost marker sync)")
+        marker = content[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                break
+            height, width = struct.unpack(">HH", content[i + 5 : i + 9])
+            return width, height
+        i += 2 + seg_len
+    raise ValueError("not a JPEG (no SOF segment)")
+
+
+def decode_gif_dims(content: bytes) -> tuple[int, int]:
+    """REAL stdlib GIF header decode: logical-screen width/height, two
+    little-endian uint16s right after the GIF87a/GIF89a signature."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 10:
+        raise ValueError("not a GIF (bad signature)")
+    width, height = struct.unpack("<HH", content[6:10])
+    return width, height
+
+
 def sniff_format(content: bytes) -> str | None:
     """Magic-byte format sniff for the real-decoder dispatch."""
     if content[:8] == PNG_MAGIC:
         return "png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -124,12 +168,15 @@ def png_dims_cols(content_col) -> tuple:
 
 def decode_media_meta(df: DataFrame, *, strict: bool = True) -> DataFrame:
     """REAL-decoder metadata pass over media rows via ``mapInPandas``:
-    PNG and WAV decode with the stdlib decoders above; other formats
-    raise ``NotImplementedError`` when ``strict`` (they genuinely need
-    external codecs) or yield NULL metadata otherwise.
+    PNG/JPEG/GIF and WAV decode with the stdlib decoders above; other
+    formats raise ``NotImplementedError`` when ``strict`` (they genuinely
+    need external codecs) or yield NULL metadata otherwise, and corrupt
+    payloads of a known format degrade to NULL metadata in lax mode.
 
     Returns ``(media_id, kind, fmt, width, height, n_channels,
     sample_rate, duration_ms)``."""
+    import wave
+
     import pandas as pd
 
     out_schema = (
@@ -149,15 +196,28 @@ def decode_media_meta(df: DataFrame, *, strict: bool = True) -> DataFrame:
                     rows.append((media_id, kind, None, w, h, ch, sr, dur))
                     continue
                 fmt = sniff_format(bytes(content))
-                if fmt == "png":
-                    w, h = decode_png_dims(bytes(content))
-                elif fmt == "wav":
-                    ch, sr, dur = decode_wav_meta(bytes(content))
-                elif strict:
-                    raise NotImplementedError(
-                        f"media_id={media_id}: only PNG/WAV decode without"
-                        " external codecs (Pillow/pyav not in this environment)"
-                    )
+                try:
+                    if fmt == "png":
+                        w, h = decode_png_dims(bytes(content))
+                    elif fmt == "jpeg":
+                        w, h = decode_jpeg_dims(bytes(content))
+                    elif fmt == "gif":
+                        w, h = decode_gif_dims(bytes(content))
+                    elif fmt == "wav":
+                        ch, sr, dur = decode_wav_meta(bytes(content))
+                    elif strict:
+                        raise NotImplementedError(
+                            f"media_id={media_id}: only PNG/JPEG/GIF/WAV decode"
+                            " without external codecs (Pillow/pyav not in this"
+                            " environment)"
+                        )
+                except (ValueError, EOFError, wave.Error):
+                    # a sniffed-but-corrupt payload (routine in a web
+                    # crawl): strict mode surfaces it, lax mode degrades
+                    # to NULL metadata instead of killing the job
+                    if strict:
+                        raise
+                    w = h = ch = sr = dur = None
                 rows.append((media_id, kind, fmt, w, h, ch, sr, dur))
             yield pd.DataFrame(
                 rows,
@@ -171,13 +231,18 @@ def decode_media_meta(df: DataFrame, *, strict: bool = True) -> DataFrame:
 
 
 def decode_image(content: bytes) -> tuple[int, int]:
-    """Real decode path.  PNG dimensions decode with the stdlib
-    (:func:`decode_png_dims`); other image formats require a codec
+    """Real decode path.  PNG/JPEG/GIF dimensions decode with the stdlib
+    header readers; full pixel decode of other formats requires a codec
     library (Pillow/opencv — not in this container)."""
-    if content[:8] == PNG_MAGIC:
+    fmt = sniff_format(content)
+    if fmt == "png":
         return decode_png_dims(content)
+    if fmt == "jpeg":
+        return decode_jpeg_dims(content)
+    if fmt == "gif":
+        return decode_gif_dims(content)
     raise NotImplementedError(
-        "non-PNG image decode requires Pillow/opencv; not in this environment"
+        "image formats beyond PNG/JPEG/GIF require Pillow/opencv; not in this environment"
     )
 
 

@@ -28,13 +28,16 @@ def test_wav_roundtrip():
 def test_sniff_format():
     assert M.sniff_format(M.make_png_bytes(2, 2)) == "png"
     assert M.sniff_format(M.make_wav_bytes(1, 8000, 10)) == "wav"
-    assert M.sniff_format(b"\xff\xd8\xff\xe0 jpeg-ish") is None
+    assert M.sniff_format(b"\xff\xd8\xff\xe0 jpeg-ish") == "jpeg"
+    assert M.sniff_format(b"BM bitmap bytes here") is None
 
 
 def test_decode_image_png_real_other_stubbed():
     assert M.decode_image(M.make_png_bytes(5, 9)) == (5, 9)
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+        M.decode_image(b"BM bitmap bytes: no stdlib header reader")
+    with pytest.raises(ValueError):  # sniffs as JPEG but has no SOF
+        M.decode_image(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9")
 
 
 def test_decode_media_meta_strict_and_lax(spark):
@@ -50,13 +53,15 @@ def test_decode_media_meta_strict_and_lax(spark):
     )
 
     mixed = spark.createDataFrame(
-        rows + [("x1", "image", b"\xff\xd8\xff jpeg")],
+        rows + [("x1", "image", b"BM bitmap"), ("x2", "image", b"\xff\xd8\xff truncated")],
         "media_id string, kind string, content binary",
     )
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         M.decode_media_meta(mixed, strict=True).collect()
     lax = {r.media_id: r for r in M.decode_media_meta(mixed, strict=False).collect()}
     assert lax["x1"].fmt is None and lax["x1"].width is None
+    # sniffed-but-corrupt payload: format kept, metadata NULL, no job kill
+    assert lax["x2"].fmt == "jpeg" and lax["x2"].width is None
 
     # NULL content is missing data, not a codec error — NULL metadata
     # even in strict mode
@@ -83,3 +88,64 @@ def test_jvm_png_dims_match_python_decoder(spark):
             assert got[media_id] == (None, None)
         else:
             assert got[media_id] == M.decode_png_dims(content)
+
+
+def _make_jpeg(width, height):
+    """Minimal JPEG byte stream: SOI, APP0, a DHT (to prove marker
+    walking skips non-SOF C-range markers correctly), SOF0, EOI."""
+    import struct
+
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return soi + app0 + dht + sof0 + b"\xff\xd9"
+
+
+def _make_gif(width, height):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+def test_jpeg_gif_dims():
+    from architxt_spark.functions.multimodal import (
+        decode_gif_dims,
+        decode_image,
+        decode_jpeg_dims,
+        sniff_format,
+    )
+
+    jpg = _make_jpeg(640, 480)
+    assert sniff_format(jpg) == "jpeg"
+    assert decode_jpeg_dims(jpg) == (640, 480)
+    assert decode_image(jpg) == (640, 480)
+
+    gif = _make_gif(12, 7)
+    assert sniff_format(gif) == "gif"
+    assert decode_gif_dims(gif) == (12, 7)
+    assert decode_image(gif) == (12, 7)
+
+    with pytest.raises(ValueError):
+        decode_jpeg_dims(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9")  # no SOF
+    with pytest.raises(ValueError):
+        decode_gif_dims(b"GIF00a\x00\x00\x00\x00")
+
+
+def test_decode_media_meta_jpeg_gif(spark):
+    from architxt_spark.functions.multimodal import decode_media_meta
+
+    rows = [
+        ("j1", "image", bytearray(_make_jpeg(320, 200))),
+        ("g1", "image", bytearray(_make_gif(64, 32))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, kind string, content binary")
+    out = {r.media_id: r for r in decode_media_meta(df).collect()}
+    assert (out["j1"].fmt, out["j1"].width, out["j1"].height) == ("jpeg", 320, 200)
+    assert (out["g1"].fmt, out["g1"].width, out["g1"].height) == ("gif", 64, 32)
