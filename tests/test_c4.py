@@ -119,3 +119,35 @@ def test_curation_line_clean_stage(spark):
     assert c["quality"] <= c["clean"] and c["dedup"] <= c["quality"]
     for r in kept.collect():
         assert "javascript" not in r.text
+
+
+from hypothesis import given, settings, strategies as st
+
+_line = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lines=st.lists(_line, max_size=8))
+def test_c4_clean_is_line_subsequence_property(spark_global, lines):
+    """c4_clean output is always a subsequence of the input lines (it
+    filters, never rewrites), and cleaning is idempotent."""
+    text = "\n".join(lines)
+    df = spark_global.createDataFrame([(text,)], "text string")
+    clean = df.select(T.c4_clean(F.col("text")).alias("c")).first().c
+    kept = clean.split("\n") if clean else []
+    it = iter(lines)
+    assert all(any(k == x for x in it) for k in kept)  # subsequence
+    clean2 = (
+        spark_global.createDataFrame([(clean,)], "text string")
+        .select(T.c4_clean(F.col("text")).alias("c"))
+        .first()
+        .c
+    )
+    assert clean2 == clean
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark

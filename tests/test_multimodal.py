@@ -149,3 +149,21 @@ def test_decode_media_meta_jpeg_gif(spark):
     out = {r.media_id: r for r in decode_media_meta(df).collect()}
     assert (out["j1"].fmt, out["j1"].width, out["j1"].height) == ("jpeg", 320, 200)
     assert (out["g1"].fmt, out["g1"].width, out["g1"].height) == ("gif", 64, 32)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_header_decoders_robust_property(data):
+    """Arbitrary bytes either decode to sane dimensions or raise
+    ValueError — never hang, never raise anything else (the lax-mode
+    degradation contract relies on this)."""
+    for dec in (M.decode_png_dims, M.decode_jpeg_dims, M.decode_gif_dims):
+        try:
+            w, h = dec(data)
+            assert w >= 0 and h >= 0
+        except ValueError:
+            pass
+    M.sniff_format(data)  # never raises

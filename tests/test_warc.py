@@ -103,3 +103,51 @@ def test_read_warc_composes_with_curation(spark, tmp_path):
     assert row.keep is True
     assert "javascript" not in row.clean
     assert row.clean.count("\n") == 2  # three kept sentences
+
+
+# ---------------------------------------------------------------------------
+# property tests (driver-side parser invariants — no Spark session)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_payloads = st.binary(min_size=0, max_size=200)
+_uris = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=40
+).map(lambda s: "http://h/" + s.replace("\r", "").replace("\n", ""))
+_record = st.fixed_dictionaries(
+    {
+        "warc_type": st.sampled_from(["response", "request", "metadata", "warcinfo"]),
+        "target_uri": _uris,
+        "payload": _payloads,
+        "content_type": st.sampled_from(
+            ["text/html", "text/plain", "application/octet-stream"]
+        ),
+    }
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(records=st.lists(_record, max_size=8))
+def test_warc_roundtrip_property(records):
+    """build_warc → parse_warc preserves record count, order, type, URI,
+    and (for responses) the exact payload through the HTTP split."""
+    parsed = list(parse_warc(build_warc(records)))
+    assert len(parsed) == len(records)
+    for want, got in zip(records, parsed):
+        assert got["warc_type"] == want["warc_type"]
+        assert got["target_uri"] == want["target_uri"]
+        if want["warc_type"] == "response":
+            status, _, payload = split_http_response(got["body"])
+            assert status == 200 and payload == want["payload"]
+        else:
+            assert got["body"] == want["payload"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_warc_parser_never_raises_property(data):
+    """Arbitrary bytes (a corrupt archive) parse to a finite record list
+    without raising — the crawl-ingestion robustness contract."""
+    recs = list(parse_warc(data))
+    assert isinstance(recs, list)
