@@ -64,6 +64,7 @@ def write_corpus(
     partition_cols: list[str],
     text_col: str = "text",
     files_per_partition: int = 1,
+    shuffle_salt: str | None = None,
     mode: str = "error",
 ) -> DataFrame:
     """Write the curated corpus as hive-partitioned parquet under
@@ -72,7 +73,14 @@ def write_corpus(
 
     ``files_per_partition`` bounds output files per partition value —
     size it so files land near your block size (at local test scale 1 is
-    right; a 100-TB run uses hundreds)."""
+    right; a 100-TB run uses hundreds).
+
+    ``shuffle_salt`` fixes a DETERMINISTIC pseudo-random training order:
+    rows are sorted within each output task by the salted content hash,
+    so a training job reading files sequentially sees a reproducible
+    shuffle (change the salt to re-shuffle between epochs without
+    rewriting bytes in a different layout scheme).  Sort is per-task —
+    no global sort shuffle is ever issued."""
     if not 1 <= files_per_partition <= _MAX_FILES_PER_PARTITION:
         raise ValueError(f"files_per_partition must be in 1..{_MAX_FILES_PER_PARTITION}")
     salt = (
@@ -82,6 +90,13 @@ def write_corpus(
     placed = df.withColumn("__file_bucket", salt).repartition(
         *[F.col(c) for c in partition_cols], F.col("__file_bucket")
     )
+    if shuffle_salt is not None:
+        # partition columns lead the sort so the dynamic-partition file
+        # writer's own partition-grouping sort is a no-op and the salted
+        # order survives into the files
+        placed = placed.sortWithinPartitions(
+            *partition_cols, F.md5(F.concat(F.lit(shuffle_salt), F.col(text_col)))
+        )
     (
         placed.drop("__file_bucket")
         .write.mode(mode)

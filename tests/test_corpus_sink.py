@@ -69,3 +69,25 @@ def test_files_per_partition_bounds_fanout(spark, docs, tmp_path):
         assert 1 <= len(files) <= 3, d
     with pytest.raises(ValueError):
         write_corpus(docs, str(tmp_path / "x"), partition_cols=["lang"], files_per_partition=0)
+
+
+def test_shuffle_salt_orders_deterministically(spark, docs, tmp_path):
+    """shuffle_salt fixes a reproducible pseudo-random within-file order;
+    a different salt gives a different order over the same rows."""
+
+    def order(path, salt):
+        write_corpus(docs, path, partition_cols=["lang"], shuffle_salt=salt)
+        first = sorted(os.listdir(f"{path}/data"))
+        lang_dir = [d for d in first if d.startswith("lang=")][0]
+        pf = [f for f in os.listdir(f"{path}/data/{lang_dir}") if f.endswith(".parquet")][0]
+        import pyarrow.parquet as pq
+
+        return list(pq.read_table(f"{path}/data/{lang_dir}/{pf}", columns=["doc_id"])["doc_id"].to_pylist())
+
+    a = order(str(tmp_path / "s1"), "epoch0")
+    b = order(str(tmp_path / "s2"), "epoch0")
+    c = order(str(tmp_path / "s3"), "epoch1")
+    assert a == b                      # deterministic
+    assert sorted(a) == sorted(c)      # same rows
+    assert a != c                      # different epoch, different order
+    assert a != sorted(a)              # actually shuffled, not id-ordered
