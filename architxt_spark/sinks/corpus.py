@@ -65,6 +65,7 @@ def write_corpus(
     text_col: str = "text",
     files_per_partition: int = 1,
     shuffle_salt: str | None = None,
+    cluster_by: list[str] | None = None,
     mode: str = "error",
 ) -> DataFrame:
     """Write the curated corpus as hive-partitioned parquet under
@@ -80,16 +81,32 @@ def write_corpus(
     so a training job reading files sequentially sees a reproducible
     shuffle (change the salt to re-shuffle between epochs without
     rewriting bytes in a different layout scheme).  Sort is per-task —
-    no global sort shuffle is ever issued."""
+    no global sort shuffle is ever issued.
+
+    ``cluster_by`` instead range-clusters rows WITHIN each partition
+    value by the given columns (one range shuffle + per-task sort), so
+    parquet row-group min/max statistics become disjoint and a reader
+    filtering on those columns (quality bucket, token-length band)
+    prunes row groups without touching them — the lakehouse layout for
+    selective re-reads of a 100-TB corpus.  Mutually exclusive with
+    ``shuffle_salt``."""
+    if shuffle_salt is not None and cluster_by:
+        raise ValueError("shuffle_salt and cluster_by are mutually exclusive")
     if not 1 <= files_per_partition <= _MAX_FILES_PER_PARTITION:
         raise ValueError(f"files_per_partition must be in 1..{_MAX_FILES_PER_PARTITION}")
     salt = (
         F.conv(F.substring(F.md5(F.col(text_col)), 1, 7), 16, 10).cast("long")
         % files_per_partition
     )
-    placed = df.withColumn("__file_bucket", salt).repartition(
-        *[F.col(c) for c in partition_cols], F.col("__file_bucket")
-    )
+    if cluster_by:
+        placed = df.repartitionByRange(
+            *[F.col(c) for c in partition_cols + cluster_by]
+        ).sortWithinPartitions(*partition_cols, *cluster_by)
+        placed = placed.withColumn("__file_bucket", F.lit(0))
+    else:
+        placed = df.withColumn("__file_bucket", salt).repartition(
+            *[F.col(c) for c in partition_cols], F.col("__file_bucket")
+        )
     if shuffle_salt is not None:
         # partition columns lead the sort so the dynamic-partition file
         # writer's own partition-grouping sort is a no-op and the salted

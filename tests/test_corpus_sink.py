@@ -91,3 +91,40 @@ def test_shuffle_salt_orders_deterministically(spark, docs, tmp_path):
     assert sorted(a) == sorted(c)      # same rows
     assert a != c                      # different epoch, different order
     assert a != sorted(a)              # actually shuffled, not id-ordered
+
+
+def test_cluster_by_gives_disjoint_row_group_stats(spark, docs, tmp_path):
+    """cluster_by range-clusters within partition values: parquet
+    row-group/file min-max stats on the cluster column become (near-)
+    disjoint, the precondition for stats-based pruning on read."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "clustered")
+    write_corpus(docs, path, partition_cols=["lang"], cluster_by=["n_chars"])
+    # collect (min, max) of n_chars per parquet file for one language
+    lang_dir = sorted(
+        d for d in os.listdir(f"{path}/data") if d.startswith("lang=")
+    )[0]
+    spans = []
+    for f in os.listdir(f"{path}/data/{lang_dir}"):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(f"{path}/data/{lang_dir}/{f}").metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "n_chars"
+            )
+            spans.append((col.statistics.min, col.statistics.max))
+    assert spans
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlaps == 0  # disjoint (boundary-equal allowed)
+    # rows preserved
+    assert spark.read.parquet(f"{path}/data").count() == docs.count()
+    with pytest.raises(ValueError):
+        write_corpus(
+            docs, str(tmp_path / "x2"), partition_cols=["lang"],
+            cluster_by=["n_chars"], shuffle_salt="s",
+        )
