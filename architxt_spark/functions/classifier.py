@@ -47,20 +47,35 @@ N_BUCKETS = 1024
 ITERATIONS = 3
 
 
+def _feature_rows(df: DataFrame, id_col: str, text_col: str, bigrams: bool) -> DataFrame:
+    """(id, __t): one row per feature occurrence — word unigrams, plus
+    space-joined word bigrams when ``bigrams`` (the fastText word-n-gram
+    feature space).  The token array sits behind a projection barrier
+    (multi-referenced alias) so the split runs once per row."""
+    staged = _spread(df).select(
+        F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("__toks")
+    )
+    feats = (
+        F.concat(F.col("__toks"), T.shingles_of_tokens(F.col("__toks"), 2))
+        if bigrams
+        else F.col("__toks")
+    )
+    return staged.select("id", F.explode(feats).alias("__t"))
+
+
 def _labelled_features(
     pos: DataFrame,
     neg: DataFrame,
     id_col: str,
     text_col: str,
     n_buckets: int,
+    bigrams: bool = False,
 ) -> DataFrame:
-    """(id, y, b, x): per-document hashed-unigram bucket counts with the
+    """(id, y, b, x): per-document hashed feature bucket counts with the
     ±1 label.  One narrow explode per corpus side."""
 
     def side(df: DataFrame, y: int) -> DataFrame:
-        toks = _spread(df).select(
-            F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("__t")
-        )
+        toks = _feature_rows(df, id_col, text_col, bigrams)
         return (
             toks.select("id", _feature_bucket(F.col("__t"), n_buckets).alias("b"))
             .groupBy("id", "b")
@@ -79,12 +94,16 @@ def train_quality_classifier(
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
     iterations: int = ITERATIONS,
+    bigrams: bool = False,
 ) -> DataFrame:
     """Train the hashed perceptron; returns the weight table
     ``(b, w)`` — one BIGINT weight per feature bucket seen in training
-    (zero-weight buckets included, so the table is the model artifact)."""
+    (zero-weight buckets included, so the table is the model artifact).
+    ``bigrams`` adds hashed word-bigram features (the fastText feature
+    space) on both the train and — pass the same flag to
+    :func:`classifier_score` — the score side."""
     spark = pos.sparkSession
-    feats = _labelled_features(pos, neg, id_col, text_col, n_buckets).persist()
+    feats = _labelled_features(pos, neg, id_col, text_col, n_buckets, bigrams).persist()
     feats.count()  # eager: every iteration reads the cached frame
     try:
         weights = {
@@ -125,13 +144,12 @@ def classifier_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
+    bigrams: bool = False,
 ) -> DataFrame:
     """Score documents with a trained weight table: ``(id_col, n_feats,
     margin, pred)`` — integer margin (exact), pred = sign (0-margin and
     feature-less documents score as rejects, the conservative gate)."""
-    toks = _spread(docs).select(
-        F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("__t")
-    )
+    toks = _feature_rows(docs, id_col, text_col, bigrams)
     feats = (
         toks.select("id", _feature_bucket(F.col("__t"), n_buckets).alias("b"))
         .groupBy("id", "b")
@@ -167,6 +185,7 @@ def quality_classifier_sql(
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
     iterations: int = ITERATIONS,
+    bigrams: bool = False,
 ) -> str:
     """DuckDB twin: train on the ``pos_where``/``neg_where`` slices of
     ``table`` with the iterations unrolled as CTEs, then score every row
@@ -176,6 +195,8 @@ def quality_classifier_sql(
     h = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (6 - d)}" for d in range(7))
     bucket = f"(CAST({h} AS BIGINT) % {n_buckets})"
     toks = T.tokens_sql(text_col)
+    if bigrams:
+        toks = f"list_concat({toks}, {T.shingles_sql(text_col, 2)})"
 
     parts = [
         f"""__feat AS (

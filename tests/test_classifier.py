@@ -92,3 +92,48 @@ def test_perceptron_label_flip_negates_weights(spark):
     w2 = {r.b: r.w for r in train_quality_classifier(neg, pos, n_buckets=128, iterations=2).collect()}
     assert set(w1) == set(w2)
     assert all(w2[b] == -w for b, w in w1.items())
+
+
+def test_bigram_features_parity_and_effect(spark):
+    """fastText word-bigram feature space: train+score margins stay
+    bit-identical to the DuckDB twin, and bigrams actually change the
+    learned margins vs the unigram model."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.classifier import (
+        classifier_score,
+        quality_classifier_sql,
+        train_quality_classifier,
+    )
+
+    rows = [
+        (
+            i,
+            f"good solid prose with many fine words here number {i}"
+            if i % 2
+            else f"junk junk junk click here buy now {i}",
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pos, neg = df.filter("doc_id % 2 = 1"), df.filter("doc_id % 2 = 0")
+
+    w = train_quality_classifier(pos, neg, bigrams=True)
+    got = {
+        r.doc_id: (r.n_feats, r.margin, r.pred)
+        for r in classifier_score(df, w, bigrams=True).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sql = quality_classifier_sql(
+        "documents", "doc_id % 2 = 1", "doc_id % 2 = 0", bigrams=True
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    # n_feats grows by the bigram count; margins actually differ
+    w0 = train_quality_classifier(pos, neg)
+    base = {
+        r.doc_id: (r.n_feats, r.margin)
+        for r in classifier_score(df, w0).collect()
+    }
+    assert all(got[k][0] > base[k][0] for k in base)
+    assert any(got[k][1] != base[k][1] for k in base)
