@@ -153,3 +153,51 @@ def verify_corpus(spark: SparkSession, path: str, *, text_col: str = "text") -> 
             ).alias("ok"),
         )
     )
+
+
+def compact_corpus(
+    spark: SparkSession,
+    path: str,
+    *,
+    text_col: str = "text",
+    files_per_partition: int = 1,
+) -> DataFrame:
+    """Rewrite the corpus at ``path`` with the target file fan-out and
+    prove content invariance: the order-independent manifest recomputed
+    from the compacted data must equal the stored one, or the original
+    layout is left in place and the call raises.
+
+    The operational fix for streaming/append-heavy corpora (a
+    ``foreachBatch`` sink writes one file per batch per partition — a
+    month of micro-batches is tens of thousands of tiny files whose scan
+    overhead dominates at 100 TB).  The rewrite is one shuffle on the
+    partition columns; the swap is write-new / verify / replace, so a
+    failed verify never destroys data."""
+    import shutil
+    import tempfile
+
+    stored = spark.read.parquet(os.path.join(path, "manifest"))
+    partition_cols = [
+        c for c in stored.columns if c not in ("n_docs", "n_chars", "content_hash")
+    ]
+    df = spark.read.parquet(os.path.join(path, "data"))
+    tmp = tempfile.mkdtemp(prefix="corpus_compact_", dir=os.path.dirname(path) or ".")
+    manifest = write_corpus(
+        df,
+        tmp,
+        partition_cols=partition_cols,
+        text_col=text_col,
+        files_per_partition=files_per_partition,
+        mode="overwrite",
+    )
+    bad = verify_corpus(spark, tmp, text_col=text_col).filter(~F.col("ok")).count()
+    stored_rows = {tuple(sorted(r.asDict().items())) for r in stored.collect()}
+    new_rows = {tuple(sorted(r.asDict().items())) for r in manifest.collect()}
+    if bad or stored_rows != new_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError("compaction verify failed; original layout untouched")
+    for sub in ("data", "manifest"):
+        shutil.rmtree(os.path.join(path, sub))
+        shutil.move(os.path.join(tmp, sub), os.path.join(path, sub))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return manifest

@@ -128,3 +128,39 @@ def test_cluster_by_gives_disjoint_row_group_stats(spark, docs, tmp_path):
             docs, str(tmp_path / "x2"), partition_cols=["lang"],
             cluster_by=["n_chars"], shuffle_salt="s",
         )
+
+
+def test_compact_corpus_merges_files_and_preserves_content(spark, docs, tmp_path):
+    """Append-heavy layout (many files per partition) compacts to one
+    file per partition value with a bit-identical manifest; rows and
+    values survive exactly."""
+    from architxt_spark.sinks.corpus import compact_corpus, corpus_manifest
+
+    path = str(tmp_path / "corpus")
+    # simulate the append-heavy layout a foreachBatch sink produces:
+    # several appends -> several files per partition value
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    for part in (half_a, half_b):
+        part.coalesce(1).write.mode("append").partitionBy("lang").parquet(f"{path}/data")
+    corpus_manifest(docs, ["lang"]).write.parquet(f"{path}/manifest")
+    before = {
+        d: len([f for f in os.listdir(f"{path}/data/{d}") if f.endswith(".parquet")])
+        for d in os.listdir(f"{path}/data")
+        if d.startswith("lang=")
+    }
+    assert any(n > 1 for n in before.values())
+    stored = {tuple(r) for r in spark.read.parquet(f"{path}/manifest").collect()}
+
+    compact_corpus(spark, path)
+    after = {
+        d: len([f for f in os.listdir(f"{path}/data/{d}") if f.endswith(".parquet")])
+        for d in os.listdir(f"{path}/data")
+        if d.startswith("lang=")
+    }
+    assert set(after) == set(before) and all(n == 1 for n in after.values())
+    assert {tuple(r) for r in spark.read.parquet(f"{path}/manifest").collect()} == stored
+    back = spark.read.parquet(f"{path}/data")
+    assert back.count() == docs.count()
+    got = {tuple(sorted(r.asDict().items())) for r in back.select(*docs.columns).collect()}
+    assert got == {tuple(sorted(r.asDict().items())) for r in docs.collect()}
