@@ -306,6 +306,23 @@ def _cmd_curate(args: argparse.Namespace) -> None:
         print(f"{r['stage']}\t{r['n_docs']}")
 
 
+def _cmd_compact(args: argparse.Namespace) -> None:
+    """Merge a corpus sink's accumulated small files in place; refuses to
+    touch the original layout unless the recomputed manifest verifies."""
+    from architxt_spark.sinks.corpus import compact_corpus
+
+    spark = _session("compact")
+    manifest = compact_corpus(
+        spark,
+        args.path,
+        text_col=args.text_col,
+        files_per_partition=args.files_per_partition,
+    )
+    for r in manifest.collect():
+        d = r.asDict()
+        print("\t".join(str(d[c]) for c in manifest.columns))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="architxt-spark", description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -410,6 +427,14 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--out", required=True)
     cl.add_argument("--metrics", action="store_true")
     cl.set_defaults(fn=_cmd_cleanup)
+
+    co = sub.add_parser(
+        "compact", help="merge a corpus sink's small files (verified swap)"
+    )
+    co.add_argument("path", help="corpus root (containing data/ + manifest/)")
+    co.add_argument("--text-col", default="text")
+    co.add_argument("--files-per-partition", type=int, default=1)
+    co.set_defaults(fn=_cmd_compact)
     return p
 
 

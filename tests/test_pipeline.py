@@ -326,3 +326,20 @@ def test_cli_curate_from_warc(spark, tmp_path, capsys):
         assert "javascript" not in r.text and "<p>" not in r.text
     manifest = spark.read.parquet(f"{out}/manifest")
     assert manifest.count() == kept.select("url").distinct().count()
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from architxt_spark import cli
+    from architxt_spark.sinks.corpus import corpus_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "corpus")
+    for half in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+        docs.filter(half).coalesce(1).write.mode("append").partitionBy("lang").parquet(
+            f"{path}/data"
+        )
+    corpus_manifest(docs, ["lang"]).write.parquet(f"{path}/manifest")
+    cli.main(["compact", path])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == docs.select("lang").distinct().count()
+    assert spark.read.parquet(f"{path}/data").count() == docs.count()
