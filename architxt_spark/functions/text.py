@@ -609,3 +609,29 @@ def c4_keep_sql(col: str, cleaned: str) -> str:
         f" AND NOT contains(lower({col}), '{{')"
         f" AND len(regexp_extract_all({cleaned}, '[.!?]')) >= {C4_MIN_SENTENCES})"
     )
+
+
+def dedup_lines(col: Column) -> Column:
+    """Within-document duplicate-line removal (the Gopher/RefinedWeb
+    repetition transform at line granularity): keep each line's FIRST
+    occurrence, preserving order — nav menus and footer blocks repeated
+    through a page collapse to one copy before any corpus-level pass.
+    Pure codegen (`array_distinct` preserves first-occurrence order);
+    NULL in → NULL out."""
+    return F.array_join(F.array_distinct(F.split(col, "\n")), "\n")
+
+
+def dedup_lines_sql(col: str) -> str:
+    """DuckDB twin of :func:`dedup_lines`.  DuckDB's ``list_distinct``
+    does NOT preserve order, so the twin keeps first occurrences via an
+    index lambda (``list_position`` returns 0 when absent); the same
+    NULL/empty pinning as :func:`c4_clean_sql`."""
+    lines = f"string_split({col}, chr(10))"
+    kept = (
+        f"list_filter({lines}, (x, i) ->"
+        f" list_position(({lines})[1:i-1], x) = 0)"
+    )
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL"
+        f" ELSE coalesce(array_to_string({kept}, chr(10)), '') END"
+    )

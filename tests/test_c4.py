@@ -151,3 +151,28 @@ def test_c4_clean_is_line_subsequence_property(spark_global, lines):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+def test_dedup_lines_parity(spark):
+    """Within-doc line dedup keeps first occurrences in order and matches
+    the DuckDB twin exactly (including NULL/empty/all-dup edges)."""
+    docs = [
+        (1, "nav menu\nA real first sentence here.\nnav menu\nSecond real one.\nnav menu"),
+        (2, "only\nonly\nonly"),
+        (3, ""),
+        (4, None),
+        (5, "a\nb\nc"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    srows = {
+        r.id: r.d
+        for r in df.select("id", T.dedup_lines(F.col("text")).alias("d")).collect()
+    }
+    assert srows[1] == "nav menu\nA real first sentence here.\nSecond real one."
+    assert srows[2] == "only" and srows[3] == "" and srows[4] is None
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs, columns=["id", "text"]))
+    drows = dict(
+        con.execute(f"SELECT id, {T.dedup_lines_sql('text')} FROM d").fetchall()
+    )
+    assert srows == drows
