@@ -178,3 +178,30 @@ def test_minhash_band_cap_is_anti_join_not_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan  # heavy-band exclusion
+
+
+def test_c4_clean_is_scan_side_projection(spark):
+    """The C4 registry query plan has NO Exchange anywhere — line split,
+    rule filter, page gate, and fingerprint are one scan-side projection
+    (the shape that composes below every shuffle-bearing stage)."""
+    import __spark_entry__ as entry
+
+    out = entry.q_c4_clean(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_sink_cluster_by_uses_range_partitioning(spark, tmp_path):
+    """cluster_by's layout shuffle is RANGE partitioning on the partition
+    + cluster columns (the precondition for disjoint row-group stats),
+    never a global single-partition sort."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    placed = docs.repartitionByRange(
+        F.col("lang"), F.col("n_chars")
+    ).sortWithinPartitions("lang", "n_chars")
+    plan = placed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
