@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from architxt_spark.functions import text as T
@@ -120,3 +120,76 @@ def domain_profile_sql(
         FROM __base JOIN __fpc USING (fp)
         GROUP BY domain
     """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (the dedup-by-URL key for crawl pipelines)
+# ---------------------------------------------------------------------------
+
+#: tracking query parameters stripped by canonicalization (the standard
+#: utm family plus the common click identifiers).
+TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref",
+)
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL for dedup-by-URL: lowercase scheme+host, strip the
+    fragment, default ports (:80/:443), tracking query parameters
+    (``TRACKING_PARAMS``), an empty leftover ``?``, and one trailing
+    slash on a non-root path.  Pure codegen regexp chain — the key a
+    crawl frontier and the URL-level dedup groupBy both hash.
+
+    Deliberately conservative: parameter ORDER is preserved (sorting
+    params can merge genuinely different endpoints) and case of the path
+    is kept (case-sensitive servers exist)."""
+    u = F.trim(col)
+    # lowercase scheme and authority only (up to the first '/','?','#')
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    u = F.concat(F.lower(head), tail)
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    u = F.regexp_replace(u, r"^(https?://[^/?#]*):(?:80|443)([/?#].*)?$", r"$1$2")
+    for p in TRACKING_PARAMS:                                  # tracking params
+        u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&", "?")                      # "?&q" -> "?q"
+    u = F.regexp_replace(u, r"&&+", "&")                       # "&&" runs
+    u = F.regexp_replace(u, r"[?&]$", "")                      # dangling ? / &
+    u = F.regexp_replace(u, r"(.)/\?", r"$1?")                 # "/path/?q" -> "/path?q"
+    u = F.regexp_replace(u, r"(.)/$", r"$1")                   # trailing slash
+    return u
+
+
+def normalize_url_sql(col: str) -> str:
+    """DuckDB twin of :func:`normalize_url` (same regex chain; DuckDB's
+    ``regexp_replace`` needs the 'g' flag where Spark replaces all)."""
+    u = f"trim({col})"
+    head = f"regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    u = f"(lower({head}) || {u}[length({head}) + 1 :])"
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = f"regexp_replace({u}, '^(https?://[^/?#]*):(?:80|443)([/?#].*)?$', '\\1\\2')"
+    for p in TRACKING_PARAMS:
+        u = f"regexp_replace({u}, '([?&]){p}=[^&#]*', '\\1', 'g')"
+    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '')"
+    u = f"regexp_replace({u}, '(.)/\\?', '\\1?')"
+    u = f"regexp_replace({u}, '(.)/$', '\\1')"
+    return u
+
+
+def registrable_domain(col: Column) -> Column:
+    """Heuristic eTLD+1 from a URL: host minus subdomains, keeping two
+    labels (three when the penultimate label is a common second-level
+    registry label like ``co``/``com``/``ac``/``gov``/``org``/``net``
+    — the stdlib-only approximation of the public-suffix list, which is
+    an external dataset)."""
+    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    take3 = (n >= 3) & second.isin("co", "com", "ac", "gov", "org", "net", "edu")
+    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
+    last3 = F.when(n >= 3, F.array_join(F.slice(parts, n - 2, 3), ".")).otherwise(last2)
+    return F.when(host == "", None).otherwise(F.when(take3, last3).otherwise(F.when(n >= 2, last2).otherwise(host)))

@@ -57,3 +57,64 @@ def test_domain_profile_matches_duckdb(spark):
         for r in domain_profile(df, blocklist=("spam.biz",)).collect()
     )
     assert got == oracle
+
+
+def test_normalize_url_rules_and_parity(spark):
+    """URL canonicalization: fragment/port/tracking-param/trailing-slash
+    rules, order preservation, and exact DuckDB-twin parity."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.domains import normalize_url, normalize_url_sql
+
+    urls = [
+        (1, "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag"),
+        (2, "http://a.example:80/"),
+        (3, "http://a.example/p?fbclid=abc"),
+        (4, "http://a.example/p?b=2&a=1"),          # param order preserved
+        (5, "http://a.example/CaseSensitive/Path/"),
+        (6, "http://a.example/p?utm_source=x&utm_medium=y"),
+        (7, "not a url at all"),
+        (8, "http://a.example:80"),                 # bare default port
+        (9, "https://a.example:8443/keep"),         # non-default port kept
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {
+        r.id: r.u
+        for r in df.select("id", normalize_url(F.col("url")).alias("u")).collect()
+    }
+    assert got[1] == "https://example.com/Path?q=1"
+    assert got[2] == "http://a.example"
+    assert got[3] == "http://a.example/p"
+    assert got[4] == "http://a.example/p?b=2&a=1"
+    assert got[5] == "http://a.example/CaseSensitive/Path"
+    assert got[6] == "http://a.example/p"
+    assert got[8] == "http://a.example"
+    assert got[9] == "https://a.example:8443/keep"
+    con = duckdb.connect()
+    con.register("u", df.toPandas())
+    want = dict(con.execute(f"SELECT id, {normalize_url_sql('url')} FROM u").fetchall())
+    assert got == want
+
+
+def test_registrable_domain():
+    from pyspark.sql import SparkSession
+
+    from architxt_spark.functions.domains import registrable_domain
+
+    spark = SparkSession.getActiveSession()
+    rows = [
+        (1, "https://news.example.com/x"),
+        (2, "http://example.co.uk/y"),
+        (3, "http://sub.a.example.co.uk/"),
+        (4, "http://localhost/"),
+        (5, "nonsense"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r.id: r.d
+        for r in df.select("id", registrable_domain(F.col("url")).alias("d")).collect()
+    }
+    assert got[1] == "example.com"
+    assert got[2] == "example.co.uk"
+    assert got[3] == "example.co.uk"
+    assert got[4] == "localhost"
+    assert got[5] is None
