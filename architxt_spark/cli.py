@@ -262,16 +262,27 @@ def _cmd_curate(args: argparse.Namespace) -> None:
 
     spark = _session("curate")
     if args.warc:
+        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        from architxt_spark.functions.domains import normalize_url
         from architxt_spark.sources.warc import read_warc
 
         recs = read_warc(spark, args.docs)
         docs = recs.select(
             F.xxhash64("path", "record_id").alias(args.id_col),
             F.col("text").alias(args.text_col),
-            F.col("target_uri").alias("url"),
+            normalize_url(F.col("target_uri")).alias("url"),
         )
+        if args.url_dedup:
+            # crawl-standard first dedup: one row per canonical URL,
+            # deterministic winner (min id) — one shuffle on the URL key
+            w = Window.partitionBy("url").orderBy(args.id_col)
+            docs = (
+                docs.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
     else:
         docs = spark.read.parquet(args.docs)
     counts = _json.loads(args.mixture_counts) if args.mixture_counts else None
@@ -416,6 +427,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reliable checkpoint dir (cluster posture)")
     cu.add_argument("--warc", action="store_true",
                     help="input is a directory of WARC/WARC.gz archives")
+    cu.add_argument("--url-dedup", action="store_true",
+                    help="with --warc: keep one record per canonical URL")
     cu.add_argument("--line-clean", action="store_true",
                     help="prepend the C4 line filter + page gate")
     cu.add_argument("--partition-by", nargs="+", default=None, metavar="COL",

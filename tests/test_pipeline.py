@@ -307,6 +307,11 @@ def test_cli_curate_from_warc(spark, tmp_path, capsys):
         {"warc_type": "response", "target_uri": f"http://ex/{i}", "payload": page(i)}
         for i in range(6)
     ]
+    # same canonical URL as record 0 (fragment + tracking param differ)
+    recs.append(
+        {"warc_type": "response", "target_uri": "http://ex/0?utm_source=x#frag",
+         "payload": page(99)}
+    )
     warc_dir = tmp_path / "crawl"
     warc_dir.mkdir()
     (warc_dir / "a.warc").write_bytes(build_warc(recs))
@@ -314,11 +319,12 @@ def test_cli_curate_from_warc(spark, tmp_path, capsys):
     out = str(tmp_path / "corpus")
     cli.main([
         "curate", str(warc_dir), "--out", out,
-        "--warc", "--line-clean", "--partition-by", "url",
+        "--warc", "--url-dedup", "--line-clean", "--partition-by", "url",
     ])
     census = dict(
         ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
     )
+    # 7 records, 6 canonical URLs after url-dedup
     assert census["input"] == "6" and census["clean"] == "6"
     kept = spark.read.parquet(f"{out}/data")
     assert 1 <= kept.count() <= 6
