@@ -635,3 +635,62 @@ def dedup_lines_sql(col: str) -> str:
         f"CASE WHEN {col} IS NULL THEN NULL"
         f" ELSE coalesce(array_to_string({kept}, chr(10)), '') END"
     )
+
+
+def line_lang_profile(col: Column) -> Column:
+    """Per-line language segmentation profile:
+    ``struct(n_lines, n_known, n_dominant, dominant_lang, mixed)`` —
+    lines are language-identified individually (same stopword heuristic
+    as :func:`lang_id`), the dominant language is the per-line majority
+    (ties → LANG_MARKERS order), and ``mixed`` flags documents whose
+    identified lines disagree — the signal a monolingual pretraining mix
+    uses to drop or split code-switched pages.  Pure (nested)
+    higher-order codegen — no shuffle, no Python."""
+    lines = F.split(col, "\n")
+    langs = F.transform(lines, lambda l: lang_id(l))
+    known = F.filter(langs, lambda x: x != "und")
+    def eq_for(lang: str):
+        # closure factory, NOT a default-arg lambda — pyspark binds
+        # Columns to every lambda parameter, defaulted ones included
+        return lambda x: x == F.lit(lang)
+
+    counts = {
+        lang: F.size(F.filter(known, eq_for(lang))) for lang, _ in LANG_MARKERS
+    }
+    best = F.greatest(*counts.values())
+    dominant = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):
+        dominant = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(dominant)
+    n_known = F.size(known)
+    return F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        n_known.cast("long").alias("n_known"),
+        best.cast("long").alias("n_dominant"),
+        dominant.alias("dominant_lang"),
+        ((n_known - best) > 0).alias("mixed"),
+    )
+
+
+def line_lang_profile_sql(col: str) -> str:
+    """DuckDB twin of :func:`line_lang_profile` (per-line lang_id via a
+    list lambda; the same argmax/tie order)."""
+    langs = f"list_transform(string_split({col}, chr(10)), l -> {lang_id_sql('l')})"
+    known = f"list_filter({langs}, x -> x <> 'und')"
+    counts = {
+        lang: f"len(list_filter({known}, x -> x = '{lang}'))"
+        for lang, _ in LANG_MARKERS
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    dominant = "'und'"
+    for lang, _ in reversed(LANG_MARKERS):
+        dominant = (
+            f"(case when {best} > 0 and {counts[lang]} = {best}"
+            f" then '{lang}' else {dominant} end)"
+        )
+    return (
+        f"struct_pack(n_lines := CAST(len(string_split({col}, chr(10))) AS BIGINT),"
+        f" n_known := CAST(len({known}) AS BIGINT),"
+        f" n_dominant := CAST({best} AS BIGINT),"
+        f" dominant_lang := {dominant},"
+        f" mixed := (len({known}) - {best}) > 0)"
+    )

@@ -176,3 +176,33 @@ def test_dedup_lines_parity(spark):
         con.execute(f"SELECT id, {T.dedup_lines_sql('text')} FROM d").fetchall()
     )
     assert srows == drows
+
+
+def test_line_lang_profile_parity(spark):
+    """Per-line language segmentation: dominant language, known-line
+    counts, mixed flag — exact DuckDB-twin parity."""
+    docs = [
+        (1, "the cat and the dog sit in it\nel perro y el gato en la casa\n"
+            "the sun is in the sky for now"),                      # en-dominant, mixed
+        (2, "le chien est dans la maison\nle chat est dans le jardin"),  # fr only
+        (3, "xyzzy qwerty\nasdf ghjkl"),                           # nothing identified
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r.id: r.p.asDict()
+        for r in df.select("id", T.line_lang_profile(F.col("text")).alias("p")).collect()
+    }
+    assert got[1]["dominant_lang"] == "en" and got[1]["mixed"] is True
+    assert got[1]["n_known"] == 3 and got[1]["n_dominant"] == 2
+    assert got[2] == {"n_lines": 2, "n_known": 2, "n_dominant": 2,
+                      "dominant_lang": "fr", "mixed": False}
+    assert got[3]["dominant_lang"] == "und" and got[3]["mixed"] is False
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs, columns=["id", "text"]))
+    want = {}
+    for rid, p in con.execute(
+        f"SELECT id, {T.line_lang_profile_sql('text')} FROM d"
+    ).fetchall():
+        want[rid] = p
+    assert got == want
