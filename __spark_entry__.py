@@ -800,6 +800,7 @@ def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
     cleaned = staged.select(
         "doc_id", "page", T.c4_clean(F.col("page")).alias("clean")
     )
+    prof = T.line_lang_profile(F.col("page"))
     return cleaned.select(
         "doc_id",
         F.size(F.split("page", "\n")).cast("long").alias("n_lines"),
@@ -810,6 +811,13 @@ def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_count("clean", F.lit(r"[.!?]")).cast("long").alias("n_sent"),
         T.c4_keep(F.col("page"), F.col("clean")).cast("long").alias("keep"),
         F.md5("clean").alias("clean_fp"),
+        # sibling line-level hygiene ops on the same synthesized page:
+        # within-doc duplicate-line strip (verified by fingerprint) and
+        # the per-line language segmentation profile
+        F.md5(T.dedup_lines(F.col("page"))).alias("dedup_fp"),
+        prof.getField("n_known").alias("n_lang_known"),
+        prof.getField("dominant_lang").alias("dominant_lang"),
+        prof.getField("mixed").cast("long").alias("lang_mixed"),
     )
 
 
@@ -2150,7 +2158,11 @@ def _c4_clean_sql() -> str:
                          ELSE len(string_split(clean, chr(10))) END AS BIGINT) AS n_kept,
                CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sent,
                CAST({T.c4_keep_sql('page', 'clean')} AS BIGINT) AS keep,
-               md5(clean) AS clean_fp
+               md5(clean) AS clean_fp,
+               md5({T.dedup_lines_sql('page')}) AS dedup_fp,
+               CAST(({T.line_lang_profile_sql('page')}).n_known AS BIGINT) AS n_lang_known,
+               ({T.line_lang_profile_sql('page')}).dominant_lang AS dominant_lang,
+               CAST(({T.line_lang_profile_sql('page')}).mixed AS BIGINT) AS lang_mixed
         FROM cleaned
     """
 
