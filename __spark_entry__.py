@@ -795,6 +795,7 @@ def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("doc_id") % 13 == 0, F.lit("\nwe have updated our privacy policy today.")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 17 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 19 == 0, F.lit("\nle chat est dans le jardin et la maison.")).otherwise(F.lit("")),
     )
     staged = docs.select("doc_id", page.alias("page"))
     cleaned = staged.select(
@@ -2146,6 +2147,7 @@ def _c4_clean_sql() -> str:
         " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'we have updated our privacy policy today.' ELSE '' END"
         " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END"
         " || CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END"
+        " || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'le chat est dans le jardin et la maison.' ELSE '' END"
     )
     return f"""
         WITH staged AS (SELECT doc_id, {page} AS page FROM documents),
