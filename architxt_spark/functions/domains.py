@@ -33,6 +33,7 @@ def domain_profile(
     docs: DataFrame,
     *,
     domain_col: str = "source",
+    url_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     blocklist: Sequence[str] = (),
@@ -40,9 +41,16 @@ def domain_profile(
     """Per-domain curation statistics: ``(domain, n_docs, dup_docs,
     mean_quality, blocked)`` — document count, documents whose content
     fingerprint occurs more than once CORPUS-WIDE (mirror/boilerplate
-    signal), deterministic mean quality score, and the blocklist flag."""
+    signal), deterministic mean quality score, and the blocklist flag.
+
+    Pass ``url_col`` (e.g. the WARC reader's ``target_uri``) to derive
+    the domain key via :func:`registrable_domain` instead of reading a
+    pre-extracted ``domain_col`` — the crawl-native form."""
+    domain = (
+        registrable_domain(F.col(url_col)) if url_col else F.col(domain_col)
+    )
     base = _spread(docs).select(
-        F.col(domain_col).alias("domain"),
+        domain.alias("domain"),
         F.col(id_col).alias("id"),
         T.fingerprint(F.col(text_col)).alias("fp"),
         F.round(T.quality_score(F.col(text_col)), 6).cast("decimal(18,6)").alias("q"),

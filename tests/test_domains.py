@@ -118,3 +118,18 @@ def test_registrable_domain():
     assert got[3] == "example.co.uk"
     assert got[4] == "localhost"
     assert got[5] is None
+
+
+def test_domain_profile_from_urls(spark):
+    """url_col derives the profile key via registrable_domain — the
+    WARC-native form (subdomains collapse to eTLD+1)."""
+    from architxt_spark.functions.domains import domain_profile
+
+    rows = [
+        (1, "https://news.example.com/a", "the quick brown fox story one"),
+        (2, "https://blog.example.com/b", "the quick brown fox story two"),
+        (3, "http://other.net/c", "a completely different page here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    prof = {r.domain: r.n_docs for r in domain_profile(df, url_col="url").collect()}
+    assert prof == {"example.com": 2, "other.net": 1}
