@@ -161,11 +161,12 @@ def normalize_url(col: Column) -> Column:
     u = F.regexp_replace(u, r"^(https?://[^/?#]*):(?:80|443)([/?#].*)?$", r"$1$2")
     for p in TRACKING_PARAMS:                                  # tracking params
         u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*", r"$1")
-    u = F.regexp_replace(u, r"\?&", "?")                      # "?&q" -> "?q"
+    u = F.regexp_replace(u, r"\?&+", "?")                     # "?&&q" -> "?q"
     u = F.regexp_replace(u, r"&&+", "&")                       # "&&" runs
-    u = F.regexp_replace(u, r"[?&]$", "")                      # dangling ? / &
-    u = F.regexp_replace(u, r"(.)/\?", r"$1?")                 # "/path/?q" -> "/path?q"
-    u = F.regexp_replace(u, r"(.)/$", r"$1")                   # trailing slash
+    u = F.regexp_replace(u, r"(.)/+\?", r"$1?")                # "/path/?q" -> "/path?q"
+    u = F.regexp_replace(u, r"([^/])/+$", r"$1")               # trailing slash run
+    u = F.regexp_replace(u, r"[?&]$", "")                      # dangling ? / & (LAST:
+    # the slash rules can re-expose one, and idempotence requires a fixpoint)
     return u
 
 
@@ -179,11 +180,11 @@ def normalize_url_sql(col: str) -> str:
     u = f"regexp_replace({u}, '^(https?://[^/?#]*):(?:80|443)([/?#].*)?$', '\\1\\2')"
     for p in TRACKING_PARAMS:
         u = f"regexp_replace({u}, '([?&]){p}=[^&#]*', '\\1', 'g')"
-    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
     u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '(.)/+\\?', '\\1?')"
+    u = f"regexp_replace({u}, '([^/])/+$', '\\1')"
     u = f"regexp_replace({u}, '[?&]$', '')"
-    u = f"regexp_replace({u}, '(.)/\\?', '\\1?')"
-    u = f"regexp_replace({u}, '(.)/$', '\\1')"
     return u
 
 

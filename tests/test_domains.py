@@ -133,3 +133,39 @@ def test_domain_profile_from_urls(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string, text string")
     prof = {r.domain: r.n_docs for r in domain_profile(df, url_col="url").collect()}
     assert prof == {"example.com": 2, "other.net": 1}
+
+
+def test_normalize_url_idempotent_property(spark):
+    """Canonicalization must be idempotent — a re-crawled canonical URL
+    maps to itself, or dedup keys drift between passes."""
+    from hypothesis import given, settings, strategies as st
+
+    from architxt_spark.functions.domains import normalize_url
+
+    frag = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=12
+    )
+
+    @st.composite
+    def urls(draw):
+        scheme = draw(st.sampled_from(["http", "https", "HTTP", "HtTpS"]))
+        host = draw(st.sampled_from(["a.example.com", "EX.org", "x.co.uk:443", "y.net:8080"]))
+        path = "/".join(draw(st.lists(frag, max_size=3)))
+        q = "&".join(
+            draw(st.lists(st.sampled_from(
+                ["a=1", "utm_source=z", "b=", "fbclid=q", "c=d"]), max_size=4))
+        )
+        return f"{scheme}://{host}/{path}" + (f"?{q}" if q else "") + draw(
+            st.sampled_from(["", "#frag", "/"])
+        )
+
+    @settings(max_examples=10, deadline=None)
+    @given(batch=st.lists(urls(), min_size=1, max_size=20))
+    def check(batch):
+        df = spark.createDataFrame([(u,) for u in batch], "url string")
+        once = [r.u for r in df.select(normalize_url(F.col("url")).alias("u")).collect()]
+        df2 = spark.createDataFrame([(u,) for u in once], "url string")
+        twice = [r.u for r in df2.select(normalize_url(F.col("url")).alias("u")).collect()]
+        assert once == twice
+
+    check()
