@@ -334,6 +334,25 @@ def _cmd_compact(args: argparse.Namespace) -> None:
         print("\t".join(str(d[c]) for c in manifest.columns))
 
 
+def _cmd_verify_corpus(args: argparse.Namespace) -> None:
+    """Diff the stored manifest against the data; exit 1 on any bad
+    partition (the pre-flight check a resumable backfill runs)."""
+    import sys
+
+    from architxt_spark.sinks.corpus import verify_corpus
+
+    spark = _session("verify-corpus")
+    rows = verify_corpus(spark, args.path, text_col=args.text_col).collect()
+    bad = 0
+    for r in rows:
+        d = r.asDict()
+        ok = d.pop("ok")
+        print(("OK  " if ok else "BAD ") + ", ".join(f"{k}={v}" for k, v in d.items()))
+        bad += 0 if ok else 1
+    if bad:
+        sys.exit(1)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="architxt-spark", description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -448,6 +467,11 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--text-col", default="text")
     co.add_argument("--files-per-partition", type=int, default=1)
     co.set_defaults(fn=_cmd_compact)
+
+    vc = sub.add_parser("verify-corpus", help="manifest integrity diff (exit 1 on mismatch)")
+    vc.add_argument("path")
+    vc.add_argument("--text-col", default="text")
+    vc.set_defaults(fn=_cmd_verify_corpus)
     return p
 
 

@@ -349,3 +349,29 @@ def test_cli_compact(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == docs.select("lang").distinct().count()
     assert spark.read.parquet(f"{path}/data").count() == docs.count()
+
+
+def test_cli_verify_corpus(spark, tmp_path, capsys):
+    import os
+
+    import pytest
+
+    from architxt_spark import cli
+    from architxt_spark.sinks.corpus import write_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "corpus")
+    write_corpus(docs, path, partition_cols=["lang"])
+    cli.main(["verify-corpus", path])
+    out = capsys.readouterr().out
+    assert out.count("OK ") == docs.select("lang").distinct().count()
+    # tamper one partition -> nonzero exit
+    victim = sorted(
+        d for d in os.listdir(f"{path}/data") if d.startswith("lang=")
+    )[0]
+    for f in os.listdir(f"{path}/data/{victim}"):
+        if f.endswith(".parquet"):
+            os.remove(f"{path}/data/{victim}/{f}")
+    with pytest.raises(SystemExit):
+        cli.main(["verify-corpus", path])
+    assert "BAD" in capsys.readouterr().out
