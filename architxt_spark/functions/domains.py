@@ -164,9 +164,10 @@ def normalize_url(col: Column) -> Column:
     u = F.regexp_replace(u, r"\?&+", "?")                     # "?&&q" -> "?q"
     u = F.regexp_replace(u, r"&&+", "&")                       # "&&" runs
     u = F.regexp_replace(u, r"(.)/+\?", r"$1?")                # "/path/?q" -> "/path?q"
-    u = F.regexp_replace(u, r"([^/])/+$", r"$1")               # trailing slash run
-    u = F.regexp_replace(u, r"[?&]$", "")                      # dangling ? / & (LAST:
-    # the slash rules can re-expose one, and idempotence requires a fixpoint)
+    # ONE trailing-junk rule (any run of / ? &): piecemeal slash/dangling
+    # rules re-expose each other ("/&" -> "/" -> "") and never reach a
+    # fixpoint in one pass — the idempotence property test found both
+    u = F.regexp_replace(u, r"[/?&]+$", "")
     return u
 
 
@@ -183,8 +184,7 @@ def normalize_url_sql(col: str) -> str:
     u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
     u = f"regexp_replace({u}, '&&+', '&', 'g')"
     u = f"regexp_replace({u}, '(.)/+\\?', '\\1?')"
-    u = f"regexp_replace({u}, '([^/])/+$', '\\1')"
-    u = f"regexp_replace({u}, '[?&]$', '')"
+    u = f"regexp_replace({u}, '[/?&]+$', '')"
     return u
 
 
