@@ -256,3 +256,94 @@ def stream_fm_distinct(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def url_seen_batch(
+    batch: DataFrame,
+    bloom_path: str,
+    *,
+    url_col: str = "url",
+    n_bits: int = 1 << 22,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """One micro-batch of BOUNDED-STATE URL dedup for a crawl frontier:
+    drop rows whose URL the persistent Bloom bitmap has (probably) seen,
+    then fold the survivors' URLs into the bitmap.
+
+    The state is ``n_bits/63`` longs TOTAL — independent of how many
+    URLs have ever streamed past (the exact-index approaches keep one
+    row per document forever; a frontier seeing 10^11 URLs cannot).  The
+    price is the Bloom false-positive rate: a never-seen URL can be
+    (deterministically) dropped — the standard frontier trade, sized by
+    ``n_bits``/``n_hashes`` against expected cardinality.  The bitmap
+    update is the ``bit_or`` monoid, so the state write is one bounded
+    groupBy; everything is engine-reproducible md5 hashing
+    (`functions/sketch.py` bloom_build/bloom_probe).
+    """
+    from architxt_spark.functions.dedup import _spread
+    from architxt_spark.functions.sketch import bloom_build, bloom_probe
+
+    spark = batch.sparkSession
+    batch = stage_barrier(_spread(batch))
+    try:
+        seen = spark.read.parquet(bloom_path).groupBy("word_idx").agg(
+            F.expr("bit_or(bits)").alias("bits")
+        )
+    except Exception:  # first batch: no bitmap yet
+        seen = None
+    if seen is not None:
+        probed = bloom_probe(
+            batch, seen, url_col, n_bits=n_bits, n_hashes=n_hashes
+        )
+        kept = probed.filter(~F.coalesce(F.col("maybe_member"), F.lit(True))).drop(
+            "maybe_member"
+        )
+    else:
+        kept = batch.filter(F.col(url_col).isNotNull())
+    # also collapse within-batch duplicates (the bitmap only knows about
+    # PRIOR batches): keep ONE deterministic row per URL — the
+    # lexicographic struct-min over the remaining columns (dropDuplicates
+    # keeps whichever task finishes first; retries would flap)
+    other = [c for c in kept.columns if c != url_col]
+    if other:
+        kept = (
+            kept.groupBy(url_col)
+            .agg(F.min(F.struct(*other)).alias("__r"))
+            .select(url_col, *[F.col(f"__r.{c}").alias(c) for c in other])
+            .select(*kept.columns)
+        )
+    else:
+        kept = kept.distinct()
+    kept = stage_barrier(kept)
+    bloom_build(kept, url_col, n_bits=n_bits, n_hashes=n_hashes).write.mode(
+        "append"
+    ).parquet(bloom_path)
+    return kept
+
+
+def stream_url_seen(
+    stream: DataFrame,
+    bloom_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    *,
+    url_col: str = "url",
+    n_bits: int = 1 << 22,
+    n_hashes: int = 4,
+):
+    """Streaming crawl-frontier URL dedup: per micro-batch
+    :func:`url_seen_batch` against the persistent Bloom bitmap; first
+    sightings append to ``out_path``.  State stays ``n_bits/63`` longs
+    no matter how long the stream runs."""
+
+    def run(batch: DataFrame, _epoch: int) -> None:
+        url_seen_batch(
+            batch, bloom_path, url_col=url_col, n_bits=n_bits, n_hashes=n_hashes
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

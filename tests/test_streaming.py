@@ -267,3 +267,33 @@ def test_stream_curate_line_clean(spark, tmp_path):
     kept = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
     assert set(kept) == {0}  # doc 1 fails the C4 page gate
     assert "javascript" not in kept[0]
+
+
+def test_stream_url_seen_bounded_state(spark, tmp_path):
+    """Bloom-bitmap URL dedup: cross-batch repeats drop, within-batch
+    duplicates collapse deterministically, and the persistent state is
+    bounded by the bitmap words — not by the URL count."""
+    import os
+
+    from architxt_spark.streaming.corpus import stream_url_seen
+
+    bloom, out, ckpt, src = (str(tmp_path / d) for d in ("bloom", "out", "ckpt", "src"))
+    b1 = [(1, "http://a/x"), (2, "http://a/y"), (3, "http://a/x")]
+    b2 = [(10, "http://a/y"), (11, "http://a/z")]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, "doc_id long, url string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_url_seen(stream, bloom, out, ckpt, n_bits=4096)
+        q.awaitTermination(300)
+    got = {r.url: r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {"http://a/x": 1, "http://a/y": 2, "http://a/z": 11}
+    # state is word rows, bounded by n_bits/63 regardless of URL count
+    words = spark.read.parquet(bloom)
+    assert words.count() <= 4096 // 63 + 1
+    assert set(words.columns) == {"word_idx", "bits"}
