@@ -349,6 +349,38 @@ def q_stream_curate(spark: SparkSession, sf: str) -> DataFrame:
     return _two_batch_stream(spark, sf, stream_curate)
 
 
+def q_stream_url_seen(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-state streaming URL dedup under the full hash gate: two
+    deterministic micro-batches (even doc_ids seed the Bloom bitmap, odd
+    probe it); synthesized URLs collide across batches on
+    source×(doc_id%40).  State is n_bits/63 longs regardless of stream
+    length; the oracle replays the exact md5 bit positions, so even
+    Bloom false positives reproduce identically
+    (`streaming/corpus.py` stream_url_seen)."""
+    import tempfile
+
+    from architxt_spark.streaming.corpus import stream_url_seen
+
+    scratch = tempfile.mkdtemp(prefix="architxt_urlseen_")
+    src, bloom, out, ckpt = (f"{scratch}/{d}" for d in ("src", "bloom", "out", "ckpt"))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit("/p"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("url"),
+    )
+    for batch_filter in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        docs.filter(batch_filter).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        _await_stream(stream_url_seen(stream, bloom, out, ckpt, n_bits=4096))
+    return spark.read.parquet(out).select("url", "doc_id")
+
+
 def q_join_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Salted equi-join (operators/skew.py): lineitem joined to orders with
     the left side's keys spread over 16 salts and the right replicated to
@@ -2039,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir",
         "contamination_screen",
         "stream_curate",
+        "stream_url_seen",
         "c4_clean",
         "sketch_suite",
         "bpe_tokenizer",
@@ -2070,6 +2103,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_streaming": q_events_sessionize_streaming,
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "stream_curate": q_stream_curate,
+        "stream_url_seen": q_stream_url_seen,
         "retention_cohorts": q_retention_cohorts,
         "funnel_signup_view_purchase": q_funnel_signup_view_purchase,
         "range_join_signup_clicks": q_range_join_signup_clicks,
@@ -2138,6 +2172,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_pack": q_sampling_pack,
         "c4_clean": q_c4_clean,
     }
+
+
+def _stream_url_seen_sql() -> str:
+    from architxt_spark.functions.sketch import bloom_membership_sql
+
+    url = "'http://' || source || '/p' || CAST(doc_id % 40 AS VARCHAR)"
+    k2_src = (
+        "(SELECT url, MIN(doc_id) AS doc_id FROM"
+        f" (SELECT doc_id, {url} AS url FROM documents WHERE doc_id % 2 = 1)"
+        " GROUP BY url)"
+    )
+    mem = bloom_membership_sql("__k1", "url", k2_src, "url", "url", n_bits=4096)
+    return f"""
+        WITH __k1 AS (
+            SELECT url, MIN(doc_id) AS doc_id FROM
+                (SELECT doc_id, {url} AS url FROM documents WHERE doc_id % 2 = 0)
+            GROUP BY url
+        ),
+        __mem AS ({mem}),
+        __k2 AS (
+            SELECT b.url, b.doc_id FROM {k2_src} b
+            JOIN __mem m ON m.url = b.url
+            WHERE NOT m.maybe_member
+        )
+        SELECT url, doc_id FROM __k1
+        UNION ALL
+        SELECT url, doc_id FROM __k2
+    """
 
 
 def _c4_clean_sql() -> str:
@@ -2941,6 +3003,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_fm_distinct": _stream_fm_sql(),
         "curation_pipeline": _curation_sql(),
         "c4_clean": _c4_clean_sql(),
+        "stream_url_seen": _stream_url_seen_sql(),
         "quality_classifier": _classifier_sql(),
         "domain_profile": _domains_sql(),
         "lm_perplexity": _lm_sql(),
