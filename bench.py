@@ -45,10 +45,12 @@ HEADLINE = [
     # r5 additions: semantic (embedding k-means) dedup and DSIR selection
     "semantic_dedup",
     "dsir",
-    # r6 additions: the model-based quality filter and the end-to-end
-    # curation chain (gate -> dedup -> mixture -> packing, census)
+    # r6 additions: the model-based quality filter, the end-to-end
+    # curation chain (gate -> dedup -> mixture -> packing, census), and
+    # the C4 line-cleaning + line-hygiene scan stage
     "quality_classifier",
     "curation_pipeline",
+    "c4_clean",
 ]
 
 
