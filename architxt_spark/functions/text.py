@@ -645,9 +645,38 @@ def line_lang_profile(col: Column) -> Column:
     (ties → LANG_MARKERS order), and ``mixed`` flags documents whose
     identified lines disagree — the signal a monolingual pretraining mix
     uses to drop or split code-switched pages.  Pure (nested)
-    higher-order codegen — no shuffle, no Python."""
+    higher-order codegen — no shuffle, no Python.
+
+    The per-line language ID runs as ONE ``aggregate`` pass over the
+    line's tokens building a 4-language hit vector — interpreted
+    higher-order functions get no common-subexpression elimination, so
+    the naive per-language-filter form re-tokenizes every line 4×
+    (measured 3.8 s vs 1.3 s at sf0.1 on the c4_clean fold).  Identical
+    results to :func:`lang_id` line-by-line (same hit counts, same
+    first-marker tie order), which is what the DuckDB twin replays."""
+
+    def hits_merge(acc: Column, w: Column) -> Column:
+        return F.array(*[
+            F.element_at(acc, i + 1)
+            + F.when(w.isin(*LANG_MARKERS[i][1]), 1).otherwise(0)
+            for i in range(len(LANG_MARKERS))
+        ])
+
+    def line_lang(l: Column) -> Column:
+        hv = F.aggregate(
+            tokens(l), F.array(*[F.lit(0)] * len(LANG_MARKERS)), hits_merge
+        )
+        best = F.array_max(hv)
+        expr = F.lit("und")
+        for i in reversed(range(len(LANG_MARKERS))):
+            expr = F.when(
+                (best > 0) & (F.element_at(hv, i + 1) == best),
+                F.lit(LANG_MARKERS[i][0]),
+            ).otherwise(expr)
+        return expr
+
     lines = F.split(col, "\n")
-    langs = F.transform(lines, lambda l: lang_id(l))
+    langs = F.transform(lines, line_lang)
     known = F.filter(langs, lambda x: x != "und")
     def eq_for(lang: str):
         # closure factory, NOT a default-arg lambda — pyspark binds
