@@ -297,3 +297,21 @@ def test_stream_url_seen_bounded_state(spark, tmp_path):
     words = spark.read.parquet(bloom)
     assert words.count() <= 4096 // 63 + 1
     assert set(words.columns) == {"word_idx", "bits"}
+
+
+def test_url_seen_batch_null_urls_dropped(spark, tmp_path):
+    """NULL URLs never enter the frontier on either the first or a
+    subsequent batch (probe-path NULL membership coalesces to drop)."""
+    from architxt_spark.streaming.corpus import url_seen_batch
+
+    bloom = str(tmp_path / "bloom")
+    b1 = spark.createDataFrame(
+        [(1, "http://a/x"), (2, None)], "doc_id long, url string"
+    )
+    k1 = {r.url for r in url_seen_batch(b1, bloom, n_bits=4096).collect()}
+    assert k1 == {"http://a/x"}
+    b2 = spark.createDataFrame(
+        [(3, None), (4, "http://a/y")], "doc_id long, url string"
+    )
+    k2 = {r.url for r in url_seen_batch(b2, bloom, n_bits=4096).collect()}
+    assert k2 == {"http://a/y"}
