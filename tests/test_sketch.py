@@ -399,3 +399,44 @@ def test_curation_census_matches_duckdb(spark):
     _, census = curate_corpus(df)
     got = sorted((r.stage, r.n_docs) for r in census.collect())
     assert got == oracle
+
+
+def test_curation_temperature_mixture_derives_counts(spark):
+    """Self-contained temperature mixing: counts derived internally from
+    post-dedup stratum sizes; census replays stage-for-stage in DuckDB."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.curation import curate_corpus, curation_census_sql
+
+    # per-doc-unique content words: every shingle carries doc-specific
+    # tokens, so all 28 docs survive near-dup dedup and the temperature
+    # allocation has real stratum sizes to water-fill over
+    rows = [
+        (
+            i,
+            " ".join(f"the word{i}n{j} item{i}x{j}" for j in range(12)),
+            "en" if i % 4 else "fr",
+        )
+        for i in range(28)
+    ] + [(100, "junk", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kw = dict(
+        mixture_col="lang",
+        mixture_total=10,
+        mixture_strata=["en", "fr"],
+        mixture_alpha=0.5,
+        salt="t6",
+    )
+    kept, census = curate_corpus(df, **kw)
+    got = sorted((r.stage, r.n_docs) for r in census.collect())
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(con.execute(curation_census_sql("documents", **kw)).fetchall())
+    assert got == oracle
+    c = dict(got)
+    assert c["sample"] == 10 and kept.count() == 10
+    # the temperature allocation upweights the smaller stratum vs
+    # proportional: fr share in the take > fr share in the survivors
+    langs = {r.lang: 0 for r in kept.select("lang").distinct().collect()}
+    for r in kept.collect():
+        langs[r.lang] += 1
+    assert langs["fr"] >= 3  # proportional would give ~2 of 10
