@@ -266,9 +266,13 @@ def _cmd_curate(args: argparse.Namespace) -> None:
         from pyspark.sql import functions as F
 
         from architxt_spark.functions.domains import normalize_url
-        from architxt_spark.sources.warc import read_warc
+        from architxt_spark.sources.warc import read_warc, read_warc_split
 
-        recs = read_warc(spark, args.docs)
+        recs = (
+            read_warc_split(spark, args.docs, split_bytes=args.split_bytes)
+            if args.split_bytes
+            else read_warc(spark, args.docs)
+        )
         docs = recs.select(
             F.xxhash64("path", "record_id").alias(args.id_col),
             F.col("text").alias(args.text_col),
@@ -446,6 +450,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reliable checkpoint dir (cluster posture)")
     cu.add_argument("--warc", action="store_true",
                     help="input is a directory of WARC/WARC.gz archives")
+    cu.add_argument("--split-bytes", type=int, default=None, metavar="N",
+                    help="with --warc: carve uncompressed archives into "
+                         "N-byte task splits (few-large-files layout)")
     cu.add_argument("--url-dedup", action="store_true",
                     help="with --warc: keep one record per canonical URL")
     cu.add_argument("--line-clean", action="store_true",

@@ -14,4 +14,10 @@ from architxt_spark.sources.documents import (  # noqa: F401
     read_document_value,
     read_documents_df,
 )
-from architxt_spark.sources.warc import build_warc, html_to_text, parse_warc, read_warc  # noqa: F401
+from architxt_spark.sources.warc import (  # noqa: F401
+    build_warc,
+    html_to_text,
+    parse_warc,
+    read_warc,
+    read_warc_split,
+)

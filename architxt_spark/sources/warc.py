@@ -19,10 +19,19 @@ Scale design:
   HTML→text strip happen inside the parser, so only the rows and columns
   a query needs cross the Arrow boundary; downstream curation
   (:mod:`~architxt_spark.functions.curation`) composes directly.
-- **The splittable path** (a custom Hadoop InputFormat over uncompressed
-  WARC, or offset indexes for range requests) is deliberately out of
-  scope here; at CommonCrawl file counts the per-file layout already
-  saturates any cluster.
+- **The splittable path** (:func:`read_warc_split`) implements Hadoop
+  input-format split semantics over byte ranges of UNCOMPRESSED archives:
+  a record belongs to the split containing its first byte; a split that
+  starts mid-record scans forward to the next validated ``WARC/1.0``
+  record boundary and the previous split reads its overrunning record to
+  completion via the ``Content-Length`` walk.  Bytes stay bytes — no
+  lossy text decode — so binary payloads round-trip.  ``.warc.gz``
+  members in the same directory fall back to one-split-per-file (gzip is
+  not seekable without the index sidecar).  Per-file
+  (:func:`read_warc`) remains the default: CommonCrawl ships ~64k files
+  per crawl, plenty of tasks for 1000 executors; the split reader is for
+  the few-large-files layout (an in-house crawler dumping 100 GB
+  archives).
 """
 
 from __future__ import annotations
@@ -193,6 +202,245 @@ def read_warc(
             )
 
     return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+_REC_MAGIC = b"WARC/1.0\r\n"
+#: grow the split buffer in steps of this many bytes while completing a
+#: record that overruns the split end (bounds per-read memory, not
+#: record size — a record larger than the split still completes)
+_TAIL_STEP = 1 << 24
+
+
+class _RangeBuf:
+    """Absolute-offset view over a byte range of an open file: ``ensure``
+    extends the buffer lazily so a record overrunning the split end is
+    completed without reading the whole rest of the file."""
+
+    def __init__(self, f, start: int) -> None:
+        self._f = f
+        self.base = start
+        self.buf = bytearray()
+        self.eof = False
+        f.seek(start)
+
+    def ensure(self, abs_end: int) -> bool:
+        """Grow until the buffer covers ``[base, abs_end)``; False on EOF."""
+        while self.base + len(self.buf) < abs_end and not self.eof:
+            chunk = self._f.read(max(abs_end - self.base - len(self.buf), _TAIL_STEP))
+            if not chunk:
+                self.eof = True
+            self.buf.extend(chunk)
+        return self.base + len(self.buf) >= abs_end
+
+    def advance(self, abs_pos: int) -> None:
+        """Discard buffered bytes before ``abs_pos`` (callers promise all
+        later reads are at/after it) — keeps task memory O(largest
+        record), not O(split)."""
+        cut = abs_pos - self.base
+        if cut > 0:
+            del self.buf[:cut]
+            self.base = abs_pos
+
+    def find(self, needle: bytes, abs_from: int) -> int:
+        """Absolute offset of ``needle`` at/after ``abs_from`` within the
+        CURRENT buffer, or -1 (callers ensure() the range they scan)."""
+        i = self.buf.find(needle, abs_from - self.base)
+        return -1 if i < 0 else self.base + i
+
+    def slice(self, abs_from: int, abs_to: int) -> bytes:
+        return bytes(self.buf[abs_from - self.base : abs_to - self.base])
+
+
+def _parse_record_at(rb: _RangeBuf, pos: int):
+    """Parse one record whose version line starts at absolute ``pos``.
+    Returns ``(headers, body, next_pos)`` or ``None`` if the bytes at
+    ``pos`` are not a well-formed record (used both for normal parsing
+    and to reject false sync candidates inside payloads)."""
+    # header block ends at the first blank line
+    if not rb.ensure(pos + len(_REC_MAGIC)):
+        return None
+    if rb.slice(pos, pos + len(_REC_MAGIC)) != _REC_MAGIC:
+        return None
+    hdr_end = -1
+    probe = pos + 4096
+    while hdr_end < 0:
+        grew = rb.ensure(probe)
+        hdr_end = rb.find(b"\r\n\r\n", pos)
+        if hdr_end >= 0 or (not grew and rb.eof):
+            break
+        probe += 4096
+    if hdr_end < 0:
+        return None
+    headers: dict[str, str] = {}
+    for line in rb.slice(pos + len(_REC_MAGIC), hdr_end).split(b"\r\n"):
+        if b":" not in line:
+            return None  # non-header line before the blank ⇒ not a record
+        k, v = line.split(b":", 1)
+        headers[k.decode("ascii", "replace").strip().lower()] = (
+            v.decode("utf-8", "replace").strip()
+        )
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        return None
+    if length < 0 or "warc-type" not in headers:
+        return None
+    body_start = hdr_end + 4
+    if not rb.ensure(body_start + length):
+        return None  # truncated file
+    body = rb.slice(body_start, body_start + length)
+    nxt = body_start + length
+    # consume the record separator (two CRLFs; tolerate bare LFs)
+    rb.ensure(nxt + 4)
+    while rb.slice(nxt, nxt + 2) == b"\r\n":
+        nxt += 2
+        rb.ensure(nxt + 2)
+    while rb.slice(nxt, nxt + 1) == b"\n":
+        nxt += 1
+        rb.ensure(nxt + 1)
+    return headers, body, nxt
+
+
+def _sync_to_record(rb: _RangeBuf, start: int, end: int) -> int:
+    """First absolute offset in ``[start, end)`` where a VALIDATED record
+    begins, or -1.  Validation (full header parse + Content-Length) is
+    what makes pattern sync safe: a payload that merely contains the
+    ``WARC/1.0`` magic fails the parse and the scan moves on.
+
+    Limitation shared with every pattern-sync input format (Hadoop's WARC
+    readers included): a payload that embeds a COMPLETE well-formed WARC
+    record can be picked up as a phantom sync point when a split boundary
+    lands inside it.  The container's ``Content-Length`` walk in the
+    previous split still emits the true record, so nothing is lost —
+    at worst one extra row for adversarial payloads."""
+    pos = start
+    while pos < end:
+        rb.advance(pos)
+        rb.ensure(min(end, pos + _TAIL_STEP) + len(_REC_MAGIC))
+        cand = rb.find(_REC_MAGIC, pos)
+        if cand < 0 or cand >= end:
+            # magic may still sit past the buffered horizon but before end
+            if rb.base + len(rb.buf) >= end or rb.eof:
+                return -1
+            pos = rb.base + len(rb.buf) - len(_REC_MAGIC)
+            continue
+        if _parse_record_at(rb, cand) is not None:
+            return cand
+        pos = cand + 1
+    return -1
+
+
+def _range_records(
+    path: str,
+    start: int,
+    end: int,
+    record_types: tuple[str, ...],
+    extract_text: bool,
+    opener,
+) -> Iterator[dict[str, Any]]:
+    """Records whose first byte lies in ``[start, end)`` — the Hadoop
+    split contract.  A record overrunning ``end`` is read to completion
+    here and skipped by the next split's sync scan."""
+    with opener(path) as f:
+        rb = _RangeBuf(f, start)
+        pos = start if start == 0 else _sync_to_record(rb, start, end)
+        if pos < 0:
+            return
+        while pos < end:
+            rb.advance(pos)
+            parsed = _parse_record_at(rb, pos)
+            if parsed is None:
+                return  # malformed tail: stop, mirroring parse_warc
+            headers, body, nxt = parsed
+            wtype = headers.get("warc-type", "")
+            if not record_types or wtype in record_types:
+                status, ctype, payload = (
+                    split_http_response(body)
+                    if wtype == "response"
+                    else (None, headers.get("content-type", ""), body)
+                )
+                is_texty = "html" in ctype or ctype.startswith("text/")
+                yield {
+                    "path": path,
+                    "record_id": headers.get("warc-record-id", ""),
+                    "warc_type": wtype,
+                    "target_uri": headers.get("warc-target-uri", ""),
+                    "warc_date": headers.get("warc-date", ""),
+                    "content_type": ctype,
+                    "http_status": status,
+                    "payload": payload,
+                    "text": html_to_text(payload) if (extract_text and is_texty) else "",
+                }
+            pos = nxt
+
+
+def read_warc_split(
+    spark: SparkSession,
+    path: str,
+    *,
+    split_bytes: int = 128 << 20,
+    record_types: tuple[str, ...] = ("response",),
+    extract_text: bool = True,
+    opener=None,
+) -> DataFrame:
+    """Splittable WARC reader: uncompressed ``.warc`` files are carved
+    into ``split_bytes`` byte ranges — ONE TASK PER RANGE, so a single
+    100 GB archive parses across the whole cluster instead of one
+    executor.  Same output schema as :func:`read_warc`.
+
+    Split semantics are the Hadoop input-format contract (a record
+    belongs to the split containing its first byte; splits sync forward
+    to a validated record boundary), so the result is byte-identical to
+    the per-file reader.  ``.warc.gz`` files get one full-file split
+    (gzip needs the offset index to seek).  ``opener`` is the storage
+    seam: any ``path -> binary file-like`` callable (default
+    ``open(path, "rb")``; pass an fsspec/S3 opener on object storage —
+    executors then issue exactly one ranged GET stream per split)."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    paths = sorted(
+        p for p in _glob.glob(os.path.join(path, "*")) or [path]
+        if p.endswith((".warc", ".warc.gz", ".gz"))
+    ) or ([path] if os.path.isfile(path) else [])
+    if not paths:
+        raise FileNotFoundError(f"no WARC files under {path!r}")
+    chunks: list[tuple[str, int, int, bool]] = []
+    for p in paths:
+        size = os.path.getsize(p)
+        if p.endswith(".gz"):
+            chunks.append((p, 0, size, True))
+        else:
+            for off in range(0, max(size, 1), split_bytes):
+                chunks.append((p, off, min(off + split_bytes, size), False))
+    file_opener = opener or (lambda p: open(p, "rb"))
+    cols = [
+        "path", "record_id", "warc_type", "target_uri", "warc_date",
+        "content_type", "http_status", "payload", "text",
+    ]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for p, s, e, gz in zip(pdf["path"], pdf["start"], pdf["end"], pdf["gz"]):
+                if gz:
+                    with file_opener(p) as f:
+                        rows.extend(
+                            _records_for_file(p, f.read(), record_types, extract_text)
+                        )
+                else:
+                    rows.extend(
+                        _range_records(p, int(s), int(e), record_types,
+                                       extract_text, file_opener)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    ranges = spark.createDataFrame(
+        chunks, "path string, start long, end long, gz boolean"
+    ).repartition(len(chunks))
+    return ranges.mapInPandas(parse, WARC_SCHEMA)
 
 
 def build_warc(records: list[dict[str, Any]]) -> bytes:

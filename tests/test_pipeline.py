@@ -319,7 +319,8 @@ def test_cli_curate_from_warc(spark, tmp_path, capsys):
     out = str(tmp_path / "corpus")
     cli.main([
         "curate", str(warc_dir), "--out", out,
-        "--warc", "--url-dedup", "--line-clean", "--partition-by", "url",
+        "--warc", "--split-bytes", "700",  # byte-range splits, not per-file
+        "--url-dedup", "--line-clean", "--partition-by", "url",
     ])
     census = dict(
         ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()

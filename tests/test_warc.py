@@ -106,6 +106,83 @@ def test_read_warc_composes_with_curation(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# splittable reader (read_warc_split): Hadoop byte-range split semantics
+# ---------------------------------------------------------------------------
+
+import io
+
+from architxt_spark.sources.warc import (
+    _range_records,
+    _records_for_file,
+    read_warc_split,
+)
+
+
+def _row_key(r):
+    return (r.target_uri, r.warc_type, r.http_status, bytes(r.payload), r.text)
+
+
+def test_read_warc_split_parity_many_splits(spark, tmp_path):
+    """Byte-range splits (boundaries landing mid-header, mid-body, and
+    mid-magic) produce exactly the per-file reader's rows, and the plan
+    carves one partition per range."""
+    recs = [
+        {"warc_type": "response", "target_uri": f"http://s.example/{i}",
+         "payload": HTML + (b"x%d" % i) * (i % 7)}
+        for i in range(40)
+    ]
+    raw = build_warc(recs)
+    (tmp_path / "big.warc").write_bytes(raw)
+
+    whole = sorted(map(_row_key, read_warc(spark, str(tmp_path / "big.warc")).collect()))
+    split_df = read_warc_split(spark, str(tmp_path / "big.warc"), split_bytes=1000)
+    assert sorted(map(_row_key, split_df.collect())) == whole
+    assert split_df.rdd.getNumPartitions() == -(-len(raw) // 1000)  # one task per range
+
+
+def test_read_warc_split_overrun_and_false_magic(spark, tmp_path):
+    """A record larger than split_bytes completes from the split owning
+    its first byte; a payload containing the WARC/1.0 magic (but not a
+    well-formed record) never becomes a phantom sync point."""
+    recs = [
+        {"warc_type": "response", "target_uri": "http://big/", "payload": b"A" * 5000},
+        {"warc_type": "response", "target_uri": "http://trap/",
+         "payload": b"pre " + b"WARC/1.0\r\nnot a header line\r\n\r\n" * 20 + b" post",
+         "content_type": "application/octet-stream"},
+        {"warc_type": "response", "target_uri": "http://tail/", "payload": HTML},
+    ]
+    raw = build_warc(recs)
+    (tmp_path / "t.warc").write_bytes(raw)
+    whole = sorted(map(_row_key, read_warc(spark, str(tmp_path / "t.warc")).collect()))
+    got = sorted(map(_row_key, read_warc_split(
+        spark, str(tmp_path / "t.warc"), split_bytes=512).collect()))
+    assert got == whole and len(got) == 3
+
+
+def test_read_warc_split_gz_fallback(spark, tmp_path):
+    """.warc.gz members get one full-file split; mixed directories work."""
+    raw = build_warc(_records())
+    (tmp_path / "a.warc").write_bytes(raw)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(raw))
+    df = read_warc_split(spark, str(tmp_path), split_bytes=200)
+    rows = df.collect()
+    assert len(rows) == 4  # 2 responses per file
+    assert {r.path.split("/")[-1] for r in rows} == {"a.warc", "b.warc.gz"}
+
+
+def _split_union(raw: bytes, split_bytes: int):
+    """Driver-side harness: union of _range_records over consecutive
+    byte ranges — the exact work the Spark tasks do."""
+    out = []
+    for off in range(0, max(len(raw), 1), split_bytes):
+        out.extend(
+            _range_records("f", off, min(off + split_bytes, len(raw)),
+                           (), True, lambda p: io.BytesIO(raw))
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # property tests (driver-side parser invariants — no Spark session)
 # ---------------------------------------------------------------------------
 
@@ -142,6 +219,24 @@ def test_warc_roundtrip_property(records):
             assert status == 200 and payload == want["payload"]
         else:
             assert got["body"] == want["payload"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(records=st.lists(_record, max_size=6), split_bytes=st.integers(8, 600))
+def test_warc_split_partition_invariance_property(records, split_bytes):
+    """For ANY byte-range partition of the archive, the union over splits
+    equals the sequential parse — record count, order-insensitive fields,
+    and exact payload bytes (the Hadoop split contract)."""
+    raw = build_warc(records)
+    want = sorted(
+        (r["target_uri"], r["warc_type"], bytes(r["payload"]))
+        for r in _records_for_file("f", raw, (), True)
+    )
+    got = sorted(
+        (r["target_uri"], r["warc_type"], bytes(r["payload"]))
+        for r in _split_union(raw, split_bytes)
+    )
+    assert got == want
 
 
 @settings(max_examples=50, deadline=None)
