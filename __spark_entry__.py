@@ -1793,6 +1793,25 @@ def q_domain_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-graph ranking (crawl/host-quality signal): build the
+    session-transition graph over page ids from the behavioral log (one
+    window pass), then 3 iterations of EXACT integer fixed-point
+    PageRank — rank units are BIGINTs and every division is integral, so
+    Spark and DuckDB agree to the bit with no float summation-order
+    drift (`functions/linkgraph.py`)."""
+    from architxt_spark.functions.linkgraph import pagerank, session_edges
+
+    pages = _events(spark, sf).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("page"),
+    )
+    edges = session_edges(pages)
+    return pagerank(edges).withColumnRenamed("node", "page")
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation chain census, the full pretraining shape:
     Gopher quality gate (pure scan filter — junk never reaches a
@@ -2081,6 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline",
         "stream_fm_distinct",
         "bm25_batch",
+        # added this round
+        "link_pagerank",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2151,6 +2172,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "quality_classifier": q_quality_classifier,
         "domain_profile": q_domain_profile,
+        "link_pagerank": q_link_pagerank,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2404,6 +2426,23 @@ def _domains_sql() -> str:
     from architxt_spark.functions.domains import domain_profile_sql
 
     return domain_profile_sql("documents", blocklist=("src3", "src7"))
+
+
+def _link_pagerank_sql() -> str:
+    from architxt_spark.functions.linkgraph import pagerank_sql
+
+    edges = """
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (
+            SELECT CAST(props->>'k' AS BIGINT) AS src,
+                   LEAD(CAST(props->>'k' AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events
+        )
+        WHERE dst IS NOT NULL AND src <> dst
+        GROUP BY src, dst
+    """
+    return f"SELECT node AS page, rank_units FROM ({pagerank_sql(edges)})"
 
 
 def _classifier_sql() -> str:
@@ -3006,6 +3045,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_url_seen": _stream_url_seen_sql(),
         "quality_classifier": _classifier_sql(),
         "domain_profile": _domains_sql(),
+        "link_pagerank": _link_pagerank_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

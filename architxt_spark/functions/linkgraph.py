@@ -1,0 +1,205 @@
+"""Link-graph analytics: edge builders + exact integer PageRank.
+
+Beyond-reference component.  Crawl-scale curation ranks hosts to weight
+the frontier and to score corpus quality (CommonCrawl publishes exactly
+this as its host-level ranking); session-transition graphs rank pages
+from behavioral logs.  Both reduce to one primitive: build a weighted
+edge list, iterate PageRank over it.
+
+Scale design:
+
+- **Aggregate edges first.**  :func:`pagerank` collapses raw transitions
+  to one ``(src, dst, weight)`` row before iterating, so every iteration
+  joins |E| edge rows, not |raw events|.
+- **Pregel shape per iteration**: one shuffle join (ranks ⋈ edges on
+  ``src``), one map-combinable aggregation (sum contributions by
+  ``dst``), one left join back to the node set.  The edge+out-weight
+  frame and the node set sit behind a single :func:`stage_barrier` and
+  are reused by every iteration; ranks re-barrier each round so plan
+  depth stays O(1) in ``iters`` (the same discipline as
+  ``operators/engine.py``'s rewrite loop and ``sources/graph.py``'s BFS).
+- **Exact integer fixed-point arithmetic.**  Ranks live in units of
+  ``1/scale`` as BIGINTs; every division is an integral ``div``.  Sums
+  of integers are order-independent, so the result is bit-identical
+  across engines, partitionings, and retries — no float
+  summation-order drift, which is what lets PageRank sit under the full
+  dual-engine hash oracle (:func:`pagerank_sql` emits the DuckDB twin).
+  Dangling mass is dropped (the classic simplification): totals need
+  not be conserved; determinism is the contract.
+
+No reference counterpart (the reference has no graph-analytics
+operators; its graph support is the instance loader,
+``architxt/database/loader/graph.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from architxt_spark.session import stage_barrier
+
+__all__ = ["session_edges", "html_host_edges", "pagerank", "pagerank_sql"]
+
+
+def session_edges(
+    events: DataFrame,
+    *,
+    page_col: str = "page",
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Consecutive-visit transition edges from a behavioral log: for each
+    user ordered by ``order_cols``, emit ``(src, dst)`` per adjacent pair
+    of pages; self-loops and trailing events drop out.  One window pass —
+    no self-join."""
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    return (
+        events.select(
+            F.col(page_col).alias("src"),
+            F.lead(page_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+
+
+_HREF_RE = r'(?i)href\s*=\s*["\']?(https?://[^"\'\s>#]+)'
+
+
+def html_host_edges(
+    df: DataFrame,
+    *,
+    url_col: str = "target_uri",
+    html_col: str = "text",
+) -> DataFrame:
+    """Host-level link edges from crawled pages: source host from the
+    page URL, destination hosts from absolute ``href``s in the payload
+    (JVM regex, codegen — no Python in the path), both reduced to
+    registrable domains (eTLD+1).  Output: distinct ``(src, dst)`` host
+    pairs, self-links dropped — feed straight into :func:`pagerank`.
+    Relative links resolve to the same host and are skipped by the
+    absolute-URL regex (they cannot change the host graph)."""
+    from architxt_spark.functions.domains import registrable_domain
+
+    links = df.select(
+        registrable_domain(F.col(url_col)).alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
+        ).alias("href"),
+    )
+    return (
+        links.select("src", registrable_domain(F.col("href")).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    *,
+    iters: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over an edge list, in exact integer fixed-point.
+
+    Ranks are BIGINT multiples of ``1/scale``.  Per iteration, node ``v``
+    receives ``(rank[s] * w) div out_w[s]`` from each in-edge ``s→v`` and
+    is reset to ``base + (damping_pct * inflow) div 100`` where
+    ``base = ((100 - damping_pct) * (scale div N)) div 100`` — every
+    operation integral, so the result is deterministic to the bit (see
+    module docstring).  ``weight=None`` counts duplicate edge rows as
+    transition weight.  Output: ``(node, rank_units)``.
+
+    The node count ``N`` is the one driver-side scalar (a single count
+    job over the deduplicated node set — at web scale, millions of rows
+    reduced to one long)."""
+    w: Column = F.col(weight) if weight else F.lit(1)
+    e = edges.groupBy(src, dst).agg(F.sum(w).cast("long").alias("__w"))
+    outw = e.groupBy(src).agg(F.sum("__w").alias("__ow"))
+    # one barrier materializes the per-iteration reusables
+    e2 = stage_barrier(e.join(outw, src).select(src, dst, "__w", "__ow"))
+    nodes = stage_barrier(
+        e2.select(F.col(src).alias("node"))
+        .union(e2.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(None).cast("long"))
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_units"))
+    for _ in range(iters):
+        contrib = (
+            e2.join(ranks.withColumnRenamed("node", "__s"), F.col(src) == F.col("__s"))
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("(rank_units * __w) div __ow").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__c"))
+        )
+        ranks = stage_barrier(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(__c, 0L)) div 100")
+                )
+                .cast("long")
+                .alias("rank_units"),
+            )
+        )
+    return ranks
+
+
+def pagerank_sql(
+    edges_sql: str,
+    *,
+    iters: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of :func:`pagerank` for the dual-engine oracle gate:
+    ``edges_sql`` must select ``(src, dst, w)`` (already aggregated).
+    Iterations unroll to one CTE pair each; every SUM casts back to
+    BIGINT (DuckDB widens integer SUM to HUGEINT) and every division is
+    ``//`` so the arithmetic matches Spark's ``div`` bit-for-bit on the
+    non-negative values PageRank produces."""
+    base_pct = 100 - damping_pct
+    n_sub = "(SELECT n FROM __n)"
+    parts = [
+        f"__e AS ({edges_sql})",
+        "__nodes AS (SELECT src AS node FROM __e UNION SELECT dst FROM __e)",
+        "__ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM __e GROUP BY src)",
+        "__n AS (SELECT COUNT(*) AS n FROM __nodes)",
+        f"__r0 AS (SELECT node, {scale} // {n_sub} AS r FROM __nodes)",
+    ]
+    prev = "__r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"__c{i} AS (SELECT e.dst AS node, "
+            f"CAST(SUM((r.r * e.w) // o.ow) AS BIGINT) AS c "
+            f"FROM __e e JOIN __ow o ON e.src = o.src "
+            f"JOIN {prev} r ON r.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"__r{i} AS (SELECT n.node, "
+            f"CAST(({base_pct} * ({scale} // {n_sub})) // 100 "
+            f"+ ({damping_pct} * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r "
+            f"FROM __nodes n LEFT JOIN __c{i} c ON n.node = c.node)"
+        )
+        prev = f"__r{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_units FROM {prev}"
+    )

@@ -51,6 +51,9 @@ HEADLINE = [
     "quality_classifier",
     "curation_pipeline",
     "c4_clean",
+    # iterative graph analytics over the behavioral log (Pregel-shaped
+    # integer PageRank: K chained shuffle-join rounds behind barriers)
+    "link_pagerank",
 ]
 
 
