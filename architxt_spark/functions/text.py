@@ -38,7 +38,12 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(tokens(col))
+    """``size(tokens(col))`` computed as ONE compiled-regex scan (count
+    of ``\\S+`` runs) — identical by definition, no array allocation,
+    and it doesn't break whole-stage codegen the way higher-order
+    ``filter``/``split`` do (HOFs are CodegenFallback expressions: one
+    in a projection de-optimizes every sibling expression)."""
+    return F.regexp_count(col, F.lit(r"\S+"))
 
 
 def distinct_token_ratio(col: Column) -> Column:
@@ -47,21 +52,23 @@ def distinct_token_ratio(col: Column) -> Column:
     return F.when(F.size(t) > 0, F.size(F.array_distinct(t)) / F.size(t)).otherwise(F.lit(0.0))
 
 
-def _marker_hits(t: Column, words: tuple[str, ...]) -> Column:
-    # NB: a closure factory, NOT a default-arg lambda — pyspark's
-    # higher-order-function wrapper binds Columns to every lambda parameter,
-    # including defaulted ones.
-    def pred(x: Column) -> Column:
-        return x.isin(*words)
-
-    return F.size(F.filter(t, pred))
+def _marker_hits(col: Column, words: tuple[str, ...]) -> Column:
+    """Count of whitespace-delimited tokens of ``col`` that are in
+    ``words`` — one compiled-regex scan.  ``(?<=^|\\s)w(?=\\s|$)``
+    matches exactly the occurrences token-membership counting matches:
+    the zero-width lookarounds don't consume separators (adjacent marker
+    tokens both count) and backtracking resolves marker prefixes (es
+    ``un``/``una``).  Verified 0-diff against the token-filter form over
+    the full sf0.1 corpus (doc- and line-level)."""
+    return F.regexp_count(
+        F.lower(col), F.lit(r"(?<=^|\s)(?:%s)(?=\s|$)" % "|".join(words))
+    )
 
 
 def lang_id(col: Column) -> Column:
     """Stopword-hit language heuristic: argmax of marker hits per language,
     'und' when no marker hits; ties → first language in LANG_MARKERS."""
-    t = tokens(col)
-    hits = {lang: _marker_hits(t, words) for lang, words in LANG_MARKERS}
+    hits = {lang: _marker_hits(col, words) for lang, words in LANG_MARKERS}
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     for lang, _ in reversed(LANG_MARKERS):
@@ -71,21 +78,20 @@ def lang_id(col: Column) -> Column:
 
 def alpha_ratio(col: Column) -> Column:
     n = F.length(col)
-    a = F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
+    a = F.regexp_count(col, F.lit("[a-zA-Z]"))
     return F.when(n > 0, a / n).otherwise(F.lit(0.0))
 
 
 def punct_ratio(col: Column) -> Column:
     n = F.length(col)
-    p = F.length(F.regexp_replace(col, "[^.,;:!?'\"()]", ""))
+    p = F.regexp_count(col, F.lit("[.,;:!?'\"()]"))
     return F.when(n > 0, p / n).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(col: Column) -> Column:
-    t = tokens(col)
+    n = token_count(col)
     return F.when(
-        F.size(t) > 0,
-        F.size(F.filter(t, lambda x: x.isin(*ALL_STOPWORDS))) / F.size(t),
+        n > 0, _marker_hits(col, ALL_STOPWORDS) / n
     ).otherwise(F.lit(0.0))
 
 
@@ -647,38 +653,17 @@ def line_lang_profile(col: Column) -> Column:
     uses to drop or split code-switched pages.  Pure (nested)
     higher-order codegen — no shuffle, no Python.
 
-    The per-line language ID is FOUR compiled-regex scans per line
-    (``regexp_count`` with full-token lookarounds), not a per-token
-    interpreted loop: expressions inside higher-order lambdas run on the
-    interpreted eval path, where an ``aggregate`` over tokens allocates
-    a hit-vector array per token (measured 1.28 s at sf0.1) while the
-    regex counts stay inside cached JVM matchers (0.23 s — 5.6×).
-    ``(?<=^|\\s)word(?=\\s|$)`` counts exactly the whitespace-delimited
-    token occurrences ``tokens()`` membership counts (zero-width
-    lookarounds don't consume separators; backtracking handles marker
-    prefixes like es ``un``/``una``), verified by a 0-diff sweep over
-    the full sf0.1 corpus.  Identical results to :func:`lang_id`
-    line-by-line (same hit counts, same first-marker tie order), which
-    is what the DuckDB twin replays."""
-
-    def line_lang(l: Column) -> Column:
-        low = F.lower(l)
-        hv = [
-            F.regexp_count(
-                low, F.lit(r"(?<=^|\s)(?:%s)(?=\s|$)" % "|".join(words))
-            )
-            for _, words in LANG_MARKERS
-        ]
-        best = F.greatest(*hv)
-        expr = F.lit("und")
-        for i in reversed(range(len(LANG_MARKERS))):
-            expr = F.when(
-                (best > 0) & (hv[i] == best), F.lit(LANG_MARKERS[i][0])
-            ).otherwise(expr)
-        return expr
-
+    The per-line language ID is :func:`lang_id` applied per line —
+    since the regexp_count rewrite that is FOUR compiled-regex scans,
+    not a per-token interpreted loop: expressions inside higher-order
+    lambdas run on the interpreted eval path, where the former
+    ``aggregate`` over tokens allocated a hit-vector array per token
+    (measured 1.28 s at sf0.1) while the regex counts stay inside
+    cached JVM matchers (0.23 s — 5.6×); 0-diff over the full sf0.1
+    corpus.  Same hit counts and first-marker tie order as the DuckDB
+    twin's line-by-line replay."""
     lines = F.split(col, "\n")
-    langs = F.transform(lines, line_lang)
+    langs = F.transform(lines, lang_id)
     known = F.filter(langs, lambda x: x != "und")
     def eq_for(lang: str):
         # closure factory, NOT a default-arg lambda — pyspark binds
