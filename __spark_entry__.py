@@ -1793,6 +1793,36 @@ def q_domain_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: appended to each document for the unicode-hygiene oracle so NFC,
+#: control-strip, and punct-standardization all do real work on the
+#: ASCII test corpus: decomposed e+combining-acute, curly quotes,
+#: ellipsis, en-dash, NBSP, a C0 control, CRLF
+_UNICODE_MARKER = "e\u0301 \u201cq\u201d\u2026\u2013\u00a0\x01ok\r\nend"
+
+#: deterministic split fractions for the hash_split oracle
+_SPLITS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode hygiene + leakage-safe split (the preprocessing a crawl
+    corpus runs BEFORE any hashing): NFC normalization (Arrow-batched
+    pandas_udf — Spark ships no normalizer expression), control-char
+    strip + CRLF fold + typographic-punct standardization (codegen
+    regexp/translate), then deterministic train/valid/test assignment by
+    salted content-independent hash boundaries — a document's split
+    never changes when other documents are added
+    (`functions/text.py:clean_unicode`, `functions/sampling.py:hash_split`)."""
+    from architxt_spark.functions.sampling import hash_split
+    from architxt_spark.functions.text import clean_unicode
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.concat("text", F.lit(_UNICODE_MARKER)).alias("text")
+    )
+    return hash_split(
+        clean_unicode(docs, "text"), "doc_id", _SPLITS, salt="v1"
+    ).select("doc_id", "text", "split")
+
+
 def q_link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Link-graph ranking (crawl/host-quality signal): build the
     session-transition graph over page ids from the behavioral log (one
@@ -2102,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch",
         # added this round
         "link_pagerank",
+        "unicode_split",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2173,6 +2204,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "domain_profile": q_domain_profile,
         "link_pagerank": q_link_pagerank,
+        "unicode_split": q_unicode_split,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2426,6 +2458,17 @@ def _domains_sql() -> str:
     from architxt_spark.functions.domains import domain_profile_sql
 
     return domain_profile_sql("documents", blocklist=("src3", "src7"))
+
+
+def _unicode_split_sql() -> str:
+    from architxt_spark.functions.sampling import hash_split_sql
+    from architxt_spark.functions.text import clean_unicode_sql
+
+    marker = " || ".join(f"chr({ord(c)})" for c in _UNICODE_MARKER)
+    return (
+        f"SELECT doc_id, {clean_unicode_sql(f'(text || {marker})')} AS text, "
+        f"{hash_split_sql('doc_id', _SPLITS, 'v1')} AS split FROM documents"
+    )
 
 
 def _link_pagerank_sql() -> str:
@@ -3046,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _classifier_sql(),
         "domain_profile": _domains_sql(),
         "link_pagerank": _link_pagerank_sql(),
+        "unicode_split": _unicode_split_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

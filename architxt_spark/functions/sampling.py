@@ -440,6 +440,41 @@ def upsample_stratified(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/valid/test assignment: each row
+    gets the split whose cumulative-fraction interval contains its
+    :func:`sample_key` — a pure map-side column, no shuffle, stable
+    under re-runs, retries, and corpus growth (a document's split never
+    changes when OTHER documents are added, the property random-split
+    lacks).  Key by the deduplication identity (canonical URL, content
+    fingerprint) rather than a row id when near-duplicates must not
+    straddle the eval boundary.  Fractions are exact to 1/``HASH_MOD``
+    and must sum to ≤ 1; any remainder falls in the LAST split of the
+    (insertion-ordered) mapping."""
+    total = sum(splits.values())
+    if not 0 < total <= 1 + 1e-9:
+        raise ValueError(f"split fractions must sum to (0, 1], got {total}")
+    key = sample_key(F.col(id_col), salt)
+    names = list(splits)
+    bounds = []
+    cum = 0
+    for name in names:
+        cum += int(round(splits[name] * HASH_MOD))
+        bounds.append((name, cum))
+    # ordered CASE: key < b1 -> s1 ELIF key < b2 -> s2 ... ELSE last
+    expr = F.lit(names[-1])
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(key < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL forms
 # ---------------------------------------------------------------------------
@@ -452,6 +487,21 @@ def sample_key_sql(id_col: str, salt: str = "") -> str:
     digit = f"(strpos('0123456789abcdef', substr({h}, {{d}}, 1)) - 1)"
     num = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (6 - d)}" for d in range(7))
     return f"(CAST({num} AS BIGINT) % {HASH_MOD})"
+
+
+def hash_split_sql(id_col: str, splits: Mapping[str, float], salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_split` (same cumulative boundaries over
+    :func:`sample_key_sql`)."""
+    key = sample_key_sql(id_col, salt)
+    bounds = []
+    cum = 0
+    for name in splits:
+        cum += int(round(splits[name] * HASH_MOD))
+        bounds.append((name, cum))
+    whens = " ".join(
+        f"WHEN {key} < {bound} THEN '{name}'" for name, bound in bounds[:-1]
+    )
+    return f"(CASE {whens} ELSE '{bounds[-1][0]}' END)" if whens else f"'{bounds[-1][0]}'"
 
 
 def _threshold_case_sql(

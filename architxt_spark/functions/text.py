@@ -8,7 +8,7 @@ are built-in-function expressions (whole-stage codegen; no Python UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Minimal per-language stopword markers for the n-gram/stopword heuristic
@@ -112,6 +112,98 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (content hash; the
     rolling-hash variant is ``shingle_fingerprints``)."""
     return F.md5(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene (crawl-text preprocessing: the CCNet/C4 cleanup that runs
+# BEFORE any hashing — composed vs decomposed forms of the same text must
+# fingerprint identically or every dedup stage under-counts)
+# ---------------------------------------------------------------------------
+
+#: C0/C1 control characters except tab/newline (CR handled separately so
+#: Windows line endings become plain \n, not a stripped-and-joined line)
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+
+#: typographic → ASCII punctuation (1:1 code-point map for translate():
+#: curly quotes/primes, hyphen–em-dash family, ellipsis, NBSP)
+PUNCT_MAP = (
+    "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u2032\u2033"
+    "\u2010\u2011\u2012\u2013\u2014\u2026\u00a0",
+    "''''\"\"\"'\"-----. ",
+)
+
+
+def strip_controls(col: Column) -> Column:
+    """Remove control characters (C0/C1 minus tab/newline) and normalize
+    CRLF/CR to LF — pure codegen regexp chain."""
+    c = F.regexp_replace(col, r"\r\n?", "\n")
+    return F.regexp_replace(c, _CONTROL_RE, "")
+
+
+def standardize_punct(col: Column) -> Column:
+    """Map typographic punctuation to its ASCII form (``PUNCT_MAP``) —
+    one codegen ``translate`` pass, so straight- and curly-quoted copies
+    of a sentence dedup together."""
+    return F.translate(col, *PUNCT_MAP)
+
+
+def nfc_normalize(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """Unicode NFC normalization of a string column (decomposed e +
+    combining acute → composed é, compatibility sequences untouched).
+
+    Spark ships no Unicode-normalization expression and ``reflect()``
+    cannot reach ``java.text.Normalizer`` (its Form parameter is an
+    enum), so this is the sanctioned Arrow slow path: one vectorized
+    ``pandas_udf`` over ``unicodedata.normalize`` — per-batch Python,
+    never per-row.  On a real cluster a one-line Scala UDF over JDK
+    ``java.text.Normalizer`` is the zero-copy alternative; the column
+    contract here is engine-agnostic (DuckDB twin: ``nfc_normalize``).
+    NFC is idempotent and ASCII-invariant: ASCII-only corpora pass
+    through byte-identical."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf rejects
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_fn, "string")
+    return df.withColumn(out or col, _nfc(F.col(col)))
+
+
+def clean_unicode(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """The composed hygiene pass: NFC → control strip → punctuation
+    standardization.  NFC runs first so decomposed typographic marks are
+    composed before the translate map sees them."""
+    df = nfc_normalize(df, col, out or col)
+    return df.withColumn(
+        out or col, standardize_punct(strip_controls(F.col(out or col)))
+    )
+
+
+def strip_controls_sql(col: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({col}, '\\r\\n?', chr(10), 'g'),"
+        f" '{_CONTROL_RE}', '', 'g')"
+    )
+
+
+def standardize_punct_sql(col: str) -> str:
+    src = PUNCT_MAP[0].replace("'", "''")
+    dst = PUNCT_MAP[1].replace("'", "''")
+    return f"translate({col}, '{src}', '{dst}')"
+
+
+def clean_unicode_sql(col: str) -> str:
+    """DuckDB twin of :func:`clean_unicode` (DuckDB has a native
+    ``nfc_normalize``; same Unicode standard the Python pass applies)."""
+    return standardize_punct_sql(strip_controls_sql(f"nfc_normalize({col})"))
 
 
 def shingles_of_tokens(t: Column, n: int = 3) -> Column:

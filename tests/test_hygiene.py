@@ -1,0 +1,111 @@
+"""Unicode hygiene (text.py:clean_unicode family) and the leakage-safe
+deterministic split (sampling.py:hash_split)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from architxt_spark.functions.sampling import (
+    HASH_MOD,
+    hash_split,
+    hash_split_sql,
+    sample_key_sql,
+)
+from architxt_spark.functions.text import (
+    PUNCT_MAP,
+    clean_unicode,
+    clean_unicode_sql,
+    nfc_normalize,
+    standardize_punct,
+    strip_controls,
+)
+
+DIRTY = "e\u0301 \u201cq\u201d\u2026\u2013 \x01ok\r\nend\ttab"
+
+
+def test_clean_unicode_end_to_end(spark):
+    df = spark.createDataFrame([(1, DIRTY), (2, "plain ascii"), (3, None)],
+                               "id long, text string")
+    rows = {r.id: r.text for r in clean_unicode(df, "text").collect()}
+    assert rows[1] == '\u00e9 "q".- ok\nend\ttab'  # NFC-composed, ASCII punct, \x01 gone
+    assert rows[2] == "plain ascii"  # ASCII passes through byte-identical
+    assert rows[3] is None
+
+
+def test_nfc_composes_decomposed(spark):
+    df = spark.createDataFrame([("e\u0301",)], "t string")
+    assert nfc_normalize(df, "t").first().t == "\u00e9"
+
+
+def test_strip_controls_and_punct(spark):
+    df = spark.createDataFrame([("a\rb\r\nc\x00\x7f\x9fd",)], "t string")
+    assert df.select(strip_controls(F.col("t")).alias("t")).first().t == "a\nb\ncd"
+    curly = spark.createDataFrame([(PUNCT_MAP[0],)], "t string")
+    assert curly.select(standardize_punct(F.col("t")).alias("t")).first().t == PUNCT_MAP[1]
+
+
+def test_clean_unicode_duckdb_twin_parity(spark):
+    df = spark.createDataFrame(
+        [(i, DIRTY + f" doc {i}") for i in range(8)], "id long, text string"
+    )
+    want = sorted((r.id, r.text) for r in clean_unicode(df, "text").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", [(i, DIRTY + f" doc {i}") for i in range(8)])
+    got = sorted(con.execute(
+        f"SELECT id, {clean_unicode_sql('text')} AS text FROM d"
+    ).fetchall())
+    assert got == want
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = hash_split(df, "doc_id", splits, salt="s")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    for name, frac in splits.items():
+        assert counts[name] == pytest.approx(20000 * frac, rel=0.05)
+    # same inputs → same assignment, twice
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, "doc_id", splits, salt="s").collect()}
+    assert a == b
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """The leakage-safety property: adding documents never moves an
+    existing document across the eval boundary."""
+    splits = {"train": 0.9, "test": 0.1}
+    small = hash_split(spark.range(1000).withColumnRenamed("id", "doc_id"),
+                       "doc_id", splits)
+    big = hash_split(spark.range(5000).withColumnRenamed("id", "doc_id"),
+                     "doc_id", splits)
+    a = {r.doc_id: r.split for r in small.collect()}
+    b = {r.doc_id: r.split for r in big.collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_split_sql_twin_parity(spark):
+    splits = {"train": 0.7, "valid": 0.2, "test": 0.1}
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    want = sorted((r.doc_id, r.split) for r in hash_split(df, "doc_id", splits, salt="z").collect())
+    con = duckdb.connect()
+    got = sorted(con.execute(
+        f"SELECT r AS doc_id, {hash_split_sql('r', splits, 'z')} AS split"
+        f" FROM range(500) t(r)"
+    ).fetchall())
+    assert got == want
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.9, "b": 0.3})
+
+
+def test_hash_split_remainder_goes_to_last(spark):
+    """Fractions summing under 1: the remainder lands in the last split."""
+    df = spark.range(10000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"a": 0.5, "b": 0.25})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == pytest.approx(5000, rel=0.06)  # 0.25 + 0.25 remainder
