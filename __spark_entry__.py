@@ -1823,6 +1823,16 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram collocation mining by PMI — exact BIGINT counts, min-count
+    filter BEFORE the unigram joins, log-sum PMI (no c_xy*N overflow at
+    corpus scale, engine skew at libm-ulp level)
+    (`functions/text.py:collocations`)."""
+    from architxt_spark.functions.text import collocations
+
+    return collocations(_t(spark, sf, "documents"), min_count=8)
+
+
 def q_link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Link-graph ranking (crawl/host-quality signal): build the
     session-transition graph over page ids from the behavioral log (one
@@ -2133,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added this round
         "link_pagerank",
         "unicode_split",
+        "collocations",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2205,6 +2216,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_profile": q_domain_profile,
         "link_pagerank": q_link_pagerank,
         "unicode_split": q_unicode_split,
+        "collocations": q_collocations,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3090,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_profile": _domains_sql(),
         "link_pagerank": _link_pagerank_sql(),
         "unicode_split": _unicode_split_sql(),
+        "collocations": T.collocations_sql("documents", min_count=8),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

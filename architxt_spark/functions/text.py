@@ -584,6 +584,88 @@ def ngram_stats_sql(
     """
 
 
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus bigram collocation mining: pointwise mutual information
+    ``pmi = ln c_xy + ln N − ln c_x − ln c_y`` for every adjacent word
+    pair occurring at least ``min_count`` times — the association
+    statistic phrase detectors (word2vec-style phrase joining, keyword
+    mining) rank by.  Output: ``(w1, w2, c_xy, c_x, c_y, n_tokens,
+    pmi)`` with every count an exact BIGINT.
+
+    Scale shape: bigram and unigram wordcounts are two map-combinable
+    shuffles over one scan each (tokenizing twice beats persisting a
+    corpus-size token-array frame — tokenization is scan-side and free
+    of shuffle; the explode feeds a map-side aggregation, the case the
+    explode-chain rule exempts from materialization).  The
+    ``min_count`` filter lands BEFORE the unigram joins, so only heavy
+    bigrams reach them; the total-token count rides a 1-row broadcast.
+    The log form avoids the ``c_xy·N`` BIGINT overflow a 100-TB corpus
+    would hit and keeps engine skew at libm-ulp level, far under the
+    gate's 6-significant-digit float normalization."""
+    t = F.col(text_col)
+    bi = (
+        df.select(tokens(t).alias("__t"))
+        .select(F.explode(shingles_of_tokens(F.col("__t"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_xy",
+        )
+    )
+    uni = (
+        df.select(F.explode(tokens(t)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y", "n_tokens",
+            (
+                F.log(F.col("c_xy").cast("double"))
+                + F.log(F.col("n_tokens").cast("double"))
+                - F.log(F.col("c_x").cast("double"))
+                - F.log(F.col("c_y").cast("double"))
+            ).alias("pmi"),
+        )
+    )
+
+
+def collocations_sql(table: str, text_col: str = "text", *, min_count: int = 5) -> str:
+    """DuckDB twin of :func:`collocations` (same log-sum form so float
+    skew stays at ulp level)."""
+    return f"""
+        WITH bi AS (
+            SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM (SELECT unnest({shingles_sql(text_col, 2)}) AS gram FROM {table})
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {min_count}
+        ),
+        uni AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest({tokens_sql(text_col)}) AS w FROM {table})
+            GROUP BY w
+        ),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni)
+        SELECT bi.w1, bi.w2, bi.c_xy, ux.c AS c_x, uy.c AS c_y, n.n_tokens,
+               ln(CAST(bi.c_xy AS DOUBLE)) + ln(CAST(n.n_tokens AS DOUBLE))
+               - ln(CAST(ux.c AS DOUBLE)) - ln(CAST(uy.c AS DOUBLE)) AS pmi
+        FROM bi JOIN uni ux ON bi.w1 = ux.w JOIN uni uy ON bi.w2 = uy.w, n
+    """
+
+
 def gopher_keep(col: Column) -> Column:
     """The Gopher composite keep decision as one boolean column — the
     rule set `__spark_entry__.q_gopher_quality_flags` reports flag-by-flag

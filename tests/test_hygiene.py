@@ -109,3 +109,20 @@ def test_hash_split_remainder_goes_to_last(spark):
     out = hash_split(df, "doc_id", {"a": 0.5, "b": 0.25})
     counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert counts["b"] == pytest.approx(5000, rel=0.06)  # 0.25 + 0.25 remainder
+
+
+def test_collocations_hand_computed(spark):
+    import math
+
+    from architxt_spark.functions.text import collocations
+
+    df = spark.createDataFrame(
+        [("new york is big",), ("new york is old",), ("the new york way",)],
+        "text string",
+    )
+    rows = {(r.w1, r.w2): r for r in collocations(df, min_count=2).collect()}
+    # bigrams >= 2: (new,york)=3, (york,is)=2, (is,?) no: ("is big"/"is old") once each
+    assert set(rows) == {("new", "york"), ("york", "is")}
+    ny = rows[("new", "york")]
+    assert (ny.c_xy, ny.c_x, ny.c_y, ny.n_tokens) == (3, 3, 3, 12)
+    assert ny.pmi == pytest.approx(math.log(3) + math.log(12) - math.log(3) - math.log(3))
