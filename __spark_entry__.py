@@ -1823,6 +1823,17 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus datasheet (the published-with-the-corpus stats card):
+    sizes, EXACT token-length deciles from a bounded length histogram
+    (never a single-reducer percentile), language mix, exact-dup share,
+    deterministic mean quality + Gopher pass rate, top sources
+    (`functions/report.py:corpus_report`)."""
+    from architxt_spark.functions.report import corpus_report
+
+    return corpus_report(_t(spark, sf, "documents"), source_col="source")
+
+
 def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Bigram collocation mining by PMI — exact BIGINT counts, min-count
     filter BEFORE the unigram joins, log-sum PMI (no c_xy*N overflow at
@@ -2144,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank",
         "unicode_split",
         "collocations",
+        "corpus_report",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2217,6 +2229,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "unicode_split": q_unicode_split,
         "collocations": q_collocations,
+        "corpus_report": q_corpus_report,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2470,6 +2483,12 @@ def _domains_sql() -> str:
     from architxt_spark.functions.domains import domain_profile_sql
 
     return domain_profile_sql("documents", blocklist=("src3", "src7"))
+
+
+def _corpus_report_sql() -> str:
+    from architxt_spark.functions.report import corpus_report_sql
+
+    return corpus_report_sql("documents", source_col="source")
 
 
 def _unicode_split_sql() -> str:
@@ -3103,6 +3122,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _link_pagerank_sql(),
         "unicode_split": _unicode_split_sql(),
         "collocations": T.collocations_sql("documents", min_count=8),
+        "corpus_report": _corpus_report_sql(),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

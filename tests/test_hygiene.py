@@ -126,3 +126,28 @@ def test_collocations_hand_computed(spark):
     ny = rows[("new", "york")]
     assert (ny.c_xy, ny.c_x, ny.c_y, ny.n_tokens) == (3, 3, 3, 12)
     assert ny.pmi == pytest.approx(math.log(3) + math.log(12) - math.log(3) - math.log(3))
+
+
+def test_corpus_report_hand_computed(spark):
+    from architxt_spark.functions.report import corpus_report
+
+    texts = [
+        ("one two three", "a"),          # 3 tokens
+        ("one two three", "a"),          # exact dup
+        ("four five six seven eight", "b"),
+        ("nine ten", "b"),
+        ("lone", "c"),
+    ]
+    df = spark.createDataFrame(texts, "text string, source string")
+    rows = {(r.section, r.key): r.value
+            for r in corpus_report(df, source_col="source").collect()}
+    assert rows[("size", "n_docs")] == 5
+    assert rows[("size", "n_tokens")] == 3 + 3 + 5 + 2 + 1
+    assert rows[("dup", "exact_dup_share")] == pytest.approx(1 - 4 / 5)
+    # decile definition: smallest length with cum_count >= ceil(q*n)
+    # sorted lengths [1,2,3,3,5]; p50 -> ceil(2.5)=3rd -> 3; p90 -> 5th -> 5
+    assert rows[("length", "p50_tokens")] == 3
+    assert rows[("length", "p90_tokens")] == 5
+    assert rows[("source", "a")] == 2 and rows[("source", "b")] == 2
+    assert ("quality", "gopher_pass_rate") in rows  # tiny docs all fail: 0.0
+    assert rows[("quality", "gopher_pass_rate")] == 0.0
