@@ -205,6 +205,26 @@ def _cmd_stats(args: argparse.Namespace) -> None:
     print(json.dumps(forest_stats(_read_nodes(spark, args.nodes)), indent=2, default=str))
 
 
+def _cmd_report(args: argparse.Namespace) -> None:
+    """Beyond-reference verb: print the corpus datasheet (sizes, exact
+    length deciles, language mix, dup share, quality summary, top
+    sources) as `section<TAB>key<TAB>value` lines — the stats card a
+    curation run publishes next to the corpus."""
+    from architxt_spark.functions.report import corpus_report
+
+    spark = _session("report")
+    docs = spark.read.parquet(args.docs)
+    rep = corpus_report(
+        docs,
+        text_col=args.text_col,
+        lang_col=args.lang_col,
+        source_col=args.source_col,
+        top_sources=args.top_sources,
+    )
+    for r in rep.collect():
+        print(f"{r.section}\t{r.key}\t{r.value:g}")
+
+
 def _cmd_generate(args: argparse.Namespace) -> None:
     """Reference ``generate`` verb (``cli/__init__.py:437-466``): synthetic
     instances of the demo medical schema."""
@@ -425,6 +445,14 @@ def build_parser() -> argparse.ArgumentParser:
     ej.add_argument("nodes")
     ej.add_argument("--out", required=True)
     ej.set_defaults(fn=_cmd_export_jsonl)
+
+    rp = sub.add_parser("report", help="corpus datasheet (stats card)")
+    rp.add_argument("docs", help="documents parquet path")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--lang-col", default=None)
+    rp.add_argument("--source-col", default=None)
+    rp.add_argument("--top-sources", type=int, default=5)
+    rp.set_defaults(fn=_cmd_report)
 
     st = sub.add_parser("stats", help="forest inspector statistics")
     st.add_argument("nodes")

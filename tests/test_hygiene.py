@@ -151,3 +151,15 @@ def test_corpus_report_hand_computed(spark):
     assert rows[("source", "a")] == 2 and rows[("source", "b")] == 2
     assert ("quality", "gopher_pass_rate") in rows  # tiny docs all fail: 0.0
     assert rows[("quality", "gopher_pass_rate")] == 0.0
+
+
+def test_cli_report(spark, capsys):
+    from architxt_spark import cli
+
+    cli.main(["report", "/root/testdata/sf0.001/documents.parquet",
+              "--source-col", "source", "--top-sources", "3"])
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    by_key = {(s, k): v for s, k, v in lines}
+    assert float(by_key[("size", "n_docs")]) == 500
+    assert sum(1 for s, k in by_key if s == "source") == 3
+    assert {"size", "length", "lang", "dup", "quality", "source"} <= {s for s, _ in by_key}
