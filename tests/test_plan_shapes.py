@@ -92,3 +92,39 @@ def test_exact_spans_no_cartesian(spark, entry):
     plan = _plan(entry.q_dedup_exact_spans(spark, SF))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_collocations_filters_before_unigram_joins(spark, entry):
+    """The min_count HAVING must land below the joins (only heavy
+    bigrams reach them) and nothing may go cartesian."""
+    plan = _plan(entry.q_collocations(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the c_xy >= k filter sits on the aggregate side, under the joins:
+    # in the executed plan string the Filter on c_xy appears after
+    # (deeper than) the last join operator header line
+    join_at = plan.index("Join")
+    assert "(c_xy" in plan[join_at:], "min_count filter not below the joins"
+
+
+def test_pagerank_no_cartesian_and_aggregated_edges(spark, entry):
+    plan = _plan(entry.q_link_pagerank(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_unicode_split_is_map_side_only(spark, entry):
+    """clean_unicode + hash_split add NO shuffle: Arrow eval + project."""
+    plan = _plan(entry.q_unicode_split(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_corpus_report_histogram_not_corpus_window(spark, entry):
+    """The decile cumsum window must consume the length HISTOGRAM (an
+    aggregated frame), never the raw corpus: every Window in the plan
+    sits above a HashAggregate."""
+    plan = _plan(entry.q_corpus_report(spark, SF))
+    assert "CartesianProduct" not in plan
+    for chunk in plan.split("Window")[1:]:
+        # below each Window there must be an aggregate before any scan
+        scan = chunk.find("Scan ")
+        agg = chunk.find("HashAggregate")
+        assert agg != -1 and (scan == -1 or agg < scan)
