@@ -128,3 +128,31 @@ def test_corpus_report_histogram_not_corpus_window(spark, entry):
         scan = chunk.find("Scan ")
         agg = chunk.find("HashAggregate")
         assert agg != -1 and (scan == -1 or agg < scan)
+
+
+def test_planaudit_heuristics(spark):
+    """The audit tool's flag logic on synthetic plans (the tool itself
+    sweeps the live registry; see tools/planaudit.py)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from planaudit import audit_plan
+
+    assert audit_plan("Project\n+- CartesianProduct\n") == ["CARTESIAN"]
+    # BNLJ over a 1-row global-agg stats frame is sanctioned generically
+    ok = "BroadcastNestedLoopJoin\n:- Scan parquet\n+- HashAggregate(keys=[], ...)\n"
+    assert audit_plan(ok) == []
+    bad = "BroadcastNestedLoopJoin\n:- Scan parquet\n+- Scan parquet\n"
+    assert audit_plan(bad) == ["NESTEDLOOP"]
+    # unpartitioned window straight over a scan = one-task funnel
+    gw = ("Window [sum(x) windowspecdefinition(ts ASC NULLS FIRST, frame)]\n"
+          "+- Scan parquet\n")
+    assert audit_plan(gw) == ["GLOBALWINDOW"]
+    # partitioned window over raw data: normal, unflagged
+    pw = ("Window [sum(x) windowspecdefinition(user_id, ts ASC NULLS FIRST, f)]\n"
+          "+- Scan parquet\n")
+    assert audit_plan(pw) == []
+    # unpartitioned window over an aggregated (bounded) frame: fine
+    hw = ("Window [sum(c) windowspecdefinition(n ASC NULLS FIRST, f)]\n"
+          "+- HashAggregate(keys=[n])\n   +- Scan parquet\n")
+    assert audit_plan(hw) == []
