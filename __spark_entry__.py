@@ -1823,6 +1823,27 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_corpus_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch delta ingest under the full hash gate: even doc_ids
+    bootstrap a corpus + its fingerprint/band sidecar indexes
+    (`sinks/corpus.py:merge_corpus`), odd doc_ids then merge against
+    them — within-batch exact keep, fp-index anti-join, band-index
+    screen, band-min chain — all WITHOUT rescanning corpus text.  The
+    oracle replays both batches over the identical md5 fingerprints and
+    band keys."""
+    import tempfile
+
+    from architxt_spark.sinks.corpus import merge_corpus
+
+    scratch = tempfile.mkdtemp(prefix="architxt_delta_")
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    for batch_filter in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        merge_corpus(
+            spark, scratch, docs.filter(batch_filter), partition_cols=["lang"]
+        )
+    return spark.read.parquet(f"{scratch}/data").select("doc_id")
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus datasheet (the published-with-the-corpus stats card):
     sizes, EXACT token-length deciles from a bounded length histogram
@@ -2156,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_split",
         "collocations",
         "corpus_report",
+        "corpus_delta",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2230,6 +2252,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_split": q_unicode_split,
         "collocations": q_collocations,
         "corpus_report": q_corpus_report,
+        "corpus_delta": q_corpus_delta,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3123,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_split": _unicode_split_sql(),
         "collocations": T.collocations_sql("documents", min_count=8),
         "corpus_report": _corpus_report_sql(),
+        "corpus_delta": dedup.delta_merge_kept_sql("documents", "text", "doc_id"),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

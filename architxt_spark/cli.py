@@ -205,6 +205,27 @@ def _cmd_stats(args: argparse.Namespace) -> None:
     print(json.dumps(forest_stats(_read_nodes(spark, args.nodes)), indent=2, default=str))
 
 
+def _cmd_merge(args: argparse.Namespace) -> None:
+    """Beyond-reference verb: delta-ingest a batch of documents into an
+    existing corpus (or bootstrap one) — exact + near dedup against the
+    corpus's sidecar indexes, survivors appended; prints the census."""
+    from architxt_spark.sinks.corpus import merge_corpus
+
+    spark = _session("merge")
+    census = merge_corpus(
+        spark,
+        args.corpus,
+        spark.read.parquet(args.docs),
+        partition_cols=args.partition_by,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        near=not args.exact_only,
+        files_per_partition=args.files_per_partition,
+    )
+    for r in census.collect():
+        print(f"{r.stage}\t{r.n_docs}")
+
+
 def _cmd_report(args: argparse.Namespace) -> None:
     """Beyond-reference verb: print the corpus datasheet (sizes, exact
     length deciles, language mix, dup share, quality summary, top
@@ -445,6 +466,17 @@ def build_parser() -> argparse.ArgumentParser:
     ej.add_argument("nodes")
     ej.add_argument("--out", required=True)
     ej.set_defaults(fn=_cmd_export_jsonl)
+
+    mg = sub.add_parser("merge", help="delta-ingest documents into a corpus")
+    mg.add_argument("corpus", help="corpus root (data/ + manifest/ + index/)")
+    mg.add_argument("docs", help="new documents parquet path")
+    mg.add_argument("--partition-by", nargs="+", required=True, metavar="COL")
+    mg.add_argument("--text-col", default="text")
+    mg.add_argument("--id-col", default="doc_id")
+    mg.add_argument("--exact-only", action="store_true",
+                    help="skip the near-dup band index stage")
+    mg.add_argument("--files-per-partition", type=int, default=1)
+    mg.set_defaults(fn=_cmd_merge)
 
     rp = sub.add_parser("report", help="corpus datasheet (stats card)")
     rp.add_argument("docs", help="documents parquet path")

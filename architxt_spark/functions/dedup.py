@@ -813,6 +813,78 @@ def stream_minhash_dedup_sql(table: str, text_col: str, id_col: str) -> str:
     """
 
 
+def delta_merge_kept_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin of the two-batch ``sinks.corpus.merge_corpus`` replay:
+    batch A = even ids bootstraps the corpus + indexes, batch B = odd ids
+    merges against them — within-batch exact keep (min id per content
+    fingerprint), anti-join against the fingerprint index (batch A's
+    FINAL survivors), band screen against A's band index, then the
+    within-batch band-min chain.  Fingerprints and band keys are the
+    same md5-derived strings as the Spark side, so the replay is
+    bit-exact."""
+    from architxt_spark.functions.text import fingerprint_sql
+
+    k, r = MINHASH_K, MINHASH_BAND_SIZE
+    hs = _shingle_ints_sql("text")
+    a_lst = "[" + ", ".join(str(a) for a in _MINHASH_A) + "]"
+    b_lst = "[" + ", ".join(str(b) for b in _MINHASH_B) + "]"
+    sig = (
+        f"list_transform(range(0, {k}),"
+        f" i -> list_min(list_transform(hs, h -> (h * ({a_lst})[i+1] + ({b_lst})[i+1]) % {_MINHASH_MOD})))"
+    )
+    return f"""
+        WITH docs AS (SELECT {id_col} AS id, {text_col} AS text FROM {table}),
+        fpx AS (SELECT id, {fingerprint_sql('text')} AS fp FROM docs),
+        banded AS (
+            SELECT id,
+                   unnest(list_transform(range(0, {k // r}),
+                          b -> b::varchar || ':' ||
+                               array_to_string(list_transform(sig[b*{r}+1 : b*{r}+{r}], x -> x::varchar), '|'))) AS band
+            FROM (SELECT id, {sig} AS sig
+                  FROM (SELECT id, {hs} AS hs FROM docs) WHERE len(hs) > 0)
+        ),
+        a_exact AS (SELECT MIN(id) AS id FROM fpx WHERE id % 2 = 0 GROUP BY fp),
+        a_band AS (SELECT * FROM banded WHERE id IN (SELECT id FROM a_exact)),
+        a_losers AS (
+            SELECT DISTINCT x.id FROM a_band x
+            JOIN a_band y ON x.band = y.band AND y.id < x.id
+        ),
+        kept_a AS (
+            SELECT DISTINCT id FROM a_band
+            WHERE id NOT IN (SELECT id FROM a_losers)
+        ),
+        fp_index AS (
+            SELECT DISTINCT fp FROM fpx WHERE id IN (SELECT id FROM kept_a)
+        ),
+        band_index AS (
+            SELECT DISTINCT band FROM a_band WHERE id IN (SELECT id FROM kept_a)
+        ),
+        b_exact AS (
+            SELECT MIN(id) AS id FROM fpx
+            WHERE id % 2 = 1 AND fp NOT IN (SELECT fp FROM fp_index)
+            GROUP BY fp
+        ),
+        b_band AS (SELECT * FROM banded WHERE id IN (SELECT id FROM b_exact)),
+        b_surv AS (
+            SELECT DISTINCT id FROM b_band
+            WHERE id NOT IN (SELECT DISTINCT id FROM b_band
+                             WHERE band IN (SELECT band FROM band_index))
+        ),
+        b_losers AS (
+            SELECT DISTINCT x.id FROM b_band x
+            JOIN b_band y ON x.band = y.band AND y.id < x.id
+            WHERE x.id IN (SELECT id FROM b_surv)
+              AND y.id IN (SELECT id FROM b_surv)
+        ),
+        kept_b AS (
+            SELECT id FROM b_surv WHERE id NOT IN (SELECT id FROM b_losers)
+        )
+        SELECT id AS {id_col} FROM kept_a
+        UNION ALL
+        SELECT id AS {id_col} FROM kept_b
+    """
+
+
 # ---------------------------------------------------------------------------
 # connected components (pairs -> dedup clusters)
 # ---------------------------------------------------------------------------

@@ -125,14 +125,28 @@ def write_corpus(
     return manifest
 
 
+def _manifest_agg(manifest: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """Collapse an APPENDED manifest (one row per batch per partition
+    value — what :func:`merge_corpus` accumulates) to one row per value:
+    counts add, and the content hash is XOR so batch hashes combine to
+    exactly the whole-partition hash."""
+    return manifest.groupBy(*partition_cols).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.bit_xor("content_hash").alias("content_hash"),
+    )
+
+
 def verify_corpus(spark: SparkSession, path: str, *, text_col: str = "text") -> DataFrame:
     """Re-derive the manifest from the written data and diff it against
     the stored one: ``(*partition_cols, ok)`` per partition value — the
     check a resumable backfill runs before deciding which partitions to
     re-write.  Reads only the data files (manifest columns are recomputed
-    with the same order-independent hash)."""
-    stored = spark.read.parquet(os.path.join(path, "manifest"))
-    partition_cols = [c for c in stored.columns if c not in ("n_docs", "n_chars", "content_hash")]
+    with the same order-independent hash).  Appended manifests (delta
+    batches) aggregate first — XOR composes batch hashes exactly."""
+    raw = spark.read.parquet(os.path.join(path, "manifest"))
+    partition_cols = [c for c in raw.columns if c not in ("n_docs", "n_chars", "content_hash")]
+    stored = _manifest_agg(raw, partition_cols)
     actual = corpus_manifest(
         spark.read.parquet(os.path.join(path, "data")), partition_cols, text_col=text_col
     )
@@ -176,10 +190,11 @@ def compact_corpus(
     import shutil
     import tempfile
 
-    stored = spark.read.parquet(os.path.join(path, "manifest"))
+    raw = spark.read.parquet(os.path.join(path, "manifest"))
     partition_cols = [
-        c for c in stored.columns if c not in ("n_docs", "n_chars", "content_hash")
+        c for c in raw.columns if c not in ("n_docs", "n_chars", "content_hash")
     ]
+    stored = _manifest_agg(raw, partition_cols)
     df = spark.read.parquet(os.path.join(path, "data"))
     tmp = tempfile.mkdtemp(prefix="corpus_compact_", dir=os.path.dirname(path) or ".")
     manifest = write_corpus(
@@ -201,3 +216,93 @@ def compact_corpus(
         shutil.move(os.path.join(tmp, sub), os.path.join(path, sub))
     shutil.rmtree(tmp, ignore_errors=True)
     return manifest
+
+
+def merge_corpus(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    partition_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = True,
+    files_per_partition: int = 1,
+) -> DataFrame:
+    """Delta ingest: deduplicate ``new_docs`` against the corpus at
+    ``path`` and append the survivors — WITHOUT rescanning the corpus.
+
+    The corpus keeps a sidecar ``index/`` (bytes per document, not the
+    documents): ``index/fp`` holds content fingerprints for exact dedup,
+    ``index/bands`` the MinHash LSH band keys for near-dup (the same
+    index :func:`~architxt_spark.streaming.corpus.minhash_dedup_batch`
+    maintains — a corpus can be fed alternately by this batch verb and
+    the streaming ingester and the state composes).  A delta therefore
+    costs O(|delta| + |index scan|): two anti-join shuffles on hash
+    keys, never a join against corpus text.
+
+    Stages (census returned as ``(stage, n_docs)``):
+
+    1. ``input`` — batch rows;
+    2. ``exact`` — within-batch exact dedup (min-id per fingerprint)
+       then anti-join against ``index/fp``;
+    3. ``kept`` — near-dup filter against + update of ``index/bands``
+       (skipped when ``near=False``);
+    4. append survivors to ``data``/``manifest`` (manifests accumulate
+       one row per batch per partition value; ``verify_corpus`` and
+       ``compact_corpus`` aggregate them — XOR hashes compose exactly),
+       and the survivors' fingerprints to ``index/fp``.
+
+    First call on an empty ``path`` bootstraps corpus and indexes in one
+    pass.  Idempotence note: a FAILED run that appended some state may
+    drop re-sent duplicates as index hits — for exactly-once replays use
+    the streaming ingester's checkpointed path."""
+    from architxt_spark.functions.text import fingerprint
+    from architxt_spark.session import stage_barrier
+
+    fp_path = os.path.join(path, "index", "fp")
+    batch = stage_barrier(new_docs)
+    census = [("input", batch.count())]
+
+    fps = batch.select(
+        F.col(id_col).alias("__id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    keep = fps.groupBy("fp").agg(F.min("__id").alias("__id"))
+    try:
+        hist = spark.read.parquet(fp_path).select("fp").distinct()
+        keep = keep.join(hist, "fp", "left_anti")
+    except Exception:  # noqa: BLE001 — bootstrap: no index yet
+        pass
+    survivors = stage_barrier(
+        batch.join(
+            keep.select("__id"), batch[id_col] == F.col("__id"), "left_semi"
+        )
+    )
+    census.append(("exact", survivors.count()))
+
+    if near:
+        from architxt_spark.streaming.corpus import minhash_dedup_batch
+
+        survivors = stage_barrier(
+            minhash_dedup_batch(
+                survivors,
+                os.path.join(path, "index", "bands"),
+                text_col=text_col,
+                id_col=id_col,
+            )
+        )
+    census.append(("kept", survivors.count()))
+
+    if census[-1][1] > 0:
+        write_corpus(
+            survivors,
+            path,
+            partition_cols=partition_cols,
+            text_col=text_col,
+            files_per_partition=files_per_partition,
+            mode="append",
+        )
+        survivors.select(
+            fingerprint(F.col(text_col)).alias("fp")
+        ).write.mode("append").parquet(fp_path)
+    return spark.createDataFrame(census, "stage string, n_docs long")

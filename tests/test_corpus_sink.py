@@ -164,3 +164,87 @@ def test_compact_corpus_merges_files_and_preserves_content(spark, docs, tmp_path
     assert back.count() == docs.count()
     got = {tuple(sorted(r.asDict().items())) for r in back.select(*docs.columns).collect()}
     assert got == {tuple(sorted(r.asDict().items())) for r in docs.collect()}
+
+
+def test_merge_corpus_delta_ingest(spark, tmp_path):
+    """Delta ingest: exact dups vs the fingerprint index, within-batch
+    dups, near-dups vs the band index — all dropped without rescanning
+    corpus text; manifests accumulate per batch and verify/compact
+    aggregate them."""
+    from architxt_spark.sinks.corpus import (
+        compact_corpus,
+        merge_corpus,
+        verify_corpus,
+    )
+
+    def doc(i, extra=""):
+        # disjoint vocabulary per i => zero shingle overlap across docs
+        words = " ".join(f"w{i}x{j}" for j in range(12))
+        return f"{words} {extra}".strip()
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "c")
+
+    a = mk([(i, doc(i), "en") for i in range(10)])
+    c1 = {r.stage: r.n_docs for r in
+          merge_corpus(spark, path, a, partition_cols=["lang"]).collect()}
+    assert c1 == {"input": 10, "exact": 10, "kept": 10}
+
+    b = mk(
+        [(100 + i, doc(i), "en") for i in range(3)]        # exact dups of A
+        + [(200, doc(50), "en"), (201, doc(50), "en")]     # within-batch pair
+        + [(300, doc(60), "en")]                            # genuinely new
+        + [(301, doc(2, "tail"), "en")]                     # near-dup of A's doc 2
+    )
+    c2 = {r.stage: r.n_docs for r in
+          merge_corpus(spark, path, b, partition_cols=["lang"]).collect()}
+    assert c2["input"] == 7
+    assert c2["exact"] == 3          # -3 index hits, -1 within-batch dup
+    assert c2["kept"] == 2           # near-dup of doc 2 dropped by the band index
+
+    data = spark.read.parquet(f"{path}/data")
+    assert data.count() == 12 and data.select("text").distinct().count() == 12
+    assert all(r.ok for r in verify_corpus(spark, path).collect())
+
+    # a third batch resending batch B is fully absorbed by the indexes
+    c3 = {r.stage: r.n_docs for r in
+          merge_corpus(spark, path, b, partition_cols=["lang"]).collect()}
+    assert c3["kept"] == 0
+    assert spark.read.parquet(f"{path}/data").count() == 12
+
+    # compaction aggregates the per-batch manifest rows and verifies
+    compact_corpus(spark, path)
+    after = spark.read.parquet(f"{path}/data")
+    assert after.count() == 12
+    assert all(r.ok for r in verify_corpus(spark, path).collect())
+
+
+def test_merge_corpus_exact_only(spark, tmp_path):
+    from architxt_spark.sinks.corpus import merge_corpus
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "c2")
+    merge_corpus(spark, path, mk([(1, "alpha beta gamma", "en")]),
+                 partition_cols=["lang"], near=False)
+    c = {r.stage: r.n_docs for r in merge_corpus(
+        spark, path,
+        mk([(2, "alpha beta gamma", "en"), (3, "delta epsilon zeta", "en")]),
+        partition_cols=["lang"], near=False).collect()}
+    assert c == {"input": 2, "exact": 1, "kept": 1}
+
+
+def test_cli_merge(spark, tmp_path, capsys):
+    from architxt_spark import cli
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"m{i}w{j}" for j in range(12)), "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    docs.filter("doc_id < 4").write.parquet(str(tmp_path / "b1"))
+    docs.filter("doc_id >= 2").write.parquet(str(tmp_path / "b2"))  # 2 overlap
+    corpus = str(tmp_path / "c")
+    cli.main(["merge", corpus, str(tmp_path / "b1"), "--partition-by", "lang"])
+    cli.main(["merge", corpus, str(tmp_path / "b2"), "--partition-by", "lang"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-3:] == ["input\t4", "exact\t2", "kept\t2"]
+    assert spark.read.parquet(f"{corpus}/data").count() == 6
