@@ -345,6 +345,8 @@ def _cmd_curate(args: argparse.Namespace) -> None:
         mixture_counts=counts,
         pack_token_col=args.pack_token_col,
         pack_budget=args.pack_budget,
+        unicode_clean=args.unicode_clean,
+        split_map=_json.loads(args.splits) if args.splits else None,
     )
     if args.partition_by:
         from architxt_spark.sinks.corpus import write_corpus
@@ -517,6 +519,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --warc: keep one record per canonical URL")
     cu.add_argument("--line-clean", action="store_true",
                     help="prepend the C4 line filter + page gate")
+    cu.add_argument("--unicode-clean", action="store_true",
+                    help="prepend NFC + control-strip + punct hygiene")
+    cu.add_argument("--splits", default=None,
+                    help='leakage-safe split map, e.g. {"train":0.95,"valid":0.05}')
     cu.add_argument("--partition-by", nargs="+", default=None, metavar="COL",
                     help="write through the partitioned corpus sink")
     cu.set_defaults(fn=_cmd_curate)

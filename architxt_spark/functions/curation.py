@@ -50,6 +50,8 @@ def curate_corpus(
     pack_token_col: str | None = None,
     pack_budget: int = 4096,
     pack_buckets: int = 8,
+    unicode_clean: bool = False,
+    split_map: Mapping[str, float] | None = None,
     salt: str = "",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation chain; returns ``(kept_docs, census)``.
@@ -81,7 +83,17 @@ def curate_corpus(
     :func:`~architxt_spark.functions.sampling.temperature_counts` or
     :func:`~architxt_spark.functions.sampling.proportional_counts` to
     derive the counts); ``pack_token_col`` enables concat-and-chunk
-    sequence packing of the sampled survivors."""
+    sequence packing of the sampled survivors.
+
+    ``unicode_clean=True`` prepends the Unicode hygiene pass
+    (:func:`~architxt_spark.functions.text.clean_unicode`: NFC +
+    control strip + punct standardization) BEFORE any fingerprinting,
+    so composed/decomposed copies dedup together; a pure transform —
+    no census row.  ``split_map`` appends a leakage-safe deterministic
+    ``split`` column (:func:`~architxt_spark.functions.sampling.hash_split`)
+    to the final survivors; when packing is also on, sequences are
+    packed PER SPLIT (split-salted) so no training sequence ever mixes
+    eval and train documents."""
     # materialize the gate's survivors ONCE: the census, the fingerprint
     # pass, and the minhash index all read this frame, and re-evaluating
     # the (shingle-heavy) quality predicate per consumer benched 33 s vs
@@ -91,7 +103,12 @@ def curate_corpus(
     # filter below a repartition exchange, so without the barrier the
     # (shingle-heavy) predicate runs on the single-partition file scan —
     # 12 s single-task vs sub-second 32-way at sf0.1
-    spread = stage_barrier(_spread(docs))
+    pre = _spread(docs)
+    if unicode_clean:
+        from architxt_spark.functions.text import clean_unicode
+
+        pre = clean_unicode(pre, text_col)
+    spread = stage_barrier(pre)
     base = spread
     clean_frame = None
     if line_clean:
@@ -141,14 +158,40 @@ def curate_corpus(
         )
         census = census.unionByName(stage("sample", kept))
 
+    if split_map is not None:
+        from architxt_spark.functions.sampling import hash_split
+
+        kept = hash_split(kept, id_col, split_map, salt=salt)
+
     if pack_token_col is not None:
         from architxt_spark.functions.sampling import pack_sequences
 
-        kept = pack_sequences(
-            kept, id_col, pack_token_col, pack_budget, n_buckets=pack_buckets, salt=salt
-        )
+        if split_map is not None:
+            from functools import reduce
+
+            kept = reduce(
+                lambda a, b: a.unionByName(b),
+                (
+                    pack_sequences(
+                        kept.filter(F.col("split") == name),
+                        id_col,
+                        pack_token_col,
+                        pack_budget,
+                        n_buckets=pack_buckets,
+                        salt=f"{salt}|{name}",
+                    )
+                    for name in split_map
+                ),
+            )
+            seq_cols = ["split", "pack_bucket", "pack_seq"]
+        else:
+            kept = pack_sequences(
+                kept, id_col, pack_token_col, pack_budget,
+                n_buckets=pack_buckets, salt=salt,
+            )
+            seq_cols = ["pack_bucket", "pack_seq"]
         n_seqs = (
-            kept.select("pack_bucket", "pack_seq")
+            kept.select(*seq_cols)
             .distinct()
             .agg(F.lit("pack").alias("stage"), F.count("*").cast("long").alias("n_docs"))
         )
