@@ -1823,6 +1823,17 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document TF-IDF salient terms (keyword extraction): one token
+    explode → map-combinable (doc, term) counts, document frequencies
+    from the same aggregate, corpus size on a 1-row broadcast; row
+    membership decided by exact integer thresholds so the float score is
+    value-hashed, never rank-compared (`functions/text.py:tfidf_terms`)."""
+    from architxt_spark.functions.text import tfidf_terms
+
+    return tfidf_terms(_t(spark, sf, "documents"), min_df=3, min_tf=3)
+
+
 def q_corpus_delta(spark: SparkSession, sf: str) -> DataFrame:
     """Batch delta ingest under the full hash gate: even doc_ids
     bootstrap a corpus + its fingerprint/band sidecar indexes
@@ -2178,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations",
         "corpus_report",
         "corpus_delta",
+        "tfidf_terms",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2253,6 +2265,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "corpus_report": q_corpus_report,
         "corpus_delta": q_corpus_delta,
+        "tfidf_terms": q_tfidf_terms,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3147,6 +3160,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": T.collocations_sql("documents", min_count=8),
         "corpus_report": _corpus_report_sql(),
         "corpus_delta": dedup.delta_merge_kept_sql("documents", "text", "doc_id"),
+        "tfidf_terms": T.tfidf_terms_sql("documents", min_df=3, min_tf=3),
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

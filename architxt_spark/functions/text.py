@@ -8,7 +8,7 @@ are built-in-function expressions (whole-stage codegen; no Python UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Minimal per-language stopword markers for the n-gram/stopword heuristic
@@ -663,6 +663,97 @@ def collocations_sql(table: str, text_col: str = "text", *, min_count: int = 5) 
                ln(CAST(bi.c_xy AS DOUBLE)) + ln(CAST(n.n_tokens AS DOUBLE))
                - ln(CAST(ux.c AS DOUBLE)) - ln(CAST(uy.c AS DOUBLE)) AS pmi
         FROM bi JOIN uni ux ON bi.w1 = ux.w JOIN uni uy ON bi.w2 = uy.w, n
+    """
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_df: int = 2,
+    min_tf: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-document TF-IDF term scores — the keyword-extraction /
+    salient-term statistic: ``(id, term, tf, df, n_docs, tfidf)`` for
+    terms with ``tf >= min_tf`` in the document and ``df >= min_df``
+    across the corpus; ``tfidf = tf * ln(n_docs / df)``.
+
+    ``top_k`` keeps each document's k highest-scoring terms
+    (score desc, then term asc).  Row MEMBERSHIP under the default
+    ``top_k=None`` is decided purely by exact integer thresholds — the
+    form the dual-engine hash oracle runs; top-k ranking compares float
+    scores whose cross-engine skew is libm-ulp (ties on equal (tf, df)
+    are exact and break on the term), so the ranked variant is verified
+    by the unit-test mirror rather than the SQL twin.
+
+    Scale shape: one token explode → (doc, term) counts (map-combinable
+    shuffle), document frequencies from the SAME aggregate (distinct
+    doc-term pairs), corpus size on a 1-row broadcast; the ``min_tf``
+    filter prunes before the df join.  Top-k is a per-document window —
+    partitioned by the document id, never global."""
+    pairs = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    dfreq = (
+        pairs.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n = df.agg(F.count("*").cast("long").alias("n_docs"))
+    out = (
+        pairs.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            "n_docs",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    if top_k is not None:
+        w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+        out = out.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= top_k
+        ).drop("__rn")
+    return out
+
+
+def tfidf_terms_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_df: int = 2,
+    min_tf: int = 2,
+) -> str:
+    """DuckDB twin of :func:`tfidf_terms` (unranked form — membership is
+    integer-exact; the score replays the same ``tf * ln(n/df)``)."""
+    return f"""
+        WITH pairs AS (
+            SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT {id_col} AS id, unnest({tokens_sql(text_col)}) AS term
+                  FROM {table})
+            GROUP BY id, term
+            HAVING COUNT(*) >= {min_tf}
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM pairs GROUP BY term HAVING COUNT(*) >= {min_df}
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table})
+        SELECT pairs.id AS {id_col}, pairs.term, pairs.tf, dfreq.df, n.n_docs,
+               pairs.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+        FROM pairs JOIN dfreq USING (term), n
     """
 
 

@@ -211,3 +211,40 @@ def test_curate_corpus_unicode_and_split(spark):
         df.filter("doc_id < 12"), "doc_id",
         {"train": 0.75, "test": 0.25}).collect()}
     assert all(want[r.doc_id] == r.split for r in out)
+
+
+def test_tfidf_terms_topk_mirror(spark):
+    """The ranked variant against a driver-side mirror (the SQL twin
+    gates only the unranked form)."""
+    import math
+
+    from architxt_spark.functions.text import tfidf_terms
+
+    docs = [
+        (1, "apple apple apple banana banana cherry"),
+        (2, "banana banana banana date date apple"),
+        (3, "cherry cherry date date date apple apple"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.term, r.tf, r.df)
+        for r in tfidf_terms(df, min_df=1, min_tf=1, top_k=1).collect()
+    }
+    # mirror: tf * ln(3/df), ties -> term asc
+    from collections import Counter
+
+    dfreq = Counter()
+    tfs = {}
+    for i, t in docs:
+        c = Counter(t.split())
+        tfs[i] = c
+        dfreq.update(c.keys())
+    want = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            ((tf * math.log(3 / dfreq[w]), w) for w, tf in c.items()),
+            key=lambda s: (-s[0], s[1]),
+        )
+        w = scored[0][1]
+        want[i] = (w, c[w], dfreq[w])
+    assert got == want
