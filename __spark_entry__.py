@@ -1823,6 +1823,21 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_random_project(spark: SparkSession, sf: str) -> DataFrame:
+    """JL sign projection of the embedding table to 8 fixed-point
+    components — integer sums make an inherently-random-looking operator
+    bit-exact across engines (`functions/ann.py:random_project`).  The
+    gate frame explodes the projection to scalar (vec_id, j, component)
+    rows (the compare hashes cells, not arrays)."""
+    from architxt_spark.functions.ann import random_project
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    proj = random_project(emb).select("vec_id", F.posexplode("proj"))
+    return proj.select(
+        "vec_id", F.col("pos").cast("long").alias("j"), F.col("col").alias("component")
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document TF-IDF salient terms (keyword extraction): one token
     explode → map-combinable (doc, term) counts, document frequencies
@@ -2190,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report",
         "corpus_delta",
         "tfidf_terms",
+        "random_project",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2266,6 +2282,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "corpus_delta": q_corpus_delta,
         "tfidf_terms": q_tfidf_terms,
+        "random_project": q_random_project,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3161,6 +3178,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _corpus_report_sql(),
         "corpus_delta": dedup.delta_merge_kept_sql("documents", "text", "doc_id"),
         "tfidf_terms": T.tfidf_terms_sql("documents", min_df=3, min_tf=3),
+        "random_project": f"""
+            SELECT vec_id, CAST(j AS BIGINT) AS j, proj[j + 1] AS component
+            FROM ({ann.random_project_sql("embeddings")}),
+                 (SELECT unnest(range(0, 8)) AS j)
+        """,
         "lm_perplexity": _lm_sql(),
         "doc_chunking": T.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
         "ngram_stats": T.ngram_stats_sql("documents", k=50),

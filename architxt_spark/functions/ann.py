@@ -125,6 +125,85 @@ def brute_force_topk_sql(
     """
 
 
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 8,
+    seed: str = "jl",
+    scale_bits: int = 20,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection: reduce ``vec_col`` to
+    ``out_dim`` components ``out[j] = Σ_i q_i · s(i, j)`` where ``s`` is
+    a ±1 sign drawn from the md5 parity of ``(seed, i, j)`` — the cheap
+    distance-preserving dimension cut a 100-TB ANN pipeline runs before
+    its expensive exact pass (Achlioptas 2001: ±1 entries satisfy the JL
+    lemma with the same distortion bound as Gaussians).
+
+    Inputs quantize to ``2^scale_bits`` fixed point (``q_i = round(v_i ·
+    2^20)`` as BIGINT), so every output component is an EXACT integer
+    sum — order-independent, bit-identical across engines, partitions,
+    and retries; that is what puts a random-projection operator under
+    the dual-engine hash oracle.  Output: ``out_col`` as
+    ``array<long>`` in fixed-point units (divide by ``2^scale_bits``
+    for floats; the division is exact).  Cost is ``out_dim × in_dim``
+    expression ops per row — fine for the prefilter dims this is for
+    (≤ 64); a JVM/Arrow matrix path would trade the exactness contract
+    for throughput."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+
+    def sign(i: Column, j: int) -> Column:
+        h = F.md5(F.concat(F.lit(f"{seed}:"), i.cast("string"), F.lit(f":{j}")))
+        digit = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+        return F.when(digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+    comps = [
+        F.aggregate(
+            F.zip_with(q, F.sequence(F.lit(0), F.size(q) - 1), lambda x, i: x * sign(i, j)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        for j in range(out_dim)
+    ]
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def random_project_sql(
+    table: str,
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 8,
+    seed: str = "jl",
+    scale_bits: int = 20,
+    out_col: str = "proj",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`random_project` (same md5-parity signs and
+    fixed-point quantization; integer sums are order-independent, so
+    ``list_sum`` may reassociate freely)."""
+    scale = 1 << scale_bits
+    q = f"list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    comps = []
+    for j in range(out_dim):
+        sgn = (
+            f"(CASE WHEN (strpos('0123456789abcdef', "
+            f"substr(md5('{seed}:' || (i - 1)::varchar || ':{j}'), 1, 1)) - 1) % 2 = 0 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        comps.append(
+            f"CAST(list_sum(list_transform(range(1, len(q) + 1), "
+            f"i -> q[i] * {sgn})) AS BIGINT)"
+        )
+    return (
+        f"SELECT {id_col}, [{', '.join(comps)}] AS {out_col} "
+        f"FROM (SELECT {id_col}, {q} AS q FROM {table})"
+    )
+
+
 def _plane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 bytes (no RNG state,
     reproducible on any engine/executor)."""

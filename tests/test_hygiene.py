@@ -248,3 +248,35 @@ def test_tfidf_terms_topk_mirror(spark):
         w = scored[0][1]
         want[i] = (w, c[w], dfreq[w])
     assert got == want
+
+
+def test_random_project_jl_property(spark):
+    """Sign projection approximately preserves pairwise distance RATIOS
+    (loose JL tolerance at out_dim=32) and is partitioning-invariant."""
+    import math
+    import random
+
+    from architxt_spark.functions.ann import random_project
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.proj for r in random_project(df, out_dim=32).collect()}
+    out2 = {
+        r.vec_id: r.proj
+        for r in random_project(df.repartition(7), out_dim=32).collect()
+    }
+    assert out == out2  # exact integers: layout cannot change a bit
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    vm = dict(vecs)
+    # expected scaling: E[||proj||^2] = out_dim * ||v||^2 (unit signs)
+    ratios = []
+    for a in range(0, 10):
+        for b in range(a + 1, 10):
+            orig = d(vm[a], vm[b]) * (1 << 20)  # fixed-point units
+            proj = d(out[a], out[b]) / math.sqrt(32)
+            ratios.append(proj / orig)
+    assert 0.6 < min(ratios) and max(ratios) < 1.5  # loose JL bound
