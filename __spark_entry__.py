@@ -1823,6 +1823,19 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution drift (Jeffreys divergence per token) between
+    the even- and odd-id halves of the documents table — the
+    corpus-versioning QA check between an old snapshot and a new crawl
+    (`functions/text.py:corpus_drift`)."""
+    from architxt_spark.functions.text import corpus_drift
+
+    docs = _t(spark, sf, "documents")
+    return corpus_drift(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), min_count=20
+    )
+
+
 def q_random_project(spark: SparkSession, sf: str) -> DataFrame:
     """JL sign projection of the embedding table to 8 fixed-point
     components — integer sums make an inherently-random-looking operator
@@ -2206,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_delta",
         "tfidf_terms",
         "random_project",
+        "corpus_drift",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2283,6 +2297,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_delta": q_corpus_delta,
         "tfidf_terms": q_tfidf_terms,
         "random_project": q_random_project,
+        "corpus_drift": q_corpus_drift,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3178,6 +3193,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _corpus_report_sql(),
         "corpus_delta": dedup.delta_merge_kept_sql("documents", "text", "doc_id"),
         "tfidf_terms": T.tfidf_terms_sql("documents", min_df=3, min_tf=3),
+        "corpus_drift": T.corpus_drift_sql(
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+            min_count=20,
+        ),
         "random_project": f"""
             SELECT vec_id, CAST(j AS BIGINT) AS j, proj[j + 1] AS component
             FROM ({ann.random_project_sql("embeddings")}),

@@ -757,6 +757,90 @@ def tfidf_terms_sql(
     """
 
 
+def corpus_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """Token-distribution drift between two corpora (old snapshot vs new
+    crawl): per-token counts, Laplace-smoothed probabilities over the
+    UNION vocabulary, and the token's contribution to symmetrised KL
+    ``(p−q)·ln(p/q)`` (Jeffreys divergence — ≥ 0 per token, so heavy
+    drift contributors rank directly).  Output: ``(token, c_a, c_b,
+    jeffreys)``; ``SUM(jeffreys)`` is the corpus drift scalar.
+
+    Determinism: counts are exact BIGINTs; smoothed probabilities are
+    single IEEE divisions of exact integers; the one float product is
+    value-hashed per token (libm-ulp skew only) — the corpus scalar, if
+    needed deterministically, follows the round→DECIMAL-sum rule
+    (``functions/domains.py``).  Scale shape: two map-combinable
+    wordcounts + one full-outer join on the token key; ``min_count``
+    prunes the long tail before the join."""
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    ca, cb = counts(df_a, "c_a"), counts(df_b, "c_b")
+    joined = (
+        ca.join(cb, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+        .filter((F.col("c_a") + F.col("c_b")) >= min_count)
+    )
+    totals = joined.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("v"),
+    )
+    p = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + F.col("v")).cast("double")
+    q = (F.col("c_b") + 1).cast("double") / (F.col("n_b") + F.col("v")).cast("double")
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_a",
+        "c_b",
+        ((p - q) * F.log(p / q)).alias("jeffreys"),
+    )
+
+
+def corpus_drift_sql(
+    table_a: str, table_b: str, text_col: str = "text", *, min_count: int = 1
+) -> str:
+    """DuckDB twin of :func:`corpus_drift` (same smoothing, same
+    expression shape so float skew stays at ulp level)."""
+    def cnt(table: str, name: str) -> str:
+        return (
+            f"SELECT token, CAST(COUNT(*) AS BIGINT) AS {name} FROM "
+            f"(SELECT unnest({tokens_sql(text_col)}) AS token FROM {table}) GROUP BY token"
+        )
+
+    return f"""
+        WITH ca AS ({cnt(table_a, 'c_a')}),
+        cb AS ({cnt(table_b, 'c_b')}),
+        j AS (
+            SELECT token, COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+            FROM ca FULL OUTER JOIN cb USING (token)
+            WHERE COALESCE(c_a, 0) + COALESCE(c_b, 0) >= {min_count}
+        ),
+        t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                     CAST(SUM(c_b) AS BIGINT) AS n_b,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM j)
+        SELECT token, c_a, c_b,
+               ((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))
+                - (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE)))
+               * ln((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))
+                    / (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE))) AS jeffreys
+        FROM j, t
+    """
+
+
 def gopher_keep(col: Column) -> Column:
     """The Gopher composite keep decision as one boolean column — the
     rule set `__spark_entry__.q_gopher_quality_flags` reports flag-by-flag

@@ -280,3 +280,26 @@ def test_random_project_jl_property(spark):
             proj = d(out[a], out[b]) / math.sqrt(32)
             ratios.append(proj / orig)
     assert 0.6 < min(ratios) and max(ratios) < 1.5  # loose JL bound
+
+
+def test_corpus_drift_hand_computed(spark):
+    import math
+
+    from architxt_spark.functions.text import corpus_drift
+
+    a = spark.createDataFrame([("x x y",)], "text string")   # c_a: x=2 y=1
+    b = spark.createDataFrame([("x z z",)], "text string")   # c_b: x=1 z=2
+    rows = {r.token: r for r in corpus_drift(a, b).collect()}
+    assert (rows["x"].c_a, rows["x"].c_b) == (2, 1)
+    assert (rows["y"].c_a, rows["y"].c_b) == (1, 0)
+    n_a = n_b = 3
+    v = 3
+    def jeff(ca, cb):
+        p, q = (ca + 1) / (n_a + v), (cb + 1) / (n_b + v)
+        return (p - q) * math.log(p / q)
+    for t, (ca, cb) in {"x": (2, 1), "y": (1, 0), "z": (0, 2)}.items():
+        assert rows[t].jeffreys == pytest.approx(jeff(ca, cb))
+        assert rows[t].jeffreys >= 0  # Jeffreys contributions are nonnegative
+    # identical corpora drift to exactly zero everywhere
+    same = corpus_drift(a, a).collect()
+    assert all(r.jeffreys == 0.0 for r in same)
