@@ -1823,6 +1823,15 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN index self-evaluation: recall@5 of the sign-LSH path against
+    the brute-force ground truth per query — an integer intersection
+    count, so the evaluation itself is hash-gated
+    (`functions/ann.py:ann_recall`)."""
+    emb = _t(spark, sf, "embeddings")
+    return ann.ann_recall(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
 def q_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Token-distribution drift (Jeffreys divergence per token) between
     the even- and odd-id halves of the documents table — the
@@ -2220,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms",
         "random_project",
         "corpus_drift",
+        "ann_recall",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2298,6 +2308,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "random_project": q_random_project,
         "corpus_drift": q_corpus_drift,
+        "ann_recall": q_ann_recall,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3177,6 +3188,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": search.bm25_topk_sql("documents", _BM25_TERMS, k=25),
         "bm25_batch": search.bm25_topk_batch_sql("documents", _BM25_BAGS, k=15),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
+        "ann_recall": ann.ann_recall_sql("embeddings", dim=64, k=5, max_query_id=10),
         "bpe_train_merges": _bpe_sql(),
         "bpe_tokenizer": _bpe_tokenizer_sql(),
         "dsir": _dsir_fold_sql(),

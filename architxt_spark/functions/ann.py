@@ -204,6 +204,78 @@ def random_project_sql(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Index self-evaluation: recall@k of the sign-LSH approximate
+    neighbors against the exact brute-force ground truth, per query —
+    ``(query_id, n_hit, k, recall)``.  The measurement an index rollout
+    gates on (tune ``n_planes``/nprobe until recall clears the bar,
+    THEN deploy the approximate path).
+
+    Exactness: both neighbor sets are the deterministic top-k frames
+    (sim desc, id asc tie-break); the recall is an integer intersection
+    count over k — no float comparison enters the metric, so the
+    evaluation itself sits under the hash oracle.  Cost: one brute pass
+    over the corpus (ground truth) + the LSH pass — an EVALUATION run
+    on a sampled query set, not a serving path."""
+    exact = brute_force_topk(
+        embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    approx = lsh_topk(
+        embeddings, queries, id_col=id_col, vec_col=vec_col,
+        dim=dim, k=k, n_planes=n_planes,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.lit(k).cast("long").alias("k"),
+            (F.coalesce("n_hit", F.lit(0)).cast("double") / k).alias("recall"),
+        )
+    )
+
+
+def ann_recall_sql(
+    table: str,
+    *,
+    dim: int,
+    k: int = 5,
+    n_planes: int = LSH_PLANES,
+    max_query_id: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ann_recall` (composes the brute and LSH
+    top-k twins; the metric is an integer intersection count)."""
+    return f"""
+        WITH ex AS ({brute_force_topk_sql(table, k=k, max_query_id=max_query_id)}),
+        ap AS ({lsh_topk_sql(table, dim=dim, k=k, n_planes=n_planes, max_query_id=max_query_id)}),
+        h AS (
+            SELECT ap.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM ap JOIN ex USING (query_id, neighbor_id)
+            GROUP BY ap.query_id
+        )
+        SELECT q.query_id, COALESCE(h.n_hit, 0) AS n_hit,
+               CAST({k} AS BIGINT) AS k,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {k} AS recall
+        FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id)
+    """
+
+
 def _plane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 bytes (no RNG state,
     reproducible on any engine/executor)."""

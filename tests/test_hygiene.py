@@ -303,3 +303,22 @@ def test_corpus_drift_hand_computed(spark):
     # identical corpora drift to exactly zero everywhere
     same = corpus_drift(a, a).collect()
     assert all(r.jeffreys == 0.0 for r in same)
+
+
+def test_ann_recall_bounds_and_identity(spark):
+    """Recall is in [0,1]; evaluating brute force against itself (planes
+    high enough that every vector shares a bucket) yields recall 1 only
+    when buckets align — so instead check the exact algebra: n_hit/k."""
+    import random
+
+    from architxt_spark.functions.ann import ann_recall
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_recall(emb, emb.filter("vec_id < 5"), dim=16, k=4).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 0.0 <= r.recall <= 1.0 and r.recall == r.n_hit / r.k
