@@ -226,6 +226,27 @@ def _cmd_merge(args: argparse.Namespace) -> None:
         print(f"{r.stage}\t{r.n_docs}")
 
 
+def _cmd_drift(args: argparse.Namespace) -> None:
+    """Beyond-reference verb: token-distribution drift between two
+    corpora (old snapshot vs new crawl) — prints the top drifting
+    tokens by Jeffreys contribution and the total."""
+    from architxt_spark.functions.text import corpus_drift
+
+    spark = _session("drift")
+    drift = corpus_drift(
+        spark.read.parquet(args.corpus_a),
+        spark.read.parquet(args.corpus_b),
+        text_col=args.text_col,
+        min_count=args.min_count,
+    ).cache()
+    from pyspark.sql import functions as F
+
+    total = drift.agg(F.sum("jeffreys")).first()[0]
+    for r in drift.orderBy(F.desc("jeffreys")).limit(args.top).collect():
+        print(f"{r.token}\t{r.c_a}\t{r.c_b}\t{r.jeffreys:.6g}")
+    print(f"TOTAL\t\t\t{total:.6g}")
+
+
 def _cmd_report(args: argparse.Namespace) -> None:
     """Beyond-reference verb: print the corpus datasheet (sizes, exact
     length deciles, language mix, dup share, quality summary, top
@@ -479,6 +500,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip the near-dup band index stage")
     mg.add_argument("--files-per-partition", type=int, default=1)
     mg.set_defaults(fn=_cmd_merge)
+
+    dr = sub.add_parser("drift", help="token-distribution drift between two corpora")
+    dr.add_argument("corpus_a", help="documents parquet path (old)")
+    dr.add_argument("corpus_b", help="documents parquet path (new)")
+    dr.add_argument("--text-col", default="text")
+    dr.add_argument("--min-count", type=int, default=10)
+    dr.add_argument("--top", type=int, default=20)
+    dr.set_defaults(fn=_cmd_drift)
 
     rp = sub.add_parser("report", help="corpus datasheet (stats card)")
     rp.add_argument("docs", help="documents parquet path")

@@ -322,3 +322,13 @@ def test_ann_recall_bounds_and_identity(spark):
     assert len(out) == 5
     for r in out:
         assert 0.0 <= r.recall <= 1.0 and r.recall == r.n_hit / r.k
+
+
+def test_cli_drift(spark, capsys):
+    from architxt_spark import cli
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+    cli.main(["drift", p, p, "--min-count", "5", "--top", "3"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[-1].startswith("TOTAL") and lines[-1].endswith("0")  # self-drift = 0
+    assert len(lines) == 4
