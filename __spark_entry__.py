@@ -2165,6 +2165,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry folded/renamed or code-touched this round, go FIRST so any
     # prefix the gate takes maximizes newly-verified coverage.
     first = [
+        # BRAND-NEW this round (never had any driver verdict) — the gate
+        # prefix must reach them first
+        "link_pagerank",
+        "unicode_split",
+        "collocations",
+        "corpus_report",
+        "corpus_delta",
+        "tfidf_terms",
+        "random_project",
+        "corpus_drift",
+        "ann_recall",
         # the 34 entries whose only driver verdict is round-4 (the r5 gate
         # prefix did not reach them); after r6 every registry entry has a
         # driver verdict <= 2 rounds old
@@ -2220,16 +2231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline",
         "stream_fm_distinct",
         "bm25_batch",
-        # added this round
-        "link_pagerank",
-        "unicode_split",
-        "collocations",
-        "corpus_report",
-        "corpus_delta",
-        "tfidf_terms",
-        "random_project",
-        "corpus_drift",
-        "ann_recall",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 

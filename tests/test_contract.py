@@ -27,9 +27,15 @@ def test_rotation_prefix_is_valid_and_first():
     allq = E._all_queries()
     names = list(q)
     assert set(names) == set(allq)
-    # the 34 entries whose only driver verdict is round-4 must head the
-    # r6 window so every registry entry ends the round with a verdict
-    # <= 2 rounds old
+    # brand-new entries (no driver verdict ever) lead outright
+    for i, k in enumerate((
+        "link_pagerank", "unicode_split", "collocations", "corpus_report",
+        "corpus_delta", "tfidf_terms", "random_project", "corpus_drift",
+        "ann_recall",
+    )):
+        assert names.index(k) == i, k
+    # the 34 entries whose only driver verdict is round-4 come next so
+    # every registry entry ends the round with a verdict <= 2 rounds old
     for k in ("scan_filter_project", "agg_pricing_summary",
               "join_revenue_by_nation", "sort_limit_top_orders",
               "percentile_orders", "unpivot_orders", "events_rollup_streaming",
@@ -39,10 +45,10 @@ def test_rotation_prefix_is_valid_and_first():
               "tree_leaves_nation", "coverage_metric", "bm25_topk",
               "dedup_simhash", "dedup_filtered", "graph_extract",
               "typed_export_orders", "sampling_mixture", "sampling_pack"):
-        assert names.index(k) < 34, k
+        assert names.index(k) < 9 + 34, k
     # r6: every entry folded, added, or code-touched this round must also
     # lead the window
     for k in ("sketch_suite", "bpe_tokenizer", "chunk_pipeline",
               "dedup_minhash_lsh", "dedup_components", "curation_pipeline",
               "stream_fm_distinct", "bm25_batch"):
-        assert names.index(k) < 50, k
+        assert names.index(k) < 9 + 50, k
