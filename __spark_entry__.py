@@ -1823,6 +1823,16 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity partition (head/middle/tail by LM score):
+    bucket thresholds from a HISTOGRAM of the rounded ppl values + a
+    cumsum over that aggregated frame — never a global sort/ntile over
+    the corpus (`functions/lm.py:ppl_buckets`)."""
+    from architxt_spark.functions.lm import ppl_buckets
+
+    return ppl_buckets(_t(spark, sf, "documents"))
+
+
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """ANN index self-evaluation: recall@5 of the sign-LSH path against
     the brute-force ground truth per query — an integer intersection
@@ -2176,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_project",
         "corpus_drift",
         "ann_recall",
+        "ppl_buckets",
         # the 34 entries whose only driver verdict is round-4 (the r5 gate
         # prefix did not reach them); after r6 every registry entry has a
         # driver verdict <= 2 rounds old
@@ -2310,6 +2321,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_project": q_random_project,
         "corpus_drift": q_corpus_drift,
         "ann_recall": q_ann_recall,
+        "ppl_buckets": q_ppl_buckets,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2563,6 +2575,12 @@ def _domains_sql() -> str:
     from architxt_spark.functions.domains import domain_profile_sql
 
     return domain_profile_sql("documents", blocklist=("src3", "src7"))
+
+
+def _ppl_buckets_sql() -> str:
+    from architxt_spark.functions.lm import ppl_buckets_sql
+
+    return ppl_buckets_sql("documents")
 
 
 def _corpus_report_sql() -> str:
@@ -3190,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch": search.bm25_topk_batch_sql("documents", _BM25_BAGS, k=15),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "ann_recall": ann.ann_recall_sql("embeddings", dim=64, k=5, max_query_id=10),
+        "ppl_buckets": _ppl_buckets_sql(),
         "bpe_train_merges": _bpe_sql(),
         "bpe_tokenizer": _bpe_tokenizer_sql(),
         "dsir": _dsir_fold_sql(),

@@ -144,3 +144,92 @@ def bigram_lm_perplexity_sql(
         SELECT {id_col}, CAST(0 AS BIGINT) AS n_trans, CAST(NULL AS DOUBLE) AS ppl
         FROM __base WHERE len(t) < 2
     """
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = SMOOTH_K,
+    train_docs: DataFrame | None = None,
+    names: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity partition: score every document under the
+    bigram LM, then cut the corpus into ``len(names)`` equal-count
+    buckets by perplexity — low-ppl ``head`` is the premium slice a
+    pretraining mix oversamples, ``tail`` the one it drops or
+    down-weights.  Output: ``(id, n_trans, ppl, bucket)``; short
+    documents (NULL ppl) land in bucket ``'und'``.
+
+    Boundary determinism and scale shape: bucket thresholds come from a
+    HISTOGRAM of the (4-dp-rounded, hence cross-engine-exact) ppl
+    values + a cumsum over that aggregated frame — never a global sort
+    or ntile over the corpus (the one-task funnel the plan audit
+    flags).  Threshold ``i`` = smallest ppl whose cumulative count
+    reaches ``ceil(i·n/parts)``; boundary ties share a bucket (counts
+    may deviate from exact thirds on tied values — value-based
+    assignment is what keeps the cut deterministic)."""
+    from pyspark.sql import Window
+
+    from architxt_spark.session import stage_barrier
+
+    scored = stage_barrier(
+        bigram_lm_perplexity(
+            docs, id_col=id_col, text_col=text_col, k=k, train_docs=train_docs
+        )
+    )
+    hist = scored.filter(F.col("ppl").isNotNull()).groupBy("ppl").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("ppl").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.select("ppl", F.sum("c").over(w).alias("cum"))
+        .crossJoin(F.broadcast(hist.agg(F.sum("c").cast("long").alias("n"))))
+    )
+    parts = len(names)
+    bounds = None
+    for i in range(1, parts):
+        b = cum.filter(
+            F.col("cum") >= F.ceil(F.col("n") * i / parts)
+        ).agg(F.min("ppl").alias(f"__t{i}"))
+        bounds = b if bounds is None else bounds.crossJoin(b)
+    out = scored.crossJoin(F.broadcast(bounds))
+    bucket = F.lit(names[-1])
+    for i in reversed(range(1, parts)):
+        bucket = F.when(F.col("ppl") <= F.col(f"__t{i}"), F.lit(names[i - 1])).otherwise(bucket)
+    bucket = F.when(F.col("ppl").isNull(), F.lit("und")).otherwise(bucket)
+    return out.select(id_col, "n_trans", "ppl", bucket.alias("bucket"))
+
+
+def ppl_buckets_sql(
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = SMOOTH_K,
+    names: tuple[str, ...] = ("head", "middle", "tail"),
+) -> str:
+    """DuckDB twin of :func:`ppl_buckets` (same histogram boundary
+    arithmetic over the same 4-dp ppl values)."""
+    parts = len(names)
+    scored = bigram_lm_perplexity_sql(table, id_col=id_col, text_col=text_col, k=k)
+    tsel = ", ".join(
+        f"(SELECT MIN(ppl) FROM cum WHERE cum >= CEIL(n * {i} / {parts}.0)) AS t{i}"
+        for i in range(1, parts)
+    )
+    case = f"'{names[-1]}'"
+    for i in reversed(range(1, parts)):
+        case = f"(CASE WHEN ppl <= t{i} THEN '{names[i - 1]}' ELSE {case} END)"
+    return f"""
+        WITH scored AS ({scored}),
+        hist AS (SELECT ppl, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM scored WHERE ppl IS NOT NULL GROUP BY ppl),
+        cum AS (SELECT ppl, SUM(c) OVER (ORDER BY ppl) AS cum,
+                       (SELECT CAST(SUM(c) AS BIGINT) FROM hist) AS n
+                FROM hist),
+        bounds AS (SELECT {tsel})
+        SELECT {id_col}, n_trans, ppl,
+               CASE WHEN ppl IS NULL THEN 'und' ELSE {case} END AS bucket
+        FROM scored, bounds
+    """

@@ -132,3 +132,34 @@ def test_ngram_stats_ranking(spark):
     assert (rows[0].gram, rows[0].doc_freq, rows[0].total_freq) == ("the quick fox", 2, 3)
     # remaining grams all have doc_freq 1: ties broken by total then gram
     assert all(r.doc_freq == 1 for r in rows[1:])
+
+
+def test_ppl_buckets_thirds_and_und(spark):
+    """Equal-count thirds by perplexity (boundary ties share a bucket);
+    short docs land in 'und'; head has the lowest perplexities."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark.functions.lm import ppl_buckets
+
+    rows = [(i, "the cat sat on mat " + ("xyz unseen rare " * (i % 5)) + f"tail{i}")
+            for i in range(30)]
+    rows.append((100, "short"))  # 1 token -> NULL ppl
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ppl_buckets(df).collect()
+    buckets = {r.doc_id: r.bucket for r in out}
+    assert buckets[100] == "und"
+    counts = {}
+    for r in out:
+        counts[r.bucket] = counts.get(r.bucket, 0) + 1
+    assert set(counts) <= {"head", "middle", "tail", "und"}
+    # value-contiguous buckets: max(head ppl) <= min(middle ppl) <= ...
+    by = {}
+    for r in out:
+        if r.ppl is not None:
+            by.setdefault(r.bucket, []).append(r.ppl)
+    assert max(by["head"]) <= min(by.get("middle", by.get("tail", [float("inf")])))
+    if "middle" in by and "tail" in by:
+        assert max(by["middle"]) <= min(by["tail"])
+    # roughly thirds (ties can shift counts)
+    n = sum(v for k, v in counts.items() if k != "und")
+    assert counts.get("head", 0) >= n // 3 - 2
