@@ -50,6 +50,10 @@ SANCTIONED: dict[str, dict[str, str]] = {
         "NESTEDLOOP": "corpus x broadcast k-means CODEBOOK "
         "(k x d cells, bounded by design; _assign_cells)"
     },
+    "ann_recall": {
+        "NESTEDLOOP": "composes brute_force_topk's corpus x broadcast "
+        "QUERY set (bounded evaluation sample)"
+    },
 }
 
 
