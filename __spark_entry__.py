@@ -1823,6 +1823,43 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text", "split")
 
 
+def q_warc_split_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC source under the hash gate: serialize the documents table
+    into a WARC archive (fixture writer — the only driver-side step,
+    bounded to the sf0.01 gate corpus), then read it back through the
+    SPLITTABLE byte-range reader (`sources/warc.py:read_warc_split`,
+    split boundaries landing mid-record) and emit each record's payload
+    md5 — which the oracle computes directly from the source table, so
+    parser + split-sync + HTTP-strip must be byte-perfect to pass."""
+    import tempfile
+
+    from architxt_spark.sources.warc import build_warc, read_warc_split
+
+    rows = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": f"doc:{r.doc_id}",
+            "payload": r.text.encode("utf-8"),
+            "content_type": "text/plain",
+        }
+        for r in rows
+    ]
+    scratch = tempfile.mkdtemp(prefix="architxt_warc_")
+    with open(f"{scratch}/gate.warc", "wb") as f:
+        f.write(build_warc(recs))
+    out = read_warc_split(spark, f"{scratch}/gate.warc", split_bytes=64 << 10,
+                          extract_text=False)
+    return out.select(
+        F.col("target_uri").alias("uri"), F.md5("payload").alias("payload_md5")
+    )
+
+
 def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style perplexity partition (head/middle/tail by LM score):
     bucket thresholds from a HISTOGRAM of the rounded ppl values + a
@@ -2187,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift",
         "ann_recall",
         "ppl_buckets",
+        "warc_split_roundtrip",
         # the 34 entries whose only driver verdict is round-4 (the r5 gate
         # prefix did not reach them); after r6 every registry entry has a
         # driver verdict <= 2 rounds old
@@ -2322,6 +2360,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "ann_recall": q_ann_recall,
         "ppl_buckets": q_ppl_buckets,
+        "warc_split_roundtrip": q_warc_split_roundtrip,
         "lang_distribution": q_lang_distribution,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3209,6 +3248,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "ann_recall": ann.ann_recall_sql("embeddings", dim=64, k=5, max_query_id=10),
         "ppl_buckets": _ppl_buckets_sql(),
+        "warc_split_roundtrip": """
+            SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS uri,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
         "bpe_train_merges": _bpe_sql(),
         "bpe_tokenizer": _bpe_tokenizer_sql(),
         "dsir": _dsir_fold_sql(),
