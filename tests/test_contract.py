@@ -28,11 +28,12 @@ def test_rotation_prefix_is_valid_and_first():
     names = list(q)
     assert set(names) == set(allq)
     # brand-new entries (no driver verdict ever) lead outright
-    for i, k in enumerate((
+    new = (
         "link_pagerank", "unicode_split", "collocations", "corpus_report",
         "corpus_delta", "tfidf_terms", "random_project", "corpus_drift",
-        "ann_recall",
-    )):
+        "ann_recall", "ppl_buckets", "warc_split_roundtrip",
+    )
+    for i, k in enumerate(new):
         assert names.index(k) == i, k
     # the 34 entries whose only driver verdict is round-4 come next so
     # every registry entry ends the round with a verdict <= 2 rounds old
@@ -45,10 +46,10 @@ def test_rotation_prefix_is_valid_and_first():
               "tree_leaves_nation", "coverage_metric", "bm25_topk",
               "dedup_simhash", "dedup_filtered", "graph_extract",
               "typed_export_orders", "sampling_mixture", "sampling_pack"):
-        assert names.index(k) < 9 + 34, k
+        assert names.index(k) < len(new) + 34, k
     # r6: every entry folded, added, or code-touched this round must also
     # lead the window
     for k in ("sketch_suite", "bpe_tokenizer", "chunk_pipeline",
               "dedup_minhash_lsh", "dedup_components", "curation_pipeline",
               "stream_fm_distinct", "bm25_batch"):
-        assert names.index(k) < 9 + 50, k
+        assert names.index(k) < len(new) + 50, k
