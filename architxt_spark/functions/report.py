@@ -62,15 +62,22 @@ def corpus_report(
     Counts are exact BIGINTs carried in the double column (integers
     < 2^53 are exact); derived ratios are single IEEE divisions of
     exact integers."""
+    from architxt_spark.functions.dedup import _spread
+
+    df = _spread(df)
     lang = F.col(lang_col) if lang_col else T.lang_id(F.col(text_col))
+    # Barrier ONLY the cheap narrow signals the grouped consumers share.
+    # The quality/gopher columns deliberately stay OUT of the checkpointed
+    # projection: a checkpoint materializes the Project on the
+    # interpreted (no-CSE) eval path, where gopher's composite
+    # re-evaluates its token/shingle subtrees per row — measured 10 s vs
+    # 0.03 s for the SAME expression under an aggregate at sf0.1.  Their
+    # two scalars come from one direct (codegen, pruned) aggregate over
+    # the source instead.
     sig = stage_barrier(
         df.select(
             T.token_count(F.col(text_col)).alias("n_tok"),
             F.length(F.col(text_col)).alias("n_chars"),
-            F.round(T.quality_score(F.col(text_col)), 6)
-            .cast("decimal(18,6)")
-            .alias("q"),
-            T.gopher_keep(F.col(text_col)).cast("int").alias("keep"),
             T.fingerprint(F.col(text_col)).alias("fp"),
             lang.alias("lang"),
             (F.col(source_col) if source_col else F.lit("all")).alias("src"),
@@ -82,8 +89,19 @@ def corpus_report(
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.count_distinct("fp").alias("n_distinct"),
-        F.sum("q").cast("double").alias("q_sum"),
-        F.sum("keep").cast("long").alias("n_keep"),
+    ).crossJoin(
+        F.broadcast(
+            df.agg(
+                F.sum(
+                    F.round(T.quality_score(F.col(text_col)), 6).cast("decimal(18,6)")
+                )
+                .cast("double")
+                .alias("q_sum"),
+                F.sum(T.gopher_keep(F.col(text_col)).cast("int"))
+                .cast("long")
+                .alias("n_keep"),
+            )
+        )
     )
     size = scalars.selectExpr(
         "stack(3, 'n_docs', cast(n_docs as double), "

@@ -180,8 +180,12 @@ def nfc_normalize(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
 def clean_unicode(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     """The composed hygiene pass: NFC → control strip → punctuation
     standardization.  NFC runs first so decomposed typographic marks are
-    composed before the translate map sees them."""
-    df = nfc_normalize(df, col, out or col)
+    composed before the translate map sees them.  The input spreads to
+    the session's parallelism when under-partitioned (one parquet file ⇒
+    one partition ⇒ the Arrow NFC batch serializes on a single core)."""
+    from architxt_spark.functions.dedup import _spread
+
+    df = nfc_normalize(_spread(df), col, out or col)
     return df.withColumn(
         out or col, standardize_punct(strip_controls(F.col(out or col)))
     )
@@ -607,6 +611,9 @@ def collocations(
     The log form avoids the ``c_xy·N`` BIGINT overflow a 100-TB corpus
     would hit and keeps engine skew at libm-ulp level, far under the
     gate's 6-significant-digit float normalization."""
+    from architxt_spark.functions.dedup import _spread
+
+    df = _spread(df)
     t = F.col(text_col)
     bi = (
         df.select(tokens(t).alias("__t"))
@@ -693,6 +700,9 @@ def tfidf_terms(
     doc-term pairs), corpus size on a 1-row broadcast; the ``min_tf``
     filter prunes before the df join.  Top-k is a per-document window —
     partitioned by the document id, never global."""
+    from architxt_spark.functions.dedup import _spread
+
+    df = _spread(df)
     pairs = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
@@ -778,9 +788,12 @@ def corpus_drift(
     (``functions/domains.py``).  Scale shape: two map-combinable
     wordcounts + one full-outer join on the token key; ``min_count``
     prunes the long tail before the join."""
+    from architxt_spark.functions.dedup import _spread
+
     def counts(d: DataFrame, name: str) -> DataFrame:
         return (
-            d.select(F.explode(tokens(F.col(text_col))).alias("token"))
+            _spread(d)
+            .select(F.explode(tokens(F.col(text_col))).alias("token"))
             .groupBy("token")
             .agg(F.count("*").cast("long").alias(name))
         )
