@@ -150,7 +150,12 @@ def random_project(
     for floats; the division is exact).  Cost is ``out_dim × in_dim``
     expression ops per row — fine for the prefilter dims this is for
     (≤ 64); a JVM/Arrow matrix path would trade the exactness contract
-    for throughput."""
+    for throughput.  The input spreads to session parallelism when
+    under-partitioned (the expression work is interpreted — one parquet
+    file must not serialize it on one core)."""
+    from architxt_spark.functions.dedup import _spread
+
+    df = _spread(df)
     q = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * (1 << scale_bits)).cast("long"),
