@@ -1871,12 +1871,15 @@ def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN index self-evaluation: recall@5 of the sign-LSH path against
-    the brute-force ground truth per query — an integer intersection
-    count, so the evaluation itself is hash-gated
-    (`functions/ann.py:ann_recall`)."""
+    """ANN index self-evaluation: recall@5 of the sign-LSH AND IVF paths
+    against the brute-force ground truth per query (the A/B an index
+    migration runs) — integer intersection counts, so the evaluation
+    itself is hash-gated (`functions/ann.py:ann_recall`)."""
     emb = _t(spark, sf, "embeddings")
-    return ann.ann_recall(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+    return ann.ann_recall(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+        methods=("lsh", "ivf"),
+    )
 
 
 def q_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
@@ -3246,7 +3249,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": search.bm25_topk_sql("documents", _BM25_TERMS, k=25),
         "bm25_batch": search.bm25_topk_batch_sql("documents", _BM25_BAGS, k=15),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
-        "ann_recall": ann.ann_recall_sql("embeddings", dim=64, k=5, max_query_id=10),
+        "ann_recall": ann.ann_recall_sql(
+            "embeddings", dim=64, k=5, max_query_id=10, methods=("lsh", "ivf")
+        ),
         "ppl_buckets": _ppl_buckets_sql(),
         "warc_split_roundtrip": """
             SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS uri,

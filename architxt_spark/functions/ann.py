@@ -218,42 +218,62 @@ def ann_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = LSH_PLANES,
+    methods: tuple[str, ...] = ("lsh",),
+    n_cells: int = 16,
+    nprobe: int = 4,
 ) -> DataFrame:
-    """Index self-evaluation: recall@k of the sign-LSH approximate
-    neighbors against the exact brute-force ground truth, per query —
-    ``(query_id, n_hit, k, recall)``.  The measurement an index rollout
-    gates on (tune ``n_planes``/nprobe until recall clears the bar,
-    THEN deploy the approximate path).
+    """Index self-evaluation: recall@k of each approximate method
+    (``"lsh"`` sign-LSH, ``"ivf"`` inverted-file) against the exact
+    brute-force ground truth, per query — ``(method, query_id, n_hit,
+    k, recall)``.  The measurement an index rollout gates on (tune
+    planes/nprobe until recall clears the bar, THEN deploy the
+    approximate path); evaluating both candidates in one frame is the
+    A/B an index migration runs.
 
-    Exactness: both neighbor sets are the deterministic top-k frames
-    (sim desc, id asc tie-break); the recall is an integer intersection
+    Exactness: every neighbor set is a deterministic top-k frame
+    (sim desc, id asc tie-break); recall is an integer intersection
     count over k — no float comparison enters the metric, so the
     evaluation itself sits under the hash oracle.  Cost: one brute pass
-    over the corpus (ground truth) + the LSH pass — an EVALUATION run
-    on a sampled query set, not a serving path."""
-    exact = brute_force_topk(
-        embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
-    ).select("query_id", "neighbor_id")
-    approx = lsh_topk(
-        embeddings, queries, id_col=id_col, vec_col=vec_col,
-        dim=dim, k=k, n_planes=n_planes,
-    ).select("query_id", "neighbor_id")
-    hits = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_hit"))
+    over the corpus (ground truth, shared by all methods) + one pass
+    per method — an EVALUATION run on a sampled query set, not a
+    serving path."""
+    from architxt_spark.session import stage_barrier
+
+    exact = stage_barrier(
+        brute_force_topk(
+            embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
+        ).select("query_id", "neighbor_id")
     )
-    return (
-        exact.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
+    qids = exact.select("query_id").distinct()
+    out = None
+    for method in methods:
+        if method == "lsh":
+            approx = lsh_topk(
+                embeddings, queries, id_col=id_col, vec_col=vec_col,
+                dim=dim, k=k, n_planes=n_planes,
+            )
+        elif method == "ivf":
+            approx = ivf_topk(
+                embeddings, queries, id_col=id_col, vec_col=vec_col,
+                k=k, n_cells=n_cells, nprobe=nprobe,
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_hit"))
+        )
+        frame = qids.join(hits, "query_id", "left").select(
+            F.lit(method).alias("method"),
             "query_id",
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             F.lit(k).cast("long").alias("k"),
             (F.coalesce("n_hit", F.lit(0)).cast("double") / k).alias("recall"),
         )
-    )
+        out = frame if out is None else out.unionByName(frame)
+    return out
 
 
 def ann_recall_sql(
@@ -263,22 +283,41 @@ def ann_recall_sql(
     k: int = 5,
     n_planes: int = LSH_PLANES,
     max_query_id: int = 10,
+    methods: tuple[str, ...] = ("lsh",),
+    n_cells: int = 16,
+    nprobe: int = 4,
 ) -> str:
-    """DuckDB twin of :func:`ann_recall` (composes the brute and LSH
-    top-k twins; the metric is an integer intersection count)."""
-    return f"""
-        WITH ex AS ({brute_force_topk_sql(table, k=k, max_query_id=max_query_id)}),
-        ap AS ({lsh_topk_sql(table, dim=dim, k=k, n_planes=n_planes, max_query_id=max_query_id)}),
-        h AS (
-            SELECT ap.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-            FROM ap JOIN ex USING (query_id, neighbor_id)
-            GROUP BY ap.query_id
+    """DuckDB twin of :func:`ann_recall` (composes the brute and
+    per-method top-k twins; the metric is an integer intersection
+    count)."""
+    ctes = [f"ex AS ({brute_force_topk_sql(table, k=k, max_query_id=max_query_id)})"]
+    selects = []
+    for method in methods:
+        if method == "lsh":
+            ap = lsh_topk_sql(
+                table, dim=dim, k=k, n_planes=n_planes, max_query_id=max_query_id
+            )
+        elif method == "ivf":
+            ap = ivf_topk_sql(
+                table, k=k, n_cells=n_cells, nprobe=nprobe, max_query_id=max_query_id
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        ctes.append(f"ap_{method} AS ({ap})")
+        ctes.append(
+            f"h_{method} AS (SELECT ap_{method}.query_id, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_hit "
+            f"FROM ap_{method} JOIN ex USING (query_id, neighbor_id) "
+            f"GROUP BY ap_{method}.query_id)"
         )
-        SELECT q.query_id, COALESCE(h.n_hit, 0) AS n_hit,
-               CAST({k} AS BIGINT) AS k,
-               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {k} AS recall
-        FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id)
-    """
+        selects.append(
+            f"SELECT '{method}' AS method, q.query_id, "
+            f"COALESCE(h_{method}.n_hit, 0) AS n_hit, CAST({k} AS BIGINT) AS k, "
+            f"CAST(COALESCE(h_{method}.n_hit, 0) AS DOUBLE) / {k} AS recall "
+            f"FROM (SELECT DISTINCT query_id FROM ex) q "
+            f"LEFT JOIN h_{method} USING (query_id)"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _plane(seed: int, dim: int) -> list[float]:
