@@ -112,9 +112,13 @@ def test_pagerank_no_cartesian_and_aggregated_edges(spark, entry):
 
 
 def test_unicode_split_is_map_side_only(spark, entry):
-    """clean_unicode + hash_split add NO shuffle: Arrow eval + project."""
+    """clean_unicode + hash_split add NO data-dependent shuffle: Arrow
+    eval + project.  The one permitted Exchange is `_spread`'s
+    round-robin fan-out of an under-partitioned input (a no-op at real
+    scale) — never a hash/range repartition."""
     plan = _plan(entry.q_unicode_split(spark, SF))
-    assert "Exchange" not in plan
+    for chunk in plan.split("Exchange ")[1:]:
+        assert chunk.startswith("RoundRobinPartitioning"), chunk.split("\n")[0]
 
 
 def test_corpus_report_histogram_not_corpus_window(spark, entry):
