@@ -54,6 +54,10 @@ HEADLINE = [
     # iterative graph analytics over the behavioral log (Pregel-shaped
     # integer PageRank: K chained shuffle-join rounds behind barriers)
     "link_pagerank",
+    # r6 continuation: the corpus datasheet (one barriered signal scan +
+    # histogram-exact deciles) and the unicode-hygiene + split stage
+    "corpus_report",
+    "unicode_split",
 ]
 
 
