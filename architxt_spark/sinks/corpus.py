@@ -215,6 +215,35 @@ def compact_corpus(
         shutil.rmtree(os.path.join(path, sub))
         shutil.move(os.path.join(tmp, sub), os.path.join(path, sub))
     shutil.rmtree(tmp, ignore_errors=True)
+    # delta sidecar indexes (index/fp, index/bands) accumulate one small
+    # file per merge batch — compact them with the same write-new /
+    # verify / replace swap (invariance check: exact row-count + XOR of
+    # row hashes, both order-independent)
+    for sub in ("fp", "bands"):
+        idx = os.path.join(path, "index", sub)
+        if not os.path.isdir(idx):
+            continue
+        frame = spark.read.parquet(idx)
+        row_hash = F.conv(
+            F.substring(F.md5(F.concat_ws("\x01", *frame.columns)), 1, 15), 16, 10
+        ).cast("long")
+        def _sig(d):
+            return d.agg(
+                F.count("*").cast("long"),
+                F.aggregate(
+                    F.collect_list(row_hash),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a.bitwiseXOR(x),
+                ),
+            ).first()
+        before = _sig(frame)
+        itmp = idx + ".compact_tmp"
+        frame.coalesce(max(1, files_per_partition)).write.mode("overwrite").parquet(itmp)
+        if _sig(spark.read.parquet(itmp)) != before:
+            shutil.rmtree(itmp, ignore_errors=True)
+            raise RuntimeError(f"index compaction verify failed for {sub}")
+        shutil.rmtree(idx)
+        shutil.move(itmp, idx)
     return manifest
 
 

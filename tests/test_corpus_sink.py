@@ -248,3 +248,35 @@ def test_cli_merge(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[-3:] == ["input\t4", "exact\t2", "kept\t2"]
     assert spark.read.parquet(f"{corpus}/data").count() == 6
+
+
+def test_compact_corpus_compacts_delta_indexes(spark, tmp_path):
+    """After several merges the fp/band indexes hold one file per batch;
+    compaction collapses them with content invariance."""
+    import glob
+
+    from architxt_spark.sinks.corpus import compact_corpus, merge_corpus
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "c")
+    for b in range(3):
+        merge_corpus(
+            spark, path,
+            mk([(b * 10 + i, " ".join(f"b{b}d{i}w{j}" for j in range(12)), "en")
+                for i in range(4)]),
+            partition_cols=["lang"],
+        )
+    def n_files(sub):
+        return len(glob.glob(f"{path}/index/{sub}/*.parquet"))
+    fp_before = spark.read.parquet(f"{path}/index/fp")
+    fps_before = sorted(r.fp for r in fp_before.collect())
+    assert n_files("fp") >= 3
+    compact_corpus(spark, path)
+    assert n_files("fp") == 1 and n_files("bands") == 1
+    assert sorted(r.fp for r in spark.read.parquet(f"{path}/index/fp").collect()) == fps_before
+    # merging after compaction still dedups against the compacted index
+    c = {r.stage: r.n_docs for r in merge_corpus(
+        spark, path,
+        mk([(100, " ".join(f"b0d0w{j}" for j in range(12)), "en")]),
+        partition_cols=["lang"]).collect()}
+    assert c["exact"] == 0
