@@ -1824,16 +1824,23 @@ def q_unicode_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_warc_split_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """WARC source under the hash gate: serialize the documents table
-    into a WARC archive (fixture writer — the only driver-side step,
-    bounded to the sf0.01 gate corpus), then read it back through the
-    SPLITTABLE byte-range reader (`sources/warc.py:read_warc_split`,
-    split boundaries landing mid-record) and emit each record's payload
-    md5 — which the oracle computes directly from the source table, so
-    parser + split-sync + HTTP-strip must be byte-perfect to pass."""
+    """WARC source under the hash gate — ALL THREE reader paths, tagged:
+
+    - ``split``: the uncompressed byte-range reader
+      (`sources/warc.py:read_warc_split`, boundaries landing mid-record);
+    - ``stream``: the STREAMING default path (`read_warc`) over a
+      CommonCrawl-layout ``.warc.gz`` (one gzip member per record,
+      inflated incrementally — O(record) task memory, r7 rewrite);
+    - ``idx``: the gz member-range splitter driven by the ``.idx``
+      offset sidecar (member-aligned compressed splits).
+
+    Each emits every record's payload md5; the oracle computes the same
+    md5s directly from the source table × 3 tags, so parser, split
+    sync, gzip member walk, and HTTP strip must all be byte-perfect."""
+    import gzip as _gzip
     import tempfile
 
-    from architxt_spark.sources.warc import build_warc, read_warc_split
+    from architxt_spark.sources.warc import build_warc, read_warc, read_warc_split
 
     rows = (
         _t(spark, sf, "documents")
@@ -1853,10 +1860,33 @@ def q_warc_split_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="architxt_warc_")
     with open(f"{scratch}/gate.warc", "wb") as f:
         f.write(build_warc(recs))
-    out = read_warc_split(spark, f"{scratch}/gate.warc", split_bytes=64 << 10,
-                          extract_text=False)
-    return out.select(
-        F.col("target_uri").alias("uri"), F.md5("payload").alias("payload_md5")
+    # CommonCrawl layout: one gzip member per record + offset sidecar
+    members = [_gzip.compress(build_warc([r])) for r in recs]
+    gz_dir = tempfile.mkdtemp(prefix="architxt_warc_gz_")
+    with open(f"{gz_dir}/gate.warc.gz", "wb") as f:
+        f.write(b"".join(members))
+    pos = 0
+    with open(f"{gz_dir}/gate.warc.gz.idx", "w") as f:
+        for m in members:
+            f.write(f"{pos} {len(m)}\n")
+            pos += len(m)
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("reader"),
+            F.col("target_uri").alias("uri"),
+            F.md5("payload").alias("payload_md5"),
+        )
+
+    split = read_warc_split(spark, f"{scratch}/gate.warc", split_bytes=64 << 10,
+                            extract_text=False)
+    stream = read_warc(spark, f"{gz_dir}/gate.warc.gz", extract_text=False)
+    via_idx = read_warc_split(spark, f"{gz_dir}/gate.warc.gz",
+                              split_bytes=max(pos // 8, 1), extract_text=False)
+    return (
+        tagged(split, "split")
+        .unionByName(tagged(stream, "stream"))
+        .unionByName(tagged(via_idx, "idx"))
     )
 
 
@@ -3254,9 +3284,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ppl_buckets": _ppl_buckets_sql(),
         "warc_split_roundtrip": """
-            SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS uri,
-                   md5(text) AS payload_md5
-            FROM documents
+            SELECT r.reader, 'doc:' || CAST(d.doc_id AS VARCHAR) AS uri,
+                   md5(d.text) AS payload_md5
+            FROM documents d
+            CROSS JOIN (VALUES ('split'), ('stream'), ('idx')) AS r(reader)
         """,
         "bpe_train_merges": _bpe_sql(),
         "bpe_tokenizer": _bpe_tokenizer_sql(),

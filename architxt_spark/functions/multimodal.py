@@ -113,6 +113,12 @@ def decode_jpeg_dims(content: bytes) -> tuple[int, int]:
     while i + 4 <= n:
         if content[i] != 0xFF:
             raise ValueError("not a JPEG (lost marker sync)")
+        # JPEG permits runs of 0xFF fill bytes between segments (B.1.1.2);
+        # the marker code is the first non-0xFF byte after them
+        while i + 1 < n and content[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = content[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             i += 2

@@ -120,6 +120,24 @@ def cluster_conf(
     }
 
 
+def read_parquet_if_exists(spark: SparkSession, path: str):
+    """Read a parquet directory, or return ``None`` when the PATH does not
+    exist yet (the bootstrap case for append-only sidecar state: band /
+    fingerprint / bloom indexes on their first batch).  Only the
+    path-missing condition maps to ``None`` — a transient IO error, a
+    permission failure, or a corrupt footer PROPAGATES, so a delta merge
+    can never mistake "index unreadable right now" for "no index yet"
+    and silently re-ingest duplicates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if exc.getCondition() == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 TPCH_TABLES = (
     "region",
     "nation",

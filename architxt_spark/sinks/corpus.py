@@ -47,13 +47,14 @@ def corpus_manifest(
     15 hex digits of each row's text md5 — commutative, so it is
     independent of row order and file layout."""
     row_hash = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
-    xor_all = F.aggregate(
-        F.collect_list(row_hash), F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
-    )
+    # bit_xor is a real aggregate: constant state per group and
+    # map-combinable (partial XOR per task, merged at the reduce) — the
+    # collect_list+aggregate spelling would buffer one long PER ROW of a
+    # partition value into a single array in one task, O(n_docs) memory.
     return df.groupBy(*partition_cols).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
-        xor_all.alias("content_hash"),
+        F.bit_xor(row_hash).alias("content_hash"),
     )
 
 
@@ -160,10 +161,15 @@ def verify_corpus(spark: SparkSession, path: str, *, text_col: str = "text") -> 
         stored.join(a, partition_cols, "full_outer")
         .select(
             *partition_cols,
-            (
+            # coalesce: a one-sided partition (present only in data or
+            # only in the manifest) leaves the other side's columns NULL,
+            # making the conjunction NULL — it must report ok=false, not
+            # silently drop out of every `~ok` filter
+            F.coalesce(
                 (F.col("n_docs") == F.col("a_docs"))
                 & (F.col("n_chars") == F.col("a_chars"))
-                & (F.col("content_hash") == F.col("a_hash"))
+                & (F.col("content_hash") == F.col("a_hash")),
+                F.lit(False),
             ).alias("ok"),
         )
     )
@@ -228,13 +234,12 @@ def compact_corpus(
             F.substring(F.md5(F.concat_ws("\x01", *frame.columns)), 1, 15), 16, 10
         ).cast("long")
         def _sig(d):
+            # constant-state map-combinable XOR (see corpus_manifest);
+            # coalesce: bit_xor over zero rows is NULL, pin it to 0 so
+            # empty-index signatures compare stably
             return d.agg(
                 F.count("*").cast("long"),
-                F.aggregate(
-                    F.collect_list(row_hash),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a.bitwiseXOR(x),
-                ),
+                F.coalesce(F.bit_xor(row_hash), F.lit(0).cast("long")),
             ).first()
         before = _sig(frame)
         itmp = idx + ".compact_tmp"
@@ -283,11 +288,13 @@ def merge_corpus(
        and the survivors' fingerprints to ``index/fp``.
 
     First call on an empty ``path`` bootstraps corpus and indexes in one
-    pass.  Idempotence note: a FAILED run that appended some state may
-    drop re-sent duplicates as index hits — for exactly-once replays use
-    the streaming ingester's checkpointed path."""
+    pass.  Recovery note: data + fp-index appends land BEFORE the band
+    index append (the ``write_output`` ordering seam), so a failed run
+    replayed from the caller re-emits at-worst duplicate rows — it can
+    never see its own bands and drop the whole batch; for checkpointed
+    replays use the streaming ingester."""
     from architxt_spark.functions.text import fingerprint
-    from architxt_spark.session import stage_barrier
+    from architxt_spark.session import read_parquet_if_exists, stage_barrier
 
     fp_path = os.path.join(path, "index", "fp")
     batch = stage_barrier(new_docs)
@@ -297,11 +304,10 @@ def merge_corpus(
         F.col(id_col).alias("__id"), fingerprint(F.col(text_col)).alias("fp")
     )
     keep = fps.groupBy("fp").agg(F.min("__id").alias("__id"))
-    try:
-        hist = spark.read.parquet(fp_path).select("fp").distinct()
-        keep = keep.join(hist, "fp", "left_anti")
-    except Exception:  # noqa: BLE001 — bootstrap: no index yet
-        pass
+    hist = read_parquet_if_exists(spark, fp_path)  # None only on bootstrap;
+    # a transient read error propagates rather than re-ingesting duplicates
+    if hist is not None:
+        keep = keep.join(hist.select("fp").distinct(), "fp", "left_anti")
     survivors = stage_barrier(
         batch.join(
             keep.select("__id"), batch[id_col] == F.col("__id"), "left_semi"
@@ -309,29 +315,38 @@ def merge_corpus(
     )
     census.append(("exact", survivors.count()))
 
+    # Crash-ordering: the DATA/manifest append (and the fp-index append,
+    # which gates future exact dedup) must land before the band-index
+    # append inside minhash_dedup_batch — hence the write_output seam.
+    # A crash mid-sequence then replays as duplicates, never as loss.
+    kept_n = [0]
+
+    def _commit(kept: DataFrame) -> None:
+        kept_n[0] = kept.count()
+        if kept_n[0] > 0:
+            write_corpus(
+                kept,
+                path,
+                partition_cols=partition_cols,
+                text_col=text_col,
+                files_per_partition=files_per_partition,
+                mode="append",
+            )
+            kept.select(
+                fingerprint(F.col(text_col)).alias("fp")
+            ).write.mode("append").parquet(fp_path)
+
     if near:
         from architxt_spark.streaming.corpus import minhash_dedup_batch
 
-        survivors = stage_barrier(
-            minhash_dedup_batch(
-                survivors,
-                os.path.join(path, "index", "bands"),
-                text_col=text_col,
-                id_col=id_col,
-            )
-        )
-    census.append(("kept", survivors.count()))
-
-    if census[-1][1] > 0:
-        write_corpus(
+        minhash_dedup_batch(
             survivors,
-            path,
-            partition_cols=partition_cols,
+            os.path.join(path, "index", "bands"),
             text_col=text_col,
-            files_per_partition=files_per_partition,
-            mode="append",
+            id_col=id_col,
+            write_output=_commit,
         )
-        survivors.select(
-            fingerprint(F.col(text_col)).alias("fp")
-        ).write.mode("append").parquet(fp_path)
+    else:
+        _commit(survivors)
+    census.append(("kept", kept_n[0]))
     return spark.createDataFrame(census, "stage string, n_docs long")

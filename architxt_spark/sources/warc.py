@@ -4,17 +4,20 @@ Beyond-reference component (the reference loads relational/graph/document
 stores; a 100-TB pretraining corpus starts life as WARC files on object
 storage).  Everything here is stdlib — WARC/1.0 is line-oriented headers
 + a ``Content-Length``-delimited body per record, and ``.warc.gz`` files
-are concatenated gzip members which :func:`gzip.decompress` inflates in
-one call.
+are concatenated gzip members that :class:`gzip.GzipFile` inflates as
+one incremental multi-member stream.
 
 Scale design:
 
-- **Partition = file.** WARC is not splittable mid-stream (gzip members
-  are per-record but offsets need the index file), so the unit of
-  parallelism is the archive file — exactly how CommonCrawl ships
-  (~1 GB per file, ~64k files per crawl ⇒ plenty of tasks for 1000
-  executors).  We read with Spark's ``binaryFile`` source and parse per
-  file inside ``mapInPandas`` (Arrow boundary, no row-at-a-time UDF).
+- **Partition = file, memory = record.** WARC is not arbitrarily
+  splittable mid-stream (gzip members are per-record but offsets need
+  the index sidecar), so the default unit of parallelism is the archive
+  file — exactly how CommonCrawl ships (~1 GB per file, ~64k files per
+  crawl ⇒ plenty of tasks for 1000 executors).  Each task STREAMS its
+  file through the ``opener`` seam (ranged/chunked reads; gzip inflates
+  incrementally) and parses with the O(largest record) ``_RangeBuf``
+  discipline, yielding bounded pandas batches across the Arrow boundary
+  — no whole-file binary cell, no per-file row list, no 2 GB cell cap.
 - **Projection early.** Record filtering (``record_types``) and the
   HTML→text strip happen inside the parser, so only the rows and columns
   a query needs cross the Arrow boundary; downstream curation
@@ -137,8 +140,10 @@ def html_to_text(payload: bytes) -> str:
     text = _NONTEXT_RE.sub(" ", payload.decode("utf-8", "replace"))
     text = _BLOCK_TAG_RE.sub("\n", text)
     text = _TAG_RE.sub(" ", text)
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+    # &amp; LAST: unescaping it first would turn a double-escaped entity
+    # (&amp;lt;) into &lt; and then a literal '<' on the next pass
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         text = text.replace(ent, ch)
     lines = [re.sub(r"[ \t]+", " ", ln).strip() for ln in text.splitlines()]
     return "\n".join(ln for ln in lines if ln)
@@ -171,44 +176,195 @@ def _records_for_file(
         }
 
 
+_WARC_COLS = [
+    "path", "record_id", "warc_type", "target_uri", "warc_date",
+    "content_type", "http_status", "payload", "text",
+]
+
+#: flush a pandas batch to Arrow once its accumulated payload bytes cross
+#: this, regardless of row count — a page-payload archive never builds a
+#: multi-GB Arrow batch out of a few huge records
+_BATCH_BYTES = 64 << 20
+
+
+def _batched_frames(rows_iter, batch_rows: int):
+    """Group a record-dict iterator into bounded pandas DataFrames:
+    ``batch_rows`` rows OR :data:`_BATCH_BYTES` of payload per frame,
+    whichever trips first.  Always yields at least one (possibly empty)
+    frame so mapInPandas emits a stable schema."""
+    import pandas as pd
+
+    rows: list[dict[str, Any]] = []
+    nbytes = 0
+    emitted = False
+    for rec in rows_iter:
+        rows.append(rec)
+        nbytes += len(rec["payload"]) + len(rec["text"])
+        if len(rows) >= batch_rows or nbytes >= _BATCH_BYTES:
+            yield pd.DataFrame(rows, columns=_WARC_COLS)
+            rows, nbytes, emitted = [], 0, True
+    if rows or not emitted:
+        yield pd.DataFrame(rows, columns=_WARC_COLS)
+
+
+def _list_warc_files(path: str) -> list[str]:
+    """Driver-side enumeration: a file path as-is, a directory's regular
+    files (any extension — garbage parses to zero records, matching the
+    binaryFile source this replaces)."""
+    import os
+
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        out = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if os.path.isfile(os.path.join(path, n))
+        )
+        if out:
+            return out
+    raise FileNotFoundError(f"no WARC files under {path!r}")
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     *,
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
+    batch_rows: int = 1024,
+    opener=None,
 ) -> DataFrame:
     """Read WARC/WARC.gz archives under ``path`` into a DataFrame (one
     row per selected record).  ``record_types=()`` keeps every record
     (warcinfo/request/metadata included); ``extract_text`` adds the
-    stripped-HTML ``text`` column for text/HTML payloads."""
+    stripped-HTML ``text`` column for text/HTML payloads.
+
+    Memory model: STREAMING per file.  Each task reads its archive
+    incrementally through the ``opener`` seam — ``.gz`` members inflate
+    through :class:`gzip.GzipFile` (multi-member, chunked), plain
+    archives read through the same :class:`_RangeBuf` discipline as the
+    split reader — so resident task memory is O(largest record + read
+    chunk), never O(file).  A 1 GB CommonCrawl archive (~4 GB inflated)
+    parses in a task holding a few tens of MB; there is no 2 GB
+    binary-cell ceiling because no whole-file cell ever exists.  Output
+    crosses the Arrow boundary in bounded batches (``batch_rows`` rows or
+    64 MB of payload per batch).  Unit of parallelism remains the file —
+    use :func:`read_warc_split` to carve few-huge-file layouts into
+    byte-range tasks."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    paths = _list_warc_files(path)
+    file_opener = opener or (lambda p: open(p, "rb"))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                out
-                for p, c in zip(pdf["path"], pdf["content"])
-                for out in _records_for_file(p, bytes(c), record_types, extract_text)
-            ]
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "record_id", "warc_type", "target_uri", "warc_date",
-                    "content_type", "http_status", "payload", "text",
-                ],
-            )
+            for p in pdf["path"]:
+                if p.endswith(".gz"):
+                    op = lambda q: gzip.GzipFile(fileobj=file_opener(q))  # noqa: E731
+                else:
+                    op = file_opener
+                recs = _range_records(
+                    p, 0, _WHOLE_FILE, record_types, extract_text, op
+                )
+                yield from _batched_frames(recs, batch_rows)
 
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
     return files.mapInPandas(parse, WARC_SCHEMA)
 
 
 _REC_MAGIC = b"WARC/1.0\r\n"
+#: "end" sentinel for whole-stream parsing (gzip streams have no known
+#: decompressed size up front; the record walk stops at EOF regardless)
+_WHOLE_FILE = 1 << 62
 #: grow the split buffer in steps of this many bytes while completing a
 #: record that overruns the split end (bounds per-read memory, not
 #: record size — a record larger than the split still completes)
 _TAIL_STEP = 1 << 24
+
+
+class _RangeFile:
+    """Read-only file-like view over ``[start, end)`` of an underlying
+    binary stream — the ranged-GET shape: wraps one seek + bounded
+    sequential reads, so a gzip member-range split never reads outside
+    its slice."""
+
+    def __init__(self, f, start: int, end: int) -> None:
+        self._f = f
+        self._left = end - start
+        f.seek(start)
+
+    def read(self, n: int = -1) -> bytes:
+        if self._left <= 0:
+            return b""
+        take = self._left if n is None or n < 0 else min(n, self._left)
+        data = self._f.read(take)
+        self._left -= len(data)
+        return data
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _parse_idx(text: str) -> list[tuple[int, int]]:
+    """Parse a gzip member-offset sidecar into ``(offset, length)`` pairs.
+    Two accepted layouts: plain ``offset length`` integer lines, and
+    CDX(J) lines whose trailing JSON object carries ``"offset"`` /
+    ``"length"`` fields (the CommonCrawl index record shape).  Unparsable
+    lines are skipped; results are offset-sorted."""
+    import json
+
+    out: list[tuple[int, int]] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        brace = line.find("{")
+        if brace >= 0:
+            try:
+                obj = json.loads(line[brace:])
+                out.append((int(obj["offset"]), int(obj["length"])))
+                continue
+            except (ValueError, KeyError):
+                pass
+        parts = line.split()
+        if len(parts) >= 2:
+            try:
+                out.append((int(parts[0]), int(parts[1])))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _member_ranges(
+    members: list[tuple[int, int]], split_bytes: int
+) -> list[tuple[int, int]]:
+    """Pack member-aligned ``(offset, length)`` runs into contiguous
+    compressed byte ranges of ≤ ``split_bytes`` (always ≥ 1 member per
+    range).  Ranges are member-aligned by construction, so each split
+    decompresses independently."""
+    ranges: list[tuple[int, int]] = []
+    start = None
+    end = 0
+    for off, length in members:
+        if start is None:
+            start, end = off, off + length
+        elif off == end and end - start + length <= split_bytes:
+            end = off + length
+        else:
+            ranges.append((start, end))
+            start, end = off, off + length
+    if start is not None:
+        ranges.append((start, end))
+    return ranges
 
 
 class _RangeBuf:
@@ -391,11 +547,16 @@ def read_warc_split(
     Split semantics are the Hadoop input-format contract (a record
     belongs to the split containing its first byte; splits sync forward
     to a validated record boundary), so the result is byte-identical to
-    the per-file reader.  ``.warc.gz`` files get one full-file split
-    (gzip needs the offset index to seek).  ``opener`` is the storage
-    seam: any ``path -> binary file-like`` callable (default
-    ``open(path, "rb")``; pass an fsspec/S3 opener on object storage —
-    executors then issue exactly one ranged GET stream per split)."""
+    the per-file reader.  ``.warc.gz`` files split by gzip MEMBER ranges
+    when an offset sidecar ``<file>.idx`` sits next to them (plain
+    ``offset length`` lines or CDXJ lines with ``"offset"``/``"length"``
+    — the CommonCrawl index shape; members are per-record, so ranges are
+    record-aligned and each split inflates independently); without a
+    sidecar they stream as one full-file split (gzip cannot seek blind).
+    ``opener`` is the storage seam: any ``path -> binary file-like``
+    callable (default ``open(path, "rb")``; pass an fsspec/S3 opener on
+    object storage — executors then issue exactly one ranged GET stream
+    per split).  Every path is O(largest record) task memory."""
     import glob as _glob
     import os
 
@@ -411,31 +572,36 @@ def read_warc_split(
     for p in paths:
         size = os.path.getsize(p)
         if p.endswith(".gz"):
-            chunks.append((p, 0, size, True))
+            members = (
+                _parse_idx(open(p + ".idx", encoding="utf-8").read())
+                if os.path.exists(p + ".idx")
+                else []
+            )
+            if members:
+                for s, e in _member_ranges(members, split_bytes):
+                    chunks.append((p, s, e, True))
+            else:
+                chunks.append((p, 0, size, True))
         else:
             for off in range(0, max(size, 1), split_bytes):
                 chunks.append((p, off, min(off + split_bytes, size), False))
     file_opener = opener or (lambda p: open(p, "rb"))
-    cols = [
-        "path", "record_id", "warc_type", "target_uri", "warc_date",
-        "content_type", "http_status", "payload", "text",
-    ]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[dict[str, Any]] = []
             for p, s, e, gz in zip(pdf["path"], pdf["start"], pdf["end"], pdf["gz"]):
                 if gz:
-                    with file_opener(p) as f:
-                        rows.extend(
-                            _records_for_file(p, f.read(), record_types, extract_text)
-                        )
-                else:
-                    rows.extend(
-                        _range_records(p, int(s), int(e), record_types,
-                                       extract_text, file_opener)
+                    # inflate the member-aligned compressed range as one
+                    # incremental multi-member stream; record walk from 0
+                    op = lambda q, s=int(s), e=int(e): gzip.GzipFile(  # noqa: E731
+                        fileobj=_RangeFile(file_opener(q), s, e)
                     )
-            yield pd.DataFrame(rows, columns=cols)
+                    recs = _range_records(p, 0, _WHOLE_FILE, record_types,
+                                          extract_text, op)
+                else:
+                    recs = _range_records(p, int(s), int(e), record_types,
+                                          extract_text, file_opener)
+                yield from _batched_frames(recs, 1024)
 
     ranges = spark.createDataFrame(
         chunks, "path string, start long, end long, gz boolean"

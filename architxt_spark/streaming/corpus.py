@@ -59,6 +59,7 @@ def minhash_dedup_batch(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    write_output=None,
 ) -> DataFrame:
     """One micro-batch of incremental NEAR-dup filtering against a
     persistent LSH band index.
@@ -69,15 +70,25 @@ def minhash_dedup_batch(
        already-kept document) — a semi-join on the band key;
     3. within the batch, greedy keep-the-min-id per colliding pair (the
        batch twin of ``dedup.dedup_filter``);
-    4. append the SURVIVORS' bands to the index.
+    4. call ``write_output(survivors)`` — the caller's durable output
+       append — and only THEN append the survivors' bands to the index.
 
     Returns the surviving rows of ``batch``.  The index is a plain parquet
     directory of band keys: at scale it is the only state, it is
     append-only (blind write, no merge), and the per-batch work is two
     shuffles on the band key — independent of corpus history size thanks
     to the semi-join pushdown on the (bucketable) band column.
+
+    Crash-ordering contract: the OUTPUT append must land before the INDEX
+    append (hence the ``write_output`` seam rather than letting callers
+    write after this returns).  A crash between the two then replays the
+    batch against the pre-batch index and at worst re-emits the same
+    survivors (duplicate output rows, fixable by downstream exact dedup);
+    the reverse order would let the replay see its OWN bands in the index
+    and drop every document of the batch — permanent loss.
     """
     from architxt_spark.functions.dedup import _signature_frame, _spread, minhash_bands
+    from architxt_spark.session import read_parquet_if_exists
 
     spark = batch.sparkSession
     # barrier the micro-batch once: the signature pipeline AND the final
@@ -103,10 +114,11 @@ def minhash_dedup_batch(
     for h in holds:  # then release the shingle scratch arrays
         h.unpersist()
     try:
-        try:
-            hist = spark.read.parquet(index_path).select("band").distinct()
+        hist_raw = read_parquet_if_exists(spark, index_path)
+        if hist_raw is not None:
+            hist = hist_raw.select("band").distinct()
             hit_hist = bands.join(hist, "band", "left_semi").select("id").distinct()
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet
             hit_hist = None
 
         survivors = bands.select("id").distinct()
@@ -131,10 +143,17 @@ def minhash_dedup_batch(
         # returned frame don't re-run the signature pipeline after unpersist
         survivors = survivors.join(losers, "id", "left_anti").transform(stage_barrier)
 
-        bands.join(survivors, "id").select("band", "id").write.mode("append").parquet(index_path)
-        return batch.join(
+        kept = batch.join(
             survivors.select(F.col("id").alias(id_col)), id_col, "left_semi"
         )
+        if write_output is not None:
+            # durable output FIRST (see crash-ordering contract above);
+            # barrier so the caller's write and the return don't re-run
+            # the semi-join twice
+            kept = stage_barrier(kept)
+            write_output(kept)
+        bands.join(survivors, "id").select("band", "id").write.mode("append").parquet(index_path)
+        return kept
     finally:
         bands.unpersist()
 
@@ -150,13 +169,19 @@ def stream_minhash_dedup(
 ):
     """Streaming near-duplicate filter: ``foreachBatch`` applies
     :func:`minhash_dedup_batch` per micro-batch and appends survivors to
-    ``out_path``.  The exactly-once contract comes from the checkpoint +
-    idempotence of the index/output appends (re-run batches re-filter against the same
-    index state).  Returns the started query."""
+    ``out_path``.  The recovery contract is checkpoint replay +
+    output-before-index append ordering: a replayed batch re-filters
+    against the same pre-batch index and at worst re-appends the same
+    survivors (duplicates, never loss).  Returns the started query."""
 
     def run(batch: DataFrame, _epoch: int) -> None:
-        kept = minhash_dedup_batch(batch, index_path, text_col=text_col, id_col=id_col)
-        kept.write.mode("append").parquet(out_path)
+        minhash_dedup_batch(
+            batch,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            write_output=lambda kept: kept.write.mode("append").parquet(out_path),
+        )
 
     return (
         stream.writeStream.foreachBatch(run)
@@ -202,8 +227,13 @@ def stream_curate(
                 .drop("__c4_clean")
             )
         gated = batch.filter(T.gopher_keep(F.col(text_col)))
-        kept = minhash_dedup_batch(gated, index_path, text_col=text_col, id_col=id_col)
-        kept.write.mode("append").parquet(out_path)
+        minhash_dedup_batch(
+            gated,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            write_output=lambda kept: kept.write.mode("append").parquet(out_path),
+        )
 
     return (
         stream.writeStream.foreachBatch(run)
@@ -265,10 +295,15 @@ def url_seen_batch(
     url_col: str = "url",
     n_bits: int = 1 << 22,
     n_hashes: int = 4,
+    write_output=None,
 ) -> DataFrame:
     """One micro-batch of BOUNDED-STATE URL dedup for a crawl frontier:
     drop rows whose URL the persistent Bloom bitmap has (probably) seen,
-    then fold the survivors' URLs into the bitmap.
+    then fold the survivors' URLs into the bitmap.  ``write_output``
+    (the caller's durable output append) runs BEFORE the bitmap append —
+    same crash-ordering contract as :func:`minhash_dedup_batch`: a replay
+    then re-emits duplicates instead of dropping the whole batch as
+    already-seen.
 
     The state is ``n_bits/63`` longs TOTAL — independent of how many
     URLs have ever streamed past (the exact-index approaches keep one
@@ -282,15 +317,16 @@ def url_seen_batch(
     """
     from architxt_spark.functions.dedup import _spread
     from architxt_spark.functions.sketch import bloom_build, bloom_probe
+    from architxt_spark.session import read_parquet_if_exists
 
     spark = batch.sparkSession
     batch = stage_barrier(_spread(batch))
-    try:
-        seen = spark.read.parquet(bloom_path).groupBy("word_idx").agg(
-            F.expr("bit_or(bits)").alias("bits")
-        )
-    except Exception:  # first batch: no bitmap yet
-        seen = None
+    seen_raw = read_parquet_if_exists(spark, bloom_path)
+    seen = (
+        seen_raw.groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+        if seen_raw is not None
+        else None  # first batch: no bitmap yet
+    )
     if seen is not None:
         probed = bloom_probe(
             batch, seen, url_col, n_bits=n_bits, n_hashes=n_hashes
@@ -315,6 +351,8 @@ def url_seen_batch(
     else:
         kept = kept.distinct()
     kept = stage_barrier(kept)
+    if write_output is not None:
+        write_output(kept)  # durable output before the bitmap append
     bloom_build(kept, url_col, n_bits=n_bits, n_hashes=n_hashes).write.mode(
         "append"
     ).parquet(bloom_path)
@@ -338,8 +376,13 @@ def stream_url_seen(
 
     def run(batch: DataFrame, _epoch: int) -> None:
         url_seen_batch(
-            batch, bloom_path, url_col=url_col, n_bits=n_bits, n_hashes=n_hashes
-        ).write.mode("append").parquet(out_path)
+            batch,
+            bloom_path,
+            url_col=url_col,
+            n_bits=n_bits,
+            n_hashes=n_hashes,
+            write_output=lambda kept: kept.write.mode("append").parquet(out_path),
+        )
 
     return (
         stream.writeStream.foreachBatch(run)
