@@ -74,8 +74,18 @@ class ParquetTreeBucket:
             return self.spark.createDataFrame([], NODE_SCHEMA)
         return self.spark.read.parquet(self._gen_path(gen))
 
-    def oids(self) -> list[str]:
-        return [r["tree_id"] for r in self.read().select("tree_id").distinct().collect()]
+    def oids(self):
+        """Iterator over distinct tree ids — LAZY: ``toLocalIterator``
+        streams one shuffle partition of ids to the driver at a time, so
+        enumerating a billion-tree forest never materializes the full id
+        set in driver memory (the reference's ``TreeBucket.oids`` returns
+        the OOBTree key view, also lazy —
+        ``architxt/bucket/__init__.py:22-161``).  Callers needing a list
+        write ``list(bucket.oids())`` and own that decision."""
+        return (
+            r["tree_id"]
+            for r in self.read().select("tree_id").distinct().toLocalIterator()
+        )
 
     def resolve(self, tree_id: str) -> DataFrame:
         return self.read().filter(F.col("tree_id") == tree_id)

@@ -37,6 +37,7 @@ import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _session(app: str, cpus: str | None = None) -> SparkSession:
@@ -145,12 +146,72 @@ def _cmd_simplify(args: argparse.Namespace) -> None:
 
     spark = _session("simplify")
     nodes = _read_nodes(spark, args.nodes)
+    if getattr(args, "llm", False):
+        # reference `simplify_llm` (`cli/__init__.py:189`): an LLM
+        # normalizer pass over the forest before the rule-based fixpoint;
+        # the normalizer seam defaults to the deterministic stub in this
+        # container (a real client plugs in via --normalizer factory path)
+        from architxt_spark.llm import llm_rewrite, sanitize_forest
+
+        nodes = sanitize_forest(llm_rewrite(nodes))
     out, schema = simplify(
         nodes, tau=args.tau, epoch=args.epoch, min_support=args.min_support
     )
     _write_nodes(out, args.out)
     print("inferred schema:")
     print(schema.as_cfg())
+
+
+def _cmd_compare(args: argparse.Namespace) -> None:
+    """Reference ``compare`` verb (``cli/__init__.py:371-436``): load two
+    forest snapshots, show per-entity-label counts side by side plus the
+    ForestInspector statistics of each, and the entity-coverage of the
+    destination against the source."""
+    from architxt_spark.metrics import coverage, entity_oids, forest_stats
+    from architxt_spark.model import NodeType
+
+    spark = _session("compare")
+    src = _read_nodes(spark, args.src)
+    dst = _read_nodes(spark, args.dst)
+
+    def ent_counts(nodes: DataFrame) -> dict[str, int]:
+        rows = (
+            nodes.filter(F.col("node_type") == NodeType.ENT)
+            .groupBy("node_name")
+            .count()
+            .collect()
+        )
+        return {r["node_name"]: r["count"] for r in rows}
+
+    ce_src, ce_dst = ent_counts(src), ent_counts(dst)
+    ents = sorted(ce_src.keys() | ce_dst.keys())
+    report = {
+        "entities": {e: [ce_src.get(e, 0), ce_dst.get(e, 0)] for e in ents},
+        "stats": {
+            "source": forest_stats(src),
+            "destination": forest_stats(dst),
+        },
+        "coverage": coverage(entity_oids(src), entity_oids(dst)),
+    }
+    print(json.dumps(report, indent=2, default=str))
+
+
+def _cmd_cache_clear(args: argparse.Namespace) -> None:
+    """Reference ``cache-clear`` verb (``cli/__init__.py:467``): delete
+    the content-hash parse cache (`pipeline.cached_load_corpus`'s keyed
+    parquet directory)."""
+    import shutil
+
+    if not os.path.isdir(args.cache_dir):
+        print(f"cache {args.cache_dir} is already empty; doing nothing")
+        return
+    n = 0
+    for name in sorted(os.listdir(args.cache_dir)):
+        sub_path = os.path.join(args.cache_dir, name)
+        if os.path.isdir(sub_path):
+            shutil.rmtree(sub_path)
+            n += 1
+    print(f"cleared {n} cached parse(s) from {args.cache_dir}")
 
 
 def _cmd_export_sql(args: argparse.Namespace) -> None:
@@ -468,7 +529,18 @@ def build_parser() -> argparse.ArgumentParser:
     si.add_argument("--tau", type=float, default=0.7)
     si.add_argument("--epoch", type=int, default=100)
     si.add_argument("--min-support", type=int, default=None)
+    si.add_argument("--llm", action="store_true",
+                    help="LLM normalizer pass before the rule fixpoint")
     si.set_defaults(fn=_cmd_simplify)
+
+    cp = sub.add_parser("compare", help="side-by-side metrics of two forests")
+    cp.add_argument("src")
+    cp.add_argument("dst")
+    cp.set_defaults(fn=_cmd_compare)
+
+    cc = sub.add_parser("cache-clear", help="delete the content-hash parse cache")
+    cc.add_argument("--cache-dir", required=True)
+    cc.set_defaults(fn=_cmd_cache_clear)
 
     exp = sub.add_parser("export", help="export the node table")
     exp_sub = exp.add_subparsers(dest="sink", required=True)

@@ -42,6 +42,12 @@ def curate_corpus(
     id_col: str = "doc_id",
     near_threshold: float = 0.5,
     line_clean: bool = False,
+    domain_col: str | None = None,
+    domain_blocklist: tuple[str, ...] = (),
+    domain_max_dup_fraction: float = 0.5,
+    decontaminate_against: DataFrame | None = None,
+    decontam_threshold: float = 0.5,
+    ppl_drop_tail: bool = False,
     mixture_col: str | None = None,
     mixture_counts: Mapping[str, int] | None = None,
     mixture_total: int | None = None,
@@ -56,8 +62,12 @@ def curate_corpus(
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation chain; returns ``(kept_docs, census)``.
 
-    ``census`` is ``(stage, n_docs)`` for stages ``input`` → ``quality``
-    → ``dedup`` [→ ``sample``] [→ ``pack``]; each count is the survivors
+    ``census`` is ``(stage, n_docs)`` for stages ``input`` [→ ``clean``]
+    → ``quality`` [→ ``domain``] → ``dedup`` [→ ``decontam``] [→ ``ppl``]
+    [→ ``sample``] [→ ``pack``] — the full published recipe
+    (C4/CCNet/Gopher line+row gates, domain screening, near-dedup,
+    eval-set decontamination, LM-quality tail drop, mixture, packing)
+    as ONE operator; each count is the survivors
     AFTER that stage, except ``pack`` whose count is the number of
     fixed-budget training SEQUENCES produced (packing transforms, it
     does not filter).  ``kept_docs`` is the original schema filtered to
@@ -121,7 +131,25 @@ def curate_corpus(
         )
         base = clean_frame
     quality = stage_barrier(base.filter(T.gopher_keep(F.col(text_col))))
-    keep_ids = dedup_filter(quality, text_col, id_col, near_threshold=near_threshold)
+    domain_frame = None
+    if domain_col is not None:
+        # domain screen AFTER the row gate (the profile aggregates only
+        # gated rows) and BEFORE dedup (mirror/spam domains never reach
+        # the minhash index) — one domain-bounded broadcast anti-join
+        from architxt_spark.functions.domains import domain_screen
+
+        domain_frame = stage_barrier(
+            domain_screen(
+                quality,
+                domain_col=domain_col,
+                text_col=text_col,
+                id_col=id_col,
+                blocklist=domain_blocklist,
+                max_dup_fraction=domain_max_dup_fraction,
+            )
+        )
+    dedup_in = domain_frame if domain_frame is not None else quality
+    keep_ids = dedup_filter(dedup_in, text_col, id_col, near_threshold=near_threshold)
     # barrier the survivor frame: the census row, the mixture stage's
     # internal threshold collects, and the returned frame would each
     # re-run the whole minhash dedup chain otherwise (measured ~11 s →
@@ -138,9 +166,40 @@ def curate_corpus(
     census = stage("input", docs)
     if clean_frame is not None:
         census = census.unionByName(stage("clean", clean_frame))
-    census = census.unionByName(stage("quality", quality)).unionByName(
-        stage("dedup", kept)
-    )
+    census = census.unionByName(stage("quality", quality))
+    if domain_frame is not None:
+        census = census.unionByName(stage("domain", domain_frame))
+    census = census.unionByName(stage("dedup", kept))
+
+    if decontaminate_against is not None:
+        # eval-set decontamination over the DEDUPED survivors (the
+        # benchmark band index broadcasts; corpus scanned once)
+        from architxt_spark.functions.dedup import decontaminate_filter
+
+        kept = stage_barrier(
+            decontaminate_filter(
+                kept,
+                decontaminate_against,
+                text_col,
+                id_col,
+                threshold=decontam_threshold,
+            )
+        )
+        census = census.unionByName(stage("decontam", kept))
+
+    if ppl_drop_tail:
+        # CCNet-style model-quality stage: self-trained bigram LM, drop
+        # the highest-perplexity third (bucket thresholds are
+        # histogram-exact, so the cut replays across engines)
+        from architxt_spark.functions.lm import ppl_buckets
+
+        tail = (
+            ppl_buckets(kept, id_col=id_col, text_col=text_col)
+            .filter(F.col("bucket") == "tail")
+            .select(id_col)
+        )
+        kept = stage_barrier(kept.join(tail, id_col, "left_anti"))
+        census = census.unionByName(stage("ppl", kept))
 
     if mixture_col is not None and mixture_counts is None and mixture_total is not None:
         from architxt_spark.functions.sampling import temperature_counts
@@ -207,6 +266,12 @@ def curation_census_sql(
     id_col: str = "doc_id",
     near_threshold: float = 0.5,
     line_clean: bool = False,
+    domain_col: str | None = None,
+    domain_blocklist: tuple[str, ...] = (),
+    domain_max_dup_fraction: float = 0.5,
+    decontam_bench_table: str | None = None,
+    decontam_threshold: float = 0.5,
+    ppl_drop_tail: bool = False,
     mixture_col: str | None = None,
     mixture_counts: Mapping[str, int] | None = None,
     mixture_total: int | None = None,
@@ -240,9 +305,25 @@ def curation_census_sql(
     ctes.append((
         "__quality", f"SELECT * FROM {base} WHERE {T.gopher_keep_sql(text_col)}"
     ))
+    dedup_src = "__quality"
+    if domain_col is not None:
+        from architxt_spark.functions.domains import domain_screen_sql
+
+        ctes.append((
+            "__domain",
+            domain_screen_sql(
+                "__quality",
+                domain_col=domain_col,
+                text_col=text_col,
+                id_col=id_col,
+                blocklist=domain_blocklist,
+                max_dup_fraction=domain_max_dup_fraction,
+            ),
+        ))
+        dedup_src = "__domain"
     ctes.append((
         "__keepset",
-        dedup_filter_sql("__quality", text_col, id_col, near_threshold=near_threshold),
+        dedup_filter_sql(dedup_src, text_col, id_col, near_threshold=near_threshold),
     ))
     ctes.append((
         "__surv",
@@ -254,11 +335,34 @@ def curation_census_sql(
     ]
     if line_clean:
         parts.append(f"SELECT 'clean', CAST(count(*) AS BIGINT) FROM {base}")
-    parts += [
-        "SELECT 'quality', CAST(count(*) AS BIGINT) FROM __quality",
-        "SELECT 'dedup', CAST(count(*) AS BIGINT) FROM __keepset",
-    ]
+    parts.append("SELECT 'quality', CAST(count(*) AS BIGINT) FROM __quality")
+    if domain_col is not None:
+        parts.append("SELECT 'domain', CAST(count(*) AS BIGINT) FROM __domain")
+    parts.append("SELECT 'dedup', CAST(count(*) AS BIGINT) FROM __keepset")
     current = "__surv"
+    if decontam_bench_table is not None:
+        from architxt_spark.functions.dedup import decontaminate_filter_sql
+
+        ctes.append((
+            "__decontam",
+            decontaminate_filter_sql(
+                current, decontam_bench_table, text_col, id_col,
+                threshold=decontam_threshold,
+            ),
+        ))
+        current = "__decontam"
+        parts.append(f"SELECT 'decontam', CAST(count(*) AS BIGINT) FROM {current}")
+    if ppl_drop_tail:
+        from architxt_spark.functions.lm import ppl_buckets_sql
+
+        buckets = ppl_buckets_sql(current, id_col=id_col, text_col=text_col)
+        ctes.append((
+            "__ppl",
+            f"SELECT t.* FROM {current} t WHERE t.{id_col} NOT IN"
+            f" (SELECT {id_col} FROM ({buckets}) WHERE bucket = 'tail')",
+        ))
+        current = "__ppl"
+        parts.append(f"SELECT 'ppl', CAST(count(*) AS BIGINT) FROM {current}")
     if mixture_col is not None and mixture_counts is None and mixture_total is not None:
         from architxt_spark.functions.sampling import temperature_take_sql
 

@@ -430,6 +430,30 @@ def minhash_cross_pairs_sql(
     """
 
 
+def decontaminate_filter_sql(
+    corpus_table: str,
+    bench_table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    max_band_df: int | None = 10_000,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_filter` — corpus rows whose
+    minhash similarity to every benchmark document stays below
+    ``threshold`` (same signatures, same band screen, same 4-dp
+    estimate)."""
+    pairs = minhash_cross_pairs_sql(
+        corpus_table, bench_table, text_col, id_col, max_band_df=max_band_df
+    )
+    return f"""
+        SELECT t.* FROM {corpus_table} t
+        WHERE t.{id_col} NOT IN (
+            SELECT corpus_id FROM ({pairs}) WHERE est_jaccard >= {threshold}
+        )
+    """
+
+
 def _shingle_ints_sql(text_col: str) -> str:
     # 28-bit int from the first 7 hex digits of md5 — digit-position
     # arithmetic (DuckDB has no conv()); equals Spark's conv(substr(md5,1,7)).

@@ -130,6 +130,36 @@ def domain_profile_sql(
     """
 
 
+def domain_screen_sql(
+    table: str,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: Sequence[str] = (),
+    max_dup_fraction: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`domain_screen` — rows surviving the domain
+    screen, same blocked/dup-fraction verdicts over the same profile.
+    ``max_dup_fraction`` should be binary-exact (0.5, 0.25, …) so the
+    double comparison replays identically across engines."""
+    profile = domain_profile_sql(
+        table,
+        domain_col=domain_col,
+        text_col=text_col,
+        id_col=id_col,
+        blocklist=blocklist,
+    )
+    return f"""
+        SELECT t.* FROM {table} t
+        WHERE t.{domain_col} NOT IN (
+            SELECT domain FROM ({profile})
+            WHERE blocked = 1
+               OR CAST(dup_docs AS DOUBLE) / n_docs > {max_dup_fraction}
+        )
+    """
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization (the dedup-by-URL key for crawl pipelines)
 # ---------------------------------------------------------------------------

@@ -107,6 +107,8 @@ def pagerank(
     iters: int = 3,
     scale: int = 10**9,
     damping_pct: int = 85,
+    tol_units: int | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over an edge list, in exact integer fixed-point.
 
@@ -117,6 +119,21 @@ def pagerank(
     operation integral, so the result is deterministic to the bit (see
     module docstring).  ``weight=None`` counts duplicate edge rows as
     transition weight.  Output: ``(node, rank_units)``.
+
+    ``tol_units`` enables L1-delta early stop: iteration ends once
+    ``sum(|rank - prev_rank|) <= tol_units`` (exact integer L1, so the
+    stopping decision is itself deterministic); ``iters`` becomes the
+    cap.  Costs one map-combinable aggregation per iteration — the
+    standard convergence loop for production ranks, where fixed ``iters``
+    either wastes rounds or under-converges.  The GATED oracle path keeps
+    ``tol_units=None`` (fixed iterations, no driver-dependent round
+    count).
+
+    ``redistribute_dangling`` conserves total mass the way published host
+    ranks do: each iteration, the rank sitting on dangling nodes (no
+    out-edges) is shared uniformly — every node additionally receives
+    ``(damping_pct * (dangling_sum div N)) div 100``, still all-integral.
+    Off by default (drop-the-mass is the gated simplification).
 
     The node count ``N`` is the one driver-side scalar (a single count
     job over the deduplicated node set — at web scale, millions of rows
@@ -136,6 +153,11 @@ def pagerank(
         return nodes.withColumn("rank_units", F.lit(None).cast("long"))
     r0 = scale // n
     base = ((100 - damping_pct) * r0) // 100
+    dangling = (
+        nodes.join(outw.select(F.col(src).alias("node")), "node", "left_anti")
+        if redistribute_dangling
+        else None
+    )
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_units"))
     for _ in range(iters):
         contrib = (
@@ -147,17 +169,39 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__c"))
         )
-        ranks = stage_barrier(
-            nodes.join(contrib, "node", "left").select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(__c, 0L)) div 100")
-                )
-                .cast("long")
-                .alias("rank_units"),
-            )
+        new_rank = F.lit(base) + F.expr(
+            f"({damping_pct} * coalesce(__c, 0L)) div 100"
         )
+        updated = nodes.join(contrib, "node", "left")
+        if dangling is not None:
+            # dangling mass as a 1-row broadcast aggregate — stays inside
+            # the plan, no extra driver scalar per iteration
+            dang = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("rank_units"), F.lit(0))
+                    .cast("long")
+                    .alias("__dang")
+                )
+            )
+            updated = updated.crossJoin(F.broadcast(dang))
+            new_rank = new_rank + F.expr(
+                f"({damping_pct} * (__dang div {n})) div 100"
+            )
+        prev = ranks
+        ranks = stage_barrier(
+            updated.select("node", new_rank.cast("long").alias("rank_units"))
+        )
+        if tol_units is not None:
+            delta = (
+                ranks.join(
+                    prev.select("node", F.col("rank_units").alias("__prev")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank_units") - F.col("__prev"))).alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta <= tol_units:
+                break
     return ranks
 
 

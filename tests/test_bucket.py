@@ -20,12 +20,12 @@ def _forest(spark, **trees):
 
 def test_empty_bucket(spark, bucket):
     assert len(bucket) == 0
-    assert bucket.oids() == []
+    assert list(bucket.oids()) == []
 
 
 def test_write_read_roundtrip(spark, bucket):
     bucket.write(_forest(spark, t1="(ROOT (GROUP::g (ENT::a x)))"))
-    assert bucket.oids() == ["t1"]
+    assert list(bucket.oids()) == ["t1"]
     assert bucket.resolve("t1").count() == 4  # root, group, ent, leaf
 
 
@@ -45,7 +45,7 @@ def test_upsert_replaces_only_given_trees(spark, bucket):
 def test_discard(spark, bucket):
     bucket.write(_forest(spark, t1="(ROOT (ENT::a x))", t2="(ROOT (ENT::b y))"))
     bucket.discard(["t1"])
-    assert bucket.oids() == ["t2"]
+    assert list(bucket.oids()) == ["t2"]
 
 
 def test_transaction_batches_atomically(spark, bucket):
@@ -54,8 +54,8 @@ def test_transaction_batches_atomically(spark, bucket):
         txn.upsert(_forest(spark, t2="(ROOT (ENT::b y))"))
         txn.discard(["t1"])
         # nothing applied inside the block
-        assert bucket.oids() == ["t1"]
-    assert bucket.oids() == ["t2"]
+        assert list(bucket.oids()) == ["t1"]
+    assert list(bucket.oids()) == ["t2"]
 
 
 def test_generations_cleaned(spark, bucket, tmp_path):
@@ -77,7 +77,7 @@ def test_transaction_aborts_on_exception(spark, bucket):
             txn.upsert(_forest(spark, t2="(ROOT (ENT::b y))"))
             txn.discard(["t1"])
             raise RuntimeError("boom")
-    assert bucket.oids() == ["t1"]
+    assert list(bucket.oids()) == ["t1"]
     assert bucket.resolve("t1").count() == 3
     # the bucket is usable again after the abort
     with bucket.transaction() as txn:
@@ -106,7 +106,7 @@ def test_transaction_savepoint_invalidated_by_earlier_rollback(spark, bucket):
         sp1.rollback()
         with pytest.raises(ValueError, match="invalidated"):
             sp2.rollback()
-    assert bucket.oids() == []
+    assert list(bucket.oids()) == []
 
 
 def test_nested_transaction_joins_outer(spark, bucket):
@@ -117,8 +117,8 @@ def test_nested_transaction_joins_outer(spark, bucket):
         with bucket.transaction() as inner:
             inner.upsert(_forest(spark, t2="(ROOT (ENT::b y))"))
             assert inner is outer
-            assert bucket.oids() == []  # nothing applied at inner exit
-        assert bucket.oids() == []
+            assert list(bucket.oids()) == []  # nothing applied at inner exit
+        assert list(bucket.oids()) == []
     assert sorted(bucket.oids()) == ["t1", "t2"]
 
 
@@ -162,3 +162,22 @@ def test_bucketed_nodes_skip_tree_keyed_exchange(spark, tmp_path):
         assert "Exchange hashpartitioning" not in jplan, jplan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_oids_is_lazy_iterator(spark, tmp_path):
+    """r7: oids() must stream ids (toLocalIterator), never collect the
+    full distinct-id set into a driver list."""
+    import types
+
+    from architxt_spark.bucket import ParquetTreeBucket
+    from architxt_spark.model import NODE_SCHEMA
+
+    bucket = ParquetTreeBucket(spark, str(tmp_path / "b"))
+    rows = [
+        (f"t{i}", f"n{i}", None, 0, [0], 0, "ENT", "x", None, {})
+        for i in range(10)
+    ]
+    bucket.write(spark.createDataFrame(rows, NODE_SCHEMA))
+    it = bucket.oids()
+    assert isinstance(it, types.GeneratorType)  # lazy, not a list
+    assert sorted(it) == [f"t{i}" for i in range(10)]

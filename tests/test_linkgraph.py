@@ -120,3 +120,46 @@ def test_html_host_edges_from_warc(spark, tmp_path):
         ("example.com", "example.co.uk"),
         ("example.com", "third.org"),
     ]
+
+
+def test_pagerank_early_stop_and_dangling(spark):
+    """r7: L1-delta early stop matches the fixed-iteration result it
+    stops at, and dangling-mass redistribution matches the closed form
+    on a two-node graph."""
+    from architxt_spark.functions.linkgraph import pagerank
+
+    # two-node cycle: symmetric, converges immediately — huge tol stops
+    # after the first iteration, matching the iters=1 run exactly
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    one = {r.node: r.rank_units for r in pagerank(cyc, iters=1).collect()}
+    early = {
+        r.node: r.rank_units
+        for r in pagerank(cyc, iters=50, tol_units=10**12).collect()
+    }
+    assert early == one
+    # and with a tight tolerance the converged ranks equal the long run
+    tight = {
+        r.node: r.rank_units
+        for r in pagerank(cyc, iters=50, tol_units=0).collect()
+    }
+    assert tight == {r.node: r.rank_units for r in pagerank(cyc, iters=50).collect()}
+
+    # a -> b, b dangling.  n=2, scale=1000 => r0=500, base=75.
+    # iter1 without redistribution: a=75, b=75+(85*500)//100=500
+    # with redistribution: dangling sum=500 -> share=(85*(500//2))//100=212
+    # a=75+212=287, b=500+212=712
+    chain = spark.createDataFrame([("a", "b")], "src string, dst string")
+    plain = {
+        r.node: r.rank_units
+        for r in pagerank(chain, iters=1, scale=1000).collect()
+    }
+    assert plain == {"a": 75, "b": 500}
+    redis = {
+        r.node: r.rank_units
+        for r in pagerank(
+            chain, iters=1, scale=1000, redistribute_dangling=True
+        ).collect()
+    }
+    assert redis == {"a": 287, "b": 712}
+    # mass is (approximately, up to integer floor) conserved
+    assert sum(redis.values()) >= sum(plain.values())

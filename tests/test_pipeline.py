@@ -376,3 +376,47 @@ def test_cli_verify_corpus(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["verify-corpus", path])
     assert "BAD" in capsys.readouterr().out
+
+
+def test_cli_compare_and_llm_simplify(spark, tmp_path, capsys):
+    """r7 parity verbs: `compare` prints side-by-side entity counts +
+    forest stats + coverage (reference cli/__init__.py:371-436);
+    `simplify --llm` runs the normalizer pass before the rule fixpoint
+    (reference simplify_llm, cli/__init__.py:189)."""
+    import json as _json
+
+    from architxt_spark import cli
+
+    doc = tmp_path / "a.json"
+    doc.write_text('[{"name": "alice", "city": "paris"}, {"name": "bob", "city": "lyon"}]')
+    src_dir = str(tmp_path / "src")
+    cli.main(["load", "document", str(doc), "--out", src_dir])
+    capsys.readouterr()
+
+    dst_dir = str(tmp_path / "dst")
+    cli.main(["simplify", src_dir, "--out", dst_dir, "--epoch", "2", "--llm"])
+    assert "GROUP::" in capsys.readouterr().out  # schema still inferred
+
+    cli.main(["compare", src_dir, dst_dir])
+    report = _json.loads(capsys.readouterr().out)
+    assert set(report) == {"entities", "stats", "coverage"}
+    assert report["stats"]["source"]["n_trees"] == 2
+    assert all(len(v) == 2 for v in report["entities"].values())
+    assert 0.0 <= report["coverage"] <= 1.0
+
+
+def test_cli_cache_clear(tmp_path, capsys):
+    """r7 parity verb: cache-clear deletes the keyed parse-cache dirs
+    (reference cli/__init__.py:467)."""
+    from architxt_spark import cli
+
+    cache = tmp_path / "cache"
+    (cache / "k1").mkdir(parents=True)
+    (cache / "k2").mkdir()
+    (cache / "k1" / "part-0.parquet").write_text("x")
+    cli.main(["cache-clear", "--cache-dir", str(cache)])
+    assert "cleared 2" in capsys.readouterr().out
+    assert not any(cache.iterdir())
+    # idempotent on a missing dir
+    cli.main(["cache-clear", "--cache-dir", str(tmp_path / "nope")])
+    assert "already empty" in capsys.readouterr().out
