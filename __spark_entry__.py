@@ -1671,6 +1671,9 @@ def q_sketch_suite(spark: SparkSession, sf: str) -> DataFrame:
         "member", F.col("maybe_member").cast("int")
     )
     cms = q_cms_token_freq(spark, sf)
+    # r7 fold: the STREAMING incremental FM twin (former stream_fm_distinct
+    # entry) — its bit_or-merged state must reproduce the batch sketch
+    fm_stream = q_stream_fm_distinct(spark, sf)
     return (
         melt(fm, "fm", None, ["m", "est_distinct", "exact_distinct"])
         .unionByName(
@@ -1678,6 +1681,7 @@ def q_sketch_suite(spark: SparkSession, sf: str) -> DataFrame:
         )
         .unionByName(melt(bloom, "bloom", "tok", ["member"]))
         .unionByName(melt(cms, "cms", "tok", ["est_count", "exact_count"]))
+        .unionByName(melt(fm_stream, "fm_stream", None, ["m", "est_distinct"]))
     )
 
 
@@ -2013,17 +2017,28 @@ def q_link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end curation chain census, the full pretraining shape:
-    Gopher quality gate (pure scan filter — junk never reaches a
-    shuffle) → exact + MinHash near-dup removal over exact
-    representatives → exact per-language mixture take → concat-and-chunk
-    sequence packing; one (stage, n_docs) row per stage — the pack row
-    counts the training sequences produced
+    """End-to-end curation chain census — the FULL published recipe in
+    one operator (r7 extension): Gopher quality gate (pure scan filter —
+    junk never reaches a shuffle) → domain screen (blocklist + mirror
+    rule, broadcast anti-join) → exact + MinHash near-dup removal over
+    exact representatives → eval-set decontamination (benchmark band
+    index broadcast) → CCNet-style LM-perplexity tail drop
+    (histogram-exact thresholds) → exact per-language mixture take →
+    concat-and-chunk sequence packing; one (stage, n_docs) row per stage
+    — the pack row counts the training sequences produced
     (`functions/curation.py` curate_corpus)."""
     from architxt_spark.functions.curation import curate_corpus
 
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "n_chars", "source"
+    )
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
     _, census = curate_corpus(
-        _t(spark, sf, "documents").select("doc_id", "text", "lang", "n_chars"),
+        docs,
+        domain_col="source",
+        domain_blocklist=("src13",),
+        decontaminate_against=bench,
+        ppl_drop_tail=True,
         mixture_col="lang",
         mixture_counts=_CURATE_MIX,
         pack_token_col="n_chars",
@@ -2227,6 +2242,203 @@ def q_sampling_pack(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# registry folds (round 7): families of per-operator entries collapsed into
+# one tagged frame each — zero coverage loss (every constituent's rows are
+# present under a variant/section tag), fewer rows for the ~50-row driver
+# gate so the whole registry rotates through a verdict every ≤2 rounds.
+# The constituent q_* functions remain the operator API; the folds only
+# re-shape their output into a union-compatible schema.
+# ---------------------------------------------------------------------------
+
+
+def q_ann_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of ann_topk + ann_ivf_topk + ann_pq_adc: every ANN top-k path
+    (brute/lsh/ivf_first/ivf_trained/pq) tagged in one frame with a
+    unified ``score`` column (cosine sim or ADC dot-score, both value-
+    hashed doubles)."""
+    def shape(df: DataFrame, variant, score_col: str) -> DataFrame:
+        return df.select(
+            variant.alias("variant"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col(score_col).cast("double").alias("score"),
+        )
+
+    return (
+        shape(q_ann_topk(spark, sf), F.col("variant"), "sim")
+        .unionByName(
+            shape(
+                q_ann_ivf_topk(spark, sf),
+                F.concat(F.lit("ivf_"), F.col("variant")),
+                "sim",
+            )
+        )
+        .unionByName(shape(q_ann_pq_adc(spark, sf), F.lit("pq"), "adc"))
+    )
+
+
+def q_window_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of window_orders + grouping_orders: ranking/running windows
+    and the grouping-sets family in one generic tagged frame
+    ``(variant, k1, k2, n, val)``."""
+    w = q_window_orders(spark, sf).select(
+        F.lit("window").alias("variant"),
+        F.col("o_custkey").cast("string").alias("k1"),
+        F.col("o_orderkey").cast("string").alias("k2"),
+        F.col("rank").cast("long").alias("n"),
+        F.col("running_total").alias("val"),
+    )
+    g = q_grouping_orders(spark, sf).select(
+        "variant",
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n",
+        F.col("total").alias("val"),
+    )
+    return w.unionByName(g)
+
+
+def q_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of corpus_report + corpus_drift: the corpus datasheet plus
+    the snapshot-drift screen as extra ``drift_*`` sections of the same
+    ``(section, key, value)`` stats card."""
+    rep = q_corpus_report(spark, sf)
+    drift = q_corpus_drift(spark, sf).selectExpr(
+        "stack(3, "
+        " 'drift_count_a', token, CAST(c_a AS DOUBLE),"
+        " 'drift_count_b', token, CAST(c_b AS DOUBLE),"
+        " 'drift_jeffreys', token, jeffreys"
+        ") AS (section, key, value)"
+    )
+    return rep.unionByName(drift)
+
+
+def q_scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of string_funcs_parts + date_math_orders + json_props_events:
+    the scalar-function surface (string/regex/levenshtein, date
+    extraction arithmetic, JSON property access) in one generic tagged
+    frame ``(variant, k1, k2, n1, n2)`` — all values integer/string, so
+    the fold stays hash-exact."""
+    s = q_string_funcs_parts(spark, sf).select(
+        F.lit("string").alias("variant"),
+        F.col("p_partkey").cast("string").alias("k1"),
+        F.col("first_word").alias("k2"),
+        F.col("name_len").cast("long").alias("n1"),
+        F.col("brand_type_dist").cast("long").alias("n2"),
+    )
+    d = q_date_math_orders(spark, sf).select(
+        F.lit("date").alias("variant"),
+        F.col("yr").cast("string").alias("k1"),
+        F.col("mo").cast("string").alias("k2"),
+        F.col("n_orders").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+    )
+    j = q_json_props_events(spark, sf).select(
+        F.lit("json").alias("variant"),
+        F.col("event_type").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n").alias("n1"),
+        F.col("k_sum").alias("n2"),
+    )
+    return s.unionByName(d).unionByName(j)
+
+
+def q_doc_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of gopher_quality_flags + doc_fingerprint_winnow: both are
+    per-document integer stat frames over ``documents`` — joined on
+    doc_id into one wide row per document."""
+    return q_gopher_quality_flags(spark, sf).join(
+        q_doc_fingerprint_winnow(spark, sf), "doc_id"
+    )
+
+
+def q_bpe_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of bpe_tokenizer + bpe_train_merges: encode/vocab/fertility
+    sections plus the trained merge table as ``merges`` rows (step and
+    frequency packed into one exact BIGINT, ``step*1e9 + freq``)."""
+    merges = q_bpe_train_merges(spark, sf).select(
+        F.lit("merges").alias("part"),
+        F.col("merged").alias("token"),
+        F.concat_ws(" ", "left", "right").alias("kind"),
+        (F.col("step").cast("long") * F.lit(1000000000) + F.col("freq")).alias("n"),
+    )
+    return q_bpe_tokenizer(spark, sf).unionByName(merges)
+
+
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of funnel_signup_view_purchase + retention_cohorts: both
+    behavioral-log rollups, tagged ``(variant, k, n1, n2)`` (cohort week
+    rendered as its ISO date so the key is engine-stable text)."""
+    f = q_funnel_signup_view_purchase(spark, sf).select(
+        F.lit("funnel").alias("variant"),
+        F.col("stage").alias("k"),
+        F.lit(None).cast("long").alias("n1"),
+        F.col("n_users").alias("n2"),
+    )
+    r = q_retention_cohorts(spark, sf).select(
+        F.lit("retention").alias("variant"),
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("k"),
+        F.col("week_n").alias("n1"),
+        F.col("n_users").alias("n2"),
+    )
+    return f.unionByName(r)
+
+
+def q_export_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of export_sql_ddl + export_cypher_stats: both exporter
+    surfaces (DDL text, Cypher merge statement counts) in one tagged
+    frame ``(variant, k, n, s)``."""
+    s = q_export_sql_ddl(spark, sf).select(
+        F.lit("sql").alias("variant"),
+        F.col("stmt_no").cast("string").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("ddl").alias("s"),
+    )
+    c = q_export_cypher_stats(spark, sf).select(
+        F.lit("cypher").alias("variant"),
+        F.col("kind").alias("k"),
+        F.col("n"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return s.unionByName(c)
+
+
+def q_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of asof_events + range_join_signup_clicks: the temporal join
+    surface (backward/forward as-of, bounded interval range join) in one
+    tagged frame ``(variant, id1, id2, v1, v2)``."""
+    a = q_asof_events(spark, sf).select(
+        F.lit("asof").alias("variant"),
+        F.col("user_id").alias("id1"),
+        F.col("event_id").alias("id2"),
+        F.col("prev_purchase").alias("v1"),
+        F.col("next_purchase").alias("v2"),
+    )
+    r = q_range_join_signup_clicks(spark, sf).select(
+        F.lit("range").alias("variant"),
+        F.col("signup_event").alias("id1"),
+        F.lit(None).cast("long").alias("id2"),
+        F.col("n_clicks").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
+    return a.unionByName(r)
+
+
+def q_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fold of dedup_minhash_lsh + dedup_ngram_jaccard: the candidate-
+    pair generators (banded MinHash estimate, DF-capped n-gram inverted
+    index) in one tagged pair frame."""
+    m = q_dedup_minhash_lsh(spark, sf).select(
+        F.lit("minhash").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    return q_dedup_ngram_jaccard(spark, sf).unionByName(m)
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -2245,74 +2457,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry folded/renamed or code-touched this round, go FIRST so any
     # prefix the gate takes maximizes newly-verified coverage.
     first = [
-        # BRAND-NEW this round (never had any driver verdict) — the gate
-        # prefix must reach them first
-        "link_pagerank",
-        "unicode_split",
-        "collocations",
-        "corpus_report",
-        "corpus_delta",
-        "tfidf_terms",
-        "random_project",
-        "corpus_drift",
-        "ann_recall",
-        "ppl_buckets",
-        "warc_split_roundtrip",
-        # the 34 entries whose only driver verdict is round-4 (the r5 gate
-        # prefix did not reach them); after r6 every registry entry has a
-        # driver verdict <= 2 rounds old
-        "scan_filter_project",
-        "agg_pricing_summary",
-        "join_revenue_by_nation",
-        "sort_limit_top_orders",
-        "setop_nations_cust_minus_supp",
-        "percentile_orders",
-        "unpivot_orders",
-        "join_salted_revenue",
-        "events_rollup_streaming",
-        "retention_cohorts",
-        "distinct_parts_per_brand",
-        "dataset_extract_nation",
-        "schema_groups_nation",
-        "forest_stats_documents",
-        "doc_loader_json_props",
-        "rewrite_documents",
-        "cluster_documents",
-        "cluster_instance_documents",
-        "llm_label_schema",
-        "tree_leaves_nation",
-        "extract_valid_trees",
-        "coverage_metric",
-        "bm25_topk",
-        "ngram_stats",
-        "dedup_exact_spans",
-        "dedup_simhash",
-        "dedup_filtered",
-        "events_sessionize",
-        "graph_extract",
-        "typed_export_orders",
-        "sampling_mixture",
-        "sampling_temperature",
-        "sampling_weighted",
-        "sampling_pack",
-        # entries folded, added, or code-touched in round 6 (hot-band cap,
-        # exact-rep dedup restriction, sketch/BPE/chunk registry folds,
-        # bloom NULL fix, tempfile scratch, bm25 SQL escaping)
-        "quality_classifier",
-        "domain_profile",
-        "dsir",
-        "contamination_screen",
-        "stream_curate",
-        "stream_url_seen",
-        "c4_clean",
+        # NEW this round (the r7 registry folds — never had any driver
+        # verdict) + entries whose code the round touched (WARC streaming
+        # rewrite, output-before-index ordering, sketch_suite fm_stream
+        # fold, curation chain extension): the gate prefix reaches these
+        # first
+        "ann_suite",
+        "window_grouping",
+        "corpus_health",
+        "scalar_funcs",
+        "doc_quality_stats",
+        "bpe_suite",
+        "events_funnel",
+        "export_stats",
+        "temporal_joins",
+        "dedup_pairs",
         "sketch_suite",
-        "bpe_tokenizer",
-        "chunk_pipeline",
-        "dedup_minhash_lsh",
-        "dedup_components",
+        "warc_split_roundtrip",
+        "corpus_delta",
+        "stream_curate",
+        "stream_minhash_dedup",
+        "stream_url_seen",
         "curation_pipeline",
-        "stream_fm_distinct",
+        # never driver-verified survivors (r6 selfcheck only)
+        "c4_clean",
+        "chunk_pipeline",
+        # entries whose newest driver verdict is round 5 — after r7 every
+        # registry entry has a driver verdict <= 2 rounds old
+        "join_filtered_customers",
+        "events_sessionize_streaming",
+        "metrics_customer",
+        "text_profile",
+        "pii_redaction",
+        "simple_rewrite_documents",
+        "multimodal_profile",
+        "gen_instance",
+        "llm_rewrite_stub",
+        "extract_vocab",
+        "nlp_parse_forest",
         "bm25_batch",
+        "lm_perplexity",
+        "doc_chunking",
+        "semantic_dedup",
+        "lang_distribution",
+        "dedup_components",
+        "embedding_near_dup",
+        "sampling_strata",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2323,12 +2513,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "join_filtered_customers": q_join_filtered_customers,
-        "window_orders": q_window_orders,
         "sort_limit_top_orders": q_sort_limit_top_orders,
         "setop_nations_cust_minus_supp": q_setop_nations_cust_minus_supp,
-        "grouping_orders": q_grouping_orders,
         "percentile_orders": q_percentile_orders,
-        "asof_events": q_asof_events,
         "unpivot_orders": q_unpivot_orders,
         "join_salted_revenue": q_join_salted_revenue,
         "events_rollup_streaming": q_events_rollup_streaming,
@@ -2336,12 +2523,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "stream_curate": q_stream_curate,
         "stream_url_seen": q_stream_url_seen,
-        "retention_cohorts": q_retention_cohorts,
-        "funnel_signup_view_purchase": q_funnel_signup_view_purchase,
-        "range_join_signup_clicks": q_range_join_signup_clicks,
-        "string_funcs_parts": q_string_funcs_parts,
-        "date_math_orders": q_date_math_orders,
-        "json_props_events": q_json_props_events,
         "distinct_parts_per_brand": q_distinct_parts_per_brand,
         "dataset_extract_nation": q_dataset_extract_nation,
         "schema_groups_nation": q_schema_groups_nation,
@@ -2359,49 +2540,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_leaves_nation": q_tree_leaves_nation,
         "extract_valid_trees": q_extract_valid_trees,
         "coverage_metric": q_coverage_metric,
-        "export_sql_ddl": q_export_sql_ddl,
-        "export_cypher_stats": q_export_cypher_stats,
         "multimodal_profile": q_multimodal_profile,
         "gen_instance": q_gen_instance,
         "llm_rewrite_stub": q_llm_rewrite_stub,
         "extract_vocab": q_extract_vocab,
         "nlp_parse_forest": q_nlp_parse_forest,
-        "ann_topk": q_ann_topk,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
-        "ann_pq_adc": q_ann_pq_adc,
-        "bpe_train_merges": q_bpe_train_merges,
-        "bpe_tokenizer": q_bpe_tokenizer,
         "lm_perplexity": q_lm_perplexity,
         "doc_chunking": q_doc_chunking,
         "ngram_stats": q_ngram_stats,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
         "dsir": q_dsir,
         "sketch_suite": q_sketch_suite,
-        "stream_fm_distinct": q_stream_fm_distinct,
         "curation_pipeline": q_curation_pipeline,
         "quality_classifier": q_quality_classifier,
         "domain_profile": q_domain_profile,
         "link_pagerank": q_link_pagerank,
         "unicode_split": q_unicode_split,
         "collocations": q_collocations,
-        "corpus_report": q_corpus_report,
         "corpus_delta": q_corpus_delta,
         "tfidf_terms": q_tfidf_terms,
         "random_project": q_random_project,
-        "corpus_drift": q_corpus_drift,
         "ann_recall": q_ann_recall,
         "ppl_buckets": q_ppl_buckets,
         "warc_split_roundtrip": q_warc_split_roundtrip,
         "lang_distribution": q_lang_distribution,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_exact_spans": q_dedup_exact_spans,
         "chunk_pipeline": q_chunk_pipeline,
-        "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
-        "gopher_quality_flags": q_gopher_quality_flags,
         "dedup_simhash": q_dedup_simhash,
         "dedup_filtered": q_dedup_filtered,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2414,6 +2581,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_weighted": q_sampling_weighted,
         "sampling_pack": q_sampling_pack,
         "c4_clean": q_c4_clean,
+        "ann_suite": q_ann_suite,
+        "window_grouping": q_window_grouping,
+        "corpus_health": q_corpus_health,
+        "scalar_funcs": q_scalar_funcs,
+        "doc_quality_stats": q_doc_quality_stats,
+        "bpe_suite": q_bpe_suite,
+        "events_funnel": q_events_funnel,
+        "export_stats": q_export_stats,
+        "temporal_joins": q_temporal_joins,
+        "dedup_pairs": q_dedup_pairs,
     }
 
 
@@ -2732,6 +2909,10 @@ def _curation_sql() -> str:
 
     return curation_census_sql(
         "documents",
+        domain_col="source",
+        domain_blocklist=("src13",),
+        decontam_bench_table="(SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0)",
+        ppl_drop_tail=True,
         mixture_col="lang",
         mixture_counts=_CURATE_MIX,
         pack_token_col="n_chars",
@@ -2748,6 +2929,113 @@ def _lm_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Driver contract: per-operator oracle parts from
+    :func:`_oracle_parts`, with the round-7 registry folds assembled as
+    the EXACT union of their constituents' SQL — the folded twin runs
+    the same per-operator SQL, only re-shaped into the tagged schema."""
+    o = _oracle_parts()
+
+    o["ann_suite"] = (
+        "SELECT variant, query_id, rank, neighbor_id, CAST(sim AS DOUBLE) AS score FROM ("
+        + o.pop("ann_topk")
+        + ") UNION ALL SELECT 'ivf_' || variant, query_id, rank, neighbor_id, CAST(sim AS DOUBLE) FROM ("
+        + o.pop("ann_ivf_topk")
+        + ") UNION ALL SELECT 'pq', query_id, rank, neighbor_id, CAST(adc AS DOUBLE) FROM ("
+        + o.pop("ann_pq_adc")
+        + ")"
+    )
+    o["window_grouping"] = (
+        "SELECT 'window' AS variant, CAST(o_custkey AS VARCHAR) AS k1,"
+        " CAST(o_orderkey AS VARCHAR) AS k2, CAST(rank AS BIGINT) AS n,"
+        " running_total AS val FROM ("
+        + o.pop("window_orders")
+        + ") UNION ALL SELECT variant, o_orderstatus, o_orderpriority, n, total FROM ("
+        + o.pop("grouping_orders")
+        + ")"
+    )
+    o["corpus_health"] = (
+        "SELECT * FROM ("
+        + o.pop("corpus_report")
+        + ") UNION ALL SELECT s.section, d.token AS key,"
+        " CASE s.section WHEN 'drift_count_a' THEN CAST(d.c_a AS DOUBLE)"
+        " WHEN 'drift_count_b' THEN CAST(d.c_b AS DOUBLE)"
+        " ELSE d.jeffreys END AS value FROM ("
+        + o.pop("corpus_drift")
+        + ") d CROSS JOIN (VALUES ('drift_count_a'), ('drift_count_b'),"
+        " ('drift_jeffreys')) s(section)"
+    )
+    o["scalar_funcs"] = (
+        "SELECT 'string' AS variant, CAST(p_partkey AS VARCHAR) AS k1,"
+        " first_word AS k2, CAST(name_len AS BIGINT) AS n1,"
+        " CAST(brand_type_dist AS BIGINT) AS n2 FROM ("
+        + o.pop("string_funcs_parts")
+        + ") UNION ALL SELECT 'date', CAST(yr AS VARCHAR), CAST(mo AS VARCHAR),"
+        " n_orders, CAST(NULL AS BIGINT) FROM ("
+        + o.pop("date_math_orders")
+        + ") UNION ALL SELECT 'json', event_type, CAST(NULL AS VARCHAR), n, k_sum FROM ("
+        + o.pop("json_props_events")
+        + ")"
+    )
+    o["doc_quality_stats"] = (
+        "SELECT g.*, w.n_grams, w.n_winnowed FROM ("
+        + o.pop("gopher_quality_flags")
+        + ") g JOIN ("
+        + o.pop("doc_fingerprint_winnow")
+        + ") w USING (doc_id)"
+    )
+    o["bpe_suite"] = (
+        o.pop("bpe_tokenizer")
+        + " UNION ALL SELECT 'merges', merged, \"left\" || ' ' || \"right\","
+        " CAST(step AS BIGINT) * 1000000000 + freq FROM ("
+        + o.pop("bpe_train_merges")
+        + ")"
+    )
+    o["events_funnel"] = (
+        "SELECT 'funnel' AS variant, stage AS k, CAST(NULL AS BIGINT) AS n1,"
+        " n_users AS n2 FROM ("
+        + o.pop("funnel_signup_view_purchase")
+        + ") UNION ALL SELECT 'retention', strftime(cohort_week, '%Y-%m-%d'),"
+        " week_n, n_users FROM ("
+        + o.pop("retention_cohorts")
+        + ")"
+    )
+    o["export_stats"] = (
+        "SELECT 'sql' AS variant, CAST(stmt_no AS VARCHAR) AS k,"
+        " CAST(NULL AS BIGINT) AS n, ddl AS s FROM ("
+        + o.pop("export_sql_ddl")
+        + ") UNION ALL SELECT 'cypher', kind, n, CAST(NULL AS VARCHAR) FROM ("
+        + o.pop("export_cypher_stats")
+        + ")"
+    )
+    o["temporal_joins"] = (
+        "SELECT 'asof' AS variant, user_id AS id1, event_id AS id2,"
+        " prev_purchase AS v1, next_purchase AS v2 FROM ("
+        + o.pop("asof_events")
+        + ") UNION ALL SELECT 'range', signup_event, CAST(NULL AS BIGINT),"
+        " n_clicks, CAST(NULL AS BIGINT) FROM ("
+        + o.pop("range_join_signup_clicks")
+        + ")"
+    )
+    o["dedup_pairs"] = (
+        o.pop("dedup_ngram_jaccard")
+        + " UNION ALL SELECT 'minhash' AS variant, id_a, id_b, est_jaccard AS score FROM ("
+        + o.pop("dedup_minhash_lsh")
+        + ")"
+    )
+    fm_stream = o.pop("stream_fm_distinct")
+    o["sketch_suite"] = (
+        o["sketch_suite"]
+        + " UNION ALL SELECT 'fm_stream', '', 'm', CAST(m AS DOUBLE) FROM ("
+        + fm_stream
+        + ") UNION ALL SELECT 'fm_stream', '', 'est_distinct',"
+        " CAST(est_distinct AS DOUBLE) FROM ("
+        + fm_stream
+        + ")"
+    )
+    return o
+
+
+def _oracle_parts() -> dict[str, str]:
     decimal_rev = (
         "SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
         " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"

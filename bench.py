@@ -28,15 +28,15 @@ HEADLINE = [
     "scan_filter_project",
     "agg_pricing_summary",
     "join_revenue_by_nation",
-    "window_orders",
+    "window_grouping",  # r7 fold: window_orders + grouping_orders
     "dataset_extract_nation",
     "graph_extract",
     "typed_export_orders",
     "rewrite_documents",
     "text_profile",
     "dedup_filtered",
-    "dedup_minhash_lsh",
-    "ann_topk",
+    "dedup_pairs",  # r7 fold: dedup_minhash_lsh + dedup_ngram_jaccard
+    "ann_suite",  # r7 fold: ann_topk + ann_ivf_topk + ann_pq_adc
     "events_sessionize",
     "sampling_mixture",
     # r4 additions: lexical retrieval and LM-quality scoring families
@@ -56,7 +56,7 @@ HEADLINE = [
     "link_pagerank",
     # r6 continuation: the corpus datasheet (one barriered signal scan +
     # histogram-exact deciles) and the unicode-hygiene + split stage
-    "corpus_report",
+    "corpus_health",  # r7 fold: corpus_report + corpus_drift
     "unicode_split",
 ]
 

@@ -27,29 +27,37 @@ def test_rotation_prefix_is_valid_and_first():
     allq = E._all_queries()
     names = list(q)
     assert set(names) == set(allq)
-    # brand-new entries (no driver verdict ever) lead outright
+    # r7: the registry folds (never had any driver verdict) lead outright
     new = (
-        "link_pagerank", "unicode_split", "collocations", "corpus_report",
-        "corpus_delta", "tfidf_terms", "random_project", "corpus_drift",
-        "ann_recall", "ppl_buckets", "warc_split_roundtrip",
+        "ann_suite", "window_grouping", "corpus_health", "scalar_funcs",
+        "doc_quality_stats", "bpe_suite", "events_funnel", "export_stats",
+        "temporal_joins", "dedup_pairs",
     )
     for i, k in enumerate(new):
         assert names.index(k) == i, k
-    # the 34 entries whose only driver verdict is round-4 come next so
-    # every registry entry ends the round with a verdict <= 2 rounds old
-    for k in ("scan_filter_project", "agg_pricing_summary",
-              "join_revenue_by_nation", "sort_limit_top_orders",
-              "percentile_orders", "unpivot_orders", "events_rollup_streaming",
-              "retention_cohorts", "dataset_extract_nation",
-              "forest_stats_documents", "rewrite_documents",
-              "cluster_documents", "cluster_instance_documents",
-              "tree_leaves_nation", "coverage_metric", "bm25_topk",
-              "dedup_simhash", "dedup_filtered", "graph_extract",
-              "typed_export_orders", "sampling_mixture", "sampling_pack"):
-        assert names.index(k) < len(new) + 34, k
-    # r6: every entry folded, added, or code-touched this round must also
-    # lead the window
-    for k in ("sketch_suite", "bpe_tokenizer", "chunk_pipeline",
-              "dedup_minhash_lsh", "dedup_components", "curation_pipeline",
-              "stream_fm_distinct", "bm25_batch"):
-        assert names.index(k) < len(new) + 50, k
+    # code-touched this round (WARC streaming rewrite, output-before-index
+    # ordering, fm_stream fold, curation chain) + never-driver-verified
+    # survivors + the r5-only stale entries: all inside the ~50-row gate
+    # so after r7 every registry entry has a driver verdict <= 2 rounds old
+    for k in ("sketch_suite", "warc_split_roundtrip", "corpus_delta",
+              "stream_curate", "stream_minhash_dedup", "stream_url_seen",
+              "curation_pipeline", "c4_clean", "chunk_pipeline",
+              "join_filtered_customers", "events_sessionize_streaming",
+              "metrics_customer", "text_profile", "pii_redaction",
+              "simple_rewrite_documents", "multimodal_profile",
+              "gen_instance", "llm_rewrite_stub", "extract_vocab",
+              "nlp_parse_forest", "bm25_batch", "lm_perplexity",
+              "doc_chunking", "semantic_dedup", "lang_distribution",
+              "dedup_components", "embedding_near_dup", "sampling_strata"):
+        assert names.index(k) < 45, k
+    # folded-away entries must be GONE (their coverage lives in the folds)
+    for gone in ("ann_topk", "ann_ivf_topk", "ann_pq_adc", "window_orders",
+                 "grouping_orders", "corpus_report", "corpus_drift",
+                 "string_funcs_parts", "date_math_orders", "json_props_events",
+                 "gopher_quality_flags", "doc_fingerprint_winnow",
+                 "bpe_tokenizer", "bpe_train_merges",
+                 "funnel_signup_view_purchase", "retention_cohorts",
+                 "export_sql_ddl", "export_cypher_stats", "asof_events",
+                 "range_join_signup_clicks", "dedup_ngram_jaccard",
+                 "dedup_minhash_lsh", "stream_fm_distinct"):
+        assert gone not in allq, gone

@@ -33,14 +33,12 @@ SANCTIONED: dict[str, dict[str, str]] = {
     "gen_instance": {
         "NESTEDLOOP": "range x broadcast TEMPLATE frame (schema-bounded)"
     },
-    "ann_topk": {
-        "NESTEDLOOP": "corpus x broadcast QUERY set (bounded by design)"
-    },
-    "ann_ivf_topk": {
-        "NESTEDLOOP": "broadcast codebook + query set (both bounded)"
-    },
-    "ann_pq_adc": {
-        "NESTEDLOOP": "broadcast ADC lookup tables (m x 256 cells)"
+    "ann_suite": {
+        # r7 fold of ann_topk + ann_ivf_topk + ann_pq_adc — union of
+        # their sanctions: corpus x broadcast QUERY set, broadcast
+        # codebook, broadcast ADC lookup tables (all bounded by design)
+        "NESTEDLOOP": "broadcast query set / codebook / ADC tables "
+        "(all bounded by design)"
     },
     "embedding_near_dup": {
         "NESTEDLOOP": "labelled brute baseline on an id-bounded slice; "
