@@ -356,10 +356,12 @@ def curation_census_sql(
         from architxt_spark.functions.lm import ppl_buckets_sql
 
         buckets = ppl_buckets_sql(current, id_col=id_col, text_col=text_col)
+        # NOT EXISTS for NULL parity with the Spark left_anti join
         ctes.append((
             "__ppl",
-            f"SELECT t.* FROM {current} t WHERE t.{id_col} NOT IN"
-            f" (SELECT {id_col} FROM ({buckets}) WHERE bucket = 'tail')",
+            f"SELECT t.* FROM {current} t WHERE NOT EXISTS"
+            f" (SELECT 1 FROM ({buckets}) __tail WHERE __tail.bucket = 'tail'"
+            f" AND __tail.{id_col} = t.{id_col})",
         ))
         current = "__ppl"
         parts.append(f"SELECT 'ppl', CAST(count(*) AS BIGINT) FROM {current}")

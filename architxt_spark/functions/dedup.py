@@ -442,14 +442,18 @@ def decontaminate_filter_sql(
     """DuckDB twin of :func:`decontaminate_filter` — corpus rows whose
     minhash similarity to every benchmark document stays below
     ``threshold`` (same signatures, same band screen, same 4-dp
-    estimate)."""
+    estimate).  NOT EXISTS, not NOT IN: the Spark side is a
+    ``left_anti`` join, which keeps NULL-id rows, and ``NOT IN``
+    diverges the moment either side holds a NULL."""
     pairs = minhash_cross_pairs_sql(
         corpus_table, bench_table, text_col, id_col, max_band_df=max_band_df
     )
     return f"""
         SELECT t.* FROM {corpus_table} t
-        WHERE t.{id_col} NOT IN (
-            SELECT corpus_id FROM ({pairs}) WHERE est_jaccard >= {threshold}
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ({pairs}) __hit
+            WHERE __hit.est_jaccard >= {threshold}
+              AND __hit.corpus_id = t.{id_col}
         )
     """
 

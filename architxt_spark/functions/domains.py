@@ -142,7 +142,13 @@ def domain_screen_sql(
     """DuckDB twin of :func:`domain_screen` — rows surviving the domain
     screen, same blocked/dup-fraction verdicts over the same profile.
     ``max_dup_fraction`` should be binary-exact (0.5, 0.25, …) so the
-    double comparison replays identically across engines."""
+    double comparison replays identically across engines.
+
+    NULL parity with the Spark side: the bad-domain screen is NOT EXISTS
+    (Spark's ``left_anti`` keeps NULL-keyed rows; ``NOT IN`` would drop
+    every row the moment any NULL appears on either side), while the
+    literal blocklist stays ``NOT IN`` — Spark's ``~isin`` filter also
+    drops NULL-domain rows there, and the literals are never NULL."""
     profile = domain_profile_sql(
         table,
         domain_col=domain_col,
@@ -150,12 +156,15 @@ def domain_screen_sql(
         id_col=id_col,
         blocklist=blocklist,
     )
+    quoted = ", ".join("'" + b.replace("'", "''") + "'" for b in blocklist)
+    block_pred = f"t.{domain_col} NOT IN ({quoted}) AND " if blocklist else ""
     return f"""
         SELECT t.* FROM {table} t
-        WHERE t.{domain_col} NOT IN (
-            SELECT domain FROM ({profile})
-            WHERE blocked = 1
-               OR CAST(dup_docs AS DOUBLE) / n_docs > {max_dup_fraction}
+        WHERE {block_pred}NOT EXISTS (
+            SELECT 1 FROM ({profile}) __bad
+            WHERE (__bad.blocked = 1
+                   OR CAST(__bad.dup_docs AS DOUBLE) / __bad.n_docs > {max_dup_fraction})
+              AND __bad.domain = t.{domain_col}
         )
     """
 

@@ -207,23 +207,252 @@ def _batched_frames(rows_iter, batch_rows: int):
         yield pd.DataFrame(rows, columns=_WARC_COLS)
 
 
-def _list_warc_files(path: str) -> list[str]:
-    """Driver-side enumeration: a file path as-is, a directory's regular
-    files (any extension — garbage parses to zero records, matching the
-    binaryFile source this replaces)."""
+def _uri_scheme(path: str) -> str:
+    """URI scheme of ``path`` ('' for plain local paths).  Windows drive
+    letters are not schemes (single char before ':')."""
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]+)://", path)
+    return m.group(1).lower() if m else ""
+
+
+def _local_path(path: str) -> str:
+    """Strip a ``file:`` scheme (the Hadoop lister returns file:/ URIs in
+    local mode); other paths pass through."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    return path
+
+
+def _default_opener(path: str):
+    return open(_local_path(path), "rb")
+
+
+def _hadoop_ls(spark: SparkSession, pattern: str) -> list[str]:
+    """List ``pattern`` (a path, directory, or glob) through the active
+    Hadoop FileSystem — the same listing `spark.read` uses, so every
+    scheme the cluster's connectors support (hdfs://, s3a://, file://)
+    works; directories descend recursively."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None or len(statuses) == 0:
+        raise FileNotFoundError(f"no WARC files under {pattern!r}")
+    out: list[str] = []
+    for st in statuses:
+        if st.isDirectory():
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                out.append(it.next().getPath().toString())
+        else:
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def _list_warc_files(
+    path: str,
+    *,
+    spark: SparkSession | None = None,
+    lister=None,
+    suffixes: tuple[str, ...] | None = None,
+) -> list[str]:
+    """Driver-side enumeration behind the ``lister`` seam: a file path
+    as-is; a directory's regular files RECURSIVELY; a glob pattern
+    (``*``/``?``/``[]``, ``**`` supported); a ``scheme://`` URI via the
+    Hadoop FileSystem (http(s) has no listing protocol — such a URI is
+    taken as one file).  ``suffixes`` filters directory/glob listings
+    (an explicitly named file always passes — garbage parses to zero
+    records, matching the binaryFile source this replaces).  Pass
+    ``lister`` (``path -> iterable[str]``) to override everything, e.g.
+    an object-store manifest."""
     import os
 
-    if os.path.isfile(path):
+    if lister is not None:
+        return sorted(lister(path))
+    scheme = _uri_scheme(path)
+    if scheme in ("http", "https"):
         return [path]
-    if os.path.isdir(path):
+    if scheme and scheme != "file":
+        if spark is None:
+            raise ValueError(
+                f"remote path {path!r} needs an active SparkSession or a lister"
+            )
+        files = _hadoop_ls(spark, path)
+        if suffixes:
+            files = [f for f in files if f.endswith(suffixes)]
+        if not files:
+            raise FileNotFoundError(f"no WARC files under {path!r}")
+        return files
+    local = _local_path(path)
+    if os.path.isfile(local):
+        return [path]
+    if re.search(r"[*?\[]", local):
+        import glob as _glob
+
+        out = sorted(p for p in _glob.glob(local, recursive=True) if os.path.isfile(p))
+        if suffixes:
+            out = [p for p in out if p.endswith(suffixes)]
+        if out:
+            return out
+    if os.path.isdir(local):
         out = sorted(
-            os.path.join(path, n)
-            for n in os.listdir(path)
-            if os.path.isfile(os.path.join(path, n))
+            os.path.join(root, n)
+            for root, _dirs, names in os.walk(local)
+            for n in names
+            if os.path.isfile(os.path.join(root, n))
         )
+        if suffixes:
+            out = [p for p in out if p.endswith(suffixes)]
         if out:
             return out
     raise FileNotFoundError(f"no WARC files under {path!r}")
+
+
+def _file_size(path: str, opener) -> int:
+    """Archive size for split planning: a local stat when the path is
+    local, else the opened file's ``size`` attribute/method — the
+    :class:`HttpRangeFile` contract for remote openers."""
+    import os
+
+    if _uri_scheme(path) in ("", "file"):
+        return os.path.getsize(_local_path(path))
+    f = opener(path)
+    try:
+        size = getattr(f, "size", None)
+        size = size() if callable(size) else size
+        if size is None:
+            raise ValueError(
+                f"cannot size remote archive {path!r}: the opener's file "
+                "exposes no 'size' attribute (see HttpRangeFile)"
+            )
+        return int(size)
+    finally:
+        f.close()
+
+
+def _read_sidecar(p: str, opener) -> list[tuple[int, int]]:
+    """Member offsets from the ``<p>.idx`` sidecar, or ``[]`` when
+    absent.  Local sidecars stream line-wise through a closed-on-exit
+    handle; remote ones probe through the ``opener`` (a missing object
+    surfaces as FileNotFoundError/OSError on open or first read)."""
+    import os
+
+    idx = p + ".idx"
+    if _uri_scheme(p) in ("", "file"):
+        lp = _local_path(idx)
+        if not os.path.exists(lp):
+            return []
+        with open(lp, encoding="utf-8") as fh:
+            return _parse_idx(fh)
+    try:
+        f = opener(idx)
+        try:
+            data = f.read()
+        finally:
+            f.close()
+    except OSError:
+        return []
+    return _parse_idx(data.decode("utf-8", "replace"))
+
+
+class HttpRangeFile:
+    """Read-only seekable file over HTTP(S) via ``Range`` requests
+    (stdlib urllib) — the object-storage ``opener`` for the WARC
+    readers.  Access pattern: a ``seek`` is lazy; the first ``read``
+    after it opens ONE streaming ``Range: bytes=<pos>-`` GET and
+    subsequent sequential reads drain that same response, so a
+    :func:`read_warc_split` task issues exactly one ranged GET per
+    split (the design contract of the ``.idx`` split path).  ``size``
+    comes from a HEAD (falling back to a 1-byte Range probe's
+    ``Content-Range`` total for HEAD-less servers)."""
+
+    def __init__(self, url: str, *, timeout: float = 60.0) -> None:
+        self.url = url
+        self._timeout = timeout
+        self._pos = 0
+        self._resp = None
+        self._resp_pos: int | None = None
+        self._size: int | None = None
+        self._eof_pos: int | None = None  # lowest offset known past EOF (416)
+
+    def size(self) -> int:
+        import urllib.request
+
+        if self._size is None:
+            try:
+                req = urllib.request.Request(self.url, method="HEAD")
+                with urllib.request.urlopen(req, timeout=self._timeout) as r:
+                    self._size = int(r.headers["Content-Length"])
+            except (OSError, TypeError, ValueError):
+                req = urllib.request.Request(
+                    self.url, headers={"Range": "bytes=0-0"}
+                )
+                with urllib.request.urlopen(req, timeout=self._timeout) as r:
+                    total = (r.headers.get("Content-Range") or "").rpartition("/")[2]
+                    self._size = int(total)
+        return self._size
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence != 0:
+            raise io.UnsupportedOperation("HttpRangeFile supports absolute seek only")
+        self._pos = pos
+        return pos
+
+    def read(self, n: int = -1) -> bytes:
+        import urllib.error
+        import urllib.request
+
+        if self._eof_pos is not None and self._pos >= self._eof_pos:
+            return b""
+        if self._resp is None or self._resp_pos != self._pos:
+            if self._resp is not None:
+                self._resp.close()
+                self._resp = None
+            req = urllib.request.Request(
+                self.url, headers={"Range": f"bytes={self._pos}-"}
+            )
+            try:
+                self._resp = urllib.request.urlopen(req, timeout=self._timeout)
+            except urllib.error.HTTPError as e:
+                if e.code == 416:  # past EOF: reads return b"" like a file
+                    self._eof_pos = self._pos
+                    return b""
+                raise
+            if self._pos and self._resp.status != 206:
+                # Server ignored Range (200 = full body, e.g. stdlib
+                # http.server or a stripping proxy): returning its bytes
+                # as-if-at-pos would silently corrupt the split. Drain up
+                # to pos so reads stay position-correct.
+                skip = self._pos
+                while skip:
+                    chunk = self._resp.read(min(skip, 1 << 20))
+                    if not chunk:
+                        self._eof_pos = self._pos - skip
+                        return b""
+                    skip -= len(chunk)
+            self._resp_pos = self._pos
+        data = self._resp.read() if n is None or n < 0 else self._resp.read(n)
+        self._pos += len(data)
+        self._resp_pos = self._pos
+        return data
+
+    def close(self) -> None:
+        if self._resp is not None:
+            self._resp.close()
+            self._resp = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def http_opener(url: str) -> HttpRangeFile:
+    """``opener`` seam instance for HTTP(S) object storage: ranged-GET
+    streaming reads (one GET per split task)."""
+    return HttpRangeFile(url)
 
 
 def read_warc(
@@ -234,11 +463,23 @@ def read_warc(
     extract_text: bool = True,
     batch_rows: int = 1024,
     opener=None,
+    lister=None,
 ) -> DataFrame:
     """Read WARC/WARC.gz archives under ``path`` into a DataFrame (one
     row per selected record).  ``record_types=()`` keeps every record
     (warcinfo/request/metadata included); ``extract_text`` adds the
     stripped-HTML ``text`` column for text/HTML payloads.
+
+    ``path`` may be a file, a directory (recursive), a glob pattern, or
+    a ``scheme://`` URI — URIs list through the active Hadoop FileSystem
+    (hdfs/s3a/file, whatever the cluster's connectors mount); http(s)
+    URLs are taken as a single archive (no listing protocol).  Pass
+    ``lister`` (``path -> iterable[str]``) to override enumeration (an
+    object-store manifest), and ``opener`` (``path -> binary file-like``)
+    so executors can open what the lister returned — the default opener
+    reads the LOCAL filesystem only (``file:`` URIs included); remote
+    paths need both seams or a mounted connector (e.g.
+    :func:`http_opener` for ranged-GET HTTP reads).
 
     Memory model: STREAMING per file.  Each task reads its archive
     incrementally through the ``opener`` seam — ``.gz`` members inflate
@@ -254,8 +495,8 @@ def read_warc(
     byte-range tasks."""
     import pandas as pd
 
-    paths = _list_warc_files(path)
-    file_opener = opener or (lambda p: open(p, "rb"))
+    paths = _list_warc_files(path, spark=spark, lister=lister)
+    file_opener = opener or _default_opener
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -314,16 +555,18 @@ class _RangeFile:
         self.close()
 
 
-def _parse_idx(text: str) -> list[tuple[int, int]]:
+def _parse_idx(src) -> list[tuple[int, int]]:
     """Parse a gzip member-offset sidecar into ``(offset, length)`` pairs.
     Two accepted layouts: plain ``offset length`` integer lines, and
     CDX(J) lines whose trailing JSON object carries ``"offset"`` /
     ``"length"`` fields (the CommonCrawl index record shape).  Unparsable
-    lines are skipped; results are offset-sorted."""
+    lines are skipped; results are offset-sorted.  ``src`` is a string or
+    any iterable of lines (an open text file streams line-wise — a large
+    CDX sidecar never materializes as one driver string)."""
     import json
 
     out: list[tuple[int, int]] = []
-    for line in text.splitlines():
+    for line in src.splitlines() if isinstance(src, str) else src:
         line = line.strip()
         if not line:
             continue
@@ -345,25 +588,31 @@ def _parse_idx(text: str) -> list[tuple[int, int]]:
 
 
 def _member_ranges(
-    members: list[tuple[int, int]], split_bytes: int
+    members: list[tuple[int, int]], split_bytes: int, file_size: int
 ) -> list[tuple[int, int]]:
-    """Pack member-aligned ``(offset, length)`` runs into contiguous
-    compressed byte ranges of ≤ ``split_bytes`` (always ≥ 1 member per
-    range).  Ranges are member-aligned by construction, so each split
-    decompresses independently."""
+    """Pack member ``(offset, length)`` entries into contiguous compressed
+    byte ranges of ≤ ``split_bytes`` (always ≥ 1 member per range) that
+    TILE ``[0, file_size)`` exactly.  Only the offsets matter: each listed
+    offset is a gzip member start, segment ends are the next listed offset
+    (or EOF), so a PARTIAL sidecar — real CommonCrawl CDX files index
+    response records only and omit revisit/dedup'd records — bridges its
+    gaps into the preceding range instead of silently dropping the
+    unindexed members.  Byte 0 is always a member start in a valid gzip
+    file, so the tiling covers every record and the split reader stays
+    byte-identical to the per-file reader regardless of sidecar coverage."""
+    starts = sorted({off for off, _ in members if 0 <= off < file_size})
+    if file_size <= 0:
+        return []
+    if not starts or starts[0] != 0:
+        starts.insert(0, 0)
+    bounds = starts + [file_size]
     ranges: list[tuple[int, int]] = []
-    start = None
-    end = 0
-    for off, length in members:
-        if start is None:
-            start, end = off, off + length
-        elif off == end and end - start + length <= split_bytes:
-            end = off + length
-        else:
-            ranges.append((start, end))
-            start, end = off, off + length
-    if start is not None:
-        ranges.append((start, end))
+    rstart = 0
+    for i in range(1, len(bounds)):
+        if bounds[i] - rstart > split_bytes and bounds[i - 1] > rstart:
+            ranges.append((rstart, bounds[i - 1]))
+            rstart = bounds[i - 1]
+    ranges.append((rstart, file_size))
     return ranges
 
 
@@ -538,6 +787,7 @@ def read_warc_split(
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
     opener=None,
+    lister=None,
 ) -> DataFrame:
     """Splittable WARC reader: uncompressed ``.warc`` files are carved
     into ``split_bytes`` byte ranges — ONE TASK PER RANGE, so a single
@@ -553,39 +803,39 @@ def read_warc_split(
     — the CommonCrawl index shape; members are per-record, so ranges are
     record-aligned and each split inflates independently); without a
     sidecar they stream as one full-file split (gzip cannot seek blind).
-    ``opener`` is the storage seam: any ``path -> binary file-like``
-    callable (default ``open(path, "rb")``; pass an fsspec/S3 opener on
-    object storage — executors then issue exactly one ranged GET stream
-    per split).  Every path is O(largest record) task memory."""
-    import glob as _glob
-    import os
+    A PARTIAL sidecar (real CDX files index response records only) still
+    yields byte-identical output: ranges tile the whole compressed file,
+    bridging unindexed members into the preceding range
+    (:func:`_member_ranges`).
 
+    ``opener`` is the storage seam: any ``path -> binary file-like``
+    callable (default: local ``open``, ``file:`` URIs included; pass
+    :func:`http_opener` or an fsspec/S3 opener on object storage —
+    executors then issue exactly one ranged GET stream per split).
+    ``lister`` overrides path enumeration as in :func:`read_warc`; for
+    remote paths the planner sizes archives via the opened file's
+    ``size`` attribute (the :class:`HttpRangeFile` contract) and probes
+    ``<file>.idx`` through the opener.  Every path is O(largest record)
+    task memory."""
     import pandas as pd
 
-    paths = sorted(
-        p for p in _glob.glob(os.path.join(path, "*")) or [path]
-        if p.endswith((".warc", ".warc.gz", ".gz"))
-    ) or ([path] if os.path.isfile(path) else [])
-    if not paths:
-        raise FileNotFoundError(f"no WARC files under {path!r}")
+    file_opener = opener or _default_opener
+    paths = _list_warc_files(
+        path, spark=spark, lister=lister, suffixes=(".warc", ".warc.gz", ".gz")
+    )
     chunks: list[tuple[str, int, int, bool]] = []
     for p in paths:
-        size = os.path.getsize(p)
+        size = _file_size(p, file_opener)
         if p.endswith(".gz"):
-            members = (
-                _parse_idx(open(p + ".idx", encoding="utf-8").read())
-                if os.path.exists(p + ".idx")
-                else []
-            )
+            members = _read_sidecar(p, file_opener)
             if members:
-                for s, e in _member_ranges(members, split_bytes):
+                for s, e in _member_ranges(members, split_bytes, size):
                     chunks.append((p, s, e, True))
             else:
                 chunks.append((p, 0, size, True))
         else:
             for off in range(0, max(size, 1), split_bytes):
                 chunks.append((p, off, min(off + split_bytes, size), False))
-    file_opener = opener or (lambda p: open(p, "rb"))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -169,3 +169,82 @@ def test_normalize_url_idempotent_property(spark):
         assert once == twice
 
     check()
+
+
+def test_domain_screen_null_domain_parity(spark):
+    """NULL-keyed rows survive the screen in BOTH engines: Spark's
+    left_anti join keeps them, and the SQL twin uses NOT EXISTS — a
+    NOT IN subquery would drop every row the moment a NULL appears on
+    either side (the DuckDB three-valued-logic trap)."""
+    duckdb = pytest.importorskip("duckdb")
+
+    from architxt_spark.functions.domains import domain_screen_sql
+
+    rows = [
+        (1, "a perfectly reasonable document about topics here", "good.com"),
+        (2, "another perfectly reasonable document right here", None),
+        (3, "the same mirrored boilerplate body every time", "mirror.net"),
+        (4, "the same mirrored boilerplate body every time", "mirror.net"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = sorted(r.doc_id for r in domain_screen(df, max_dup_fraction=0.5).collect())
+    assert kept == [1, 2]  # NULL-domain row kept; mirror domain dropped
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({domain_screen_sql('documents', max_dup_fraction=0.5)})"
+    ).fetchall())
+    assert oracle == kept
+    # blocklist path: NULL-domain rows drop in BOTH engines (Spark's
+    # ~isin filter is NULL-strict, and so is SQL NOT IN over literals)
+    kept_b = sorted(r.doc_id for r in domain_screen(
+        df, blocklist=("nope.com",), max_dup_fraction=0.5).collect())
+    oracle_b = sorted(r[0] for r in con.execute(
+        "SELECT doc_id FROM ("
+        + domain_screen_sql("documents", blocklist=("nope.com",), max_dup_fraction=0.5)
+        + ")"
+    ).fetchall())
+    assert kept_b == oracle_b == [1]
+
+
+def test_decontaminate_filter_null_id_parity(spark):
+    """decontaminate_filter's SQL twin keeps NULL-id corpus rows exactly
+    like the Spark left_anti join (NOT EXISTS, not NOT IN)."""
+    duckdb = pytest.importorskip("duckdb")
+
+    from architxt_spark.functions.dedup import (
+        decontaminate_filter,
+        decontaminate_filter_sql,
+    )
+
+    # string ids: pandas would coerce a nullable long to NaN floats and
+    # the NULL would never reach DuckDB
+    corpus = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog today"),
+            (None, "an entirely unrelated document body standing here"),
+            ("c", "benchmark question text repeated nearly verbatim in train"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("q1", "benchmark question text repeated nearly verbatim in train")],
+        "doc_id string, text string",
+    )
+    got = sorted(
+        (r.doc_id or "",)
+        for r in decontaminate_filter(corpus, bench, "text", "doc_id").collect()
+    )
+    assert got == [("",), ("a",)]  # NULL-id row kept, near-dup dropped
+    con = duckdb.connect()
+    con.register("corpus", corpus.toPandas())
+    con.register("bench", bench.toPandas())
+    oracle = sorted(
+        (r[0] or "",)
+        for r in con.execute(
+            "SELECT doc_id FROM ("
+            + decontaminate_filter_sql("corpus", "bench", "text", "doc_id")
+            + ")"
+        ).fetchall()
+    )
+    assert oracle == got
