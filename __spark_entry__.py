@@ -2022,23 +2022,31 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     junk never reaches a shuffle) → domain screen (blocklist + mirror
     rule, broadcast anti-join) → exact + MinHash near-dup removal over
     exact representatives → eval-set decontamination (benchmark band
-    index broadcast) → CCNet-style LM-perplexity tail drop
-    (histogram-exact thresholds) → exact per-language mixture take →
-    concat-and-chunk sequence packing; one (stage, n_docs) row per stage
-    — the pack row counts the training sequences produced
-    (`functions/curation.py` curate_corpus)."""
+    index broadcast) → CCNet-style LM-perplexity tail drop trained on a
+    CLEAN REFERENCE slice (the published CCNet form; histogram-exact
+    thresholds) → fastText-style classifier gate trained on labelled
+    seed slices (integer perceptron, broadcast weights; r8 extension) →
+    exact per-language mixture take → concat-and-chunk sequence packing;
+    one (stage, n_docs) row per stage — the pack row counts the training
+    sequences produced (`functions/curation.py` curate_corpus)."""
     from architxt_spark.functions.curation import curate_corpus
 
     docs = _t(spark, sf, "documents").select(
         "doc_id", "text", "lang", "n_chars", "source"
     )
     bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 29 == 3).select("doc_id", "text")
+    pos = docs.filter(F.col("doc_id") % 41 == 1).select("doc_id", "text")
+    neg = docs.filter(F.col("doc_id") % 41 == 2).select("doc_id", "text")
     _, census = curate_corpus(
         docs,
         domain_col="source",
         domain_blocklist=("src13",),
         decontaminate_against=bench,
         ppl_drop_tail=True,
+        ppl_train_docs=ref,
+        quality_model_pos=pos,
+        quality_model_neg=neg,
         mixture_col="lang",
         mixture_counts=_CURATE_MIX,
         pack_token_col="n_chars",
@@ -2457,52 +2465,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry folded/renamed or code-touched this round, go FIRST so any
     # prefix the gate takes maximizes newly-verified coverage.
     first = [
-        # NEW this round (the r7 registry folds — never had any driver
-        # verdict) + entries whose code the round touched (WARC streaming
-        # rewrite, output-before-index ordering, sketch_suite fm_stream
-        # fold, curation chain extension): the gate prefix reaches these
-        # first
-        "ann_suite",
-        "window_grouping",
-        "corpus_health",
-        "scalar_funcs",
-        "doc_quality_stats",
-        "bpe_suite",
-        "events_funnel",
-        "export_stats",
-        "temporal_joins",
-        "dedup_pairs",
-        "sketch_suite",
-        "warc_split_roundtrip",
-        "corpus_delta",
-        "stream_curate",
-        "stream_minhash_dedup",
-        "stream_url_seen",
+        # Entries whose code round 8 touched (curation chain gained the
+        # reference-trained ppl + classifier stages; the lm/classifier/
+        # dedup/domains SQL twins changed; the WARC source gained the
+        # lister/HTTP-range seams): the gate prefix reaches these first
         "curation_pipeline",
-        # never driver-verified survivors (r6 selfcheck only)
-        "c4_clean",
-        "chunk_pipeline",
-        # entries whose newest driver verdict is round 5 — after r7 every
-        # registry entry has a driver verdict <= 2 rounds old
-        "join_filtered_customers",
-        "events_sessionize_streaming",
-        "metrics_customer",
-        "text_profile",
-        "pii_redaction",
-        "simple_rewrite_documents",
-        "multimodal_profile",
-        "gen_instance",
-        "llm_rewrite_stub",
-        "extract_vocab",
-        "nlp_parse_forest",
-        "bm25_batch",
+        "warc_split_roundtrip",
         "lm_perplexity",
-        "doc_chunking",
-        "semantic_dedup",
-        "lang_distribution",
-        "dedup_components",
-        "embedding_near_dup",
-        "sampling_strata",
+        # Entries whose newest driver verdict is round 6 — the ≤2-round
+        # rotation contract requires the r8 gate to renew all 32
+        "forest_stats_documents",
+        "contamination_screen",
+        "doc_loader_json_props",
+        "rewrite_documents",
+        "cluster_documents",
+        "cluster_instance_documents",
+        "llm_label_schema",
+        "tree_leaves_nation",
+        "extract_valid_trees",
+        "coverage_metric",
+        "bm25_topk",
+        "ngram_stats",
+        "dsir",
+        "quality_classifier",
+        "domain_profile",
+        "link_pagerank",
+        "unicode_split",
+        "collocations",
+        "tfidf_terms",
+        "random_project",
+        "ann_recall",
+        "ppl_buckets",
+        "dedup_exact_spans",
+        "dedup_simhash",
+        "dedup_filtered",
+        "events_sessionize",
+        "graph_extract",
+        "typed_export_orders",
+        "sampling_mixture",
+        "sampling_temperature",
+        "sampling_weighted",
+        "sampling_pack",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
@@ -2913,6 +2916,9 @@ def _curation_sql() -> str:
         domain_blocklist=("src13",),
         decontam_bench_table="(SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0)",
         ppl_drop_tail=True,
+        ppl_train_table="(SELECT doc_id, text FROM documents WHERE doc_id % 29 = 3)",
+        quality_pos_src="(SELECT doc_id, text FROM documents WHERE doc_id % 41 = 1)",
+        quality_neg_src="(SELECT doc_id, text FROM documents WHERE doc_id % 41 = 2)",
         mixture_col="lang",
         mixture_counts=_CURATE_MIX,
         pack_token_col="n_chars",

@@ -423,6 +423,30 @@ def _cmd_curate(args: argparse.Namespace) -> None:
         id_col=args.id_col,
         near_threshold=args.near_threshold,
         line_clean=args.line_clean,
+        domain_col=args.domain_col,
+        domain_blocklist=tuple(args.domain_blocklist or ()),
+        domain_max_dup_fraction=args.max_dup_fraction,
+        decontaminate_against=(
+            spark.read.parquet(args.decontaminate_against)
+            if args.decontaminate_against
+            else None
+        ),
+        decontam_threshold=args.decontam_threshold,
+        ppl_drop_tail=args.ppl_drop_tail,
+        ppl_train_docs=(
+            spark.read.parquet(args.ppl_train) if args.ppl_train else None
+        ),
+        quality_model_pos=(
+            spark.read.parquet(args.quality_model_pos)
+            if args.quality_model_pos
+            else None
+        ),
+        quality_model_neg=(
+            spark.read.parquet(args.quality_model_neg)
+            if args.quality_model_neg
+            else None
+        ),
+        quality_model_bigrams=args.quality_model_bigrams,
         mixture_col=args.mixture_col,
         mixture_counts=counts,
         pack_token_col=args.pack_token_col,
@@ -605,6 +629,28 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--id-col", default="doc_id")
     cu.add_argument("--near-threshold", type=float, default=0.5)
+    cu.add_argument("--domain-col", default=None,
+                    help="enable the domain screen over this column")
+    cu.add_argument("--domain-blocklist", nargs="+", default=None, metavar="DOMAIN",
+                    help="domains dropped outright by the screen")
+    cu.add_argument("--max-dup-fraction", type=float, default=0.5,
+                    help="domain screen: drop domains whose duplicate-doc "
+                         "fraction exceeds this (binary-exact values replay "
+                         "across engines)")
+    cu.add_argument("--decontaminate-against", default=None, metavar="PARQUET",
+                    help="eval-set parquet; drop survivors near-dup to it")
+    cu.add_argument("--decontam-threshold", type=float, default=0.5)
+    cu.add_argument("--ppl-drop-tail", action="store_true",
+                    help="CCNet-style LM stage: drop the worst-perplexity third")
+    cu.add_argument("--ppl-train", default=None, metavar="PARQUET",
+                    help="clean reference corpus for the ppl LM "
+                         "(default: self-train on the survivors)")
+    cu.add_argument("--quality-model-pos", default=None, metavar="PARQUET",
+                    help="positive seed docs; with --quality-model-neg, train "
+                         "the classifier gate and keep positive-margin rows")
+    cu.add_argument("--quality-model-neg", default=None, metavar="PARQUET")
+    cu.add_argument("--quality-model-bigrams", action="store_true",
+                    help="add hashed word-bigram features (fastText space)")
     cu.add_argument("--mixture-col", default=None)
     cu.add_argument("--mixture-counts", default=None, help='JSON, e.g. {"en": 1000}')
     cu.add_argument("--pack-token-col", default=None)

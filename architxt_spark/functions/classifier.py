@@ -176,10 +176,10 @@ def classifier_score(
     )
 
 
-def quality_classifier_sql(
-    table: str,
-    pos_where: str,
-    neg_where: str,
+def classifier_score_sql(
+    score_src: str,
+    pos_src: str,
+    neg_src: str,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -187,10 +187,12 @@ def quality_classifier_sql(
     iterations: int = ITERATIONS,
     bigrams: bool = False,
 ) -> str:
-    """DuckDB twin: train on the ``pos_where``/``neg_where`` slices of
-    ``table`` with the iterations unrolled as CTEs, then score every row
-    of ``table`` — same bucket hash, same integer arithmetic, so margins
-    are bit-identical."""
+    """DuckDB twin of ``train_quality_classifier`` + ``classifier_score``
+    over arbitrary SQL sources: train on ``pos_src``/``neg_src`` (table
+    names or parenthesized SELECTs) with the iterations unrolled as CTEs,
+    then score every row of ``score_src`` — same bucket hash, same
+    integer arithmetic, so margins are bit-identical."""
+    table = score_src
     digit = "(strpos('0123456789abcdef', substr(md5(f), {d}, 1)) - 1)"
     h = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (6 - d)}" for d in range(7))
     bucket = f"(CAST({h} AS BIGINT) % {n_buckets})"
@@ -202,11 +204,11 @@ def quality_classifier_sql(
         f"""__feat AS (
             SELECT id, y, b, CAST(count(*) AS BIGINT) AS x FROM (
                 SELECT {id_col} AS id, 1 AS y, {bucket} AS b FROM (
-                    SELECT {id_col}, unnest({toks}) AS f FROM {table} WHERE {pos_where}
+                    SELECT {id_col}, unnest({toks}) AS f FROM {pos_src}
                 )
                 UNION ALL
                 SELECT {id_col} AS id, -1 AS y, {bucket} AS b FROM (
-                    SELECT {id_col}, unnest({toks}) AS f FROM {table} WHERE {neg_where}
+                    SELECT {id_col}, unnest({toks}) AS f FROM {neg_src}
                 )
             ) GROUP BY 1, 2, 3
         )""",
@@ -256,3 +258,28 @@ def quality_classifier_sql(
         SELECT {id_col}, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
         FROM {table} WHERE len({toks}) = 0
     """
+
+def quality_classifier_sql(
+    table: str,
+    pos_where: str,
+    neg_where: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    iterations: int = ITERATIONS,
+    bigrams: bool = False,
+) -> str:
+    """DuckDB twin: train on the ``pos_where``/``neg_where`` slices of
+    ``table`` and score every row of it (the self-labelled registry
+    shape; :func:`classifier_score_sql` is the general sources form)."""
+    return classifier_score_sql(
+        table,
+        f"(SELECT * FROM {table} WHERE {pos_where})",
+        f"(SELECT * FROM {table} WHERE {neg_where})",
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        iterations=iterations,
+        bigrams=bigrams,
+    )

@@ -48,6 +48,10 @@ def curate_corpus(
     decontaminate_against: DataFrame | None = None,
     decontam_threshold: float = 0.5,
     ppl_drop_tail: bool = False,
+    ppl_train_docs: DataFrame | None = None,
+    quality_model_pos: DataFrame | None = None,
+    quality_model_neg: DataFrame | None = None,
+    quality_model_bigrams: bool = False,
     mixture_col: str | None = None,
     mixture_counts: Mapping[str, int] | None = None,
     mixture_total: int | None = None,
@@ -64,9 +68,13 @@ def curate_corpus(
 
     ``census`` is ``(stage, n_docs)`` for stages ``input`` [→ ``clean``]
     → ``quality`` [→ ``domain``] → ``dedup`` [→ ``decontam``] [→ ``ppl``]
-    [→ ``sample``] [→ ``pack``] — the full published recipe
-    (C4/CCNet/Gopher line+row gates, domain screening, near-dedup,
-    eval-set decontamination, LM-quality tail drop, mixture, packing)
+    [→ ``classifier``] [→ ``sample``] [→ ``pack``] — the full published
+    recipe (C4/CCNet/Gopher line+row gates, domain screening, near-dedup,
+    eval-set decontamination, LM-quality tail drop — trained on
+    ``ppl_train_docs`` when given, CCNet's clean-reference form —
+    a fastText-style classifier gate trained on the
+    ``quality_model_pos``/``quality_model_neg`` seed frames, mixture,
+    packing)
     as ONE operator; each count is the survivors
     AFTER that stage, except ``pack`` whose count is the number of
     fixed-budget training SEQUENCES produced (packing transforms, it
@@ -188,18 +196,54 @@ def curate_corpus(
         census = census.unionByName(stage("decontam", kept))
 
     if ppl_drop_tail:
-        # CCNet-style model-quality stage: self-trained bigram LM, drop
-        # the highest-perplexity third (bucket thresholds are
-        # histogram-exact, so the cut replays across engines)
+        # CCNet-style model-quality stage: bigram LM trained on
+        # ``ppl_train_docs`` when given (the published CCNet recipe — a
+        # clean reference corpus, e.g. Wikipedia), else self-trained on
+        # the survivors; drop the highest-perplexity third (bucket
+        # thresholds are histogram-exact, so the cut replays across
+        # engines)
         from architxt_spark.functions.lm import ppl_buckets
 
         tail = (
-            ppl_buckets(kept, id_col=id_col, text_col=text_col)
+            ppl_buckets(
+                kept, id_col=id_col, text_col=text_col, train_docs=ppl_train_docs
+            )
             .filter(F.col("bucket") == "tail")
             .select(id_col)
         )
         kept = stage_barrier(kept.join(tail, id_col, "left_anti"))
         census = census.unionByName(stage("ppl", kept))
+
+    if quality_model_pos is not None:
+        # fastText-style model-quality stage (the LLaMA-recipe
+        # "classifier" pass): train the hashed perceptron on the labelled
+        # seed frames, score the survivors, keep positive-margin rows.
+        # The weight table is n_buckets-bounded and broadcast, so the
+        # stage costs one scan + one id-keyed shuffle at any corpus size.
+        if quality_model_neg is None:
+            raise ValueError("quality_model_pos requires quality_model_neg")
+        from architxt_spark.functions.classifier import (
+            classifier_score,
+            train_quality_classifier,
+        )
+
+        weights = train_quality_classifier(
+            quality_model_pos,
+            quality_model_neg,
+            id_col=id_col,
+            text_col=text_col,
+            bigrams=quality_model_bigrams,
+        )
+        keep_cls = (
+            classifier_score(
+                kept, weights, id_col=id_col, text_col=text_col,
+                bigrams=quality_model_bigrams,
+            )
+            .filter(F.col("pred") == 1)
+            .select(id_col)
+        )
+        kept = stage_barrier(kept.join(keep_cls, id_col, "left_semi"))
+        census = census.unionByName(stage("classifier", kept))
 
     if mixture_col is not None and mixture_counts is None and mixture_total is not None:
         from architxt_spark.functions.sampling import temperature_counts
@@ -272,6 +316,10 @@ def curation_census_sql(
     decontam_bench_table: str | None = None,
     decontam_threshold: float = 0.5,
     ppl_drop_tail: bool = False,
+    ppl_train_table: str | None = None,
+    quality_pos_src: str | None = None,
+    quality_neg_src: str | None = None,
+    quality_model_bigrams: bool = False,
     mixture_col: str | None = None,
     mixture_counts: Mapping[str, int] | None = None,
     mixture_total: int | None = None,
@@ -355,7 +403,9 @@ def curation_census_sql(
     if ppl_drop_tail:
         from architxt_spark.functions.lm import ppl_buckets_sql
 
-        buckets = ppl_buckets_sql(current, id_col=id_col, text_col=text_col)
+        buckets = ppl_buckets_sql(
+            current, id_col=id_col, text_col=text_col, train_table=ppl_train_table
+        )
         # NOT EXISTS for NULL parity with the Spark left_anti join
         ctes.append((
             "__ppl",
@@ -365,6 +415,26 @@ def curation_census_sql(
         ))
         current = "__ppl"
         parts.append(f"SELECT 'ppl', CAST(count(*) AS BIGINT) FROM {current}")
+    if quality_pos_src is not None:
+        from architxt_spark.functions.classifier import classifier_score_sql
+
+        if quality_neg_src is None:
+            raise ValueError("quality_pos_src requires quality_neg_src")
+        scored = classifier_score_sql(
+            current,
+            quality_pos_src,
+            quality_neg_src,
+            id_col=id_col,
+            text_col=text_col,
+            bigrams=quality_model_bigrams,
+        )
+        ctes.append((
+            "__cls",
+            f"SELECT t.* FROM {current} t WHERE t.{id_col} IN"
+            f" (SELECT {id_col} FROM ({scored}) WHERE pred = 1)",
+        ))
+        current = "__cls"
+        parts.append(f"SELECT 'classifier', CAST(count(*) AS BIGINT) FROM {current}")
     if mixture_col is not None and mixture_counts is None and mixture_total is not None:
         from architxt_spark.functions.sampling import temperature_take_sql
 

@@ -111,30 +111,47 @@ def bigram_lm_perplexity_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = SMOOTH_K,
+    train_table: str | None = None,
 ) -> str:
-    """DuckDB twin — same tokenizer, rounding, decimal summation."""
+    """DuckDB twin — same tokenizer, rounding, decimal summation.
+    ``train_table`` (a table name or parenthesizable SELECT) trains the
+    model on a reference corpus; scored words/bigrams absent from it
+    fall to the count-0 smoothing floor via LEFT JOIN + coalesce, the
+    exact join shape of the Spark side."""
     toks = retrieval_tokens_sql(text_col)
+    tsrc = (
+        "__base"
+        if train_table is None
+        else f"(SELECT {id_col}, {toks} AS t FROM {train_table})"
+    )
     return f"""
         WITH __base AS (
             SELECT {id_col}, {toks} AS t FROM {table}
+        ), __tbase AS (
+            SELECT * FROM {tsrc}
         ), __trans AS (
             SELECT {id_col}, t[j] AS w1, t[j+1] AS w2 FROM (
                 SELECT {id_col}, unnest(generate_series(1, len(t)-1)) AS j, t FROM __base
             )
         ), __uni AS (
             SELECT w1, count(*) AS c1 FROM (
-                SELECT unnest(t) AS w1 FROM __base
+                SELECT unnest(t) AS w1 FROM __tbase
             ) GROUP BY 1
         ), __bi AS (
-            SELECT w1, w2, count(*) AS c2 FROM __trans GROUP BY 1, 2
+            SELECT w1, w2, count(*) AS c2 FROM (
+                SELECT t[j] AS w1, t[j+1] AS w2 FROM (
+                    SELECT unnest(generate_series(1, len(t)-1)) AS j, t FROM __tbase
+                )
+            ) GROUP BY 1, 2
         ), __v AS (SELECT count(*) AS v FROM __uni),
         __scored AS (
             SELECT t.{id_col}, count(*) AS n_trans,
-                   sum(CAST(round(ln((b.c2 + {k}) / (u.c1 + {k} * v.v)), 6)
+                   sum(CAST(round(ln((coalesce(b.c2, 0) + {k})
+                       / (coalesce(u.c1, 0) + {k} * v.v)), 6)
                        AS DECIMAL(18,6))) AS lsum
             FROM __trans t
-            JOIN __bi b USING (w1, w2)
-            JOIN __uni u USING (w1)
+            LEFT JOIN __bi b USING (w1, w2)
+            LEFT JOIN __uni u USING (w1)
             CROSS JOIN __v v
             GROUP BY 1
         )
@@ -209,11 +226,14 @@ def ppl_buckets_sql(
     text_col: str = "text",
     k: float = SMOOTH_K,
     names: tuple[str, ...] = ("head", "middle", "tail"),
+    train_table: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ppl_buckets` (same histogram boundary
     arithmetic over the same 4-dp ppl values)."""
     parts = len(names)
-    scored = bigram_lm_perplexity_sql(table, id_col=id_col, text_col=text_col, k=k)
+    scored = bigram_lm_perplexity_sql(
+        table, id_col=id_col, text_col=text_col, k=k, train_table=train_table
+    )
     tsel = ", ".join(
         f"(SELECT MIN(ppl) FROM cum WHERE cum >= CEIL(n * {i} / {parts}.0)) AS t{i}"
         for i in range(1, parts)

@@ -27,28 +27,26 @@ def test_rotation_prefix_is_valid_and_first():
     allq = E._all_queries()
     names = list(q)
     assert set(names) == set(allq)
-    # r7: the registry folds (never had any driver verdict) lead outright
-    new = (
-        "ann_suite", "window_grouping", "corpus_health", "scalar_funcs",
-        "doc_quality_stats", "bpe_suite", "events_funnel", "export_stats",
-        "temporal_joins", "dedup_pairs",
-    )
-    for i, k in enumerate(new):
+    # r8: code-touched entries lead (curation chain extension, WARC
+    # seams, lm/classifier SQL-twin changes), then ALL 32 entries whose
+    # newest driver verdict is r6 — the <=2-round rotation contract
+    touched = ("curation_pipeline", "warc_split_roundtrip", "lm_perplexity")
+    for i, k in enumerate(touched):
         assert names.index(k) == i, k
-    # code-touched this round (WARC streaming rewrite, output-before-index
-    # ordering, fm_stream fold, curation chain) + never-driver-verified
-    # survivors + the r5-only stale entries: all inside the ~50-row gate
-    # so after r7 every registry entry has a driver verdict <= 2 rounds old
-    for k in ("sketch_suite", "warc_split_roundtrip", "corpus_delta",
-              "stream_curate", "stream_minhash_dedup", "stream_url_seen",
-              "curation_pipeline", "c4_clean", "chunk_pipeline",
-              "join_filtered_customers", "events_sessionize_streaming",
-              "metrics_customer", "text_profile", "pii_redaction",
-              "simple_rewrite_documents", "multimodal_profile",
-              "gen_instance", "llm_rewrite_stub", "extract_vocab",
-              "nlp_parse_forest", "bm25_batch", "lm_perplexity",
-              "doc_chunking", "semantic_dedup", "lang_distribution",
-              "dedup_components", "embedding_near_dup", "sampling_strata"):
+    stale_r6 = (
+        "forest_stats_documents", "contamination_screen",
+        "doc_loader_json_props", "rewrite_documents", "cluster_documents",
+        "cluster_instance_documents", "llm_label_schema",
+        "tree_leaves_nation", "extract_valid_trees", "coverage_metric",
+        "bm25_topk", "ngram_stats", "dsir", "quality_classifier",
+        "domain_profile", "link_pagerank", "unicode_split", "collocations",
+        "tfidf_terms", "random_project", "ann_recall", "ppl_buckets",
+        "dedup_exact_spans", "dedup_simhash", "dedup_filtered",
+        "events_sessionize", "graph_extract", "typed_export_orders",
+        "sampling_mixture", "sampling_temperature", "sampling_weighted",
+        "sampling_pack",
+    )
+    for k in stale_r6:
         assert names.index(k) < 45, k
     # folded-away entries must be GONE (their coverage lives in the folds)
     for gone in ("ann_topk", "ann_ivf_topk", "ann_pq_adc", "window_orders",

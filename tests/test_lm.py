@@ -163,3 +163,39 @@ def test_ppl_buckets_thirds_and_und(spark):
     # roughly thirds (ties can shift counts)
     n = sum(v for k, v in counts.items() if k != "und")
     assert counts.get("head", 0) >= n // 3 - 2
+
+
+def test_perplexity_reference_trained_parity(spark):
+    """train_docs= (the CCNet clean-reference form): unseen words and
+    bigrams fall to the count-0 smoothing floor identically in Spark
+    (left joins + coalesce) and the DuckDB twin (train_table=)."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.lm import bigram_lm_perplexity, bigram_lm_perplexity_sql
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug near the cat"),
+            (3, "entirely novel vocabulary appears here"),
+            (4, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(10, "the cat sat on the mat again"), (11, "the dog ran to the mat")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.n_trans, r.ppl)
+        for r in bigram_lm_perplexity(docs, train_docs=ref).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    con.register("refdocs", ref.toPandas())
+    oracle = sorted(con.execute(
+        bigram_lm_perplexity_sql("documents", train_table="refdocs")
+    ).fetchall())
+    assert got == oracle
+    by_id = {i: p for i, _, p in got}
+    assert by_id[4] is None  # short doc
+    assert by_id[3] > by_id[1]  # fully-unseen doc scores worse than in-domain

@@ -420,3 +420,87 @@ def test_cli_cache_clear(tmp_path, capsys):
     # idempotent on a missing dir
     cli.main(["cache-clear", "--cache-dir", str(tmp_path / "nope")])
     assert "already empty" in capsys.readouterr().out
+
+
+def test_cli_curate_full_recipe(spark, tmp_path, capsys):
+    """Every published-recipe stage from the COMMAND LINE: domain screen,
+    eval-set decontamination, reference-trained ppl tail-drop, classifier
+    gate, mixture, packing — the 9-row census the API produces, now
+    reachable with flags alone (reference CLI-knob parity)."""
+    from architxt_spark import cli
+
+    import random
+
+    rng = random.Random(11)
+    words = (
+        "the quick brown fox jumps over lazy dog sun sets behind distant "
+        "hills children play near quiet river bank morning evening winter "
+        "summer garden market stories travel music painting harbor"
+    ).split()
+    good = " careful analysis explains the detailed history of science"
+    junk = " casino bonus casino jackpot spins winner casino bonus prize"
+
+    texts = [
+        "the and " + " ".join(rng.sample(words, 22))
+        + (good if i % 2 else junk) + f" item {i}"
+        for i in range(16)
+    ]
+
+    def text(i):
+        return texts[i]
+
+    rows = [
+        (i, text(i), "en", ("mirror.net" if i in (4, 6) else f"site{i}.com"), 40 + i)
+        for i in range(16)
+    ] + [
+        (100, "junk", "en", "site0.com", 1),
+        (101, text(0), "en", "site0.com", 40),  # exact duplicate
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(src)
+    # eval set: near-dup of doc 2's text
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame([(9000, text(2))], ["doc_id", "text"]).write.parquet(bench)
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(1000 + j, text(2 * j + 1)) for j in range(3)], ["doc_id", "text"]
+    ).write.parquet(ref)
+    pos = str(tmp_path / "pos")
+    spark.createDataFrame(
+        [(2000 + j, "the and story time" + good + f" seed {j}") for j in range(4)],
+        ["doc_id", "text"],
+    ).write.parquet(pos)
+    neg = str(tmp_path / "neg")
+    spark.createDataFrame(
+        [(3000 + j, "the and story time" + junk + f" seed {j}") for j in range(4)],
+        ["doc_id", "text"],
+    ).write.parquet(neg)
+
+    out = str(tmp_path / "kept")
+    cli.main([
+        "curate", src, "--out", out,
+        "--domain-col", "source", "--domain-blocklist", "spam.biz",
+        "--max-dup-fraction", "0.5",
+        "--decontaminate-against", bench,
+        "--ppl-drop-tail", "--ppl-train", ref,
+        "--quality-model-pos", pos, "--quality-model-neg", neg,
+        "--mixture-col", "lang", "--mixture-counts", '{"en": 3}',
+        "--pack-token-col", "n_chars", "--pack-budget", "120",
+    ])
+    census = dict(
+        ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    expected = ["input", "quality", "domain", "dedup", "decontam", "ppl",
+                "classifier", "sample", "pack"]
+    assert list(census) == expected
+    assert census["input"] == "18"
+    assert int(census["domain"]) <= int(census["quality"])
+    assert int(census["decontam"]) < int(census["dedup"])  # bench near-dup dropped
+    assert int(census["classifier"]) <= int(census["ppl"])
+    assert census["sample"] == "3"
+    kept = spark.read.parquet(out)
+    assert kept.count() == 3
+    # classifier gate: survivors are good-marker docs only
+    assert all(r.doc_id % 2 == 1 for r in kept.collect())

@@ -440,3 +440,65 @@ def test_curation_temperature_mixture_derives_counts(spark):
     for r in kept.collect():
         langs[r.lang] += 1
     assert langs["fr"] >= 3  # proportional would give ~2 of 10
+
+
+def test_curation_ppl_reference_and_classifier_stages(spark):
+    """The two model-quality stages in their published form: the ppl
+    tail-drop trained on a CLEAN REFERENCE corpus (CCNet's recipe —
+    ``ppl_train_docs``), then the fastText-style classifier gate trained
+    on labelled seed frames (``quality_model_pos/neg``).  Census replays
+    stage-for-stage in DuckDB with the seeds registered as views."""
+    duckdb = pytest.importorskip("duckdb")
+    from architxt_spark.functions.curation import curate_corpus, curation_census_sql
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while the sun sets "
+        "behind distant hills and children play near the quiet river bank "
+    )
+    good = " careful analysis explains the detailed history of science"
+    junk = " casino bonus casino jackpot spins winner casino bonus prize"
+    rows = [
+        (i, base + (good if i % 2 else junk) + f" item number {i}")
+        for i in range(18)
+    ] + [(100, "junk")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = spark.createDataFrame(
+        [(1000 + j, base + good + f" reference passage {j}") for j in range(4)],
+        ["doc_id", "text"],
+    )
+    pos = spark.createDataFrame(
+        [(2000 + j, base + good + f" seed {j}") for j in range(4)],
+        ["doc_id", "text"],
+    )
+    neg = spark.createDataFrame(
+        [(3000 + j, base + junk + f" seed {j}") for j in range(4)],
+        ["doc_id", "text"],
+    )
+    kept, census = curate_corpus(
+        df,
+        ppl_drop_tail=True,
+        ppl_train_docs=ref,
+        quality_model_pos=pos,
+        quality_model_neg=neg,
+    )
+    got = sorted((r.stage, r.n_docs) for r in census.collect())
+
+    con = duckdb.connect()
+    for name, frame in (
+        ("documents", df), ("refdocs", ref), ("seedpos", pos), ("seedneg", neg)
+    ):
+        con.register(name, frame.toPandas())
+    oracle = sorted(con.execute(curation_census_sql(
+        "documents",
+        ppl_drop_tail=True,
+        ppl_train_table="refdocs",
+        quality_pos_src="seedpos",
+        quality_neg_src="seedneg",
+    )).fetchall())
+    assert got == oracle
+    c = dict(got)
+    assert c["classifier"] <= c["ppl"] <= c["dedup"]
+    # the classifier gate actually separates: every survivor is a
+    # good-marker doc (odd id), every junk-marker doc is gone
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids and all(i % 2 == 1 for i in ids)
