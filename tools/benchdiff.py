@@ -16,6 +16,42 @@ import argparse
 import json
 import sys
 
+#: round-7 registry folds: fold name -> the pre-r7 constituent names.
+#: When one side of the diff predates the fold, the constituents present
+#: are summed into a synthetic fold entry so round-over-round diffs stay
+#: automatic (the sum is the honest comparison — the fold runs all of
+#: its constituents in one frame).
+FOLDS: dict[str, tuple[str, ...]] = {
+    "window_grouping": ("window_orders", "grouping_orders"),
+    "ann_suite": ("ann_topk", "ann_ivf_topk", "ann_pq_adc"),
+    "dedup_pairs": (
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "doc_fingerprint_winnow"
+    ),
+    "corpus_health": ("corpus_report", "corpus_drift"),
+    "bpe_suite": ("bpe_tokenizer", "bpe_train_merges"),
+    "scalar_funcs": (
+        "string_funcs_parts", "date_math_orders", "json_props_events"
+    ),
+    "events_funnel": ("funnel_signup_view_purchase", "retention_cohorts"),
+    "export_stats": ("export_sql_ddl", "export_cypher_stats"),
+    "temporal_joins": ("asof_events", "range_join_signup_clicks"),
+    "doc_quality_stats": ("gopher_quality_flags",),
+    "sketch_suite": ("stream_fm_distinct",),
+}
+
+
+def apply_folds(d: dict[str, float]) -> dict[str, float]:
+    """Sum pre-fold constituent timings into their fold name (only when
+    the fold itself is absent — a post-fold file passes through)."""
+    out = dict(d)
+    for fold, parts in FOLDS.items():
+        if fold in out:
+            continue
+        present = [p for p in parts if p in out]
+        if present:
+            out[fold] = round(sum(out.pop(p) for p in present), 3)
+    return out
+
 
 def load(path: str) -> dict[str, float]:
     with open(path) as f:
@@ -24,7 +60,7 @@ def load(path: str) -> dict[str, float]:
         d = d["parsed"]
     if "queries" not in d:  # bare bench.py stdout line
         raise SystemExit(f"{path}: no 'queries' key")
-    return d["queries"]
+    return apply_folds(d["queries"])
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -1,0 +1,208 @@
+"""Scale rehearsal: measure how the heavy operator families scale past
+sf0.1 (5k docs) — synthetic corpora at 10×/40× with realistic
+duplicate/template skew, per-family wall time, and the fitted scaling
+exponent between consecutive sizes (t ∝ n^e; e ≈ 1 is linear, the
+100-TB posture's requirement for everything banded/bucketed).
+
+Usage::
+
+    python tools/scalebench.py [--sizes 12500 50000 200000] [--repeats 2]
+
+Prints a BASELINE.md-ready table: (operator, n_docs, sec, µs/doc,
+exponent-vs-prev).  Corpora are deterministic (seeded) so reruns
+measure the same bytes; everything is generated under /tmp and cleaned
+up by the OS, never under the repo or testdata.
+
+Corpus skew model (mirrors what the dedup family exists for):
+~55% unique docs, ~25% template near-dups (shared boilerplate + small
+edit — the web-template blowup), ~12% exact duplicates of earlier docs,
+~8% junk that fails the quality gate.  Embeddings: 64-d, 32 loose
+clusters, n_docs/2.5 rows (the sf0.1 documents:embeddings ratio).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORDS = (
+    "the of and to in a is that for it as was with be by on not he this are "
+    "or his from at which but have an had they you were their one all we can "
+    "her has there been if more when will would who so no out up into them "
+    "then its only time two could other new some these may first than like "
+    "water earth story garden market travel music painting harbor winter "
+    "river mountain village bridge letter evening morning window journey "
+    "science history analysis careful detailed knowledge education report"
+).split()
+
+TEMPLATES = [
+    "subscribe to our newsletter for the latest updates and offers today",
+    "all rights reserved terms of service privacy policy contact us about",
+    "click here to read more about this amazing story and share it now",
+    "the committee met on tuesday to discuss the annual budget proposal",
+]
+
+
+def gen_documents(spark, n: int, seed: int = 7):
+    rng = random.Random(seed)
+    rows = []
+    texts: list[str] = []
+    for i in range(n):
+        p = rng.random()
+        if p < 0.55 or not texts:
+            body = "the and " + " ".join(rng.choices(WORDS, k=40))
+        elif p < 0.80:
+            t = rng.choice(TEMPLATES)
+            body = (
+                "the and " + t + " " + t + " "
+                + " ".join(rng.choices(WORDS, k=6))
+            )
+        elif p < 0.92:
+            body = texts[rng.randrange(len(texts))]
+        else:
+            body = rng.choice(("junk", "click here", "a a a a a a a a"))
+        texts.append(body)
+        rows.append((
+            i,
+            body,
+            rng.choice(("en", "en", "en", "fr", "de")),
+            f"site{rng.randrange(max(20, n // 250))}.com",
+            len(body),
+        ))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def gen_embeddings(spark, n: int, dim: int = 64, seed: int = 11):
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(32)]
+    rows = []
+    for i in range(n):
+        c = centers[rng.randrange(32)]
+        rows.append((i, [c[d] + rng.gauss(0, 0.3) for d in range(dim)], i % 32))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def time_op(fn, repeats: int) -> float:
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--sizes", type=int, nargs="+", default=[12500, 50000, 200000])
+    p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    p.add_argument("--workdir", default="/tmp/scalebench")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("scalebench")
+        .config("spark.sql.shuffle.partitions", args.cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from architxt_spark.functions.ann import ivf_topk, lsh_topk
+    from architxt_spark.functions.curation import curate_corpus
+    from architxt_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        winnow_pairs,
+    )
+
+    os.makedirs(args.workdir, exist_ok=True)
+    results: dict[str, list[tuple[int, float]]] = {}
+
+    for n in args.sizes:
+        doc_path = f"{args.workdir}/docs_{n}"
+        emb_n = max(500, n * 2 // 5)
+        emb_path = f"{args.workdir}/emb_{emb_n}"
+        if not os.path.exists(doc_path):
+            gen_documents(spark, n).repartition(int(args.cpus)).write.mode(
+                "overwrite"
+            ).parquet(doc_path)
+        if not os.path.exists(emb_path):
+            gen_embeddings(spark, emb_n).repartition(int(args.cpus)).write.mode(
+                "overwrite"
+            ).parquet(emb_path)
+        docs = spark.read.parquet(doc_path)
+        embs = spark.read.parquet(emb_path)
+        queries = embs.filter(F.col("vec_id") % 100 == 0)
+        bench = docs.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
+        ref = docs.filter(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+        pos = docs.filter(F.col("doc_id") % 211 == 1).select("doc_id", "text")
+        neg = docs.filter(F.col("doc_id") % 211 == 2).select("doc_id", "text")
+
+        ops = {
+            "curate_full": lambda: curate_corpus(
+                docs,
+                domain_col="source",
+                decontaminate_against=bench,
+                ppl_drop_tail=True,
+                ppl_train_docs=ref,
+                quality_model_pos=pos,
+                quality_model_neg=neg,
+                mixture_col="lang",
+                mixture_total=n // 4,
+                mixture_strata=["en", "fr", "de"],
+                pack_token_col="n_chars",
+                pack_budget=4096,
+                salt="sb",
+            )[1].collect(),
+            "dedup_minhash_lsh": lambda: minhash_lsh_pairs(
+                docs, "text", "doc_id"
+            ).count(),
+            "dedup_ngram_jaccard": lambda: ngram_jaccard_pairs(
+                docs, "text", "doc_id"
+            ).count(),
+            "dedup_winnow": lambda: winnow_pairs(docs, "text", "doc_id").count(),
+            "ann_lsh_topk": lambda: lsh_topk(embs, queries, k=10, dim=64).count(),
+            "ann_ivf_topk": lambda: ivf_topk(embs, queries, k=10).count(),
+        }
+        for name, fn in ops.items():
+            fn()  # warm: codegen/JIT + any persisted index build
+            sec = time_op(fn, args.repeats)
+            results.setdefault(name, []).append((n, sec))
+            print(f"# {name} n={n}: {sec:.2f}s", file=sys.stderr, flush=True)
+
+    print("\n| operator | n_docs | sec | µs/doc | exponent |")
+    print("|---|---|---|---|---|")
+    for name, series in results.items():
+        prev = None
+        for n, sec in series:
+            if prev is None:
+                exp = ""
+            else:
+                pn, ps = prev
+                exp = f"{math.log(sec / ps) / math.log(n / pn):.2f}"
+            print(f"| {name} | {n} | {sec:.2f} | {sec / n * 1e6:.1f} | {exp} |")
+            prev = (n, sec)
+
+
+if __name__ == "__main__":
+    main()
