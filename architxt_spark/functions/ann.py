@@ -504,7 +504,13 @@ def ivf_topk(
 
     At scale this is the partition-pruning ANN: the corpus shuffles once on
     ``cell_id`` (or is written bucketed by it), and each query touches
-    ``nprobe / n_cells`` of the data instead of all of it.  Complements
+    ``nprobe / n_cells`` of the data instead of all of it.  Size
+    ``n_cells ∝ √n`` (the FAISS rule of thumb) so per-cell lists stay flat
+    as the corpus grows — with FIXED cells the per-query re-score cost is
+    ``nprobe·n/n_cells`` and the curve goes linear-per-query (measured in
+    the r8 scale rehearsal: 16 cells at 80k vectors re-scores 25% of the
+    corpus per query; √n cells holds the probed fraction constant).
+    Complements
     :func:`lsh_topk` — IVF adapts to the data distribution where sign-LSH
     is data-independent.  Reference parity: beyond-reference operator per
     SURVEY §7.5 (similarity search scale path).

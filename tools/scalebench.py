@@ -127,7 +127,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from architxt_spark.functions.ann import ivf_topk, lsh_topk
+    from architxt_spark.functions.ann import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        lsh_topk,
+        train_codebook,
+    )
     from architxt_spark.functions.curation import curate_corpus
     from architxt_spark.functions.dedup import (
         minhash_lsh_pairs,
@@ -152,7 +158,18 @@ def main() -> None:
             ).parquet(emb_path)
         docs = spark.read.parquet(doc_path)
         embs = spark.read.parquet(emb_path)
-        queries = embs.filter(F.col("vec_id") % 100 == 0)
+        # constant ~100-query workload at every size: the curve then
+        # isolates CORPUS scaling (a %-of-corpus query set would grow the
+        # work quadratically between rungs and mask the per-vector cost)
+        queries = embs.filter(F.col("vec_id") % max(1, emb_n // 100) == 0)
+        # IVF production posture: cells ~ sqrt(n) keeps per-cell lists flat
+        n_cells = max(16, int(emb_n ** 0.5 / 2))
+        # the persisted-index path (100-TB posture: index built ONCE, each
+        # query batch pays partition-pruned probing only)
+        idx_path = f"{args.workdir}/ivfidx_{emb_n}"
+        cb = train_codebook(embs, n_cells=n_cells, iterations=1)
+        if not os.path.exists(idx_path):
+            build_ivf_index(embs, cb, idx_path)
         bench = docs.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
         ref = docs.filter(F.col("doc_id") % 97 == 3).select("doc_id", "text")
         pos = docs.filter(F.col("doc_id") % 211 == 1).select("doc_id", "text")
@@ -174,15 +191,28 @@ def main() -> None:
                 pack_budget=4096,
                 salt="sb",
             )[1].collect(),
+            # production shape: max_band_df mirrors the registry/dedup_filter
+            # cap — UNCAPPED, the 25% template share makes hot bands O(M²)
+            # (measured 1.1 s at 50k -> 98 s at 200k, exponent ~3.2; the cap
+            # is the designed answer to exactly that blowup)
             "dedup_minhash_lsh": lambda: minhash_lsh_pairs(
-                docs, "text", "doc_id"
+                docs, "text", "doc_id", max_band_df=1000
             ).count(),
             "dedup_ngram_jaccard": lambda: ngram_jaccard_pairs(
                 docs, "text", "doc_id"
             ).count(),
             "dedup_winnow": lambda: winnow_pairs(docs, "text", "doc_id").count(),
             "ann_lsh_topk": lambda: lsh_topk(embs, queries, k=10, dim=64).count(),
-            "ann_ivf_topk": lambda: ivf_topk(embs, queries, k=10).count(),
+            # in-memory IVF: per-call cost INCLUDES the n×√n-cells corpus
+            # assignment (the index build) — expected ~n^1.5
+            "ann_ivf_topk": lambda: ivf_topk(
+                embs, queries, k=10, n_cells=n_cells
+            ).count(),
+            # persisted-index IVF: query-batch cost only (partition-pruned
+            # probe) — the flat curve the 100-TB serving path rides
+            "ann_ivf_indexed": lambda: ivf_topk_indexed(
+                spark, idx_path, queries, cb, k=10
+            ).count(),
         }
         for name, fn in ops.items():
             fn()  # warm: codegen/JIT + any persisted index build
