@@ -104,17 +104,24 @@ def train_quality_classifier(
     :func:`classifier_score` — the score side."""
     spark = pos.sparkSession
     feats = _labelled_features(pos, neg, id_col, text_col, n_buckets, bigrams).persist()
-    feats.count()  # eager: every iteration reads the cached frame
     try:
-        weights = {
-            r["b"]: 0 for r in feats.select("b").distinct().collect()
-        }
+        # The iterations chain LAZILY as broadcast-joined weight frames —
+        # the DuckDB twin's unrolled-CTE shape — so the whole training
+        # loop is ONE action (the final bounded collect), not a blocking
+        # driver round-trip per iteration.  Each w_k is persisted: it is
+        # referenced twice per following iteration (broadcast into the
+        # margin join AND as the update's left side), and without the
+        # (n_buckets-bounded) cache those subplans recompute
+        # combinatorially.  Same integer ops in the same order, so
+        # margins stay bit-identical to the per-iteration collect this
+        # replaces (and to the SQL twin).
+        w = feats.select("b").distinct().select(
+            "b", F.lit(0).cast("long").alias("w")
+        ).persist()
+        held = [w]
         for _ in range(iterations):
-            wdf = spark.createDataFrame(
-                [(b, w) for b, w in sorted(weights.items())], "b long, w long"
-            )
             margins = (
-                feats.join(F.broadcast(wdf), "b")
+                feats.join(F.broadcast(w), "b")
                 .groupBy("id")
                 .agg(
                     F.first("y").alias("y"),
@@ -128,10 +135,16 @@ def train_quality_classifier(
                 .groupBy("b")
                 .agg(F.sum(F.col("y") * F.col("x")).alias("g"))
             )
-            for r in grad.collect():  # bounded by n_buckets
-                weights[r["b"]] += r["g"]
+            w = (
+                w.join(grad, "b", "left")
+                .select("b", (F.col("w") + F.coalesce(F.col("g"), F.lit(0))).alias("w"))
+            ).persist()
+            held.append(w)
+        rows = w.collect()  # bounded by n_buckets; runs all iterations
+        for h in held:
+            h.unpersist()
         return spark.createDataFrame(
-            [(b, w) for b, w in sorted(weights.items())], "b long, w long"
+            sorted((r["b"], r["w"]) for r in rows), "b long, w long"
         )
     finally:
         feats.unpersist()
