@@ -214,6 +214,8 @@ def curate_corpus(
         kept = stage_barrier(kept.join(tail, id_col, "left_anti"))
         census = census.unionByName(stage("ppl", kept))
 
+    if quality_model_neg is not None and quality_model_pos is None:
+        raise ValueError("quality_model_neg requires quality_model_pos")
     if quality_model_pos is not None:
         # fastText-style model-quality stage (the LLaMA-recipe
         # "classifier" pass): train the hashed perceptron on the labelled
@@ -415,6 +417,8 @@ def curation_census_sql(
         ))
         current = "__ppl"
         parts.append(f"SELECT 'ppl', CAST(count(*) AS BIGINT) FROM {current}")
+    if quality_neg_src is not None and quality_pos_src is None:
+        raise ValueError("quality_neg_src requires quality_pos_src")
     if quality_pos_src is not None:
         from architxt_spark.functions.classifier import classifier_score_sql
 
