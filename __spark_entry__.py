@@ -1455,8 +1455,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     'first' = deterministic first-N codebook; 'trained' = two
     deterministic Lloyd rounds (assign-to-nearest + rounded per-dimension
     means, empty cells keep their centroid) before the same
-    probe/re-score path.  Registry fold of the former ann_ivf_trained —
-    zero coverage loss."""
+    probe/re-score path; 'indexed' (r8) = the PERSISTED-index serving
+    path — build_ivf_index materializes the trained codebook's inverted
+    file as cell-partitioned parquet and ivf_topk_indexed answers the
+    same queries through parquet partition PRUNING, so the at-rest
+    100-TB layout itself sits under the hash gate (results provably
+    identical to the in-memory 'trained' path).  Registry fold of the
+    former ann_ivf_trained — zero coverage loss."""
+    import tempfile
+
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     first = ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).select(
@@ -1466,7 +1473,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     trained = ann.ivf_topk(
         emb, queries, k=5, n_cells=16, nprobe=4, centroids=cb
     ).select(F.lit("trained").alias("variant"), "*")
-    return first.unionByName(trained)
+    idx = tempfile.mkdtemp(prefix="ivfidx_") + "/index"
+    ann.build_ivf_index(emb, cb, idx)
+    indexed = ann.ivf_topk_indexed(
+        spark, idx, queries, cb, k=5, nprobe=4
+    ).select(F.lit("indexed").alias("variant"), "*")
+    return first.unionByName(trained).unionByName(indexed)
 
 
 
@@ -2472,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline",
         "warc_split_roundtrip",
         "lm_perplexity",
+        "ann_suite",
         # Entries whose newest driver verdict is round 6 — the ≤2-round
         # rotation contract requires the r8 gate to renew all 32
         "forest_stats_documents",
@@ -3423,6 +3436,14 @@ def _oracle_parts() -> dict[str, str]:
             "SELECT 'first' AS variant, * FROM ("
             + ann.ivf_topk_sql("embeddings", k=5, n_cells=16, nprobe=4, max_query_id=10)
             + ") UNION ALL SELECT 'trained' AS variant, * FROM ("
+            + ann.ivf_topk_sql(
+                "embeddings", k=5, n_cells=16, nprobe=4, max_query_id=10,
+                codebook_ctes=ann.train_codebook_ctes("embeddings", n_cells=16, iterations=2),
+            )
+            # the persisted-index path answers identically to 'trained'
+            # for the same codebook (partition pruning changes I/O, not
+            # results) — the twin re-tags the trained SQL
+            + ") UNION ALL SELECT 'indexed' AS variant, * FROM ("
             + ann.ivf_topk_sql(
                 "embeddings", k=5, n_cells=16, nprobe=4, max_query_id=10,
                 codebook_ctes=ann.train_codebook_ctes("embeddings", n_cells=16, iterations=2),

@@ -30,7 +30,8 @@ def test_rotation_prefix_is_valid_and_first():
     # r8: code-touched entries lead (curation chain extension, WARC
     # seams, lm/classifier SQL-twin changes), then ALL 32 entries whose
     # newest driver verdict is r6 — the <=2-round rotation contract
-    touched = ("curation_pipeline", "warc_split_roundtrip", "lm_perplexity")
+    touched = ("curation_pipeline", "warc_split_roundtrip", "lm_perplexity",
+               "ann_suite")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
     stale_r6 = (
