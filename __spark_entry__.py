@@ -2015,7 +2015,11 @@ def q_link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     window pass), then 3 iterations of EXACT integer fixed-point
     PageRank — rank units are BIGINTs and every division is integral, so
     Spark and DuckDB agree to the bit with no float summation-order
-    drift (`functions/linkgraph.py`)."""
+    drift (`functions/linkgraph.py`).  Two variants tagged (r8): 'drop'
+    = dangling mass dropped (the original gated simplification),
+    'dangling' = mass-conserving uniform redistribution — the published
+    host-rank form, its 1-row-broadcast-per-iteration shape now under
+    the hash gate too."""
     from architxt_spark.functions.linkgraph import pagerank, session_edges
 
     pages = _events(spark, sf).select(
@@ -2024,8 +2028,18 @@ def q_link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("page"),
     )
-    edges = session_edges(pages)
-    return pagerank(edges).withColumnRenamed("node", "page")
+    from architxt_spark.session import stage_barrier
+
+    # one materialization feeds BOTH variants' iteration chains — the
+    # session window pass runs once, not per variant
+    edges = stage_barrier(session_edges(pages))
+    drop = pagerank(edges).select(
+        F.lit("drop").alias("variant"), F.col("node").alias("page"), "rank_units"
+    )
+    dang = pagerank(edges, redistribute_dangling=True).select(
+        F.lit("dangling").alias("variant"), F.col("node").alias("page"), "rank_units"
+    )
+    return drop.unionByName(dang)
 
 
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -2879,7 +2893,13 @@ def _link_pagerank_sql() -> str:
         WHERE dst IS NOT NULL AND src <> dst
         GROUP BY src, dst
     """
-    return f"SELECT node AS page, rank_units FROM ({pagerank_sql(edges)})"
+    return (
+        "SELECT 'drop' AS variant, node AS page, rank_units FROM ("
+        + pagerank_sql(edges)
+        + ") UNION ALL SELECT 'dangling', node, rank_units FROM ("
+        + pagerank_sql(edges, redistribute_dangling=True)
+        + ")"
+    )
 
 
 def _classifier_sql() -> str:

@@ -211,13 +211,17 @@ def pagerank_sql(
     iters: int = 3,
     scale: int = 10**9,
     damping_pct: int = 85,
+    redistribute_dangling: bool = False,
 ) -> str:
     """DuckDB twin of :func:`pagerank` for the dual-engine oracle gate:
     ``edges_sql`` must select ``(src, dst, w)`` (already aggregated).
     Iterations unroll to one CTE pair each; every SUM casts back to
     BIGINT (DuckDB widens integer SUM to HUGEINT) and every division is
     ``//`` so the arithmetic matches Spark's ``div`` bit-for-bit on the
-    non-negative values PageRank produces."""
+    non-negative values PageRank produces.  ``redistribute_dangling``
+    mirrors the Spark flag: per iteration the rank mass on no-out-edge
+    nodes (NOT EXISTS — NULL-safe) is shared uniformly,
+    ``(damping * (dangling_sum // N)) // 100`` per node, all-integral."""
     base_pct = 100 - damping_pct
     n_sub = "(SELECT n FROM __n)"
     parts = [
@@ -235,10 +239,20 @@ def pagerank_sql(
             f"FROM __e e JOIN __ow o ON e.src = o.src "
             f"JOIN {prev} r ON r.node = e.src GROUP BY e.dst)"
         )
+        dang_term = ""
+        if redistribute_dangling:
+            parts.append(
+                f"__d{i} AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS d "
+                f"FROM {prev} r WHERE NOT EXISTS "
+                f"(SELECT 1 FROM __ow o WHERE o.src = r.node))"
+            )
+            dang_term = (
+                f" + ({damping_pct} * ((SELECT d FROM __d{i}) // {n_sub})) // 100"
+            )
         parts.append(
             f"__r{i} AS (SELECT n.node, "
             f"CAST(({base_pct} * ({scale} // {n_sub})) // 100 "
-            f"+ ({damping_pct} * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r "
+            f"+ ({damping_pct} * COALESCE(c.c, 0)) // 100{dang_term} AS BIGINT) AS r "
             f"FROM __nodes n LEFT JOIN __c{i} c ON n.node = c.node)"
         )
         prev = f"__r{i}"
