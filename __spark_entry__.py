@@ -340,13 +340,29 @@ def _two_batch_stream(spark: SparkSession, sf: str, stream_fn) -> DataFrame:
 
 def q_stream_curate(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingestion curation under the full hash gate: per
-    micro-batch Gopher gate THEN incremental cross-batch near-dup against
-    the persistent band index (`streaming/corpus.py` stream_curate) —
-    same two-batch deterministic replay as stream_minhash_dedup; the
-    oracle replays both batches over the pre-gated table."""
+    micro-batch Gopher gate → eval-set DECONTAMINATION (r8: benchmark =
+    the doc_id%37 slice; a contaminated record never ships and never
+    seeds the band index) → incremental cross-batch near-dup against the
+    persistent band index (`streaming/corpus.py` stream_curate) — same
+    two-batch deterministic replay as stream_minhash_dedup; the oracle
+    replays both batches over the pre-gated, pre-decontaminated table
+    (valid because the decontam screen is a pure batch-independent row
+    filter against a static benchmark)."""
+    import tempfile
+
     from architxt_spark.streaming.corpus import stream_curate
 
-    return _two_batch_stream(spark, sf, stream_curate)
+    bench_path = tempfile.mkdtemp(prefix="architxt_bench_") + "/bench"
+    _t(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 37 == 0
+    ).write.parquet(bench_path)
+    return _two_batch_stream(
+        spark,
+        sf,
+        lambda stream, index, out, ckpt: stream_curate(
+            stream, index, out, ckpt, decontaminate_path=bench_path
+        ),
+    )
 
 
 def q_stream_url_seen(spark: SparkSession, sf: str) -> DataFrame:
@@ -3591,7 +3607,15 @@ def _oracle_parts() -> dict[str, str]:
             "documents", "text", "doc_id"
         ),
         "stream_curate": dedup.stream_minhash_dedup_sql(
-            f"(SELECT * FROM documents WHERE {T.gopher_keep_sql('text')})",
+            "("
+            + dedup.decontaminate_filter_sql(
+                f"(SELECT * FROM documents WHERE {T.gopher_keep_sql('text')})",
+                "(SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0)",
+                "text",
+                "doc_id",
+                threshold=0.5,
+            )
+            + ")",
             "text",
             "doc_id",
         ),

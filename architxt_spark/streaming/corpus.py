@@ -200,6 +200,8 @@ def stream_curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_clean: bool = False,
+    decontaminate_path: str | None = None,
+    decontam_threshold: float = 0.5,
 ):
     """Streaming corpus CURATION: per micro-batch, the Gopher quality
     gate prunes junk BEFORE any shuffle (gated rows never reach the
@@ -209,7 +211,18 @@ def stream_curate(
     curate_corpus`'s gate→dedup prefix — the shape a live crawl firehose
     runs instead of nightly batch jobs.  ``line_clean=True`` prepends the
     C4 line filter + page gate (newline-structured web pages), matching
-    the batch chain's option."""
+    the batch chain's option.
+
+    ``decontaminate_path`` (a parquet of benchmark/eval documents with
+    the same ``id_col``/``text_col``) adds eval-set decontamination
+    BETWEEN the gate and the dedup index — deliberately earlier than the
+    batch recipe's post-dedup placement: in a streaming ingester a
+    contaminated document must never ship AND never seed the persistent
+    band index, or it would keep suppressing clean near-dups of itself
+    forever after.  The benchmark side is eval-set-sized (broadcast
+    band join, :func:`~architxt_spark.functions.dedup.
+    decontaminate_filter`); at real scale pre-sign the benchmark once
+    and cache it — re-deriving per micro-batch costs one small scan."""
 
     def run(batch: DataFrame, _epoch: int) -> None:
         from architxt_spark.functions.dedup import _spread
@@ -227,6 +240,13 @@ def stream_curate(
                 .drop("__c4_clean")
             )
         gated = batch.filter(T.gopher_keep(F.col(text_col)))
+        if decontaminate_path is not None:
+            from architxt_spark.functions.dedup import decontaminate_filter
+
+            bench = batch.sparkSession.read.parquet(decontaminate_path)
+            gated = decontaminate_filter(
+                gated, bench, text_col, id_col, threshold=decontam_threshold
+            )
         minhash_dedup_batch(
             gated,
             index_path,
