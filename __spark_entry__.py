@@ -2515,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_split_roundtrip",
         "lm_perplexity",
         "ann_suite",
+        "stream_curate",
         # Entries whose newest driver verdict is round 6 — the ≤2-round
         # rotation contract requires the r8 gate to renew all 32
         "forest_stats_documents",

@@ -31,7 +31,7 @@ def test_rotation_prefix_is_valid_and_first():
     # seams, lm/classifier SQL-twin changes), then ALL 32 entries whose
     # newest driver verdict is r6 — the <=2-round rotation contract
     touched = ("curation_pipeline", "warc_split_roundtrip", "lm_perplexity",
-               "ann_suite")
+               "ann_suite", "stream_curate")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
     stale_r6 = (
