@@ -2507,49 +2507,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry folded/renamed or code-touched this round, go FIRST so any
     # prefix the gate takes maximizes newly-verified coverage.
     first = [
-        # Entries whose code round 8 touched (curation chain gained the
-        # reference-trained ppl + classifier stages; the lm/classifier/
-        # dedup/domains SQL twins changed; the WARC source gained the
-        # lister/HTTP-range seams): the gate prefix reaches these first
-        "curation_pipeline",
-        "warc_split_roundtrip",
-        "lm_perplexity",
-        "ann_suite",
-        "stream_curate",
-        # Entries whose newest driver verdict is round 6 — the ≤2-round
-        # rotation contract requires the r8 gate to renew all 32
-        "forest_stats_documents",
-        "contamination_screen",
-        "doc_loader_json_props",
-        "rewrite_documents",
-        "cluster_documents",
-        "cluster_instance_documents",
-        "llm_label_schema",
-        "tree_leaves_nation",
-        "extract_valid_trees",
-        "coverage_metric",
-        "bm25_topk",
-        "ngram_stats",
-        "dsir",
-        "quality_classifier",
-        "domain_profile",
-        "link_pagerank",
-        "unicode_split",
-        "collocations",
-        "tfidf_terms",
-        "random_project",
+        # Entries whose code round 9 touched (ann_recall gained the
+        # persisted-index serving variant; clean_unicode gained the JVM
+        # normalizer seam which sits on the c4/curation hot path): the
+        # gate prefix reaches these first
         "ann_recall",
-        "ppl_buckets",
-        "dedup_exact_spans",
-        "dedup_simhash",
-        "dedup_filtered",
-        "events_sessionize",
-        "graph_extract",
-        "typed_export_orders",
-        "sampling_mixture",
-        "sampling_temperature",
-        "sampling_weighted",
-        "sampling_pack",
+        "ann_suite",
+        "unicode_split",
+        "curation_pipeline",
+        # Entries whose newest driver verdict is round 7 — the ≤2-round
+        # rotation contract requires the r9 gate to renew all 32
+        "dataset_extract_nation",
+        "schema_groups_nation",
+        "metrics_customer",
+        "text_profile",
+        "pii_redaction",
+        "simple_rewrite_documents",
+        "multimodal_profile",
+        "gen_instance",
+        "llm_rewrite_stub",
+        "extract_vocab",
+        "nlp_parse_forest",
+        "bm25_batch",
+        "doc_chunking",
+        "semantic_dedup",
+        "sketch_suite",
+        "corpus_delta",
+        "lang_distribution",
+        "dedup_components",
+        "chunk_pipeline",
+        "embedding_near_dup",
+        "sampling_strata",
+        "c4_clean",
+        "window_grouping",
+        "corpus_health",
+        "scalar_funcs",
+        "doc_quality_stats",
+        "bpe_suite",
+        "events_funnel",
+        "export_stats",
+        "temporal_joins",
+        "dedup_pairs",
+        "distinct_parts_per_brand",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
