@@ -104,6 +104,7 @@ def train_quality_classifier(
     :func:`classifier_score` — the score side."""
     spark = pos.sparkSession
     feats = _labelled_features(pos, neg, id_col, text_col, n_buckets, bigrams).persist()
+    held: list[DataFrame] = []
     try:
         # The iterations chain LAZILY as broadcast-joined weight frames —
         # the DuckDB twin's unrolled-CTE shape — so the whole training
@@ -118,7 +119,7 @@ def train_quality_classifier(
         w = feats.select("b").distinct().select(
             "b", F.lit(0).cast("long").alias("w")
         ).persist()
-        held = [w]
+        held.append(w)
         for _ in range(iterations):
             margins = (
                 feats.join(F.broadcast(w), "b")
@@ -141,12 +142,15 @@ def train_quality_classifier(
             ).persist()
             held.append(w)
         rows = w.collect()  # bounded by n_buckets; runs all iterations
-        for h in held:
-            h.unpersist()
         return spark.createDataFrame(
             sorted((r["b"], r["w"]) for r in rows), "b long, w long"
         )
     finally:
+        # Release EVERY persisted frame even when planning or the final
+        # collect raises — otherwise iterations+1 cached weight frames
+        # leak per failed training call.
+        for h in held:
+            h.unpersist()
         feats.unpersist()
 
 

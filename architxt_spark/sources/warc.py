@@ -290,7 +290,21 @@ def _list_warc_files(
     if re.search(r"[*?\[]", local):
         import glob as _glob
 
-        out = sorted(p for p in _glob.glob(local, recursive=True) if os.path.isfile(p))
+        # Mirror _hadoop_ls (globStatus + recursive listFiles): matched
+        # directories descend recursively, so crawls/* over per-crawl
+        # subdirectories lists their files rather than erroring.
+        out = []
+        for p in _glob.glob(local, recursive=True):
+            if os.path.isfile(p):
+                out.append(p)
+            elif os.path.isdir(p):
+                out.extend(
+                    os.path.join(root, n)
+                    for root, _dirs, names in os.walk(p)
+                    for n in names
+                    if os.path.isfile(os.path.join(root, n))
+                )
+        out = sorted(out)
         if suffixes:
             out = [p for p in out if p.endswith(suffixes)]
         if out:
@@ -356,6 +370,11 @@ def _read_sidecar(p: str, opener) -> list[tuple[int, int]]:
     return _parse_idx(data.decode("utf-8", "replace"))
 
 
+# URLs whose server already proved it ignores Range (per-process, purely
+# advisory — dedups the warning, never changes read behavior).
+_RANGE_IGNORED_WARNED: set[str] = set()
+
+
 class HttpRangeFile:
     """Read-only seekable file over HTTP(S) via ``Range`` requests
     (stdlib urllib) — the object-storage ``opener`` for the WARC
@@ -390,7 +409,18 @@ class HttpRangeFile:
                 )
                 with urllib.request.urlopen(req, timeout=self._timeout) as r:
                     total = (r.headers.get("Content-Range") or "").rpartition("/")[2]
-                    self._size = int(total)
+                    if total:
+                        self._size = int(total)
+                    elif r.headers.get("Content-Length"):
+                        # Server honors neither HEAD nor Range (200, full
+                        # body): the whole response IS the object.
+                        self._size = int(r.headers["Content-Length"])
+                    else:
+                        raise ValueError(
+                            f"cannot size {self.url!r}: server answered the "
+                            "Range probe with neither Content-Range nor "
+                            "Content-Length (and HEAD failed)"
+                        )
         return self._size
 
     def seek(self, pos: int, whence: int = 0) -> int:
@@ -423,7 +453,20 @@ class HttpRangeFile:
                 # Server ignored Range (200 = full body, e.g. stdlib
                 # http.server or a stripping proxy): returning its bytes
                 # as-if-at-pos would silently corrupt the split. Drain up
-                # to pos so reads stay position-correct.
+                # to pos so reads stay position-correct — O(prefix) bytes
+                # per split, so tell the operator once per process.
+                if self.url not in _RANGE_IGNORED_WARNED:
+                    _RANGE_IGNORED_WARNED.add(self.url)
+                    import warnings
+
+                    warnings.warn(
+                        f"{self.url!r}: server ignores Range requests; each "
+                        "split drains the byte prefix (O(total_bytes x "
+                        "n_splits) traffic). Prefer a single split or a "
+                        "Range-capable endpoint.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 skip = self._pos
                 while skip:
                     chunk = self._resp.read(min(skip, 1 << 20))

@@ -63,15 +63,21 @@ def test_benchdiff_fold_mapping():
 
     old = {"window_orders": 0.4, "grouping_orders": 0.3, "ann_topk": 1.5,
            "scan_filter_project": 0.2}
-    mapped = apply_folds(old)
+    mapped, partial = apply_folds(old)
     assert mapped["window_grouping"] == pytest.approx(0.7)
     assert mapped["ann_suite"] == pytest.approx(1.5)  # partial constituents
     assert "window_orders" not in mapped and "ann_topk" not in mapped
     assert mapped["scan_filter_project"] == 0.2
+    # a fold synthesized from a SUBSET of its constituents is marked
+    # partial (comparing it as the full fold would skew the diff);
+    # a complete synthesis is not
+    assert partial == {"ann_suite"}
     # a post-fold file passes through untouched
     new = {"window_grouping": 0.6, "window_orders": 99.0}
-    assert apply_folds(new)["window_grouping"] == 0.6
-    assert apply_folds(new)["window_orders"] == 99.0
+    mapped2, partial2 = apply_folds(new)
+    assert mapped2["window_grouping"] == 0.6
+    assert mapped2["window_orders"] == 99.0
+    assert partial2 == set()
 
 
 # ---------------------------------------------------------------------------

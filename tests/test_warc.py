@@ -446,3 +446,100 @@ def test_http_range_file_range_ignoring_server(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_list_warc_files_glob_matching_directories(tmp_path):
+    """A glob whose matches are DIRECTORIES (crawls/* over per-crawl
+    subdirs) descends them recursively — same semantics as _hadoop_ls's
+    globStatus + recursive listFiles on scheme:// URIs."""
+    from architxt_spark.sources.warc import _list_warc_files
+
+    raw = build_warc(_records())
+    for crawl in ("crawl-01", "crawl-02"):
+        d = tmp_path / "crawls" / crawl / "segments"
+        d.mkdir(parents=True)
+        (d / "part.warc").write_bytes(raw)
+    (tmp_path / "crawls" / "crawl-01" / "README.txt").write_text("x")
+
+    got = _list_warc_files(str(tmp_path / "crawls" / "*"), suffixes=(".warc",))
+    rel = [p.split(str(tmp_path))[-1] for p in got]
+    assert rel == [
+        "/crawls/crawl-01/segments/part.warc",
+        "/crawls/crawl-02/segments/part.warc",
+    ]
+    # a glob mixing files and directories keeps both
+    (tmp_path / "crawls" / "loose.warc").write_bytes(raw)
+    got = _list_warc_files(str(tmp_path / "crawls" / "*"), suffixes=(".warc",))
+    assert len(got) == 3
+
+
+def test_http_range_file_size_fallbacks_and_range_ignored_warning(tmp_path):
+    """Sizing against a server with no HEAD that also ignores Range
+    (200, no Content-Range) falls back to the 200's Content-Length; a
+    server exposing neither header raises a descriptive error instead of
+    int(''). The Range-ignoring drain path warns once per URL."""
+    import http.server
+    import threading
+    import warnings
+
+    from architxt_spark.sources.warc import (
+        _RANGE_IGNORED_WARNED,
+        http_opener,
+    )
+
+    raw = build_warc(_records())
+    bare = {"value": False}  # when True: suppress Content-Length too
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # no do_HEAD: HEAD returns 501 -> sizing falls to the Range probe
+        def do_GET(self):
+            # ignores Range entirely: 200, full body
+            self.send_response(200)
+            if bare["value"]:
+                # no Content-Length either: close-delimited body
+                self.send_header("Connection", "close")
+                self.end_headers()
+            else:
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+            try:
+                self.wfile.write(raw)
+            except BrokenPipeError:
+                pass
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/f.warc"
+        f = http_opener(url)
+        assert f.size() == len(raw)  # Content-Length of the 200 fallback
+        f.close()
+
+        bare["value"] = True
+        f2 = http_opener(url)
+        with pytest.raises(ValueError, match="neither Content-Range nor"):
+            f2.size()
+        f2.close()
+        bare["value"] = False
+
+        # drain path: first non-zero-offset read against the
+        # Range-ignoring server warns exactly once per URL
+        _RANGE_IGNORED_WARNED.discard(url)
+        f3 = http_opener(url)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            f3.seek(100)
+            assert f3.read(20) == raw[100:120]
+            f3.seek(300)
+            assert f3.read(20) == raw[300:320]
+        f3.close()
+        hits = [w for w in caught if "ignores Range" in str(w.message)]
+        assert len(hits) == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -40,20 +40,26 @@ FOLDS: dict[str, tuple[str, ...]] = {
 }
 
 
-def apply_folds(d: dict[str, float]) -> dict[str, float]:
+def apply_folds(d: dict[str, float]) -> tuple[dict[str, float], set[str]]:
     """Sum pre-fold constituent timings into their fold name (only when
-    the fold itself is absent — a post-fold file passes through)."""
+    the fold itself is absent — a post-fold file passes through).
+    Second return: fold names synthesized from FEWER constituents than
+    FOLDS declares (a partial run) — comparing those as the full fold
+    would skew the diff, so callers mark them."""
     out = dict(d)
+    partial: set[str] = set()
     for fold, parts in FOLDS.items():
         if fold in out:
             continue
         present = [p for p in parts if p in out]
         if present:
             out[fold] = round(sum(out.pop(p) for p in present), 3)
-    return out
+            if len(present) < len(parts):
+                partial.add(fold)
+    return out, partial
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> tuple[dict[str, float], set[str]]:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
@@ -69,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("new")
     p.add_argument("--threshold", type=float, default=1.3)
     args = p.parse_args(argv)
-    old, new = load(args.old), load(args.new)
+    (old, old_partial), (new, new_partial) = load(args.old), load(args.new)
+    partial = old_partial | new_partial
     shared = sorted(set(old) & set(new))
     regressions = []
     for q in shared:
@@ -80,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
             regressions.append(q)
         elif ratio < 1 / args.threshold:
             flag = " improved"
+        if q in partial:
+            # synthesized from a subset of the fold's constituents (a
+            # partial run) — the ratio is not fold-vs-fold
+            flag += " (partial fold)"
         print(f"{q:32s} {old[q]:7.2f} -> {new[q]:7.2f}  x{ratio:4.2f}{flag}")
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
