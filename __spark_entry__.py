@@ -1466,6 +1466,32 @@ def q_nlp_parse_forest(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: (applicationId, sf_dir) -> (index_path, trained-codebook DataFrame).
+#: The persisted IVF serving index is deterministic for a given corpus,
+#: so it is built ONCE per Spark session per sf dir — every later call
+#: (ann_suite probes, ann_recall's indexed A/B) measures the serving
+#: regime the variant exists for; bench.py times the build itself as
+#: its own ann_index_build line.
+_IVF_INDEX_CACHE: dict = {}
+
+
+def ivf_serving_index(spark: SparkSession, sf: str, *, rebuild: bool = False):
+    """Trained codebook + cell-partitioned parquet index for ``sf``'s
+    embeddings table, memoized per Spark session.  ``rebuild=True``
+    forces a fresh build into a new temp dir (the bench's explicit
+    build-cost measurement)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf)
+    if rebuild or key not in _IVF_INDEX_CACHE:
+        emb = _t(spark, sf, "embeddings")
+        cb = ann.train_codebook(emb, n_cells=16, iterations=2)
+        idx = tempfile.mkdtemp(prefix="ivfidx_") + "/index"
+        ann.build_ivf_index(emb, cb, idx)
+        _IVF_INDEX_CACHE[key] = (idx, cb)
+    return _IVF_INDEX_CACHE[key]
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF partition-pruning ANN, both codebook paths tagged in one frame:
     'first' = deterministic first-N codebook; 'trained' = two
@@ -1476,10 +1502,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     file as cell-partitioned parquet and ivf_topk_indexed answers the
     same queries through parquet partition PRUNING, so the at-rest
     100-TB layout itself sits under the hash gate (results provably
-    identical to the in-memory 'trained' path).  Registry fold of the
-    former ann_ivf_trained — zero coverage loss."""
-    import tempfile
-
+    identical to the in-memory 'trained' path).  The index is built
+    once per session (``ivf_serving_index``) — the 'indexed' variant
+    here measures the SERVING regime (probe + prune), not a per-call
+    rebuild; bench.py records the build as its own line.  Registry
+    fold of the former ann_ivf_trained — zero coverage loss."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     first = ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).select(
@@ -1489,10 +1516,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     trained = ann.ivf_topk(
         emb, queries, k=5, n_cells=16, nprobe=4, centroids=cb
     ).select(F.lit("trained").alias("variant"), "*")
-    idx = tempfile.mkdtemp(prefix="ivfidx_") + "/index"
-    ann.build_ivf_index(emb, cb, idx)
+    idx, cb_idx = ivf_serving_index(spark, sf)
     indexed = ann.ivf_topk_indexed(
-        spark, idx, queries, cb, k=5, nprobe=4
+        spark, idx, queries, cb_idx, k=5, nprobe=4
     ).select(F.lit("indexed").alias("variant"), "*")
     return first.unionByName(trained).unionByName(indexed)
 
@@ -1933,14 +1959,18 @@ def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN index self-evaluation: recall@5 of the sign-LSH AND IVF paths
-    against the brute-force ground truth per query (the A/B an index
-    migration runs) — integer intersection counts, so the evaluation
-    itself is hash-gated (`functions/ann.py:ann_recall`)."""
+    """ANN index self-evaluation: recall@5 of the sign-LSH, in-memory
+    IVF, AND persisted-index serving paths against the brute-force
+    ground truth per query (the A/B an index migration runs) — integer
+    intersection counts, so the evaluation itself is hash-gated
+    (`functions/ann.py:ann_recall`).  'indexed' (r9) gates the variant
+    an operator actually deploys: recall measured through the
+    session's ``ivf_serving_index`` parquet index + nprobe pruning."""
     emb = _t(spark, sf, "embeddings")
+    idx, cb = ivf_serving_index(spark, sf)
     return ann.ann_recall(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
-        methods=("lsh", "ivf"),
+        methods=("lsh", "ivf", "indexed"), index_path=idx, centroids=cb,
     )
 
 
@@ -3639,7 +3669,8 @@ def _oracle_parts() -> dict[str, str]:
         "bm25_batch": search.bm25_topk_batch_sql("documents", _BM25_BAGS, k=15),
         "ann_pq_adc": ann.pq_topk_sql("embeddings", k=5, max_query_id=10),
         "ann_recall": ann.ann_recall_sql(
-            "embeddings", dim=64, k=5, max_query_id=10, methods=("lsh", "ivf")
+            "embeddings", dim=64, k=5, max_query_id=10,
+            methods=("lsh", "ivf", "indexed"),
         ),
         "ppl_buckets": _ppl_buckets_sql(),
         "warc_split_roundtrip": """

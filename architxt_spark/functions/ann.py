@@ -221,14 +221,23 @@ def ann_recall(
     methods: tuple[str, ...] = ("lsh",),
     n_cells: int = 16,
     nprobe: int = 4,
+    index_path: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Index self-evaluation: recall@k of each approximate method
-    (``"lsh"`` sign-LSH, ``"ivf"`` inverted-file) against the exact
-    brute-force ground truth, per query — ``(method, query_id, n_hit,
-    k, recall)``.  The measurement an index rollout gates on (tune
-    planes/nprobe until recall clears the bar, THEN deploy the
-    approximate path); evaluating both candidates in one frame is the
-    A/B an index migration runs.
+    (``"lsh"`` sign-LSH, ``"ivf"`` in-memory inverted-file,
+    ``"indexed"`` the PERSISTED-index serving path of
+    :func:`ivf_topk_indexed`) against the exact brute-force ground
+    truth, per query — ``(method, query_id, n_hit, k, recall)``.  The
+    measurement an index rollout gates on (tune planes/nprobe until
+    recall clears the bar, THEN deploy the approximate path);
+    evaluating the candidates in one frame is the A/B an index
+    migration runs.  ``"indexed"`` evaluates the variant an operator
+    actually deploys: pass ``index_path`` (a :func:`build_ivf_index`
+    parquet index) and the ``centroids`` it was built with; with
+    ``index_path=None`` the index is built once into a temp dir from
+    ``centroids`` (trained via :func:`train_codebook` when that is
+    None too), so the evaluation stays self-contained.
 
     Exactness: every neighbor set is a deterministic top-k frame
     (sim desc, id asc tie-break); recall is an integer intersection
@@ -256,6 +265,24 @@ def ann_recall(
             approx = ivf_topk(
                 embeddings, queries, id_col=id_col, vec_col=vec_col,
                 k=k, n_cells=n_cells, nprobe=nprobe,
+            )
+        elif method == "indexed":
+            if centroids is None:
+                centroids = train_codebook(
+                    embeddings, id_col=id_col, vec_col=vec_col,
+                    n_cells=n_cells, iterations=2,
+                )
+            if index_path is None:
+                import tempfile
+
+                index_path = tempfile.mkdtemp(prefix="annrecall_ivf_") + "/index"
+                build_ivf_index(
+                    embeddings, centroids, index_path,
+                    id_col=id_col, vec_col=vec_col,
+                )
+            approx = ivf_topk_indexed(
+                embeddings.sparkSession, index_path, queries, centroids,
+                id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
             )
         else:
             raise ValueError(f"unknown method {method!r}")
@@ -286,10 +313,14 @@ def ann_recall_sql(
     methods: tuple[str, ...] = ("lsh",),
     n_cells: int = 16,
     nprobe: int = 4,
+    indexed_codebook_iterations: int = 2,
 ) -> str:
     """DuckDB twin of :func:`ann_recall` (composes the brute and
     per-method top-k twins; the metric is an integer intersection
-    count)."""
+    count).  The ``"indexed"`` method's twin is the trained-codebook
+    :func:`ivf_topk_sql` — the persisted index changes I/O, not
+    results, so recall@k is provably identical to in-memory IVF over
+    the same codebook."""
     ctes = [f"ex AS ({brute_force_topk_sql(table, k=k, max_query_id=max_query_id)})"]
     selects = []
     for method in methods:
@@ -300,6 +331,15 @@ def ann_recall_sql(
         elif method == "ivf":
             ap = ivf_topk_sql(
                 table, k=k, n_cells=n_cells, nprobe=nprobe, max_query_id=max_query_id
+            )
+        elif method == "indexed":
+            ap = ivf_topk_sql(
+                table, k=k, n_cells=n_cells, nprobe=nprobe,
+                max_query_id=max_query_id,
+                codebook_ctes=train_codebook_ctes(
+                    table, n_cells=n_cells,
+                    iterations=indexed_codebook_iterations,
+                ),
             )
         else:
             raise ValueError(f"unknown method {method!r}")
@@ -514,6 +554,14 @@ def ivf_topk(
     :func:`lsh_topk` — IVF adapts to the data distribution where sign-LSH
     is data-independent.  Reference parity: beyond-reference operator per
     SURVEY §7.5 (similarity search scale path).
+
+    This in-memory form re-assigns the whole corpus to cells on EVERY
+    call (~n^1.5 per call measured in the r8 scale rehearsal) — it is
+    the baseline/reference variant.  Above ~10^5 vectors, or whenever
+    the same corpus serves more than one query batch, build the index
+    once with :func:`build_ivf_index` and serve through
+    :func:`ivf_topk_indexed` (parquet partition pruning; identical
+    results for the same codebook — BASELINE.md has the cost model).
     """
     if centroids is None:
         centroids = embeddings.filter(F.col(id_col) < n_cells).select(

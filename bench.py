@@ -99,14 +99,25 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — warm-up must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # The persisted-IVF serving index is built ONCE per session — the
+    # regime ann_suite's 'indexed' variant and ann_recall's 'indexed'
+    # A/B exist for.  The build cost is measured here as its OWN line
+    # (codebook training + cell-partitioned parquet write) instead of
+    # hiding a rebuild inside every ann_suite draw; the timed loop
+    # below then measures pure probe-side serving.
+    t0 = time.perf_counter()
+    entry_mod.ivf_serving_index(spark, sf_dir, rebuild=True)
+    build_s = round(time.perf_counter() - t0, 3)
+    print(f"# ann_index_build: {build_s:.3f}s (once per session)", file=sys.stderr)
+
     # Repeated minimum per query (BASELINE.md measurement protocol): this
     # host shows 2-4x run-to-run noise under neighbor load (measured:
     # identical code, 38.6s vs 115s totals minutes apart), so a single
     # draw is not a measurement.  The minimum of REPEATS runs is the
     # honest steady-state number the 2x regression bar applies to.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
-    timings: dict[str, float] = {}
-    total = 0.0
+    timings: dict[str, float] = {"ann_index_build": build_s}
+    total = build_s
     for name in HEADLINE:
         fn = qs[name]
         best = None
