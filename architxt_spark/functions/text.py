@@ -147,19 +147,44 @@ def standardize_punct(col: Column) -> Column:
     return F.translate(col, *PUNCT_MAP)
 
 
-def nfc_normalize(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+#: session function name of the optional JVM NFC UDF — ship-and-register
+#: via architxt_spark.jvm.register_jvm_nfc (javac-compiled
+#: java.text.Normalizer wrapper, ADD JAR at runtime).  When a function
+#: of this name is registered on the session, nfc_normalize takes it
+#: automatically: zero Arrow transfer on the curation hot path.
+JVM_NFC_FUNC = "architxt_nfc"
+
+
+def nfc_normalize(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+    *,
+    normalizer=None,
+) -> DataFrame:
     """Unicode NFC normalization of a string column (decomposed e +
     combining acute → composed é, compatibility sequences untouched).
 
-    Spark ships no Unicode-normalization expression and ``reflect()``
-    cannot reach ``java.text.Normalizer`` (its Form parameter is an
-    enum), so this is the sanctioned Arrow slow path: one vectorized
-    ``pandas_udf`` over ``unicodedata.normalize`` — per-batch Python,
-    never per-row.  On a real cluster a one-line Scala UDF over JDK
-    ``java.text.Normalizer`` is the zero-copy alternative; the column
-    contract here is engine-agnostic (DuckDB twin: ``nfc_normalize``).
-    NFC is idempotent and ASCII-invariant: ASCII-only corpora pass
-    through byte-identical."""
+    Engine path, in order: an explicit ``normalizer`` callable
+    ``(df, col, out) -> DataFrame``; else the JVM UDF registered as
+    :data:`JVM_NFC_FUNC` (see :mod:`architxt_spark.jvm` — a one-line
+    ``java.text.Normalizer`` wrapper compiled from shipped source and
+    attached with ``ADD JAR``, the 100-TB path: no Arrow batch
+    transfer, no Python workers); else the Arrow fallback, one
+    vectorized ``pandas_udf`` over ``unicodedata.normalize`` —
+    per-batch Python, never per-row.  JDK and CPython both implement
+    UAX #15, so the paths are output-identical (parity-tested in
+    test_jvm_nfc.py); the column contract is engine-agnostic (DuckDB
+    twin: ``nfc_normalize``).  NFC is idempotent and ASCII-invariant:
+    ASCII-only corpora pass through byte-identical."""
+    if normalizer is not None:
+        return normalizer(df, col, out or col)
+    try:
+        has_jvm = df.sparkSession.catalog.functionExists(JVM_NFC_FUNC)
+    except Exception:  # noqa: BLE001 — a catalog quirk must not kill the fallback
+        has_jvm = False
+    if has_jvm:
+        return df.withColumn(out or col, F.expr(f"{JVM_NFC_FUNC}(`{col}`)"))
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -177,15 +202,24 @@ def nfc_normalize(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     return df.withColumn(out or col, _nfc(F.col(col)))
 
 
-def clean_unicode(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+def clean_unicode(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+    *,
+    normalizer=None,
+) -> DataFrame:
     """The composed hygiene pass: NFC → control strip → punctuation
     standardization.  NFC runs first so decomposed typographic marks are
-    composed before the translate map sees them.  The input spreads to
-    the session's parallelism when under-partitioned (one parquet file ⇒
-    one partition ⇒ the Arrow NFC batch serializes on a single core)."""
+    composed before the translate map sees them; it runs JVM-side when
+    the :data:`JVM_NFC_FUNC` UDF is registered (or through an explicit
+    ``normalizer`` callable), else the Arrow fallback.  The input
+    spreads to the session's parallelism when under-partitioned (one
+    parquet file ⇒ one partition ⇒ the Arrow NFC batch serializes on a
+    single core)."""
     from architxt_spark.functions.dedup import _spread
 
-    df = nfc_normalize(_spread(df), col, out or col)
+    df = nfc_normalize(_spread(df), col, out or col, normalizer=normalizer)
     return df.withColumn(
         out or col, standardize_punct(strip_controls(F.col(out or col)))
     )
