@@ -543,3 +543,112 @@ def test_http_range_file_size_fallbacks_and_range_ignored_warning(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_read_warc_split_http_gz_cdx_end_to_end(spark, tmp_path):
+    """The full remote CommonCrawl shape under real socket semantics: a
+    multi-member .warc.gz with a PARTIAL CDX-style .idx sidecar served
+    by a local Range-capable HTTP server, read through
+    read_warc_split(opener=http_opener) — byte-identical to the local
+    reader, >1 member-aligned splits, and exactly ONE ranged GET per
+    split plus one sidecar fetch (the network-cost contract)."""
+    import gzip as _gzip
+    import http.server
+    import re as _re
+    import threading
+
+    from architxt_spark.sources.warc import http_opener
+
+    member_blobs = [
+        _gzip.compress(build_warc(
+            [{"warc_type": "response", "target_uri": f"http://cc/{i}",
+              "payload": HTML + (b"m%d " % i) * (i * 3)}]
+        ))
+        for i in range(10)
+    ]
+    raw = b"".join(member_blobs)
+    offs, pos = [], 0
+    for m in member_blobs:
+        offs.append((pos, len(m)))
+        pos += len(m)
+    # response-only partial CDX: every second member indexed
+    idx = "\n".join(f"{o} {ln}" for i, (o, ln) in enumerate(offs) if i % 2 == 0)
+    files = {"/cc.warc.gz": raw, "/cc.warc.gz.idx": idx.encode()}
+    log: list[tuple[str, str | None]] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _body(self):
+            return files.get(self.path)
+
+        def do_HEAD(self):
+            body = self._body()
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+
+        def do_GET(self):
+            body = self._body()
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            rng = self.headers.get("Range")
+            log.append((self.path, rng))
+            if rng:
+                m = _re.match(r"bytes=(\d+)-(\d*)", rng)
+                start = int(m.group(1))
+                end = int(m.group(2)) if m.group(2) else len(body) - 1
+                if start >= len(body):
+                    self.send_response(416)
+                    self.end_headers()
+                    return
+                chunk = body[start:end + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range",
+                    f"bytes {start}-{start + len(chunk) - 1}/{len(body)}",
+                )
+                self.send_header("Content-Length", str(len(chunk)))
+                self.end_headers()
+                try:
+                    self.wfile.write(chunk)
+                except BrokenPipeError:
+                    pass
+            else:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                try:
+                    self.wfile.write(body)
+                except BrokenPipeError:
+                    pass
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/cc.warc.gz"
+        # member-aligned splits from the sidecar (not naive byte ranges)
+        df = read_warc_split(spark, url, split_bytes=pos // 4, opener=http_opener)
+        n_splits = df.rdd.getNumPartitions()
+        assert n_splits > 1
+        (tmp_path / "cc.warc.gz").write_bytes(raw)
+        whole = sorted(map(_row_key, read_warc(spark, str(tmp_path / "cc.warc.gz")).collect()))
+        got = sorted(map(_row_key, df.collect()))
+        assert got == whole and len(got) == 10
+        # network-cost contract: one GET for the sidecar + exactly one
+        # ranged GET per split for the archive itself
+        archive_gets = [e for e in log if e[0] == "/cc.warc.gz"]
+        idx_gets = [e for e in log if e[0] == "/cc.warc.gz.idx"]
+        assert len(idx_gets) == 1
+        assert len(archive_gets) == n_splits
+        assert all(rng for _, rng in archive_gets)  # every one ranged
+    finally:
+        srv.shutdown()
+        srv.server_close()
