@@ -384,6 +384,20 @@ def _cmd_curate(args: argparse.Namespace) -> None:
     from architxt_spark.functions.curation import curate_corpus
 
     spark = _session("curate")
+    if args.jvm_nfc:
+        try:
+            from architxt_spark.jvm import register_jvm_nfc
+
+            register_jvm_nfc(spark)
+        except Exception as e:  # noqa: BLE001 — degrade to the Arrow path
+            import warnings
+
+            warnings.warn(
+                f"--jvm-nfc unavailable ({e}); staying on the Arrow "
+                "pandas_udf NFC path",
+                RuntimeWarning,
+                stacklevel=1,
+            )
     if args.warc:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -668,6 +682,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="prepend the C4 line filter + page gate")
     cu.add_argument("--unicode-clean", action="store_true",
                     help="prepend NFC + control-strip + punct hygiene")
+    cu.add_argument("--jvm-nfc", action="store_true",
+                    help="with --unicode-clean: compile+register the JVM "
+                    "NFC UDF (needs a JDK) so normalization runs without "
+                    "Arrow transfer; falls back with a warning if no javac")
     cu.add_argument("--splits", default=None,
                     help='leakage-safe split map, e.g. {"train":0.95,"valid":0.05}')
     cu.add_argument("--partition-by", nargs="+", default=None, metavar="COL",

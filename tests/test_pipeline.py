@@ -504,3 +504,51 @@ def test_cli_curate_full_recipe(spark, tmp_path, capsys):
     assert kept.count() == 3
     # classifier gate: survivors are good-marker docs only
     assert all(r.doc_id % 2 == 1 for r in kept.collect())
+
+
+def test_cli_curate_jvm_nfc(spark, tmp_path, capsys):
+    """--jvm-nfc with --unicode-clean: the curate verb registers the JVM
+    NFC UDF (compiled from shipped source) and produces output identical
+    to the Arrow-path run on a decomposed-unicode corpus."""
+    import shutil
+
+    import pytest as _pytest
+
+    if shutil.which("javac") is None:
+        _pytest.skip("no JDK javac")
+
+    from architxt_spark import cli
+    from architxt_spark.functions.text import JVM_NFC_FUNC
+
+    rows = [
+        (
+            i,
+            "the and caf\u00e9 nume\u0301ro "
+            + " ".join("word%d%d" % (i, j) for j in range(20)),
+            "en",
+            60,
+        )
+        for i in range(6)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"]).write.parquet(src)
+
+    out_arrow = str(tmp_path / "kept_arrow")
+    spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {JVM_NFC_FUNC}")
+    cli.main(["curate", src, "--out", out_arrow, "--unicode-clean"])
+    capsys.readouterr()
+
+    out_jvm = str(tmp_path / "kept_jvm")
+    cli.main(["curate", src, "--out", out_jvm, "--unicode-clean", "--jvm-nfc"])
+    census = dict(
+        ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    assert census["input"] == "6"
+    assert spark.catalog.functionExists(JVM_NFC_FUNC)  # seam actually taken
+    try:
+        a = sorted((r["doc_id"], r["text"]) for r in spark.read.parquet(out_arrow).collect())
+        b = sorted((r["doc_id"], r["text"]) for r in spark.read.parquet(out_jvm).collect())
+        assert a == b and len(a) == 6
+        assert all("café" in t for _, t in b)  # NFC actually composed
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {JVM_NFC_FUNC}")
