@@ -2539,12 +2539,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # Entries whose code round 9 touched (ann_recall gained the
         # persisted-index serving variant; clean_unicode gained the JVM
-        # normalizer seam which sits on the c4/curation hot path): the
+        # normalizer seam which sits on the c4/curation hot path; the
+        # per-tree Arrow passes switched to bucketed grouping): the
         # gate prefix reaches these first
         "ann_recall",
         "ann_suite",
         "unicode_split",
         "curation_pipeline",
+        "rewrite_documents",
+        "cluster_documents",
+        "cluster_instance_documents",
         # Entries whose newest driver verdict is round 7 — the ≤2-round
         # rotation contract requires the r9 gate to renew all 32
         "dataset_extract_nation",

@@ -39,6 +39,38 @@ def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def tree_buckets(nodes, parallelism_factor: int = 4):
+    """Grouping for per-tree pandas passes: hash-bucket ``tree_id`` at
+    ``parallelism_factor ×`` session parallelism instead of one pandas
+    call per tree.
+
+    ``groupBy("tree_id").applyInPandas`` invokes the Python fn once per
+    GROUP — with document-sized trees the per-group Arrow/pandas
+    overhead (~4-5 ms) dominates the actual tree work (measured: the
+    rewrite engine's reduce pass over 2,500 trees, 12.6 s per-tree
+    grouped → ~1 s bucketed).  Bucketing on ``pmod(xxhash64(tree_id),
+    k)`` keeps every tree's rows in ONE group (the per-tree fns already
+    iterate ``rows_to_trees(...)``), so semantics are unchanged; the
+    pandas fn simply receives many trees per call.
+
+    Scale posture: per-bucket memory is forest/(k) ≈ the partition size
+    the engine shuffles anyway (k = factor × cores); trees themselves
+    stay the atomic unit, so skew is bounded by the largest tree times
+    the hash balance, not by any key's popularity.  The width is pinned
+    with an explicit repartition on the SAME bucket expression (which
+    the groupBy then reuses — no second exchange): AQE's size-based
+    coalescing sees a few MB of node rows and would fold the exchange
+    into ONE task, serializing every per-tree Python pass (the
+    ``_spread_by_tree`` lesson, measured 16-21 s single-task at
+    sf0.1)."""
+    from pyspark.sql import functions as F
+
+    p = nodes.sparkSession.sparkContext.defaultParallelism
+    k = parallelism_factor * p
+    bucket = F.pmod(F.xxhash64("tree_id"), F.lit(k))
+    return nodes.repartition(p, bucket).groupBy(bucket.alias("__tree_bucket"))
+
+
 #: Runtime conf flag switching the engine's stage barriers from
 #: executor-local checkpoints to reliable (checkpoint-dir) checkpoints.
 DURABLE_BARRIERS_CONF = "spark.architxt.durableBarriers"

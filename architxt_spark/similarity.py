@@ -175,16 +175,14 @@ def _collect_entities(node: PyTree) -> list[PyTree]:
 
 
 
-def _spread_by_tree(nodes: DataFrame) -> DataFrame:
-    """Hash-partition by tree_id at driver parallelism before a pandas
-    group walk.  AQE's size-based shuffle coalescing sees a few MB of
-    node rows and folds the applyInPandas exchange into ONE task,
-    serializing the per-tree Python work (16-21 s single-threaded at
-    sf0.1); an explicit repartition pins the width — and because it
-    already satisfies the required ClusteredDistribution(tree_id), the
-    groupBy adds no second exchange."""
-    spark = nodes.sparkSession
-    return nodes.repartition(spark.sparkContext.defaultParallelism, "tree_id")
+def _tree_buckets(nodes: DataFrame):
+    """Bucketed per-tree grouping (see
+    :func:`architxt_spark.session.tree_buckets`): pinned-width exchange
+    (the AQE one-task coalescing trap) + many trees per pandas call (the
+    one-call-per-tree Arrow overhead trap)."""
+    from architxt_spark.session import tree_buckets
+
+    return tree_buckets(nodes)
 
 
 def candidate_subtrees(nodes: DataFrame, *, max_height: int = DEFAULT_MAX_HEIGHT) -> DataFrame:
@@ -217,7 +215,7 @@ def candidate_subtrees(nodes: DataFrame, *, max_height: int = DEFAULT_MAX_HEIGHT
             walk(tree, [])
         return pd.DataFrame(out, columns=["tree_id", "node_id", "node_name", "signature"])
 
-    return _spread_by_tree(nodes).groupBy("tree_id").applyInPandas(
+    return _tree_buckets(nodes).applyInPandas(
         extract, "tree_id string, node_id string, node_name string, signature string"
     )
 
@@ -282,7 +280,7 @@ def candidate_contexts(
             columns=["tree_id", "node_id", "node_name", "typed_label", "signature", "ctx"],
         )
 
-    return _spread_by_tree(nodes).groupBy("tree_id").applyInPandas(
+    return _tree_buckets(nodes).applyInPandas(
         extract,
         "tree_id string, node_id string, node_name string, typed_label string, "
         "signature string, ctx array<struct<label string, ents array<string>>>",

@@ -270,8 +270,10 @@ def write_jsonl_forest(nodes: DataFrame, path: str) -> None:
         trees = rows_to_trees(pdf.to_dict("records"))
         return pd.DataFrame({"value": [json.dumps(tree_to_json(t)) for t in trees.values()]})
 
+    from architxt_spark.session import tree_buckets
+
     (
-        nodes.groupBy("tree_id")
+        tree_buckets(nodes)
         .applyInPandas(nest, "value string")
         .write.mode("overwrite")
         .text(path)

@@ -32,7 +32,8 @@ def test_rotation_prefix_is_valid_and_first():
     # entries whose newest driver verdict is r7 — the <=2-round
     # rotation contract
     touched = ("ann_recall", "ann_suite", "unicode_split",
-               "curation_pipeline")
+               "curation_pipeline", "rewrite_documents",
+               "cluster_documents", "cluster_instance_documents")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
     stale_r7 = (

@@ -35,3 +35,31 @@ def test_stage_barrier_local_default(spark):
     df = spark.range(10)
     out = stage_barrier(df.withColumnRenamed("id", "n"))
     assert sorted(r.n for r in out.collect()) == list(range(10))
+
+
+def test_tree_buckets_whole_trees_single_exchange(spark):
+    """tree_buckets: every tree's rows arrive in ONE pandas group (the
+    per-tree fns reconstruct whole trees), and the groupBy reuses the
+    pinned-width repartition — exactly one Exchange in the executed plan
+    (the AQE one-task-coalescing and per-tree-call overhead traps both
+    closed)."""
+    import pandas as pd
+
+    from architxt_spark.session import tree_buckets
+
+    rows = [(f"t{i}", f"t{i}:{j}") for i in range(40) for j in range(5)]
+    df = spark.createDataFrame(rows, "tree_id string, node_id string")
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = pdf.groupby("tree_id").size()
+        return pd.DataFrame(
+            {"tree_id": counts.index, "n": counts.values.astype("int64")}
+        )
+
+    out = tree_buckets(df).applyInPandas(check, "tree_id string, n long")
+    got = {r["tree_id"]: r["n"] for r in out.collect()}
+    assert got == {f"t{i}": 5 for i in range(40)}  # never split across groups
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert final.count("Exchange") == 1, plan
