@@ -2266,16 +2266,23 @@ def q_sampling_strata(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_sampling_mixture(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact per-stratum top-N mixture take by hash order — the
-    scale-safe two-phase (threshold pre-filter, then bounded window)
-    selection; must equal the oracle's plain windowed top-N."""
+    """Mixture take, both ways a pretraining mix is specified, tagged in
+    one frame: 'count' = exact per-stratum top-N documents by hash
+    order; 'tokens' (r9) = exact per-stratum take until a TOKEN budget
+    (running-sum prefix, never exceeds the budget).  Both run the
+    scale-safe two-phase shape (threshold pre-filter, then bounded
+    window) and must equal the oracle's plain windowed forms."""
     from architxt_spark.functions import sampling as S
 
     docs = _t(spark, sf, "documents")
-    out = S.mixture_take(
+    count = S.mixture_take(
         docs, "lang", {"en": 50, "fr": 20, "zh": 10}, "doc_id", salt="mix"
-    )
-    return out.select("doc_id", "lang")
+    ).select(F.lit("count").alias("variant"), "doc_id", "lang")
+    tokens = S.mixture_take_tokens(
+        docs, "lang", {"en": 30000, "fr": 8000, "zh": 2500}, "doc_id",
+        "n_chars", salt="mix",
+    ).select(F.lit("tokens").alias("variant"), "doc_id", "lang")
+    return count.unionByName(tokens)
 
 
 def q_sampling_temperature(spark: SparkSession, sf: str) -> DataFrame:
@@ -2549,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_documents",
         "cluster_documents",
         "cluster_instance_documents",
+        "sampling_mixture",
         # Entries whose newest driver verdict is round 7 — the ≤2-round
         # rotation contract requires the r9 gate to renew all 32
         "dataset_extract_nation",
@@ -3838,9 +3846,14 @@ def _oracle_parts() -> dict[str, str]:
             + ")"
         ),
         "sampling_mixture": (
-            "SELECT doc_id, lang FROM ("
+            "SELECT 'count' AS variant, doc_id, lang FROM ("
             + sampling.mixture_take_sql(
                 "documents", "lang", {"en": 50, "fr": 20, "zh": 10}, "doc_id", salt="mix"
+            )
+            + ") UNION ALL SELECT 'tokens', doc_id, lang FROM ("
+            + sampling.mixture_take_tokens_sql(
+                "documents", "lang", {"en": 30000, "fr": 8000, "zh": 2500},
+                "doc_id", "n_chars", salt="mix",
             )
             + ")"
         ),

@@ -162,6 +162,123 @@ def mixture_take(
     )
 
 
+def mixture_take_tokens(
+    df: DataFrame,
+    strata_col: str,
+    budgets: Mapping[str, int],
+    id_col: str,
+    token_col: str,
+    *,
+    salt: str = "",
+    margin: float = 1.5,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT per-stratum take until a TOKEN budget — how pretraining
+    mixes are actually specified ("500 B tokens of en, 80 B of fr"),
+    where :func:`mixture_take` selects by document COUNT.
+
+    A document is kept iff the running token sum over the stratum's
+    hash-order prefix (inclusive of the document itself) is ≤ the
+    stratum's budget — so the take never exceeds the budget and the
+    boundary decision is an exact integer comparison.  Strata not in
+    ``budgets`` are dropped.
+
+    Scale shape, same as :func:`mixture_take`: a hash-threshold
+    pre-filter bounds the windowed rows to ~``margin × budget`` worth
+    of tokens per stratum before the cumulative-sum window runs, so the
+    per-stratum sort never sees the whole corpus.  Because survivors of
+    ``key < thr`` are a PREFIX of the hash order, the cumsum over
+    survivors equals the cumsum over the full pool whenever the
+    survivors' token total reaches the budget (checked; the margin
+    doubles and retries otherwise — at most ``max_rounds`` small
+    aggregate jobs, never a wide one).
+    """
+    strata = sorted(budgets)
+    key = sample_key(F.col(id_col), salt)
+    pool = df.filter(F.col(strata_col).isin(strata)).withColumn("__key", key)
+
+    totals = {
+        r[0]: r[1]
+        for r in pool.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+    }
+
+    for _ in range(max_rounds):
+        thresholds = {}
+        for s in strata:
+            total = int(totals.get(s) or 0)
+            if total == 0 or budgets[s] >= total:
+                thresholds[s] = HASH_MOD  # take everything there is
+            else:
+                thresholds[s] = min(
+                    HASH_MOD, int(HASH_MOD * budgets[s] / total * margin) + 1
+                )
+        thr = _threshold_expr(F.col(strata_col), thresholds, 0)
+        survivors = pool.filter(F.col("__key") < thr)
+
+        got = {
+            r[0]: int(r[1] or 0)
+            for r in survivors.groupBy(strata_col)
+            .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+            .collect()
+        }
+        if all(
+            got.get(s, 0) >= min(budgets[s], int(totals.get(s) or 0))
+            for s in strata
+        ):
+            break
+        margin *= 2.0
+    else:  # pragma: no cover — uniform hash cannot miss 8 doublings
+        survivors = pool
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = _threshold_expr(F.col(strata_col), dict(budgets), 0)
+    return (
+        survivors.withColumn(
+            "__cum", F.sum(F.col(token_col).cast("long")).over(w)
+        )
+        .filter(F.col("__cum") <= budget)
+        .drop("__key", "__cum")
+    )
+
+
+def mixture_take_tokens_sql(
+    table: str,
+    strata_col: str,
+    budgets: Mapping[str, int],
+    id_col: str,
+    token_col: str,
+    *,
+    salt: str = "",
+) -> str:
+    """Plain windowed running-sum — the oracle shape
+    :func:`mixture_take_tokens` must match exactly (the threshold
+    pre-filter is a pure optimization)."""
+    in_list = ", ".join(f"'{s}'" for s in sorted(budgets))
+    case = _threshold_case_sql(strata_col, dict(budgets), 0)
+    key = sample_key_sql(id_col, salt)
+    return f"""
+        SELECT * EXCLUDE (__key, __cum) FROM (
+            SELECT *, {key} AS __key,
+                   CAST(SUM({token_col}) OVER (
+                       PARTITION BY {strata_col}
+                       ORDER BY {key}, {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS __cum
+            FROM {table}
+            WHERE {strata_col} IN ({in_list})
+        )
+        WHERE __cum <= {case}
+    """
+
+
 def proportional_counts(
     df: DataFrame,
     strata_col: str,

@@ -33,7 +33,8 @@ def test_rotation_prefix_is_valid_and_first():
     # rotation contract
     touched = ("ann_recall", "ann_suite", "unicode_split",
                "curation_pipeline", "rewrite_documents",
-               "cluster_documents", "cluster_instance_documents")
+               "cluster_documents", "cluster_instance_documents",
+               "sampling_mixture")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
     stale_r7 = (

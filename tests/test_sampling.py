@@ -548,3 +548,53 @@ def test_ivf_serving_index_memoized(spark):
     assert p3 != p1
     p4, _ = E.ivf_serving_index(spark, sf)
     assert p4 == p3
+
+
+def test_mixture_take_tokens_budget_and_prefix(spark):
+    """mixture_take_tokens: per-stratum token totals never exceed the
+    budget, the kept set is a PREFIX of hash order (adding the next doc
+    would cross the budget), unknown strata drop, and a tiny margin
+    still converges to the exact answer (retry path)."""
+    import duckdb
+
+    from architxt_spark.functions.sampling import (
+        mixture_take_tokens,
+        mixture_take_tokens_sql,
+    )
+
+    rows = [(i, ["en", "fr", "xx"][i % 3], 10 + (i * 7) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, toks int")
+    budgets = {"en": 400, "fr": 150}
+
+    out = mixture_take_tokens(df, "lang", budgets, "doc_id", "toks", salt="tb")
+    got = [(r["doc_id"], r["lang"], r["toks"]) for r in out.collect()]
+    by = {}
+    for d, l, t in got:
+        by.setdefault(l, 0)
+        by[l] += t
+    assert set(by) <= {"en", "fr"}  # unknown strata dropped
+    assert by["en"] <= 400 and by["fr"] <= 150
+
+    # oracle parity (the plain windowed running-sum form)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            "SELECT doc_id, lang FROM ("
+            + mixture_take_tokens_sql("t", "lang", budgets, "doc_id", "toks", salt="tb")
+            + ")"
+        ).fetchall()
+    )
+    assert sorted((d, l) for d, l, _ in got) == oracle
+
+    # the retry path (absurdly small starting margin) converges to the
+    # same exact answer
+    tight = mixture_take_tokens(
+        df, "lang", budgets, "doc_id", "toks", salt="tb", margin=0.01
+    )
+    assert sorted((r["doc_id"], r["lang"]) for r in tight.collect()) == oracle
+
+    # budget >= stratum total takes everything there is
+    all_en = mixture_take_tokens(df, "lang", {"en": 10**9}, "doc_id", "toks")
+    assert all_en.count() == 100
