@@ -463,6 +463,12 @@ def _cmd_curate(args: argparse.Namespace) -> None:
         quality_model_bigrams=args.quality_model_bigrams,
         mixture_col=args.mixture_col,
         mixture_counts=counts,
+        mixture_token_budgets=(
+            _json.loads(args.mixture_token_budgets)
+            if args.mixture_token_budgets
+            else None
+        ),
+        mixture_token_col=args.mixture_token_col,
         pack_token_col=args.pack_token_col,
         pack_budget=args.pack_budget,
         unicode_clean=args.unicode_clean,
@@ -667,6 +673,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="add hashed word-bigram features (fastText space)")
     cu.add_argument("--mixture-col", default=None)
     cu.add_argument("--mixture-counts", default=None, help='JSON, e.g. {"en": 1000}')
+    cu.add_argument("--mixture-token-budgets", default=None,
+                    help='JSON token budgets per stratum, e.g. {"en": 500000}'
+                    " (mutually exclusive with --mixture-counts)")
+    cu.add_argument("--mixture-token-col", default=None,
+                    help="token-count column for --mixture-token-budgets"
+                    " (default: --pack-token-col, else n_chars)")
     cu.add_argument("--pack-token-col", default=None)
     cu.add_argument("--pack-budget", type=int, default=4096)
     cu.add_argument("--durable-checkpoints", default=None, metavar="DIR",

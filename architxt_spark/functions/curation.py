@@ -57,6 +57,8 @@ def curate_corpus(
     mixture_total: int | None = None,
     mixture_strata: list[str] | None = None,
     mixture_alpha: float = 0.5,
+    mixture_token_budgets: Mapping[str, int] | None = None,
+    mixture_token_col: str | None = None,
     pack_token_col: str | None = None,
     pack_budget: int = 4096,
     pack_buckets: int = 8,
@@ -100,8 +102,13 @@ def curate_corpus(
     mixture take after dedup (compose with
     :func:`~architxt_spark.functions.sampling.temperature_counts` or
     :func:`~architxt_spark.functions.sampling.proportional_counts` to
-    derive the counts); ``pack_token_col`` enables concat-and-chunk
-    sequence packing of the sampled survivors.
+    derive the counts), and ``mixture_col``+``mixture_token_budgets``
+    select by TOKEN budget instead of document count
+    (:func:`~architxt_spark.functions.sampling.mixture_take_tokens`;
+    token column = ``mixture_token_col`` or ``pack_token_col`` or
+    ``n_chars``) — the form published data recipes are specified in;
+    ``pack_token_col`` enables concat-and-chunk sequence packing of the
+    sampled survivors.
 
     ``unicode_clean=True`` prepends the Unicode hygiene pass
     (:func:`~architxt_spark.functions.text.clean_unicode`: NFC +
@@ -255,7 +262,23 @@ def curate_corpus(
         mixture_counts = temperature_counts(
             kept, mixture_col, mixture_strata, mixture_total, alpha=mixture_alpha
         )
-    if mixture_col is not None and mixture_counts is not None:
+    if mixture_col is not None and mixture_token_budgets is not None:
+        # token-budget form — how published mixes are specified ("N
+        # tokens of en"); mutually exclusive with the count form
+        from architxt_spark.functions.sampling import mixture_take_tokens
+
+        if mixture_counts is not None:
+            raise ValueError(
+                "mixture_counts and mixture_token_budgets are mutually exclusive"
+            )
+        kept = stage_barrier(
+            mixture_take_tokens(
+                kept, mixture_col, mixture_token_budgets, id_col,
+                mixture_token_col or pack_token_col or "n_chars", salt=salt,
+            )
+        )
+        census = census.unionByName(stage("sample", kept))
+    elif mixture_col is not None and mixture_counts is not None:
         from architxt_spark.functions.sampling import mixture_take
 
         kept = stage_barrier(

@@ -552,3 +552,46 @@ def test_cli_curate_jvm_nfc(spark, tmp_path, capsys):
         assert all("café" in t for _, t in b)  # NFC actually composed
     finally:
         spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {JVM_NFC_FUNC}")
+
+
+def test_cli_curate_token_budget_mixture(spark, tmp_path, capsys):
+    """--mixture-token-budgets: the curate verb samples by token budget
+    (kept stratum token totals never exceed the budget; mutually
+    exclusive with --mixture-counts)."""
+    from architxt_spark import cli
+
+    rows = [
+        (i, "the and " + " ".join("tok%d%d" % (i, j) for j in range(18)),
+         ["en", "fr"][i % 2], 50 + i)
+        for i in range(20)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"]).write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    cli.main([
+        "curate", src, "--out", out,
+        "--mixture-col", "lang", "--mixture-token-budgets", '{"en": 300, "fr": 170}',
+    ])
+    census = dict(
+        ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    assert census["input"] == "20" and "sample" in census
+    kept = spark.read.parquet(out)
+    tot = {r["lang"]: r["t"] for r in kept.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("n_chars").alias("t")
+    ).collect()}
+    assert tot["en"] <= 300 and tot["fr"] <= 170
+    assert kept.count() >= 2  # budgets admit at least one doc per stratum
+
+    import pytest as _pytest
+
+    from architxt_spark.functions.curation import curate_corpus
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        curate_corpus(
+            spark.read.parquet(src),
+            mixture_col="lang",
+            mixture_counts={"en": 3},
+            mixture_token_budgets={"en": 100},
+        )
