@@ -17,6 +17,7 @@ conventions for engine-exact parity:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1479,14 +1480,23 @@ def ivf_serving_index(spark: SparkSession, sf: str, *, rebuild: bool = False):
     """Trained codebook + cell-partitioned parquet index for ``sf``'s
     embeddings table, memoized per Spark session.  ``rebuild=True``
     forces a fresh build into a new temp dir (the bench's explicit
-    build-cost measurement)."""
+    build-cost measurement); the previous build's temp dir is removed
+    on rebuild and every live dir is reaped at exit, so long-lived
+    processes don't accumulate orphaned indexes in /tmp."""
+    import atexit
+    import shutil
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf)
     if rebuild or key not in _IVF_INDEX_CACHE:
+        old = _IVF_INDEX_CACHE.pop(key, None)
+        if old is not None:
+            shutil.rmtree(os.path.dirname(old[0]), ignore_errors=True)
         emb = _t(spark, sf, "embeddings")
         cb = ann.train_codebook(emb, n_cells=16, iterations=2)
-        idx = tempfile.mkdtemp(prefix="ivfidx_") + "/index"
+        root = tempfile.mkdtemp(prefix="ivfidx_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        idx = root + "/index"
         ann.build_ivf_index(emb, cb, idx)
         _IVF_INDEX_CACHE[key] = (idx, cb)
     return _IVF_INDEX_CACHE[key]
@@ -2544,53 +2554,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry folded/renamed or code-touched this round, go FIRST so any
     # prefix the gate takes maximizes newly-verified coverage.
     first = [
-        # Entries whose code round 9 touched (ann_recall gained the
-        # persisted-index serving variant; clean_unicode gained the JVM
-        # normalizer seam which sits on the c4/curation hot path; the
-        # per-tree Arrow passes switched to bucketed grouping): the
-        # gate prefix reaches these first
+        # Entries whose code round 10 touched (rewrite engine fused the
+        # probe pass with the winner's apply pass; sampling token-budget
+        # SQL twin per-row cast; curation up-front parameter validation;
+        # ann serving-index temp-dir lifecycle): the gate prefix reaches
+        # these first
+        "rewrite_documents",
+        "sampling_mixture",
+        "curation_pipeline",
         "ann_recall",
         "ann_suite",
-        "unicode_split",
-        "curation_pipeline",
-        "rewrite_documents",
-        "cluster_documents",
-        "cluster_instance_documents",
-        "sampling_mixture",
-        # Entries whose newest driver verdict is round 7 — the ≤2-round
-        # rotation contract requires the r9 gate to renew all 32
-        "dataset_extract_nation",
-        "schema_groups_nation",
-        "metrics_customer",
-        "text_profile",
-        "pii_redaction",
-        "simple_rewrite_documents",
-        "multimodal_profile",
-        "gen_instance",
-        "llm_rewrite_stub",
-        "extract_vocab",
-        "nlp_parse_forest",
-        "bm25_batch",
-        "doc_chunking",
-        "semantic_dedup",
-        "sketch_suite",
-        "corpus_delta",
-        "lang_distribution",
-        "dedup_components",
-        "chunk_pipeline",
-        "embedding_near_dup",
-        "sampling_strata",
-        "c4_clean",
-        "window_grouping",
-        "corpus_health",
-        "scalar_funcs",
-        "doc_quality_stats",
-        "bpe_suite",
-        "events_funnel",
-        "export_stats",
-        "temporal_joins",
-        "dedup_pairs",
-        "distinct_parts_per_brand",
+        # Entries whose newest driver verdict is round 8 — the ≤2-round
+        # rotation contract requires the r10 gate to renew all 32
+        "events_sessionize_streaming",
+        "stream_minhash_dedup",
+        "stream_curate",
+        "stream_url_seen",
+        "forest_stats_documents",
+        "contamination_screen",
+        "doc_loader_json_props",
+        "llm_label_schema",
+        "tree_leaves_nation",
+        "extract_valid_trees",
+        "coverage_metric",
+        "bm25_topk",
+        "lm_perplexity",
+        "ngram_stats",
+        "dsir",
+        "quality_classifier",
+        "domain_profile",
+        "link_pagerank",
+        "collocations",
+        "tfidf_terms",
+        "random_project",
+        "ppl_buckets",
+        "warc_split_roundtrip",
+        "dedup_exact_spans",
+        "dedup_simhash",
+        "dedup_filtered",
+        "events_sessionize",
+        "graph_extract",
+        "typed_export_orders",
+        "sampling_temperature",
+        "sampling_weighted",
+        "sampling_pack",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 

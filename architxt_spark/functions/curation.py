@@ -119,6 +119,19 @@ def curate_corpus(
     to the final survivors; when packing is also on, sequences are
     packed PER SPLIT (split-salted) so no training sequence ever mixes
     eval and train documents."""
+    # Validate the mixture parameter combination UP FRONT — before any
+    # Spark job runs (temperature_counts collects stratum sizes, so a
+    # late check would burn cluster work before raising).
+    if mixture_token_budgets is not None:
+        if mixture_col is None:
+            raise ValueError("mixture_token_budgets requires mixture_col")
+        if mixture_counts is not None or mixture_total is not None:
+            raise ValueError(
+                "mixture_counts/mixture_total and mixture_token_budgets "
+                "are mutually exclusive"
+            )
+    if mixture_total is not None and mixture_col is not None and mixture_strata is None:
+        raise ValueError("mixture_total requires mixture_strata")
     # materialize the gate's survivors ONCE: the census, the fingerprint
     # pass, and the minhash index all read this frame, and re-evaluating
     # the (shingle-heavy) quality predicate per consumer benched 33 s vs
@@ -265,12 +278,9 @@ def curate_corpus(
     if mixture_col is not None and mixture_token_budgets is not None:
         # token-budget form — how published mixes are specified ("N
         # tokens of en"); mutually exclusive with the count form
+        # (validated up front, before any job ran)
         from architxt_spark.functions.sampling import mixture_take_tokens
 
-        if mixture_counts is not None:
-            raise ValueError(
-                "mixture_counts and mixture_token_budgets are mutually exclusive"
-            )
         kept = stage_barrier(
             mixture_take_tokens(
                 kept, mixture_col, mixture_token_budgets, id_col,

@@ -267,11 +267,11 @@ def mixture_take_tokens_sql(
     return f"""
         SELECT * EXCLUDE (__key, __cum) FROM (
             SELECT *, {key} AS __key,
-                   CAST(SUM({token_col}) OVER (
+                   SUM(CAST({token_col} AS BIGINT)) OVER (
                        PARTITION BY {strata_col}
                        ORDER BY {key}, {id_col}
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS BIGINT) AS __cum
+                   ) AS __cum
             FROM {table}
             WHERE {strata_col} IN ({in_list})
         )

@@ -411,15 +411,19 @@ class HttpRangeFile:
                     total = (r.headers.get("Content-Range") or "").rpartition("/")[2]
                     if total:
                         self._size = int(total)
-                    elif r.headers.get("Content-Length"):
+                    elif r.status == 200 and r.headers.get("Content-Length"):
                         # Server honors neither HEAD nor Range (200, full
-                        # body): the whole response IS the object.
+                        # body): the whole response IS the object.  A 206
+                        # without Content-Range must NOT take this branch —
+                        # its Content-Length is the probe's 1 byte and
+                        # would silently truncate split planning.
                         self._size = int(r.headers["Content-Length"])
                     else:
                         raise ValueError(
                             f"cannot size {self.url!r}: server answered the "
-                            "Range probe with neither Content-Range nor "
-                            "Content-Length (and HEAD failed)"
+                            f"Range probe (status {r.status}) with neither "
+                            "Content-Range nor a full-body Content-Length "
+                            "(and HEAD failed)"
                         )
         return self._size
 
@@ -538,7 +542,9 @@ def read_warc(
     byte-range tasks."""
     import pandas as pd
 
-    paths = _list_warc_files(path, spark=spark, lister=lister)
+    paths = _list_warc_files(
+        path, spark=spark, lister=lister, suffixes=(".warc", ".warc.gz", ".gz")
+    )
     file_opener = opener or _default_opener
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

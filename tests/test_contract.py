@@ -27,29 +27,28 @@ def test_rotation_prefix_is_valid_and_first():
     allq = E._all_queries()
     names = list(q)
     assert set(names) == set(allq)
-    # r9: code-touched entries lead (ann serving-path recall variant,
-    # JVM NFC seam on the unicode/curation hot path), then ALL 32
-    # entries whose newest driver verdict is r7 — the <=2-round
-    # rotation contract
-    touched = ("ann_recall", "ann_suite", "unicode_split",
-               "curation_pipeline", "rewrite_documents",
-               "cluster_documents", "cluster_instance_documents",
-               "sampling_mixture")
+    # r10: code-touched entries lead (rewrite probe/apply fusion,
+    # sampling token-budget SQL-twin cast, curation up-front validation,
+    # ann serving-index temp-dir lifecycle), then ALL 32 entries whose
+    # newest driver verdict is r8 — the <=2-round rotation contract
+    touched = ("rewrite_documents", "sampling_mixture",
+               "curation_pipeline", "ann_recall", "ann_suite")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
-    stale_r7 = (
-        "dataset_extract_nation", "schema_groups_nation",
-        "metrics_customer", "text_profile", "pii_redaction",
-        "simple_rewrite_documents", "multimodal_profile", "gen_instance",
-        "llm_rewrite_stub", "extract_vocab", "nlp_parse_forest",
-        "bm25_batch", "doc_chunking", "semantic_dedup", "sketch_suite",
-        "corpus_delta", "lang_distribution", "dedup_components",
-        "chunk_pipeline", "embedding_near_dup", "sampling_strata",
-        "c4_clean", "window_grouping", "corpus_health", "scalar_funcs",
-        "doc_quality_stats", "bpe_suite", "events_funnel", "export_stats",
-        "temporal_joins", "dedup_pairs", "distinct_parts_per_brand",
+    stale_r8 = (
+        "events_sessionize_streaming", "stream_minhash_dedup",
+        "stream_curate", "stream_url_seen", "forest_stats_documents",
+        "contamination_screen", "doc_loader_json_props",
+        "llm_label_schema", "tree_leaves_nation", "extract_valid_trees",
+        "coverage_metric", "bm25_topk", "lm_perplexity", "ngram_stats",
+        "dsir", "quality_classifier", "domain_profile", "link_pagerank",
+        "collocations", "tfidf_terms", "random_project", "ppl_buckets",
+        "warc_split_roundtrip", "dedup_exact_spans", "dedup_simhash",
+        "dedup_filtered", "events_sessionize", "graph_extract",
+        "typed_export_orders", "sampling_temperature",
+        "sampling_weighted", "sampling_pack",
     )
-    for k in stale_r7:
+    for k in stale_r8:
         assert names.index(k) < 45, k
     # folded-away entries must be GONE (their coverage lives in the folds)
     for gone in ("ann_topk", "ann_ivf_topk", "ann_pq_adc", "window_orders",

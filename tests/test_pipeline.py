@@ -595,3 +595,19 @@ def test_cli_curate_token_budget_mixture(spark, tmp_path, capsys):
             mixture_counts={"en": 3},
             mixture_token_budgets={"en": 100},
         )
+    # the count-DERIVING form is rejected up front too (before
+    # temperature_counts would have run its collect jobs)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        curate_corpus(
+            spark.read.parquet(src),
+            mixture_col="lang",
+            mixture_total=5,
+            mixture_strata=["en", "fr"],
+            mixture_token_budgets={"en": 100},
+        )
+    # budgets without a mixture column is an error, not a silent no-op
+    with _pytest.raises(ValueError, match="requires mixture_col"):
+        curate_corpus(
+            spark.read.parquet(src),
+            mixture_token_budgets={"en": 100},
+        )

@@ -488,16 +488,28 @@ def test_http_range_file_size_fallbacks_and_range_ignored_warning(tmp_path):
     )
 
     raw = build_warc(_records())
-    bare = {"value": False}  # when True: suppress Content-Length too
+    mode = {"value": "full"}  # full | bare | 206-no-content-range
 
     class Handler(http.server.BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
         # no do_HEAD: HEAD returns 501 -> sizing falls to the Range probe
         def do_GET(self):
+            if mode["value"] == "206-no-content-range":
+                # noncompliant partial responder: honors the 1-byte Range
+                # probe but omits Content-Range — its Content-Length (1)
+                # must NOT be mistaken for the object size
+                self.send_response(206)
+                self.send_header("Content-Length", "1")
+                self.end_headers()
+                try:
+                    self.wfile.write(raw[:1])
+                except BrokenPipeError:
+                    pass
+                return
             # ignores Range entirely: 200, full body
             self.send_response(200)
-            if bare["value"]:
+            if mode["value"] == "bare":
                 # no Content-Length either: close-delimited body
                 self.send_header("Connection", "close")
                 self.end_headers()
@@ -520,12 +532,20 @@ def test_http_range_file_size_fallbacks_and_range_ignored_warning(tmp_path):
         assert f.size() == len(raw)  # Content-Length of the 200 fallback
         f.close()
 
-        bare["value"] = True
+        mode["value"] = "bare"
         f2 = http_opener(url)
         with pytest.raises(ValueError, match="neither Content-Range nor"):
             f2.size()
         f2.close()
-        bare["value"] = False
+
+        # a 206 lacking Content-Range must raise, not truncate size to
+        # the probe's 1-byte Content-Length (silent split-planning bug)
+        mode["value"] = "206-no-content-range"
+        f206 = http_opener(url)
+        with pytest.raises(ValueError, match="status 206"):
+            f206.size()
+        f206.close()
+        mode["value"] = "full"
 
         # drain path: first non-zero-offset read against the
         # Range-ignoring server warns exactly once per URL
