@@ -14,6 +14,10 @@ Scale design:
 - the forest DataFrame is hash-partitioned by ``tree_id`` once; every
   ``applyInPandas`` group-map then reuses that partitioning (no extra
   shuffle per op);
+- find_groups is FUSED into the per-tree passes (its eligibility is
+  tree-local given the broadcast signature index,
+  ``similarity.find_groups_in_tree``) — no per-iteration join pipeline
+  or extra checkpoint;
 - each iteration ends with ``localCheckpoint`` to truncate lineage
   (a Pregel-style loop);
 - "did anything change" is a cheap aggregation on a per-tree ``changed``
@@ -71,11 +75,18 @@ def _changed_count(nodes_with_flag: DataFrame) -> int:
 
 
 def probe_ops(
-    nodes: DataFrame, ops: list[tuple[str, Callable[[PyTree], bool]]]
+    nodes: DataFrame,
+    ops: list[tuple[str, Callable[[PyTree], bool]]],
+    pre: Callable[[PyTree], bool] | None = None,
 ) -> list[int]:
     """Speculatively probe EVERY op in ONE ``applyInPandas`` pass: each op
     runs against a fresh copy of each tree and only the changed FLAGS come
     back (no node re-emission).  Returns changed-tree counts per op.
+
+    ``pre`` is a non-speculative per-tree transform applied IN PLACE
+    before probing (the fused find_groups pass): the probe then reads the
+    exact state the ops will later be applied to, without the transform
+    ever materializing its own frame.
 
     The probe finds the early-exit winner (first op reporting a change);
     the caller then applies the chain up to AND including the winner for
@@ -94,6 +105,8 @@ def probe_ops(
         trees = rows_to_trees(pdf.to_dict("records"))
         out = []
         for tid, tree in trees.items():
+            if pre is not None:
+                pre(tree)
             # stop at the tree's first changing op: the caller only needs
             # the globally-first changed op (min over trees of each
             # tree's first change — unaffected by skipping later ops) and
@@ -398,6 +411,7 @@ def rewrite(
     epoch: int = 100,
     operations: Iterable[tuple[str, Callable[[PyTree], bool]]] | None = None,
     on_iteration: Callable[[dict], None] | None = None,
+    on_stage: Callable[[int, str, float], None] | None = None,
 ) -> DataFrame:
     """Iterative fixpoint rewrite (``rewrite()``,
     ``simplification/tree_rewriting/__init__.py:56-168``).
@@ -413,8 +427,23 @@ def rewrite(
     ``mlflow.log_metrics``-shaped sinks, a ``list.append``, or a JSONL
     writer.  The census is ONE extra aggregation job per iteration, only
     paid when a callback is installed.
+
+    ``on_stage`` receives ``(iteration, stage_name, seconds)`` wall-clock
+    timings per iteration stage (reduce / cluster / probe) — every stage
+    ends in an eager barrier or a driver collect, so the timers measure
+    real execution (``tools/rewriteprof.py``).
     """
-    from architxt_spark.similarity import cluster_forest_with_index
+    from time import perf_counter
+
+    from architxt_spark.similarity import find_groups_in_tree, signature_index
+
+    def timed(iteration: int, name: str, fn):
+        if on_stage is None:
+            return fn()
+        t0 = perf_counter()
+        out = fn()
+        on_stage(iteration, name, perf_counter() - t0)
+        return out
 
     # materialize once: a one-shot iterable would be exhausted after the
     # first iteration's list() and silently end the loop early
@@ -477,16 +506,29 @@ def rewrite(
         # Arrow reduce pass re-executes for each of them (measured 3x per
         # iteration).  Same for the find_groups join pipeline below, which
         # both the probe and the chain consume.
-        nodes = flagged.drop("changed").transform(stage_barrier)
+        nodes = timed(
+            iteration, "reduce",
+            lambda: flagged.drop("changed").transform(stage_barrier),
+        )
 
-        assignments, sig_index = cluster_forest_with_index(nodes, tau=tau)
-        nodes = find_groups(nodes, assignments, min_support).transform(stage_barrier)
+        sig_index = timed(
+            iteration, "cluster", lambda: signature_index(nodes, tau=tau)
+        )
 
         ops = (
             list(operations)
             if operations is not None
             else _operations_with_index(sig_index, min_support)
         )
+
+        # find_groups is FUSED into the per-tree passes (r10): its
+        # eligibility is tree-local given the broadcast signature index
+        # (``similarity.find_groups_in_tree``), so the join pipeline +
+        # checkpoint it used to materialize per iteration (~40% of the
+        # iteration at 2.5k trees) is replaced by an in-place transform
+        # at the head of the probe pass and of the deferred chain.
+        def fg(t: PyTree, _idx=sig_index, _ms=min_support) -> bool:
+            return find_groups_in_tree(t, _idx, _ms)
 
         # one probe pass finds the early-exit winner; the real pass then
         # runs the chain up to AND including the winner (reference
@@ -500,7 +542,7 @@ def rewrite(
         # still run once: the reference executes every op in the final
         # iteration too, and their rename side effects feed the
         # post-process naming.
-        counts = probe_ops(nodes, ops)
+        counts = timed(iteration, "probe", lambda: probe_ops(nodes, ops, pre=fg))
         winner = next((i for i, n in enumerate(counts) if n), None)
 
         upto = ops if winner is None else ops[: winner + 1]
@@ -510,24 +552,26 @@ def rewrite(
             if i == winner or name in RENAME_SIDE_EFFECT_OPS
         ]
 
-        def run_chain(t: PyTree, _fns=chain_fns) -> bool:
+        def run_chain(t: PyTree, _fns=(fg, *chain_fns)) -> bool:
             changed = False
             for fn in _fns:
                 changed = fn(t) or changed
             return changed
 
-        if chain_fns:
-            if on_iteration is None:
-                # fused into the next reduce pass (or the post pass below)
-                pending = chain_fns
-            else:
-                # the census the callback receives must see the chain's
-                # effects, so the chain runs as its own pass here
-                nodes = (
-                    apply_tree_op(nodes, run_chain, "chain")
-                    .drop("changed")
-                    .transform(stage_barrier)
-                )
+        if on_iteration is None:
+            # fused into the next reduce pass (or the post pass below);
+            # fg leads so the chain sees the post-find_groups state the
+            # probe probed
+            pending = [fg, *chain_fns]
+        else:
+            # the census the callback receives must see the find_groups
+            # conversions and the chain's effects, so both run as one
+            # pass here
+            nodes = (
+                apply_tree_op(nodes, run_chain, "chain")
+                .drop("changed")
+                .transform(stage_barrier)
+            )
 
         iteration_changed = winner is not None
         winning_op = ops[winner][0] if winner is not None else None

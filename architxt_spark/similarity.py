@@ -678,6 +678,123 @@ def _cluster_signatures(
     return {s: uf.find(s) for s in sigs}
 
 
+def _names_from_sig_stats(
+    rows, tau: float, metric: str
+) -> tuple[dict[str, str], dict[str, str], dict[str, int]]:
+    """Shared driver-side core of :func:`cluster_forest_with_index` /
+    :func:`signature_index`: cluster the distinct signature strings and
+    derive each component's deterministic modal name and support.
+    Returns ``(comp, cluster_name, comp_support)``."""
+    sigs = sorted({r["signature"] for r in rows})
+    comp = _cluster_signatures(sigs, tau, metric)
+
+    # modal member label per component → cluster name (``similarity.py:340-352``)
+    comp_counts: dict[str, Counter] = {}
+    comp_support: dict[str, int] = {}
+    for r in rows:
+        c = comp[r["signature"]]
+        comp_support[c] = comp_support.get(c, 0) + r["name_count"]
+        cnt = comp_counts.setdefault(c, Counter())
+        if r["node_name"]:
+            cnt[r["node_name"]] += r["name_count"]
+
+    cluster_name: dict[str, str] = {}
+    used: set[str] = set()
+    for i, (c, cnt) in enumerate(sorted(comp_counts.items())):
+        # deterministic modal name: highest count, ties to the smallest name
+        base = min(cnt, key=lambda n: (-cnt[n], n)) if cnt else f"C{i}"
+        # modal labels collide across components (e.g. every tree's ROOT);
+        # deterministic numbering keeps cluster identities distinct
+        name, k = base, 1
+        while name in used:
+            name = f"{base}_{k}"
+            k += 1
+        used.add(name)
+        cluster_name[c] = name
+    return comp, cluster_name, comp_support
+
+
+def signature_index(
+    nodes: DataFrame,
+    *,
+    tau: float = 0.7,
+    metric: str = DEFAULT_METRIC,
+    max_height: int = DEFAULT_MAX_HEIGHT,
+) -> dict[frozenset, tuple[str, int]]:
+    """The signature index alone — the entity-label-frozenset →
+    ``(cluster_name, support)`` map the rewrite engine broadcasts to its
+    per-tree ops (FindSubGroups / MergeGroups / the fused find_groups
+    pass).  Identical contents to :func:`cluster_forest_with_index`'s
+    second return value, but skips materializing the per-node assignments
+    frame entirely: one candidate-extraction Arrow pass feeding one
+    vocabulary-bounded aggregate collect, no cache, no join."""
+    sig_stats = (
+        candidate_subtrees(nodes, max_height=max_height)
+        .groupBy("signature", "node_name")
+        .agg(F.count("*").alias("name_count"))
+    )
+    rows = sig_stats.collect()
+    if not rows:
+        return {}
+    comp, cluster_name, comp_support = _names_from_sig_stats(rows, tau, metric)
+    return {
+        frozenset(s.split("|")): (cluster_name[comp[s]], comp_support[comp[s]])
+        for s in sorted({r["signature"] for r in rows})
+    }
+
+
+def find_groups_in_tree(
+    tree: PyTree,
+    index: dict[frozenset, tuple[str, int]],
+    min_support: int,
+    *,
+    max_height: int = DEFAULT_MAX_HEIGHT,
+) -> bool:
+    """Per-tree twin of :func:`architxt_spark.operators.engine.find_groups`
+    (``find_groups`` / ``create_group``,
+    ``simplification/tree_rewriting/__init__.py:636-706``): convert
+    frequent-cluster member subtrees into GROUP nodes, reading cluster
+    membership from the broadcast signature index instead of a joined
+    assignments frame.
+
+    Exact-mirror semantics of the join version: eligibility is evaluated
+    against the PRE-pass tree state for every node (collect first, then
+    relabel — the join version computes all its predicates on the input
+    frame); a member subtree converts when its cluster support >
+    ``min_support``, it has ≥2 named children, all of them ENT with
+    distinct labels, and its parent is not a GROUP.  Conversion relabels
+    to ``GROUP::<cluster>`` in place.  Candidate membership (not ENT,
+    height ≤ ``max_height``, ≥1 entity, unique entity labels) and the
+    signature round-trip match :func:`candidate_subtrees` exactly, so the
+    index lookup hits precisely the nodes the assignments join would
+    reach."""
+    eligible: list[tuple[PyTree, str]] = []
+
+    def walk(node: PyTree, parent: PyTree | None) -> None:
+        if node.node_type != NodeType.ENT and _tree_height(node) <= max_height:
+            ents = [e.node_name for e in _collect_entities(node)]
+            if ents and len(ents) == len(set(ents)):
+                sig = "|".join(sorted(ents))
+                hit = index.get(frozenset(sig.split("|")))
+                if hit is not None and hit[1] > min_support:
+                    named = [c for c in node.children if isinstance(c, PyTree)]
+                    if (
+                        len(named) >= 2
+                        and all(c.node_type == NodeType.ENT for c in named)
+                        and len({c.node_name for c in named}) == len(named)
+                        and (parent is None or parent.node_type != NodeType.GROUP)
+                    ):
+                        eligible.append((node, hit[0]))
+        for c in node.children:
+            if isinstance(c, PyTree):
+                walk(c, node)
+
+    walk(tree, None)
+    for node, name in eligible:
+        node.label = f"{NodeType.GROUP}::{name}"
+    return bool(eligible)
+
+
 def cluster_forest_with_index(
     nodes: DataFrame,
     *,
@@ -710,32 +827,7 @@ def cluster_forest_with_index(
     if not rows:
         return empty, {}
     sigs = sorted({r["signature"] for r in rows})
-
-    comp = _cluster_signatures(sigs, tau, metric)
-
-    # modal member label per component → cluster name (``similarity.py:340-352``)
-    comp_counts: dict[str, Counter] = {}
-    comp_support: dict[str, int] = {}
-    for r in rows:
-        c = comp[r["signature"]]
-        comp_support[c] = comp_support.get(c, 0) + r["name_count"]
-        cnt = comp_counts.setdefault(c, Counter())
-        if r["node_name"]:
-            cnt[r["node_name"]] += r["name_count"]
-
-    cluster_name: dict[str, str] = {}
-    used: set[str] = set()
-    for i, (c, cnt) in enumerate(sorted(comp_counts.items())):
-        # deterministic modal name: highest count, ties to the smallest name
-        base = min(cnt, key=lambda n: (-cnt[n], n)) if cnt else f"C{i}"
-        # modal labels collide across components (e.g. every tree's ROOT);
-        # deterministic numbering keeps cluster identities distinct
-        name, k = base, 1
-        while name in used:
-            name = f"{base}_{k}"
-            k += 1
-        used.add(name)
-        cluster_name[c] = name
+    comp, cluster_name, comp_support = _names_from_sig_stats(rows, tau, metric)
 
     mapping = spark.createDataFrame(
         [(s, cluster_name[comp[s]], comp_support[comp[s]]) for s in sigs],

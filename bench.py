@@ -138,6 +138,10 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                # query-only subtotal (excludes the once-per-session
+                # ann_index_build line) — the number comparable across
+                # rounds without benchdiff's partial-fold logic
+                "comparable_total": round(total - build_s, 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -431,6 +431,62 @@ def test_cluster_driver_collect_is_aggregate_bounded(spark):
     assert out.count() >= 200
 
 
+def test_find_groups_in_tree_matches_join_version(spark):
+    """The fused per-tree find_groups (similarity.find_groups_in_tree)
+    must relabel exactly the nodes the DataFrame join version converts —
+    the equivalence the r10 engine fusion rests on."""
+    from architxt_spark.operators.engine import find_groups
+    from architxt_spark.similarity import (
+        cluster_forest_with_index,
+        find_groups_in_tree,
+        signature_index,
+    )
+    from architxt_spark.trees import forest_from_trees, parse_tree, rows_to_trees
+
+    trees = {}
+    for i in range(12):
+        # frequent all-ENT subtree (eligible), an unlabelled wrapper with
+        # a non-ENT child (ineligible: n_children != n_ent), and a parent
+        # that is already a GROUP (children ineligible via parent check)
+        trees[f"a{i}"] = parse_tree(
+            "(ROOT (X (ENT::name n) (ENT::age 1)) (Y (ENT::city c) (Z leaf)))"
+        )
+        trees[f"b{i}"] = parse_tree(
+            "(ROOT (GROUP::g (X2 (ENT::name n) (ENT::age 2))))"
+        )
+    nodes = forest_from_trees(spark, trees)
+    min_support = 3
+
+    assignments, _ = cluster_forest_with_index(nodes)
+    join_out = find_groups(nodes, assignments, min_support)
+    idx = signature_index(nodes)
+    assert idx  # same index contents the join version derives
+
+    expected = {
+        r["node_id"]: (r["node_type"], r["node_name"])
+        for r in join_out.collect()
+    }
+    fused = rows_to_trees([r.asDict(recursive=True) for r in nodes.collect()])
+    for tid, tree in fused.items():
+        find_groups_in_tree(tree, idx, min_support)
+
+        def check(node):
+            assert expected[node.oid] == (node.node_type, node.node_name), node.oid
+            for c in node.children:
+                if not isinstance(c, str):
+                    check(c)
+
+        check(tree)
+    # sanity: the fixture actually CONVERTS something (a node that was not
+    # a GROUP in the input became one), so the parity check is not vacuous
+    before = {
+        r["node_id"]: r["node_type"] for r in nodes.collect()
+    }
+    assert any(
+        t == "GROUP" and before[nid] != "GROUP" for nid, (t, _) in expected.items()
+    )
+
+
 def test_dedup_leaves_session_conf_unchanged(spark):
     """Dedup must not mutate session-global optimizer conf (an earlier
     revision set spark.sql.optimizer.excludedRules as a side effect,

@@ -357,7 +357,8 @@ def main() -> None:
         # The reference's actual "query": the iterative forest-fixpoint
         # rewrite.  Fixed epoch=2 so every rung pays the same number of
         # iterations; the exponent is on SEC/ITERATION (each iteration =
-        # reduce Arrow pass -> cluster -> find_groups -> op-chain probe).
+        # reduce Arrow pass -> cluster-index collect -> probe pass with
+        # the fused per-tree find_groups at its head).
         from architxt_spark.operators.engine import rewrite
 
         for n in args.rewrite_sizes:
