@@ -84,6 +84,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM NFC path when a JDK is present (tools/jvmnfc_bench.py r10 A/B:
+    # NFC stage 0.68 -> 0.18 s, unicode_split 0.37 -> 0.25 s at sf0.1) —
+    # silently stays on the parity-tested Arrow fallback without javac.
+    try:
+        from architxt_spark.jvm import register_jvm_nfc
+
+        register_jvm_nfc(spark)
+        print("# jvm-nfc: registered", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — optional fast path only
+        print(f"# jvm-nfc unavailable (Arrow fallback): {e}", file=sys.stderr)
+
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
