@@ -249,6 +249,49 @@ def mixture_take_tokens(
     )
 
 
+def mixture_token_thresholds(
+    df: DataFrame,
+    strata_col: str,
+    budgets: Mapping[str, int],
+    token_col: str,
+    *,
+    window_tokens: int | None = None,
+) -> dict[str, int]:
+    """Fixed per-stratum hash-key thresholds for the STREAMING form of
+    :func:`mixture_take_tokens`: derive, from a reference corpus (a
+    historical crawl slice), the ``sample_key < threshold`` gate that
+    keeps an expected ``budgets[s]`` tokens per stratum out of every
+    ``window_tokens``-token window of arriving data (default: the
+    reference corpus's own per-stratum token total).
+
+    The exact-budget take is inherently batch-only — it needs the
+    global hash-order cumulative sum over the full pool, which a
+    micro-batch never sees.  The streaming contract is the natural
+    per-batch one: thresholds are FIXED up front, every micro-batch
+    applies the same deterministic per-document gate (a document's
+    keep/drop decision never depends on arrival order or batch
+    boundaries), and each stratum's kept token RATE converges to
+    ``budget / window`` by the uniformity of :func:`sample_key`.
+    Strata not in ``budgets`` get threshold 0 (dropped), matching the
+    batch take.  One bounded aggregate job on the reference corpus;
+    the result dict is broadcast state, no per-batch derivation."""
+    totals = {
+        r[0]: int(r[1] or 0)
+        for r in df.filter(F.col(strata_col).isin(sorted(budgets)))
+        .groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+    }
+    out: dict[str, int] = {}
+    for s in sorted(budgets):
+        window = window_tokens if window_tokens is not None else totals.get(s, 0)
+        if window <= 0 or budgets[s] >= window:
+            out[s] = HASH_MOD
+        else:
+            out[s] = min(HASH_MOD, int(HASH_MOD * budgets[s] / window) + 1)
+    return out
+
+
 def mixture_take_tokens_sql(
     table: str,
     strata_col: str,

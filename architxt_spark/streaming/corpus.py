@@ -17,6 +17,8 @@ inputs:
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -202,6 +204,9 @@ def stream_curate(
     line_clean: bool = False,
     decontaminate_path: str | None = None,
     decontam_threshold: float = 0.5,
+    mixture_col: str | None = None,
+    mixture_thresholds: Mapping[str, int] | None = None,
+    mixture_salt: str = "",
 ):
     """Streaming corpus CURATION: per micro-batch, the Gopher quality
     gate prunes junk BEFORE any shuffle (gated rows never reach the
@@ -222,7 +227,18 @@ def stream_curate(
     forever after.  The benchmark side is eval-set-sized (broadcast
     band join, :func:`~architxt_spark.functions.dedup.
     decontaminate_filter`); at real scale pre-sign the benchmark once
-    and cache it — re-deriving per micro-batch costs one small scan."""
+    and cache it — re-deriving per micro-batch costs one small scan.
+
+    ``mixture_col`` + ``mixture_thresholds`` add the STREAMING form of
+    the token-budget mixture (derive the fixed per-stratum hash-key
+    thresholds up front with :func:`~architxt_spark.functions.sampling.
+    mixture_token_thresholds`; the exact-budget take is batch-only —
+    see that function's contract).  The gate applies to what SHIPS, not
+    to what seeds the band index: in the batch recipe dedup sees the
+    whole corpus before sampling, so a sampled-out document here still
+    registers its bands — its near-dups stay suppressed, exactly as if
+    the batch chain had run.  Strata missing from the thresholds drop
+    (the batch take's semantics)."""
 
     def run(batch: DataFrame, _epoch: int) -> None:
         from architxt_spark.functions.dedup import _spread
@@ -247,12 +263,23 @@ def stream_curate(
             gated = decontaminate_filter(
                 gated, bench, text_col, id_col, threshold=decontam_threshold
             )
+        ship = lambda kept: kept  # noqa: E731
+        if mixture_col is not None and mixture_thresholds is not None:
+            from architxt_spark.functions.sampling import (
+                _threshold_expr,
+                sample_key,
+            )
+
+            keep = sample_key(F.col(id_col), mixture_salt) < _threshold_expr(
+                F.col(mixture_col), dict(mixture_thresholds), 0
+            )
+            ship = lambda kept: kept.filter(keep)  # noqa: E731
         minhash_dedup_batch(
             gated,
             index_path,
             text_col=text_col,
             id_col=id_col,
-            write_output=lambda kept: kept.write.mode("append").parquet(out_path),
+            write_output=lambda kept: ship(kept).write.mode("append").parquet(out_path),
         )
 
     return (

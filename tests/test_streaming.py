@@ -386,3 +386,76 @@ def test_stream_curate_decontaminates_before_index(spark, tmp_path):
         }
         indexed = {r.band for r in spark.read.parquet(index).collect()}
         assert not (eval_bands & indexed)
+
+
+def test_stream_curate_token_budget_mixture(spark, tmp_path):
+    """Streaming token-budget mixture (r10): fixed per-stratum hash-key
+    thresholds gate what SHIPS; sampled-out documents still seed the
+    persistent band index (the batch chain's dedup-before-sampling
+    order), and strata missing from the thresholds drop entirely."""
+    from pyspark.sql import functions as F
+
+    from architxt_spark.functions.sampling import (
+        mixture_token_thresholds,
+        sample_key,
+    )
+    from architxt_spark.streaming.corpus import stream_curate
+
+    import random
+
+    rng = random.Random(5)
+    words = (
+        "river stone market lantern harbor meadow signal copper orchard "
+        "bridge valley thunder ribbon castle winter summer garden mirror "
+        "anchor forest temple candle window hammer saddle basket falcon"
+    ).split()
+    rows = [
+        (
+            i,
+            "the and " + " ".join(rng.sample(words, 18)) + f" passage {i}",
+            "en",
+        )
+        for i in range(40)
+    ] + [
+        (100 + i, "le et " + " ".join(rng.sample(words, 18)), "fr")
+        for i in range(5)
+    ]
+    ref = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).withColumn("n_tok", F.length("text"))
+    # budget = ~half the en tokens; fr absent -> dropped
+    en_total = ref.filter("lang = 'en'").agg(F.sum("n_tok")).collect()[0][0]
+    thr = mixture_token_thresholds(ref, "lang", {"en": en_total // 2}, "n_tok")
+    assert 0 < thr["en"] < 1_000_000 and "fr" not in thr
+
+    src, index, out, ckpt = (
+        str(tmp_path / d) for d in ("src", "index", "out", "ckpt")
+    )
+    ref.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, n_tok int")
+        .parquet(src)
+    )
+    q = stream_curate(
+        stream, index, out, ckpt,
+        mixture_col="lang", mixture_thresholds=thr,
+    )
+    q.awaitTermination(300)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # what ships == exactly the below-threshold en survivors of the
+    # batch gate+dedup (deterministic per document, arrival-independent)
+    survivors = ref.filter(
+        (F.col("lang") == "en") & (sample_key(F.col("doc_id")) < thr["en"])
+    )
+    expected_superset = {r.doc_id for r in survivors.collect()}
+    assert kept <= expected_superset  # dedup may drop more, gate never adds
+    assert kept  # the threshold admits a nonempty sample
+    assert not any(d >= 100 for d in kept)  # fr dropped entirely
+
+    # sampled-out docs still seeded the index: the band count reflects
+    # the full gated batch, not just the shipped subset
+    n_index_docs = (
+        spark.read.parquet(index).select("id").distinct().count()
+    )
+    assert n_index_docs > len(kept)
