@@ -207,6 +207,30 @@ def gen_embeddings(spark, n: int, dim: int = 64, seed: int = 11):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
 
 
+def gen_embeddings_dist(spark, n: int, dim: int = 64, seed: int = 11, n_centers: int = 32):
+    """Distributed twin of :func:`gen_embeddings` for the ≥100k-vector
+    serving rungs: the 32 cluster centers are driver-generated (tiny) and
+    inlined as a literal array; per-vector noise comes from column-level
+    ``randn`` — the same clustered geometry, generated in parallel."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(seed)
+    centers = [[round(rng.gauss(0, 1), 6) for _ in range(dim)] for _ in range(n_centers)]
+    centers_lit = F.array(
+        *[F.array(*[F.lit(c[d]) for d in range(dim)]) for c in centers]
+    )
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    center = F.element_at(centers_lit, (F.pmod("vec_id", F.lit(n_centers)) + 1).cast("int"))
+    noise = F.array(*[F.randn(seed * 1000 + d) * 0.3 for d in range(dim)])
+    return base.select(
+        "vec_id",
+        F.zip_with(center, noise, lambda a, b: (a + b).cast("float")).alias("embedding"),
+        F.pmod("vec_id", F.lit(n_centers)).cast("int").alias("label"),
+    )
+
+
 def time_op(fn, repeats: int) -> float:
     best = None
     for _ in range(repeats):
@@ -227,7 +251,7 @@ def main() -> None:
         "--families",
         nargs="+",
         default=["core", "rewrite", "pagerank", "curate_big"],
-        choices=["core", "rewrite", "pagerank", "curate_big"],
+        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc"],
         help="which rehearsal families to run: core = the r8 dedup/ANN/"
         "curation set at --sizes; rewrite = the forest-fixpoint engine "
         "at 2.5k/10k/40k trees (per-iteration exponent); pagerank = the "
@@ -235,6 +259,10 @@ def main() -> None:
         "curate_full at 200k/1M docs via the distributed generator",
     )
     p.add_argument("--rewrite-sizes", type=int, nargs="+", default=[2500, 10000, 40000])
+    p.add_argument(
+        "--ann-serving-sizes", type=int, nargs="+", default=[20_000, 80_000, 320_000]
+    )
+    p.add_argument("--warc-sizes-mb", type=int, nargs="+", default=[16, 64, 256])
     p.add_argument(
         "--pagerank-sizes", type=int, nargs="+", default=[250_000, 1_000_000, 4_000_000]
     )
@@ -380,6 +408,132 @@ def main() -> None:
             print(
                 f"# rewrite_fixpoint n={n}: {sec:.2f}s total,"
                 f" {per_iter:.2f}s/iter ({n_iters} iters)",
+                file=sys.stderr, flush=True,
+            )
+
+    if "warc" in args.families:
+        # Rate-measure the one operator that touches every byte of a
+        # crawl (r9 verdict): generated multi-member .warc.gz + full CDX
+        # sidecar at growing sizes, read through read_warc_split —
+        # MB/s/core on compressed bytes, split parity vs the whole-file
+        # reader.  Payloads are base64 of seeded random bytes wrapped in
+        # HTML (incompressible, so compressed size ≈ bytes generated,
+        # and html_to_text does real extraction work per record).
+        import base64
+        import gzip as _gzip
+
+        from architxt_spark.sources.warc import build_warc, read_warc, read_warc_split
+
+        for mb in args.warc_sizes_mb:
+            gz_path = f"{args.workdir}/crawl_{mb}mb.warc.gz"
+            if not os.path.exists(gz_path):
+                rng = random.Random(mb)
+                blobs, offs, pos = [], [], 0
+                n_members = max(8, mb // 2)  # ~2 MB members
+                per_member = (mb << 20) // n_members
+                rec_payload = 24 << 10  # ~32 KB base64 text per record
+                n_rec = max(1, per_member // ((rec_payload * 4) // 3))
+                for m in range(n_members):
+                    recs = [
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"http://crawl.example/{m}/{r}",
+                            "payload": b"<html><body><p>"
+                            + base64.b64encode(rng.randbytes(rec_payload))
+                            + b"</p></body></html>",
+                        }
+                        for r in range(n_rec)
+                    ]
+                    blob = _gzip.compress(build_warc(recs), compresslevel=1)
+                    blobs.append(blob)
+                    offs.append((pos, len(blob)))
+                    pos += len(blob)
+                with open(gz_path, "wb") as f:
+                    for b in blobs:
+                        f.write(b)
+                with open(gz_path + ".idx", "w") as f:
+                    f.write("\n".join(f"{o} {ln}" for o, ln in offs))
+            size_mb = os.path.getsize(gz_path) / (1 << 20)
+
+            # 8 MB splits: the default 128 MB (right at cluster scale)
+            # would tile these rungs into 1-2 tasks and measure a single
+            # core; 8 MB gives size/8 tasks — the parallel rate
+            fn = lambda: read_warc_split(  # noqa: E731
+                spark, gz_path, split_bytes=8 << 20
+            ).agg(F.sum(F.length("text"))).collect()[0][0]
+            fn()
+            sec = time_op(fn, args.repeats)
+            # split parity: the byte-range tasks see exactly the records
+            # the whole-file reader sees
+            n_split = read_warc_split(spark, gz_path, split_bytes=8 << 20).count()
+            n_whole = read_warc(spark, gz_path).count()
+            assert n_split == n_whole, (n_split, n_whole)
+            rate = size_mb / sec
+            results.setdefault("warc_scan", []).append((int(size_mb), sec))
+            print(
+                f"# warc_scan {size_mb:.0f}MB: {sec:.2f}s = {rate:.0f} MB/s "
+                f"({rate / int(args.cpus):.1f} MB/s/core, {n_split} records, "
+                f"split parity ok)",
+                file=sys.stderr, flush=True,
+            )
+
+    if "ann_serving" in args.families:
+        # The r9 verdict's serving-regime measurement: √n cells (not 16),
+        # a query batch ≪ cells, so nprobe/n_cells partition pruning
+        # actually bites — recall@k AND probe wall-clock per rung, plus
+        # the one-time build cost as its own number.
+        from architxt_spark.functions.ann import (
+            ann_recall,
+            build_ivf_index,
+            ivf_topk_indexed,
+            train_codebook,
+        )
+
+        for n in args.ann_serving_sizes:
+            emb_path = f"{args.workdir}/embs_dist_{n}"
+            if not os.path.exists(emb_path):
+                gen_embeddings_dist(spark, n).repartition(int(args.cpus)).write.mode(
+                    "overwrite"
+                ).parquet(emb_path)
+            embs = spark.read.parquet(emb_path)
+            n_cells = max(16, int(n ** 0.5))
+            queries = embs.filter(F.col("vec_id") % max(1, n // 16) == 1)
+            batch = queries.count()  # ~16 — batch·nprobe ≪ n_cells
+
+            idx_path = f"{args.workdir}/ivfserve_{n}"
+            t0 = time.perf_counter()
+            cb = train_codebook(embs, n_cells=n_cells, iterations=1)
+            build_ivf_index(embs, cb, idx_path)
+            build_s = time.perf_counter() - t0
+
+            # fixed nprobe=4 shows pruning's cost curve; the SCALED probe
+            # (a fixed ~6% of cells) is what an operator deploys — recall
+            # must hold there as cells grow
+            nprobe_scaled = max(4, n_cells // 16)
+            legs = {}
+            for tag, np_ in (("fixed4", 4), ("scaled", nprobe_scaled)):
+                fn = lambda: ivf_topk_indexed(  # noqa: E731
+                    spark, idx_path, queries, cb, k=10, nprobe=np_
+                ).count()
+                fn()
+                probe_s = time_op(fn, args.repeats)
+                rec = (
+                    ann_recall(
+                        embs, queries, dim=64, k=10, methods=("indexed",),
+                        index_path=idx_path, centroids=cb, nprobe=np_,
+                    )
+                    .agg(F.avg("recall")).collect()[0][0]
+                )
+                legs[tag] = (np_, probe_s, rec)
+            results.setdefault("ann_serving_probe", []).append(
+                (n, legs["scaled"][1])
+            )
+            print(
+                f"# ann_serving n={n}: cells={n_cells} batch={batch} "
+                f"build={build_s:.2f}s | nprobe=4: {legs['fixed4'][1]:.2f}s "
+                f"recall@10={legs['fixed4'][2]:.3f} | "
+                f"nprobe={nprobe_scaled}: {legs['scaled'][1]:.2f}s "
+                f"recall@10={legs['scaled'][2]:.3f}",
                 file=sys.stderr, flush=True,
             )
 
