@@ -273,9 +273,15 @@ def ann_recall(
                     n_cells=n_cells, iterations=2,
                 )
             if index_path is None:
+                import atexit
+                import shutil
                 import tempfile
 
-                index_path = tempfile.mkdtemp(prefix="annrecall_ivf_") + "/index"
+                root = tempfile.mkdtemp(prefix="annrecall_ivf_")
+                # the returned frame reads the index lazily, so the dir
+                # must outlive this call — reap at process exit instead
+                atexit.register(shutil.rmtree, root, ignore_errors=True)
+                index_path = root + "/index"
                 build_ivf_index(
                     embeddings, centroids, index_path,
                     id_col=id_col, vec_col=vec_col,
