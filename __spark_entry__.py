@@ -317,7 +317,14 @@ def q_stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return _two_batch_stream(spark, sf, stream_minhash_dedup)
 
 
-def _two_batch_stream(spark: SparkSession, sf: str, stream_fn) -> DataFrame:
+def _two_batch_stream(
+    spark: SparkSession,
+    sf: str,
+    stream_fn,
+    *,
+    cols: tuple[str, ...] = ("doc_id", "text"),
+    schema: str = "doc_id long, text string",
+) -> DataFrame:
     """Shared deterministic two-batch replay harness: even doc_ids stream
     first (seeding the persistent index), then odd ones; per-invocation
     tempfile scratch (hermetic, concurrent-driver safe — the out dir must
@@ -327,11 +334,11 @@ def _two_batch_stream(spark: SparkSession, sf: str, stream_fn) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="architxt_stream_")
     src, index, out, ckpt = (f"{scratch}/{d}" for d in ("src", "index", "out", "ckpt"))
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t(spark, sf, "documents").select(*cols)
     for batch_filter in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
         docs.filter(batch_filter).coalesce(1).write.mode("append").parquet(src)
         stream = (
-            spark.readStream.schema("doc_id long, text string")
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
@@ -339,16 +346,26 @@ def _two_batch_stream(spark: SparkSession, sf: str, stream_fn) -> DataFrame:
     return spark.read.parquet(out).select("doc_id")
 
 
+#: fixed per-stratum hash-key thresholds for the streaming token-budget
+#: mixture leg of the stream_curate gate (literal so the DuckDB twin is
+#: bit-exact; derive real ones with sampling.mixture_token_thresholds):
+#: ~44% of en, ~25% of fr ship; de/es/zh drop entirely
+STREAM_MIX_THRESHOLDS = {"en": 437_500, "fr": 250_000}
+
+
 def q_stream_curate(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingestion curation under the full hash gate: per
     micro-batch Gopher gate → eval-set DECONTAMINATION (r8: benchmark =
     the doc_id%37 slice; a contaminated record never ships and never
     seeds the band index) → incremental cross-batch near-dup against the
-    persistent band index (`streaming/corpus.py` stream_curate) — same
-    two-batch deterministic replay as stream_minhash_dedup; the oracle
-    replays both batches over the pre-gated, pre-decontaminated table
-    (valid because the decontam screen is a pure batch-independent row
-    filter against a static benchmark)."""
+    persistent band index → token-budget MIXTURE gate (r10: fixed
+    per-stratum sample_key thresholds decide what SHIPS; sampled-out
+    docs still seed the index — `streaming/corpus.py` stream_curate) —
+    same two-batch deterministic replay as stream_minhash_dedup; the
+    oracle replays both batches over the pre-gated, pre-decontaminated
+    table (valid because the decontam screen is a pure batch-independent
+    row filter against a static benchmark) and applies the same
+    threshold CASE over the shipped ids."""
     import tempfile
 
     from architxt_spark.streaming.corpus import stream_curate
@@ -361,8 +378,11 @@ def q_stream_curate(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         sf,
         lambda stream, index, out, ckpt: stream_curate(
-            stream, index, out, ckpt, decontaminate_path=bench_path
+            stream, index, out, ckpt, decontaminate_path=bench_path,
+            mixture_col="lang", mixture_thresholds=STREAM_MIX_THRESHOLDS,
         ),
+        cols=("doc_id", "text", "lang"),
+        schema="doc_id long, text string, lang string",
     )
 
 
@@ -3655,18 +3675,28 @@ def _oracle_parts() -> dict[str, str]:
         "stream_minhash_dedup": dedup.stream_minhash_dedup_sql(
             "documents", "text", "doc_id"
         ),
-        "stream_curate": dedup.stream_minhash_dedup_sql(
-            "("
-            + dedup.decontaminate_filter_sql(
-                f"(SELECT * FROM documents WHERE {T.gopher_keep_sql('text')})",
-                "(SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0)",
+        "stream_curate": (
+            "SELECT s.doc_id FROM ("
+            + dedup.stream_minhash_dedup_sql(
+                "("
+                + dedup.decontaminate_filter_sql(
+                    f"(SELECT * FROM documents WHERE {T.gopher_keep_sql('text')})",
+                    "(SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0)",
+                    "text",
+                    "doc_id",
+                    threshold=0.5,
+                )
+                + ")",
                 "text",
                 "doc_id",
-                threshold=0.5,
             )
-            + ")",
-            "text",
-            "doc_id",
+            + ") s JOIN documents d ON d.doc_id = s.doc_id"
+            + f" WHERE {sampling.sample_key_sql('d.doc_id')} < (CASE d.lang "
+            + " ".join(
+                f"WHEN '{lang}' THEN {thr}"
+                for lang, thr in sorted(STREAM_MIX_THRESHOLDS.items())
+            )
+            + " ELSE 0 END)"
         ),
         "embedding_near_dup": (
             "SELECT 'brute' AS variant, * FROM ("
