@@ -833,7 +833,18 @@ def cluster_forest_with_index(
         [(s, cluster_name[comp[s]], comp_support[comp[s]]) for s in sigs],
         "signature string, cluster_name string, support long",
     )
-    out = cands.join(F.broadcast(mapping), "signature").select("node_id", "cluster_name", "support")
+    # materialize the assignments BEFORE releasing the cached candidate
+    # frame: a bare unpersist would re-run the extraction pass per
+    # consumer, while skipping it would leak one pinned cache per call
+    # (the r9 classifier lesson — long-lived sessions accumulate them)
+    from architxt_spark.session import stage_barrier
+
+    out = stage_barrier(
+        cands.join(F.broadcast(mapping), "signature").select(
+            "node_id", "cluster_name", "support"
+        )
+    )
+    cands.unpersist()
     index = {
         frozenset(s.split("|")): (cluster_name[comp[s]], comp_support[comp[s]]) for s in sigs
     }
