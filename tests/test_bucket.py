@@ -181,3 +181,145 @@ def test_oids_is_lazy_iterator(spark, tmp_path):
     it = bucket.oids()
     assert isinstance(it, types.GeneratorType)  # lazy, not a list
     assert sorted(it) == [f"t{i}" for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# DeltaTreeBucket (import-gated; call shapes pinned via a fake delta module)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_bucket_import_gate(spark, tmp_path):
+    """Without delta-spark (this container), construction raises with
+    install + session-config guidance and names the parquet fallback."""
+    from architxt_spark.bucket import DeltaTreeBucket
+
+    with pytest.raises(RuntimeError, match="delta-spark.*ParquetTreeBucket"):
+        DeltaTreeBucket(spark, str(tmp_path / "delta"))
+
+
+class _MergeRecorder:
+    def __init__(self, log):
+        self.log = log
+
+    def alias(self, a):
+        self.log.append(("alias", a))
+        return self
+
+    def merge(self, source, condition):
+        self.log.append(("merge", condition))
+        return self
+
+    def whenMatchedUpdateAll(self):
+        self.log.append(("whenMatchedUpdateAll",))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.log.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def whenNotMatchedBySourceDelete(self, cond):
+        self.log.append(("whenNotMatchedBySourceDelete", str(cond)))
+        return self
+
+    def execute(self):
+        self.log.append(("execute",))
+
+    def delete(self, cond):
+        self.log.append(("delete", str(cond)))
+
+
+def _fake_delta_bucket(spark, root, log, exists=True):
+    import sys
+    import types as _types
+
+    from architxt_spark.bucket import DeltaTreeBucket
+
+    fake = _types.ModuleType("delta.tables")
+
+    class DeltaTable:
+        @staticmethod
+        def isDeltaTable(s, p):
+            log.append(("isDeltaTable", p))
+            return exists
+
+        @staticmethod
+        def forPath(s, p):
+            log.append(("forPath", p))
+            return _MergeRecorder(log)
+
+    fake.DeltaTable = DeltaTable
+    pkg = _types.ModuleType("delta")
+    pkg.tables = fake
+    old = {k: sys.modules.get(k) for k in ("delta", "delta.tables")}
+    sys.modules["delta"] = pkg
+    sys.modules["delta.tables"] = fake
+    try:
+        return DeltaTreeBucket(spark, root), old
+    finally:
+        pass  # caller restores via _restore_modules
+
+
+def _restore_modules(old):
+    import sys
+
+    for k, v in old.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+
+
+def test_delta_bucket_upsert_is_one_atomic_merge(spark, tmp_path):
+    """upsert = ONE MERGE commit: update/insert by node_id, stale nodes
+    of the replaced trees deleted via whenNotMatchedBySourceDelete —
+    a shrunken tree never leaves orphan rows."""
+    log: list = []
+    bucket, old = _fake_delta_bucket(spark, str(tmp_path / "d"), log)
+    try:
+        nodes = forest_from_trees(
+            spark, {"t1": parse_tree("(ROOT (ENT::a x))")}
+        )
+        bucket.upsert(nodes)
+    finally:
+        _restore_modules(old)
+    kinds = [e[0] for e in log]
+    assert kinds == [
+        "isDeltaTable", "forPath", "alias", "merge",
+        "whenMatchedUpdateAll", "whenNotMatchedInsertAll",
+        "whenNotMatchedBySourceDelete", "execute",
+    ]
+    merge_cond = next(e[1] for e in log if e[0] == "merge")
+    assert merge_cond == "t.node_id = s.node_id"
+    del_cond = next(e[1] for e in log if e[0] == "whenNotMatchedBySourceDelete")
+    assert "tree_id" in del_cond and "t1" in del_cond  # isin over the batch ids
+
+
+def test_delta_bucket_discard_is_predicate_delete(spark, tmp_path):
+    log: list = []
+    bucket, old = _fake_delta_bucket(spark, str(tmp_path / "d"), log)
+    try:
+        bucket.discard(["t1", "t2"])
+    finally:
+        _restore_modules(old)
+    assert [e[0] for e in log] == ["isDeltaTable", "forPath", "delete"]
+    assert "tree_id" in log[-1][1] and "t1" in log[-1][1]
+
+
+def test_delta_bucket_empty_read_and_upsert_bootstrap(spark, tmp_path):
+    """A missing table reads as an empty NODE_SCHEMA frame; the first
+    upsert bootstraps via a full write (recorded writer chain)."""
+    log: list = []
+    bucket, old = _fake_delta_bucket(
+        spark, str(tmp_path / "d"), log, exists=False
+    )
+    try:
+        assert bucket.read().count() == 0
+        writes: list = []
+        bucket.write = lambda df: writes.append(df)  # seam: no delta jar
+        nodes = forest_from_trees(
+            spark, {"t1": parse_tree("(ROOT (ENT::a x))")}
+        )
+        bucket.upsert(nodes)
+        assert len(writes) == 1 and writes[0] is nodes
+    finally:
+        _restore_modules(old)
