@@ -6,11 +6,13 @@ signatures) is real and tested.  Codec status: PNG/JPEG/GIF dimensions
 and WAV channel/rate/duration decode for REAL with the stdlib (struct
 header reads, a JPEG SOF marker walk, the ``wave`` module) — per-row in
 the Arrow boundary and, for PNG, as a pure JVM codegen column op
-(:func:`png_dims_cols`).  Full pixel/sample decode (resize, frame
-extraction, resample) genuinely needs external libraries (Pillow /
-librosa / pyav — not in this container) and raises
-``NotImplementedError`` on the real-codec path, with a clearly-marked
-deterministic fake for tests.
+(:func:`png_dims_cols`).  PNG PIXELS decode for real too
+(:func:`decode_png_pixels`: zlib inflate + the five RFC 2083 scanline
+filters, stdlib-only — bit depth 8, color types 0/2/4/6).  Pixel decode
+of OTHER formats (JPEG entropy decode, video frame extraction, audio
+resample) genuinely needs external libraries (Pillow / librosa / pyav —
+not in this container) and raises ``NotImplementedError`` on the
+real-codec path, with a clearly-marked deterministic fake for tests.
 
 Design notes for 100 TB of media:
 
@@ -238,8 +240,9 @@ def decode_media_meta(df: DataFrame, *, strict: bool = True) -> DataFrame:
 
 def decode_image(content: bytes) -> tuple[int, int]:
     """Real decode path.  PNG/JPEG/GIF dimensions decode with the stdlib
-    header readers; full pixel decode of other formats requires a codec
-    library (Pillow/opencv — not in this container)."""
+    header readers; PNG PIXELS decode for real too
+    (:func:`decode_png_pixels`); full pixel decode of other formats
+    requires a codec library (Pillow/opencv — not in this container)."""
     fmt = sniff_format(content)
     if fmt == "png":
         return decode_png_dims(content)
@@ -252,6 +255,94 @@ def decode_image(content: bytes) -> tuple[int, int]:
     )
 
 
+#: PNG color type → samples per pixel (RFC 2083 §4.1.1); palette (3),
+#: 16-bit depths and interlacing stay on the external-codec path
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pure-stdlib PNG pixel decode (RFC 2083): zlib-inflate the
+    IDAT stream and undo the five scanline filters (None/Sub/Up/Average/
+    Paeth).  Supports the common web shapes — bit depth 8, color types
+    greyscale / RGB / grey+alpha / RGBA, no interlace; palette, 16-bit
+    and Adam7 raise ``NotImplementedError`` (those genuinely want a
+    codec library).  Returns ``(width, height, channels, raw)`` with
+    ``raw`` the unfiltered samples row-major, ``width × height ×
+    channels`` bytes — the array a resize/embed stage consumes.
+
+    Per-row cost is O(bytes); runs inside the Arrow boundary like the
+    header decoders (no external dependency, no JVM round-trip)."""
+    import struct
+    import zlib
+
+    if not content or not content.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, width = len(PNG_MAGIC), None
+    height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos:pos + 4])
+        tag = content[pos + 4:pos + 8]
+        body = content[pos + 8:pos + 8 + length]
+        pos += 12 + length  # len + tag + body + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            "stdlib PNG decode covers bit depth 8, color types 0/2/4/6, "
+            "no interlace; palette/16-bit/Adam7 need Pillow"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    data = zlib.decompress(bytes(idat))
+    if len(data) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG pixel payload is {len(data)} bytes, expected {(stride + 1) * height}"
+        )
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = data[row_off]
+        row = bytearray(data[row_off + 1:row_off + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                row[x] = (row[x] + row[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                row[x] = (row[x] + _paeth(a, prev[x], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = row
+        prev = row
+    return width, height, channels, bytes(out)
+
+
 def fake_decode_dims(content: bytes) -> tuple[int, int]:
     """Deterministic FAKE decoder for tests: derives dimensions from the
     content hash.  Clearly not a real codec."""
@@ -261,15 +352,27 @@ def fake_decode_dims(content: bytes) -> tuple[int, int]:
     return (h[0] % 64 + 1, h[1] % 64 + 1)
 
 
-def extract_features(df: DataFrame, *, use_fake_decoder: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame, *, use_fake_decoder: bool = True, decoder: str | None = None
+) -> DataFrame:
     """Per-batch feature extraction over media rows via ``mapInPandas``.
 
-    With ``use_fake_decoder`` the pipeline runs end to end with the
-    deterministic fake (feature = normalized byte histogram head); without
-    it, the real-codec path raises ``NotImplementedError``.
+    ``decoder`` selects the pixel source:
+
+    - ``"fake"`` (default, = ``use_fake_decoder=True``): deterministic
+      byte-histogram feature over the RAW file bytes — the end-to-end
+      plumbing fixture;
+    - ``"png"``: REAL pixels — :func:`decode_png_pixels` unfilters the
+      image stdlib-side and the feature is the normalized 16-bin
+      histogram over actual samples (decode errors raise, like any
+      codec); non-PNG content raises ``NotImplementedError``;
+    - ``None`` with ``use_fake_decoder=False``: legacy strict mode —
+      header-decode validation then byte-histogram features.
     """
     import numpy as np
     import pandas as pd
+
+    mode = decoder or ("fake" if use_fake_decoder else "strict")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -278,9 +381,12 @@ def extract_features(df: DataFrame, *, use_fake_decoder: bool = True) -> DataFra
                 if content is None:
                     feats.append(None)
                     continue
-                if not use_fake_decoder:
-                    decode_image(bytes(content))
-                arr = np.frombuffer(bytes(content), dtype=np.uint8)
+                raw = bytes(content)
+                if mode == "png":
+                    _w, _h, _c, raw = decode_png_pixels(raw)
+                elif mode == "strict":
+                    decode_image(raw)
+                arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr % 16, minlength=16).astype("float32")
                 total = hist.sum() or 1.0
                 feats.append((hist / total).tolist())
@@ -296,11 +402,21 @@ def extract_features(df: DataFrame, *, use_fake_decoder: bool = True) -> DataFra
     return df.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
-def make_png_bytes(width: int, height: int) -> bytes:
-    """Deterministic minimal-PNG fixture builder (signature + IHDR + an
-    empty IDAT + IEND, correct CRCs): a structurally valid PNG whose
-    dimensions round-trip through any header decoder.  Fixture/test
-    helper — the pixel data is empty, not a renderable image."""
+def make_png_bytes(
+    width: int,
+    height: int,
+    pixels: bytes | None = None,
+    *,
+    color_type: int = 0,
+    filter_type: int = 0,
+) -> bytes:
+    """Deterministic PNG fixture builder (signature + IHDR + IDAT + IEND,
+    correct CRCs).  With ``pixels`` (raw row-major samples, ``width ×
+    height × channels`` bytes) it writes a REAL renderable image, each
+    scanline FILTERED with ``filter_type`` (0-4) per RFC 2083 — the
+    encoder twin :func:`decode_png_pixels`'s filter coverage tests
+    round-trip through.  Without ``pixels`` it keeps the legacy
+    header-only shape (empty IDAT)."""
     import struct
     import zlib
 
@@ -312,11 +428,43 @@ def make_png_bytes(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if pixels is None:
+        idat = zlib.compress(b"")
+    else:
+        channels = _PNG_CHANNELS[color_type]
+        stride = width * channels
+        if len(pixels) != stride * height:
+            raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            row = pixels[y * stride:(y + 1) * stride]
+            filt = bytearray(row)
+            if filter_type == 1:  # Sub
+                for x in range(stride - 1, channels - 1, -1):
+                    filt[x] = (filt[x] - row[x - channels]) & 0xFF
+            elif filter_type == 2:  # Up
+                for x in range(stride):
+                    filt[x] = (filt[x] - prev[x]) & 0xFF
+            elif filter_type == 3:  # Average
+                for x in range(stride - 1, -1, -1):
+                    a = row[x - channels] if x >= channels else 0
+                    filt[x] = (filt[x] - ((a + prev[x]) >> 1)) & 0xFF
+            elif filter_type == 4:  # Paeth
+                for x in range(stride - 1, -1, -1):
+                    a = row[x - channels] if x >= channels else 0
+                    c = prev[x - channels] if x >= channels else 0
+                    filt[x] = (filt[x] - _paeth(a, prev[x], c)) & 0xFF
+            elif filter_type != 0:
+                raise ValueError(f"unknown filter type {filter_type}")
+            raw += bytes([filter_type]) + bytes(filt)
+            prev = row
+        idat = zlib.compress(bytes(raw))
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
 

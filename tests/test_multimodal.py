@@ -167,3 +167,74 @@ def test_header_decoders_robust_property(data):
         except ValueError:
             pass
     M.sniff_format(data)  # never raises
+
+
+def test_png_pixel_roundtrip_all_filters_and_color_types():
+    """decode_png_pixels inverts the encoder at every RFC 2083 filter
+    type and supported color type — real pixels, stdlib only."""
+    import random
+
+    rng = random.Random(3)
+    for color_type, channels in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = 7, 5
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        for ftype in range(5):
+            png = M.make_png_bytes(
+                w, h, pixels, color_type=color_type, filter_type=ftype
+            )
+            got = M.decode_png_pixels(png)
+            assert got == (w, h, channels, pixels), (color_type, ftype)
+
+
+def test_png_pixel_unsupported_shapes_raise():
+    import struct
+    import zlib
+
+    # palette color type (3) → NotImplementedError with guidance
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    palette_png = (
+        M.PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M.decode_png_pixels(palette_png)
+    # header-only fixture (empty IDAT) → ValueError, not garbage pixels
+    with pytest.raises(ValueError, match="payload"):
+        M.decode_png_pixels(M.make_png_bytes(4, 4))
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png_pixels(b"\xff\xd8nope")
+
+
+def test_extract_features_real_png_pixels(spark):
+    """decoder='png': the feature histogram is computed over DECODED
+    pixels (filter-invariant — two encodings of the same image give the
+    same feature; the fake byte-histogram differs across encodings)."""
+    import random
+
+    rng = random.Random(9)
+    pixels = bytes(rng.randrange(256) for _ in range(6 * 4 * 3))
+    png_f0 = M.make_png_bytes(6, 4, pixels, color_type=2, filter_type=0)
+    png_f4 = M.make_png_bytes(6, 4, pixels, color_type=2, filter_type=4)
+    assert png_f0 != png_f4  # different files on disk ...
+    df = spark.createDataFrame(
+        [("1", "image", bytearray(png_f0)), ("2", "image", bytearray(png_f4))],
+        "media_id string, kind string, content binary",
+    )
+    rows = {r.media_id: r.feature for r in M.extract_features(df, decoder="png").collect()}
+    assert rows["1"] == rows["2"]  # ... same decoded image -> same feature
+    fake = {r.media_id: r.feature for r in M.extract_features(df).collect()}
+    assert fake["1"] != fake["2"]  # the fake is encoding-dependent
+    # non-PNG content in png mode raises like any real codec would
+    bad = spark.createDataFrame(
+        [("3", "image", bytearray(b"\xff\xd8\xff\xe0jpegish"))],
+        "media_id string, kind string, content binary",
+    )
+    with pytest.raises(Exception, match="not a PNG"):
+        M.extract_features(bad, decoder="png").collect()
