@@ -101,6 +101,38 @@ def decode_wav_meta(content: bytes) -> tuple[int, int, int]:
     return n_channels, sample_rate, n_frames * 1000 // sample_rate
 
 
+def decode_wav_samples(content: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL stdlib WAV PCM sample decode: returns ``(n_channels,
+    sample_rate, samples)`` with ``samples`` one int list per channel
+    (de-interleaved).  8-bit (unsigned → centered) and 16-bit (signed
+    little-endian) PCM — the ``wave``-module formats; resampling or
+    compressed codecs stay on the external-library path.  Powers the
+    real audio feature leg of :func:`extract_features`."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        flat = [b - 128 for b in raw]
+    elif width == 2:
+        import array
+
+        a = array.array("h")
+        a.frombytes(raw[: len(raw) - (len(raw) % 2)])
+        if __import__("sys").byteorder == "big":  # WAV is little-endian
+            a.byteswap()
+        flat = a.tolist()
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit PCM needs an audio library; stdlib path covers 8/16-bit"
+        )
+    return n_channels, rate, [flat[c::n_channels] for c in range(n_channels)]
+
+
 def decode_jpeg_dims(content: bytes) -> tuple[int, int]:
     """REAL stdlib JPEG header decode: walk the marker segments to the
     first start-of-frame (SOF0–SOF15, excluding DHT/DAC/RST markers) and
@@ -366,6 +398,10 @@ def extract_features(
       image stdlib-side and the feature is the normalized 16-bin
       histogram over actual samples (decode errors raise, like any
       codec); non-PNG content raises ``NotImplementedError``;
+    - ``"wav"``: REAL audio — :func:`decode_wav_samples` de-interleaves
+      the PCM stream and the feature is the normalized 16-bin AMPLITUDE
+      histogram (|sample| // 2048 for 16-bit) — silence lands in bin 0,
+      a full-scale square wave in bin 15;
     - ``None`` with ``use_fake_decoder=False``: legacy strict mode —
       header-decode validation then byte-histogram features.
     """
@@ -382,6 +418,16 @@ def extract_features(
                     feats.append(None)
                     continue
                 raw = bytes(content)
+                if mode == "wav":
+                    _ch, _rate, chans = decode_wav_samples(raw)
+                    flat = np.array(
+                        [s for c in chans for s in c], dtype=np.int64
+                    )
+                    bins = np.minimum(np.abs(flat) // 2048, 15)
+                    hist = np.bincount(bins, minlength=16).astype("float32")
+                    total = hist.sum() or 1.0
+                    feats.append((hist / total).tolist())
+                    continue
                 if mode == "png":
                     _w, _h, _c, raw = decode_png_pixels(raw)
                 elif mode == "strict":
@@ -469,11 +515,19 @@ def make_png_bytes(
     )
 
 
-def make_wav_bytes(n_channels: int, sample_rate: int, n_frames: int) -> bytes:
-    """Deterministic silent-WAV fixture builder via the stdlib ``wave``
-    writer — a real RIFF/WAVE file whose metadata round-trips through
-    :func:`decode_wav_meta`."""
+def make_wav_bytes(
+    n_channels: int,
+    sample_rate: int,
+    n_frames: int,
+    samples: list[list[int]] | None = None,
+) -> bytes:
+    """Deterministic WAV fixture builder via the stdlib ``wave`` writer —
+    a real RIFF/WAVE file whose metadata round-trips through
+    :func:`decode_wav_meta`.  ``samples`` (one int16 list per channel,
+    ``n_frames`` each) writes a real waveform the sample decoder
+    round-trips; without it, silence."""
     import io
+    import struct
     import wave
 
     buf = io.BytesIO()
@@ -481,7 +535,13 @@ def make_wav_bytes(n_channels: int, sample_rate: int, n_frames: int) -> bytes:
         w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(b"\x00\x00" * n_channels * n_frames)
+        if samples is None:
+            w.writeframes(b"\x00\x00" * n_channels * n_frames)
+        else:
+            inter = [
+                samples[c][f] for f in range(n_frames) for c in range(n_channels)
+            ]
+            w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
     return buf.getvalue()
 
 

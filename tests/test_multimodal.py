@@ -238,3 +238,27 @@ def test_extract_features_real_png_pixels(spark):
     )
     with pytest.raises(Exception, match="not a PNG"):
         M.extract_features(bad, decoder="png").collect()
+
+
+def test_wav_sample_roundtrip_and_audio_feature(spark):
+    """decode_wav_samples inverts the fixture writer (de-interleaved
+    per-channel int16), and decoder='wav' features are amplitude-based:
+    silence -> bin 0, a full-scale square wave -> bin 15."""
+    left = [1000, -2000, 3000, -4000]
+    right = [-1, 2, -3, 4]
+    wav = M.make_wav_bytes(2, 8000, 4, samples=[left, right])
+    ch, rate, chans = M.decode_wav_samples(wav)
+    assert (ch, rate) == (2, 8000)
+    assert chans == [left, right]
+
+    silence = M.make_wav_bytes(1, 8000, 64)
+    square = M.make_wav_bytes(
+        1, 8000, 64, samples=[[32000 if i % 2 else -32000 for i in range(64)]]
+    )
+    df = spark.createDataFrame(
+        [("s", "audio", bytearray(silence)), ("q", "audio", bytearray(square))],
+        "media_id string, kind string, content binary",
+    )
+    feats = {r.media_id: r.feature for r in M.extract_features(df, decoder="wav").collect()}
+    assert feats["s"][0] == 1.0 and sum(feats["s"][1:]) == 0.0
+    assert feats["q"][15] == 1.0 and sum(feats["q"][:15]) == 0.0
