@@ -6,10 +6,13 @@ signatures) is real and tested.  Codec status: PNG/JPEG/GIF dimensions
 and WAV channel/rate/duration decode for REAL with the stdlib (struct
 header reads, a JPEG SOF marker walk, the ``wave`` module) — per-row in
 the Arrow boundary and, for PNG, as a pure JVM codegen column op
-(:func:`png_dims_cols`).  PNG PIXELS decode for real too
-(:func:`decode_png_pixels`: zlib inflate + the five RFC 2083 scanline
-filters, stdlib-only — bit depth 8, color types 0/2/4/6).  Pixel decode
-of OTHER formats (JPEG entropy decode, video frame extraction, audio
+(:func:`png_dims_cols`).  PNG and GIF PIXELS decode
+for real too (:func:`decode_png_pixels`: zlib inflate + the five RFC
+2083 scanline filters, stdlib-only — bit depth 8, color types 0/2/4/6;
+:func:`decode_gif_pixels`: pure-Python LZW + palette mapping, first
+frame), and WAV PCM SAMPLES de-interleave for real
+(:func:`decode_wav_samples`).  Pixel/sample decode of the REMAINING
+formats (JPEG entropy decode, video frame extraction, audio
 resample) genuinely needs external libraries (Pillow / librosa / pyav —
 not in this container) and raises ``NotImplementedError`` on the
 real-codec path, with a clearly-marked deterministic fake for tests.
@@ -176,6 +179,173 @@ def decode_gif_dims(content: bytes) -> tuple[int, int]:
         raise ValueError("not a GIF (bad signature)")
     width, height = struct.unpack("<HH", content[6:10])
     return width, height
+
+
+def decode_gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pure-Python GIF first-frame pixel decode (GIF87a/89a): walks
+    the block structure, LZW-decompresses the first image's index
+    stream (LSB-first variable-width codes, clear/EOI handling, 12-bit
+    cap), and maps indices through the active (local-else-global) color
+    table.  Returns ``(width, height, 3, rgb)`` — frame-local
+    dimensions, row-major RGB bytes.  Interlaced images raise
+    ``NotImplementedError`` (Adam-style de-interlacing wants a codec
+    library); later frames of an animation are ignored by design (the
+    thumbnail/feature path wants frame 0)."""
+    import struct
+
+    if not content or sniff_format(content) != "gif":
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = content[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(content) and content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack("<HHHHB", content[pos:pos + 9])
+            pos += 9
+            table = global_table
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = content[pos:pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF needs a codec library; stdlib path "
+                    "covers sequential frames"
+                )
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos]:
+                size = content[pos]
+                data += content[pos + 1:pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            indices = _lzw_decode(bytes(data), mcs, w * h)
+            if len(indices) < w * h:
+                raise ValueError(
+                    f"GIF pixel stream ended early: {len(indices)} of {w * h}"
+                )
+            n_colors = len(table) // 3
+            rgb = bytearray(w * h * 3)
+            for i, idx in enumerate(indices[: w * h]):
+                if idx >= n_colors:
+                    raise ValueError(f"GIF index {idx} outside the color table")
+                rgb[3 * i:3 * i + 3] = table[3 * idx:3 * idx + 3]
+            return w, h, 3, bytes(rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image block")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit stream, code width from
+    ``min_code_size + 1`` growing to 12 bits, CLEAR resets the table,
+    EOI ends the stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} ahead of the table")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+def make_gif_bytes(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Deterministic GIF fixture builder: GIF89a header, global color
+    table from ``palette`` (3 bytes per color, power-of-two padded),
+    one image block whose index stream is written as UNCOMPRESSED LZW
+    (literal codes with periodic CLEARs so the code width never grows)
+    — a real renderable GIF :func:`decode_gif_pixels` round-trips."""
+    import struct
+
+    n_colors = len(palette) // 3
+    depth = max(2, (n_colors - 1).bit_length())
+    table = bytearray(palette) + b"\x00" * (3 * ((1 << depth) - n_colors))
+    mcs = depth
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width_bits = mcs + 1
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    budget = (1 << mcs) - 2  # table slots before a width bump would occur
+    for i, idx in enumerate(indices):
+        if i and i % budget == 0:
+            emit(clear)
+        emit(idx)
+    emit(eoi)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += table
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(mcs)
+    for off in range(0, len(bits), 255):
+        chunk = bits[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def sniff_format(content: bytes) -> str | None:
@@ -398,6 +568,8 @@ def extract_features(
       image stdlib-side and the feature is the normalized 16-bin
       histogram over actual samples (decode errors raise, like any
       codec); non-PNG content raises ``NotImplementedError``;
+    - ``"gif"``: REAL pixels via :func:`decode_gif_pixels` (LZW decode +
+      palette mapping, first frame) — same histogram over the RGB bytes;
     - ``"wav"``: REAL audio — :func:`decode_wav_samples` de-interleaves
       the PCM stream and the feature is the normalized 16-bin AMPLITUDE
       histogram (|sample| // 2048 for 16-bit) — silence lands in bin 0,
@@ -430,6 +602,8 @@ def extract_features(
                     continue
                 if mode == "png":
                     _w, _h, _c, raw = decode_png_pixels(raw)
+                elif mode == "gif":
+                    _w, _h, _c, raw = decode_gif_pixels(raw)
                 elif mode == "strict":
                     decode_image(raw)
                 arr = np.frombuffer(raw, dtype=np.uint8)

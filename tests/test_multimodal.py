@@ -262,3 +262,40 @@ def test_wav_sample_roundtrip_and_audio_feature(spark):
     feats = {r.media_id: r.feature for r in M.extract_features(df, decoder="wav").collect()}
     assert feats["s"][0] == 1.0 and sum(feats["s"][1:]) == 0.0
     assert feats["q"][15] == 1.0 and sum(feats["q"][:15]) == 0.0
+
+
+def test_gif_pixel_roundtrip_and_structure():
+    """decode_gif_pixels inverts the uncompressed-LZW fixture writer
+    (palette-mapped RGB), survives >255-byte data sub-blocks and
+    extension blocks, and raises on interlace."""
+    import random
+
+    rng = random.Random(11)
+    palette = bytes(rng.randrange(256) for _ in range(3 * 5))  # 5 colors
+    w, h = 31, 17  # 527 indices -> multiple 255-byte sub-blocks
+    indices = bytes(rng.randrange(5) for _ in range(w * h))
+    gif = M.make_gif_bytes(w, h, indices, palette)
+    assert M.sniff_format(gif) == "gif" and M.decode_gif_dims(gif) == (w, h)
+    gw, gh, ch, rgb = M.decode_gif_pixels(gif)
+    assert (gw, gh, ch) == (w, h, 3)
+    expect = b"".join(palette[3 * i:3 * i + 3] for i in indices)
+    assert rgb == expect
+
+    # a graphic-control extension before the image block is skipped
+    body = gif[13 + 3 * 8:]  # after header + padded 8-color table
+    with_ext = gif[:13 + 3 * 8] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + body
+    assert M.decode_gif_pixels(with_ext)[3] == expect
+
+    # interlace flag -> NotImplementedError
+    import struct
+    desc_at = with_ext.index(b"\x2c")
+    packed = with_ext[desc_at + 9]
+    inter = (
+        with_ext[:desc_at + 9]
+        + bytes([packed | 0x40])
+        + with_ext[desc_at + 10:]
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        M.decode_gif_pixels(inter)
+    with pytest.raises(ValueError, match="not a GIF"):
+        M.decode_gif_pixels(b"PNG?")
