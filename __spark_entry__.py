@@ -1398,7 +1398,67 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("height"), F.col("sample_rate")).cast("long").alias("b"),
         F.col("duration_ms").cast("long").alias("c"),
     )
-    return plumbing.unionByName(decoded)
+
+    # 'pixels' (r10): the REAL pixel/sample decoders under the hash gate.
+    # Content is synthesized from a pure-integer formula both engines can
+    # evaluate, round-tripped through encode -> decode (PNG exercising
+    # all five scanline filters via doc_id % 5, GIF through the LZW path,
+    # WAV through PCM de-interleaving), and reduced to a position-
+    # weighted checksum — any mis-decoded byte/sample shifts it.  The
+    # oracle computes the same checksum closed-form (no codec in DuckDB).
+    def build_pixels(batches):
+        from architxt_spark.functions.multimodal import (
+            decode_gif_pixels,
+            decode_png_pixels,
+            decode_wav_samples,
+            make_gif_bytes,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 8 + 2, (d * 3) % 6 + 2
+                if d % 3 == 0:
+                    n = w * h * 3
+                    pixels = bytes((d * 31 + i * 7) % 256 for i in range(n))
+                    content = make_png_bytes(
+                        w, h, pixels, color_type=2, filter_type=d % 5
+                    )
+                    vals = list(decode_png_pixels(content)[3])
+                    fmt = "png"
+                elif d % 3 == 1:
+                    palette = bytes((d * 13 + m * 29) % 256 for m in range(12))
+                    indices = bytes((d + i) % 4 for i in range(w * h))
+                    content = make_gif_bytes(w, h, indices, palette)
+                    vals = list(decode_gif_pixels(content)[3])
+                    fmt = "gif"
+                else:
+                    ch = (d // 2) % 2 + 1
+                    frames = d % 50 + 8
+                    samples = [
+                        [((d * 11 + f * 3) % 2001) - 1000 + c for f in range(frames)]
+                        for c in range(ch)
+                    ]
+                    content = make_wav_bytes(ch, 8000, frames, samples=samples)
+                    chans = decode_wav_samples(content)[2]
+                    vals = [s for cvals in chans for s in cvals]
+                    fmt = "wav"
+                checksum = sum(v * (p + 1) for p, v in enumerate(vals))
+                rows.append((str(d), fmt, checksum, len(vals)))
+            yield pd.DataFrame(rows, columns=["media_id", "s", "a", "b"])
+
+    pixels = (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(build_pixels, "media_id string, s string, a long, b long")
+        .select(
+            F.lit("pixels").alias("variant"),
+            "media_id", "s", "a", "b",
+            F.lit(None).cast("long").alias("c"),
+        )
+    )
+    return plumbing.unionByName(decoded).unionByName(pixels)
 
 
 def q_gen_instance(spark: SparkSession, sf: str) -> DataFrame:
@@ -2584,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline",
         "ann_recall",
         "ann_suite",
+        "multimodal_profile",
+        "stream_curate",
         # Entries whose newest driver verdict is round 8 — the ≤2-round
         # rotation contract requires the r10 gate to renew all 32
         "events_sessionize_streaming",
@@ -3494,6 +3556,27 @@ def _oracle_parts() -> dict[str, str]:
                              ELSE 8000 END AS BIGINT),
                    CAST(CASE WHEN doc_id % 2 = 0 THEN NULL
                              ELSE (doc_id % 50 + 1) * 10 END AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'pixels', CAST(doc_id AS VARCHAR),
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END,
+                   CAST(CASE doc_id % 3
+                     WHEN 0 THEN list_sum(list_transform(
+                         range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3),
+                         i -> ((doc_id * 31 + i * 7) % 256) * (i + 1)))
+                     WHEN 1 THEN list_sum(list_transform(
+                         range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3),
+                         j -> ((doc_id * 13 + (3 * ((doc_id + j // 3) % 4) + (j % 3)) * 29) % 256) * (j + 1)))
+                     ELSE list_sum(list_transform(
+                         range(0, ((doc_id // 2) % 2 + 1) * (doc_id % 50 + 8)),
+                         p -> (((doc_id * 11 + (p % (doc_id % 50 + 8)) * 3) % 2001) - 1000
+                               + (p // (doc_id % 50 + 8))) * (p + 1)))
+                   END AS BIGINT),
+                   CAST(CASE doc_id % 3
+                     WHEN 2 THEN ((doc_id // 2) % 2 + 1) * (doc_id % 50 + 8)
+                     ELSE (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3
+                   END AS BIGINT),
+                   CAST(NULL AS BIGINT)
             FROM documents
         """,
         "gen_instance": """

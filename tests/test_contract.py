@@ -32,7 +32,8 @@ def test_rotation_prefix_is_valid_and_first():
     # ann serving-index temp-dir lifecycle), then ALL 32 entries whose
     # newest driver verdict is r8 — the <=2-round rotation contract
     touched = ("rewrite_documents", "sampling_mixture",
-               "curation_pipeline", "ann_recall", "ann_suite")
+               "curation_pipeline", "ann_recall", "ann_suite",
+               "multimodal_profile", "stream_curate")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
     stale_r8 = (
