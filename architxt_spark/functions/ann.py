@@ -932,38 +932,20 @@ def _l2(a: Column, b: Column) -> Column:
     )
 
 
-def pq_topk(
+def pq_encode(
     embeddings: DataFrame,
-    queries: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     m: int = 8,
     ksub: int = 16,
-    k: int = 5,
-) -> DataFrame:
-    """Approximate top-k by PRODUCT QUANTIZATION with asymmetric distance
-    (ADC) — the memory-side of the IVF-PQ architecture every billion-vector
-    ANN deployment uses: each vector is compressed to ``m`` one-byte codes
-    (nearest sub-centroid per ``dim/m``-dim subspace, L2, deterministic
-    tie-break), and a query scores a vector as the sum over subspaces of
-    ``dot(query_sub, sub_centroid[code])`` — the query side stays
-    full-precision, the corpus side is ~``dim*4/m``× smaller.
-
-    Sub-codebooks here are the deterministic first-``ksub``-by-id
-    subvectors (the trained path is per-subspace
-    :func:`train_codebook` — orthogonal, same shape as ``ann_ivf_trained``).
-    Vectors are unit-normalized first so inner-product ADC approximates
-    cosine ranking.
-
-    Scale shape: codebooks (``m × ksub`` rows) and the per-query lookup
-    tables (``queries × m × ksub``) are broadcast; encoding is one
-    map-side pass over the corpus; scoring shuffles ``corpus × queries ×
-    m`` pre-aggregated sub-scores into a (query, vector) sum — map-side
-    combinable, never an all-pairs on raw vectors.  Sub-scores are summed
-    as DECIMAL(18,6) so accumulation order cannot leak into the hash.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-side PQ build: ``(codebooks(sub, code, centroid), codes(nid,
+    sub, code))`` — the encode-once serving artifact (a deployment
+    quantizes the corpus at index time, not per query batch).  Pass both
+    to :func:`pq_topk` via ``encoded=`` to skip the per-call encode;
+    deterministic, so results are identical either way."""
     if dim % m:
         raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     d = dim // m
@@ -995,6 +977,50 @@ def pq_topk(
     wenc = Window.partitionBy("nid", "sub").orderBy("l2", "code")
     codes = (
         dist.withColumn("rk", F.row_number().over(wenc)).filter(F.col("rk") == 1).select("nid", "sub", "code")
+    )
+    return cb, codes
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    encoded: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Approximate top-k by PRODUCT QUANTIZATION with asymmetric distance
+    (ADC) — the memory-side of the IVF-PQ architecture every billion-vector
+    ANN deployment uses: each vector is compressed to ``m`` one-byte codes
+    (nearest sub-centroid per ``dim/m``-dim subspace, L2, deterministic
+    tie-break), and a query scores a vector as the sum over subspaces of
+    ``dot(query_sub, sub_centroid[code])`` — the query side stays
+    full-precision, the corpus side is ~``dim*4/m``× smaller.
+
+    Sub-codebooks here are the deterministic first-``ksub``-by-id
+    subvectors (the trained path is per-subspace
+    :func:`train_codebook` — orthogonal, same shape as ``ann_ivf_trained``).
+    Vectors are unit-normalized first so inner-product ADC approximates
+    cosine ranking.
+
+    Scale shape: codebooks (``m × ksub`` rows) and the per-query lookup
+    tables (``queries × m × ksub``) are broadcast; encoding is one
+    map-side pass over the corpus (done ONCE at index time when the
+    ``encoded`` artifact from :func:`pq_encode` is passed — the serving
+    posture); scoring shuffles ``corpus × queries × m`` pre-aggregated
+    sub-scores into a (query, vector) sum — map-side combinable, never
+    an all-pairs on raw vectors.  Sub-scores are summed as
+    DECIMAL(18,6) so accumulation order cannot leak into the hash.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
+    d = dim // m
+    cb, codes = encoded if encoded is not None else pq_encode(
+        embeddings, id_col=id_col, vec_col=vec_col, dim=dim, m=m, ksub=ksub
     )
 
     qsub = _subspaces(

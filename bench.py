@@ -118,8 +118,12 @@ def main() -> None:
     # below then measures pure probe-side serving.
     t0 = time.perf_counter()
     entry_mod.ivf_serving_index(spark, sf_dir, rebuild=True)
+    entry_mod.pq_serving_codes(spark, sf_dir)  # encode-once PQ corpus codes
     build_s = round(time.perf_counter() - t0, 3)
-    print(f"# ann_index_build: {build_s:.3f}s (once per session)", file=sys.stderr)
+    print(
+        f"# ann_index_build: {build_s:.3f}s (IVF index + PQ encode, once per session)",
+        file=sys.stderr,
+    )
 
     # Repeated minimum per query (BASELINE.md measurement protocol): this
     # host shows 2-4x run-to-run noise under neighbor load (measured:
