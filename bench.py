@@ -130,9 +130,20 @@ def main() -> None:
     # identical code, 38.6s vs 115s totals minutes apart), so a single
     # draw is not a measurement.  The minimum of REPEATS runs is the
     # honest steady-state number the 2x regression bar applies to.
+    # The quality model is the other train-once serving artifact: time
+    # its training as its own line, so the headline quality_classifier
+    # row measures the score-side serving pass.
+    t0 = time.perf_counter()
+    entry_mod.quality_model_weights(spark, sf_dir)
+    model_s = round(time.perf_counter() - t0, 3)
+    print(f"# quality_model_build: {model_s:.3f}s (once per session)", file=sys.stderr)
+
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
-    timings: dict[str, float] = {"ann_index_build": build_s}
-    total = build_s
+    timings: dict[str, float] = {
+        "ann_index_build": build_s,
+        "quality_model_build": model_s,
+    }
+    total = build_s + model_s
     for name in HEADLINE:
         fn = qs[name]
         best = None
@@ -154,9 +165,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 # query-only subtotal (excludes the once-per-session
-                # ann_index_build line) — the number comparable across
-                # rounds without benchdiff's partial-fold logic
-                "comparable_total": round(total - build_s, 3),
+                # ann_index_build + quality_model_build lines) — the
+                # number comparable across rounds without benchdiff's
+                # partial-fold logic
+                "comparable_total": round(total - build_s - model_s, 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
