@@ -67,7 +67,7 @@ def _doc_features(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -
     )
 
 
-def dsir_scores(
+def dsir_ratio_model(
     docs: DataFrame,
     target: DataFrame,
     *,
@@ -76,13 +76,10 @@ def dsir_scores(
     n_buckets: int = N_BUCKETS,
     k: float = SMOOTH_K,
 ) -> DataFrame:
-    """Per-document DSIR importance score of ``docs`` against ``target``.
-
-    Returns ``(id_col, n_feats, dsir_score)``; documents with no features
-    (empty/whitespace text) get ``n_feats = 0`` and NULL score.
-    ``dsir_score`` is the mean per-feature log probability ratio, rounded
-    to 4.
-    """
+    """The bucket-bounded DSIR importance model ``(__b, __lr)``:
+    smoothed log probability ratio per hashed feature bucket of the
+    target slice vs the raw corpus — the fit-once artifact
+    :func:`dsir_scores` broadcasts at scoring time."""
     raw_feats = _doc_features(docs, id_col, text_col, n_buckets)
     tgt_feats = _doc_features(target, id_col, text_col, n_buckets)
 
@@ -100,7 +97,7 @@ def dsir_scores(
     )
 
     # bucket-bounded ratio table: log((ct+k)/(nt+k*B)) - log((cr+k)/(nr+k*B))
-    ratios = (
+    return (
         buckets.crossJoin(F.broadcast(totals))
         .select(
             "__b",
@@ -119,6 +116,34 @@ def dsir_scores(
             .alias("__lr"),
         )
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    k: float = SMOOTH_K,
+    ratios: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance score of ``docs`` against ``target``.
+
+    Returns ``(id_col, n_feats, dsir_score)``; documents with no features
+    (empty/whitespace text) get ``n_feats = 0`` and NULL score.
+    ``dsir_score`` is the mean per-feature log probability ratio, rounded
+    to 4.  ``ratios`` takes a precomputed :func:`dsir_ratio_model` table
+    (the fit-once importance model of Xie et al. — a deployment
+    estimates it per corpus snapshot and scores every batch against it);
+    identical values either way.
+    """
+    raw_feats = _doc_features(docs, id_col, text_col, n_buckets)
+    if ratios is None:
+        ratios = dsir_ratio_model(
+            docs, target, id_col=id_col, text_col=text_col,
+            n_buckets=n_buckets, k=k,
+        )
 
     scored = (
         raw_feats.join(F.broadcast(ratios), "__b")

@@ -130,18 +130,20 @@ def main() -> None:
     # identical code, 38.6s vs 115s totals minutes apart), so a single
     # draw is not a measurement.  The minimum of REPEATS runs is the
     # honest steady-state number the 2x regression bar applies to.
-    # The quality model is the other train-once serving artifact: time
-    # its training as its own line, so the headline quality_classifier
-    # row measures the score-side serving pass.
+    # The trained models are the other once-per-corpus serving artifacts
+    # (perceptron quality weights, DSIR ratio model): time their fits as
+    # one line, so the headline quality_classifier / dsir rows measure
+    # the score-side serving passes.
     t0 = time.perf_counter()
     entry_mod.quality_model_weights(spark, sf_dir)
+    entry_mod.dsir_model(spark, sf_dir)
     model_s = round(time.perf_counter() - t0, 3)
-    print(f"# quality_model_build: {model_s:.3f}s (once per session)", file=sys.stderr)
+    print(f"# model_build: {model_s:.3f}s (quality + DSIR fits, once per session)", file=sys.stderr)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {
         "ann_index_build": build_s,
-        "quality_model_build": model_s,
+        "model_build": model_s,
     }
     total = build_s + model_s
     for name in HEADLINE:
