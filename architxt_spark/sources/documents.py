@@ -317,8 +317,13 @@ def read_document_file(
         # stdlib zipfile + ElementTree (sharedStrings + sheetData walk).
         data = _read_xlsx_stdlib(path)
     elif ext == ".xls":
-        # legacy binary BIFF format genuinely needs a codec library
-        raise NotImplementedError(".xls (binary BIFF) needs xlrd; use .xlsx")
+        # legacy binary BIFF8 reads with the stdlib (OLE2 FAT/mini-FAT +
+        # record walk + CONTINUE-aware SST, ``sources/xls.py``); only
+        # BIFF5 / encrypted / >6.8 MB-DIFAT workbooks still raise with
+        # xlrd guidance
+        from architxt_spark.sources.xls import _read_xls_stdlib
+
+        data = _read_xls_stdlib(path)
     else:
         raise ValueError(f"unsupported document format: {ext}")
 

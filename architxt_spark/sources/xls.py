@@ -1,0 +1,526 @@
+"""Legacy binary ``.xls`` (BIFF8 in an OLE2 compound file) — pure-stdlib
+read path for :func:`architxt_spark.sources.documents.read_document_file`.
+
+The reference parses Excel via pandas/xlrd (``loader/documents.py:22-29``);
+this module reads the common BIFF8 shape with ``struct`` alone so the
+legacy-codec gate only fires for the genuinely exotic cases:
+
+- OLE2/CFB container: header DIFAT (≤109 FAT sectors ≈ 6.8 MB files),
+  FAT chains, directory walk, and the mini-FAT path for workbook
+  streams under the 4096-byte cutoff;
+- BIFF8 workbook: globals substream (``BOUNDSHEET`` sheet index, ``SST``
+  shared strings INCLUDING ``CONTINUE`` spans with per-continuation
+  option flags), then per-sheet cell records — ``LABELSST``, ``LABEL``,
+  ``NUMBER``, ``RK``, ``MULRK``, ``BOOLERR``;
+- raises ``NotImplementedError`` with guidance for BIFF5 (pre-unicode),
+  encrypted workbooks (``FILEPASS``), and DIFAT-chained (>6.8 MB)
+  containers — those genuinely want xlrd.
+
+Output shape matches ``_read_xlsx_stdlib``: ``{sheet: [row dicts]}``,
+first row = header, every value a string.  ``make_xls_bytes`` is the
+fixture-writer twin (real OLE2 + BIFF8 bytes, regular-FAT or
+mini-stream layout) the round-trip tests drive both paths with.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+_FREESECT = 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# OLE2 / CFB container
+# ---------------------------------------------------------------------------
+
+
+def _cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
+    """Extract the first directory stream whose name (case-insensitive)
+    is in ``names`` from an OLE2 compound file."""
+    if data[:8] != _MAGIC:
+        raise ValueError("not an OLE2 compound file (bad magic)")
+    sector_shift, mini_shift = struct.unpack("<HH", data[30:34])
+    ssz, msz = 1 << sector_shift, 1 << mini_shift
+    (n_fat,) = struct.unpack("<I", data[44:48])
+    (first_dir,) = struct.unpack("<I", data[48:52])
+    (mini_cutoff,) = struct.unpack("<I", data[56:60])
+    (first_minifat,) = struct.unpack("<I", data[60:64])
+    (n_difat,) = struct.unpack("<I", data[72:76])
+    if n_difat:
+        raise NotImplementedError(
+            "OLE2 files with DIFAT chains (>6.8 MB) need xlrd; use .xlsx"
+        )
+
+    def sector(i: int) -> bytes:
+        off = 512 + i * ssz
+        return data[off:off + ssz]
+
+    difat = struct.unpack("<109I", data[76:512])
+    fat = b"".join(sector(s) for s in difat[:n_fat] if s != _FREESECT)
+    fat_entries = struct.unpack(f"<{len(fat) // 4}I", fat)
+
+    def chain(start: int) -> bytes:
+        out, s, seen = [], start, set()
+        while s not in (_ENDOFCHAIN, _FREESECT) and s < len(fat_entries):
+            if s in seen:
+                raise ValueError("OLE2 FAT chain cycle")
+            seen.add(s)
+            out.append(sector(s))
+            s = fat_entries[s]
+        return b"".join(out)
+
+    directory = chain(first_dir)
+    entries = []
+    for off in range(0, len(directory) - 127, 128):
+        e = directory[off:off + 128]
+        (name_len,) = struct.unpack("<H", e[64:66])
+        if not 2 <= name_len <= 64:
+            continue
+        name = e[:name_len - 2].decode("utf-16-le", errors="replace")
+        etype = e[66]
+        (start,) = struct.unpack("<I", e[116:120])
+        (size,) = struct.unpack("<I", e[120:124])
+        entries.append((name, etype, start, size))
+
+    root = next((e for e in entries if e[1] == 5), None)
+    target = next(
+        (e for e in entries if e[1] == 2 and e[0].lower() in names), None
+    )
+    if target is None:
+        raise ValueError(f"OLE2 file has no stream named any of {names}")
+    _, _, start, size = target
+
+    if size >= mini_cutoff:
+        return chain(start)[:size]
+    # mini-stream path: the root entry's chain is the container; the
+    # mini-FAT (its own regular chain) maps 64-byte mini sectors
+    if root is None or first_minifat in (_ENDOFCHAIN, _FREESECT):
+        raise ValueError("mini stream without a mini FAT")
+    container = chain(root[2])
+    minifat = chain(first_minifat)
+    mini_entries = struct.unpack(f"<{len(minifat) // 4}I", minifat)
+    out, s, seen = [], start, set()
+    while s not in (_ENDOFCHAIN, _FREESECT) and s < len(mini_entries):
+        if s in seen:
+            raise ValueError("OLE2 mini-FAT chain cycle")
+        seen.add(s)
+        out.append(container[s * msz:(s + 1) * msz])
+        s = mini_entries[s]
+    return b"".join(out)[:size]
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 records
+# ---------------------------------------------------------------------------
+
+
+def _records(stream: bytes, pos: int = 0):
+    while pos + 4 <= len(stream):
+        opcode, length = struct.unpack("<HH", stream[pos:pos + 4])
+        yield opcode, stream[pos + 4:pos + 4 + length], pos
+        pos += 4 + length
+
+
+class _SstCursor:
+    """Byte cursor over SST + CONTINUE record bodies: plain reads span
+    record boundaries transparently; character reads re-read the
+    per-continuation option byte at each boundary (MS-XLS 2.5.293)."""
+
+    def __init__(self, bodies: list[bytes]):
+        self.bodies = bodies
+        self.ri = 0
+        self.off = 0
+
+    def _advance(self) -> None:
+        while self.ri < len(self.bodies) and self.off >= len(self.bodies[self.ri]):
+            self.ri += 1
+            self.off = 0
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n:
+            self._advance()
+            if self.ri >= len(self.bodies):
+                raise ValueError("SST ended mid-field")
+            chunk = self.bodies[self.ri][self.off:self.off + n]
+            out += chunk
+            self.off += len(chunk)
+            n -= len(chunk)
+        return bytes(out)
+
+    def u8(self) -> int:
+        return self.read(1)[0]
+
+    def u16(self) -> int:
+        return struct.unpack("<H", self.read(2))[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.read(4))[0]
+
+    def chars(self, cch: int, compressed: bool) -> str:
+        parts = []
+        while cch:
+            self._advance()
+            if self.ri >= len(self.bodies):
+                raise ValueError("SST ended mid-string")
+            avail = len(self.bodies[self.ri]) - self.off
+            if avail == 0:
+                continue
+            if parts and self.off == 0:
+                # a string continuing into a CONTINUE record starts with
+                # a fresh compression flag byte
+                compressed = not (self.u8() & 1)
+                avail -= 1
+            per = 1 if compressed else 2
+            take = min(cch, avail // per)
+            if take == 0:
+                raise NotImplementedError(
+                    "SST splits a character across CONTINUE records; use xlrd"
+                )
+            raw = self.read(take * per)
+            parts.append(raw.decode("latin-1" if compressed else "utf-16-le"))
+            cch -= take
+        return "".join(parts)
+
+
+def _read_sst(bodies: list[bytes]) -> list[str]:
+    cur = _SstCursor(bodies)
+    cur.u32()  # total refs
+    unique = cur.u32()
+    out = []
+    for _ in range(unique):
+        cch = cur.u16()
+        grbit = cur.u8()
+        rich = cur.u16() if grbit & 0x08 else 0
+        ext = cur.u32() if grbit & 0x04 else 0
+        out.append(cur.chars(cch, not (grbit & 0x01)))
+        cur.read(rich * 4 + ext)  # formatting runs / phonetic data
+    return out
+
+
+def _short_unicode(body: bytes, off: int) -> tuple[str, int]:
+    """BIFF8 ShortXLUnicodeString (8-bit length) — sheet names."""
+    cch, grbit = body[off], body[off + 1]
+    off += 2
+    if grbit & 0x01:
+        return body[off:off + 2 * cch].decode("utf-16-le"), off + 2 * cch
+    return body[off:off + cch].decode("latin-1"), off + cch
+
+
+def _long_unicode(body: bytes, off: int) -> tuple[str, int]:
+    """BIFF8 XLUnicodeString (16-bit length) — inline LABEL cells."""
+    (cch,) = struct.unpack("<H", body[off:off + 2])
+    grbit = body[off + 2]
+    off += 3
+    rich = 0
+    ext = 0
+    if grbit & 0x08:
+        (rich,) = struct.unpack("<H", body[off:off + 2])
+        off += 2
+    if grbit & 0x04:
+        (ext,) = struct.unpack("<I", body[off:off + 4])
+        off += 4
+    if grbit & 0x01:
+        s = body[off:off + 2 * cch].decode("utf-16-le")
+        off += 2 * cch
+    else:
+        s = body[off:off + cch].decode("latin-1")
+        off += cch
+    return s, off + rich * 4 + ext
+
+
+def _rk_value(rk: int) -> float:
+    v = rk >> 2
+    if rk & 0x02:  # 30-bit signed integer
+        if v & 0x20000000:
+            v -= 0x40000000
+        num = float(v)
+    else:  # high 30 bits of an IEEE double
+        (num,) = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))
+    return num / 100.0 if rk & 0x01 else num
+
+
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def _read_xls_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
+    """Read a BIFF8 ``.xls`` into ``{sheet: [row dicts]}`` (first row =
+    header, values as strings) — the `_read_xlsx_stdlib` output shape."""
+    with open(path, "rb") as f:
+        data = f.read()
+    wb = _cfb_stream(data, ("workbook", "book"))
+
+    # globals substream: version gate, sheet index, shared strings
+    sheets: list[tuple[str, int]] = []
+    sst: list[str] = []
+    sst_bodies: list[bytes] | None = None
+    for opcode, body, _pos in _records(wb):
+        if opcode == 0x0809 and len(body) >= 4:
+            ver, dt = struct.unpack("<HH", body[:4])
+            if dt == 0x0005 and ver != 0x0600:
+                raise NotImplementedError(
+                    f"BIFF version 0x{ver:04x} (pre-BIFF8) needs xlrd; use .xlsx"
+                )
+        elif opcode == 0x002F:  # FILEPASS
+            raise NotImplementedError("encrypted .xls needs xlrd")
+        elif opcode == 0x0085:  # BOUNDSHEET
+            (offset,) = struct.unpack("<I", body[:4])
+            name, _ = _short_unicode(body, 6)
+            sheets.append((name, offset))
+        elif opcode == 0x00FC:  # SST (+ following CONTINUEs)
+            sst_bodies = [body]
+        elif opcode == 0x003C and sst_bodies is not None:
+            sst_bodies.append(body)
+        elif sst_bodies is not None and opcode not in (0x00FC, 0x003C):
+            sst = _read_sst(sst_bodies)
+            sst_bodies = None
+        if opcode == 0x000A:  # EOF of the globals substream
+            break
+    if sst_bodies is not None:
+        sst = _read_sst(sst_bodies)
+
+    out: dict[str, list[dict[str, str]]] = {}
+    for name, offset in sheets:
+        cells: dict[int, dict[int, str]] = {}
+
+        def put(row: int, col: int, val: str) -> None:
+            cells.setdefault(row, {})[col] = val
+
+        for opcode, body, _pos in _records(wb, offset):
+            if opcode == 0x000A:  # sheet EOF
+                break
+            if opcode == 0x00FD:  # LABELSST
+                row, col, _ixfe, isst = struct.unpack("<HHHI", body[:10])
+                put(row, col, sst[isst])
+            elif opcode == 0x0203:  # NUMBER
+                row, col, _ixfe = struct.unpack("<HHH", body[:6])
+                (num,) = struct.unpack("<d", body[6:14])
+                put(row, col, _fmt_num(num))
+            elif opcode == 0x027E:  # RK
+                row, col, _ixfe, rk = struct.unpack("<HHHI", body[:10])
+                put(row, col, _fmt_num(_rk_value(rk)))
+            elif opcode == 0x00BD:  # MULRK
+                row, col0 = struct.unpack("<HH", body[:4])
+                n = (len(body) - 6) // 6
+                for i in range(n):
+                    (rk,) = struct.unpack("<I", body[6 + 6 * i:10 + 6 * i])
+                    put(row, col0 + i, _fmt_num(_rk_value(rk)))
+            elif opcode == 0x0204:  # LABEL (inline string)
+                row, col, _ixfe = struct.unpack("<HHH", body[:6])
+                s, _ = _long_unicode(body, 6)
+                put(row, col, s)
+            elif opcode == 0x0205:  # BOOLERR
+                row, col, _ixfe = struct.unpack("<HHH", body[:6])
+                if body[7] == 0:  # boolean (1 would be an error code)
+                    put(row, col, str(body[6] == 1))
+
+        ordered = [cells[r] for r in sorted(cells)]
+        if not ordered:
+            out[name] = []
+            continue
+        header = ordered[0]
+        out[name] = [
+            {header[i]: v for i, v in r.items() if i in header}
+            for r in ordered[1:]
+        ]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (real OLE2 + BIFF8 bytes; round-trip twin for tests)
+# ---------------------------------------------------------------------------
+
+
+def _biff_string_cells(rows: list[list]) -> tuple[list[str], list[tuple[int, int, object]]]:
+    strings: list[str] = []
+    seen: dict[str, int] = {}
+    cells: list[tuple[int, int, object]] = []
+    for r, row in enumerate(rows):
+        for c, v in enumerate(row):
+            if v is None:
+                continue
+            if isinstance(v, str):
+                if v not in seen:
+                    seen[v] = len(strings)
+                    strings.append(v)
+                cells.append((r, c, ("s", seen[v])))
+            elif isinstance(v, bool):
+                cells.append((r, c, ("b", v)))
+            else:
+                cells.append((r, c, ("n", float(v))))
+    return strings, cells
+
+
+def make_xls_bytes(
+    sheets: dict[str, list[list]],
+    *,
+    mini: bool = False,
+    sst_continue_at: int | None = None,
+) -> bytes:
+    """Serialize ``{sheet: [[cell, ...], ...]}`` into a real BIFF8 ``.xls``
+    (OLE2 container + Workbook stream).  ``mini=True`` stores the
+    workbook in the mini stream (the <4096-byte layout), exercising the
+    reader's mini-FAT path; ``sst_continue_at`` splits the SST into a
+    CONTINUE record after that many strings (the spanning layout big
+    shared-string tables use)."""
+    import io
+
+    all_strings: list[str] = []
+    soffsets: dict[str, int] = {}
+    per_sheet: list[tuple[str, list[tuple[int, int, object]]]] = []
+    for name, rows in sheets.items():
+        strings, cells = _biff_string_cells(rows)
+        remap = {}
+        for s in strings:
+            if s not in soffsets:
+                soffsets[s] = len(all_strings)
+                all_strings.append(s)
+        remap = soffsets
+        cells = [
+            (r, c, ("s", remap[strings[i]]) if kind == "s" else (kind, i))
+            for r, c, (kind, i) in cells
+        ]
+        per_sheet.append((name, cells))
+
+    def rec(op: int, body: bytes) -> bytes:
+        return struct.pack("<HH", op, len(body)) + body
+
+    def ustr(s: str, short: bool) -> bytes:
+        enc = s.encode("latin-1", errors="strict") if all(ord(ch) < 256 for ch in s) else None
+        if enc is not None:
+            head = struct.pack("<B", len(s)) if short else struct.pack("<H", len(s))
+            return head + b"\x00" + enc
+        head = struct.pack("<B", len(s)) if short else struct.pack("<H", len(s))
+        return head + b"\x01" + s.encode("utf-16-le")
+
+    # sheet substreams
+    sheet_blobs: list[bytes] = []
+    for name, cells in per_sheet:
+        b = io.BytesIO()
+        b.write(rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)))
+        for r, c, (kind, v) in cells:
+            if kind == "s":
+                b.write(rec(0x00FD, struct.pack("<HHHI", r, c, 0, v)))
+            elif kind == "b":
+                b.write(rec(0x0205, struct.pack("<HHHBB", r, c, 0, 1 if v else 0, 0)))
+            else:
+                b.write(rec(0x0203, struct.pack("<HHHd", r, c, 0, v)))
+        b.write(rec(0x000A, b""))
+        sheet_blobs.append(b.getvalue())
+
+    # globals substream (two-pass for BOUNDSHEET offsets)
+    def globals_blob(offsets: list[int]) -> bytes:
+        g = io.BytesIO()
+        g.write(rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0)))
+        total_refs = sum(
+            1 for _, cells in per_sheet for _, _, (k, _v) in cells if k == "s"
+        )
+        head = struct.pack("<II", total_refs, len(all_strings))
+        encoded = [ustr(s, short=False) for s in all_strings]
+        if sst_continue_at is None or sst_continue_at >= len(encoded):
+            g.write(rec(0x00FC, head + b"".join(encoded)))
+        else:
+            g.write(rec(0x00FC, head + b"".join(encoded[:sst_continue_at])))
+            g.write(rec(0x003C, b"".join(encoded[sst_continue_at:])))
+        for (name, _), off in zip(per_sheet, offsets):
+            g.write(rec(0x0085, struct.pack("<IBB", off, 0, 0) + ustr(name, short=True)))
+        g.write(rec(0x000A, b""))
+        return g.getvalue()
+
+    glen = len(globals_blob([0] * len(per_sheet)))
+    offsets = []
+    pos = glen
+    for blob in sheet_blobs:
+        offsets.append(pos)
+        pos += len(blob)
+    workbook = globals_blob(offsets) + b"".join(sheet_blobs)
+    assert len(globals_blob(offsets)) == glen  # offsets don't change lengths
+
+    return _wrap_ole2(workbook, mini=mini)
+
+
+def _wrap_ole2(stream: bytes, *, mini: bool) -> bytes:
+    """Minimal compliant OLE2 container holding one 'Workbook' stream —
+    regular-FAT layout, or the mini-stream layout when ``mini`` (stream
+    must then be <4096 bytes)."""
+    if mini and len(stream) >= 4096:
+        raise ValueError("mini layout requires a <4096-byte stream")
+    if not mini and len(stream) < 4096:
+        stream = stream + b"\x00" * (4096 - len(stream))  # past the cutoff;
+        # readers stop at the substream EOF records, padding is inert
+
+    def dir_entry(name: str, etype: int, start: int, size: int, child: int = 0xFFFFFFFF) -> bytes:
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[0:len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw))
+        e[66] = etype
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<I", e, 120, size)
+        return bytes(e)
+
+    sectors: list[bytes] = []
+
+    def pad(b: bytes, size: int = 512) -> bytes:
+        return b + b"\x00" * (-len(b) % size)
+
+    if mini:
+        n_mini = -(-len(stream) // 64)
+        container = pad(stream, 64)
+        n_cont = -(-len(container) // 512)
+        # layout: 0=FAT, 1=dir, 2=miniFAT, 3..=container
+        fat = [_FATSECT, _ENDOFCHAIN, _ENDOFCHAIN]
+        for i in range(n_cont):
+            fat.append(3 + i + 1 if i + 1 < n_cont else _ENDOFCHAIN)
+        minifat = [i + 1 if i + 1 < n_mini else _ENDOFCHAIN for i in range(n_mini)]
+        sectors.append(pad(struct.pack(f"<{len(fat)}I", *fat) + b"\xff" * (512 - 4 * len(fat))))
+        directory = (
+            dir_entry("Root Entry", 5, 3, n_mini * 64, child=1)
+            + dir_entry("Workbook", 2, 0, len(stream))
+            + b"\x00" * 256
+        )
+        sectors.append(pad(directory))
+        sectors.append(pad(struct.pack(f"<{len(minifat)}I", *minifat) + b"\xff" * (512 - 4 * len(minifat))))
+        sectors.append(pad(container))
+        first_minifat, n_minifat = 2, 1
+    else:
+        content = pad(stream)
+        n_str = len(content) // 512
+        # layout: 0=FAT, 1=dir, 2..=stream
+        fat = [_FATSECT, _ENDOFCHAIN]
+        for i in range(n_str):
+            fat.append(2 + i + 1 if i + 1 < n_str else _ENDOFCHAIN)
+        if len(fat) > 128:
+            raise ValueError("fixture writer supports one FAT sector (~64 KB)")
+        sectors.append(pad(struct.pack(f"<{len(fat)}I", *fat) + b"\xff" * (512 - 4 * len(fat))))
+        directory = (
+            dir_entry("Root Entry", 5, _ENDOFCHAIN, 0, child=1)
+            + dir_entry("Workbook", 2, 2, len(stream))
+            + b"\x00" * 256
+        )
+        sectors.append(pad(directory))
+        sectors.append(content)
+        first_minifat, n_minifat = _ENDOFCHAIN, 0
+
+    header = bytearray(512)
+    header[0:8] = _MAGIC
+    struct.pack_into("<H", header, 24, 0x003E)  # minor
+    struct.pack_into("<H", header, 26, 0x0003)  # major (512-byte sectors)
+    struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
+    struct.pack_into("<H", header, 30, 9)       # sector shift
+    struct.pack_into("<H", header, 32, 6)       # mini sector shift
+    struct.pack_into("<I", header, 44, 1)       # one FAT sector
+    struct.pack_into("<I", header, 48, 1)       # first directory sector
+    struct.pack_into("<I", header, 56, 4096)    # mini cutoff
+    struct.pack_into("<I", header, 60, first_minifat)
+    struct.pack_into("<I", header, 64, n_minifat)
+    struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # no DIFAT chain
+    difat = [0] + [_FREESECT] * 108
+    struct.pack_into("<109I", header, 76, *difat)
+    return bytes(header) + b"".join(sectors)

@@ -351,13 +351,14 @@ def test_read_document_file_xlsx_cell_types_and_sparse_rows(spark, tmp_path):
     assert dave_ok.count() == 0
 
 
-def test_read_document_file_xls_gated(spark, tmp_path):
-    """Legacy binary .xls genuinely needs xlrd — documented gate."""
+def test_read_document_file_xls_corrupt_raises(spark, tmp_path):
+    """.xls now reads with the stdlib BIFF8 parser (r10, sources/xls.py,
+    tests/test_xls.py); a corrupt container still fails loudly."""
     import pytest
 
     from architxt_spark.sources.documents import read_document_file
 
     p = tmp_path / "doc.xls"
-    p.write_bytes(b"\xd0\xcf\x11\xe0 legacy biff")
-    with pytest.raises(NotImplementedError, match="xls"):
+    p.write_bytes(b"\xd0\xcf\x11\xe0 legacy biff")  # magic but no body
+    with pytest.raises(ValueError, match="OLE2"):
         read_document_file(spark, str(p))

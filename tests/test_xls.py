@@ -1,0 +1,147 @@
+"""Legacy .xls (OLE2 + BIFF8) stdlib reader (sources/xls.py): container
+layouts, SST continuation, cell record types, and the read_document_file
+integration."""
+
+import struct
+
+import pytest
+
+from architxt_spark.sources.xls import (
+    _read_sst,
+    _read_xls_stdlib,
+    make_xls_bytes,
+)
+
+SHEETS = {
+    "People": [
+        ["name", "age", "active", "score"],
+        ["Alice", 30, True, 91.5],
+        ["Bob", 25, False, 3],
+        ["Łukasz", 40, True, -12.25],  # forces a UTF-16 SST entry
+    ],
+    "Cities": [
+        ["city", "zip"],
+        ["Paris", 75001],
+    ],
+}
+
+EXPECT_PEOPLE = [
+    {"name": "Alice", "age": "30", "active": "True", "score": "91.5"},
+    {"name": "Bob", "age": "25", "active": "False", "score": "3"},
+    {"name": "Łukasz", "age": "40", "active": "True", "score": "-12.25"},
+]
+
+
+@pytest.mark.parametrize("mini", [False, True])
+@pytest.mark.parametrize("cont", [None, 2])
+def test_xls_roundtrip_all_container_layouts(tmp_path, mini, cont):
+    """Regular-FAT and mini-stream OLE2 layouts, SST with and without a
+    CONTINUE split, multi-sheet, unicode + bool + number cells."""
+    p = tmp_path / "f.xls"
+    p.write_bytes(make_xls_bytes(SHEETS, mini=mini, sst_continue_at=cont))
+    got = _read_xls_stdlib(str(p))
+    assert got["People"] == EXPECT_PEOPLE
+    assert got["Cities"] == [{"city": "Paris", "zip": "75001"}]
+
+
+def test_sst_continue_mid_string():
+    """A string whose characters span the SST/CONTINUE boundary restarts
+    with a fresh compression flag — the MS-XLS 2.5.293 contract."""
+    # SST: 1 ref, 1 unique string "abcdef"; 'abc' in the SST body
+    # (compressed), 'def' in the CONTINUE as utf-16 (flag flips)
+    body1 = struct.pack("<II", 1, 1) + struct.pack("<HB", 6, 0) + b"abc"
+    body2 = b"\x01" + "def".encode("utf-16-le")
+    assert _read_sst([body1, body2]) == ["abcdef"]
+
+
+def test_xls_rk_and_mulrk_and_label(tmp_path):
+    """Hand-built sheet records: RK (int, x100, float), MULRK run, and an
+    inline LABEL cell all decode."""
+    from architxt_spark.sources.xls import _wrap_ole2
+
+    def rec(op, body):
+        return struct.pack("<HH", op, len(body)) + body
+
+    def rk_int(v):
+        return ((v & 0x3FFFFFFF) << 2) | 0x02
+
+    def rk_f100(v100):  # integer stored as value*100 with the div flag
+        return ((v100 & 0x3FFFFFFF) << 2) | 0x03
+
+    def rk_double(f):
+        (bits,) = struct.unpack("<Q", struct.pack("<d", f))
+        return (bits >> 32) & 0xFFFFFFFC
+
+    sheet = (
+        rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        # header row via inline LABELs
+        + rec(0x0204, struct.pack("<HHH", 0, 0, 0) + struct.pack("<HB", 1, 0) + b"a")
+        + rec(0x0204, struct.pack("<HHH", 0, 1, 0) + struct.pack("<HB", 1, 0) + b"b")
+        + rec(0x0204, struct.pack("<HHH", 0, 2, 0) + struct.pack("<HB", 1, 0) + b"c")
+        + rec(0x0204, struct.pack("<HHH", 0, 3, 0) + struct.pack("<HB", 1, 0) + b"d")
+        + rec(0x027E, struct.pack("<HHHI", 1, 0, 0, rk_int(7)))
+        + rec(0x027E, struct.pack("<HHHI", 1, 1, 0, rk_f100(1234)))  # 12.34
+        + rec(0x00BD, struct.pack("<HH", 1, 2)
+              + struct.pack("<HI", 0, rk_double(2.5))
+              + struct.pack("<HI", 0, rk_int(-5))
+              + struct.pack("<H", 3))
+        + rec(0x000A, b"")
+    )
+    glen_probe = None
+    def globals_blob(off):
+        return (
+            rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+            + rec(0x0085, struct.pack("<IBB", off, 0, 0) + struct.pack("<BB", 1, 0) + b"S")
+            + rec(0x000A, b"")
+        )
+    glen = len(globals_blob(0))
+    wb = globals_blob(glen) + sheet
+    p = tmp_path / "rk.xls"
+    p.write_bytes(_wrap_ole2(wb, mini=False))
+    got = _read_xls_stdlib(str(p))
+    assert got["S"] == [{"a": "7", "b": "12.34", "c": "2.5", "d": "-5"}]
+
+
+def test_xls_gates_raise_with_guidance(tmp_path):
+    from architxt_spark.sources.xls import _wrap_ole2
+
+    def rec(op, body):
+        return struct.pack("<HH", op, len(body)) + body
+
+    # BIFF5 workbook BOF
+    wb5 = rec(0x0809, struct.pack("<HHHHII", 0x0500, 0x0005, 0, 0, 0, 0)) + rec(0x000A, b"")
+    p5 = tmp_path / "b5.xls"
+    p5.write_bytes(_wrap_ole2(wb5, mini=False))
+    with pytest.raises(NotImplementedError, match="BIFF"):
+        _read_xls_stdlib(str(p5))
+
+    # encrypted workbook (FILEPASS)
+    wbe = (
+        rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + rec(0x002F, b"\x00\x00")
+        + rec(0x000A, b"")
+    )
+    pe = tmp_path / "enc.xls"
+    pe.write_bytes(_wrap_ole2(wbe, mini=False))
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        _read_xls_stdlib(str(pe))
+
+    # not an OLE2 file at all
+    pz = tmp_path / "z.xls"
+    pz.write_bytes(b"PK\x03\x04 not ole2")
+    with pytest.raises(ValueError, match="OLE2"):
+        _read_xls_stdlib(str(pz))
+
+
+def test_read_document_file_xls_end_to_end(spark, tmp_path):
+    """The documents loader builds the same forest from .xls as the
+    meta-model path does for any other format."""
+    from architxt_spark.sources.documents import read_document_file
+    from architxt_spark.trees import rows_to_trees
+
+    p = tmp_path / "people.xls"
+    p.write_bytes(make_xls_bytes(SHEETS))
+    nodes = read_document_file(spark, str(p))
+    trees = rows_to_trees([r.asDict(recursive=True) for r in nodes.collect()])
+    text = " ".join(str(t) for t in trees.values())
+    assert "Alice" in text and "Paris" in text and "75001" in text
