@@ -1430,6 +1430,10 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
     # weighted checksum — any mis-decoded byte/sample shifts it.  The
     # oracle computes the same checksum closed-form (no codec in DuckDB).
     def build_pixels(batches):
+        from architxt_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+            make_jpeg_bytes,
+        )
         from architxt_spark.functions.multimodal import (
             decode_gif_pixels,
             decode_png_pixels,
@@ -1442,7 +1446,7 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 w, h = d % 8 + 2, (d * 3) % 6 + 2
-                if d % 3 == 0:
+                if d % 4 == 0:
                     n = w * h * 3
                     pixels = bytes((d * 31 + i * 7) % 256 for i in range(n))
                     content = make_png_bytes(
@@ -1450,12 +1454,25 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                     )
                     vals = list(decode_png_pixels(content)[3])
                     fmt = "png"
-                elif d % 3 == 1:
+                elif d % 4 == 1:
                     palette = bytes((d * 13 + m * 29) % 256 for m in range(12))
                     indices = bytes((d + i) % 4 for i in range(w * h))
                     content = make_gif_bytes(w, h, indices, palette)
                     vals = list(decode_gif_pixels(content)[3])
                     fmt = "gif"
+                elif d % 4 == 2:
+                    # grayscale constant 8x8 blocks: the DC-only JPEG
+                    # path is bit-exact, so the decoded pixels equal the
+                    # formula both engines evaluate
+                    bx, by = d % 3 + 1, d % 2 + 1
+                    jw, jh = 8 * bx, 8 * by
+                    img = bytes(
+                        (d * 37 + (((p // jw) // 8) * bx + ((p % jw) // 8)) * 11) % 256
+                        for p in range(jw * jh)
+                    )
+                    content = make_jpeg_bytes(jw, jh, img, channels=1)
+                    vals = list(decode_jpeg_pixels(content)[3])
+                    fmt = "jpeg"
                 else:
                     ch = (d // 2) % 2 + 1
                     frames = d % 50 + 8
@@ -3626,21 +3643,28 @@ def _oracle_parts() -> dict[str, str]:
             FROM documents
             UNION ALL
             SELECT 'pixels', CAST(doc_id AS VARCHAR),
-                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END,
-                   CAST(CASE doc_id % 3
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                        WHEN 2 THEN 'jpeg' ELSE 'wav' END,
+                   CAST(CASE doc_id % 4
                      WHEN 0 THEN list_sum(list_transform(
                          range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3),
                          i -> ((doc_id * 31 + i * 7) % 256) * (i + 1)))
                      WHEN 1 THEN list_sum(list_transform(
                          range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3),
                          j -> ((doc_id * 13 + (3 * ((doc_id + j // 3) % 4) + (j % 3)) * 29) % 256) * (j + 1)))
+                     WHEN 2 THEN list_sum(list_transform(
+                         range(0, 64 * (doc_id % 3 + 1) * (doc_id % 2 + 1)),
+                         p -> ((doc_id * 37
+                                + (((p // (8 * (doc_id % 3 + 1))) // 8) * (doc_id % 3 + 1)
+                                   + ((p % (8 * (doc_id % 3 + 1))) // 8)) * 11) % 256) * (p + 1)))
                      ELSE list_sum(list_transform(
                          range(0, ((doc_id // 2) % 2 + 1) * (doc_id % 50 + 8)),
                          p -> (((doc_id * 11 + (p % (doc_id % 50 + 8)) * 3) % 2001) - 1000
                                + (p // (doc_id % 50 + 8))) * (p + 1)))
                    END AS BIGINT),
-                   CAST(CASE doc_id % 3
-                     WHEN 2 THEN ((doc_id // 2) % 2 + 1) * (doc_id % 50 + 8)
+                   CAST(CASE doc_id % 4
+                     WHEN 2 THEN 64 * (doc_id % 3 + 1) * (doc_id % 2 + 1)
+                     WHEN 3 THEN ((doc_id // 2) % 2 + 1) * (doc_id % 50 + 8)
                      ELSE (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3
                    END AS BIGINT),
                    CAST(NULL AS BIGINT)

@@ -1,0 +1,488 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) pixel codec —
+pure Python + numpy, no Pillow.
+
+Completes the real-pixel story for the three stdlib-dimension formats
+(PNG/GIF in ``multimodal.py``, JPEG here): ``decode_jpeg_pixels``
+handles the baseline sequential shape — 8-bit precision, Huffman
+entropy coding read from the file's own DHT segments (any valid
+tables, not just Annex K), 1- or 3-component scans, arbitrary
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 by replication upsampling),
+restart markers.  Progressive (SOF2), arithmetic coding, 12-bit and
+16-bit quantization tables raise ``NotImplementedError`` with
+guidance — those genuinely want libjpeg.
+
+``make_jpeg_bytes`` is the encoder twin for round-trip tests: forward
+DCT + flat quantization + canonical single-length Huffman tables it
+declares in its own DHT segments.  JPEG is lossy, but constant 8×8
+blocks survive the DC-only path bit-exactly, so the tests get exact
+assertions where exactness is mathematically guaranteed and bounded
+tolerance on gradients.
+
+Scale posture: like the PNG/GIF decoders this runs per-row inside the
+Arrow boundary (``extract_features(decoder="jpeg")``); the numpy DCT
+is batched over all blocks of an image at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: zigzag scan order as (row, col) pairs; the flat row-major prefix is
+#: pinned by a test against the canonical published sequence
+ZIGZAG: list[tuple[int, int]] = []
+for _s in range(15):
+    _rows = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in (_rows if _s % 2 else reversed(_rows)):
+        ZIGZAG.append((_r, _s - _r))
+
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _blocks_idct(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficient blocks → (n, 8, 8) samples."""
+    return np.einsum("ki,nkl,lj->nij", _DCT, coefs, _DCT) + 128.0
+
+
+def _blocks_dct(samples: np.ndarray) -> np.ndarray:
+    return np.einsum("ik,nkl,jl->nij", _DCT, samples - 128.0, _DCT)
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader: un-stuffs 0xFF00, surfaces
+    RSTn markers at byte boundaries, stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if not self.n:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self, expect: int) -> None:
+        """Consume padding + the RSTn marker at a restart boundary."""
+        self.acc = self.n = 0
+        while self.data[self.pos] != 0xFF:
+            self.pos += 1  # pad bits rendered as full bytes
+        marker = self.data[self.pos + 1]
+        if marker != 0xD0 + (expect & 7):
+            raise ValueError(f"expected RST{expect & 7}, found 0x{marker:02x}")
+        self.pos += 2
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _build_huffman(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    it = iter(symbols)
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = next(it)
+            code += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JPEG to ``(width, height, channels,
+    raw)`` — row-major samples, grayscale (1) or RGB (3)."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart = 0
+    pos = 2
+    n = len(content)
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            raise ValueError("lost JPEG marker sync")
+        marker = content[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", content[pos + 2:pos + 4])
+        body = content[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq:
+                    raise NotImplementedError(
+                        "16-bit quantization tables need libjpeg"
+                    )
+                tbl = np.zeros((8, 8))
+                for i, (rr, cc) in enumerate(ZIGZAG):
+                    tbl[rr, cc] = body[off + 1 + i]
+                qt[tq] = tbl
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1:off + 17])
+                cnt = sum(bits)
+                symbols = list(body[off + 17:off + 17 + cnt])
+                huff[(tc, th)] = _build_huffman(bits, symbols)
+                off += 17 + cnt
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG needs libjpeg")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential Huffman JPEG (SOF0) decodes "
+                "without libjpeg (progressive/arithmetic/lossless found)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG scan before SOF0")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            return _decode_scan(content, pos, frame, scan, qt, huff, restart)
+    raise ValueError("JPEG without a scan")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    comp_info = []
+    for cid, ch, cv, tq in comps:
+        dc_id, ac_id = next((d, a) for cs, d, a in scan if cs == cid)
+        grid = np.zeros((mcus_y * cv, mcus_x * ch, 8, 8))
+        comp_info.append(
+            dict(ch=ch, cv=cv, q=qt[tq], dc=huff[(0, dc_id)],
+                 ac=huff[(1, ac_id)], grid=grid, pred=0)
+        )
+
+    r = _BitReader(data, pos)
+    rst = 0
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                r.align_restart(rst)
+                rst = (rst + 1) & 7
+                for ci in comp_info:
+                    ci["pred"] = 0
+            for ci in comp_info:
+                for by in range(ci["cv"]):
+                    for bx in range(ci["ch"]):
+                        blk = np.zeros(64)
+                        s = _decode_symbol(r, ci["dc"])
+                        diff = _extend(r.bits(s), s) if s else 0
+                        ci["pred"] += diff
+                        blk[0] = ci["pred"]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_symbol(r, ci["ac"])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(r.bits(size), size)
+                            k += 1
+                        b8 = np.zeros((8, 8))
+                        for i, (rr, cc) in enumerate(ZIGZAG):
+                            b8[rr, cc] = blk[i]
+                        ci["grid"][my * ci["cv"] + by, mx * ci["ch"] + bx] = b8
+            mcu += 1
+
+    planes = []
+    for ci in comp_info:
+        gy, gx = ci["grid"].shape[:2]
+        blocks = ci["grid"].reshape(gy * gx, 8, 8) * ci["q"]
+        spat = _blocks_idct(blocks).reshape(gy, gx, 8, 8)
+        plane = spat.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // ci["cv"], axis=0), hmax // ci["ch"], axis=1
+        )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# encoder twin (fixtures / round-trip tests)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _canonical_table(symbols: list[int]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """Single-length canonical Huffman over the USED symbol set (valid
+    JPEG: the all-ones code stays unused because n < 2^L)."""
+    syms = sorted(set(symbols)) or [0]
+    length = max(2, (len(syms)).bit_length())
+    if len(syms) >= (1 << length):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    enc = {s: (length, i) for i, s in enumerate(syms)}
+    return bits, syms, enc
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def make_jpeg_bytes(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    channels: int = 1,
+    subsampling: str = "444",
+    quant: int = 16,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode raw samples (gray or RGB, row-major) as a baseline
+    sequential JPEG — the :func:`decode_jpeg_pixels` round-trip twin.
+    Flat quantization table (``quant`` everywhere, DC step 8 so
+    constant blocks are bit-exact), canonical self-declared Huffman
+    tables, optional 4:2:0 subsampling and restart markers."""
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(float).reshape(
+        height, width, channels
+    )
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        factors = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
+    elif channels == 1:
+        planes = [arr[..., 0]]
+        factors = [(1, 1)]
+    else:
+        raise ValueError("channels must be 1 or 3")
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    qtab = np.full((8, 8), float(quant))
+    qtab[0, 0] = 8.0  # constant blocks round-trip exactly: DC = 8*mean+...
+
+    # per component: pad plane to its block grid, subsample, forward DCT
+    comp_blocks = []
+    for (fh, fv), plane in zip(factors, planes):
+        if (fh, fv) != (hmax, vmax):
+            sy, sx = vmax // fv, hmax // fh
+            ph = -(-plane.shape[0] // sy) * sy
+            pw = -(-plane.shape[1] // sx) * sx
+            plane = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+            plane = plane.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+        gh, gw = mcus_y * fv * 8, mcus_x * fh * 8
+        plane = np.pad(
+            plane, ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])), mode="edge"
+        )
+        gy, gx = gh // 8, gw // 8
+        blocks = plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        quantized = np.rint(_blocks_dct(blocks) / qtab).astype(int).reshape(gy, gx, 8, 8)
+        comp_blocks.append(quantized)
+
+    # gather per-block zigzag symbol streams (two passes: symbols first,
+    # so the canonical tables cover exactly what the scan emits)
+    def block_symbols(blk) -> tuple[int, list[tuple[int, int]]]:
+        zz = [int(blk[rr, cc]) for rr, cc in ZIGZAG]
+        acs = []
+        run = 0
+        last_nz = max((i for i, v in enumerate(zz) if v), default=0)
+        for i in range(1, 64):
+            v = zz[i]
+            if v == 0:
+                if i > last_nz:
+                    break
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))
+                run -= 16
+            s = _size_cat(v)
+            acs.append(((run << 4) | s, v, s))
+            run = 0
+        if last_nz < 63 or zz[63] == 0:
+            acs.append((0x00, 0, 0))  # EOB
+        return zz[0], acs
+
+    dc_syms: list[list[int]] = [[] for _ in range(2)]
+    ac_syms: list[list[int]] = [[] for _ in range(2)]
+    mcu_stream = []  # (table_sel, dc_diff, acs) per block in scan order
+    preds = [0] * len(comp_blocks)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                preds = [0] * len(comp_blocks)
+                mcu_stream.append(("RST",))
+            for ci, ((fh, fv), blocks) in enumerate(zip(factors, comp_blocks)):
+                sel = 0 if ci == 0 else 1
+                for by in range(fv):
+                    for bx in range(fh):
+                        dc, acs = block_symbols(blocks[my * fv + by, mx * fh + bx])
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        dc_syms[sel].append(_size_cat(diff))
+                        ac_syms[sel].extend(sym for sym, _v, _s in acs)
+                        mcu_stream.append((sel, diff, acs))
+            mcu += 1
+
+    n_tables = 1 if channels == 1 else 2
+    dc_tabs = [_canonical_table(dc_syms[i]) for i in range(n_tables)]
+    ac_tabs = [_canonical_table(ac_syms[i]) for i in range(n_tables)]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    zz_q = bytes(int(qtab[rr, cc]) for rr, cc in ZIGZAG)
+    seg(0xDB, b"\x00" + zz_q)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    seg(0xC0, sof)
+    for tc, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for tid, (bits, syms, _enc) in enumerate(tabs):
+            seg(0xC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([channels])
+    for ci in range(channels):
+        sel = 0 if ci == 0 else min(ci, n_tables - 1)
+        sos += bytes([ci + 1, (sel << 4) | sel])
+    sos += b"\x00\x3f\x00"
+    seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    rst = 0
+    for item in mcu_stream:
+        if item[0] == "RST":
+            wtr.flush()
+            out.extend(wtr.out)
+            wtr = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            continue
+        sel, diff, acs = item
+        s = _size_cat(diff)
+        length, code = dc_tabs[sel][2][s]
+        wtr.write(code, length)
+        if s:
+            wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        for sym, v, vs in acs:
+            length, code = ac_tabs[sel][2][sym]
+            wtr.write(code, length)
+            if vs:
+                wtr.write(v if v > 0 else v + (1 << vs) - 1, vs)
+    wtr.flush()
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -6,14 +6,15 @@ signatures) is real and tested.  Codec status: PNG/JPEG/GIF dimensions
 and WAV channel/rate/duration decode for REAL with the stdlib (struct
 header reads, a JPEG SOF marker walk, the ``wave`` module) — per-row in
 the Arrow boundary and, for PNG, as a pure JVM codegen column op
-(:func:`png_dims_cols`).  PNG and GIF PIXELS decode
-for real too (:func:`decode_png_pixels`: zlib inflate + the five RFC
-2083 scanline filters, stdlib-only — bit depth 8, color types 0/2/4/6;
-:func:`decode_gif_pixels`: pure-Python LZW + palette mapping, first
-frame), and WAV PCM SAMPLES de-interleave for real
-(:func:`decode_wav_samples`).  Pixel/sample decode of the REMAINING
-formats (JPEG entropy decode, video frame extraction, audio
-resample) genuinely needs external libraries (Pillow / librosa / pyav —
+(:func:`png_dims_cols`).  PNG, GIF and JPEG PIXELS
+decode for real too (:func:`decode_png_pixels`: zlib inflate + the
+five RFC 2083 scanline filters, stdlib-only — bit depth 8, color types
+0/2/4/6; :func:`decode_gif_pixels`: pure-Python LZW + palette mapping,
+first frame; :mod:`architxt_spark.functions.jpeg`: baseline sequential
+Huffman decode with numpy IDCT), and WAV PCM SAMPLES de-interleave for
+real (:func:`decode_wav_samples`).  Pixel/sample decode of the
+REMAINING shapes (progressive/arithmetic JPEG, video frame
+extraction, audio resample) genuinely needs external libraries (Pillow / librosa / pyav —
 not in this container) and raises ``NotImplementedError`` on the
 real-codec path, with a clearly-marked deterministic fake for tests.
 
@@ -604,6 +605,10 @@ def extract_features(
                     _w, _h, _c, raw = decode_png_pixels(raw)
                 elif mode == "gif":
                     _w, _h, _c, raw = decode_gif_pixels(raw)
+                elif mode == "jpeg":
+                    from architxt_spark.functions.jpeg import decode_jpeg_pixels
+
+                    _w, _h, _c, raw = decode_jpeg_pixels(raw)
                 elif mode == "strict":
                     decode_image(raw)
                 arr = np.frombuffer(raw, dtype=np.uint8)
