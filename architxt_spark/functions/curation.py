@@ -52,6 +52,7 @@ def curate_corpus(
     quality_model_pos: DataFrame | None = None,
     quality_model_neg: DataFrame | None = None,
     quality_model_bigrams: bool = False,
+    quality_model_weights: DataFrame | None = None,
     mixture_col: str | None = None,
     mixture_counts: Mapping[str, int] | None = None,
     mixture_total: int | None = None,
@@ -132,6 +133,11 @@ def curate_corpus(
             )
     if mixture_total is not None and mixture_col is not None and mixture_strata is None:
         raise ValueError("mixture_total requires mixture_strata")
+    if quality_model_weights is not None and quality_model_pos is not None:
+        raise ValueError(
+            "quality_model_weights and quality_model_pos/neg are mutually "
+            "exclusive (pass seed frames to train, or a trained model)"
+        )
     # materialize the gate's survivors ONCE: the census, the fingerprint
     # pass, and the minhash index all read this frame, and re-evaluating
     # the (shingle-heavy) quality predicate per consumer benched 33 s vs
@@ -236,25 +242,31 @@ def curate_corpus(
 
     if quality_model_neg is not None and quality_model_pos is None:
         raise ValueError("quality_model_neg requires quality_model_pos")
-    if quality_model_pos is not None:
+    if quality_model_pos is not None or quality_model_weights is not None:
         # fastText-style model-quality stage (the LLaMA-recipe
         # "classifier" pass): train the hashed perceptron on the labelled
-        # seed frames, score the survivors, keep positive-margin rows.
-        # The weight table is n_buckets-bounded and broadcast, so the
-        # stage costs one scan + one id-keyed shuffle at any corpus size.
-        if quality_model_neg is None:
+        # seed frames — or take a PRE-TRAINED weight table
+        # (``quality_model_weights``), the serving posture where one
+        # model scores every corpus batch — then keep positive-margin
+        # rows.  The weight table is n_buckets-bounded and broadcast, so
+        # the stage costs one scan + one id-keyed shuffle at any size.
+        if quality_model_weights is None and quality_model_neg is None:
             raise ValueError("quality_model_pos requires quality_model_neg")
         from architxt_spark.functions.classifier import (
             classifier_score,
             train_quality_classifier,
         )
 
-        weights = train_quality_classifier(
-            quality_model_pos,
-            quality_model_neg,
-            id_col=id_col,
-            text_col=text_col,
-            bigrams=quality_model_bigrams,
+        weights = (
+            quality_model_weights
+            if quality_model_weights is not None
+            else train_quality_classifier(
+                quality_model_pos,
+                quality_model_neg,
+                id_col=id_col,
+                text_col=text_col,
+                bigrams=quality_model_bigrams,
+            )
         )
         keep_cls = (
             classifier_score(

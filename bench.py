@@ -136,9 +136,13 @@ def main() -> None:
     # the score-side serving passes.
     t0 = time.perf_counter()
     entry_mod.quality_model_weights(spark, sf_dir)
+    entry_mod.curation_model_weights(spark, sf_dir)
     entry_mod.dsir_model(spark, sf_dir)
     model_s = round(time.perf_counter() - t0, 3)
-    print(f"# model_build: {model_s:.3f}s (quality + DSIR fits, once per session)", file=sys.stderr)
+    print(
+        f"# model_build: {model_s:.3f}s (quality + curation + DSIR fits, once per session)",
+        file=sys.stderr,
+    )
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {

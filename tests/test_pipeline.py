@@ -611,3 +611,22 @@ def test_cli_curate_token_budget_mixture(spark, tmp_path, capsys):
             spark.read.parquet(src),
             mixture_token_budgets={"en": 100},
         )
+    # pre-trained weights and seed frames are mutually exclusive (r10)
+    d = spark.read.parquet(src)
+    with _pytest.raises(ValueError, match="mutually"):
+        curate_corpus(
+            d,
+            quality_model_pos=d.select("doc_id", "text"),
+            quality_model_neg=d.select("doc_id", "text"),
+            quality_model_weights=spark.createDataFrame([(0, 1)], "b long, w long"),
+        )
+    # a pre-trained model gates the classifier stage identically to
+    # training on the same seeds inline
+    from architxt_spark.functions.classifier import train_quality_classifier
+
+    pos = d.filter("doc_id % 2 = 0").select("doc_id", "text")
+    neg = d.filter("doc_id % 2 = 1").select("doc_id", "text")
+    w = train_quality_classifier(pos, neg)
+    _, c1 = curate_corpus(d, quality_model_pos=pos, quality_model_neg=neg)
+    _, c2 = curate_corpus(d, quality_model_weights=w)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
