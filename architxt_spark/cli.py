@@ -461,6 +461,11 @@ def _cmd_curate(args: argparse.Namespace) -> None:
             else None
         ),
         quality_model_bigrams=args.quality_model_bigrams,
+        quality_model_weights=(
+            spark.read.parquet(args.quality_model_weights)
+            if args.quality_model_weights
+            else None
+        ),
         mixture_col=args.mixture_col,
         mixture_counts=counts,
         mixture_token_budgets=(
@@ -669,6 +674,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="positive seed docs; with --quality-model-neg, train "
                          "the classifier gate and keep positive-margin rows")
     cu.add_argument("--quality-model-neg", default=None, metavar="PARQUET")
+    cu.add_argument("--quality-model-weights", default=None, metavar="PARQUET",
+                    help="PRE-TRAINED weight table (b, w) — the serving "
+                    "posture: one model per corpus snapshot scores every "
+                    "batch; mutually exclusive with the seed frames")
     cu.add_argument("--quality-model-bigrams", action="store_true",
                     help="add hashed word-bigram features (fastText space)")
     cu.add_argument("--mixture-col", default=None)
