@@ -39,6 +39,14 @@ FOLDS: dict[str, tuple[str, ...]] = {
     "sketch_suite": ("stream_fm_distinct",),
 }
 
+#: build lines whose SCOPE grew across rounds (r10: ann_index_build
+#: gained the PQ encode; model_build carries the classifier + curation
+#: + DSIR fits) — a higher number is scope growth, not regression
+SCOPE_GROWTH: dict[str, str] = {
+    "ann_index_build": "r10 scope: + PQ corpus encode",
+    "model_build": "r10 scope: classifier + curation + DSIR fits",
+}
+
 
 def apply_folds(d: dict[str, float]) -> tuple[dict[str, float], set[str]]:
     """Sum pre-fold constituent timings into their fold name (only when
@@ -82,7 +90,9 @@ def main(argv: list[str] | None = None) -> int:
     for q in shared:
         ratio = new[q] / old[q] if old[q] else float("inf")
         flag = ""
-        if ratio > args.threshold:
+        if ratio > args.threshold and q in SCOPE_GROWTH:
+            flag = f" scope-growth ({SCOPE_GROWTH[q]})"
+        elif ratio > args.threshold:
             flag = " REGRESSED"
             regressions.append(q)
         elif ratio < 1 / args.threshold:
