@@ -12,11 +12,14 @@ five RFC 2083 scanline filters, stdlib-only — bit depth 8, color types
 0/2/4/6; :func:`decode_gif_pixels`: pure-Python LZW + palette mapping,
 first frame; :mod:`architxt_spark.functions.jpeg`: baseline sequential
 Huffman decode with numpy IDCT), and WAV PCM SAMPLES de-interleave for
-real (:func:`decode_wav_samples`).  Pixel/sample decode of the
-REMAINING shapes (progressive/arithmetic JPEG, video frame
-extraction, audio resample) genuinely needs external libraries (Pillow / librosa / pyav —
-not in this container) and raises ``NotImplementedError`` on the
-real-codec path, with a clearly-marked deterministic fake for tests.
+real (:func:`decode_wav_samples`), with linear-interpolation
+RESAMPLING (:func:`resample_pcm`) and MJPEG-in-AVI video FRAME
+SAMPLING (:func:`sample_video_frames`: RIFF walk + the in-repo JPEG
+codec) on top.  Only the genuinely codec-library-bound shapes remain
+gated (progressive/arithmetic JPEG, inter-frame video codecs,
+band-limited resampling — Pillow / librosa / pyav, not in this
+container): those raise ``NotImplementedError`` with guidance, and a
+clearly-marked deterministic fake keeps the plumbing testable.
 
 Design notes for 100 TB of media:
 
@@ -724,7 +727,143 @@ def make_wav_bytes(
     return buf.getvalue()
 
 
+def resample_pcm(
+    samples: list[list[int]], from_rate: int, to_rate: int
+) -> list[list[int]]:
+    """REAL PCM resampling — per-channel linear interpolation on the
+    continuous-time reconstruction (numpy ``interp``), output length
+    ``round(n · to/from)``, values rounded and clamped to int16.  The
+    basic DSP everybody's first resampler is; band-limited (sinc/poly-
+    phase) resampling stays on the external-library path for quality,
+    not feasibility.  Identity when the rates match."""
+    import numpy as np
+
+    if from_rate <= 0 or to_rate <= 0:
+        raise ValueError("rates must be positive")
+    if from_rate == to_rate:
+        return [list(c) for c in samples]
+    out = []
+    for chan in samples:
+        n = len(chan)
+        m = max(1, round(n * to_rate / from_rate))
+        src_t = np.arange(n) / from_rate
+        dst_t = np.arange(m) / to_rate
+        vals = np.interp(dst_t, src_t, np.asarray(chan, dtype=float))
+        out.append(
+            np.clip(np.rint(vals), -32768, 32767).astype(int).tolist()
+        )
+    return out
+
+
+#: RIFF/AVI constants for the MJPEG frame sampler
+_AVI_MAGIC = (b"RIFF", b"AVI ")
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling requires a video codec — STUB (pyav not available).
-    The plumbing (explode of a frame index per media row) is real."""
-    raise NotImplementedError("video frame sampling requires pyav/ffmpeg; not in this environment")
+    """Frame sampling over MJPEG-in-AVI video — REAL for that (old but
+    genuine) format: each task walks the RIFF structure of its ``binary``
+    column (``avih`` microseconds-per-frame, ``movi`` LIST, ``00dc``
+    chunks), picks one frame per ``every_ms`` window, and decodes it
+    with the in-repo baseline JPEG codec
+    (:mod:`architxt_spark.functions.jpeg`) — no pyav/ffmpeg.  Output:
+    one row per sampled frame ``(media_id, frame_idx, t_ms, width,
+    height, channels, pixels)``.  Inter-frame codecs (H.264 & co.)
+    raise ``NotImplementedError`` — motion-compensated decode genuinely
+    wants a codec library; MJPEG is the format whose frames ARE
+    JPEGs."""
+    import pandas as pd
+
+    schema = (
+        "media_id string, frame_idx long, t_ms long, width int, height int,"
+        " channels int, pixels binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from architxt_spark.functions.jpeg import decode_jpeg_pixels
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                frames, us_per_frame = parse_avi_mjpeg(bytes(content))
+                stride = max(1, int(every_ms * 1000 / max(us_per_frame, 1)))
+                for i in range(0, len(frames), stride):
+                    w, h, ch, raw = decode_jpeg_pixels(frames[i])
+                    rows.append(
+                        (
+                            media_id,
+                            i,
+                            i * us_per_frame // 1000,
+                            w,
+                            h,
+                            ch,
+                            raw,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "t_ms", "width", "height",
+                    "channels", "pixels",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def parse_avi_mjpeg(content: bytes) -> tuple[list[bytes], int]:
+    """Walk a RIFF/AVI container: returns (JPEG frame payloads from the
+    ``movi`` LIST's ``..dc`` chunks, microseconds per frame from
+    ``avih``).  Non-MJPEG streams raise — their frames aren't
+    self-contained images."""
+    import struct
+
+    if content[:4] != _AVI_MAGIC[0] or content[8:12] != _AVI_MAGIC[1]:
+        raise ValueError("not a RIFF/AVI file")
+    us_per_frame = 40000  # 25 fps default when avih is absent
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal us_per_frame
+        while pos + 8 <= end:
+            tag = content[pos:pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif tag == b"avih" and size >= 4:
+                (us_per_frame,) = struct.unpack(
+                    "<I", content[body_start:body_start + 4]
+                )
+            elif tag[2:4] == b"dc":
+                frame = content[body_start:body_start + size]
+                if frame[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "non-MJPEG video stream: inter-frame codecs need "
+                        "pyav/ffmpeg; only MJPEG frames decode in-repo"
+                    )
+                frames.append(frame)
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(content))
+    return frames, us_per_frame
+
+
+def make_avi_mjpeg_bytes(frames: list[bytes], us_per_frame: int = 40000) -> bytes:
+    """Fixture writer: a minimal RIFF/AVI wrapping the given JPEG frame
+    payloads as ``00dc`` chunks (hdrl LIST with ``avih``, movi LIST) —
+    the :func:`sample_video_frames` round-trip twin."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<I", us_per_frame) + b"\x00" * 52
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -299,3 +299,59 @@ def test_gif_pixel_roundtrip_and_structure():
         M.decode_gif_pixels(inter)
     with pytest.raises(ValueError, match="not a GIF"):
         M.decode_gif_pixels(b"PNG?")
+
+
+def test_resample_pcm_linear():
+    """Identity at equal rates; constants stay constant; a linear ramp
+    resampled 2x interpolates midpoints; length = round(n*to/from)."""
+    const = [[100] * 8]
+    assert M.resample_pcm(const, 8000, 8000) == const
+    up = M.resample_pcm(const, 8000, 16000)[0]
+    assert len(up) == 16 and set(up) == {100}
+    ramp = [[0, 10, 20, 30]]
+    up = M.resample_pcm(ramp, 1000, 2000)[0]
+    assert up[:7] == [0, 5, 10, 15, 20, 25, 30]
+    down = M.resample_pcm([[0, 10, 20, 30, 40, 50, 60, 70]], 2000, 1000)[0]
+    assert down == [0, 20, 40, 60]
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        M.resample_pcm([[1]], 0, 100)
+
+
+def test_avi_mjpeg_frame_sampling(spark):
+    """REAL video path for MJPEG-in-AVI: RIFF walk + in-repo JPEG decode;
+    every_ms picks one frame per window; non-MJPEG raises."""
+    import numpy as np
+
+    from architxt_spark.functions.jpeg import make_jpeg_bytes
+
+    # 6 frames at 10 fps (100ms/frame), each a distinct constant image
+    frames = []
+    vals = [0, 40, 80, 120, 160, 200]
+    for v in vals:
+        img = np.full((8, 8), v, dtype=np.uint8)
+        frames.append(make_jpeg_bytes(8, 8, img.tobytes(), channels=1))
+    avi = M.make_avi_mjpeg_bytes(frames, us_per_frame=100_000)
+
+    got_frames, uspf = M.parse_avi_mjpeg(avi)
+    assert len(got_frames) == 6 and uspf == 100_000
+    assert got_frames[3] == frames[3]
+
+    df = spark.createDataFrame(
+        [("v1", "video", bytearray(avi))],
+        "media_id string, kind string, content binary",
+    )
+    rows = M.sample_video_frames(df, every_ms=300).collect()
+    # stride = 300ms / 100ms = 3 -> frames 0 and 3
+    assert [(r.frame_idx, r.t_ms) for r in rows] == [(0, 0), (3, 300)]
+    for r, v in zip(rows, (vals[0], vals[3])):
+        assert (r.width, r.height, r.channels) == (8, 8, 1)
+        assert set(bytes(r.pixels)) == {v}  # constant blocks decode exactly
+
+    # a non-MJPEG payload in a dc chunk raises with codec guidance
+    bad = M.make_avi_mjpeg_bytes([b"\x00\x00notjpeg"])
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        M.parse_avi_mjpeg(bad)
+    with pytest.raises(ValueError, match="RIFF"):
+        M.parse_avi_mjpeg(b"nope")
