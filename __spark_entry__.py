@@ -1362,7 +1362,19 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
     synthesized, then decoded back by decode_media_meta; the oracle
     replays the encoding arithmetic, so a decoder that misreads any
     header byte hash-mismatches (s=fmt; png: a=width, b=height; wav:
-    a=n_channels, b=sample_rate, c=duration_ms)."""
+    a=n_channels, b=sample_rate, c=duration_ms).
+
+    'pixels' (r10): the real pixel/sample decoders — formula-generated
+    content round-tripped through encode → decode (PNG across all five
+    scanline filters, GIF through LZW, JPEG through the DC-exact
+    baseline path, WAV through PCM de-interleave; d%4 split) and
+    reduced to a position-weighted checksum the oracle computes
+    closed-form.
+
+    'frames' (r10): the MJPEG-in-AVI video sampler — 4 constant frames
+    per container, every_ms picks frames 0 and 2; checksum over the
+    sampled frames' (exact) pixel values, closed-form in the oracle
+    (doc_id%16 slice)."""
     import pandas as pd
 
     from architxt_spark.functions.multimodal import (
@@ -1498,7 +1510,69 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("c"),
         )
     )
-    return plumbing.unionByName(decoded).unionByName(pixels)
+
+    # 'frames' (r10): the MJPEG-in-AVI video sampler under the hash gate
+    # — 4 constant frames per container (DC-exact through the JPEG
+    # round-trip), every_ms=200 over 100ms frames samples frames 0 and
+    # 2; checksum = sum over sampled frames of value·(idx+1), which the
+    # oracle computes closed-form.  Bounded to the doc_id%16 slice.
+    def build_frames(batches):
+        from architxt_spark.functions.jpeg import make_jpeg_bytes
+        from architxt_spark.functions.multimodal import make_avi_mjpeg_bytes
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 16:
+                    continue
+                frames = []
+                for k in range(4):
+                    v = (d * 53 + k * 19) % 256
+                    img = bytes([v]) * 64
+                    frames.append(make_jpeg_bytes(8, 8, img, channels=1))
+                rows.append(
+                    (str(d), make_avi_mjpeg_bytes(frames, us_per_frame=100_000))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    avi_media = (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(build_frames, "media_id string, content binary")
+    )
+    from architxt_spark.functions.multimodal import sample_video_frames
+
+    sampled = sample_video_frames(avi_media, every_ms=200)
+    # constant frames: pixel 0 IS the frame value (binary -> first byte,
+    # sign-corrected to 0..255)
+    frames_agg = (
+        sampled.select(
+            "media_id",
+            "frame_idx",
+            F.conv(F.hex(F.expr("substring(pixels, 1, 1)")), 16, 10)
+            .cast("int")
+            .alias("__v"),
+        )
+        .groupBy("media_id")
+        .agg(
+            F.sum(F.col("__v") * (F.col("frame_idx") + 1)).cast("long").alias("a"),
+            F.count("*").cast("long").alias("b"),
+        )
+        .select(
+            F.lit("frames").alias("variant"),
+            "media_id",
+            F.lit("avi").alias("s"),
+            "a",
+            "b",
+            F.lit(None).cast("long").alias("c"),
+        )
+    )
+    return (
+        plumbing.unionByName(decoded)
+        .unionByName(pixels)
+        .unionByName(frames_agg)
+    )
 
 
 def q_gen_instance(spark: SparkSession, sf: str) -> DataFrame:
@@ -3688,6 +3762,13 @@ def _oracle_parts() -> dict[str, str]:
                    END AS BIGINT),
                    CAST(NULL AS BIGINT)
             FROM documents
+            UNION ALL
+            SELECT 'frames', CAST(doc_id AS VARCHAR), 'avi',
+                   CAST(((doc_id * 53) % 256) * 1
+                        + ((doc_id * 53 + 38) % 256) * 3 AS BIGINT),
+                   CAST(2 AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM documents WHERE doc_id % 16 = 0
         """,
         "gen_instance": """
             SELECT * FROM (VALUES
