@@ -2823,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_suite",
         "multimodal_profile",
         "stream_curate",
+        "semantic_dedup",
         # Entries whose newest driver verdict is round 8 — the ≤2-round
         # rotation contract requires the r10 gate to renew all 32
         "events_sessionize_streaming",

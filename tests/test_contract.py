@@ -33,7 +33,7 @@ def test_rotation_prefix_is_valid_and_first():
     # newest driver verdict is r8 — the <=2-round rotation contract
     touched = ("rewrite_documents", "sampling_mixture",
                "curation_pipeline", "ann_recall", "ann_suite",
-               "multimodal_profile", "stream_curate")
+               "multimodal_profile", "stream_curate", "semantic_dedup")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
     stale_r8 = (
