@@ -2811,53 +2811,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry folded/renamed or code-touched this round, go FIRST so any
     # prefix the gate takes maximizes newly-verified coverage.
     first = [
-        # Entries whose code round 10 touched (rewrite engine fused the
-        # probe pass with the winner's apply pass; sampling token-budget
-        # SQL twin per-row cast; curation up-front parameter validation;
-        # ann serving-index temp-dir lifecycle): the gate prefix reaches
-        # these first
-        "rewrite_documents",
-        "sampling_mixture",
-        "curation_pipeline",
-        "ann_recall",
-        "ann_suite",
-        "multimodal_profile",
-        "stream_curate",
-        "semantic_dedup",
-        # Entries whose newest driver verdict is round 8 — the ≤2-round
-        # rotation contract requires the r10 gate to renew all 32
-        "events_sessionize_streaming",
-        "stream_minhash_dedup",
-        "stream_curate",
-        "stream_url_seen",
-        "forest_stats_documents",
-        "contamination_screen",
-        "doc_loader_json_props",
-        "llm_label_schema",
-        "tree_leaves_nation",
-        "extract_valid_trees",
-        "coverage_metric",
-        "bm25_topk",
-        "lm_perplexity",
-        "ngram_stats",
-        "dsir",
-        "quality_classifier",
-        "domain_profile",
-        "link_pagerank",
-        "collocations",
-        "tfidf_terms",
-        "random_project",
-        "ppl_buckets",
-        "warc_split_roundtrip",
-        "dedup_exact_spans",
-        "dedup_simhash",
-        "dedup_filtered",
-        "events_sessionize",
-        "graph_extract",
-        "typed_export_orders",
-        "sampling_temperature",
-        "sampling_weighted",
-        "sampling_pack",
+        # Entries added or code-touched in round 11: the gate prefix
+        # reaches these first so brand-new oracles get a driver verdict
+        # in the same round they land.
+        # (filled in as round-11 work lands)
+        # Entries whose newest driver verdict is round 9 — the ≤2-round
+        # rotation contract requires the r11 gate to renew all 32
+        "bm25_batch",
+        "bpe_suite",
+        "c4_clean",
+        "chunk_pipeline",
+        "cluster_documents",
+        "cluster_instance_documents",
+        "corpus_delta",
+        "corpus_health",
+        "dataset_extract_nation",
+        "dedup_components",
+        "dedup_pairs",
+        "doc_chunking",
+        "doc_quality_stats",
+        "embedding_near_dup",
+        "events_funnel",
+        "export_stats",
+        "extract_vocab",
+        "gen_instance",
+        "lang_distribution",
+        "llm_rewrite_stub",
+        "metrics_customer",
+        "nlp_parse_forest",
+        "pii_redaction",
+        "sampling_strata",
+        "scalar_funcs",
+        "schema_groups_nation",
+        "simple_rewrite_documents",
+        "sketch_suite",
+        "temporal_joins",
+        "text_profile",
+        "unicode_split",
+        "window_grouping",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
