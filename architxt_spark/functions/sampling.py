@@ -33,10 +33,13 @@ the beyond-reference pipeline operators.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 #: decision resolution — fractions are exact to 1e-6
 HASH_MOD = 1_000_000
@@ -121,7 +124,7 @@ def mixture_take(
         for r in pool.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
     }
 
-    for _ in range(max_rounds):
+    for attempt in range(max_rounds):
         thresholds = {}
         for s in strata:
             total = totals.get(s, 0)
@@ -146,6 +149,17 @@ def mixture_take(
         if all(
             got.get(s, 0) >= min(counts[s], totals.get(s, 0)) for s in strata
         ):
+            if attempt:
+                # each widen-retry is a full pool re-scan — at 100 TB a
+                # mis-set margin costs a corpus pass per retry, so make
+                # the count visible to operators
+                _LOG.warning(
+                    "mixture_take: margin widened %d time(s) "
+                    "(final margin %.2f) — each retry re-scans the pool; "
+                    "raise the initial margin to avoid the extra passes",
+                    attempt,
+                    margin,
+                )
             break
         margin *= 2.0
     else:  # pragma: no cover — uniform hash cannot miss 8 doublings
@@ -204,7 +218,7 @@ def mixture_take_tokens(
         .collect()
     }
 
-    for _ in range(max_rounds):
+    for attempt in range(max_rounds):
         thresholds = {}
         for s in strata:
             total = int(totals.get(s) or 0)
@@ -227,6 +241,14 @@ def mixture_take_tokens(
             got.get(s, 0) >= min(budgets[s], int(totals.get(s) or 0))
             for s in strata
         ):
+            if attempt:
+                _LOG.warning(
+                    "mixture_take_tokens: margin widened %d time(s) "
+                    "(final margin %.2f) — each retry re-scans the pool; "
+                    "raise the initial margin to avoid the extra passes",
+                    attempt,
+                    margin,
+                )
             break
         margin *= 2.0
     else:  # pragma: no cover — uniform hash cannot miss 8 doublings

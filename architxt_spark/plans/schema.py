@@ -239,7 +239,13 @@ def _child_info(nodes: DataFrame) -> DataFrame:
     return parents.join(children, parents.node_id == children.parent_id, "inner")
 
 
-def schema_from_forest(nodes: DataFrame, *, keep_unlabelled: bool = True, merge_lhs: bool = True) -> SchemaPlan:
+def schema_from_forest(
+    nodes: DataFrame,
+    *,
+    keep_unlabelled: bool = True,
+    merge_lhs: bool = True,
+    production_budget: int = 100_000,
+) -> SchemaPlan:
     """Infer the schema with two aggregation passes
     (``Schema.from_forest``, ``architxt/schema.py:144-218``).
 
@@ -248,11 +254,18 @@ def schema_from_forest(nodes: DataFrame, *, keep_unlabelled: bool = True, merge_
     ``merge_lhs``.  Pass 2 — orientation evidence: for each REL with two
     GROUP children, a member OID appearing with ≥2 distinct partner pairs
     marks that side as multi (``:156-212``).
+
+    A Schema is a small driver-side object, so the distinct-production set
+    must be vocabulary-bounded (meta-model forests reuse a fixed label
+    vocabulary).  A forest with per-node-unique labels would make the
+    distinct set O(corpus); ``production_budget`` caps the collect and
+    raises loudly instead of OOMing the driver.
     """
     info = _child_info(nodes).filter(F.col("p_name") != "ROOT")
 
     # Pass 1: distinct productions (lexical productions have no child rows
-    # here because leaf tokens carry null node_name).
+    # here because leaf tokens carry null node_name).  LIMIT budget+1 so
+    # only a bounded number of rows can ever reach the driver.
     prods = (
         info.select(
             "p_type",
@@ -260,8 +273,17 @@ def schema_from_forest(nodes: DataFrame, *, keep_unlabelled: bool = True, merge_
             F.array_sort(F.transform("children", lambda c: c["label"])).alias("rhs"),
         )
         .distinct()
+        .limit(production_budget + 1)
         .collect()
     )
+    if len(prods) > production_budget:
+        raise RuntimeError(
+            f"schema_from_forest: > {production_budget} distinct productions — "
+            "node labels are not vocabulary-bounded on this forest, so its "
+            "schema is not a small driver object.  Normalize labels first "
+            "(e.g. simple_rewrite / cluster-and-rename), or raise "
+            "production_budget explicitly if the driver has headroom."
+        )
 
     productions: dict[str, set[tuple[str, ...]]] = {}
     group_entities: dict[str, set[str]] = {}
