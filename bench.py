@@ -110,46 +110,35 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — warm-up must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
-    # The persisted-IVF serving index is built ONCE per session — the
-    # regime ann_suite's 'indexed' variant and ann_recall's 'indexed'
-    # A/B exist for.  The build cost is measured here as its OWN line
-    # (codebook training + cell-partitioned parquet write) instead of
-    # hiding a rebuild inside every ann_suite draw; the timed loop
-    # below then measures pure probe-side serving.
-    t0 = time.perf_counter()
-    entry_mod.ivf_serving_index(spark, sf_dir, rebuild=True)
-    entry_mod.pq_serving_codes(spark, sf_dir)  # encode-once PQ corpus codes
-    build_s = round(time.perf_counter() - t0, 3)
-    print(
-        f"# ann_index_build: {build_s:.3f}s (IVF index + PQ encode, once per session)",
-        file=sys.stderr,
-    )
+    # Once-per-session serving artifacts, each timed as its OWN line
+    # (r10 verdict: conflated `ann_index_build`/`model_build` lines let a
+    # real build regression hide inside a scope change — per-artifact
+    # lines make benchdiff's comparison exact).  The timed loop below
+    # then measures pure probe/score-side serving.
+    builds = [
+        ("ivf_build", lambda: entry_mod.ivf_serving_index(spark, sf_dir, rebuild=True)),
+        ("pq_encode", lambda: entry_mod.pq_serving_codes(spark, sf_dir)),
+        ("quality_fit", lambda: entry_mod.quality_model_weights(spark, sf_dir)),
+        ("curation_fit", lambda: entry_mod.curation_model_weights(spark, sf_dir)),
+        ("dsir_fit", lambda: entry_mod.dsir_model(spark, sf_dir)),
+    ]
+    timings: dict[str, float] = {}
+    build_total = 0.0
+    for bname, bfn in builds:
+        t0 = time.perf_counter()
+        bfn()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[bname] = dt
+        build_total += dt
+        print(f"# {bname}: {dt:.3f}s (once per session)", file=sys.stderr)
 
     # Repeated minimum per query (BASELINE.md measurement protocol): this
     # host shows 2-4x run-to-run noise under neighbor load (measured:
     # identical code, 38.6s vs 115s totals minutes apart), so a single
     # draw is not a measurement.  The minimum of REPEATS runs is the
     # honest steady-state number the 2x regression bar applies to.
-    # The trained models are the other once-per-corpus serving artifacts
-    # (perceptron quality weights, DSIR ratio model): time their fits as
-    # one line, so the headline quality_classifier / dsir rows measure
-    # the score-side serving passes.
-    t0 = time.perf_counter()
-    entry_mod.quality_model_weights(spark, sf_dir)
-    entry_mod.curation_model_weights(spark, sf_dir)
-    entry_mod.dsir_model(spark, sf_dir)
-    model_s = round(time.perf_counter() - t0, 3)
-    print(
-        f"# model_build: {model_s:.3f}s (quality + curation + DSIR fits, once per session)",
-        file=sys.stderr,
-    )
-
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
-    timings: dict[str, float] = {
-        "ann_index_build": build_s,
-        "model_build": model_s,
-    }
-    total = build_s + model_s
+    total = build_total
     for name in HEADLINE:
         fn = qs[name]
         best = None
@@ -171,10 +160,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 # query-only subtotal (excludes the once-per-session
-                # ann_index_build + quality_model_build lines) — the
-                # number comparable across rounds without benchdiff's
-                # partial-fold logic
-                "comparable_total": round(total - build_s - model_s, 3),
+                # build lines ivf_build/pq_encode/quality_fit/
+                # curation_fit/dsir_fit) — the number comparable across
+                # rounds without benchdiff's partial-fold logic
+                "comparable_total": round(total - build_total, 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -63,7 +63,10 @@ def test_benchdiff_fold_mapping():
 
     old = {"window_orders": 0.4, "grouping_orders": 0.3, "ann_topk": 1.5,
            "scan_filter_project": 0.2}
-    mapped, partial = apply_folds(old)
+    # folds synthesize only against a post-fold OTHER side (r11: the same
+    # machinery runs in reverse for build-line splits)
+    other = {"window_grouping": 0.6, "ann_suite": 1.4}
+    mapped, partial = apply_folds(old, other)
     assert mapped["window_grouping"] == pytest.approx(0.7)
     assert mapped["ann_suite"] == pytest.approx(1.5)  # partial constituents
     assert "window_orders" not in mapped and "ann_topk" not in mapped
@@ -74,10 +77,21 @@ def test_benchdiff_fold_mapping():
     assert partial == {"ann_suite"}
     # a post-fold file passes through untouched
     new = {"window_grouping": 0.6, "window_orders": 99.0}
-    mapped2, partial2 = apply_folds(new)
+    mapped2, partial2 = apply_folds(new, old)
     assert mapped2["window_grouping"] == 0.6
     assert mapped2["window_orders"] == 99.0
     assert partial2 == set()
+    # two post-SPLIT files keep per-artifact lines (no aggregate synth):
+    # a slowdown in one artifact must compare artifact-vs-artifact
+    s1 = {"ivf_build": 2.0, "pq_encode": 2.0}
+    s2 = {"ivf_build": 2.0, "pq_encode": 3.2}
+    m1, _ = apply_folds(s1, s2)
+    assert "ann_index_build" not in m1 and m1["pq_encode"] == 2.0
+    # cross-era: old conflated line vs new split lines -> the new side
+    # synthesizes the aggregate for an honest scope-equal comparison
+    conflated = {"ann_index_build": 4.3}
+    m2, _ = apply_folds(s2, conflated)
+    assert m2["ann_index_build"] == pytest.approx(5.2)
 
 
 # ---------------------------------------------------------------------------

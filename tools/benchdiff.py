@@ -37,6 +37,13 @@ FOLDS: dict[str, tuple[str, ...]] = {
     "temporal_joins": ("asof_events", "range_join_signup_clicks"),
     "doc_quality_stats": ("gopher_quality_flags",),
     "sketch_suite": ("stream_fm_distinct",),
+    # r11 build-line SPLITS (the reverse direction: the conflated name is
+    # the OLD side; new files carry per-artifact lines).  apply_folds is
+    # conditional — it only synthesizes the aggregate when the other side
+    # actually has the conflated name, so two post-split files compare
+    # per-artifact and a 1.5x slowdown in any single artifact flags.
+    "ann_index_build": ("ivf_build", "pq_encode"),
+    "model_build": ("quality_fit", "curation_fit", "dsir_fit"),
 }
 
 #: build lines whose SCOPE grew across rounds (r10: ann_index_build
@@ -48,16 +55,20 @@ SCOPE_GROWTH: dict[str, str] = {
 }
 
 
-def apply_folds(d: dict[str, float]) -> tuple[dict[str, float], set[str]]:
-    """Sum pre-fold constituent timings into their fold name (only when
-    the fold itself is absent — a post-fold file passes through).
-    Second return: fold names synthesized from FEWER constituents than
-    FOLDS declares (a partial run) — comparing those as the full fold
-    would skew the diff, so callers mark them."""
+def apply_folds(
+    d: dict[str, float], other: dict[str, float]
+) -> tuple[dict[str, float], set[str]]:
+    """Sum pre-fold constituent timings into their fold name — only when
+    the fold itself is absent AND the OTHER side of the diff carries the
+    fold name (so two post-fold — or two post-SPLIT — files keep their
+    per-entry lines and compare individually).  Second return: fold names
+    synthesized from FEWER constituents than FOLDS declares (a partial
+    run) — comparing those as the full fold would skew the diff, so
+    callers mark them."""
     out = dict(d)
     partial: set[str] = set()
     for fold, parts in FOLDS.items():
-        if fold in out:
+        if fold in out or fold not in other:
             continue
         present = [p for p in parts if p in out]
         if present:
@@ -67,14 +78,14 @@ def apply_folds(d: dict[str, float]) -> tuple[dict[str, float], set[str]]:
     return out, partial
 
 
-def load(path: str) -> tuple[dict[str, float], set[str]]:
+def load(path: str) -> dict[str, float]:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
         d = d["parsed"]
     if "queries" not in d:  # bare bench.py stdout line
         raise SystemExit(f"{path}: no 'queries' key")
-    return apply_folds(d["queries"])
+    return d["queries"]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -83,7 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("new")
     p.add_argument("--threshold", type=float, default=1.3)
     args = p.parse_args(argv)
-    (old, old_partial), (new, new_partial) = load(args.old), load(args.new)
+    old_raw, new_raw = load(args.old), load(args.new)
+    (old, old_partial) = apply_folds(old_raw, new_raw)
+    (new, new_partial) = apply_folds(new_raw, old_raw)
     partial = old_partial | new_partial
     shared = sorted(set(old) & set(new))
     regressions = []
