@@ -1575,6 +1575,79 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate dedup over the REAL pixel decoders (r11):
+    perceptual hashes + Hamming-banded LSH, two tagged variants.
+
+    Fixture: per doc_id a 72×64 grayscale image whose 8×8 blocks take
+    pure-integer formula values; groups of 4 (doc_id // 4) hold — base
+    PNG (filter doc_id % 5), the SAME pixels recompressed as baseline
+    JPEG (DC-exact constant blocks), a brightness-shifted (+8) PNG, and
+    a one-cell-perturbed GIF (through the LZW path).
+
+    'hash': per image (real decode → integer luma → block means) the
+    gradient dhash and average ahash — recompression is hash-identical
+    and brightness shifts cancel in both, so any decoder or hash-math
+    drift hash-mismatches.  'pairs': ``hamming_near_dup`` with 4×16-bit
+    bands, max_hamming 3 — by pigeonhole the banded join is EXACT at
+    this threshold, so the oracle verifies it against a closed-form
+    all-pairs scan while the Spark plan stays banded (never cartesian;
+    see tests/test_imagehash.py's plan assertions)."""
+    import pandas as pd
+
+    from architxt_spark.functions.imagehash import hamming_near_dup, image_hashes
+
+    def build(batches):
+        from architxt_spark.functions.jpeg import make_jpeg_bytes
+        from architxt_spark.functions.multimodal import make_gif_bytes, make_png_bytes
+
+        palette = bytes(b for v in range(256) for b in (v, v, v))
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, m = d // 4, d % 4
+                pr, pc = g % 8, g % 7 + 1
+
+                def val(r: int, c: int) -> int:
+                    v = (g * 37 + r * 29 + c * 47) % 192
+                    if m == 3 and r == pr and c == pc:
+                        v = (v + 96) % 192
+                    return v + (8 if m == 2 else 0)
+
+                px = bytes(val(y // 8, x // 8) for y in range(64) for x in range(72))
+                if m == 1:
+                    content = make_jpeg_bytes(72, 64, px, channels=1)
+                elif m == 3:
+                    content = make_gif_bytes(72, 64, px, palette)
+                else:
+                    content = make_png_bytes(72, 64, px, color_type=0, filter_type=d % 5)
+                rows.append((str(d), content))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(build, "media_id string, content binary")
+    )
+    hashes = image_hashes(media).persist()
+    hashes.count()  # eager: the hash variant and both band-join sides
+    # would otherwise each re-run the Python decode chain
+    hash_rows = hashes.select(
+        F.lit("hash").alias("variant"),
+        F.col("media_id").alias("s"),
+        F.col("dhash").alias("a"),
+        F.col("ahash").alias("b"),
+    )
+    pair_rows = hamming_near_dup(hashes, bands=4, max_hamming=3).select(
+        F.lit("pairs").alias("variant"),
+        F.concat_ws("|", "id_a", "id_b").alias("s"),
+        F.col("hamming").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    return hash_rows.unionByName(pair_rows)
+
+
 def q_gen_instance(spark: SparkSession, sf: str) -> DataFrame:
     """Synthetic instance generator: schema → size×(group/relation shapes)
     via range × broadcast-template cross join; census oracle."""
@@ -2814,7 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Entries added or code-touched in round 11: the gate prefix
         # reaches these first so brand-new oracles get a driver verdict
         # in the same round they land.
-        # (filled in as round-11 work lands)
+        "multimodal_dedup",
         # Entries whose newest driver verdict is round 9 — the ≤2-round
         # rotation contract requires the r11 gate to renew all 32
         "bm25_batch",
@@ -2887,6 +2960,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_valid_trees": q_extract_valid_trees,
         "coverage_metric": q_coverage_metric,
         "multimodal_profile": q_multimodal_profile,
+        "multimodal_dedup": q_multimodal_dedup,
         "gen_instance": q_gen_instance,
         "llm_rewrite_stub": q_llm_rewrite_stub,
         "extract_vocab": q_extract_vocab,
@@ -3761,6 +3835,67 @@ def _oracle_parts() -> dict[str, str]:
                    CAST(2 AS BIGINT),
                    CAST(NULL AS BIGINT)
             FROM documents WHERE doc_id % 16 = 0
+        """,
+        # closed-form replay of the r11 image near-dup fixture: the 8x8
+        # blocks are constant, so block means == the formula values and
+        # dhash/ahash are pure-integer expressions; the banded Spark join
+        # is exact at max_hamming = bands-1, so an ALL-PAIRS scan here is
+        # the honest verification of it
+        "multimodal_dedup": """
+            WITH cells AS (
+              SELECT doc_id AS d, r, c,
+                     CAST(
+                       (((doc_id // 4) * 37 + r * 29 + c * 47) % 192)
+                       + CASE WHEN doc_id % 4 = 2 THEN 8 ELSE 0 END
+                       + CASE WHEN doc_id % 4 = 3
+                                   AND r = (doc_id // 4) % 8
+                                   AND c = (doc_id // 4) % 7 + 1
+                              THEN (((((doc_id // 4) * 37 + r * 29 + c * 47) % 192) + 96) % 192)
+                                   - (((doc_id // 4) * 37 + r * 29 + c * 47) % 192)
+                              ELSE 0 END
+                     AS BIGINT) AS v
+              FROM documents, range(0, 8) t1(r), range(0, 9) t2(c)
+            ),
+            dh AS (
+              SELECT a.d,
+                     SUM(CASE WHEN b.v > a.v
+                              THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c)
+                              ELSE 0 END) AS u
+              FROM cells a JOIN cells b
+                ON b.d = a.d AND b.r = a.r AND b.c = a.c + 1
+              WHERE a.c < 8
+              GROUP BY a.d
+            ),
+            ah AS (
+              SELECT d,
+                     SUM(CASE WHEN v * 64 > tot
+                              THEN CAST(1 AS HUGEINT) << (r * 8 + c)
+                              ELSE 0 END) AS u
+              FROM (SELECT *, SUM(v) OVER (PARTITION BY d) AS tot
+                    FROM cells WHERE c < 8) t
+              GROUP BY d
+            ),
+            hashes AS (
+              SELECT dh.d,
+                     CAST(CASE WHEN dh.u >= 9223372036854775808
+                               THEN dh.u - 18446744073709551616
+                               ELSE dh.u END AS BIGINT) AS dhash,
+                     CAST(CASE WHEN ah.u >= 9223372036854775808
+                               THEN ah.u - 18446744073709551616
+                               ELSE ah.u END AS BIGINT) AS ahash
+              FROM dh JOIN ah ON ah.d = dh.d
+            )
+            SELECT 'hash' AS variant, CAST(d AS VARCHAR) AS s,
+                   dhash AS a, ahash AS b
+            FROM hashes
+            UNION ALL
+            SELECT 'pairs',
+                   CAST(x.d AS VARCHAR) || '|' || CAST(y.d AS VARCHAR),
+                   CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM hashes x JOIN hashes y
+              ON CAST(x.d AS VARCHAR) < CAST(y.d AS VARCHAR)
+            WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
         """,
         "gen_instance": """
             SELECT * FROM (VALUES
