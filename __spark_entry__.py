@@ -2269,6 +2269,168 @@ def q_warc_split_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CRAWL_FIXTURE_CACHE: dict = {}
+
+
+def crawl_fixture_archives(spark: SparkSession, sf: str) -> str:
+    """Memoized per (session, sf): deterministic crawl-shaped ``.warc.gz``
+    archives built from the documents table — 4 archives (doc_id % 4),
+    CommonCrawl layout (one gzip member per record), each page the
+    document's text wrapped in minimal HTML (``html_to_text`` is exact
+    identity on this corpus — verified at every SF — so the extraction
+    seam is hash-gated, not approximated).  Each archive also carries
+    NOISE records a real crawl has: warcinfo, a request, a 404 response,
+    and an image/png response — the status/content-type gate downstream
+    must drop them.  Fixture scaffolding, not pipeline work, hence the
+    memoization (the measured op is read→curate→write)."""
+    import atexit
+    import gzip as _gzip
+    import shutil
+    import tempfile
+
+    from architxt_spark.sources.warc import build_warc
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _CRAWL_FIXTURE_CACHE:
+        rows = (
+            _t(spark, sf, "documents")
+            .select("doc_id", "text", "lang", "source")
+            .orderBy("doc_id")
+            .collect()
+        )
+        root = tempfile.mkdtemp(prefix="architxt_crawl_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        for part in range(4):
+            recs = [
+                {
+                    "warc_type": "warcinfo",
+                    "target_uri": "",
+                    "payload": f"software: fixture-crawler/{part}\r\n".encode(),
+                    "content_type": "application/warc-fields",
+                },
+                {
+                    "warc_type": "request",
+                    "target_uri": f"http://crawl.test/{part}",
+                    "payload": b"GET / HTTP/1.1\r\nHost: crawl.test\r\n\r\n",
+                    "content_type": "application/http; msgtype=request",
+                },
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://crawl.test/missing-{part}",
+                    "payload": b"<html><body>gone</body></html>",
+                    "http_status": 404,
+                },
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://crawl.test/logo-{part}.png",
+                    "payload": b"\x89PNG\r\n\x1a\nnot-really",
+                    "content_type": "image/png",
+                },
+            ]
+            recs += [
+                {
+                    "warc_type": "response",
+                    "target_uri": f"doc:{r.doc_id}|{r.lang}|{r.source}",
+                    "payload": f"<html><body><p>{r.text}</p></body></html>".encode(),
+                    "content_type": "text/html; charset=utf-8",
+                }
+                for r in rows
+                if r.doc_id % 4 == part
+            ]
+            members = [_gzip.compress(build_warc([r])) for r in recs]
+            with open(f"{root}/crawl-{part:02d}.warc.gz", "wb") as f:
+                f.write(b"".join(members))
+        _CRAWL_FIXTURE_CACHE[key] = root
+    return _CRAWL_FIXTURE_CACHE[key]
+
+
+def q_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The production 100-TB job end to end under ONE hash gate (r11):
+    ``read_warc`` (streaming gzip members) → HTTP status/content-type
+    gate → URI metadata parse → ``curate_corpus`` (quality → near-dedup
+    → eval-set decontamination → leakage-safe hash split) →
+    ``write_corpus`` (hive-partitioned parquet by split + manifest) —
+    the reference lifecycle's load→simplify composition
+    (``architxt/cli/loader.py:163-224``) at crawl scale.
+
+    Three tagged variants: 'crawl' pins the parser+extraction seam
+    (per-lang doc counts + order-independent XOR of text-md5 prefixes —
+    a single mis-parsed byte anywhere flips it); 'census' gates every
+    curation stage count; 'manifest' gates the written corpus's
+    per-split (n_docs, n_chars, content_hash).  The oracle replays all
+    three from the documents table (extraction is exact identity on
+    this corpus) through the same census/keep-set/split/manifest SQL."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from architxt_spark.functions.curation import curate_corpus
+    from architxt_spark.sinks.corpus import write_corpus
+    from architxt_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, crawl_fixture_archives(spark, sf))
+    docs = (
+        recs.filter(
+            (F.col("http_status") == 200)
+            & F.col("content_type").contains("html")
+            & F.col("target_uri").startswith("doc:")
+        )
+        .select(
+            F.regexp_extract("target_uri", r"^doc:(\d+)\|", 1).cast("long").alias("doc_id"),
+            "text",
+            F.regexp_extract("target_uri", r"\|([^|]*)\|", 1).alias("lang"),
+            F.regexp_extract("target_uri", r"\|([^|]*)$", 1).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+        .persist()
+    )
+    docs.count()  # eager: the crawl census, decontam bench, curation
+    # stages, and the sink all read this frame — without the barrier each
+    # consumer re-runs the Python WARC parse chain (the chained-frame
+    # persist rule; at real scale this materialization is the natural
+    # land-the-crawl checkpoint)
+    bench = docs.filter(F.col("doc_id") % 23 == 5).select("doc_id", "text")
+    kept, census = curate_corpus(
+        docs,
+        decontaminate_against=bench,
+        split_map={"train": 0.9, "valid": 0.1},
+        salt="crawl",
+    )
+    out_root = tempfile.mkdtemp(prefix="architxt_corpusout_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    manifest = write_corpus(
+        kept.select("doc_id", "text", "lang", "source", "split"),
+        f"{out_root}/corpus",
+        partition_cols=["split"],
+    )
+    crawl_hash = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    crawl = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("a"),
+        F.bit_xor(crawl_hash).alias("c"),
+    )
+    return (
+        crawl.select(
+            F.lit("crawl").alias("variant"), F.col("lang").alias("s"),
+            "a", F.lit(None).cast("long").alias("b"), "c",
+        )
+        .unionByName(
+            census.select(
+                F.lit("census").alias("variant"), F.col("stage").alias("s"),
+                F.col("n_docs").cast("long").alias("a"),
+                F.lit(None).cast("long").alias("b"),
+                F.lit(None).cast("long").alias("c"),
+            )
+        )
+        .unionByName(
+            manifest.select(
+                F.lit("manifest").alias("variant"), F.col("split").alias("s"),
+                F.col("n_docs").alias("a"), F.col("n_chars").alias("b"),
+                F.col("content_hash").alias("c"),
+            )
+        )
+    )
+
+
 def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style perplexity partition (head/middle/tail by LM score):
     bucket thresholds from a HISTOGRAM of the rounded ppl values + a
@@ -2888,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reaches these first so brand-new oracles get a driver verdict
         # in the same round they land.
         "multimodal_dedup",
+        "crawl_to_corpus",
         # Entries whose newest driver verdict is round 9 — the ≤2-round
         # rotation contract requires the r11 gate to renew all 32
         "bm25_batch",
@@ -2985,6 +3148,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ppl_buckets": q_ppl_buckets,
         "warc_split_roundtrip": q_warc_split_roundtrip,
+        "crawl_to_corpus": q_crawl_to_corpus,
         "lang_distribution": q_lang_distribution,
         "dedup_components": q_dedup_components,
         "dedup_exact_spans": q_dedup_exact_spans,
@@ -3349,6 +3513,41 @@ def _curation_sql() -> str:
         pack_buckets=8,
         salt="cur",
     )
+
+
+def _crawl_to_corpus_sql() -> str:
+    """Replay of the crawl composite from the documents table (the WARC
+    parse + HTML extraction is exact identity on this corpus — gated by
+    the 'crawl' variant's per-lang text-hash XOR): the census through
+    the shared curation SQL, the manifest through the same CTE chain's
+    kept-set + hash-split + manifest twin."""
+    from architxt_spark.functions.curation import curation_census_sql
+    from architxt_spark.functions.sampling import hash_split_sql
+    from architxt_spark.sinks.corpus import corpus_manifest_sql
+
+    base = "(SELECT doc_id, text, lang, source FROM documents)"
+    bench = "(SELECT doc_id, text FROM documents WHERE doc_id % 23 = 5)"
+    census = curation_census_sql(base, decontam_bench_table=bench, salt="crawl")
+    kept = curation_census_sql(
+        base, decontam_bench_table=bench, salt="crawl",
+        final_select="SELECT * FROM {kept}",
+    )
+    split_expr = hash_split_sql("doc_id", {"train": 0.9, "valid": 0.1}, "crawl")
+    manifest = corpus_manifest_sql(
+        f"(SELECT *, {split_expr} AS split FROM ({kept}))", ["split"]
+    )
+    lang_census = corpus_manifest_sql("documents", ["lang"])
+    return f"""
+        SELECT 'crawl' AS variant, lang AS s, n_docs AS a,
+               CAST(NULL AS BIGINT) AS b, content_hash AS c
+        FROM ({lang_census})
+        UNION ALL
+        SELECT 'census', stage, n_docs, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM ({census})
+        UNION ALL
+        SELECT 'manifest', split, n_docs, n_chars, content_hash
+        FROM ({manifest})
+    """
 
 
 def _lm_sql() -> str:
@@ -4135,6 +4334,7 @@ def _oracle_parts() -> dict[str, str]:
         "sketch_suite": _sketch_suite_sql(),
         "stream_fm_distinct": _stream_fm_sql(),
         "curation_pipeline": _curation_sql(),
+        "crawl_to_corpus": _crawl_to_corpus_sql(),
         "c4_clean": _c4_clean_sql(),
         "stream_url_seen": _stream_url_seen_sql(),
         "quality_classifier": _classifier_sql(),

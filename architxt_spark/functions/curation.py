@@ -376,9 +376,16 @@ def curation_census_sql(
     pack_budget: int = 4096,
     pack_buckets: int = 8,
     salt: str = "",
+    final_select: str | None = None,
 ) -> str:
     """DuckDB replay of the census: the same gate predicate, dedup
     keep-set, mixture take, and pack layout.
+
+    ``final_select`` swaps the census UNION for a caller-supplied final
+    statement over the same CTE chain — ``{kept}`` interpolates the name
+    of the last survivor CTE (e.g. ``"SELECT * FROM {kept}"`` yields the
+    kept-document frame itself, the form composite oracles need to
+    replay a downstream sink over the identical keep-set).
 
     Each stage is hoisted into a ``MATERIALIZED`` CTE: the census UNION
     and the downstream stages all read the prior stage's frame, and
@@ -522,4 +529,6 @@ def curation_census_sql(
     with_clause = "WITH " + ",\n        ".join(
         f"{name} AS MATERIALIZED ({body})" for name, body in ctes
     )
+    if final_select is not None:
+        return with_clause + "\n        " + final_select.format(kept=current)
     return with_clause + "\n        " + "\n        UNION ALL\n        ".join(parts)

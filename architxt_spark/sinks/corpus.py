@@ -58,6 +58,21 @@ def corpus_manifest(
     )
 
 
+def corpus_manifest_sql(src: str, partition_cols: list[str], text_col: str = "text") -> str:
+    """DuckDB twin of :func:`corpus_manifest` — the same per-partition
+    ``(n_docs, n_chars, content_hash)`` with the md5-prefix value spelled
+    as hex-digit position arithmetic (DuckDB has no ``conv()``)."""
+    digit = f"(strpos('0123456789abcdef', substr(md5({text_col}), {{d}}, 1)) - 1)"
+    num = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (14 - d)}" for d in range(15))
+    cols = ", ".join(partition_cols)
+    return (
+        f"SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(length({text_col})) AS BIGINT) AS n_chars, "
+        f"bit_xor(CAST({num} AS BIGINT)) AS content_hash "
+        f"FROM {src} GROUP BY {cols}"
+    )
+
+
 def write_corpus(
     df: DataFrame,
     path: str,

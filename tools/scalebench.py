@@ -251,7 +251,7 @@ def main() -> None:
         "--families",
         nargs="+",
         default=["core", "rewrite", "pagerank", "curate_big"],
-        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc"],
+        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl"],
         help="which rehearsal families to run: core = the r8 dedup/ANN/"
         "curation set at --sizes; rewrite = the forest-fixpoint engine "
         "at 2.5k/10k/40k trees (per-iteration exponent); pagerank = the "
@@ -267,6 +267,7 @@ def main() -> None:
         "--pagerank-sizes", type=int, nargs="+", default=[250_000, 1_000_000, 4_000_000]
     )
     p.add_argument("--curate-big-sizes", type=int, nargs="+", default=[200_000, 1_000_000])
+    p.add_argument("--crawl-sizes", type=int, nargs="+", default=[50_000, 200_000])
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -593,6 +594,101 @@ def main() -> None:
             sec = time_op(fn, args.repeats)
             results.setdefault("curate_full_dist", []).append((n, sec))
             print(f"# curate_full_dist n={n}: {sec:.2f}s", file=sys.stderr, flush=True)
+
+    if "crawl" in args.families:
+        # r11 verdict #2: the end-to-end crawl composite — read_warc
+        # (streaming gzip members) → status/content-type gate → URI
+        # metadata parse → curation chain (quality → near-dedup →
+        # decontam → hash split) → write_corpus — composing the measured
+        # WARC MB/s with curation throughput in ONE job, the production
+        # 100-TB shape the crawl_to_corpus oracle gates at test scale.
+        import shutil
+        import tempfile
+
+        from architxt_spark.sinks.corpus import write_corpus
+        from architxt_spark.sources.warc import read_warc
+
+        for n in args.crawl_sizes:
+            arch_dir = f"{args.workdir}/crawl_archives_{n}"
+            if not os.path.exists(arch_dir):
+                os.makedirs(arch_dir)
+                docs = gen_documents_dist(spark, n).repartition(int(args.cpus))
+
+                def write_part(batches, _dir=arch_dir):
+                    import gzip as _g
+
+                    import pandas as pd
+                    from pyspark import TaskContext
+
+                    from architxt_spark.sources.warc import build_warc
+
+                    pid = TaskContext.get().partitionId()
+                    buf, count = [], 0
+                    for pdf in batches:
+                        for did, text, lang, source in zip(
+                            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+                        ):
+                            rec = {
+                                "warc_type": "response",
+                                "target_uri": f"doc:{did}|{lang}|{source}",
+                                "payload": (
+                                    f"<html><body><p>{text}</p></body></html>".encode()
+                                ),
+                                "content_type": "text/html; charset=utf-8",
+                            }
+                            buf.append(_g.compress(build_warc([rec]), 1))
+                            count += 1
+                    with open(f"{_dir}/part-{pid:05d}.warc.gz", "wb") as f:
+                        f.write(b"".join(buf))
+                    yield pd.DataFrame({"n": [count]})
+
+                docs.mapInPandas(write_part, "n long").agg(F.sum("n")).collect()
+            size_mb = sum(
+                os.path.getsize(os.path.join(arch_dir, f)) for f in os.listdir(arch_dir)
+            ) / (1 << 20)
+
+            def run_crawl(_dir=arch_dir):
+                recs = read_warc(spark, _dir)
+                crawled = recs.filter(
+                    (F.col("http_status") == 200)
+                    & F.col("content_type").contains("html")
+                ).select(
+                    F.regexp_extract("target_uri", r"^doc:(\d+)\|", 1)
+                    .cast("long").alias("doc_id"),
+                    "text",
+                    F.regexp_extract("target_uri", r"\|([^|]*)\|", 1).alias("lang"),
+                    F.regexp_extract("target_uri", r"\|([^|]*)$", 1).alias("source"),
+                )
+                crawled = crawled.persist()
+                crawled.count()  # land-the-crawl barrier: every curation
+                # consumer would otherwise re-run the Python WARC parse
+                bench = crawled.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
+                kept, _census = curate_corpus(
+                    crawled,
+                    decontaminate_against=bench,
+                    split_map={"train": 0.9, "valid": 0.1},
+                    salt="sb",
+                )
+                out = tempfile.mkdtemp(prefix="sb_corpus_")
+                try:
+                    manifest = write_corpus(
+                        kept.select("doc_id", "text", "lang", "source", "split"),
+                        f"{out}/corpus",
+                        partition_cols=["split"],
+                    )
+                    return manifest.count()
+                finally:
+                    shutil.rmtree(out, ignore_errors=True)
+                    crawled.unpersist()
+
+            run_crawl()
+            sec = time_op(run_crawl, args.repeats)
+            results.setdefault("crawl_to_corpus", []).append((n, sec))
+            print(
+                f"# crawl_to_corpus n={n}: {sec:.2f}s = {size_mb / sec:.0f} MB/s "
+                f"end-to-end ({size_mb:.0f} MB gz in)",
+                file=sys.stderr, flush=True,
+            )
 
     print("\n| operator | n_docs | sec | µs/doc | exponent |")
     print("|---|---|---|---|---|")
