@@ -150,6 +150,43 @@ def gen_documents_dist(spark, n: int, seed: int = 7):
     )
 
 
+def gen_documents_zipf(
+    spark, n: int, seed: int = 29, n_templates: int = 10_000, boiler_pct: int = 30
+):
+    """Web-crawl duplication shape for the dedup pair generators: 30% of
+    docs are VERBATIM copies of Zipf-ranked boilerplate templates (rank k
+    drawn with P ∝ 1/k via the inverse CDF ``T^u``, so rank 1 alone is
+    ~11% of the boilerplate mass — the millions-of-copies-of-one-cookie-
+    notice class), the rest unique 40-word salads.  The hot bands this
+    produces are exactly what ``max_band_df``/``max_shingle_df`` exist to
+    cap.  Deterministic in (n, seed)."""
+    from pyspark.sql import functions as F
+
+    words = F.array(*[F.lit(w) for w in WORDS])
+
+    def pick_words(key, k):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda p: F.element_at(
+                    words,
+                    (F.pmod(F.xxhash64(key * 131 + p, F.lit(seed)), F.lit(len(WORDS))) + 1).cast("int"),
+                ),
+            ),
+            " ",
+        )
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    h = F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(100))
+    u = F.pmod(F.xxhash64("doc_id", F.lit(seed + 1)), F.lit(1_000_000)) / 1_000_000.0
+    # inverse-CDF Zipf(s=1): u uniform -> floor(T^u) has P(rank=k) ∝ 1/k
+    rank = F.floor(F.pow(F.lit(float(n_templates)), u)).cast("long")
+    body = F.when(
+        h < boiler_pct, F.concat(F.lit("the and "), pick_words(rank * 7919 + 11, 40))
+    ).otherwise(F.concat(F.lit("the and "), pick_words(F.col("doc_id"), 40)))
+    return df.select("doc_id", body.alias("text"))
+
+
 def gen_edges(spark, n_edges: int, seed: int = 13):
     """Hub-skewed link graph for the PageRank rehearsal: ~n_edges/8
     nodes, 20% of edges rerouted into a 100-node hub core (the web's
@@ -251,7 +288,7 @@ def main() -> None:
         "--families",
         nargs="+",
         default=["core", "rewrite", "pagerank", "curate_big"],
-        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl"],
+        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup"],
         help="which rehearsal families to run: core = the r8 dedup/ANN/"
         "curation set at --sizes; rewrite = the forest-fixpoint engine "
         "at 2.5k/10k/40k trees (per-iteration exponent); pagerank = the "
@@ -268,6 +305,10 @@ def main() -> None:
     )
     p.add_argument("--curate-big-sizes", type=int, nargs="+", default=[200_000, 1_000_000])
     p.add_argument("--crawl-sizes", type=int, nargs="+", default=[50_000, 200_000])
+    p.add_argument(
+        "--dedup-sizes", type=int, nargs="+", default=[200_000, 1_000_000, 4_000_000]
+    )
+    p.add_argument("--dedup-band-cap", type=int, default=256)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -594,6 +635,49 @@ def main() -> None:
             sec = time_op(fn, args.repeats)
             results.setdefault("curate_full_dist", []).append((n, sec))
             print(f"# curate_full_dist n={n}: {sec:.2f}s", file=sys.stderr, flush=True)
+
+    if "dedup" in args.families:
+        # r11 verdict #6: scaling curves for the top-of-funnel pair
+        # generators under Zipf-duplicated boilerplate — the hot-band
+        # quadratic blowup is their known 100-TB failure mode; the DF
+        # caps exist (max_band_df / max_shingle_df) but were unrehearsed
+        # at scale.  Capped runs at every rung (exponent should hold
+        # ≤ ~1); the uncapped A/B runs at the SMALLEST rung only (the
+        # hot buckets are genuinely quadratic — rank-1 boilerplate alone
+        # is ~3% of the corpus).
+        from architxt_spark.functions.dedup import exact_span_pairs
+
+        cap = args.dedup_band_cap
+        for n in args.dedup_sizes:
+            doc_path = f"{args.workdir}/docs_zipf_{n}"
+            if not os.path.exists(doc_path):
+                gen_documents_zipf(spark, n).repartition(int(args.cpus)).write.mode(
+                    "overwrite"
+                ).parquet(doc_path)
+            docs = spark.read.parquet(doc_path)
+            ops = {
+                "minhash_pairs_capped": lambda: minhash_lsh_pairs(
+                    docs, "text", "doc_id", max_band_df=cap
+                ).count(),
+                "ngram_pairs_capped": lambda: ngram_jaccard_pairs(
+                    docs, "text", "doc_id", max_shingle_df=cap
+                ).count(),
+                "span_pairs_capped": lambda: exact_span_pairs(
+                    docs, "text", "doc_id", max_shingle_df=cap
+                ).count(),
+            }
+            if n == min(args.dedup_sizes):
+                ops["minhash_pairs_uncapped"] = lambda: minhash_lsh_pairs(
+                    docs, "text", "doc_id"
+                ).count()
+            for name, fn in ops.items():
+                n_pairs = fn()
+                sec = time_op(fn, args.repeats)
+                results.setdefault(name, []).append((n, sec))
+                print(
+                    f"# {name} n={n}: {sec:.2f}s ({n_pairs} pairs)",
+                    file=sys.stderr, flush=True,
+                )
 
     if "crawl" in args.families:
         # r11 verdict #2: the end-to-end crawl composite — read_warc
