@@ -3051,6 +3051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the same round they land.
         "multimodal_dedup",
         "crawl_to_corpus",
+        # code-touched r11: mixture_take retry logging; curation census
+        # SQL gained the final_select hook
+        "sampling_mixture",
+        "curation_pipeline",
         # Entries whose newest driver verdict is round 9 — the ≤2-round
         # rotation contract requires the r11 gate to renew all 32
         "bm25_batch",
