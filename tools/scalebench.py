@@ -164,17 +164,29 @@ def gen_documents_zipf(
 
     words = F.array(*[F.lit(w) for w in WORDS])
 
-    def pick_words(key, k):
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda p: F.element_at(
-                    words,
-                    (F.pmod(F.xxhash64(key * 131 + p, F.lit(seed)), F.lit(len(WORDS))) + 1).cast("int"),
-                ),
-            ),
-            " ",
-        )
+    def pick_words(key, k, wide=False):
+        # wide=True appends a hash-keyed numeric suffix from a 10k domain
+        # (~1M distinct words total): real web text follows Heaps' law, so
+        # UNRELATED documents share almost no 3-gram shingles.  The first
+        # cut reused the bare 94-word vocabulary for the unique salads,
+        # which saturated the shingle space -- every unique doc's shingle
+        # df converged to ~n/|space|, riding just UNDER the DF cap (the
+        # maximally adversarial, unrealistic point: candidate volume grew
+        # toward its linear bound's worst constant, cap x shingle-rows,
+        # instead of the web-shaped curve).
+        def word(p):
+            w = F.element_at(
+                words,
+                (F.pmod(F.xxhash64(key * 131 + p, F.lit(seed)), F.lit(len(WORDS))) + 1).cast("int"),
+            )
+            if not wide:
+                return w
+            return F.concat(
+                w,
+                F.pmod(F.xxhash64(key * 131 + p, F.lit(seed + 7)), F.lit(10_000)).cast("string"),
+            )
+
+        return F.array_join(F.transform(F.sequence(F.lit(0), F.lit(k - 1)), word), " ")
 
     df = spark.range(n).select(F.col("id").alias("doc_id"))
     h = F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(100))
@@ -183,7 +195,7 @@ def gen_documents_zipf(
     rank = F.floor(F.pow(F.lit(float(n_templates)), u)).cast("long")
     body = F.when(
         h < boiler_pct, F.concat(F.lit("the and "), pick_words(rank * 7919 + 11, 40))
-    ).otherwise(F.concat(F.lit("the and "), pick_words(F.col("doc_id"), 40)))
+    ).otherwise(F.concat(F.lit("the and "), pick_words(F.col("doc_id"), 40, wide=True)))
     return df.select("doc_id", body.alias("text"))
 
 
