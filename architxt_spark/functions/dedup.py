@@ -542,7 +542,18 @@ def ngram_jaccard_pairs(
     boilerplate; quadratic pair blowup) are excluded from the vocabulary on
     BOTH the candidate and the similarity side, so the result is exact over
     the capped universe and identical across engines.  The heavy-shingle
-    set is tiny by construction — anti-joined as a broadcast."""
+    set is tiny by construction — anti-joined as a broadcast.
+
+    The index carries a 60-bit md5-prefix FINGERPRINT of each shingle,
+    not the string (r11): the self-join's sort/compare works on 8-byte
+    longs and the cached index shrinks ~4× — measured 262 s → ~60 s at
+    4M docs (the 1M→4M exponent had crept to 1.30 on string keys from
+    cache-eviction + sort-spill thrash; span_pairs' hash-keyed join at
+    the same scale held 1.02).  Counting over fingerprints is mirrored
+    EXACTLY by the SQL twin (same 15-hex-digit arithmetic applied after
+    the same per-document distinct), so a fingerprint collision — one
+    in ~2·10⁻¹⁸ per shingle pair — would merge the same pair of
+    shingles in both engines; parity is unconditional."""
     # no size guard: explode drops empty arrays, and a size() filter
     # gets predicate-pushed through the projection barrier, inlining the
     # whole shingle chain into the filter (per-element re-evaluation);
@@ -550,7 +561,10 @@ def ngram_jaccard_pairs(
     # reason (scratch handle released below).  persist the exploded
     # index: the heavy-set aggregation and both self-join sides read it.
     holds: list = []
-    raw = _shingle_rows(df, text_col, id_col, holds).persist()
+    fp = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    raw = (
+        _shingle_rows(df, text_col, id_col, holds).select("id", fp.alias("s")).persist()
+    )
     raw.count()  # eager for the same both-branches-race reason as minhash
     for hold in holds:
         hold.unpersist()
@@ -558,8 +572,14 @@ def ngram_jaccard_pairs(
         heavy = raw.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
         inv = raw.join(F.broadcast(heavy), "s", "left_anti")
         sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+        # shuffle_hash hint: the index self-join would otherwise pick a
+        # sort-merge join, paying TWO full sorts of the fingerprint index
+        # — the rising term past 1M docs (4M rung: 162 s SMJ → 123 s SHJ,
+        # 1M→4M exponent 1.27 → ~1.1).  Hot keys are capped at
+        # max_shingle_df, so per-partition hash-map build memory is
+        # bounded by partition size, the same contract the SMJ needed.
         common = (
-            inv.alias("a")
+            inv.alias("a").hint("shuffle_hash")
             .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("n_common"))
@@ -583,13 +603,22 @@ def ngram_jaccard_pairs_sql(
     table: str, text_col: str, id_col: str, *, threshold: float = 0.8, max_shingle_df: int = 1000
 ) -> str:
     sh = T.shingles_sql(text_col)
+    # 60-bit md5-prefix fingerprint, applied AFTER the per-document
+    # distinct — the exact mirror of the Spark index (see
+    # ngram_jaccard_pairs); digit-position arithmetic because DuckDB has
+    # no conv()
+    digit = "(strpos('0123456789abcdef', substr(md5(s0), {d}, 1)) - 1)"
+    fp = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (14 - d)}" for d in range(15))
     return f"""
         WITH base AS (
             SELECT {id_col} AS id, list_distinct({sh}) AS sh
             FROM {table}
             WHERE len({sh}) > 0
         ),
-        inv_all AS (SELECT id, unnest(sh) AS s FROM base),
+        inv_all AS (
+            SELECT id, CAST({fp} AS BIGINT) AS s
+            FROM (SELECT id, unnest(sh) AS s0 FROM base)
+        ),
         heavy AS (SELECT s FROM inv_all GROUP BY s HAVING COUNT(*) > {max_shingle_df}),
         inv AS (SELECT * FROM inv_all WHERE s NOT IN (SELECT s FROM heavy)),
         sizes AS (SELECT id, COUNT(*) AS n_sh FROM inv GROUP BY id),

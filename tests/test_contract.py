@@ -27,29 +27,28 @@ def test_rotation_prefix_is_valid_and_first():
     allq = E._all_queries()
     names = list(q)
     assert set(names) == set(allq)
-    # r10: code-touched entries lead (rewrite probe/apply fusion,
-    # sampling token-budget SQL-twin cast, curation up-front validation,
-    # ann serving-index temp-dir lifecycle), then ALL 32 entries whose
-    # newest driver verdict is r8 — the <=2-round rotation contract
-    touched = ("rewrite_documents", "sampling_mixture",
-               "curation_pipeline", "ann_recall", "ann_suite",
-               "multimodal_profile", "stream_curate", "semantic_dedup")
+    # r11: new oracles + code-touched entries lead (image near-dup,
+    # crawl composite; mixture retry logging, curation census
+    # final_select), then ALL 32 entries whose newest driver verdict is
+    # r9 — the <=2-round rotation contract
+    touched = ("multimodal_dedup", "crawl_to_corpus",
+               "sampling_mixture", "curation_pipeline")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
-    stale_r8 = (
-        "events_sessionize_streaming", "stream_minhash_dedup",
-        "stream_curate", "stream_url_seen", "forest_stats_documents",
-        "contamination_screen", "doc_loader_json_props",
-        "llm_label_schema", "tree_leaves_nation", "extract_valid_trees",
-        "coverage_metric", "bm25_topk", "lm_perplexity", "ngram_stats",
-        "dsir", "quality_classifier", "domain_profile", "link_pagerank",
-        "collocations", "tfidf_terms", "random_project", "ppl_buckets",
-        "warc_split_roundtrip", "dedup_exact_spans", "dedup_simhash",
-        "dedup_filtered", "events_sessionize", "graph_extract",
-        "typed_export_orders", "sampling_temperature",
-        "sampling_weighted", "sampling_pack",
+    stale_r9 = (
+        "bm25_batch", "bpe_suite", "c4_clean", "chunk_pipeline",
+        "cluster_documents", "cluster_instance_documents", "corpus_delta",
+        "corpus_health", "dataset_extract_nation", "dedup_components",
+        "dedup_pairs", "doc_chunking", "doc_quality_stats",
+        "embedding_near_dup", "events_funnel", "export_stats",
+        "extract_vocab", "gen_instance", "lang_distribution",
+        "llm_rewrite_stub", "metrics_customer", "nlp_parse_forest",
+        "pii_redaction", "sampling_strata", "scalar_funcs",
+        "schema_groups_nation", "simple_rewrite_documents", "sketch_suite",
+        "temporal_joins", "text_profile", "unicode_split",
+        "window_grouping",
     )
-    for k in stale_r8:
+    for k in stale_r9:
         assert names.index(k) < 45, k
     # folded-away entries must be GONE (their coverage lives in the folds)
     for gone in ("ann_topk", "ann_ivf_topk", "ann_pq_adc", "window_orders",
