@@ -58,6 +58,12 @@ HEADLINE = [
     # histogram-exact deciles) and the unicode-hygiene + split stage
     "corpus_health",  # r7 fold: corpus_report + corpus_drift
     "unicode_split",
+    # r11 additions: image near-dup over the real pixel decoders
+    # (perceptual hashes + Hamming-banded pairs) and the end-to-end
+    # crawl composite (read_warc -> curation chain -> write_corpus;
+    # archives memoized per session — the line measures the pipeline)
+    "multimodal_dedup",
+    "crawl_to_corpus",
 ]
 
 
