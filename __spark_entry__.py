@@ -1610,7 +1610,14 @@ def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 pr, pc = g % 8, g % 7 + 1
 
                 def val(r: int, c: int) -> int:
-                    v = (g * 37 + r * 29 + c * 47) % 192
+                    # quadratic mix: a LINEAR formula's gradient pattern
+                    # has only ~192 distinct wrap shapes, so at sf0.1's
+                    # 1250 groups unrelated images collided into near-dup
+                    # pairs en masse; the quadratic gives 1250/1250
+                    # distinct hashes (3 genuine coincidence pairs,
+                    # replayed identically by the oracle)
+                    z = g * 73 + r * 9 + c
+                    v = ((z * z + 3 * z) % 7919) % 192
                     if m == 3 and r == pr and c == pc:
                         v = (v + 96) % 192
                     return v + (8 if m == 2 else 0)
@@ -4045,19 +4052,24 @@ def _oracle_parts() -> dict[str, str]:
         # is exact at max_hamming = bands-1, so an ALL-PAIRS scan here is
         # the honest verification of it
         "multimodal_dedup": """
-            WITH cells AS (
+            WITH zc AS (
               SELECT doc_id AS d, r, c,
+                     (doc_id // 4) * 73 + r * 9 + c AS z
+              FROM documents, range(0, 8) t1(r), range(0, 9) t2(c)
+            ),
+            cells AS (
+              SELECT d, r, c,
                      CAST(
-                       (((doc_id // 4) * 37 + r * 29 + c * 47) % 192)
-                       + CASE WHEN doc_id % 4 = 2 THEN 8 ELSE 0 END
-                       + CASE WHEN doc_id % 4 = 3
-                                   AND r = (doc_id // 4) % 8
-                                   AND c = (doc_id // 4) % 7 + 1
-                              THEN (((((doc_id // 4) * 37 + r * 29 + c * 47) % 192) + 96) % 192)
-                                   - (((doc_id // 4) * 37 + r * 29 + c * 47) % 192)
+                       (((z * z + 3 * z) % 7919) % 192)
+                       + CASE WHEN d % 4 = 2 THEN 8 ELSE 0 END
+                       + CASE WHEN d % 4 = 3
+                                   AND r = (d // 4) % 8
+                                   AND c = (d // 4) % 7 + 1
+                              THEN (((((z * z + 3 * z) % 7919) % 192) + 96) % 192)
+                                   - (((z * z + 3 * z) % 7919) % 192)
                               ELSE 0 END
                      AS BIGINT) AS v
-              FROM documents, range(0, 8) t1(r), range(0, 9) t2(c)
+              FROM zc
             ),
             dh AS (
               SELECT a.d,
