@@ -1,22 +1,33 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) pixel codec —
-pure Python + numpy, no Pillow.
+"""JPEG (ITU-T T.81, Huffman) pixel codec — pure Python + numpy, no
+Pillow.
 
 Completes the real-pixel story for the three stdlib-dimension formats
 (PNG/GIF in ``multimodal.py``, JPEG here): ``decode_jpeg_pixels``
-handles the baseline sequential shape — 8-bit precision, Huffman
-entropy coding read from the file's own DHT segments (any valid
-tables, not just Annex K), 1- or 3-component scans, arbitrary
-sampling factors (4:4:4 / 4:2:2 / 4:2:0 by replication upsampling),
-restart markers.  Progressive (SOF2), arithmetic coding, 12-bit and
-16-bit quantization tables raise ``NotImplementedError`` with
-guidance — those genuinely want libjpeg.
+handles the two shapes that cover essentially every web JPEG —
+baseline/extended sequential (SOF0/SOF1) and **progressive** (SOF2,
+spectral selection + successive approximation, the default output of
+libjpeg/mozjpeg ``-progressive`` and most CDN re-encoders) — 8-bit
+precision, Huffman entropy coding read from the file's own DHT
+segments (any valid tables, including mid-file redefinition between
+progressive scans), 1- or 3-component frames, arbitrary sampling
+factors (4:4:4 / 4:2:2 / 4:2:0 by replication upsampling), restart
+markers in both sequential and progressive scans.  Arithmetic coding,
+lossless/hierarchical frames, 12-bit precision and 16-bit quantization
+tables raise ``NotImplementedError`` with guidance — those genuinely
+want libjpeg.
 
 ``make_jpeg_bytes`` is the encoder twin for round-trip tests: forward
 DCT + flat quantization + canonical single-length Huffman tables it
 declares in its own DHT segments.  JPEG is lossy, but constant 8×8
 blocks survive the DC-only path bit-exactly, so the tests get exact
 assertions where exactness is mathematically guaranteed and bounded
-tolerance on gradients.
+tolerance on gradients.  ``progressive=True`` re-encodes the SAME
+quantized coefficients as a five-phase progressive scan script (DC
+first at Al=1 → DC refine → two per-component AC spectral bands at
+Al=1 → per-component AC refine), which makes the strongest possible
+decoder test available: progressive is a lossless reorganization of
+the sequential coefficient stream, so the progressive decode must be
+BYTE-IDENTICAL to the baseline decode of the same image.
 
 Scale posture: like the PNG/GIF decoders this runs per-row inside the
 Arrow boundary (``extract_features(decoder="jpeg")``); the numpy DCT
@@ -134,13 +145,16 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG to ``(width, height, channels,
-    raw)`` — row-major samples, grayscale (1) or RGB (3)."""
+    """Decode a sequential (SOF0/SOF1) or progressive (SOF2) JPEG to
+    ``(width, height, channels, raw)`` — row-major samples, grayscale
+    (1) or RGB (3)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
+    progressive = False
+    prog: _ProgState | None = None
     restart = 0
     pos = 2
     n = len(content)
@@ -175,7 +189,7 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 symbols = list(body[off + 17:off + 17 + cnt])
                 huff[(tc, th)] = _build_huffman(bits, symbols)
                 off += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG needs libjpeg")
@@ -184,24 +198,66 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential Huffman JPEG (SOF0) decodes "
-                "without libjpeg (progressive/arithmetic/lossless found)"
+                "only sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman JPEG decode without libjpeg "
+                "(arithmetic/lossless/hierarchical found)"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG scan before SOF0")
-            ns = body[0]
-            scan = []
-            for i in range(ns):
-                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cs, tables >> 4, tables & 0x0F))
-            return _decode_scan(content, pos, frame, scan, qt, huff, restart)
+                raise ValueError("JPEG scan before SOF")
+            if not progressive:
+                ns = body[0]
+                scan = []
+                for i in range(ns):
+                    cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                    scan.append((cs, tables >> 4, tables & 0x0F))
+                return _decode_scan(content, pos, frame, scan, qt, huff, restart)
+            if prog is None:
+                prog = _ProgState(frame)
+            pos = prog.decode_scan(content, pos, body, huff, restart)
+    if progressive and prog is not None:
+        return prog.reconstruct(qt)
     raise ValueError("JPEG without a scan")
+
+
+#: zigzag scatter indices for vectorized (n, 64) -> (n, 8, 8)
+_ZZ_R = np.array([rr for rr, _cc in ZIGZAG])
+_ZZ_C = np.array([cc for _rr, cc in ZIGZAG])
+
+
+def _finish_planes(w, h, hmax, vmax, comp_planes):
+    """Shared reconstruction tail: per-component ``(zz, q, ch, cv)``
+    with ``zz`` the (gy, gx, 64) zigzag coefficient grid → pixels."""
+    planes = []
+    for zz, q, ch, cv in comp_planes:
+        gy, gx = zz.shape[:2]
+        blocks = np.zeros((gy * gx, 8, 8))
+        blocks[:, _ZZ_R, _ZZ_C] = zz.reshape(gy * gx, 64)
+        spat = _blocks_idct(blocks * q).reshape(gy, gx, 8, 8)
+        plane = spat.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, out.tobytes()
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart):
@@ -214,10 +270,10 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
     comp_info = []
     for cid, ch, cv, tq in comps:
         dc_id, ac_id = next((d, a) for cs, d, a in scan if cs == cid)
-        grid = np.zeros((mcus_y * cv, mcus_x * ch, 8, 8))
+        zz = np.zeros((mcus_y * cv, mcus_x * ch, 64))
         comp_info.append(
             dict(ch=ch, cv=cv, q=qt[tq], dc=huff[(0, dc_id)],
-                 ac=huff[(1, ac_id)], grid=grid, pred=0)
+                 ac=huff[(1, ac_id)], zz=zz, pred=0)
         )
 
     r = _BitReader(data, pos)
@@ -254,37 +310,189 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
                                 raise ValueError("AC run past block end")
                             blk[k] = _extend(r.bits(size), size)
                             k += 1
-                        b8 = np.zeros((8, 8))
-                        for i, (rr, cc) in enumerate(ZIGZAG):
-                            b8[rr, cc] = blk[i]
-                        ci["grid"][my * ci["cv"] + by, mx * ci["ch"] + bx] = b8
+                        ci["zz"][my * ci["cv"] + by, mx * ci["ch"] + bx] = blk
             mcu += 1
 
-    planes = []
-    for ci in comp_info:
-        gy, gx = ci["grid"].shape[:2]
-        blocks = ci["grid"].reshape(gy * gx, 8, 8) * ci["q"]
-        spat = _blocks_idct(blocks).reshape(gy, gx, 8, 8)
-        plane = spat.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
-        plane = np.repeat(
-            np.repeat(plane, vmax // ci["cv"], axis=0), hmax // ci["ch"], axis=1
-        )
-        planes.append(plane[:h, :w])
-
-    if len(planes) == 1:
-        out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
-        return w, h, 1, out.tobytes()
-    y, cb, cr = planes
-    rgb = np.stack(
-        [
-            y + 1.402 * (cr - 128.0),
-            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-            y + 1.772 * (cb - 128.0),
-        ],
-        axis=-1,
+    return _finish_planes(
+        w, h, hmax, vmax,
+        [(ci["zz"], ci["q"], ci["ch"], ci["cv"]) for ci in comp_info],
     )
-    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-    return w, h, 3, out.tobytes()
+
+
+class _ProgState:
+    """Coefficient accumulator + scan decoder for progressive (SOF2)
+    frames: spectral selection (Ss..Se bands per scan) and successive
+    approximation (Ah/Al bit planes) per ITU-T T.81 §G.2, including
+    EOB runs, AC refinement correction bits, interleaved DC scans,
+    non-interleaved single-component scans over the USED block grid
+    (not the MCU-padded grid), and restart markers."""
+
+    def __init__(self, frame):
+        w, h, comps = frame
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        # per component: MCU-padded zigzag grid of Python-int coefs
+        # (bit-plane ops need exact two's-complement semantics) + the
+        # used-block dims a non-interleaved scan covers
+        self.coef: list[list[list[list[int]]]] = []
+        self.used: list[tuple[int, int]] = []
+        self.tq: list[int] = []
+        for _cid, ch, cv, tq in comps:
+            gy, gx = self.mcus_y * cv, self.mcus_x * ch
+            self.coef.append([[[0] * 64 for _ in range(gx)] for _ in range(gy)])
+            comp_w = -(-(w * ch) // self.hmax)
+            comp_h = -(-(h * cv) // self.vmax)
+            bw = -(-comp_w // 8)
+            bh = -(-comp_h // 8)
+            self.used.append((min(bh, gy), min(bw, gx)))
+            self.tq.append(tq)
+
+    def decode_scan(self, data, pos, body, huff, restart):
+        _w, _h, comps = self.frame
+        ns = body[0]
+        scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+        ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+        ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        members = []
+        for cs, tabs in scan:
+            ci = next(i for i, c in enumerate(comps) if c[0] == cs)
+            table = (
+                huff.get((0, tabs >> 4)) if ss == 0 else huff[(1, tabs & 0x0F)]
+            )
+            members.append((ci, table))
+        r = _BitReader(data, pos)
+        self._eobrun = 0
+        if ns > 1:
+            units = self.mcus_y * self.mcus_x
+            blocks_of = self._mcu_blocks(members)
+        else:
+            ci = members[0][0]
+            bh, bw = self.used[ci]
+            units = bh * bw
+            table = members[0][1]
+            blocks_of = lambda u: [  # noqa: E731
+                (ci, table, u // bw, u % bw)
+            ]
+        preds = [0] * len(comps)
+        rst = 0
+        for u in range(units):
+            if restart and u and u % restart == 0:
+                r.align_restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+                self._eobrun = 0
+            for ci, table, by, bx in blocks_of(u):
+                blk = self.coef[ci][by][bx]
+                if ss == 0 and ah == 0:  # DC first
+                    s = _decode_symbol(r, table)
+                    diff = _extend(r.bits(s), s) if s else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                elif ss == 0:  # DC refine: one raw bit per block
+                    if r.bit():
+                        blk[0] |= 1 << al
+                elif ah == 0:
+                    self._ac_first(r, table, blk, ss, se, al)
+                else:
+                    self._ac_refine(r, table, blk, ss, se, al)
+        # skip post-scan pad bits to the next marker (not RSTn)
+        p = r.pos
+        n = len(data)
+        while p + 1 < n and not (
+            data[p] == 0xFF and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            p += 1
+        return p
+
+    def _mcu_blocks(self, members):
+        comps = self.frame[2]
+
+        def blocks(u):
+            my, mx = divmod(u, self.mcus_x)
+            out = []
+            for ci, table in members:
+                _cid, ch, cv, _tq = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        out.append((ci, table, my * cv + by, mx * ch + bx))
+            return out
+
+        return blocks
+
+    def _ac_first(self, r, table, blk, ss, se, al):
+        if self._eobrun > 0:
+            self._eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _decode_symbol(r, table)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                self._eobrun = (1 << run) + (r.bits(run) if run else 0) - 1
+                return
+            k += run
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(r.bits(size), size) << al
+            k += 1
+
+    def _ac_refine(self, r, table, blk, ss, se, al):
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if self._eobrun == 0:
+            while k <= se:
+                sym = _decode_symbol(r, table)
+                run, size = sym >> 4, sym & 0x0F
+                val = 0
+                if size == 0:
+                    if run < 15:
+                        self._eobrun = (1 << run) + (r.bits(run) if run else 0)
+                        break  # correction-bit tail handled below
+                else:
+                    if size != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    val = p1 if r.bit() else m1
+                # advance past `run` zero-history positions, correcting
+                # already-nonzero coefficients along the way
+                while k <= se:
+                    c = blk[k]
+                    if c != 0:
+                        if r.bit() and not (c & p1):
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if self._eobrun > 0:
+            while k <= se:
+                c = blk[k]
+                if c != 0 and r.bit() and not (c & p1):
+                    blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            self._eobrun -= 1
+
+    def reconstruct(self, qt):
+        w, h, comps = self.frame
+        comp_planes = []
+        for ci, (_cid, ch, cv, tq) in enumerate(comps):
+            zz = np.array(self.coef[ci], dtype=float)
+            comp_planes.append((zz, qt[tq], ch, cv))
+        return _finish_planes(w, h, self.hmax, self.vmax, comp_planes)
 
 
 # ---------------------------------------------------------------------------
@@ -339,12 +547,19 @@ def make_jpeg_bytes(
     subsampling: str = "444",
     quant: int = 16,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode raw samples (gray or RGB, row-major) as a baseline
     sequential JPEG — the :func:`decode_jpeg_pixels` round-trip twin.
     Flat quantization table (``quant`` everywhere, DC step 8 so
     constant blocks are bit-exact), canonical self-declared Huffman
-    tables, optional 4:2:0 subsampling and restart markers."""
+    tables, optional 4:2:0 subsampling and restart markers.
+
+    ``progressive=True`` emits the SAME quantized coefficients as an
+    SOF2 five-phase scan script (DC first Al=1 → DC refine → AC bands
+    1–20 and 21–63 per component at Al=1 → AC refine per component) —
+    a lossless reorganization, so decoded pixels are byte-identical to
+    the sequential encoding's."""
     arr = np.frombuffer(pixels, dtype=np.uint8).astype(float).reshape(
         height, width, channels
     )
@@ -387,6 +602,13 @@ def make_jpeg_bytes(
         blocks = plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         quantized = np.rint(_blocks_dct(blocks) / qtab).astype(int).reshape(gy, gx, 8, 8)
         comp_blocks.append(quantized)
+
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart markers unsupported with progressive=True")
+        return _encode_progressive(
+            width, height, channels, factors, comp_blocks, qtab
+        )
 
     # gather per-block zigzag symbol streams (two passes: symbols first,
     # so the canonical tables cover exactly what the scan emits)
@@ -484,5 +706,222 @@ def make_jpeg_bytes(
                 wtr.write(v if v > 0 else v + (1 << vs) - 1, vs)
     wtr.flush()
     out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2 scan script over the same quantized coefficients)
+# ---------------------------------------------------------------------------
+
+
+def _shift_mag(v: int, al: int) -> int:
+    """T.81 point transform for AC first scans: magnitude shift,
+    sign preserved (NOT an arithmetic shift)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _encode_progressive(width, height, channels, factors, comp_blocks, qtab):
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    ncomp = len(factors)
+    # zigzag coefficient grids + used-block dims per component
+    zzs, useds = [], []
+    for (fh, fv), blocks in zip(factors, comp_blocks):
+        zzs.append(blocks[:, :, _ZZ_R, _ZZ_C])
+        comp_w = -(-(width * fh) // hmax)
+        comp_h = -(-(height * fv) // vmax)
+        useds.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    def dc_first_ops(al):
+        ops = []
+        preds = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (fh, fv) in enumerate(factors):
+                    tid = 0 if ci == 0 else 1
+                    for by in range(fv):
+                        for bx in range(fh):
+                            t = int(zzs[ci][my * fv + by, mx * fh + bx, 0]) >> al
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s = _size_cat(diff)
+                            ops.append(("s", (0, tid), s))
+                            if s:
+                                ops.append(
+                                    ("b", diff if diff > 0 else diff + (1 << s) - 1, s)
+                                )
+        return ops
+
+    def dc_refine_ops(al):
+        ops = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (fh, fv) in enumerate(factors):
+                    for by in range(fv):
+                        for bx in range(fh):
+                            c = int(zzs[ci][my * fv + by, mx * fh + bx, 0])
+                            ops.append(("b", (c >> al) & 1, 1))
+        return ops
+
+    def ac_first_ops(ci, ss, se, al):
+        ops = []
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                ops.append(("s", (1, 0), nbits << 4))
+                if nbits:
+                    ops.append(("b", eobrun - (1 << nbits), nbits))
+                eobrun = 0
+
+        bh, bw = useds[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                band = [
+                    _shift_mag(int(zzs[ci][by, bx, k]), al)
+                    for k in range(ss, se + 1)
+                ]
+                last = max((i for i, v in enumerate(band) if v), default=-1)
+                if last < 0:
+                    eobrun += 1
+                else:
+                    flush()
+                    run = 0
+                    for i in range(last + 1):
+                        v = band[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ops.append(("s", (1, 0), 0xF0))
+                            run -= 16
+                        s = _size_cat(v)
+                        ops.append(("s", (1, 0), (run << 4) | s))
+                        ops.append(("b", v if v > 0 else v + (1 << s) - 1, s))
+                        run = 0
+                    if last < se - ss:
+                        eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+        return ops
+
+    def ac_refine_ops(ci, ss, se, al):
+        ops = []
+        eobrun = 0
+        be = []
+
+        def flush():
+            nonlocal eobrun, be
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                ops.append(("s", (1, 0), nbits << 4))
+                if nbits:
+                    ops.append(("b", eobrun - (1 << nbits), nbits))
+                eobrun = 0
+            ops.extend(be)
+            be = []
+
+        bh, bw = useds[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                band = [int(zzs[ci][by, bx, k]) for k in range(ss, se + 1)]
+                absv = [abs(v) >> al for v in band]
+                eobpos = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+                run = 0
+                br = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eobpos:
+                        flush()
+                        ops.append(("s", (1, 0), 0xF0))
+                        run -= 16
+                        ops.extend(br)
+                        br = []
+                    if t > 1:
+                        br.append(("b", t & 1, 1))
+                        continue
+                    flush()
+                    ops.append(("s", (1, 0), (run << 4) | 1))
+                    ops.append(("b", 1 if band[i] > 0 else 0, 1))
+                    ops.extend(br)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush()
+        flush()
+        return ops
+
+    # scan script: comps=None → interleaved all-component DC scan
+    scans = [
+        dict(comps=None, ss=0, se=0, ah=0, al=1, ops=dc_first_ops(1)),
+        dict(comps=None, ss=0, se=0, ah=1, al=0, ops=dc_refine_ops(0)),
+    ]
+    for ci in range(ncomp):
+        scans.append(
+            dict(comps=[ci], ss=1, se=20, ah=0, al=1, ops=ac_first_ops(ci, 1, 20, 1))
+        )
+    for ci in range(ncomp):
+        scans.append(
+            dict(comps=[ci], ss=21, se=63, ah=0, al=1, ops=ac_first_ops(ci, 21, 63, 1))
+        )
+    for ci in range(ncomp):
+        scans.append(
+            dict(comps=[ci], ss=1, se=63, ah=1, al=0, ops=ac_refine_ops(ci, 1, 63, 0))
+        )
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    zz_q = bytes(int(qtab[rr, cc]) for rr, cc in ZIGZAG)
+    seg(0xDB, b"\x00" + zz_q)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    seg(0xC2, sof)
+
+    for sc in scans:
+        # per-scan canonical tables over exactly the symbols the scan
+        # emits, re-declared before each SOS (exercises the decoder's
+        # mid-file DHT redefinition path)
+        tabs = {}
+        for op in sc["ops"]:
+            if op[0] == "s":
+                tabs.setdefault(op[1], []).append(op[2])
+        encs = {}
+        for (tc, tid), syms in sorted(tabs.items()):
+            bits, symlist, enc = _canonical_table(syms)
+            seg(0xC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(symlist))
+            encs[(tc, tid)] = enc
+        members = range(ncomp) if sc["comps"] is None else sc["comps"]
+        sos = bytes([len(list(members))])
+        for ci in members:
+            tid = 0 if ci == 0 else 1
+            sel = (tid << 4) if sc["ss"] == 0 else 0  # td | ta
+            sos += bytes([ci + 1, sel])
+        sos += bytes([sc["ss"], sc["se"], (sc["ah"] << 4) | sc["al"]])
+        seg(0xDA, sos)
+        wtr = _BitWriter()
+        for op in sc["ops"]:
+            if op[0] == "s":
+                length, code = encs[op[1]][op[2]]
+                wtr.write(code, length)
+            else:
+                wtr.write(op[1], op[2])
+        wtr.flush()
+        out.extend(wtr.out)
+
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -89,13 +89,95 @@ def test_color_420_subsampling():
 def test_jpeg_gates_raise_with_guidance():
     img = _const_block_image(8, 8, seed=1)
     jp = bytearray(make_jpeg_bytes(8, 8, img.tobytes(), channels=1))
-    # flip SOF0 (0xC0) to SOF2 (progressive)
+    # flip SOF0 (0xC0) to SOF9 (arithmetic sequential) — genuinely gated
     i = jp.index(b"\xff\xc0")
-    jp[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    jp[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(bytes(jp))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_pixels(b"\x89PNG nope")
+
+
+def test_sof1_extended_sequential_decodes_like_sof0():
+    """SOF1 (extended sequential) at 8-bit precision is the same scan
+    structure as SOF0 — the decoder must accept the marker."""
+    w, h = 24, 16
+    img = _const_block_image(w, h, seed=4)
+    jp = bytearray(make_jpeg_bytes(w, h, img.tobytes(), channels=1))
+    i = jp.index(b"\xff\xc0")
+    jp[i + 1] = 0xC1
+    gw, gh, ch, raw = decode_jpeg_pixels(bytes(jp))
+    assert (gw, gh, ch) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(raw, dtype=np.uint8).reshape(h, w), img)
+
+
+def test_progressive_sof2_structurally_invalid_scan_raises():
+    """A baseline full-band scan header under a progressive frame is
+    not a gate — it's a corrupt stream, and must raise loudly."""
+    img = _const_block_image(8, 8, seed=1)
+    jp = bytearray(make_jpeg_bytes(8, 8, img.tobytes(), channels=1))
+    i = jp.index(b"\xff\xc0")
+    jp[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        decode_jpeg_pixels(bytes(jp))
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub,quant",
+    [
+        (24, 16, 1, "444", 16),
+        (13, 9, 1, "444", 2),
+        (24, 16, 3, "444", 16),
+        (32, 32, 3, "420", 16),
+        (37, 21, 3, "420", 2),
+        (64, 48, 3, "444", 2),
+    ],
+)
+def test_progressive_decodes_byte_identical_to_baseline(w, h, ch, sub, quant):
+    """Progressive is a lossless reorganization of the same quantized
+    coefficients, so SOF2 decode must equal SOF0 decode byte-for-byte —
+    the strongest possible correctness gate on the progressive path
+    (spectral selection, successive approximation, EOB runs, AC
+    refinement correction bits all participate)."""
+    rng = np.random.default_rng(hash((w, h, ch, quant)) % (2**32))
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    kw = dict(channels=ch, subsampling=sub, quant=quant)
+    base = decode_jpeg_pixels(make_jpeg_bytes(w, h, img.tobytes(), **kw))
+    prog = decode_jpeg_pixels(
+        make_jpeg_bytes(w, h, img.tobytes(), progressive=True, **kw)
+    )
+    assert base == prog
+
+
+def test_progressive_sparse_image_long_eob_runs():
+    """A nearly-flat image with isolated spikes drives long EOBRUN
+    accumulation across blocks (plus correction bits buffered behind
+    the run in the refinement scan)."""
+    w, h = 128, 64
+    img = np.full((h, w), 128, dtype=np.uint8)
+    img[5, 13] = 255
+    img[40, 90] = 0
+    img[63, 127] = 200
+    kw = dict(channels=1, quant=2)
+    base = decode_jpeg_pixels(make_jpeg_bytes(w, h, img.tobytes(), **kw))
+    prog = decode_jpeg_pixels(
+        make_jpeg_bytes(w, h, img.tobytes(), progressive=True, **kw)
+    )
+    assert base == prog
+    got = np.frombuffer(prog[3], dtype=np.uint8).reshape(h, w).astype(int)
+    assert abs(int(got[5, 13]) - 255) <= 16  # the spike survives
+
+
+def test_progressive_constant_blocks_exact():
+    """DC-only images exercise only the DC first+refine scans; the
+    successive-approximation split (Al=1 then bit 0) must reassemble
+    the exact DC coefficients, so pixels round-trip bit-exactly."""
+    w, h = 24, 16
+    img = _const_block_image(w, h, seed=4)
+    jp = make_jpeg_bytes(w, h, img.tobytes(), channels=1, progressive=True)
+    gw, gh, ch, raw = decode_jpeg_pixels(jp)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(raw, dtype=np.uint8).reshape(h, w), img)
 
 
 def test_extract_features_jpeg_mode(spark):
