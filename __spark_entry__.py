@@ -1475,16 +1475,22 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                 elif d % 4 == 2:
                     # grayscale constant 8x8 blocks: the DC-only JPEG
                     # path is bit-exact, so the decoded pixels equal the
-                    # formula both engines evaluate
+                    # formula both engines evaluate; half the slice
+                    # (d%8==2) encodes PROGRESSIVE (SOF2, r11) — same
+                    # coefficients, so the same closed-form oracle gates
+                    # the successive-approximation DC scans + AC EOBRUN
+                    # machinery byte-exactly
                     bx, by = d % 3 + 1, d % 2 + 1
                     jw, jh = 8 * bx, 8 * by
                     img = bytes(
                         (d * 37 + (((p // jw) // 8) * bx + ((p % jw) // 8)) * 11) % 256
                         for p in range(jw * jh)
                     )
-                    content = make_jpeg_bytes(jw, jh, img, channels=1)
+                    content = make_jpeg_bytes(
+                        jw, jh, img, channels=1, progressive=(d % 8 == 2)
+                    )
                     vals = list(decode_jpeg_pixels(content)[3])
-                    fmt = "jpeg"
+                    fmt = "jpeg_prog" if d % 8 == 2 else "jpeg"
                 else:
                     ch = (d // 2) % 2 + 1
                     frames = d % 50 + 8
@@ -3062,6 +3068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL gained the final_select hook
         "sampling_mixture",
         "curation_pipeline",
+        # code-touched r11 (late): progressive-JPEG fixtures joined the
+        # 'pixels' hash variant
+        "multimodal_profile",
         # Entries whose newest driver verdict is round 9 — the ≤2-round
         # rotation contract requires the r11 gate to renew all 32
         "bm25_batch",
@@ -4013,7 +4022,9 @@ def _oracle_parts() -> dict[str, str]:
             UNION ALL
             SELECT 'pixels', CAST(doc_id AS VARCHAR),
                    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                        WHEN 2 THEN 'jpeg' ELSE 'wav' END,
+                        WHEN 2 THEN CASE WHEN doc_id % 8 = 2
+                                         THEN 'jpeg_prog' ELSE 'jpeg' END
+                        ELSE 'wav' END,
                    CAST(CASE doc_id % 4
                      WHEN 0 THEN list_sum(list_transform(
                          range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3),

@@ -32,7 +32,8 @@ def test_rotation_prefix_is_valid_and_first():
     # final_select), then ALL 32 entries whose newest driver verdict is
     # r9 — the <=2-round rotation contract
     touched = ("multimodal_dedup", "crawl_to_corpus",
-               "sampling_mixture", "curation_pipeline")
+               "sampling_mixture", "curation_pipeline",
+               "multimodal_profile")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
     stale_r9 = (
