@@ -1,8 +1,9 @@
-"""Legacy binary ``.xls`` (BIFF8 in an OLE2 compound file) — pure-stdlib
-read path for :func:`architxt_spark.sources.documents.read_document_file`.
+"""Legacy binary ``.xls`` (BIFF5/BIFF8 in an OLE2 compound file) —
+pure-stdlib read path for
+:func:`architxt_spark.sources.documents.read_document_file`.
 
 The reference parses Excel via pandas/xlrd (``loader/documents.py:22-29``);
-this module reads the common BIFF8 shape with ``struct`` alone so the
+this module reads the common BIFF shapes with ``struct`` alone so the
 legacy-codec gate only fires for the genuinely exotic cases:
 
 - OLE2/CFB container: header DIFAT (≤109 FAT sectors ≈ 6.8 MB files),
@@ -12,18 +13,32 @@ legacy-codec gate only fires for the genuinely exotic cases:
   shared strings INCLUDING ``CONTINUE`` spans with per-continuation
   option flags), then per-sheet cell records — ``LABELSST``, ``LABEL``,
   ``NUMBER``, ``RK``, ``MULRK``, ``BOOLERR``;
-- raises ``NotImplementedError`` with guidance for BIFF5 (pre-unicode),
-  encrypted workbooks (``FILEPASS``), and DIFAT-chained (>6.8 MB)
+- BIFF5/BIFF7 workbook (r11): pre-unicode byte strings decoded through
+  the ``CODEPAGE`` record's encoding (``LABEL`` cells, byte-string
+  sheet names, no SST);
+- RC4-encrypted workbooks (r11): the MS-OFFCRYPTO §2.3.6 binary-RC4
+  scheme — MD5 key derivation from the UTF-16LE password, 1024-byte
+  rekeying blocks aligned to the workbook-stream offset, verifier
+  check, plaintext record headers / ``BOF``/``FILEPASS``/``BoundSheet8
+  .lbPlyPos`` exemptions.  Files saved "encrypted" with no explicit
+  password use Excel's well-known default password
+  (``VelvetSweatshop``) and therefore open transparently — a real
+  corpus case;
+- raises ``NotImplementedError`` with guidance for BIFF2–4, XOR
+  obfuscation (method 0 — its password-digest tables are spec
+  constants this container can't verify), and DIFAT-chained (>6.8 MB)
   containers — those genuinely want xlrd.
 
 Output shape matches ``_read_xlsx_stdlib``: ``{sheet: [row dicts]}``,
 first row = header, every value a string.  ``make_xls_bytes`` is the
-fixture-writer twin (real OLE2 + BIFF8 bytes, regular-FAT or
-mini-stream layout) the round-trip tests drive both paths with.
+fixture-writer twin (real OLE2 + BIFF8/BIFF5 bytes, regular-FAT or
+mini-stream layout, optional RC4 encryption) the round-trip tests
+drive both paths with.
 """
 
 from __future__ import annotations
 
+import hashlib
 import struct
 
 _MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -113,8 +128,140 @@ def _cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# BIFF8 records
+# RC4 encryption (MS-OFFCRYPTO §2.3.6 binary RC4; Excel 97 workbooks)
 # ---------------------------------------------------------------------------
+
+#: Excel's documented default password: workbooks "protected" without a
+#: user password are RC4-encrypted under this literal and open
+#: transparently in Excel — so the reader must try it before gating.
+DEFAULT_XLS_PASSWORD = "VelvetSweatshop"
+
+#: records whose bodies stay plaintext inside an encrypted stream
+#: (MS-XLS 2.2.10), keyed by opcode
+_PLAINTEXT_RECORDS = frozenset(
+    {0x0809, 0x002F, 0x00E1, 0x0194, 0x0195, 0x0196, 0x0138}
+)
+
+
+def _rc4_keystream(key: bytes, n: int) -> bytes:
+    """Plain RC4 PRGA output of ``n`` bytes for ``key`` (KSA + PRGA)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(n)
+    i = j = 0
+    for k in range(n):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _rc4_base_key(password: str, salt: bytes) -> bytes:
+    """Password → 5-byte truncated intermediate key: MD5 of the UTF-16LE
+    password truncated to 5 bytes, then MD5 over 16 repetitions of
+    (trunc + salt), truncated to 5 bytes again (the 40-bit lineage)."""
+    h0 = hashlib.md5(password.encode("utf-16-le")).digest()[:5]
+    return hashlib.md5((h0 + salt) * 16).digest()[:5]
+
+
+def _rc4_block_key(base: bytes, block: int) -> bytes:
+    return hashlib.md5(base + struct.pack("<I", block)).digest()[:16]
+
+
+def _rc4_stream_keystream(base: bytes, n: int) -> bytes:
+    """Keystream covering byte offsets 0..n of the workbook stream —
+    rekeyed every 1024 bytes relative to the stream start."""
+    out = bytearray()
+    block = 0
+    while len(out) < n:
+        out += _rc4_keystream(_rc4_block_key(base, block), 1024)
+        block += 1
+    return bytes(out[:n])
+
+
+def _rc4_verify(password: str, body: bytes) -> bytes | None:
+    """Check the FILEPASS verifier; return the 5-byte base key on
+    success, None on wrong password."""
+    salt = body[6:22]
+    enc_verifier = body[22:38]
+    enc_hash = body[38:54]
+    base = _rc4_base_key(password, salt)
+    ks = _rc4_keystream(_rc4_block_key(base, 0), 32)
+    verifier = bytes(a ^ b for a, b in zip(enc_verifier, ks[:16]))
+    vhash = bytes(a ^ b for a, b in zip(enc_hash, ks[16:]))
+    return base if hashlib.md5(verifier).digest() == vhash else None
+
+
+def _rc4_apply(stream: bytes, base: bytes) -> bytes:
+    """De/encrypt record bodies in place against the stream-offset-
+    aligned keystream: headers, exempt records, and BoundSheet8's
+    first-4-byte ``lbPlyPos`` stay plaintext, but the keystream still
+    advances over them (it is tied to the absolute offset)."""
+    ks = _rc4_stream_keystream(base, len(stream))
+    out = bytearray(stream)
+    pos = 0
+    while pos + 4 <= len(stream):
+        opcode, length = struct.unpack("<HH", stream[pos:pos + 4])
+        body_at = pos + 4
+        if opcode not in _PLAINTEXT_RECORDS:
+            skip = 4 if opcode == 0x0085 else 0  # BoundSheet8.lbPlyPos
+            for i in range(body_at + skip, body_at + length):
+                out[i] ^= ks[i]
+        pos = body_at + length
+    return bytes(out)
+
+
+def _decrypt_workbook(wb: bytes, filepass_body: bytes, password: str | None) -> bytes:
+    """Dispatch on the FILEPASS shape and return the decrypted stream."""
+    if len(filepass_body) == 4 or struct.unpack("<H", filepass_body[:2])[0] == 0:
+        raise NotImplementedError(
+            "XOR-obfuscated .xls (FILEPASS method 0) needs xlrd; "
+            "re-save unencrypted or as .xlsx"
+        )
+    vmajor, vminor = struct.unpack("<HH", filepass_body[2:6])
+    if (vmajor, vminor) != (1, 1):
+        raise NotImplementedError(
+            f"CryptoAPI-encrypted .xls (EncryptionVersionInfo {vmajor}.{vminor}) "
+            "needs xlrd/msoffcrypto; re-save as .xlsx"
+        )
+    for pw in ([password] if password else [DEFAULT_XLS_PASSWORD]):
+        base = _rc4_verify(pw, filepass_body)
+        if base is not None:
+            return _rc4_apply(wb, base)
+    raise ValueError(
+        "encrypted .xls: password verification failed "
+        "(tried the default 'VelvetSweatshop'; pass password=...)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BIFF records
+# ---------------------------------------------------------------------------
+
+
+_CODEPAGE_MAP = {
+    0x016F: "ascii",
+    0x01B5: "cp437",
+    0x02D0: "cp720",
+    0x0352: "cp850",
+    0x2710: "mac_roman",
+    0x8000: "mac_roman",
+    0x8001: "cp1252",
+}
+
+
+def _codepage_codec(cp: int) -> str:
+    if cp in _CODEPAGE_MAP:
+        return _CODEPAGE_MAP[cp]
+    try:
+        "".encode(f"cp{cp}")
+    except LookupError:
+        return "latin-1"
+    return f"cp{cp}"
 
 
 def _records(stream: bytes, pos: int = 0):
@@ -247,29 +394,50 @@ def _fmt_num(v: float) -> str:
     return str(int(v)) if float(v).is_integer() else repr(float(v))
 
 
-def _read_xls_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
-    """Read a BIFF8 ``.xls`` into ``{sheet: [row dicts]}`` (first row =
-    header, values as strings) — the `_read_xlsx_stdlib` output shape."""
+def _read_xls_stdlib(
+    path: str, password: str | None = None
+) -> dict[str, list[dict[str, str]]]:
+    """Read a BIFF8 or BIFF5 ``.xls`` into ``{sheet: [row dicts]}``
+    (first row = header, values as strings) — the `_read_xlsx_stdlib`
+    output shape.  RC4-encrypted workbooks decrypt with ``password``
+    (default: Excel's well-known ``VelvetSweatshop``)."""
     with open(path, "rb") as f:
         data = f.read()
     wb = _cfb_stream(data, ("workbook", "book"))
+    if wb[:2] in (b"\x09\x00", b"\x09\x02", b"\x09\x04"):
+        raise NotImplementedError("BIFF2/3/4 .xls needs xlrd; use .xlsx")
 
-    # globals substream: version gate, sheet index, shared strings
+    # one decryption restart at most: FILEPASS sits near the stream head
+    for opcode, body, _pos in _records(wb):
+        if opcode == 0x002F:  # FILEPASS
+            wb = _decrypt_workbook(wb, body, password)
+            break
+        if opcode == 0x000A:
+            break
+
+    # globals substream: version gate, codepage, sheet index, strings
     sheets: list[tuple[str, int]] = []
     sst: list[str] = []
     sst_bodies: list[bytes] | None = None
+    biff5 = False
+    codec = "latin-1"
     for opcode, body, _pos in _records(wb):
         if opcode == 0x0809 and len(body) >= 4:
             ver, dt = struct.unpack("<HH", body[:4])
-            if dt == 0x0005 and ver != 0x0600:
+            if dt == 0x0005 and ver not in (0x0600, 0x0500):
                 raise NotImplementedError(
-                    f"BIFF version 0x{ver:04x} (pre-BIFF8) needs xlrd; use .xlsx"
+                    f"BIFF version 0x{ver:04x} (pre-BIFF5) needs xlrd; use .xlsx"
                 )
-        elif opcode == 0x002F:  # FILEPASS
-            raise NotImplementedError("encrypted .xls needs xlrd")
+            biff5 = dt == 0x0005 and ver == 0x0500
+        elif opcode == 0x0042:  # CODEPAGE
+            codec = _codepage_codec(struct.unpack("<H", body[:2])[0])
         elif opcode == 0x0085:  # BOUNDSHEET
             (offset,) = struct.unpack("<I", body[:4])
-            name, _ = _short_unicode(body, 6)
+            if biff5:
+                cch = body[6]
+                name = body[7:7 + cch].decode(codec, errors="replace")
+            else:
+                name, _ = _short_unicode(body, 6)
             sheets.append((name, offset))
         elif opcode == 0x00FC:  # SST (+ following CONTINUEs)
             sst_bodies = [body]
@@ -311,8 +479,12 @@ def _read_xls_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
                     put(row, col0 + i, _fmt_num(_rk_value(rk)))
             elif opcode == 0x0204:  # LABEL (inline string)
                 row, col, _ixfe = struct.unpack("<HHH", body[:6])
-                s, _ = _long_unicode(body, 6)
-                put(row, col, s)
+                if biff5:  # byte string in the workbook codepage
+                    (cch,) = struct.unpack("<H", body[6:8])
+                    put(row, col, body[8:8 + cch].decode(codec, errors="replace"))
+                else:
+                    s, _ = _long_unicode(body, 6)
+                    put(row, col, s)
             elif opcode == 0x0205:  # BOOLERR
                 row, col, _ixfe = struct.unpack("<HHH", body[:6])
                 if body[7] == 0:  # boolean (1 would be an error code)
@@ -360,14 +532,26 @@ def make_xls_bytes(
     *,
     mini: bool = False,
     sst_continue_at: int | None = None,
+    biff: int = 8,
+    password: str | None = None,
 ) -> bytes:
     """Serialize ``{sheet: [[cell, ...], ...]}`` into a real BIFF8 ``.xls``
     (OLE2 container + Workbook stream).  ``mini=True`` stores the
     workbook in the mini stream (the <4096-byte layout), exercising the
     reader's mini-FAT path; ``sst_continue_at`` splits the SST into a
     CONTINUE record after that many strings (the spanning layout big
-    shared-string tables use)."""
+    shared-string tables use).
+
+    ``biff=5`` writes the pre-unicode BIFF5 shape: cp1252 ``CODEPAGE``,
+    byte-string sheet names, inline ``LABEL`` byte-string cells, no
+    SST.  ``password`` RC4-encrypts the workbook stream per
+    MS-OFFCRYPTO §2.3.6 (FILEPASS record + block-rekeyed body
+    encryption) — the reader twin for the encrypted path."""
     import io
+
+    if biff not in (5, 8):
+        raise ValueError("biff must be 5 or 8")
+    ver = 0x0600 if biff == 8 else 0x0500
 
     all_strings: list[str] = []
     soffsets: dict[str, int] = {}
@@ -397,13 +581,34 @@ def make_xls_bytes(
         head = struct.pack("<B", len(s)) if short else struct.pack("<H", len(s))
         return head + b"\x01" + s.encode("utf-16-le")
 
+    # FILEPASS body is stream-independent: deterministic salt/verifier
+    filepass = b""
+    base_key = None
+    if password is not None:
+        salt = hashlib.md5(b"architxt-salt:" + password.encode()).digest()
+        verifier = hashlib.md5(b"architxt-verifier:" + salt).digest()
+        base_key = _rc4_base_key(password, salt)
+        ks = _rc4_keystream(_rc4_block_key(base_key, 0), 32)
+        enc_verifier = bytes(a ^ b for a, b in zip(verifier, ks[:16]))
+        vhash = hashlib.md5(verifier).digest()
+        enc_hash = bytes(a ^ b for a, b in zip(vhash, ks[16:]))
+        filepass = rec(
+            0x002F,
+            struct.pack("<HHH", 1, 1, 1) + salt + enc_verifier + enc_hash,
+        )
+
     # sheet substreams
     sheet_blobs: list[bytes] = []
     for name, cells in per_sheet:
         b = io.BytesIO()
-        b.write(rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)))
+        b.write(rec(0x0809, struct.pack("<HHHHII", ver, 0x0010, 0, 0, 0, 0)))
         for r, c, (kind, v) in cells:
-            if kind == "s":
+            if kind == "s" and biff == 5:  # inline cp1252 byte string
+                raw = all_strings[v].encode("cp1252", errors="replace")
+                b.write(
+                    rec(0x0204, struct.pack("<HHHH", r, c, 0, len(raw)) + raw)
+                )
+            elif kind == "s":
                 b.write(rec(0x00FD, struct.pack("<HHHI", r, c, 0, v)))
             elif kind == "b":
                 b.write(rec(0x0205, struct.pack("<HHHBB", r, c, 0, 1 if v else 0, 0)))
@@ -415,19 +620,31 @@ def make_xls_bytes(
     # globals substream (two-pass for BOUNDSHEET offsets)
     def globals_blob(offsets: list[int]) -> bytes:
         g = io.BytesIO()
-        g.write(rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0)))
-        total_refs = sum(
-            1 for _, cells in per_sheet for _, _, (k, _v) in cells if k == "s"
-        )
-        head = struct.pack("<II", total_refs, len(all_strings))
-        encoded = [ustr(s, short=False) for s in all_strings]
-        if sst_continue_at is None or sst_continue_at >= len(encoded):
-            g.write(rec(0x00FC, head + b"".join(encoded)))
+        g.write(rec(0x0809, struct.pack("<HHHHII", ver, 0x0005, 0, 0, 0, 0)))
+        g.write(filepass)
+        if biff == 5:
+            g.write(rec(0x0042, struct.pack("<H", 0x04E4)))  # cp1252
         else:
-            g.write(rec(0x00FC, head + b"".join(encoded[:sst_continue_at])))
-            g.write(rec(0x003C, b"".join(encoded[sst_continue_at:])))
+            total_refs = sum(
+                1 for _, cells in per_sheet for _, _, (k, _v) in cells if k == "s"
+            )
+            head = struct.pack("<II", total_refs, len(all_strings))
+            encoded = [ustr(s, short=False) for s in all_strings]
+            if sst_continue_at is None or sst_continue_at >= len(encoded):
+                g.write(rec(0x00FC, head + b"".join(encoded)))
+            else:
+                g.write(rec(0x00FC, head + b"".join(encoded[:sst_continue_at])))
+                g.write(rec(0x003C, b"".join(encoded[sst_continue_at:])))
         for (name, _), off in zip(per_sheet, offsets):
-            g.write(rec(0x0085, struct.pack("<IBB", off, 0, 0) + ustr(name, short=True)))
+            if biff == 5:
+                raw = name.encode("cp1252", errors="replace")
+                g.write(
+                    rec(0x0085, struct.pack("<IBBB", off, 0, 0, len(raw)) + raw)
+                )
+            else:
+                g.write(
+                    rec(0x0085, struct.pack("<IBB", off, 0, 0) + ustr(name, short=True))
+                )
         g.write(rec(0x000A, b""))
         return g.getvalue()
 
@@ -439,6 +656,9 @@ def make_xls_bytes(
         pos += len(blob)
     workbook = globals_blob(offsets) + b"".join(sheet_blobs)
     assert len(globals_blob(offsets)) == glen  # offsets don't change lengths
+
+    if base_key is not None:
+        workbook = _rc4_apply(workbook, base_key)  # symmetric: encrypts
 
     return _wrap_ole2(workbook, mini=mini)
 
