@@ -116,34 +116,52 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — warm-up must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
     # Once-per-session serving artifacts, each timed as its OWN line
     # (r10 verdict: conflated `ann_index_build`/`model_build` lines let a
     # real build regression hide inside a scope change — per-artifact
     # lines make benchdiff's comparison exact).  The timed loop below
     # then measures pure probe/score-side serving.
+    #
+    # Builds obey the SAME repeated-minima protocol as queries (r11 fix:
+    # single cold draws conflated first-execution JIT + host noise with
+    # build cost — a lone draw measured pq_encode at 13x its steady
+    # state).  The per-artifact memo is cleared before every draw so each
+    # repeat is a genuine rebuild; the last draw leaves the artifact
+    # cached for the serving-side query lines below.
     builds = [
-        ("ivf_build", lambda: entry_mod.ivf_serving_index(spark, sf_dir, rebuild=True)),
-        ("pq_encode", lambda: entry_mod.pq_serving_codes(spark, sf_dir)),
-        ("quality_fit", lambda: entry_mod.quality_model_weights(spark, sf_dir)),
-        ("curation_fit", lambda: entry_mod.curation_model_weights(spark, sf_dir)),
-        ("dsir_fit", lambda: entry_mod.dsir_model(spark, sf_dir)),
+        ("ivf_build", None,
+         lambda: entry_mod.ivf_serving_index(spark, sf_dir, rebuild=True)),
+        ("pq_encode", entry_mod._PQ_CODES_CACHE,
+         lambda: entry_mod.pq_serving_codes(spark, sf_dir)),
+        ("quality_fit", entry_mod._QUALITY_MODEL_CACHE,
+         lambda: entry_mod.quality_model_weights(spark, sf_dir)),
+        ("curation_fit", entry_mod._CURATION_MODEL_CACHE,
+         lambda: entry_mod.curation_model_weights(spark, sf_dir)),
+        ("dsir_fit", entry_mod._DSIR_MODEL_CACHE,
+         lambda: entry_mod.dsir_model(spark, sf_dir)),
     ]
     timings: dict[str, float] = {}
     build_total = 0.0
-    for bname, bfn in builds:
-        t0 = time.perf_counter()
-        bfn()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[bname] = dt
-        build_total += dt
-        print(f"# {bname}: {dt:.3f}s (once per session)", file=sys.stderr)
+    for bname, cache, bfn in builds:
+        best = None
+        for _ in range(repeats):
+            if cache is not None:
+                cache.clear()
+            t0 = time.perf_counter()
+            bfn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[bname] = round(best, 3)
+        build_total += best
+        print(f"# {bname}: {best:.3f}s min of {repeats} rebuilds", file=sys.stderr)
 
     # Repeated minimum per query (BASELINE.md measurement protocol): this
     # host shows 2-4x run-to-run noise under neighbor load (measured:
     # identical code, 38.6s vs 115s totals minutes apart), so a single
     # draw is not a measurement.  The minimum of REPEATS runs is the
     # honest steady-state number the 2x regression bar applies to.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     total = build_total
     for name in HEADLINE:
         fn = qs[name]
