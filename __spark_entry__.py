@@ -1598,9 +1598,18 @@ def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
     bands, max_hamming 3 — by pigeonhole the banded join is EXACT at
     this threshold, so the oracle verifies it against a closed-form
     all-pairs scan while the Spark plan stays banded (never cartesian;
-    see tests/test_imagehash.py's plan assertions)."""
+    see tests/test_imagehash.py's plan assertions).
+
+    'afp'/'apairs' (r11, AUDIO): per doc_id a 1040-sample formula WAV in
+    groups of 3 (doc_id // 3) — base clip, the SAME clip at 3× amplitude
+    (the energy-delta fingerprint is exactly scale-invariant), and a
+    locally-edited copy (one sample bumped — flips at most the two bits
+    whose frames it touches).  Real PCM decode →
+    ``audio_fingerprint64`` (functions/audiohash.py), pairs through the
+    SAME Hamming-banded join as the images."""
     import pandas as pd
 
+    from architxt_spark.functions.audiohash import audio_fingerprints
     from architxt_spark.functions.imagehash import hamming_near_dup, image_hashes
 
     def build(batches):
@@ -1658,7 +1667,53 @@ def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("hamming").cast("long").alias("a"),
         F.lit(None).cast("long").alias("b"),
     )
-    return hash_rows.unionByName(pair_rows)
+
+    def build_audio(batches):
+        from architxt_spark.functions.multimodal import make_wav_bytes
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, m = d // 3, d % 3
+                vals = []
+                for f in range(1040):
+                    z = g * 131 + f
+                    s = ((z * z + 3 * z) % 2001) - 1000
+                    if m == 1:
+                        s *= 3
+                    elif m == 2 and f == 170:
+                        s += 4000
+                    vals.append(s)
+                rows.append(
+                    (str(d), make_wav_bytes(1, 8000, len(vals), samples=[vals]))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    clips = (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(build_audio, "media_id string, content binary")
+    )
+    fps = audio_fingerprints(clips).persist()
+    fps.count()  # eager: the fp variant and both band-join sides
+    afp_rows = fps.select(
+        F.lit("afp").alias("variant"),
+        F.col("media_id").alias("s"),
+        F.col("afp").alias("a"),
+        F.col("n_samples").alias("b"),
+    )
+    apair_rows = hamming_near_dup(fps, "afp", bands=4, max_hamming=3).select(
+        F.lit("apairs").alias("variant"),
+        F.concat_ws("|", "id_a", "id_b").alias("s"),
+        F.col("hamming").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    return (
+        hash_rows.unionByName(pair_rows)
+        .unionByName(afp_rows)
+        .unionByName(apair_rows)
+    )
 
 
 def q_gen_instance(spark: SparkSession, sf: str) -> DataFrame:
@@ -4110,6 +4165,40 @@ def _oracle_parts() -> dict[str, str]:
                                THEN ah.u - 18446744073709551616
                                ELSE ah.u END AS BIGINT) AS ahash
               FROM dh JOIN ah ON ah.d = dh.d
+            ),
+            aen AS (
+              -- audio frame energies: 65 frames x 16 samples, the same
+              -- formula the fixture WAV encoder writes; member transforms
+              -- (3x amplitude, one-sample bump at f=170) applied inline
+              SELECT d, i,
+                     SUM(ABS(
+                       CASE WHEN d % 3 = 1 THEN b * 3
+                            WHEN d % 3 = 2 AND fi = 170 THEN b + 4000
+                            ELSE b END)) AS e
+              FROM (
+                SELECT doc_id AS d, i, i * 16 + f AS fi,
+                       ((((doc_id // 3) * 131 + i * 16 + f)
+                         * ((doc_id // 3) * 131 + i * 16 + f)
+                         + 3 * ((doc_id // 3) * 131 + i * 16 + f)) % 2001)
+                       - 1000 AS b
+                FROM documents, range(0, 65) t1(i), range(0, 16) t2(f)
+              )
+              GROUP BY d, i
+            ),
+            afp AS (
+              SELECT a.d,
+                     CAST(CASE WHEN u >= 9223372036854775808
+                               THEN u - 18446744073709551616
+                               ELSE u END AS BIGINT) AS fp
+              FROM (
+                SELECT a.d,
+                       SUM(CASE WHEN n.e > a.e
+                                THEN CAST(1 AS HUGEINT) << a.i
+                                ELSE 0 END) AS u
+                FROM aen a JOIN aen n ON n.d = a.d AND n.i = a.i + 1
+                WHERE a.i < 64
+                GROUP BY a.d
+              ) a(d, u)
             )
             SELECT 'hash' AS variant, CAST(d AS VARCHAR) AS s,
                    dhash AS a, ahash AS b
@@ -4122,6 +4211,17 @@ def _oracle_parts() -> dict[str, str]:
             FROM hashes x JOIN hashes y
               ON CAST(x.d AS VARCHAR) < CAST(y.d AS VARCHAR)
             WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
+            UNION ALL
+            SELECT 'afp', CAST(d AS VARCHAR), fp, CAST(1040 AS BIGINT)
+            FROM afp
+            UNION ALL
+            SELECT 'apairs',
+                   CAST(x.d AS VARCHAR) || '|' || CAST(y.d AS VARCHAR),
+                   CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM afp x JOIN afp y
+              ON CAST(x.d AS VARCHAR) < CAST(y.d AS VARCHAR)
+            WHERE bit_count(xor(x.fp, y.fp)) <= 3
         """,
         "gen_instance": """
             SELECT * FROM (VALUES
