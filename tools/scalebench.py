@@ -300,7 +300,7 @@ def main() -> None:
         "--families",
         nargs="+",
         default=["core", "rewrite", "pagerank", "curate_big"],
-        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup"],
+        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup", "multimodal"],
         help="which rehearsal families to run: core = the r8 dedup/ANN/"
         "curation set at --sizes; rewrite = the forest-fixpoint engine "
         "at 2.5k/10k/40k trees (per-iteration exponent); pagerank = the "
@@ -321,6 +321,9 @@ def main() -> None:
         "--dedup-sizes", type=int, nargs="+", default=[200_000, 1_000_000, 4_000_000]
     )
     p.add_argument("--dedup-band-cap", type=int, default=256)
+    p.add_argument(
+        "--multimodal-sizes", type=int, nargs="+", default=[8_000, 32_000, 128_000]
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -785,6 +788,100 @@ def main() -> None:
                 f"end-to-end ({size_mb:.0f} MB gz in)",
                 file=sys.stderr, flush=True,
             )
+
+    if "multimodal" in args.families:
+        # Rate-measure the pure-Python codecs behind the Arrow boundary
+        # (r11: progressive JPEG joined the decode matrix): a mixed-format
+        # media corpus generated IN Spark (one encode pass, persisted),
+        # then the two hashing scans that decode every byte —
+        # image_hashes (PNG all-filters / baseline JPEG / PROGRESSIVE
+        # JPEG / GIF-LZW by id%4) and audio_fingerprints (1040-sample
+        # WAVs).  Objects/s and the size exponent are the capacity-plan
+        # numbers for a decode-everything corpus pass.
+        from architxt_spark.functions.audiohash import audio_fingerprints
+        from architxt_spark.functions.imagehash import image_hashes
+
+        def gen_images(batches):
+            import pandas as pd
+
+            from architxt_spark.functions.jpeg import make_jpeg_bytes
+            from architxt_spark.functions.multimodal import (
+                make_gif_bytes,
+                make_png_bytes,
+            )
+
+            palette = bytes(b for v in range(256) for b in (v, v, v))
+            for pdf in batches:
+                rows = []
+                for d in pdf["id"]:
+                    d = int(d)
+
+                    def val(r, c):
+                        z = d * 73 + r * 9 + c
+                        return ((z * z + 3 * z) % 7919) % 192
+
+                    px = bytes(
+                        val(y // 8, x // 8) for y in range(64) for x in range(72)
+                    )
+                    m = d % 4
+                    if m == 0:
+                        content = make_png_bytes(72, 64, px, color_type=0, filter_type=d % 5)
+                    elif m == 1:
+                        content = make_jpeg_bytes(72, 64, px, channels=1)
+                    elif m == 2:
+                        content = make_jpeg_bytes(72, 64, px, channels=1, progressive=True)
+                    else:
+                        content = make_gif_bytes(72, 64, px, palette)
+                    rows.append((str(d), content))
+                yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+        def gen_audio(batches):
+            import pandas as pd
+
+            from architxt_spark.functions.multimodal import make_wav_bytes
+
+            for pdf in batches:
+                rows = []
+                for d in pdf["id"]:
+                    d = int(d)
+                    vals = [
+                        (((d * 131 + f) ** 2 + 3 * (d * 131 + f)) % 2001) - 1000
+                        for f in range(1040)
+                    ]
+                    rows.append((str(d), make_wav_bytes(1, 8000, 1040, samples=[vals])))
+                yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+        for n in args.multimodal_sizes:
+            base = spark.range(n).repartition(int(args.cpus))
+            images = base.mapInPandas(
+                gen_images, "media_id string, content binary"
+            ).persist()
+            clips = base.mapInPandas(
+                gen_audio, "media_id string, content binary"
+            ).persist()
+            img_mb = images.agg(F.sum(F.length("content"))).collect()[0][0] / (1 << 20)
+            wav_mb = clips.agg(F.sum(F.length("content"))).collect()[0][0] / (1 << 20)
+
+            fn_img = lambda _df=images: image_hashes(_df).count()  # noqa: E731
+            assert fn_img() == n  # every format decodes
+            sec = time_op(fn_img, args.repeats)
+            results.setdefault("image_hash_scan", []).append((n, sec))
+            print(
+                f"# image_hash_scan n={n}: {sec:.2f}s = {n / sec:.0f} img/s "
+                f"({img_mb / sec:.0f} MB/s decoded across png/jpeg/prog/gif)",
+                file=sys.stderr, flush=True,
+            )
+            fn_wav = lambda _df=clips: audio_fingerprints(_df).count()  # noqa: E731
+            assert fn_wav() == n
+            sec = time_op(fn_wav, args.repeats)
+            results.setdefault("audio_fp_scan", []).append((n, sec))
+            print(
+                f"# audio_fp_scan n={n}: {sec:.2f}s = {n / sec:.0f} clips/s "
+                f"({wav_mb / sec:.0f} MB/s PCM)",
+                file=sys.stderr, flush=True,
+            )
+            images.unpersist()
+            clips.unpersist()
 
     print("\n| operator | n_docs | sec | µs/doc | exponent |")
     print("|---|---|---|---|---|")
