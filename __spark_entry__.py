@@ -1459,13 +1459,17 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                 d = int(d)
                 w, h = d % 8 + 2, (d * 3) % 6 + 2
                 if d % 4 == 0:
+                    # half the slice (d%8==0) writes ADAM7 interlaced
+                    # (r11.5) — same pixels, so the same position-weighted
+                    # checksum gates the seven-pass de-interlace exactly
                     n = w * h * 3
                     pixels = bytes((d * 31 + i * 7) % 256 for i in range(n))
                     content = make_png_bytes(
-                        w, h, pixels, color_type=2, filter_type=d % 5
+                        w, h, pixels, color_type=2, filter_type=d % 5,
+                        interlace=1 if d % 8 == 0 else 0,
                     )
                     vals = list(decode_png_pixels(content)[3])
-                    fmt = "png"
+                    fmt = "png_i" if d % 8 == 0 else "png"
                 elif d % 4 == 1:
                     palette = bytes((d * 13 + m * 29) % 256 for m in range(12))
                     indices = bytes((d + i) % 4 for i in range(w * h))
@@ -4076,7 +4080,10 @@ def _oracle_parts() -> dict[str, str]:
             FROM documents
             UNION ALL
             SELECT 'pixels', CAST(doc_id AS VARCHAR),
-                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                   CASE doc_id % 4
+                        WHEN 0 THEN CASE WHEN doc_id % 8 = 0
+                                         THEN 'png_i' ELSE 'png' END
+                        WHEN 1 THEN 'gif'
                         WHEN 2 THEN CASE WHEN doc_id % 8 = 2
                                          THEN 'jpeg_prog' ELSE 'jpeg' END
                         ELSE 'wav' END,

@@ -191,10 +191,10 @@ def decode_gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     stream (LSB-first variable-width codes, clear/EOI handling, 12-bit
     cap), and maps indices through the active (local-else-global) color
     table.  Returns ``(width, height, 3, rgb)`` — frame-local
-    dimensions, row-major RGB bytes.  Interlaced images raise
-    ``NotImplementedError`` (Adam-style de-interlacing wants a codec
-    library); later frames of an animation are ignored by design (the
-    thumbnail/feature path wants frame 0)."""
+    dimensions, row-major RGB bytes.  Interlaced images de-interlace
+    through the four-pass row order (r11.5; GIF89a appendix E); later
+    frames of an animation are ignored by design (the thumbnail/feature
+    path wants frame 0)."""
     import struct
 
     if not content or sniff_format(content) != "gif":
@@ -222,11 +222,6 @@ def decode_gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 n = 2 << (ipacked & 0x07)
                 table = content[pos:pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise NotImplementedError(
-                    "interlaced GIF needs a codec library; stdlib path "
-                    "covers sequential frames"
-                )
             if table is None:
                 raise ValueError("GIF image without a color table")
             mcs = content[pos]
@@ -242,6 +237,13 @@ def decode_gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     f"GIF pixel stream ended early: {len(indices)} of {w * h}"
                 )
+            if ipacked & 0x40:  # de-interlace the four-pass row order
+                ordered = [0] * (w * h)
+                src = 0
+                for row in _gif_interlace_rows(h):
+                    ordered[row * w:(row + 1) * w] = indices[src:src + w]
+                    src += w
+                indices = ordered
             n_colors = len(table) // 3
             rgb = bytearray(w * h * 3)
             for i, idx in enumerate(indices[: w * h]):
@@ -254,6 +256,16 @@ def decode_gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("GIF without an image block")
+
+
+def _gif_interlace_rows(height: int) -> list[int]:
+    """The GIF89a four-pass interlace row order: every 8th row from 0,
+    every 8th from 4, every 4th from 2, every 2nd from 1."""
+    return [
+        r
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, height, step)
+    ]
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
@@ -301,15 +313,22 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
 
 
 def make_gif_bytes(
-    width: int, height: int, indices: bytes, palette: bytes
+    width: int, height: int, indices: bytes, palette: bytes,
+    *, interlace: bool = False,
 ) -> bytes:
     """Deterministic GIF fixture builder: GIF89a header, global color
     table from ``palette`` (3 bytes per color, power-of-two padded),
     one image block whose index stream is written as UNCOMPRESSED LZW
     (literal codes with periodic CLEARs so the code width never grows)
-    — a real renderable GIF :func:`decode_gif_pixels` round-trips."""
+    — a real renderable GIF :func:`decode_gif_pixels` round-trips.
+    ``interlace=True`` writes rows in the four-pass order with the
+    descriptor flag set (the decoder's de-interlace twin)."""
     import struct
 
+    if interlace:
+        indices = b"".join(
+            indices[r * width:(r + 1) * width] for r in _gif_interlace_rows(height)
+        )
     n_colors = len(palette) // 3
     depth = max(2, (n_colors - 1).bit_length())
     table = bytearray(palette) + b"\x00" * (3 * ((1 << depth) - n_colors))
@@ -342,7 +361,9 @@ def make_gif_bytes(
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
     out += table
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
     out.append(mcs)
     for off in range(0, len(bits), 255):
         chunk = bits[off:off + 255]
@@ -474,15 +495,76 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: Adam7 pass geometry: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter_lines(data, off, n_rows, stride, bpp):
+    """Undo the five scanline filters for ``n_rows`` lines of ``stride``
+    bytes starting at ``data[off]`` (``bpp`` = filter-unit bytes per
+    pixel, ≥1); returns ``(rows, new_offset)``."""
+    rows = []
+    prev = bytearray(stride)
+    pos = off
+    for _y in range(n_rows):
+        if pos + 1 + stride > len(data):
+            raise ValueError("PNG pixel payload truncated")
+        ftype = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + _paeth(a, prev[x], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        rows.append(row)
+        prev = row
+    return rows, pos
+
+
+def _png_row_samples(row, n_px, nch, bit_depth):
+    """Unpack one unfiltered scanline into per-channel sample values:
+    direct bytes at depth 8, high bytes at depth 16 (the practical 8-bit
+    reduction), bit-unpacked values at depths 1/2/4 (single-channel
+    types only, per the spec)."""
+    if bit_depth == 8:
+        return list(row[:n_px * nch])
+    if bit_depth == 16:
+        return list(row[0:2 * n_px * nch:2])
+    per = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    return [
+        (row[x // per] >> (8 - bit_depth * (x % per + 1))) & mask
+        for x in range(n_px)
+    ]
+
+
 def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     """REAL pure-stdlib PNG pixel decode (RFC 2083): zlib-inflate the
     IDAT stream and undo the five scanline filters (None/Sub/Up/Average/
-    Paeth).  Supports the common web shapes — bit depth 8, color types
-    greyscale / RGB / grey+alpha / RGBA, no interlace; palette, 16-bit
-    and Adam7 raise ``NotImplementedError`` (those genuinely want a
-    codec library).  Returns ``(width, height, channels, raw)`` with
-    ``raw`` the unfiltered samples row-major, ``width × height ×
-    channels`` bytes — the array a resize/embed stage consumes.
+    Paeth).  Covers the full still-image matrix (r11.5): color types
+    greyscale / RGB / palette / grey+alpha / RGBA, bit depths 1/2/4/8/16
+    (16-bit reduces to the high byte — the practical 8-bit view), and
+    BOTH interlace methods (none / Adam7 seven-pass).  Palette images
+    expand through PLTE to RGB; sub-byte greyscale scales to 0–255.
+    Returns ``(width, height, channels, raw)`` with ``raw`` the samples
+    row-major, ``width × height × channels`` bytes — the array a
+    resize/embed stage consumes.
 
     Per-row cost is O(bytes); runs inside the Arrow boundary like the
     header decoders (no external dependency, no JVM round-trip)."""
@@ -494,6 +576,7 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     pos, width = len(PNG_MAGIC), None
     height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = b""
     while pos + 8 <= len(content):
         (length,) = struct.unpack(">I", content[pos:pos + 4])
         tag = content[pos + 4:pos + 8]
@@ -503,50 +586,73 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG without IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+    valid = (
+        (color_type in (0, 3) and bit_depth in (1, 2, 4, 8, 16))
+        or (color_type in (2, 4, 6) and bit_depth in (8, 16))
+    )
+    if color_type == 3 and bit_depth == 16:
+        valid = False
+    if not valid or interlace not in (0, 1):
         raise NotImplementedError(
-            "stdlib PNG decode covers bit depth 8, color types 0/2/4/6, "
-            "no interlace; palette/16-bit/Adam7 need Pillow"
+            f"PNG shape (color type {color_type}, depth {bit_depth}, "
+            f"interlace {interlace}) is outside the spec matrix"
         )
-    channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
+    if color_type == 3 and not plte:
+        raise ValueError("palette PNG without PLTE")
+    nch_raw = 1 if color_type in (0, 3) else _PNG_CHANNELS[color_type]
+    bpp = max(1, nch_raw * bit_depth // 8)
     data = zlib.decompress(bytes(idat))
-    if len(data) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG pixel payload is {len(data)} bytes, expected {(stride + 1) * height}"
-        )
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
-    for y in range(height):
-        row_off = y * (stride + 1)
-        ftype = data[row_off]
-        row = bytearray(data[row_off + 1:row_off + 1 + stride])
-        if ftype == 1:  # Sub
-            for x in range(channels, stride):
-                row[x] = (row[x] + row[x - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                a = row[x - channels] if x >= channels else 0
-                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = row[x - channels] if x >= channels else 0
-                c = prev[x - channels] if x >= channels else 0
-                row[x] = (row[x] + _paeth(a, prev[x], c)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y * stride:(y + 1) * stride] = row
-        prev = row
-    return width, height, channels, bytes(out)
+
+    if bit_depth == 8 and not interlace and color_type != 3:
+        # fast path: the common web shape decodes without the sample
+        # scatter (one unfilter pass straight into the output buffer)
+        stride = width * nch_raw
+        if len(data) != (stride + 1) * height:
+            raise ValueError(
+                f"PNG pixel payload is {len(data)} bytes, "
+                f"expected {(stride + 1) * height}"
+            )
+        rows, _pos = _png_unfilter_lines(data, 0, height, stride, bpp)
+        return width, height, nch_raw, b"".join(bytes(r) for r in rows)
+
+    # general path: per-pass unfilter → sample scatter into the full grid
+    samples = [0] * (width * height * nch_raw)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = (pw * nch_raw * bit_depth + 7) // 8
+        rows, off = _png_unfilter_lines(data, off, ph, pstride, bpp)
+        for ry, row in enumerate(rows):
+            vals = _png_row_samples(row, pw, nch_raw, bit_depth)
+            y = y0 + ry * dy
+            for rx in range(pw):
+                base = (y * width + x0 + rx * dx) * nch_raw
+                for c in range(nch_raw):
+                    samples[base + c] = vals[rx * nch_raw + c]
+
+    if color_type == 3:  # palette → RGB
+        out = bytearray(width * height * 3)
+        for i, idx in enumerate(samples):
+            if 3 * idx + 2 >= len(plte):
+                raise ValueError(f"palette index {idx} outside PLTE")
+            out[3 * i:3 * i + 3] = plte[3 * idx:3 * idx + 3]
+        return width, height, 3, bytes(out)
+    if bit_depth < 8:  # sub-byte greyscale scales to full range
+        mask = (1 << bit_depth) - 1
+        return width, height, 1, bytes(v * 255 // mask for v in samples)
+    return width, height, nch_raw, bytes(samples)
 
 
 def fake_decode_dims(content: bytes) -> tuple[int, int]:
@@ -630,6 +736,49 @@ def extract_features(
     return df.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def _png_filter_rows(rows: list[bytes], stride: int, bpp: int, filter_type: int) -> bytes:
+    """Filter scanlines per RFC 2083 (the encode direction of
+    :func:`_png_unfilter_lines`); returns filter-byte-prefixed lines."""
+    raw = bytearray()
+    prev = bytes(stride)
+    for row in rows:
+        filt = bytearray(row)
+        if filter_type == 1:  # Sub
+            for x in range(stride - 1, bpp - 1, -1):
+                filt[x] = (filt[x] - row[x - bpp]) & 0xFF
+        elif filter_type == 2:  # Up
+            for x in range(stride):
+                filt[x] = (filt[x] - prev[x]) & 0xFF
+        elif filter_type == 3:  # Average
+            for x in range(stride - 1, -1, -1):
+                a = row[x - bpp] if x >= bpp else 0
+                filt[x] = (filt[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            for x in range(stride - 1, -1, -1):
+                a = row[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                filt[x] = (filt[x] - _paeth(a, prev[x], c)) & 0xFF
+        elif filter_type != 0:
+            raise ValueError(f"unknown filter type {filter_type}")
+        raw += bytes([filter_type]) + bytes(filt)
+        prev = row
+    return bytes(raw)
+
+
+def _png_pack_row(vals: list[int], bit_depth: int) -> bytes:
+    """Sample values → one packed scanline (bit packing below depth 8,
+    high-byte pairs at 16)."""
+    if bit_depth == 8:
+        return bytes(vals)
+    if bit_depth == 16:
+        return bytes(b for v in vals for b in (v, v))
+    per = 8 // bit_depth
+    out = bytearray((len(vals) + per - 1) // per)
+    for i, v in enumerate(vals):
+        out[i // per] |= v << (8 - bit_depth * (i % per + 1))
+    return bytes(out)
+
+
 def make_png_bytes(
     width: int,
     height: int,
@@ -637,14 +786,23 @@ def make_png_bytes(
     *,
     color_type: int = 0,
     filter_type: int = 0,
+    bit_depth: int = 8,
+    palette: bytes | None = None,
+    interlace: int = 0,
 ) -> bytes:
-    """Deterministic PNG fixture builder (signature + IHDR + IDAT + IEND,
-    correct CRCs).  With ``pixels`` (raw row-major samples, ``width ×
-    height × channels`` bytes) it writes a REAL renderable image, each
-    scanline FILTERED with ``filter_type`` (0-4) per RFC 2083 — the
-    encoder twin :func:`decode_png_pixels`'s filter coverage tests
-    round-trip through.  Without ``pixels`` it keeps the legacy
-    header-only shape (empty IDAT)."""
+    """Deterministic PNG fixture builder (signature + IHDR [+ PLTE] +
+    IDAT + IEND, correct CRCs).  With ``pixels`` it writes a REAL
+    renderable image, each scanline FILTERED with ``filter_type`` (0-4)
+    per RFC 2083 — the encoder twin :func:`decode_png_pixels`'s
+    coverage tests round-trip through.  Without ``pixels`` it keeps the
+    legacy header-only shape (empty IDAT).
+
+    r11.5 extensions mirror the decoder's matrix: ``palette`` (RGB
+    triples; ``pixels`` become indices, ``color_type`` forced to 3),
+    ``bit_depth`` 1/2/4 (single-channel types; ``pixels`` are sample
+    VALUES below the full range) / 16 (samples written as high-byte
+    pairs), and ``interlace=1`` (Adam7 pass split, filters applied
+    per pass)."""
     import struct
     import zlib
 
@@ -656,45 +814,41 @@ def make_png_bytes(
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    if pixels is None:
-        idat = zlib.compress(b"")
-    else:
-        channels = _PNG_CHANNELS[color_type]
-        stride = width * channels
-        if len(pixels) != stride * height:
-            raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
-        raw = bytearray()
-        prev = bytes(stride)
-        for y in range(height):
-            row = pixels[y * stride:(y + 1) * stride]
-            filt = bytearray(row)
-            if filter_type == 1:  # Sub
-                for x in range(stride - 1, channels - 1, -1):
-                    filt[x] = (filt[x] - row[x - channels]) & 0xFF
-            elif filter_type == 2:  # Up
-                for x in range(stride):
-                    filt[x] = (filt[x] - prev[x]) & 0xFF
-            elif filter_type == 3:  # Average
-                for x in range(stride - 1, -1, -1):
-                    a = row[x - channels] if x >= channels else 0
-                    filt[x] = (filt[x] - ((a + prev[x]) >> 1)) & 0xFF
-            elif filter_type == 4:  # Paeth
-                for x in range(stride - 1, -1, -1):
-                    a = row[x - channels] if x >= channels else 0
-                    c = prev[x - channels] if x >= channels else 0
-                    filt[x] = (filt[x] - _paeth(a, prev[x], c)) & 0xFF
-            elif filter_type != 0:
-                raise ValueError(f"unknown filter type {filter_type}")
-            raw += bytes([filter_type]) + bytes(filt)
-            prev = row
-        idat = zlib.compress(bytes(raw))
-    return (
-        PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+    if palette is not None:
+        color_type = 3
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
     )
+    out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    if pixels is None:
+        return out + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+
+    nch_raw = 1 if color_type in (0, 3) else _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * nch_raw:
+        raise ValueError(
+            f"need {width * height * nch_raw} sample bytes, got {len(pixels)}"
+        )
+    bpp = max(1, nch_raw * bit_depth // 8)
+    raw = bytearray()
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = (pw * nch_raw * bit_depth + 7) // 8
+        rows = []
+        for ry in range(ph):
+            y = y0 + ry * dy
+            vals = []
+            for rx in range(pw):
+                base = (y * width + x0 + rx * dx) * nch_raw
+                vals.extend(pixels[base:base + nch_raw])
+            rows.append(_png_pack_row(vals, bit_depth))
+        raw += _png_filter_rows(rows, pstride, bpp, filter_type)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 def make_wav_bytes(

@@ -190,26 +190,82 @@ def test_png_pixel_unsupported_shapes_raise():
     import struct
     import zlib
 
-    # palette color type (3) → NotImplementedError with guidance
+    # off-matrix shape (palette at 16-bit is illegal per the spec)
     def chunk(tag, body):
         return (
             struct.pack(">I", len(body)) + tag + body
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    palette_png = (
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad_png = (
         M.PNG_MAGIC + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        M.decode_png_pixels(palette_png)
+    with pytest.raises(NotImplementedError, match="spec matrix"):
+        M.decode_png_pixels(bad_png)
+    # palette image with no PLTE chunk is corrupt, not gated
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    no_plte = (
+        M.PNG_MAGIC + chunk(b"IHDR", ihdr3)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        M.decode_png_pixels(no_plte)
     # header-only fixture (empty IDAT) → ValueError, not garbage pixels
     with pytest.raises(ValueError, match="payload"):
         M.decode_png_pixels(M.make_png_bytes(4, 4))
     with pytest.raises(ValueError, match="not a PNG"):
         M.decode_png_pixels(b"\xff\xd8nope")
+
+
+def test_png_pixel_palette_depths_and_16bit():
+    """r11.5 matrix: palette expansion through PLTE at depths 1/2/4/8,
+    sub-byte greyscale scaling, and the 16-bit high-byte reduction."""
+    import random
+
+    rng = random.Random(23)
+    pal = bytes(rng.randrange(256) for _ in range(16 * 3))
+    for depth in (1, 2, 4, 8):
+        n = min(16, 1 << depth)
+        idx = bytes(rng.randrange(n) for _ in range(13 * 9))
+        blob = M.make_png_bytes(13, 9, idx, palette=pal, bit_depth=depth)
+        expect = b"".join(pal[3 * i:3 * i + 3] for i in idx)
+        assert M.decode_png_pixels(blob) == (13, 9, 3, expect), depth
+    for depth in (1, 2, 4):
+        mask = (1 << depth) - 1
+        vals = bytes(rng.randrange(mask + 1) for _ in range(13 * 9))
+        blob = M.make_png_bytes(13, 9, vals, color_type=0, bit_depth=depth)
+        expect = bytes(v * 255 // mask for v in vals)
+        assert M.decode_png_pixels(blob) == (13, 9, 1, expect), depth
+    px = bytes(rng.randrange(256) for _ in range(13 * 9 * 3))
+    blob = M.make_png_bytes(13, 9, px, color_type=2, bit_depth=16)
+    assert M.decode_png_pixels(blob) == (13, 9, 3, px)
+
+
+def test_png_pixel_adam7_interlace():
+    """Adam7 seven-pass de-interlace across color types, filters, and
+    edge dims where some passes are empty."""
+    import random
+
+    rng = random.Random(29)
+    for (w, h), ct, nch, ft in (
+        ((17, 11), 0, 1, 0), ((17, 11), 2, 3, 1), ((17, 11), 6, 4, 4),
+        ((3, 2), 0, 1, 0), ((8, 8), 4, 2, 2), ((1, 1), 2, 3, 0),
+    ):
+        px = bytes(rng.randrange(256) for _ in range(w * h * nch))
+        blob = M.make_png_bytes(
+            w, h, px, color_type=ct, filter_type=ft, interlace=1
+        )
+        assert M.decode_png_pixels(blob) == (w, h, nch, px), (w, h, ct, ft)
+    # interlaced palette
+    pal = bytes(rng.randrange(256) for _ in range(8 * 3))
+    idx = bytes(rng.randrange(8) for _ in range(10 * 7))
+    blob = M.make_png_bytes(10, 7, idx, palette=pal, bit_depth=4, interlace=1)
+    expect = b"".join(pal[3 * i:3 * i + 3] for i in idx)
+    assert M.decode_png_pixels(blob) == (10, 7, 3, expect)
 
 
 def test_extract_features_real_png_pixels(spark):
@@ -286,17 +342,11 @@ def test_gif_pixel_roundtrip_and_structure():
     with_ext = gif[:13 + 3 * 8] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + body
     assert M.decode_gif_pixels(with_ext)[3] == expect
 
-    # interlace flag -> NotImplementedError
-    import struct
-    desc_at = with_ext.index(b"\x2c")
-    packed = with_ext[desc_at + 9]
-    inter = (
-        with_ext[:desc_at + 9]
-        + bytes([packed | 0x40])
-        + with_ext[desc_at + 10:]
-    )
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        M.decode_gif_pixels(inter)
+    # interlaced GIF (r11.5): four-pass row order de-interlaces back to
+    # the same pixels the sequential encoding yields
+    gif_il = M.make_gif_bytes(w, h, indices, palette, interlace=True)
+    assert gif_il != gif  # rows genuinely reordered on the wire
+    assert M.decode_gif_pixels(gif_il) == (w, h, 3, expect)
     with pytest.raises(ValueError, match="not a GIF"):
         M.decode_gif_pixels(b"PNG?")
 
