@@ -30,6 +30,18 @@ def timed_barrier(df, *, eager: bool = True):
     return out
 
 
+def wrap(module, name):
+    fn = getattr(module, name)
+
+    def timed(*a, **k):
+        t0 = time.perf_counter()
+        out = fn(*a, **k)
+        _timings.append((f"call {name} (lazy-build)", time.perf_counter() - t0))
+        return out
+
+    setattr(module, name, timed)
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     qname = sys.argv[2] if len(sys.argv) > 2 else "curation_pipeline"
@@ -42,6 +54,13 @@ def main() -> None:
 
     if hasattr(D, "stage_barrier"):
         D.stage_barrier = timed_barrier
+    wrap(C, "dedup_filter")
+    import architxt_spark.functions.lm as L
+    import architxt_spark.functions.sampling as SA
+
+    wrap(L, "ppl_buckets")
+    wrap(SA, "mixture_take")
+    wrap(SA, "pack_sequences")
 
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
@@ -54,19 +73,29 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     q = entry.queries()[qname]
-    for run in ("cold", "warm"):
+    for run in ("cold", "warm", "warm2"):
         _timings.clear()
         t0 = time.perf_counter()
-        rows = q(spark, sf).collect()
+        df = q(spark, sf)
+        t_build = time.perf_counter() - t0
+        rows = df.collect()
         total = time.perf_counter() - t0
-        print(f"== {qname} {run}: {total:.2f}s total, {len(rows)} rows")
+        print(
+            f"== {qname} {run}: {total:.2f}s total "
+            f"(build+eager {t_build:.2f}s, final collect {total - t_build:.2f}s), "
+            f"{len(rows)} rows"
+        )
         for name, dt in _timings:
             print(f"   {name}: {dt:.2f}s")
-        print(f"   (non-barrier tail: {total - sum(t for _, t in _timings):.2f}s)")
+        print(f"   (unattributed: {t_build - sum(t for _, t in _timings):.2f}s)")
 
 
 if __name__ == "__main__":
