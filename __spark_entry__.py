@@ -1585,6 +1585,41 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_image_bytes(d: int) -> bytes:
+    """The near-dup fixture image for doc_id ``d`` — groups of 4
+    (doc_id // 4): base PNG (filter d % 5), the SAME pixels recompressed
+    as baseline JPEG (DC-exact constant blocks), a brightness-shifted
+    (+8) PNG, and a one-cell-perturbed GIF (through the LZW path).
+    Shared by ``multimodal_dedup`` and the crawl-media composite so one
+    closed-form oracle covers both.
+
+    Quadratic mix: a LINEAR formula's gradient pattern has only ~192
+    distinct wrap shapes, so at sf0.1's 1250 groups unrelated images
+    collided into near-dup pairs en masse; the quadratic gives
+    1250/1250 distinct hashes (3 genuine coincidence pairs, replayed
+    identically by the oracle)."""
+    from architxt_spark.functions.jpeg import make_jpeg_bytes
+    from architxt_spark.functions.multimodal import make_gif_bytes, make_png_bytes
+
+    g, m = d // 4, d % 4
+    pr, pc = g % 8, g % 7 + 1
+
+    def val(r: int, c: int) -> int:
+        z = g * 73 + r * 9 + c
+        v = ((z * z + 3 * z) % 7919) % 192
+        if m == 3 and r == pr and c == pc:
+            v = (v + 96) % 192
+        return v + (8 if m == 2 else 0)
+
+    px = bytes(val(y // 8, x // 8) for y in range(64) for x in range(72))
+    if m == 1:
+        return make_jpeg_bytes(72, 64, px, channels=1)
+    if m == 3:
+        palette = bytes(b for v in range(256) for b in (v, v, v))
+        return make_gif_bytes(72, 64, px, palette)
+    return make_png_bytes(72, 64, px, color_type=0, filter_type=d % 5)
+
+
 def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Image near-duplicate dedup over the REAL pixel decoders (r11):
     perceptual hashes + Hamming-banded LSH, two tagged variants.
@@ -1617,39 +1652,11 @@ def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from architxt_spark.functions.imagehash import hamming_near_dup, image_hashes
 
     def build(batches):
-        from architxt_spark.functions.jpeg import make_jpeg_bytes
-        from architxt_spark.functions.multimodal import make_gif_bytes, make_png_bytes
-
-        palette = bytes(b for v in range(256) for b in (v, v, v))
         for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                g, m = d // 4, d % 4
-                pr, pc = g % 8, g % 7 + 1
-
-                def val(r: int, c: int) -> int:
-                    # quadratic mix: a LINEAR formula's gradient pattern
-                    # has only ~192 distinct wrap shapes, so at sf0.1's
-                    # 1250 groups unrelated images collided into near-dup
-                    # pairs en masse; the quadratic gives 1250/1250
-                    # distinct hashes (3 genuine coincidence pairs,
-                    # replayed identically by the oracle)
-                    z = g * 73 + r * 9 + c
-                    v = ((z * z + 3 * z) % 7919) % 192
-                    if m == 3 and r == pr and c == pc:
-                        v = (v + 96) % 192
-                    return v + (8 if m == 2 else 0)
-
-                px = bytes(val(y // 8, x // 8) for y in range(64) for x in range(72))
-                if m == 1:
-                    content = make_jpeg_bytes(72, 64, px, channels=1)
-                elif m == 3:
-                    content = make_gif_bytes(72, 64, px, palette)
-                else:
-                    content = make_png_bytes(72, 64, px, color_type=0, filter_type=d % 5)
-                rows.append((str(d), content))
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
+            yield pd.DataFrame(
+                [(str(int(d)), _dedup_image_bytes(int(d))) for d in pdf["doc_id"]],
+                columns=["media_id", "content"],
+            )
 
     media = (
         _t(spark, sf, "documents")
@@ -1718,6 +1725,105 @@ def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(afp_rows)
         .unionByName(apair_rows)
     )
+
+
+_MEDIA_CRAWL_CACHE: dict = {}
+
+
+def media_crawl_archives(spark: SparkSession, sf: str) -> str:
+    """Memoized per (session, sf): crawl-shaped ``.warc.gz`` archives
+    (4 shards, one gzip member per record) whose responses carry the
+    BINARY image fixtures of :func:`_dedup_image_bytes`, plus the noise
+    records a real crawl has (warcinfo, a request, a text/html page) —
+    the content-type gate downstream must drop them.  Fixture
+    scaffolding, not pipeline work, hence the memoization."""
+    import atexit
+    import gzip as _gzip
+    import shutil
+    import tempfile
+
+    from architxt_spark.sources.warc import build_warc
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _MEDIA_CRAWL_CACHE:
+        ids = [
+            int(r.doc_id)
+            for r in _t(spark, sf, "documents").select("doc_id").orderBy("doc_id").collect()
+        ]
+        root = tempfile.mkdtemp(prefix="architxt_mediacrawl_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        ctypes = {0: "image/png", 1: "image/jpeg", 2: "image/png", 3: "image/gif"}
+        for part in range(4):
+            recs = [
+                {
+                    "warc_type": "warcinfo",
+                    "target_uri": "",
+                    "payload": f"software: media-crawler/{part}\r\n".encode(),
+                    "content_type": "application/warc-fields",
+                },
+                {
+                    "warc_type": "request",
+                    "target_uri": f"http://media.test/{part}",
+                    "payload": b"GET / HTTP/1.1\r\nHost: media.test\r\n\r\n",
+                    "content_type": "application/http; msgtype=request",
+                },
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://media.test/page-{part}.html",
+                    "payload": b"<html><body><p>an index page</p></body></html>",
+                    "content_type": "text/html; charset=utf-8",
+                },
+            ]
+            recs += [
+                {
+                    "warc_type": "response",
+                    "target_uri": f"img:{d}",
+                    "payload": _dedup_image_bytes(d),
+                    "content_type": ctypes[d % 4],
+                }
+                for d in ids
+                if d % 4 == part
+            ]
+            with open(f"{root}/media-{part}.warc.gz", "wb") as f:
+                for rec in recs:
+                    f.write(_gzip.compress(build_warc([rec]), 1))
+        _MEDIA_CRAWL_CACHE[key] = root
+    return _MEDIA_CRAWL_CACHE[key]
+
+
+def q_crawl_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl→image-dedup composite (r11.5): ``read_warc`` with
+    ``extract_text=False`` → content-type gate keeps ``image/*``
+    responses only → REAL pixel decode + perceptual hashes over the
+    BINARY payloads → Hamming-banded near-dup pairs.  Gates the seam no
+    other oracle crosses — binary payload bytes surviving the WARC
+    write→gzip→split→parse round trip EXACTLY (one flipped byte anywhere
+    breaks a decode or flips a hash) — with the same closed-form
+    hash/pairs oracle as ``multimodal_dedup`` (same fixture formula, so
+    the SQL twin is shared verbatim)."""
+    from architxt_spark.functions.imagehash import hamming_near_dup, image_hashes
+    from architxt_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, media_crawl_archives(spark, sf), extract_text=False)
+    media = recs.filter(F.col("content_type").startswith("image/")).select(
+        F.regexp_extract("target_uri", r"^img:(\d+)$", 1).alias("media_id"),
+        F.col("payload").alias("content"),
+    )
+    hashes = image_hashes(media).persist()
+    hashes.count()  # eager: the hash variant and both band-join sides
+    hash_rows = hashes.select(
+        F.lit("hash").alias("variant"),
+        F.col("media_id").alias("s"),
+        F.col("dhash").alias("a"),
+        F.col("ahash").alias("b"),
+    )
+    pair_rows = hamming_near_dup(hashes, bands=4, max_hamming=3).select(
+        F.lit("pairs").alias("variant"),
+        F.concat_ws("|", "id_a", "id_b").alias("s"),
+        F.col("hamming").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    return hash_rows.unionByName(pair_rows)
 
 
 def q_gen_instance(spark: SparkSession, sf: str) -> DataFrame:
@@ -3127,9 +3233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL gained the final_select hook
         "sampling_mixture",
         "curation_pipeline",
-        # code-touched r11 (late): progressive-JPEG fixtures joined the
-        # 'pixels' hash variant
+        # code-touched r11 (late): progressive-JPEG + Adam7 fixtures
+        # joined the 'pixels' hash variant; new crawl-media composite
         "multimodal_profile",
+        "crawl_media_dedup",
         # Entries whose newest driver verdict is round 9 — the ≤2-round
         # rotation contract requires the r11 gate to renew all 32
         "bm25_batch",
@@ -3203,6 +3310,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_metric": q_coverage_metric,
         "multimodal_profile": q_multimodal_profile,
         "multimodal_dedup": q_multimodal_dedup,
+        "crawl_media_dedup": q_crawl_media_dedup,
         "gen_instance": q_gen_instance,
         "llm_rewrite_stub": q_llm_rewrite_stub,
         "extract_vocab": q_extract_vocab,
@@ -3633,6 +3741,72 @@ def _lm_sql() -> str:
     from architxt_spark.functions import lm
 
     return lm.bigram_lm_perplexity_sql("documents")
+
+
+#: image near-dup oracle CTEs, shared verbatim by `multimodal_dedup` and
+#: the crawl-media composite (same fixture formula → same hash replay)
+_IMG_DEDUP_WITH = """
+            WITH zc AS (
+              SELECT doc_id AS d, r, c,
+                     (doc_id // 4) * 73 + r * 9 + c AS z
+              FROM documents, range(0, 8) t1(r), range(0, 9) t2(c)
+            ),
+            cells AS (
+              SELECT d, r, c,
+                     CAST(
+                       (((z * z + 3 * z) % 7919) % 192)
+                       + CASE WHEN d % 4 = 2 THEN 8 ELSE 0 END
+                       + CASE WHEN d % 4 = 3
+                                   AND r = (d // 4) % 8
+                                   AND c = (d // 4) % 7 + 1
+                              THEN (((((z * z + 3 * z) % 7919) % 192) + 96) % 192)
+                                   - (((z * z + 3 * z) % 7919) % 192)
+                              ELSE 0 END
+                     AS BIGINT) AS v
+              FROM zc
+            ),
+            dh AS (
+              SELECT a.d,
+                     SUM(CASE WHEN b.v > a.v
+                              THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c)
+                              ELSE 0 END) AS u
+              FROM cells a JOIN cells b
+                ON b.d = a.d AND b.r = a.r AND b.c = a.c + 1
+              WHERE a.c < 8
+              GROUP BY a.d
+            ),
+            ah AS (
+              SELECT d,
+                     SUM(CASE WHEN v * 64 > tot
+                              THEN CAST(1 AS HUGEINT) << (r * 8 + c)
+                              ELSE 0 END) AS u
+              FROM (SELECT *, SUM(v) OVER (PARTITION BY d) AS tot
+                    FROM cells WHERE c < 8) t
+              GROUP BY d
+            ),
+            hashes AS (
+              SELECT dh.d,
+                     CAST(CASE WHEN dh.u >= 9223372036854775808
+                               THEN dh.u - 18446744073709551616
+                               ELSE dh.u END AS BIGINT) AS dhash,
+                     CAST(CASE WHEN ah.u >= 9223372036854775808
+                               THEN ah.u - 18446744073709551616
+                               ELSE ah.u END AS BIGINT) AS ahash
+              FROM dh JOIN ah ON ah.d = dh.d
+            )"""
+
+_IMG_DEDUP_SELECTS = """
+            SELECT 'hash' AS variant, CAST(d AS VARCHAR) AS s,
+                   dhash AS a, ahash AS b
+            FROM hashes
+            UNION ALL
+            SELECT 'pairs',
+                   CAST(x.d AS VARCHAR) || '|' || CAST(y.d AS VARCHAR),
+                   CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM hashes x JOIN hashes y
+              ON CAST(x.d AS VARCHAR) < CAST(y.d AS VARCHAR)
+            WHERE bit_count(xor(x.dhash, y.dhash)) <= 3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4124,55 +4298,7 @@ def _oracle_parts() -> dict[str, str]:
         # dhash/ahash are pure-integer expressions; the banded Spark join
         # is exact at max_hamming = bands-1, so an ALL-PAIRS scan here is
         # the honest verification of it
-        "multimodal_dedup": """
-            WITH zc AS (
-              SELECT doc_id AS d, r, c,
-                     (doc_id // 4) * 73 + r * 9 + c AS z
-              FROM documents, range(0, 8) t1(r), range(0, 9) t2(c)
-            ),
-            cells AS (
-              SELECT d, r, c,
-                     CAST(
-                       (((z * z + 3 * z) % 7919) % 192)
-                       + CASE WHEN d % 4 = 2 THEN 8 ELSE 0 END
-                       + CASE WHEN d % 4 = 3
-                                   AND r = (d // 4) % 8
-                                   AND c = (d // 4) % 7 + 1
-                              THEN (((((z * z + 3 * z) % 7919) % 192) + 96) % 192)
-                                   - (((z * z + 3 * z) % 7919) % 192)
-                              ELSE 0 END
-                     AS BIGINT) AS v
-              FROM zc
-            ),
-            dh AS (
-              SELECT a.d,
-                     SUM(CASE WHEN b.v > a.v
-                              THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c)
-                              ELSE 0 END) AS u
-              FROM cells a JOIN cells b
-                ON b.d = a.d AND b.r = a.r AND b.c = a.c + 1
-              WHERE a.c < 8
-              GROUP BY a.d
-            ),
-            ah AS (
-              SELECT d,
-                     SUM(CASE WHEN v * 64 > tot
-                              THEN CAST(1 AS HUGEINT) << (r * 8 + c)
-                              ELSE 0 END) AS u
-              FROM (SELECT *, SUM(v) OVER (PARTITION BY d) AS tot
-                    FROM cells WHERE c < 8) t
-              GROUP BY d
-            ),
-            hashes AS (
-              SELECT dh.d,
-                     CAST(CASE WHEN dh.u >= 9223372036854775808
-                               THEN dh.u - 18446744073709551616
-                               ELSE dh.u END AS BIGINT) AS dhash,
-                     CAST(CASE WHEN ah.u >= 9223372036854775808
-                               THEN ah.u - 18446744073709551616
-                               ELSE ah.u END AS BIGINT) AS ahash
-              FROM dh JOIN ah ON ah.d = dh.d
-            ),
+        "multimodal_dedup": _IMG_DEDUP_WITH + """,
             aen AS (
               -- audio frame energies: 65 frames x 16 samples, the same
               -- formula the fixture WAV encoder writes; member transforms
@@ -4207,17 +4333,7 @@ def _oracle_parts() -> dict[str, str]:
                 GROUP BY a.d
               ) a(d, u)
             )
-            SELECT 'hash' AS variant, CAST(d AS VARCHAR) AS s,
-                   dhash AS a, ahash AS b
-            FROM hashes
-            UNION ALL
-            SELECT 'pairs',
-                   CAST(x.d AS VARCHAR) || '|' || CAST(y.d AS VARCHAR),
-                   CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT),
-                   CAST(NULL AS BIGINT)
-            FROM hashes x JOIN hashes y
-              ON CAST(x.d AS VARCHAR) < CAST(y.d AS VARCHAR)
-            WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
+        """ + _IMG_DEDUP_SELECTS + """
             UNION ALL
             SELECT 'afp', CAST(d AS VARCHAR), fp, CAST(1040 AS BIGINT)
             FROM afp
@@ -4230,6 +4346,7 @@ def _oracle_parts() -> dict[str, str]:
               ON CAST(x.d AS VARCHAR) < CAST(y.d AS VARCHAR)
             WHERE bit_count(xor(x.fp, y.fp)) <= 3
         """,
+        "crawl_media_dedup": _IMG_DEDUP_WITH + _IMG_DEDUP_SELECTS,
         "gen_instance": """
             SELECT * FROM (VALUES
                 ('UNTYPED', 'ROOT', CAST(300 AS BIGINT)),
