@@ -8,18 +8,20 @@ header reads, a JPEG SOF marker walk, the ``wave`` module) — per-row in
 the Arrow boundary and, for PNG, as a pure JVM codegen column op
 (:func:`png_dims_cols`).  PNG, GIF and JPEG PIXELS
 decode for real too (:func:`decode_png_pixels`: zlib inflate + the
-five RFC 2083 scanline filters, stdlib-only — bit depth 8, color types
-0/2/4/6; :func:`decode_gif_pixels`: pure-Python LZW + palette mapping,
-first frame; :mod:`architxt_spark.functions.jpeg`: baseline sequential
-Huffman decode with numpy IDCT), and WAV PCM SAMPLES de-interleave for
-real (:func:`decode_wav_samples`), with linear-interpolation
+five RFC 2083 scanline filters, stdlib-only — the FULL still-image
+matrix as of r11.5: color types 0/2/3/4/6, bit depths 1–16, Adam7;
+:func:`decode_gif_pixels`: pure-Python LZW + palette mapping, first
+frame, four-pass de-interlace; :mod:`architxt_spark.functions.jpeg`:
+baseline/extended sequential AND progressive (SOF0/1/2) Huffman decode
+with numpy IDCT), and WAV PCM SAMPLES de-interleave for real
+(:func:`decode_wav_samples`), with linear-interpolation
 RESAMPLING (:func:`resample_pcm`) and MJPEG-in-AVI video FRAME
 SAMPLING (:func:`sample_video_frames`: RIFF walk + the in-repo JPEG
 codec) on top.  Only the genuinely codec-library-bound shapes remain
-gated (progressive/arithmetic JPEG, inter-frame video codecs,
-band-limited resampling — Pillow / librosa / pyav, not in this
-container): those raise ``NotImplementedError`` with guidance, and a
-clearly-marked deterministic fake keeps the plumbing testable.
+gated (arithmetic/12-bit JPEG, inter-frame video codecs, band-limited
+resampling — libjpeg / librosa / pyav, not in this container): those
+raise ``NotImplementedError`` with guidance, and a clearly-marked
+deterministic fake keeps the plumbing testable.
 
 Design notes for 100 TB of media:
 

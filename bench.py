@@ -64,6 +64,9 @@ HEADLINE = [
     # archives memoized per session — the line measures the pipeline)
     "multimodal_dedup",
     "crawl_to_corpus",
+    # r11.5: binary payloads through the crawl seam (read_warc ->
+    # image/* gate -> real decode -> banded near-dup pairs)
+    "crawl_media_dedup",
 ]
 
 

@@ -208,6 +208,35 @@ def test_corpus_import_page_stub_parser(spark, tmp_path, fake):
     assert len(ui_state.get_forest()) >= 1  # one tree per parsed sentence
 
 
+def test_corpus_import_page_brat_tarball(spark, tmp_path, fake):
+    """A BRAT-style tar.gz (txt + sibling ann) loads through the
+    standoff-entity path — the reference's raw_load_corpus input."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, data in (
+            ("corpus/d1.txt", b"Aspirin treats pain."),
+            ("corpus/d1.ann", b"T1\tDRUG 0 7\tAspirin\n"),
+        ):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    st = fake(
+        inputs={"Source Type": "Text Corpus"},
+        pressed={"Load Corpus"},
+        uploads={"Corpora": [Upload("c.tar.gz", buf.getvalue())]},
+    )
+    st.session_state["forest_root"] = str(tmp_path / "forest")
+    with pytest.raises(Rerun):
+        ui_mod.importer()
+    forest = ui_state.get_forest()
+    assert len(forest) >= 1
+    ents = forest.read().filter("node_type = 'ENT' AND node_name = 'DRUG'")
+    assert ents.count() >= 1  # the standoff entity reached the forest
+
+
 def test_visualizer_page_schema_dot_and_instances(spark, tmp_path, fake):
     st = fake(inputs={"Group": "person"})
     _seed_forest(spark, st, tmp_path)
