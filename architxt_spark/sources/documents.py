@@ -317,13 +317,28 @@ def read_document_file(
         # stdlib zipfile + ElementTree (sharedStrings + sheetData walk).
         data = _read_xlsx_stdlib(path)
     elif ext == ".xls":
-        # legacy binary BIFF8 reads with the stdlib (OLE2 FAT/mini-FAT +
-        # record walk + CONTINUE-aware SST, ``sources/xls.py``); only
-        # BIFF5 / encrypted / >6.8 MB-DIFAT workbooks still raise with
-        # xlrd guidance
+        # legacy binary BIFF reads with the stdlib (OLE2 FAT/mini-FAT +
+        # record walk + CONTINUE-aware SST; BIFF5 codepage strings and
+        # RC4-encrypted workbooks incl. the VelvetSweatshop default,
+        # ``sources/xls.py``); only BIFF2-4 / XOR-obfuscated /
+        # >6.8 MB-DIFAT workbooks still raise with xlrd guidance
         from architxt_spark.sources.xls import _read_xls_stdlib
 
         data = _read_xls_stdlib(path)
+    elif ext in (".docx", ".odt"):
+        # word-processor text (r11.5, beyond-reference): zip + XML
+        # paragraph walk (``sources/office.py``) → one record per
+        # paragraph, so the meta-model sees a GROUP row per paragraph
+        from architxt_spark.sources.office import (
+            read_docx_paragraphs,
+            read_odt_paragraphs,
+        )
+
+        paras = (
+            read_docx_paragraphs(path) if ext == ".docx"
+            else read_odt_paragraphs(path)
+        )
+        data = [{"idx": str(i), "text": p} for i, p in enumerate(paras)]
     else:
         raise ValueError(f"unsupported document format: {ext}")
 

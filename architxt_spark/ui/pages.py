@@ -58,7 +58,8 @@ def _render_document_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
         "Document File",
-        [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx"],
+        [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
+         ".docx", ".odt"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
@@ -121,7 +122,8 @@ def _render_graph_import(forest) -> None:
 def _render_corpus_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
-        "Corpora", [".tar.gz", ".tar.xz", ".txt"], accept_multiple_files=True
+        "Corpora", [".tar.gz", ".tar.xz", ".txt", ".docx", ".odt"],
+        accept_multiple_files=True,
     )
     c1, c2, c3 = ui.columns(3)
     language = c1.selectbox("Language", ["English", "French", "German"])
@@ -186,6 +188,19 @@ def _corpus_docs(spark, path: str):
             for stem, txt in sorted(texts.items())
         ]
         return spark.createDataFrame(rows, "doc_id string, txt string, ann string")
+    if path.endswith((".docx", ".odt")):
+        from architxt_spark.sources.office import (
+            read_docx_paragraphs,
+            read_odt_paragraphs,
+        )
+
+        paras = (
+            read_docx_paragraphs(path) if path.endswith(".docx")
+            else read_odt_paragraphs(path)
+        )
+        return spark.createDataFrame(
+            [(os.path.basename(path), "\n".join(paras))], "doc_id string, txt string"
+        )
     with open(path, encoding="utf-8") as f:
         return spark.createDataFrame(
             [(os.path.basename(path), f.read())], "doc_id string, txt string"

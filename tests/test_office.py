@@ -1,0 +1,114 @@
+"""Office text extraction (sources/office.py): docx/odt round-trips,
+whitespace elements, escaping, and the document-loader + UI seams."""
+
+import pytest
+
+from architxt_spark.sources.office import (
+    make_docx_bytes,
+    make_odt_bytes,
+    read_docx_paragraphs,
+    read_odt_paragraphs,
+)
+
+PARAS = ["First paragraph.", "Costs < 5 & > 3.", "caf\xe9 na\xefve 中文"]
+
+
+def test_docx_roundtrip():
+    assert read_docx_paragraphs(make_docx_bytes(PARAS)) == PARAS
+
+
+def test_odt_roundtrip():
+    assert read_odt_paragraphs(make_odt_bytes(PARAS)) == PARAS
+
+
+def test_docx_multi_run_tabs_and_breaks():
+    """Paragraph text concatenates runs in order; w:tab and w:br render
+    as whitespace — the shape real Word output has."""
+    import io
+    import zipfile
+
+    from architxt_spark.sources.office import _CT, _RELS, _W
+
+    doc = (
+        '<?xml version="1.0"?>'
+        f'<w:document xmlns:w="{_W}"><w:body>'
+        "<w:p><w:r><w:t>a</w:t></w:r><w:r><w:tab/><w:t>b</w:t></w:r>"
+        "<w:r><w:br/><w:t>c</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t xml:space=\"preserve\">  </w:t></w:r></w:p>"  # blank: dropped
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("word/document.xml", doc)
+    assert read_docx_paragraphs(buf.getvalue()) == ["a\tb\nc"]
+
+
+def test_odt_headings_and_nested_spans():
+    import io
+    import zipfile
+
+    from architxt_spark.sources.office import _ODF_OFFICE, _ODF_TEXT
+
+    content = (
+        '<?xml version="1.0"?>'
+        f'<office:document-content xmlns:office="{_ODF_OFFICE}" '
+        f'xmlns:text="{_ODF_TEXT}"><office:body><office:text>'
+        "<text:h>Title</text:h>"
+        "<text:p>lead <text:span>styled</text:span> tail</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", content)
+    paras = read_odt_paragraphs(buf.getvalue())
+    assert paras[0] == "Title"
+    assert "lead" in paras[1] and "styled" in paras[1] and "tail" in paras[1]
+
+
+def test_not_office_raises():
+    with pytest.raises(ValueError, match="docx"):
+        read_docx_paragraphs(b"PK\x03\x04 not a real zip")
+    with pytest.raises(ValueError, match="odt"):
+        read_odt_paragraphs(make_docx_bytes(["x"]))  # wrong container kind
+
+
+def test_read_document_file_docx_end_to_end(spark, tmp_path):
+    """The document loader builds a forest with one GROUP row per
+    paragraph — the same meta-model shape every other format yields."""
+    from architxt_spark.sources.documents import read_document_file
+    from architxt_spark.trees import rows_to_trees
+
+    p = tmp_path / "memo.docx"
+    p.write_bytes(make_docx_bytes(PARAS))
+    nodes = read_document_file(spark, str(p))
+    trees = rows_to_trees([r.asDict(recursive=True) for r in nodes.collect()])
+    assert len(trees) == len(PARAS)  # one GROUP row tree per paragraph
+    leaves = {
+        r.leaf_value for r in nodes.filter("leaf_value is not null").collect()
+    }
+    assert set(PARAS) <= leaves  # raw text survives, unicode intact
+
+
+def test_ui_corpus_import_docx(spark, tmp_path):
+    """A .docx upload flows through the UI corpus importer into the
+    parse pipeline (paragraphs joined as the document text)."""
+    import architxt_spark.ui as ui_mod
+    import architxt_spark.ui.state as ui_state
+    from test_ui import FakeStreamlit, Rerun, Upload
+
+    st = FakeStreamlit(
+        inputs={"Source Type": "Text Corpus"},
+        pressed={"Load Corpus"},
+        uploads={"Corpora": [Upload("memo.docx", make_docx_bytes(PARAS))]},
+    )
+    ui_state.use_streamlit(st)
+    try:
+        st.session_state["forest_root"] = str(tmp_path / "forest")
+        with pytest.raises(Rerun):
+            ui_mod.importer()
+        assert len(ui_state.get_forest()) >= 1
+    finally:
+        ui_state.use_streamlit(None)
