@@ -339,6 +339,16 @@ def read_document_file(
             else read_odt_paragraphs(path)
         )
         data = [{"idx": str(i), "text": p} for i, p in enumerate(paras)]
+    elif ext == ".pdf":
+        # basic machine-generated-PDF text (r11.5, beyond-reference):
+        # object-scan + FlateDecode + BT/ET text operators
+        # (``sources/pdf.py``) → one record per page
+        from architxt_spark.sources.pdf import read_pdf_pages
+
+        data = [
+            {"idx": str(i), "text": p}
+            for i, p in enumerate(read_pdf_pages(path))
+        ]
     else:
         raise ValueError(f"unsupported document format: {ext}")
 

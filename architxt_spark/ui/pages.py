@@ -59,7 +59,7 @@ def _render_document_import(forest) -> None:
     uploads = ui.file_uploader(
         "Document File",
         [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
-         ".docx", ".odt"],
+         ".docx", ".odt", ".pdf"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
@@ -122,7 +122,7 @@ def _render_graph_import(forest) -> None:
 def _render_corpus_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
-        "Corpora", [".tar.gz", ".tar.xz", ".txt", ".docx", ".odt"],
+        "Corpora", [".tar.gz", ".tar.xz", ".txt", ".docx", ".odt", ".pdf"],
         accept_multiple_files=True,
     )
     c1, c2, c3 = ui.columns(3)
@@ -188,16 +188,21 @@ def _corpus_docs(spark, path: str):
             for stem, txt in sorted(texts.items())
         ]
         return spark.createDataFrame(rows, "doc_id string, txt string, ann string")
-    if path.endswith((".docx", ".odt")):
-        from architxt_spark.sources.office import (
-            read_docx_paragraphs,
-            read_odt_paragraphs,
-        )
+    if path.endswith((".docx", ".odt", ".pdf")):
+        if path.endswith(".pdf"):
+            from architxt_spark.sources.pdf import read_pdf_pages
 
-        paras = (
-            read_docx_paragraphs(path) if path.endswith(".docx")
-            else read_odt_paragraphs(path)
-        )
+            paras = read_pdf_pages(path)
+        else:
+            from architxt_spark.sources.office import (
+                read_docx_paragraphs,
+                read_odt_paragraphs,
+            )
+
+            paras = (
+                read_docx_paragraphs(path) if path.endswith(".docx")
+                else read_odt_paragraphs(path)
+            )
         return spark.createDataFrame(
             [(os.path.basename(path), "\n".join(paras))], "doc_id string, txt string"
         )
