@@ -33,7 +33,8 @@ def test_rotation_prefix_is_valid_and_first():
     # r9 — the <=2-round rotation contract
     touched = ("multimodal_dedup", "crawl_to_corpus",
                "sampling_mixture", "curation_pipeline",
-               "multimodal_profile", "crawl_media_dedup")
+               "multimodal_profile", "crawl_media_dedup",
+               "doc_loader_files")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
     stale_r9 = (
