@@ -364,6 +364,61 @@ def bloom_probe(
     return df.withColumn(out_col, test)
 
 
+def bloom_probe_join(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: Column | str,
+    *,
+    n_bits: int,
+    n_hashes: int = 4,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Join-based twin of :func:`bloom_probe` for LARGE filters: the
+    literal-map probe materializes every bitmap word into one driver-side
+    expression — fine at 4096 bits, pathological at the 2^26-bit filters
+    a long-running ingest needs (a million-entry ``create_map``).  This
+    variant explodes the probe values' hash positions and joins them
+    against the words frame (``word_idx`` keyed, broadcast-able at
+    ≤ n_bits/63 rows ≈ 16 MB at 2^26 bits), then folds back per row:
+    member iff ALL hash bits are set.  Same hashes, same words, same
+    semantics — shape chosen by filter size."""
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    others = df.columns
+    probes = (
+        df.withColumn("__v", col.cast("string"))
+        .withColumn("__row", F.monotonically_increasing_id())
+        .withColumn(
+            "__p",
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("__v"), i, n_bits) for i in range(n_hashes)]
+                )
+            ),
+        )
+        .withColumn("word_idx", F.floor(F.col("__p") / BLOOM_WORD).cast("long"))
+        .withColumn(
+            "__mask",
+            F.pow(F.lit(2.0), (F.col("__p") % BLOOM_WORD).cast("int")).cast("long"),
+        )
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "__hit",
+            F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+            .bitwiseAND(F.col("__mask")) != 0,
+        )
+        .groupBy("__row", "__v", *others)
+        .agg(F.min(F.col("__hit").cast("int")).alias("__all"))
+        .withColumn(
+            out_col,
+            F.when(F.col("__v").isNotNull(), F.col("__all") == 1),
+        )
+        .drop("__row", "__all", "__v")
+    )
+    return hit
+
+
 def bloom_membership_sql(
     build_table: str,
     build_expr: str,

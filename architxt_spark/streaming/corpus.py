@@ -62,9 +62,25 @@ def minhash_dedup_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     write_output=None,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 4,
 ) -> DataFrame:
     """One micro-batch of incremental NEAR-dup filtering against a
     persistent LSH band index.
+
+    ``bloom_bits`` enables the BOUNDED-STATE tier for long-running
+    ingests: the history probe consults a Bloom bitmap of every indexed
+    band (``{index_path}_bloom``, ``bit_or``-merged words — state
+    ≤ ``bloom_bits/63`` longs regardless of corpus age) instead of
+    scanning the parquet index, so per-batch cost is genuinely
+    independent of history size (``tools/streambench.py``: the exact
+    probe's map-side index scan grows with the index — 2.7 → ~6 s/batch
+    by 2M indexed docs — while the bloom tier stays flat).  The parquet
+    index is still appended (the audit/rebuild source); the price is
+    the Bloom false-positive rate — a fresh document can be
+    (deterministically) dropped as a presumed near-dup, the same
+    bounded-state trade :func:`url_seen_batch` makes, sized by
+    ``bloom_bits`` against expected band cardinality.
 
     1. MinHash-band the batch documents (same signature pipeline as
        ``dedup.minhash_lsh_pairs``);
@@ -116,12 +132,50 @@ def minhash_dedup_batch(
     for h in holds:  # then release the shingle scratch arrays
         h.unpersist()
     try:
-        hist_raw = read_parquet_if_exists(spark, index_path)
-        if hist_raw is not None:
-            hist = hist_raw.select("band").distinct()
-            hit_hist = bands.join(hist, "band", "left_semi").select("id").distinct()
-        else:  # first batch: no index yet
-            hit_hist = None
+        hit_hist = None
+        if bloom_bits is not None:
+            # bounded-state tier: the history is the bit_or-merged Bloom
+            # bitmap (≤ bloom_bits/63 words no matter the corpus age);
+            # the probe is pure codegen column ops against a literal map
+            from architxt_spark.functions.sketch import bloom_probe_join
+
+            bloom_raw = read_parquet_if_exists(spark, f"{index_path}_bloom")
+            if bloom_raw is not None:
+                bloom = bloom_raw.groupBy("word_idx").agg(
+                    F.expr("bit_or(bits)").alias("bits")
+                )
+                hit_hist = (
+                    bloom_probe_join(
+                        bands.select("id", "band"), bloom, "band",
+                        n_bits=bloom_bits, n_hashes=bloom_hashes,
+                    )
+                    .filter(F.col("maybe_member"))
+                    .select("id")
+                    .distinct()
+                )
+        else:
+            # exact tier: probe the parquet index with a BROADCAST of
+            # the batch's (bounded) band set — one map-side columnar
+            # scan, no history shuffle.  (The previous shape ran
+            # distinct() over the whole index per batch — a full history
+            # re-shuffle every micro-batch; streambench measured it at
+            # 5.5 s vs 1.9 s for the broadcast probe by 2M indexed
+            # docs.)  The scan itself still grows with the index — the
+            # bloom tier above is the genuinely history-independent
+            # regime for long-running ingests.
+            hist_raw = read_parquet_if_exists(spark, index_path)
+            if hist_raw is not None:
+                batch_bands = bands.select("band").distinct()
+                hit_bands = (
+                    hist_raw.join(F.broadcast(batch_bands), "band", "left_semi")
+                    .select("band")
+                    .distinct()
+                )
+                hit_hist = (
+                    bands.join(F.broadcast(hit_bands), "band", "left_semi")
+                    .select("id")
+                    .distinct()
+                )
 
         survivors = bands.select("id").distinct()
         if hit_hist is not None:
@@ -154,7 +208,14 @@ def minhash_dedup_batch(
             # the semi-join twice
             kept = stage_barrier(kept)
             write_output(kept)
-        bands.join(survivors, "id").select("band", "id").write.mode("append").parquet(index_path)
+        new_bands = bands.join(survivors, "id")
+        new_bands.select("band", "id").write.mode("append").parquet(index_path)
+        if bloom_bits is not None:
+            from architxt_spark.functions.sketch import bloom_build
+
+            bloom_build(
+                new_bands, "band", n_bits=bloom_bits, n_hashes=bloom_hashes
+            ).write.mode("append").parquet(f"{index_path}_bloom")
         return kept
     finally:
         bands.unpersist()

@@ -459,3 +459,69 @@ def test_stream_curate_token_budget_mixture(spark, tmp_path):
         spark.read.parquet(index).select("id").distinct().count()
     )
     assert n_index_docs > len(kept)
+
+
+def test_minhash_dedup_batch_bloom_tier_parity(spark, tmp_path):
+    """The bounded-state Bloom tier keeps the same survivors as the
+    exact parquet probe when the bitmap is sized generously (fp ~ 0),
+    and its state stays bounded by n_bits/63 words."""
+    import pyspark.sql.functions as F
+
+    from architxt_spark.streaming.corpus import minhash_dedup_batch
+
+    def docs(lo, hi, dup_of=None):
+        rows = []
+        for i in range(lo, hi):
+            base = dup_of if dup_of is not None else i
+            # disjoint per-doc vocabularies: distinct docs share no
+            # shingles at all, duplicates share every one
+            text = " ".join(f"w{base}t{j}" for j in range(40))
+            rows.append((i, text))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact_idx = str(tmp_path / "exact")
+    bloom_idx = str(tmp_path / "bloom")
+    kw = dict(bloom_bits=1 << 20)
+
+    # batch 1: fresh docs — identical survivors both tiers
+    b1 = docs(0, 30)
+    k_exact = {r.doc_id for r in minhash_dedup_batch(b1, exact_idx).collect()}
+    k_bloom = {
+        r.doc_id for r in minhash_dedup_batch(b1, bloom_idx, **kw).collect()
+    }
+    assert k_exact == k_bloom == set(range(0, 30))
+
+    # batch 2: half near-dups of batch 1 (same text ⇒ same bands),
+    # half fresh — both tiers drop the dups and keep the fresh
+    dups = docs(100, 115, dup_of=5)
+    fresh = docs(200, 215)
+    b2 = dups.unionByName(fresh)
+    k_exact = {r.doc_id for r in minhash_dedup_batch(b2, exact_idx).collect()}
+    k_bloom = {
+        r.doc_id for r in minhash_dedup_batch(b2, bloom_idx, **kw).collect()
+    }
+    assert k_exact == k_bloom == set(range(200, 215))
+
+    # bounded state: the sidecar merges to at most n_bits/63 words
+    sidecar = spark.read.parquet(bloom_idx + "_bloom")
+    merged = sidecar.groupBy("word_idx").agg(F.expr("bit_or(bits)")).count()
+    assert merged <= (1 << 20) // 63 + 1
+
+
+def test_bloom_probe_join_matches_literal_probe(spark):
+    """Join-based probe (large filters) = literal-map probe, including
+    NULL probes staying NULL."""
+    from architxt_spark.functions.sketch import (
+        bloom_build,
+        bloom_probe,
+        bloom_probe_join,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"v{i}",) for i in range(150)] + [(None,)], "x string"
+    )
+    filt = bloom_build(vals.filter("x like 'v1%'"), "x", n_bits=1 << 14)
+    a = {r.x: r.maybe_member for r in bloom_probe(vals, filt, "x", n_bits=1 << 14).collect()}
+    b = {r.x: r.maybe_member for r in bloom_probe_join(vals, filt, "x", n_bits=1 << 14).collect()}
+    assert a == b
+    assert a[None] is None and a["v12"] is True
