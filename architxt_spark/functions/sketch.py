@@ -339,10 +339,24 @@ def bloom_probe(
 ) -> DataFrame:
     """Probe a :func:`bloom_build` filter: appends boolean ``out_col`` —
     true iff ALL hash bits are set (possibly member); false is a
-    DEFINITE non-member.  The filter words (≤ ``n_bits/63`` rows) are
-    collected into a literal map, so the probe is pure codegen column
-    ops: no join, no shuffle — how a broadcast bloom screen runs."""
+    DEFINITE non-member.  Small filters (≤4096 set words) collect into a
+    literal map, so the probe is pure codegen column ops: no join, no
+    shuffle — how a broadcast bloom screen runs.  Larger filters (the
+    1<<22-bit crawl-frontier bitmaps and up) delegate to
+    :func:`bloom_probe_join` — a tens-of-thousands-entry ``create_map``
+    literal makes Catalyst choke on the expression tree, while the
+    broadcast words-frame join stays a bounded hash join (verified
+    bit-identical)."""
     words = {int(r["word_idx"]): int(r["bits"]) for r in bloom.collect()}
+    if len(words) > 4096:
+        spark = df.sparkSession
+        words_df = spark.createDataFrame(
+            list(words.items()), "word_idx long, bits long"
+        )
+        return bloom_probe_join(
+            df, words_df, value_col,
+            n_bits=n_bits, n_hashes=n_hashes, out_col=out_col,
+        )
     col = F.col(value_col) if isinstance(value_col, str) else value_col
     v = col.cast("string")
     if not words:

@@ -525,3 +525,22 @@ def test_bloom_probe_join_matches_literal_probe(spark):
     b = {r.x: r.maybe_member for r in bloom_probe_join(vals, filt, "x", n_bits=1 << 14).collect()}
     assert a == b
     assert a[None] is None and a["v12"] is True
+
+
+def test_bloom_probe_delegates_large_filters(spark):
+    """Past 4096 set words the literal-map probe delegates to the join
+    form transparently — same column out, same values."""
+    from architxt_spark.functions.sketch import bloom_build, bloom_probe
+
+    big = spark.range(40_000).selectExpr("concat('k', id) AS x")
+    filt = bloom_build(big, "x", n_bits=1 << 20).persist()
+    assert filt.count() > 4096  # the delegation threshold is crossed
+    probe = spark.createDataFrame(
+        [("k123",), ("k39999",), ("nope-1",), (None,)], "x string"
+    )
+    got = {r.x: r.maybe_member for r in bloom_probe(
+        probe, filt, "x", n_bits=1 << 20
+    ).collect()}
+    assert got["k123"] is True and got["k39999"] is True
+    assert got[None] is None
+    filt.unpersist()
