@@ -1833,15 +1833,16 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
     """File-format reader gate (r11.5): every document in the %3==1
     slice is WRITTEN as a real office/PDF/legacy-Excel file and READ
     BACK through the stdlib readers inside the Arrow boundary —
-    ``doc_id % 4`` picks .xls (OLE2+BIFF8) / .docx / .odt / .pdf.  The
+    ``doc_id % 5`` picks .xls (OLE2+BIFF8) / .docx / .odt / .pdf /
+    .pptx.  The
     per-format census (count, chars, XOR of readback-md5 prefixes) is
     replayed closed-form by the oracle: the writers are exact on the
     control-cleaned text (PDF additionally ASCII-projected — its
     content streams are latin-1), so any cell/paragraph/page loss or
     mis-decoded byte in `sources/xls.py`, `sources/office.py`, or
-    `sources/pdf.py` flips the hash.  One registry row gating five
-    readers — the fold-over-new-rows tradeoff applied to the loader
-    tail."""
+    `sources/pdf.py` flips the hash.  One registry row gating all the
+    stdlib file readers — the fold-over-new-rows tradeoff applied to
+    the loader tail."""
     import pandas as pd
 
     from architxt_spark.functions.dedup import _spread
@@ -1861,8 +1862,10 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
         from architxt_spark.sources.office import (
             make_docx_bytes,
             make_odt_bytes,
+            make_pptx_bytes,
             read_docx_paragraphs,
             read_odt_paragraphs,
+            read_pptx_slides,
         )
         from architxt_spark.sources.pdf import make_pdf_bytes, read_pdf_pages
         from architxt_spark.sources.xls import _read_xls_stdlib, make_xls_bytes
@@ -1874,7 +1877,7 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
             for d, text in zip(pdf_["doc_id"], pdf_["text"]):
                 d = int(d)
                 clean = f"d{d}: " + ctrl.sub(" ", text or "")
-                m = d % 4
+                m = d % 5
                 if m == 0:
                     blob = make_xls_bytes({"S": [["t"], [clean]]})
                     with tempfile.NamedTemporaryFile(
@@ -1893,10 +1896,13 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                 elif m == 2:
                     back = read_odt_paragraphs(make_odt_bytes([clean]))[0]
                     fmt = "odt"
-                else:
+                elif m == 3:
                     pclean = nonascii.sub("?", clean).rstrip()
                     back = read_pdf_pages(make_pdf_bytes([pclean]))[0]
                     fmt = "pdf"
+                else:
+                    back = read_pptx_slides(make_pptx_bytes([clean]))[0]
+                    fmt = "pptx"
                 h = int(hashlib.md5(back.encode("utf-8")).hexdigest()[:15], 16)
                 rows.append((fmt, len(back), h))
             yield pd.DataFrame(rows, columns=["fmt", "n_chars", "h"])
@@ -3836,9 +3842,10 @@ def _doc_loader_files_sql() -> str:
     from architxt_spark.sinks.corpus import corpus_manifest_sql
 
     rb = r"""(
-        SELECT CASE d % 4 WHEN 0 THEN 'xls' WHEN 1 THEN 'docx'
-                          WHEN 2 THEN 'odt' ELSE 'pdf' END AS fmt,
-               CASE WHEN d % 4 = 3
+        SELECT CASE d % 5 WHEN 0 THEN 'xls' WHEN 1 THEN 'docx'
+                          WHEN 2 THEN 'odt' WHEN 3 THEN 'pdf'
+                          ELSE 'pptx' END AS fmt,
+               CASE WHEN d % 5 = 3
                     THEN rtrim(regexp_replace(clean, '[^ -~]', '?', 'g'))
                     ELSE clean END AS back
         FROM (

@@ -325,20 +325,23 @@ def read_document_file(
         from architxt_spark.sources.xls import _read_xls_stdlib
 
         data = _read_xls_stdlib(path)
-    elif ext in (".docx", ".odt"):
-        # word-processor text (r11.5, beyond-reference): zip + XML
-        # paragraph walk (``sources/office.py``) → one record per
-        # paragraph, so the meta-model sees a GROUP row per paragraph
+    elif ext in (".docx", ".odt", ".pptx"):
+        # word-processor / presentation text (r11.5, beyond-reference):
+        # zip + XML paragraph walk (``sources/office.py``) → one record
+        # per paragraph (docx/odt) or per slide (pptx), so the
+        # meta-model sees a GROUP row per unit
         from architxt_spark.sources.office import (
             read_docx_paragraphs,
             read_odt_paragraphs,
+            read_pptx_slides,
         )
 
-        paras = (
-            read_docx_paragraphs(path) if ext == ".docx"
-            else read_odt_paragraphs(path)
-        )
-        data = [{"idx": str(i), "text": p} for i, p in enumerate(paras)]
+        reader = {
+            ".docx": read_docx_paragraphs,
+            ".odt": read_odt_paragraphs,
+            ".pptx": read_pptx_slides,
+        }[ext]
+        data = [{"idx": str(i), "text": p} for i, p in enumerate(reader(path))]
     elif ext == ".pdf":
         # basic machine-generated-PDF text (r11.5, beyond-reference):
         # object-scan + FlateDecode + BT/ET text operators

@@ -73,6 +73,41 @@ def read_docx_paragraphs(path_or_bytes) -> list[str]:
     return out
 
 
+def read_pptx_slides(path_or_bytes) -> list[str]:
+    """Per-slide text of a ``.pptx`` in slide-number order: every
+    paragraph (``a:p``) of every shape, newline-joined per slide (empty
+    slides kept as empty strings so slide numbering survives)."""
+    src = (
+        io.BytesIO(path_or_bytes)
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else path_or_bytes
+    )
+    import re
+
+    out: list[str] = []
+    try:
+        with zipfile.ZipFile(src) as z:
+            slides = sorted(
+                (n for n in z.namelist()
+                 if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+                key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+            )
+            if not slides:
+                raise KeyError("ppt/slides")
+            for name in slides:
+                with z.open(name) as f:
+                    root = ET.parse(f).getroot()
+                paras = [
+                    _para_text(el)
+                    for el in root.iter()
+                    if _local(el.tag) == "p"
+                ]
+                out.append("\n".join(p for p in paras if p.strip()))
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise ValueError("not a .pptx (no ppt/slides/*.xml zip entries)") from e
+    return out
+
+
 def read_odt_paragraphs(path_or_bytes) -> list[str]:
     """Paragraph + heading texts of an ``.odt`` in document order."""
     src = (
@@ -140,6 +175,76 @@ def make_docx_bytes(paragraphs: list[str]) -> bytes:
         z.writestr("[Content_Types].xml", _CT)
         z.writestr("_rels/.rels", _RELS)
         z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+
+
+def make_pptx_bytes(slides: list[str]) -> bytes:
+    """Fixture twin for :func:`read_pptx_slides`: one text-box shape per
+    slide, one ``a:p`` per newline-separated line, plus the package
+    skeleton (content types, root rels, presentation + its rels)."""
+    ct = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType='
+        '"application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+    ]
+    pres_rels = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    ]
+    sld_ids = []
+    parts: list[tuple[str, str]] = []
+    for i, text in enumerate(slides, start=1):
+        body = "".join(
+            f"<a:p><a:r><a:t>{_xml_escape(line)}</a:t></a:r></a:p>"
+            for line in text.split("\n")
+        )
+        parts.append((
+            f"ppt/slides/slide{i}.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<p:sld xmlns:p="{_P}" xmlns:a="{_A}"><p:cSld><p:spTree>'
+            f"<p:sp><p:txBody>{body}</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>",
+        ))
+        ct.append(
+            f'<Override PartName="/ppt/slides/slide{i}.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+        )
+        pres_rels.append(
+            f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/slide" Target="slides/slide{i}.xml"/>'
+        )
+        sld_ids.append(f'<p:sldId id="{255 + i}" r:id="rId{i}"/>')
+    ct.append("</Types>")
+    pres_rels.append("</Relationships>")
+    presentation = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:presentation xmlns:p="{_P}" xmlns:r='
+        '"http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<p:sldIdLst>{''.join(sld_ids)}</p:sldIdLst></p:presentation>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", "".join(ct))
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("ppt/presentation.xml", presentation)
+        z.writestr("ppt/_rels/presentation.xml.rels", "".join(pres_rels))
+        for name, xml in parts:
+            z.writestr(name, xml)
     return buf.getvalue()
 
 

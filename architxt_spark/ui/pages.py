@@ -59,7 +59,7 @@ def _render_document_import(forest) -> None:
     uploads = ui.file_uploader(
         "Document File",
         [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
-         ".docx", ".odt", ".pdf"],
+         ".docx", ".odt", ".pptx", ".pdf"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
@@ -122,7 +122,7 @@ def _render_graph_import(forest) -> None:
 def _render_corpus_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
-        "Corpora", [".tar.gz", ".tar.xz", ".txt", ".docx", ".odt", ".pdf"],
+        "Corpora", [".tar.gz", ".tar.xz", ".txt", ".docx", ".odt", ".pptx", ".pdf"],
         accept_multiple_files=True,
     )
     c1, c2, c3 = ui.columns(3)
@@ -188,7 +188,7 @@ def _corpus_docs(spark, path: str):
             for stem, txt in sorted(texts.items())
         ]
         return spark.createDataFrame(rows, "doc_id string, txt string, ann string")
-    if path.endswith((".docx", ".odt", ".pdf")):
+    if path.endswith((".docx", ".odt", ".pptx", ".pdf")):
         if path.endswith(".pdf"):
             from architxt_spark.sources.pdf import read_pdf_pages
 
@@ -197,12 +197,15 @@ def _corpus_docs(spark, path: str):
             from architxt_spark.sources.office import (
                 read_docx_paragraphs,
                 read_odt_paragraphs,
+                read_pptx_slides,
             )
 
-            paras = (
-                read_docx_paragraphs(path) if path.endswith(".docx")
-                else read_odt_paragraphs(path)
-            )
+            reader = {
+                ".docx": read_docx_paragraphs,
+                ".odt": read_odt_paragraphs,
+                ".pptx": read_pptx_slides,
+            }["." + path.rsplit(".", 1)[1]]
+            paras = reader(path)
         return spark.createDataFrame(
             [(os.path.basename(path), "\n".join(paras))], "doc_id string, txt string"
         )

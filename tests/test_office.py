@@ -112,3 +112,28 @@ def test_ui_corpus_import_docx(spark, tmp_path):
         assert len(ui_state.get_forest()) >= 1
     finally:
         ui_state.use_streamlit(None)
+
+
+def test_pptx_roundtrip_and_gate():
+    from architxt_spark.sources.office import make_pptx_bytes, read_pptx_slides
+
+    slides = ["Title slide", "Bullet one\nBullet two & <more>", "caf\xe9 slide"]
+    assert read_pptx_slides(make_pptx_bytes(slides)) == slides
+    with pytest.raises(ValueError, match="pptx"):
+        read_pptx_slides(make_docx_bytes(["x"]))  # wrong container kind
+
+
+def test_read_document_file_pptx_end_to_end(spark, tmp_path):
+    from architxt_spark.sources.documents import read_document_file
+    from architxt_spark.trees import rows_to_trees
+
+    slides = ["Alpha deck", "Beta\nGamma"]
+    p = tmp_path / "deck.pptx"
+    from architxt_spark.sources.office import make_pptx_bytes
+
+    p.write_bytes(make_pptx_bytes(slides))
+    nodes = read_document_file(spark, str(p))
+    trees = rows_to_trees([r.asDict(recursive=True) for r in nodes.collect()])
+    assert len(trees) == 2  # one tree per slide
+    leaves = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
+    assert set(slides) <= leaves
