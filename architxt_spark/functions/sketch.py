@@ -328,6 +328,84 @@ def bloom_build(
     )
 
 
+class BloomSaturationWarning(UserWarning):
+    """An in-use Bloom bitmap is past its healthy operating point."""
+
+
+class BloomSaturationError(RuntimeError):
+    """An in-use Bloom bitmap is saturated enough to silently drop a
+    large fraction of genuinely-fresh values."""
+
+
+def suggest_bloom_bits(expected_values: int, *, n_hashes: int = 4) -> int:
+    """Bitmap size (power of two) for ``expected_values`` distinct values:
+    the ~10-bits-per-value rule the 8M-doc streambench rehearsal
+    validated (BASELINE.md "Second streaming-history point").  At 10
+    bits/value with k=4 hashes the filled filter sits at ~33% set bits
+    and a ~1% per-probe false-positive rate; the under-sized rehearsal
+    bitmap (2 bits/value) reached ~85% set bits and silently dropped
+    ~3/4 of fresh documents.
+    """
+    if expected_values <= 0:
+        raise ValueError("expected_values must be positive")
+    target = max(4096, 10 * expected_values * max(1, n_hashes) // 4)
+    return 1 << (target - 1).bit_length()
+
+
+def bloom_saturation(bloom: DataFrame, *, n_bits: int) -> float:
+    """Set-bit fraction of a :func:`bloom_build` words frame — ONE
+    aggregate over ≤ ``n_bits/63`` word rows (absent words are all-zero),
+    so the check costs nothing next to the probe it protects."""
+    row = bloom.selectExpr("sum(bit_count(bits)) AS set_bits").collect()[0]
+    return (row["set_bits"] or 0) / n_bits
+
+
+def check_bloom_saturation(
+    bloom: DataFrame,
+    *,
+    n_bits: int,
+    n_hashes: int = 4,
+    warn_at: float = 0.30,
+    refuse_at: float = 0.60,
+    override: bool = False,
+    context: str = "bloom filter",
+) -> float:
+    """Guard a persistent Bloom bitmap against silent over-dropping.
+
+    Saturation is the quiet failure mode of every bounded-state bloom
+    tier: the bitmap keeps ANSWERING as it fills, but the per-probe
+    false-positive rate is ``saturation**n_hashes`` — the r11.5
+    streambench rehearsal measured an under-sized bitmap (~85% set bits,
+    ~52% per-band fp) keeping only ~280 of ~2000 genuinely-fresh
+    documents, with no error anywhere.  This makes the contract
+    executable instead of a docstring: warn past ``warn_at`` (a
+    correctly-sized filter reaches ~33% at design capacity — the warning
+    is the "plan the resize now" signal), refuse past ``refuse_at``
+    (≈13% fp at k=4 and climbing fast) unless ``override`` says the
+    caller accepts the drop rate.  Returns the measured saturation.
+    """
+    import warnings
+
+    sat = bloom_saturation(bloom, n_bits=n_bits)
+    fp = sat**n_hashes
+    if sat >= refuse_at and not override:
+        raise BloomSaturationError(
+            f"{context}: {sat:.0%} of {n_bits} bits set — ~{fp:.0%} of "
+            f"fresh values would be silently dropped as presumed-seen. "
+            f"Rebuild with n_bits >= suggest_bloom_bits(expected_values) "
+            f"or pass override=True to accept the drop rate."
+        )
+    if sat >= warn_at:
+        warnings.warn(
+            f"{context}: {sat:.0%} of {n_bits} bits set (~{fp:.1%} "
+            f"false-positive rate) — at or past design capacity; size "
+            f"the next rebuild with suggest_bloom_bits().",
+            BloomSaturationWarning,
+            stacklevel=2,
+        )
+    return sat
+
+
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,

@@ -64,6 +64,7 @@ def minhash_dedup_batch(
     write_output=None,
     bloom_bits: int | None = None,
     bloom_hashes: int = 4,
+    bloom_override: bool = False,
 ) -> DataFrame:
     """One micro-batch of incremental NEAR-dup filtering against a
     persistent LSH band index.
@@ -137,12 +138,25 @@ def minhash_dedup_batch(
             # bounded-state tier: the history is the bit_or-merged Bloom
             # bitmap (≤ bloom_bits/63 words no matter the corpus age);
             # the probe is pure codegen column ops against a literal map
-            from architxt_spark.functions.sketch import bloom_probe_join
+            from architxt_spark.functions.sketch import (
+                bloom_probe_join,
+                check_bloom_saturation,
+            )
 
             bloom_raw = read_parquet_if_exists(spark, f"{index_path}_bloom")
             if bloom_raw is not None:
                 bloom = bloom_raw.groupBy("word_idx").agg(
                     F.expr("bit_or(bits)").alias("bits")
+                )
+                # saturation guard (r11.5 rehearsal: an under-sized bitmap
+                # silently kept ~280/2000 fresh docs) — one agg over
+                # ≤ bloom_bits/63 words, BEFORE the batch gets probed
+                check_bloom_saturation(
+                    bloom,
+                    n_bits=bloom_bits,
+                    n_hashes=bloom_hashes,
+                    override=bloom_override,
+                    context=f"near-dup band bloom at {index_path}_bloom",
                 )
                 hit_hist = (
                     bloom_probe_join(
@@ -404,6 +418,7 @@ def url_seen_batch(
     n_bits: int = 1 << 22,
     n_hashes: int = 4,
     write_output=None,
+    bloom_override: bool = False,
 ) -> DataFrame:
     """One micro-batch of BOUNDED-STATE URL dedup for a crawl frontier:
     drop rows whose URL the persistent Bloom bitmap has (probably) seen,
@@ -424,7 +439,11 @@ def url_seen_batch(
     (`functions/sketch.py` bloom_build/bloom_probe).
     """
     from architxt_spark.functions.dedup import _spread
-    from architxt_spark.functions.sketch import bloom_build, bloom_probe
+    from architxt_spark.functions.sketch import (
+        bloom_build,
+        bloom_probe,
+        check_bloom_saturation,
+    )
     from architxt_spark.session import read_parquet_if_exists
 
     spark = batch.sparkSession
@@ -436,6 +455,15 @@ def url_seen_batch(
         else None  # first batch: no bitmap yet
     )
     if seen is not None:
+        # refuse/warn BEFORE probing: a saturated frontier bitmap drops
+        # never-seen URLs silently (sketch.check_bloom_saturation)
+        check_bloom_saturation(
+            seen,
+            n_bits=n_bits,
+            n_hashes=n_hashes,
+            override=bloom_override,
+            context=f"URL-seen bloom at {bloom_path}",
+        )
         probed = bloom_probe(
             batch, seen, url_col, n_bits=n_bits, n_hashes=n_hashes
         )

@@ -70,6 +70,42 @@ HEADLINE = [
 ]
 
 
+def _calib_cpu() -> float:
+    """Deterministic single-core probe: a serially-dependent md5 chain
+    (fixed iteration count, no allocation growth) — ~1 s nominal on the
+    r12 reference host.  Host drift, not code, moves this line: the r11
+    review proved a x1.31 'regression' was the machine slowing down
+    (git-worktree A/B), so every BENCH file now carries its own
+    host-speed measurement and tools/benchdiff.py reports
+    calib-normalized ratios next to raw."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"\x00" * 16
+    for _ in range(1_200_000):
+        h = hashlib.md5(h).digest()
+    dt = time.perf_counter() - t0
+    if not h:  # pragma: no cover — keeps the loop un-elidable
+        raise AssertionError
+    return dt
+
+
+def _calib_spark(spark, cpus: str) -> float:
+    """Deterministic Spark probe: a fixed-width shuffle-free codegen job
+    over synthesized-in-memory rows (range -> xxhash64 -> sum; one
+    partial agg per task + a 32-row final).  Measures the JVM/executor
+    side of host speed — scheduler, codegen throughput, core contention —
+    the part calib_cpu can't see."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 384_000_000, 1, numPartitions=int(cpus))
+        # bit_xor: overflow-free under ANSI mode (sum of hashes is not)
+        .selectExpr("bit_xor(xxhash64(id)) AS h")
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -120,6 +156,20 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
+    # Host-speed calibration (r11 verdict #1): min-of-repeats like every
+    # other line, one warm draw first so the Spark probe measures steady
+    # state, not first-job scheduler setup.  Excluded from both totals —
+    # these lines measure the HOST, and benchdiff divides them out.
+    _calib_spark(spark, cpus)
+    calib = {
+        "calib_cpu": round(min(_calib_cpu() for _ in range(repeats)), 3),
+        "calib_spark": round(
+            min(_calib_spark(spark, cpus) for _ in range(repeats)), 3
+        ),
+    }
+    for k, v in calib.items():
+        print(f"# {k}: {v:.3f}s min of {repeats}", file=sys.stderr)
 
     # Once-per-session serving artifacts, each timed as its OWN line
     # (r10 verdict: conflated `ann_index_build`/`model_build` lines let a
@@ -191,7 +241,7 @@ def main() -> None:
                 # curation_fit/dsir_fit) — the number comparable across
                 # rounds without benchdiff's partial-fold logic
                 "comparable_total": round(total - build_total, 3),
-                "queries": timings,
+                "queries": {**calib, **timings},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

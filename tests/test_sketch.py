@@ -502,3 +502,101 @@ def test_curation_ppl_reference_and_classifier_stages(spark):
     # good-marker doc (odd id), every junk-marker doc is gone
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids and all(i % 2 == 1 for i in ids)
+
+
+# ---------------------------------------------------------------------------
+# Bloom saturation guard (r12): the bounded-state tiers' quiet failure
+# mode — a filling bitmap keeps answering while its false-positive rate
+# climbs — becomes an executable contract instead of a docstring.  The
+# r11.5 streambench rehearsal measured an under-sized bitmap silently
+# keeping ~280/2000 genuinely-fresh documents.
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_bloom_bits_ten_x_rule():
+    # ~10 bits per value at k=4, rounded up to a power of two
+    m = sketch.suggest_bloom_bits(100_000)
+    assert m >= 10 * 100_000
+    assert m & (m - 1) == 0  # power of two
+    assert m <= 2 * 10 * 100_000  # no more than one doubling of slack
+    # floor: tiny cardinalities still get a usefully-sized filter
+    assert sketch.suggest_bloom_bits(10) == 4096
+    # bit budget scales with hash count (k bits set per value)
+    assert sketch.suggest_bloom_bits(100_000, n_hashes=8) >= 2 * 10 * 100_000 // 2
+    with pytest.raises(ValueError):
+        sketch.suggest_bloom_bits(0)
+
+
+def test_bloom_saturation_tracks_fill(spark):
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(200)], "v string")
+    # generously sized: predicted set fraction 1-exp(-4*200/8192) ~ 9.3%
+    roomy = sketch.bloom_build(vals, "v", n_bits=8192, n_hashes=4)
+    s1 = sketch.bloom_saturation(roomy, n_bits=8192)
+    assert 0.05 < s1 < 0.15
+    # under-sized: 1-exp(-4*200/256) ~ 96%
+    tight = sketch.bloom_build(vals, "v", n_bits=256, n_hashes=4)
+    s2 = sketch.bloom_saturation(tight, n_bits=256)
+    assert s2 > 0.85
+    # empty filter: zero
+    empty = sketch.bloom_build(vals.filter("v IS NULL"), "v", n_bits=256)
+    assert sketch.bloom_saturation(empty, n_bits=256) == 0.0
+
+
+def test_check_bloom_saturation_warn_refuse_override(spark):
+    import warnings
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(200)], "v string")
+    # healthy (~9%): silent
+    roomy = sketch.bloom_build(vals, "v", n_bits=8192, n_hashes=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sat = sketch.check_bloom_saturation(roomy, n_bits=8192, n_hashes=4)
+    assert sat < 0.30
+    # mid (~38% at 2048 bits): warns, does not raise
+    mid = sketch.bloom_build(vals, "v", n_bits=2048, n_hashes=4)
+    with pytest.warns(sketch.BloomSaturationWarning):
+        sat = sketch.check_bloom_saturation(mid, n_bits=2048, n_hashes=4)
+    assert 0.30 <= sat < 0.60
+    # saturated (~96%): refuses...
+    tight = sketch.bloom_build(vals, "v", n_bits=256, n_hashes=4)
+    with pytest.raises(sketch.BloomSaturationError):
+        sketch.check_bloom_saturation(tight, n_bits=256, n_hashes=4)
+    # ...unless overridden (still warns so the drop rate stays loud)
+    with pytest.warns(sketch.BloomSaturationWarning):
+        sat = sketch.check_bloom_saturation(
+            tight, n_bits=256, n_hashes=4, override=True
+        )
+    assert sat >= 0.60
+
+
+def test_url_seen_batch_guard_fires_before_over_drop(spark, tmp_path):
+    """End-to-end through the streaming consumer: a deliberately tiny
+    frontier bitmap warns while fresh URLs still mostly survive, then
+    REFUSES the next batch instead of silently eating it."""
+    import warnings
+
+    from architxt_spark.streaming.corpus import url_seen_batch
+
+    path = str(tmp_path / "seen")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(lo, hi)], "url string"
+    )
+    # batch 1 fills a 252-bit bitmap with 40 urls*4 hashes -> ~47% set
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        k1 = url_seen_batch(mk(0, 40), path, n_bits=252, n_hashes=4).count()
+    assert k1 == 40  # empty bitmap: everything is fresh
+    # batch 2 probes a ~47%-set bitmap: the WARN tier fires, most fresh
+    # urls still pass (fp ~ 0.47^4 ~ 5%)
+    with pytest.warns(sketch.BloomSaturationWarning):
+        k2 = url_seen_batch(mk(40, 80), path, n_bits=252, n_hashes=4).count()
+    assert k2 >= 30
+    # batch 3 sees a ~70%-set bitmap: the guard refuses outright
+    with pytest.raises(sketch.BloomSaturationError):
+        url_seen_batch(mk(80, 120), path, n_bits=252, n_hashes=4)
+    # override keeps the old keep-what-you-can behavior, loudly
+    with pytest.warns(sketch.BloomSaturationWarning):
+        k3 = url_seen_batch(
+            mk(80, 120), path, n_bits=252, n_hashes=4, bloom_override=True
+        ).count()
+    assert 0 < k3 <= 40

@@ -46,6 +46,14 @@ FOLDS: dict[str, tuple[str, ...]] = {
     "model_build": ("quality_fit", "curation_fit", "dsir_fit"),
 }
 
+#: host-calibration lines (bench.py r12+): deterministic CPU / Spark
+#: probes measuring the MACHINE, not the code.  Never flagged, never in
+#: subtotals; when both files carry calib_spark, every query ratio is
+#: also shown host-normalized (ratio / calib drift) and the regression
+#: flag moves to the normalized number — the r11 x1.31 "regression" was
+#: pure host drift and took a git-worktree A/B to disprove.
+CALIB: tuple[str, ...] = ("calib_cpu", "calib_spark")
+
 #: build lines whose SCOPE grew across rounds (r10: ann_index_build
 #: gained the PQ encode; model_build carries the classifier + curation
 #: + DSIR fits) — a higher number is scope growth, not regression
@@ -98,23 +106,40 @@ def main(argv: list[str] | None = None) -> int:
     (old, old_partial) = apply_folds(old_raw, new_raw)
     (new, new_partial) = apply_folds(new_raw, old_raw)
     partial = old_partial | new_partial
+    # host-speed drift factor: how much slower (>1) or faster (<1) the
+    # NEW host is, measured by the deterministic Spark probe (the one
+    # that matches the JVM-bound query lines; calib_cpu shown for
+    # diagnosis).  Queries are judged on ratio/drift when available.
+    drift = None
+    for c in CALIB:
+        if c in old and c in new and old[c]:
+            r = new[c] / old[c]
+            print(f"{c:32s} {old[c]:7.2f} -> {new[c]:7.2f}  x{r:4.2f}  (host probe)")
+            if c == "calib_spark":
+                drift = r
+    if drift is not None:
+        print(f"{'':32s} host-normalized column = raw ratio / x{drift:4.2f}")
+    old = {q: v for q, v in old.items() if q not in CALIB}
+    new = {q: v for q, v in new.items() if q not in CALIB}
     shared = sorted(set(old) & set(new))
     regressions = []
     for q in shared:
         ratio = new[q] / old[q] if old[q] else float("inf")
+        judged = ratio / drift if drift else ratio
         flag = ""
-        if ratio > args.threshold and q in SCOPE_GROWTH:
+        if judged > args.threshold and q in SCOPE_GROWTH:
             flag = f" scope-growth ({SCOPE_GROWTH[q]})"
-        elif ratio > args.threshold:
+        elif judged > args.threshold:
             flag = " REGRESSED"
             regressions.append(q)
-        elif ratio < 1 / args.threshold:
+        elif judged < 1 / args.threshold:
             flag = " improved"
         if q in partial:
             # synthesized from a subset of the fold's constituents (a
             # partial run) — the ratio is not fold-vs-fold
             flag += " (partial fold)"
-        print(f"{q:32s} {old[q]:7.2f} -> {new[q]:7.2f}  x{ratio:4.2f}{flag}")
+        norm = f"  norm x{judged:4.2f}" if drift else ""
+        print(f"{q:32s} {old[q]:7.2f} -> {new[q]:7.2f}  x{ratio:4.2f}{norm}{flag}")
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:
@@ -123,7 +148,11 @@ def main(argv: list[str] | None = None) -> int:
         print("added:  ", ", ".join(only_new))
     tot_o = sum(old[q] for q in shared)
     tot_n = sum(new[q] for q in shared)
-    print(f"{'shared subtotal':32s} {tot_o:7.2f} -> {tot_n:7.2f}  x{tot_n / tot_o:4.2f}")
+    sub_norm = f"  norm x{tot_n / tot_o / drift:4.2f}" if drift else ""
+    print(
+        f"{'shared subtotal':32s} {tot_o:7.2f} -> {tot_n:7.2f}"
+        f"  x{tot_n / tot_o:4.2f}{sub_norm}"
+    )
     if regressions:
         print(
             f"\n{len(regressions)} over threshold — re-run both and compare "

@@ -37,6 +37,12 @@ def main() -> None:
         "(0 = exact parquet-index probe)",
     )
     p.add_argument(
+        "--bloom-override", action="store_true",
+        help="keep ingesting past the saturation REFUSE threshold "
+        "(reproduces the r11.5 silent-over-drop measurement; without "
+        "this the guard stops the rung when the bitmap saturates)",
+    )
+    p.add_argument(
         "--seed-docs", type=int, default=0,
         help="bulk-seed the band index with this many documents' bands "
         "first — simulates a LONG-RUNNING ingest so per-batch cost is "
@@ -121,11 +127,30 @@ def main() -> None:
             (all_docs.doc_id >= lo) & (all_docs.doc_id < hi)
         ).repartition(int(args.cpus))
         t0 = time.perf_counter()
-        kept = minhash_dedup_batch(
-            batch, index_path,
-            bloom_bits=args.bloom_bits or None,
+        import warnings as _w
+
+        from architxt_spark.functions.sketch import (
+            BloomSaturationError,
+            BloomSaturationWarning,
         )
-        n_kept = kept.count()
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always", BloomSaturationWarning)
+            try:
+                kept = minhash_dedup_batch(
+                    batch, index_path,
+                    bloom_bits=args.bloom_bits or None,
+                    bloom_override=args.bloom_override,
+                )
+                n_kept = kept.count()
+            except BloomSaturationError as e:
+                # the guard stops the rung BEFORE the silent over-drop
+                # regime (r11.5 rehearsal: 280/2000 kept with no error)
+                print(f"# batch {b}: REFUSED — {e}", file=sys.stderr, flush=True)
+                break
+        for w in caught:
+            if issubclass(w.category, BloomSaturationWarning):
+                print(f"# batch {b}: WARN — {w.message}", file=sys.stderr, flush=True)
         dt = time.perf_counter() - t0
         if b:
             timings.append(dt)
