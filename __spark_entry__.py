@@ -1898,7 +1898,21 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     fmt = "odt"
                 elif m == 3:
                     pclean = nonascii.sub("?", clean).rstrip()
-                    back = read_pdf_pages(make_pdf_bytes([pclean]))[0]
+                    # r12: alternate the file SHAPE per doc so the gate
+                    # drives the widened reader — classic xref table,
+                    # PDF 1.5 object-streams + predictor-coded xref
+                    # stream, and ToUnicode-CMap'd (code-shifted)
+                    # strings; readback is byte-equal in every shape, so
+                    # the oracle hash is shape-independent
+                    # pdf docs satisfy d ≡ 13 (mod 15), alternating
+                    # odd/even — d%2 and d%4 cover all 4 shape combos
+                    back = read_pdf_pages(
+                        make_pdf_bytes(
+                            [pclean],
+                            object_streams=bool(d % 2 == 0),
+                            tounicode=bool(d % 4 < 2),
+                        )
+                    )[0]
                     fmt = "pdf"
                 else:
                     back = read_pptx_slides(make_pptx_bytes([clean]))[0]

@@ -67,6 +67,32 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+#: target inverted-index rows per shuffle partition for the pair
+#: generators' self-joins.  The r11 4M-doc Zipf rung measured the
+#: residual super-linearity (exponent 1.13) as partial-aggregate spill
+#: at the session's fixed 32 shuffle partitions, dropping to 1.09 with
+#: partitions hand-sized to the data (64 ≈ 2.5M index rows/partition).
+#: 4M rows ≈ 64 MB of (long, long) index per partition — hash-join
+#: build + partial-agg state comfortably in-memory per task.
+_PAIR_ROWS_PER_PARTITION = 4_000_000
+
+
+def _pair_shuffle_width(spark, n_index_rows: int) -> int:
+    """Shuffle width for an inverted-index self-join, derived from the
+    MEASURED index row count (the pair generators already force an eager
+    count when they persist the index — the estimate is free).  Returns
+    0 when the session default parallelism suffices, so small inputs
+    keep their existing plans with no extra exchange; larger indexes get
+    a power-of-two width sized to ``_PAIR_ROWS_PER_PARTITION`` — the
+    knob a cluster operator would set globally, derived per-operator
+    from the data instead (r11 verdict #5)."""
+    base = spark.sparkContext.defaultParallelism
+    need = -(-n_index_rows // _PAIR_ROWS_PER_PARTITION)
+    if need <= base:
+        return 0
+    return 1 << (int(need) - 1).bit_length()
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -565,12 +591,20 @@ def ngram_jaccard_pairs(
     raw = (
         _shingle_rows(df, text_col, id_col, holds).select("id", fp.alias("s")).persist()
     )
-    raw.count()  # eager for the same both-branches-race reason as minhash
+    n_index = raw.count()  # eager for the same both-branches-race reason as minhash
     for hold in holds:
         hold.unpersist()
     try:
         heavy = raw.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
         inv = raw.join(F.broadcast(heavy), "s", "left_anti")
+        # auto-sized self-join width (r11 #5): past ~128M index rows the
+        # fixed session width spills the join-side partial aggregate —
+        # repartition on the join key so the co-partitioned self-join
+        # and its per-pair count run at a width matched to the data
+        # (one exchange, where the shuffle-hash join needed one anyway)
+        width = _pair_shuffle_width(df.sparkSession, n_index)
+        if width:
+            inv = inv.repartition(width, "s")
         sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
         # shuffle_hash hint: the index self-join would otherwise pick a
         # sort-merge join, paying TWO full sorts of the fingerprint index
@@ -1072,11 +1106,15 @@ def winnow_pairs(
         .persist()
     )
     raw = base.select("id", F.explode("fp").alias("f")).persist()
-    raw.count()  # eager: hash once; heavy-set agg + self-join read the cache
+    n_index = raw.count()  # eager: hash once; heavy-set agg + self-join read the cache
     base.unpersist()  # scratch arrays folded into the exploded index now
     try:
         heavy = raw.groupBy("f").count().filter(F.col("count") > max_fp_df).select("f")
         inv = raw.join(F.broadcast(heavy), "f", "left_anti")
+        # auto-sized self-join width — same rationale as ngram_jaccard_pairs
+        width = _pair_shuffle_width(df.sparkSession, n_index)
+        if width:
+            inv = inv.repartition(width, "f")
         out = (
             inv.alias("a")
             .join(inv.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.id") < F.col("b.id")))
@@ -1159,6 +1197,10 @@ def exact_span_pairs(
     heavy = fp.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
     fp = fp.join(F.broadcast(heavy), "h", "left_anti")
 
+    # no auto-sized width here (unlike ngram/winnow): this index is not
+    # persisted, so a row count would force the hash chain twice, and the
+    # 4M-doc Zipf rung measured this operator's exponent at 1.02 on the
+    # session width — the diagonal window, not the join, dominates
     a = fp.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
     b = fp.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
     m = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))

@@ -11,13 +11,22 @@ literal-string escapes (octal, ``\\n``/``\\t``, balanced parens) and
 hex strings.  Line-advance operators (``Td``/``TD``/``T*``) break
 words.
 
+r12 widening: PDF 1.5+ **object streams** (``/Type /ObjStm`` packed
+dictionaries — how LibreOffice/reportlab/qpdf emit the catalog, page
+tree, and fonts, invisible to a raw object scan) are expanded into the
+object table; **PNG predictors** (``/DecodeParms /Predictor 10-15``,
+the standard xref-stream encoding) are reversed on any Flate stream;
+and single-byte **ToUnicode CMaps** (``bfchar``/``bfrange``) decode
+per-font code-shifted strings, tracked through ``Tf`` font selects.
+
 Honest scope: this covers PDFs whose text uses standard single-byte
-encodings (the overwhelming machine-generated case — invoices, reports,
-data sheets, LaTeX output with simple fonts).  Subset fonts with custom
-CMaps produce glyph-index strings that need a real PDF library; pages
-whose extraction yields no decodable text come back empty rather than
-as garbage.  Encrypted PDFs raise ``NotImplementedError`` with
-guidance.
+encodings, now INCLUDING simple-font ToUnicode remaps (the overwhelming
+machine-generated case — invoices, reports, data sheets, LaTeX and
+office-suite output).  CID-keyed fonts (multi-byte code spaces) still
+need a real PDF library — their CMaps are rejected whole rather than
+mis-split, and pages whose extraction yields no decodable text come
+back empty rather than as garbage.  Encrypted PDFs raise
+``NotImplementedError`` with guidance.
 
 ``make_pdf_bytes`` is the fixture twin: a structurally complete PDF
 (catalog → page tree → pages → Flate'd content streams + xref table +
@@ -35,7 +44,52 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    objects = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    _expand_object_streams(objects)
+    return objects
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row filters (predictors 10-15: each ``columns``-byte
+    row is preceded by a filter-type byte).  The standard encoding of
+    xref streams (LibreOffice, reportlab, qpdf all emit Predictor 12 =
+    PNG Up); bpp is 1 for the byte-column data PDF uses them on."""
+    row_len = columns + 1
+    out = bytearray()
+    prev = bytes(columns)
+    for at in range(0, len(data) - row_len + 1, row_len):
+        ftype = data[at]
+        row = bytearray(data[at + 1 : at + row_len])
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+_PREDICTOR_RE = re.compile(
+    rb"/DecodeParms\s*<<(?P<p>[^>]*)>>|/DecodeParms\s+(\d+)\s+\d+\s+R"
+)
 
 
 def _object_stream(body: bytes) -> bytes | None:
@@ -43,12 +97,137 @@ def _object_stream(body: bytes) -> bytes | None:
     if m is None:
         return None
     raw = m.group(1)
-    if b"FlateDecode" in body:
+    if b"FlateDecode" not in body:
+        return raw
+    try:
+        data = zlib.decompress(raw)
+    except zlib.error as e:
+        raise ValueError("corrupt FlateDecode content stream") from e
+    pm = _PREDICTOR_RE.search(body.split(b"stream", 1)[0])
+    if pm is not None and pm.group("p") is not None:
+        params = pm.group("p")
+        pred_m = re.search(rb"/Predictor\s+(\d+)", params)
+        pred = int(pred_m.group(1)) if pred_m else 1
+        if pred >= 10:  # PNG family
+            cols_m = re.search(rb"/Columns\s+(\d+)", params)
+            cols = int(cols_m.group(1)) if cols_m else 1
+            data = _png_unpredict(data, cols)
+        elif pred == 2:
+            raise NotImplementedError(
+                "TIFF predictor 2 on a PDF stream — rare outside image "
+                "XObjects; re-filter with qpdf before ingestion"
+            )
+    return data
+
+
+def _expand_object_streams(objects: dict[int, bytes]) -> None:
+    """Merge objects stored INSIDE ``/Type /ObjStm`` compressed object
+    streams (PDF 1.5+; how LibreOffice/reportlab/qpdf pack the catalog,
+    page tree, and font dictionaries) into the object table.  Stream
+    layout: ``/N`` pairs of ``objnum offset`` ints, then the serialized
+    objects starting at ``/First``.  Direct ``N 0 obj`` definitions win
+    on collision (an incremental update overrides the packed copy)."""
+    for body in list(objects.values()):
+        head = body.split(b"stream", 1)[0]
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        n_m = re.search(rb"/N\s+(\d+)", head)
+        first_m = re.search(rb"/First\s+(\d+)", head)
+        data = _object_stream(body)
+        if not (n_m and first_m and data):
+            continue
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = data[:first].split()
+        for k in range(min(n, len(header) // 2)):
+            num, off = int(header[2 * k]), int(header[2 * k + 1])
+            end = (
+                first + int(header[2 * k + 3])
+                if 2 * k + 3 < len(header)
+                else len(data)
+            )
+            objects.setdefault(num, data[first + off : end])
+
+
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _tounicode_map(cm: bytes) -> dict[int, str] | None:
+    """Code→text map from a ``/ToUnicode`` CMap stream — the SIMPLE
+    single-byte case (``bfchar`` pairs and ``bfrange`` runs/arrays with
+    2-hex-digit source codes; destinations are UTF-16BE).  Multi-byte
+    source codes mean a CID-keyed font: return ``None`` so the caller
+    falls back to latin-1 rather than mis-splitting the byte stream —
+    CID text extraction needs a real PDF library and stays gated."""
+
+    def dst_text(hx: bytes) -> str:
+        hx = re.sub(rb"\s", b"", hx)
+        if len(hx) % 4:  # pad odd UTF-16 units defensively
+            hx = hx[: len(hx) - len(hx) % 4]
         try:
-            return zlib.decompress(raw)
-        except zlib.error as e:
-            raise ValueError("corrupt FlateDecode content stream") from e
-    return raw
+            return bytes.fromhex(hx.decode()).decode("utf-16-be")
+        except (ValueError, UnicodeDecodeError):
+            return ""
+
+    out: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cm, re.S):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            src = re.sub(rb"\s", b"", src)
+            if len(src) != 2:
+                return None  # multi-byte code space: CID font
+            out[int(src, 16)] = dst_text(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cm, re.S):
+        body = m.group(1)
+        # run form: <lo> <hi> <dst>;  array form: <lo> <hi> [<d> <d> ...]
+        for r in re.finditer(
+            rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f\s]+>)",
+            body,
+        ):
+            lo_h = re.sub(rb"\s", b"", r.group(1))
+            hi_h = re.sub(rb"\s", b"", r.group(2))
+            if len(lo_h) != 2 or len(hi_h) != 2:
+                return None
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            dst = r.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEXTOK_RE.findall(dst)
+                for code, d in zip(range(lo, hi + 1), dsts):
+                    out[code] = dst_text(d)
+            else:
+                base = dst_text(dst[1:-1])
+                if base:
+                    # increment applies to the LAST UTF-16 unit (spec 9.10.3)
+                    head, last = base[:-1], base[-1]
+                    for code in range(lo, hi + 1):
+                        out[code] = head + chr(ord(last) + code - lo)
+    return out or None
+
+
+def _page_fonts(
+    head: bytes, objects: dict[int, bytes]
+) -> dict[bytes, dict[int, str]]:
+    """``/Fx`` name → ToUnicode map for one page's font resources.
+    ``/Resources`` may be inline or an indirect reference; fonts without
+    a usable single-byte ToUnicode CMap are simply absent (latin-1)."""
+    res = head
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", head)
+    if rm is not None:
+        res = objects.get(int(rm.group(1)), b"")
+    fonts: dict[bytes, dict[int, str]] = {}
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    if fm is None:
+        return fonts
+    for name, ref in re.findall(rb"(/\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        font_body = objects.get(int(ref), b"")
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
+        if tm is None:
+            continue
+        cm = _object_stream(objects.get(int(tm.group(1)), b""))
+        if cm:
+            cmap = _tounicode_map(cm)
+            if cmap:
+                fonts[name] = cmap
+    return fonts
 
 
 def _literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
@@ -100,22 +279,42 @@ def _literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-def _extract_text(content: bytes) -> str:
+def _extract_text(
+    content: bytes, fonts: dict[bytes, dict[int, str]] | None = None
+) -> str:
     """Text-showing operators of one content stream, word-broken at
-    string boundaries and line-advance operators."""
+    string boundaries and line-advance operators.  ``fonts`` maps
+    resource names (``/F1``) to single-byte ToUnicode maps; string bytes
+    shown under a mapped font decode through its CMap, everything else
+    through latin-1 (the pre-ToUnicode behavior)."""
     parts: list[str] = []
     i = 0
     n = len(content)
     pending: list[bytes] = []
+    cmap: dict[int, str] | None = None
+    # font-select operators (`/F1 12 Tf`), applied as the scan passes them
+    fsel = (
+        [(m.end(), m.group(1)) for m in re.finditer(rb"(/\w+)\s+[\d.]+\s+Tf", content)]
+        if fonts
+        else []
+    )
+    fidx = 0
 
     def flush() -> None:
         if pending:
-            text = b"".join(pending).decode("latin-1")
+            raw = b"".join(pending)
+            if cmap:
+                text = "".join(cmap.get(c, chr(c)) for c in raw)
+            else:
+                text = raw.decode("latin-1")
             if text.strip():
                 parts.append(text)
             pending.clear()
 
     while i < n:
+        while fidx < len(fsel) and i >= fsel[fidx][0]:
+            cmap = fonts.get(fsel[fidx][1]) if fonts else None
+            fidx += 1
         b = content[i]
         if b == 0x28:  # literal string
             s, i = _literal_string(content, i)
@@ -175,11 +374,12 @@ def read_pdf_pages(path_or_bytes) -> list[str]:
         if m is None:
             pages.append("")
             continue
+        fonts = _page_fonts(head, objects)
         text_parts = []
         for ref in _REF_RE.finditer(m.group(1)):
             stream = _object_stream(objects.get(int(ref.group(1)), b""))
             if stream:
-                text_parts.append(_extract_text(stream))
+                text_parts.append(_extract_text(stream, fonts))
         pages.append("\n".join(p for p in text_parts if p))
     return pages
 
@@ -193,58 +393,182 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def make_pdf_bytes(pages: list[str], *, compress: bool = True) -> bytes:
+def _escape_encoded(raw: bytes) -> bytes:
+    out = bytearray()
+    for b in raw:
+        if b in (0x5C, 0x28, 0x29):
+            out.append(0x5C)
+        out.append(b)
+    return bytes(out)
+
+
+#: ToUnicode fixture encoding: printable ASCII stored as code+1, mapped
+#: back by one bfrange (<21> <7F> -> U+0020..) — readback is only
+#: correct if the reader actually applies the CMap.
+_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+/CMapName /FixtureShift def /CMapType 2 def
+1 begincodespacerange <00> <FF> endcodespacerange
+1 beginbfrange
+<21> <7F> <0020>
+endbfrange
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+
+def make_pdf_bytes(
+    pages: list[str],
+    *,
+    compress: bool = True,
+    object_streams: bool = False,
+    tounicode: bool = False,
+) -> bytes:
     """Structurally complete single-font PDF: one Flate'd (or raw)
-    content stream per page, page tree, xref table, trailer."""
-    objs: list[bytes] = []  # bodies, object number = index + 1
+    content stream per page, page tree, xref table, trailer.
+
+    ``object_streams=True`` emits the MODERN (PDF 1.5+) file shape the
+    way LibreOffice/reportlab/qpdf do: the catalog, page tree, page and
+    font dictionaries packed into one Flate'd ``/ObjStm`` and located by
+    a compressed CROSS-REFERENCE STREAM (``/W [1 2 2]``, Predictor 12 =
+    PNG Up, type-2 entries) instead of a classic xref table — none of
+    the page structure is visible to a raw ``N 0 obj`` scan without
+    object-stream expansion.  ``tounicode=True`` stores every string
+    with printable-ASCII codes SHIFTED by one and attaches a
+    ``/ToUnicode`` bfrange CMap that shifts them back: readback equals
+    the input only if the reader applies the CMap."""
     n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    cmap_num = font_num + 1 if tounicode else 0
+
+    packed: list[tuple[int, bytes]] = []  # dictionary-only objects
+    streams: list[tuple[int, bytes]] = []  # objects with stream data
+
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    packed.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    packed.append(
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
     )
     for i, page_text in enumerate(pages):
         content_num = 4 + 2 * i
-        objs.append(
+        packed.append(
             (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Resources << /Font << /F1 {3 + 2 * n_pages} 0 R >> >> "
-                f"/Contents {content_num} 0 R >>"
-            ).encode()
+                3 + 2 * i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                    f"/Contents {content_num} 0 R >>"
+                ).encode(),
+            )
         )
-        lines = page_text.split("\n")
-        ops = ["BT /F1 12 Tf 72 720 Td"]
-        for j, line in enumerate(lines):
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(page_text.split("\n")):
             if j:
-                ops.append("0 -14 Td")
-            ops.append(f"({_pdf_escape(line)}) Tj")
-        ops.append("ET")
-        stream = " ".join(ops).encode("latin-1")
+                ops.append(b"0 -14 Td")
+            if tounicode:
+                enc = bytes((ord(c) + 1) & 0xFF for c in line)
+                ops.append(b"(" + _escape_encoded(enc) + b") Tj")
+            else:
+                ops.append(f"({_pdf_escape(line)}) Tj".encode("latin-1"))
+        ops.append(b"ET")
+        stream = b" ".join(ops)
         if compress:
             stream = zlib.compress(stream)
             filt = b"/Filter /FlateDecode "
         else:
             filt = b""
-        objs.append(
-            b"<< " + filt + f"/Length {len(stream)} >>".encode()
-            + b"\nstream\n" + stream + b"\nendstream"
+        streams.append(
+            (
+                content_num,
+                b"<< " + filt + f"/Length {len(stream)} >>".encode()
+                + b"\nstream\n" + stream + b"\nendstream",
+            )
         )
-    objs.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    if tounicode:
+        font += f" /ToUnicode {cmap_num} 0 R".encode()
+    packed.append((font_num, font + b" >>"))
+    if tounicode:
+        cm = zlib.compress(_TOUNICODE_CMAP)
+        streams.append(
+            (
+                cmap_num,
+                b"<< /Filter /FlateDecode " + f"/Length {len(cm)} >>".encode()
+                + b"\nstream\n" + cm + b"\nendstream",
+            )
+        )
+
+    if not object_streams:
+        objs = [body for _num, body in sorted(packed + streams)]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for num, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # --- modern shape: ObjStm + predictor-coded xref stream -------------
+    objstm_num = (cmap_num or font_num) + 1
+    xref_num = objstm_num + 1
+    parts, offs, at = [], [], 0
+    for _num, body in packed:
+        offs.append(at)
+        parts.append(body + b"\n")
+        at += len(body) + 1
+    header = " ".join(f"{num} {off}" for (num, _), off in zip(packed, offs))
+    header = (header + "\n").encode()
+    payload = zlib.compress(header + b"".join(parts))
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(payload)} >>".encode()
+        + b"\nstream\n" + payload + b"\nendstream"
     )
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num, body in sorted(streams) + [(objstm_num, objstm_body)]:
+        offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    # xref stream rows (/W [1 4 2]): type 0 free / 1 at-offset / 2 in-objstm
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            row = (0, 0, 65535)
+        elif num in offsets:
+            row = (1, offsets[num], 0)
+        elif num == xref_num:
+            row = (1, 0, 0)  # patched below
+        else:
+            idx = next(k for k, (pn, _b) in enumerate(packed) if pn == num)
+            row = (2, objstm_num, idx)
+        rows += bytes([row[0]]) + row[1].to_bytes(4, "big") + row[2].to_bytes(2, "big")
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
+    # patch the xref stream's own offset, then PNG-Up predictor-encode
+    cols = 7
+    pos = xref_num * cols
+    rows[pos:pos + cols] = bytes([1]) + xref_at.to_bytes(4, "big") + b"\x00\x00"
+    filtered = bytearray()
+    prev = bytes(cols)
+    for r in range(0, len(rows), cols):
+        row = rows[r:r + cols]
+        filtered.append(2)  # Up
+        filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = row
+    xdata = zlib.compress(bytes(filtered))
+    out += f"{xref_num} 0 obj\n".encode() + (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns {cols} >> "
+        f"/Length {len(xdata)} >>".encode()
+        + b"\nstream\n" + xdata + b"\nendstream"
+    ) + b"\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)

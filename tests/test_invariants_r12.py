@@ -72,3 +72,53 @@ def test_host_speedup_does_not_hide_regression(tmp_path, capsys):
     assert _run_benchdiff(tmp_path, old, new) == 1
     out = capsys.readouterr().out
     assert "REGRESSED" in out
+
+
+# ---------------------------------------------------------------------------
+# pair-generator auto-sized shuffle width (r11 verdict #5): the knob a
+# cluster sets globally, derived per-operator from the measured index
+# row count instead.  Small inputs must keep their existing plans; when
+# the width engages it must not change a single pair.
+# ---------------------------------------------------------------------------
+
+
+def test_pair_shuffle_width_thresholds(spark):
+    from architxt_spark.functions.dedup import (
+        _PAIR_ROWS_PER_PARTITION as R,
+    )
+    from architxt_spark.functions.dedup import _pair_shuffle_width
+
+    base = spark.sparkContext.defaultParallelism
+    # at or below base * target rows: session default suffices -> 0
+    assert _pair_shuffle_width(spark, 0) == 0
+    assert _pair_shuffle_width(spark, base * R) == 0
+    # past it: power-of-two width sized to the data
+    w = _pair_shuffle_width(spark, 40 * R)
+    assert w >= 40 and w & (w - 1) == 0
+    assert _pair_shuffle_width(spark, 160_000_000) == 64  # the 4M-doc rung
+
+
+def test_auto_width_changes_no_pairs(spark, monkeypatch):
+    """Force the width to engage on a small corpus (patched target) and
+    assert the pair set is identical to the default-width run."""
+    from architxt_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"common boilerplate sentence row {i % 7} with shared tokens here",)
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+
+    def pairs():
+        ng = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+        wn = dedup.winnow_pairs(docs, "text", "doc_id")
+        return (
+            sorted(map(tuple, ng.select("id_a", "id_b", "jaccard").collect())),
+            sorted(map(tuple, wn.select("id_a", "id_b", "n_common").collect())),
+        )
+
+    baseline = pairs()
+    monkeypatch.setattr(dedup, "_PAIR_ROWS_PER_PARTITION", 1)  # every row its own bucket
+    widened = pairs()
+    assert baseline == widened
+    assert baseline[0] and baseline[1]  # non-vacuous: the corpus has near-dups

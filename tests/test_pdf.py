@@ -87,3 +87,108 @@ def test_read_document_file_pdf_end_to_end(spark, tmp_path):
     leaves = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert any("Hello corpus world." in (v or "") for v in leaves)
     assert any("caf\xe9" in (v or "") for v in leaves)
+
+
+# ---------------------------------------------------------------------------
+# r12 widening: PDF 1.5 object streams + predictor-coded xref streams +
+# single-byte ToUnicode CMaps (the LibreOffice/reportlab output shape)
+# ---------------------------------------------------------------------------
+
+ASCII_PAGES = [
+    "Hello corpus world.\nSecond line with (parens) and \\ backslash.",
+    "Page two: plain ascii text!",
+]
+
+
+def test_pdf_object_streams_roundtrip():
+    blob = make_pdf_bytes(ASCII_PAGES, object_streams=True)
+    assert blob.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in blob and b"/Type /XRef" in blob
+    # the page dictionaries live INSIDE the packed stream: a raw object
+    # scan without ObjStm expansion cannot see them
+    import re as _re
+
+    raw = {
+        int(m.group(1)): m.group(3)
+        for m in _re.finditer(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", blob, _re.S)
+    }
+    assert not any(
+        _re.search(rb"/Type\s*/Page\b", b.split(b"stream", 1)[0])
+        for b in raw.values()
+    )
+    assert read_pdf_pages(blob) == ASCII_PAGES
+
+
+def test_pdf_tounicode_roundtrip_requires_cmap():
+    blob = make_pdf_bytes(ASCII_PAGES, tounicode=True)
+    assert read_pdf_pages(blob) == ASCII_PAGES
+    # the strings are stored code-shifted: stripping the /ToUnicode link
+    # must yield shifted garbage, proving the CMap is load-bearing
+    stripped = blob.replace(b"/ToUnicode", b"/XXUnicode")
+    garbled = read_pdf_pages(stripped)
+    assert garbled != ASCII_PAGES
+    assert garbled[1].startswith("Qbhf!uxp")  # each byte +1
+
+
+def test_pdf_modern_combined_and_pages_order():
+    pages = [f"doc page {i}" for i in range(5)]
+    blob = make_pdf_bytes(pages, object_streams=True, tounicode=True)
+    assert read_pdf_pages(blob) == pages
+
+
+def test_pdf_xref_stream_predictor_decodes():
+    from architxt_spark.sources.pdf import _object_stream, _parse_objects
+
+    blob = make_pdf_bytes(ASCII_PAGES, object_streams=True)
+    objs = _parse_objects(blob)
+    xref = next(b for b in objs.values() if b"/Type /XRef" in b)
+    data = _object_stream(xref)
+    # /W [1 4 2] rows: first row is the type-0 free entry for object 0
+    assert data is not None and len(data) % 7 == 0
+    assert data[:7] == bytes([0, 0, 0, 0, 0, 0xFF, 0xFF])
+    # every packed object has a type-2 row pointing into the ObjStm
+    types = {data[i] for i in range(0, len(data), 7)}
+    assert types == {0, 1, 2}
+
+
+def test_png_unpredict_all_filter_types():
+    from architxt_spark.sources.pdf import _png_unpredict
+
+    rows = [bytes([10, 20, 30, 40]), bytes([13, 24, 35, 46]), bytes([99, 1, 2, 250])]
+    # encode each row with a different PNG filter, decode must recover
+    enc = bytearray()
+    prev = bytes(4)
+    for ftype, row in zip((1, 2, 4), rows):
+        enc.append(ftype)
+        if ftype == 1:  # Sub
+            enc += bytes([row[0]] + [(row[i] - row[i - 1]) & 0xFF for i in range(1, 4)])
+        elif ftype == 2:  # Up
+            enc += bytes((row[i] - prev[i]) & 0xFF for i in range(4))
+        else:  # Paeth
+            out = []
+            for i in range(4):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((row[i] - pred) & 0xFF)
+            enc += bytes(out)
+        prev = row
+    assert _png_unpredict(bytes(enc), 4) == b"".join(rows)
+
+
+def test_tounicode_map_parses_bfchar_and_bfrange():
+    from architxt_spark.sources.pdf import _tounicode_map
+
+    cm = (
+        b"2 beginbfchar <41> <0058> <42> <00590059> endbfchar\n"
+        b"1 beginbfrange <61> <63> <0041> endbfrange\n"
+        b"1 beginbfrange <70> <71> [<0050> <0051>] endbfrange"
+    )
+    m = _tounicode_map(cm)
+    assert m[0x41] == "X" and m[0x42] == "YY"
+    assert m[0x61] == "A" and m[0x62] == "B" and m[0x63] == "C"
+    assert m[0x70] == "P" and m[0x71] == "Q"
+    # multi-byte source codes (CID font): whole map rejected
+    assert _tounicode_map(b"1 beginbfchar <0041> <0058> endbfchar") is None
