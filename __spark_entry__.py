@@ -1904,13 +1904,15 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     # stream, and ToUnicode-CMap'd (code-shifted)
                     # strings; readback is byte-equal in every shape, so
                     # the oracle hash is shape-independent
-                    # pdf docs satisfy d ≡ 13 (mod 15), alternating
-                    # odd/even — d%2 and d%4 cover all 4 shape combos
+                    # pdf docs satisfy d ≡ 13 (mod 15), so d%4 cycles
+                    # 1,0,3,2 and d%2 alternates: every combination of
+                    # {classic, objstm} × {plain, tounicode, cid} recurs
                     back = read_pdf_pages(
                         make_pdf_bytes(
                             [pclean],
                             object_streams=bool(d % 2 == 0),
                             tounicode=bool(d % 4 < 2),
+                            cid=bool(d % 4 == 2),
                         )
                     )[0]
                     fmt = "pdf"

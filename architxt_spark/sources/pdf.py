@@ -16,16 +16,18 @@ dictionaries — how LibreOffice/reportlab/qpdf emit the catalog, page
 tree, and fonts, invisible to a raw object scan) are expanded into the
 object table; **PNG predictors** (``/DecodeParms /Predictor 10-15``,
 the standard xref-stream encoding) are reversed on any Flate stream;
-and single-byte **ToUnicode CMaps** (``bfchar``/``bfrange``) decode
-per-font code-shifted strings, tracked through ``Tf`` font selects.
+and 1- and 2-byte **ToUnicode CMaps** (``bfchar``/``bfrange``) decode
+per-font code-shifted strings, tracked through ``Tf`` font selects —
+the 2-byte width covers ``/Type0`` ``/Identity-H`` composite fonts,
+which is how LibreOffice/reportlab emit embedded font subsets.
 
 Honest scope: this covers PDFs whose text uses standard single-byte
-encodings, now INCLUDING simple-font ToUnicode remaps (the overwhelming
-machine-generated case — invoices, reports, data sheets, LaTeX and
-office-suite output).  CID-keyed fonts (multi-byte code spaces) still
-need a real PDF library — their CMaps are rejected whole rather than
-mis-split, and pages whose extraction yields no decodable text come
-back empty rather than as garbage.  Encrypted PDFs raise
+encodings plus ToUnicode-mapped simple and Identity-H composite fonts
+(the overwhelming machine-generated case — invoices, reports, data
+sheets, LaTeX and office-suite output).  Composite fonts WITHOUT a
+usable ToUnicode CMap (or with >2-byte/mixed code spaces) still need a
+real PDF library — their CMaps are rejected whole rather than
+mis-split, falling back to latin-1.  Encrypted PDFs raise
 ``NotImplementedError`` with guidance.
 
 ``make_pdf_bytes`` is the fixture twin: a structurally complete PDF
@@ -151,13 +153,16 @@ def _expand_object_streams(objects: dict[int, bytes]) -> None:
 _HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
 
-def _tounicode_map(cm: bytes) -> dict[int, str] | None:
-    """Code→text map from a ``/ToUnicode`` CMap stream — the SIMPLE
-    single-byte case (``bfchar`` pairs and ``bfrange`` runs/arrays with
-    2-hex-digit source codes; destinations are UTF-16BE).  Multi-byte
-    source codes mean a CID-keyed font: return ``None`` so the caller
-    falls back to latin-1 rather than mis-splitting the byte stream —
-    CID text extraction needs a real PDF library and stays gated."""
+def _tounicode_map(cm: bytes) -> tuple[int, dict[int, str]] | None:
+    """``(code_width_bytes, code→text)`` from a ``/ToUnicode`` CMap
+    stream: single-byte simple fonts AND the 2-byte case (``bfchar``
+    pairs and ``bfrange`` runs/arrays; destinations are UTF-16BE) — the
+    2-byte width is how ``/Identity-H`` Type0 composite fonts come out
+    of LibreOffice/reportlab with embedded font subsets.  Width is
+    whatever the source codes consistently use; MIXED widths or codes
+    wider than 2 bytes (exotic CJK code spaces) return ``None`` so the
+    caller falls back to latin-1 rather than mis-splitting the byte
+    stream — those need a real PDF library and stay gated."""
 
     def dst_text(hx: bytes) -> str:
         hx = re.sub(rb"\s", b"", hx)
@@ -168,14 +173,25 @@ def _tounicode_map(cm: bytes) -> dict[int, str] | None:
         except (ValueError, UnicodeDecodeError):
             return ""
 
+    width = 0
+
+    def src_code(hx: bytes) -> int | None:
+        nonlocal width
+        hx = re.sub(rb"\s", b"", hx)
+        w = len(hx) // 2
+        if len(hx) % 2 or w not in (1, 2) or (width and w != width):
+            return None
+        width = w
+        return int(hx, 16)
+
     out: dict[int, str] = {}
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cm, re.S):
         toks = _HEXTOK_RE.findall(m.group(1))
         for src, dst in zip(toks[0::2], toks[1::2]):
-            src = re.sub(rb"\s", b"", src)
-            if len(src) != 2:
-                return None  # multi-byte code space: CID font
-            out[int(src, 16)] = dst_text(dst)
+            code = src_code(src)
+            if code is None:
+                return None
+            out[code] = dst_text(dst)
     for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cm, re.S):
         body = m.group(1)
         # run form: <lo> <hi> <dst>;  array form: <lo> <hi> [<d> <d> ...]
@@ -183,11 +199,9 @@ def _tounicode_map(cm: bytes) -> dict[int, str] | None:
             rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f\s]+>)",
             body,
         ):
-            lo_h = re.sub(rb"\s", b"", r.group(1))
-            hi_h = re.sub(rb"\s", b"", r.group(2))
-            if len(lo_h) != 2 or len(hi_h) != 2:
+            lo, hi = src_code(r.group(1)), src_code(r.group(2))
+            if lo is None or hi is None:
                 return None
-            lo, hi = int(lo_h, 16), int(hi_h, 16)
             dst = r.group(3)
             if dst.startswith(b"["):
                 dsts = _HEXTOK_RE.findall(dst)
@@ -200,20 +214,21 @@ def _tounicode_map(cm: bytes) -> dict[int, str] | None:
                     head, last = base[:-1], base[-1]
                     for code in range(lo, hi + 1):
                         out[code] = head + chr(ord(last) + code - lo)
-    return out or None
+    return (width, out) if out else None
 
 
 def _page_fonts(
     head: bytes, objects: dict[int, bytes]
-) -> dict[bytes, dict[int, str]]:
-    """``/Fx`` name → ToUnicode map for one page's font resources.
-    ``/Resources`` may be inline or an indirect reference; fonts without
-    a usable single-byte ToUnicode CMap are simply absent (latin-1)."""
+) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """``/Fx`` name → (code width, ToUnicode map) for one page's font
+    resources.  ``/Resources`` may be inline or an indirect reference;
+    fonts without a usable 1- or 2-byte ToUnicode CMap are simply
+    absent (latin-1)."""
     res = head
     rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", head)
     if rm is not None:
         res = objects.get(int(rm.group(1)), b"")
-    fonts: dict[bytes, dict[int, str]] = {}
+    fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
     fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
     if fm is None:
         return fonts
@@ -280,18 +295,19 @@ def _literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def _extract_text(
-    content: bytes, fonts: dict[bytes, dict[int, str]] | None = None
+    content: bytes, fonts: dict[bytes, tuple[int, dict[int, str]]] | None = None
 ) -> str:
     """Text-showing operators of one content stream, word-broken at
     string boundaries and line-advance operators.  ``fonts`` maps
-    resource names (``/F1``) to single-byte ToUnicode maps; string bytes
-    shown under a mapped font decode through its CMap, everything else
-    through latin-1 (the pre-ToUnicode behavior)."""
+    resource names (``/F1``) to ``(code width, ToUnicode map)``; string
+    bytes shown under a mapped font decode through its CMap — pairwise
+    for 2-byte (Identity-H composite) fonts — everything else through
+    latin-1 (the pre-ToUnicode behavior)."""
     parts: list[str] = []
     i = 0
     n = len(content)
     pending: list[bytes] = []
-    cmap: dict[int, str] | None = None
+    cmap: tuple[int, dict[int, str]] | None = None
     # font-select operators (`/F1 12 Tf`), applied as the scan passes them
     fsel = (
         [(m.end(), m.group(1)) for m in re.finditer(rb"(/\w+)\s+[\d.]+\s+Tf", content)]
@@ -304,7 +320,19 @@ def _extract_text(
         if pending:
             raw = b"".join(pending)
             if cmap:
-                text = "".join(cmap.get(c, chr(c)) for c in raw)
+                width, codes = cmap
+                if width == 2:
+                    text = "".join(
+                        codes.get(
+                            int.from_bytes(raw[k : k + 2], "big"),
+                            raw[k : k + 2].decode("latin-1"),
+                        )
+                        for k in range(0, len(raw) - 1, 2)
+                    )
+                    if len(raw) % 2:  # stray trailing byte: latin-1
+                        text += chr(raw[-1])
+                else:
+                    text = "".join(codes.get(c, chr(c)) for c in raw)
             else:
                 text = raw.decode("latin-1")
             if text.strip():
@@ -414,6 +442,17 @@ _TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
 endbfrange
 endcmap CMapName currentdict /CMap defineresource pop end end"""
 
+#: 2-byte fixture CMap (the Identity-H composite-font shape): printable
+#: ASCII stored as glyph code ord+0x0100 in hex strings, one bfrange back.
+_TOUNICODE_CMAP_CID = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+/CMapName /FixtureCid def /CMapType 2 def
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfrange
+<0120> <017E> <0020>
+endbfrange
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
 
 def make_pdf_bytes(
     pages: list[str],
@@ -421,6 +460,7 @@ def make_pdf_bytes(
     compress: bool = True,
     object_streams: bool = False,
     tounicode: bool = False,
+    cid: bool = False,
 ) -> bytes:
     """Structurally complete single-font PDF: one Flate'd (or raw)
     content stream per page, page tree, xref table, trailer.
@@ -434,10 +474,17 @@ def make_pdf_bytes(
     object-stream expansion.  ``tounicode=True`` stores every string
     with printable-ASCII codes SHIFTED by one and attaches a
     ``/ToUnicode`` bfrange CMap that shifts them back: readback equals
-    the input only if the reader applies the CMap."""
+    the input only if the reader applies the CMap.  ``cid=True`` emits
+    the composite-font shape instead — a ``/Type0`` ``/Identity-H``
+    font whose strings are 2-BYTE glyph codes (``ord+0x0100``) in hex
+    strings, with a 2-byte ToUnicode CMap: the LibreOffice
+    embedded-font-subset output shape."""
+    if tounicode and cid:
+        raise ValueError("tounicode and cid are alternative font shapes")
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
-    cmap_num = font_num + 1 if tounicode else 0
+    cmap_num = font_num + 1 if (tounicode or cid) else 0
+    desc_num = cmap_num + 1 if cid else 0
 
     packed: list[tuple[int, bytes]] = []  # dictionary-only objects
     streams: list[tuple[int, bytes]] = []  # objects with stream data
@@ -463,7 +510,10 @@ def make_pdf_bytes(
         for j, line in enumerate(page_text.split("\n")):
             if j:
                 ops.append(b"0 -14 Td")
-            if tounicode:
+            if cid:
+                hx = "".join(f"{(ord(c) + 0x100) & 0xFFFF:04X}" for c in line)
+                ops.append(f"<{hx}> Tj".encode())
+            elif tounicode:
                 enc = bytes((ord(c) + 1) & 0xFF for c in line)
                 ops.append(b"(" + _escape_encoded(enc) + b") Tj")
             else:
@@ -482,12 +532,32 @@ def make_pdf_bytes(
                 + b"\nstream\n" + stream + b"\nendstream",
             )
         )
-    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-    if tounicode:
-        font += f" /ToUnicode {cmap_num} 0 R".encode()
-    packed.append((font_num, font + b" >>"))
-    if tounicode:
-        cm = zlib.compress(_TOUNICODE_CMAP)
+    if cid:
+        packed.append(
+            (
+                font_num,
+                (
+                    f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+                    f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+                    f"/ToUnicode {cmap_num} 0 R >>"
+                ).encode(),
+            )
+        )
+        packed.append(
+            (
+                desc_num,
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture "
+                b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                b"/Supplement 0 >> /CIDToGIDMap /Identity >>",
+            )
+        )
+    else:
+        font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        if tounicode:
+            font += f" /ToUnicode {cmap_num} 0 R".encode()
+        packed.append((font_num, font + b" >>"))
+    if tounicode or cid:
+        cm = zlib.compress(_TOUNICODE_CMAP_CID if cid else _TOUNICODE_CMAP)
         streams.append(
             (
                 cmap_num,
@@ -515,7 +585,7 @@ def make_pdf_bytes(
         return bytes(out)
 
     # --- modern shape: ObjStm + predictor-coded xref stream -------------
-    objstm_num = (cmap_num or font_num) + 1
+    objstm_num = (desc_num or cmap_num or font_num) + 1
     xref_num = objstm_num + 1
     parts, offs, at = [], [], 0
     for _num, body in packed:

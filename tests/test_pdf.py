@@ -186,9 +186,33 @@ def test_tounicode_map_parses_bfchar_and_bfrange():
         b"1 beginbfrange <61> <63> <0041> endbfrange\n"
         b"1 beginbfrange <70> <71> [<0050> <0051>] endbfrange"
     )
-    m = _tounicode_map(cm)
+    w, m = _tounicode_map(cm)
+    assert w == 1
     assert m[0x41] == "X" and m[0x42] == "YY"
     assert m[0x61] == "A" and m[0x62] == "B" and m[0x63] == "C"
     assert m[0x70] == "P" and m[0x71] == "Q"
-    # multi-byte source codes (CID font): whole map rejected
-    assert _tounicode_map(b"1 beginbfchar <0041> <0058> endbfchar") is None
+    # 2-byte source codes: the Identity-H composite-font width
+    w2, m2 = _tounicode_map(b"1 beginbfchar <0041> <0058> endbfchar")
+    assert w2 == 2 and m2[0x41] == "X"
+    # exotic (>2-byte) or MIXED-width code spaces: whole map rejected
+    assert _tounicode_map(b"1 beginbfchar <004121> <0058> endbfchar") is None
+    assert (
+        _tounicode_map(b"2 beginbfchar <41> <0058> <0042> <0059> endbfchar")
+        is None
+    )
+
+
+def test_pdf_cid_identity_h_roundtrip():
+    """Type0 /Identity-H composite font with 2-byte glyph codes in hex
+    strings — the LibreOffice embedded-font-subset output shape."""
+    for object_streams in (False, True):
+        blob = make_pdf_bytes(ASCII_PAGES, cid=True, object_streams=object_streams)
+        assert b"/Identity-H" in blob or object_streams  # packed when objstm
+        assert read_pdf_pages(blob) == ASCII_PAGES
+    # without the CMap the 2-byte codes read as latin-1 pairs: garbage,
+    # proving the 2-byte decode path is load-bearing
+    blob = make_pdf_bytes(ASCII_PAGES, cid=True)
+    garbled = read_pdf_pages(blob.replace(b"/ToUnicode", b"/XXUnicode"))
+    assert garbled != ASCII_PAGES and garbled[1].startswith("\x01P\x01a")
+    with pytest.raises(ValueError):
+        make_pdf_bytes(ASCII_PAGES, cid=True, tounicode=True)
