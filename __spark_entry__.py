@@ -1905,14 +1905,16 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     # strings; readback is byte-equal in every shape, so
                     # the oracle hash is shape-independent
                     # pdf docs satisfy d ≡ 13 (mod 15), so d%4 cycles
-                    # 1,0,3,2 and d%2 alternates: every combination of
-                    # {classic, objstm} × {plain, tounicode, cid} recurs
+                    # 1,0,3,2, d%2 alternates, and d%8 cycles all eight
+                    # residues: every combination of {classic, objstm} ×
+                    # {plain, tounicode, cid} × {clear, RC4} recurs
                     back = read_pdf_pages(
                         make_pdf_bytes(
                             [pclean],
                             object_streams=bool(d % 2 == 0),
                             tounicode=bool(d % 4 < 2),
                             cid=bool(d % 4 == 2),
+                            encrypt=bool(d % 8 < 4),
                         )
                     )[0]
                     fmt = "pdf"

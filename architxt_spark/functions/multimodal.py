@@ -484,8 +484,8 @@ def decode_image(content: bytes) -> tuple[int, int]:
     )
 
 
-#: PNG color type → samples per pixel (RFC 2083 §4.1.1); palette (3),
-#: 16-bit depths and interlacing stay on the external-codec path
+#: PNG color type → samples per pixel (RFC 2083 §4.1.1); palette (3)
+#: expands through PLTE separately in decode_png_pixels
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 

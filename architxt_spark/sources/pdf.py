@@ -27,8 +27,11 @@ encodings plus ToUnicode-mapped simple and Identity-H composite fonts
 sheets, LaTeX and office-suite output).  Composite fonts WITHOUT a
 usable ToUnicode CMap (or with >2-byte/mixed code spaces) still need a
 real PDF library — their CMaps are rejected whole rather than
-mis-split, falling back to latin-1.  Encrypted PDFs raise
-``NotImplementedError`` with guidance.
+mis-split, falling back to latin-1.  RC4-encrypted documents (the
+standard security handler, ``/V`` 1-2 — the common "protected" PDF)
+decrypt transparently when the user password is empty, or with an
+explicit ``password=``; AES (``/V`` 4-5) and non-standard handlers
+raise ``NotImplementedError`` with guidance.
 
 ``make_pdf_bytes`` is the fixture twin: a structurally complete PDF
 (catalog → page tree → pages → Flate'd content streams + xref table +
@@ -45,10 +48,157 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
-def _parse_objects(data: bytes) -> dict[int, bytes]:
-    objects = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+def _parse_objects(data: bytes, key: bytes | None = None) -> dict[int, bytes]:
+    """Object table from a raw ``N G obj … endobj`` scan; with ``key``
+    (an RC4 file key from :func:`_encryption_key`) every stream segment
+    is decrypted with its per-object key first — except xref streams,
+    which the spec leaves in the clear.  Object streams expand after
+    decryption (their payload is encrypted as a whole; the packed
+    objects inside are not re-encrypted, per spec)."""
+    objects: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
+        if key is not None and b"/Type /XRef" not in body:
+            sm = _STREAM_RE.search(body)
+            if sm is not None:
+                dec = _rc4_object(sm.group(1), key, num, gen)
+                body = body[: sm.start(1)] + dec + body[sm.end(1):]
+        objects[num] = body
     _expand_object_streams(objects)
     return objects
+
+
+# ---------------------------------------------------------------------------
+# standard security handler (RC4): the common "protected" PDF
+# ---------------------------------------------------------------------------
+
+#: the 32-byte password pad of the standard security handler
+#: (PDF 32000-1 §7.6.3.3 Algorithm 2) — a published constant
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    from architxt_spark.sources.xls import _rc4_keystream
+
+    return bytes(a ^ b for a, b in zip(data, _rc4_keystream(key, len(data))))
+
+
+def _rc4_object(data: bytes, key: bytes, num: int, gen: int) -> bytes:
+    """Per-object RC4 key (§7.6.2 Algorithm 1): md5 of the file key +
+    3 low-order object-number bytes + 2 generation bytes, truncated to
+    ``min(len(key)+5, 16)``."""
+    import hashlib
+
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return _rc4(h[: min(len(key) + 5, 16)], data)
+
+
+def _pdf_string_entry(body: bytes, name: bytes) -> bytes | None:
+    """The string value of ``/name`` in a dictionary body — hex
+    (``<…>``) or literal (``(…)``) form."""
+    m = re.search(rb"/" + name + rb"\s*(\(|<)", body)
+    if m is None:
+        return None
+    if m.group(1) == b"<":
+        j = body.find(b">", m.end())
+        hx = re.sub(rb"\s", b"", body[m.end():j])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode())
+    s, _end = _literal_string(body, m.end() - 1)
+    return s
+
+
+def _std_security_key(
+    o: bytes, u: bytes, p: int, file_id: bytes, r: int, n_key: int,
+    password: str = "",
+) -> bytes | None:
+    """File encryption key of the standard security handler (Algorithm
+    2), validated against ``/U`` (Algorithms 4/5) — ``None`` when the
+    password does not open the document."""
+    import hashlib
+    import struct
+
+    padded = (password.encode("latin-1", "replace") + _PDF_PAD)[:32]
+    h = hashlib.md5(
+        padded + o[:32] + struct.pack("<i", p) + file_id
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n_key]).digest()
+    key = h[:n_key]
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u[:32]
+    else:  # Algorithm 5: 20-pass RC4 chain over md5(PAD + ID)
+        x = hashlib.md5(_PDF_PAD + file_id).digest()
+        for i in range(20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    return key if ok else None
+
+
+def _encryption_key(data: bytes, password: str = "") -> bytes | None:
+    """RC4 file key for an encrypted PDF (``None`` when the document is
+    not encrypted).  Covers the STANDARD security handler, ``/V`` 1-2
+    (RC4 40-128 bit), revisions 2-3 — the classic "protected" PDF that
+    opens without prompting because its USER password is empty (tried
+    automatically, like the xls reader's default-password workbooks).
+    AES (``/V`` 4-5) and non-standard handlers raise with guidance."""
+    if not re.search(rb"/Encrypt\b", data):
+        return None
+    refs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
+    if not refs:
+        raise NotImplementedError(
+            "encrypted PDF with an inline/unlocatable /Encrypt dictionary; "
+            "decrypt with qpdf before ingestion"
+        )
+    enc_num = int(refs[-1])
+    enc = next(
+        (
+            m.group(3)
+            for m in _OBJ_RE.finditer(data)
+            if int(m.group(1)) == enc_num
+        ),
+        b"",
+    )
+    v_m = re.search(rb"/V\s+(\d+)", enc)
+    r_m = re.search(rb"/R\s+(\d+)", enc)
+    v = int(v_m.group(1)) if v_m else 0
+    r = int(r_m.group(1)) if r_m else 2
+    if b"/Standard" not in enc or v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"PDF encryption V={v} R={r} (AES or non-standard handler) "
+            "needs a real PDF library (pypdf/qpdf); decrypt before ingestion"
+        )
+    o, u = _pdf_string_entry(enc, b"O"), _pdf_string_entry(enc, b"U")
+    p_m = re.search(rb"/P\s+(-?\d+)", enc)
+    len_m = re.search(rb"/Length\s+(\d+)", enc)
+    if o is None or u is None or p_m is None:
+        raise ValueError("malformed /Encrypt dictionary (missing O/U/P)")
+    n_key = (int(len_m.group(1)) if len_m and v == 2 else 40) // 8
+    id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    file_id = (
+        bytes.fromhex(re.sub(rb"\s", b"", id_m.group(1)).decode())
+        if id_m
+        else b""
+    )
+    for pw in dict.fromkeys([password, ""]):  # explicit first, then empty
+        key = _std_security_key(o, u, int(p_m.group(1)), file_id, r, n_key, pw)
+        if key is not None:
+            return key
+    raise NotImplementedError(
+        "password-protected PDF (user password is not empty): pass "
+        "password=… or decrypt with qpdf before ingestion"
+    )
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
@@ -378,8 +528,11 @@ def _extract_text(
     return re.sub(r"\n+", "\n", text).strip()
 
 
-def read_pdf_pages(path_or_bytes) -> list[str]:
-    """Extracted text per page, in page-tree order."""
+def read_pdf_pages(path_or_bytes, *, password: str = "") -> list[str]:
+    """Extracted text per page, in page-tree order.  RC4-encrypted
+    documents (the standard security handler, V 1-2) open transparently
+    when the user password is empty — the common "protected" shape —
+    or with an explicit ``password``; AES stays gated."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
@@ -387,12 +540,7 @@ def read_pdf_pages(path_or_bytes) -> list[str]:
             data = f.read()
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    if re.search(rb"/Encrypt\b", data):
-        raise NotImplementedError(
-            "encrypted PDF needs a real PDF library (pypdf/qpdf); "
-            "decrypt before ingestion"
-        )
-    objects = _parse_objects(data)
+    objects = _parse_objects(data, key=_encryption_key(data, password))
     pages: list[str] = []
     for _num, body in sorted(objects.items()):
         head = body.split(b"stream", 1)[0]
@@ -454,6 +602,43 @@ endbfrange
 endcmap CMapName currentdict /CMap defineresource pop end end"""
 
 
+def _fixture_encryption(
+    file_id: bytes, *, user_password: str = "", owner_password: str = "owner"
+) -> tuple[bytes, bytes, bytes, int]:
+    """(file key, O, U, P) for the fixture's /Encrypt dict — standard
+    security handler R3/V2, 128-bit (Algorithms 2, 3, 5)."""
+    import hashlib
+
+    p = -3904  # print allowed, modify/copy denied — a typical mask
+    opad = ((owner_password or user_password).encode() + _PDF_PAD)[:32]
+    h = hashlib.md5(opad).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    okey = h[:16]
+    o = (user_password.encode() + _PDF_PAD)[:32]
+    for i in range(20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    import struct
+
+    upad = (user_password.encode() + _PDF_PAD)[:32]
+    h = hashlib.md5(upad + o + struct.pack("<i", p) + file_id).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    key = h[:16]
+    u = hashlib.md5(_PDF_PAD + file_id).digest()
+    for i in range(20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return key, o, u + b"\x00" * 16, p
+
+
+def _encrypt_body(body: bytes, key: bytes, num: int, gen: int = 0) -> bytes:
+    sm = _STREAM_RE.search(body)
+    if sm is None:
+        return body
+    enc = _rc4_object(sm.group(1), key, num, gen)
+    return body[: sm.start(1)] + enc + body[sm.end(1):]
+
+
 def make_pdf_bytes(
     pages: list[str],
     *,
@@ -461,6 +646,8 @@ def make_pdf_bytes(
     object_streams: bool = False,
     tounicode: bool = False,
     cid: bool = False,
+    encrypt: bool = False,
+    user_password: str = "",
 ) -> bytes:
     """Structurally complete single-font PDF: one Flate'd (or raw)
     content stream per page, page tree, xref table, trailer.
@@ -566,8 +753,30 @@ def make_pdf_bytes(
             )
         )
 
+    enc_num, key, trailer_extra = 0, None, ""
+    if encrypt:
+        import hashlib
+
+        enc_num = (desc_num or cmap_num or font_num) + 1
+        file_id = hashlib.md5(
+            ("architxt-pdf-fixture:" + "\x1e".join(pages)).encode("utf-8", "replace")
+        ).digest()
+        key, o, u, p = _fixture_encryption(file_id, user_password=user_password)
+        # RC4 is length-preserving, so every declared /Length stays true
+        streams = [(num, _encrypt_body(body, key, num)) for num, body in streams]
+        enc_dict = (
+            f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {p} "
+            f"/O <{o.hex()}> /U <{u.hex()}> >>"
+        ).encode()
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R /ID [<{file_id.hex()}> <{file_id.hex()}>]"
+        )
+
     if not object_streams:
-        objs = [body for _num, body in sorted(packed + streams)]
+        all_objs = sorted(packed + streams)
+        if encrypt:
+            all_objs.append((enc_num, enc_dict))
+        objs = [body for _num, body in all_objs]
         out = bytearray(b"%PDF-1.4\n")
         offsets = [0]
         for num, body in enumerate(objs, start=1):
@@ -579,13 +788,13 @@ def make_pdf_bytes(
         for off in offsets[1:]:
             out += f"{off:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{trailer_extra} >>\n"
             f"startxref\n{xref_at}\n%%EOF\n"
         ).encode()
         return bytes(out)
 
     # --- modern shape: ObjStm + predictor-coded xref stream -------------
-    objstm_num = (desc_num or cmap_num or font_num) + 1
+    objstm_num = (enc_num or desc_num or cmap_num or font_num) + 1
     xref_num = objstm_num + 1
     parts, offs, at = [], [], 0
     for _num, body in packed:
@@ -600,10 +809,17 @@ def make_pdf_bytes(
         f"/Filter /FlateDecode /Length {len(payload)} >>".encode()
         + b"\nstream\n" + payload + b"\nendstream"
     )
+    if encrypt:
+        # the packed objects travel inside the (whole-stream) encrypted
+        # ObjStm; the /Encrypt dict itself stays top-level and clear
+        objstm_body = _encrypt_body(objstm_body, key, objstm_num)
 
     out = bytearray(b"%PDF-1.5\n")
     offsets: dict[int, int] = {}
-    for num, body in sorted(streams) + [(objstm_num, objstm_body)]:
+    top = sorted(streams) + [(objstm_num, objstm_body)]
+    if encrypt:
+        top.append((enc_num, enc_dict))
+    for num, body in sorted(top):
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
 
@@ -635,7 +851,7 @@ def make_pdf_bytes(
         prev = row
     xdata = zlib.compress(bytes(filtered))
     out += f"{xref_num} 0 obj\n".encode() + (
-        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R{trailer_extra} "
         f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns {cols} >> "
         f"/Length {len(xdata)} >>".encode()
         + b"\nstream\n" + xdata + b"\nendstream"

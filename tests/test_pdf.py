@@ -52,8 +52,11 @@ def test_extract_text_octal_and_escapes():
 def test_pdf_gates():
     with pytest.raises(ValueError, match="not a PDF"):
         read_pdf_pages(b"%FDP nope")
+    # an /Encrypt ref pointing at a missing/non-standard dictionary:
+    # loud gate (RC4 standard-handler files now decrypt — see the r12
+    # tests below — but unknown handlers must never parse as garbage)
     blob = make_pdf_bytes(["x"]).replace(b"/Root", b"/Encrypt 9 0 R /Root")
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(NotImplementedError, match="PDF library"):
         read_pdf_pages(blob)
     corrupt = make_pdf_bytes(["x"])
     # truncate the flate stream body -> loud ValueError, not garbage
@@ -216,3 +219,46 @@ def test_pdf_cid_identity_h_roundtrip():
     assert garbled != ASCII_PAGES and garbled[1].startswith("\x01P\x01a")
     with pytest.raises(ValueError):
         make_pdf_bytes(ASCII_PAGES, cid=True, tounicode=True)
+
+
+# ---------------------------------------------------------------------------
+# r12 widening: RC4-encrypted PDFs (standard security handler V2/R3) —
+# the common "protected" file whose USER password is empty opens
+# transparently, like the xls reader's default-password workbooks
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_rc4_encrypted_roundtrip():
+    for object_streams in (False, True):
+        blob = make_pdf_bytes(ASCII_PAGES, encrypt=True, object_streams=object_streams)
+        assert b"/Encrypt" in blob and b"/Standard" in blob
+        assert read_pdf_pages(blob) == ASCII_PAGES
+    # ciphertext differs from plaintext at equal stream length (RC4)
+    import re as _re
+
+    plain = make_pdf_bytes(ASCII_PAGES)
+    enc = make_pdf_bytes(ASCII_PAGES, encrypt=True)
+    ps = _re.search(rb"stream\r?\n(.*?)\r?\nendstream", plain, _re.S).group(1)
+    es = _re.search(rb"stream\r?\n(.*?)\r?\nendstream", enc, _re.S).group(1)
+    assert ps != es and len(ps) == len(es)
+
+
+def test_pdf_rc4_user_password_gate():
+    blob = make_pdf_bytes(ASCII_PAGES, encrypt=True, user_password="s3cret")
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        read_pdf_pages(blob)
+    assert read_pdf_pages(blob, password="s3cret") == ASCII_PAGES
+
+
+def test_pdf_rc4_composes_with_other_shapes():
+    for kw in ({"object_streams": True, "cid": True}, {"tounicode": True}):
+        blob = make_pdf_bytes(ASCII_PAGES, encrypt=True, **kw)
+        assert read_pdf_pages(blob) == ASCII_PAGES
+
+
+def test_pdf_aes_still_gated():
+    # an /Encrypt dict declaring V 4 (AES) must raise with guidance
+    blob = make_pdf_bytes(ASCII_PAGES, encrypt=True)
+    blob = blob.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(NotImplementedError, match="AES|non-standard"):
+        read_pdf_pages(blob)

@@ -758,9 +758,20 @@ def main() -> None:
                     F.regexp_extract("target_uri", r"\|([^|]*)\|", 1).alias("lang"),
                     F.regexp_extract("target_uri", r"\|([^|]*)$", 1).alias("source"),
                 )
-                crawled = crawled.persist()
+                crawled = crawled.persist()  # default MEMORY_AND_DISK:
+                # overflow spills to disk instead of evict-and-reparse
                 crawled.count()  # land-the-crawl barrier: every curation
                 # consumer would otherwise re-run the Python WARC parse
+                # r12 (#4): record where the landed crawl actually lives —
+                # a silent spill here is the 1M-rung's failure mode
+                for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+                    if info.numCachedPartitions():
+                        print(
+                            f"#   landed crawl cache: {info.memSize() / (1 << 20):.0f} MB mem"
+                            f" + {info.diskSize() / (1 << 20):.0f} MB disk over"
+                            f" {info.numCachedPartitions()} partitions",
+                            file=sys.stderr, flush=True,
+                        )
                 bench = crawled.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
                 kept, _census = curate_corpus(
                     crawled,
