@@ -1904,17 +1904,21 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     # stream, and ToUnicode-CMap'd (code-shifted)
                     # strings; readback is byte-equal in every shape, so
                     # the oracle hash is shape-independent
-                    # pdf docs satisfy d ≡ 13 (mod 15), so d%4 cycles
-                    # 1,0,3,2, d%2 alternates, and d%8 cycles all eight
-                    # residues: every combination of {classic, objstm} ×
-                    # {plain, tounicode, cid} × {clear, RC4} recurs
+                    # pdf docs satisfy d ≡ 13 (mod 15): d%4 cycles
+                    # 1,0,3,2, d%2 alternates, and d%7 cycles all seven
+                    # residues — every combination of {classic, objstm}
+                    # × {plain, tounicode, cid} × {clear, RC4, AES-128,
+                    # AES-256} recurs across the slice
+                    enc = {0: False, 1: "rc4", 2: "aesv2", 3: "aesv3"}[
+                        d % 7 % 4
+                    ]
                     back = read_pdf_pages(
                         make_pdf_bytes(
                             [pclean],
                             object_streams=bool(d % 2 == 0),
                             tounicode=bool(d % 4 < 2),
                             cid=bool(d % 4 == 2),
-                            encrypt=bool(d % 8 < 4),
+                            encrypt=enc,
                         )
                     )[0]
                     fmt = "pdf"

@@ -48,24 +48,48 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
-def _parse_objects(data: bytes, key: bytes | None = None) -> dict[int, bytes]:
-    """Object table from a raw ``N G obj … endobj`` scan; with ``key``
-    (an RC4 file key from :func:`_encryption_key`) every stream segment
-    is decrypted with its per-object key first — except xref streams,
-    which the spec leaves in the clear.  Object streams expand after
-    decryption (their payload is encrypted as a whole; the packed
-    objects inside are not re-encrypted, per spec)."""
+def _parse_objects(
+    data: bytes, enc: tuple[str, bytes] | None = None
+) -> dict[int, bytes]:
+    """Object table from a raw ``N G obj … endobj`` scan; with ``enc``
+    (a ``(mode, file key)`` pair from :func:`_encryption_key`) every
+    stream segment is decrypted first — except xref streams, which the
+    spec leaves in the clear.  Object streams expand after decryption
+    (their payload is encrypted as a whole; the packed objects inside
+    are not re-encrypted, per spec)."""
     objects: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
         num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
-        if key is not None and b"/Type /XRef" not in body:
+        if enc is not None and b"/Type /XRef" not in body:
             sm = _STREAM_RE.search(body)
             if sm is not None:
-                dec = _rc4_object(sm.group(1), key, num, gen)
+                dec = _decrypt_stream(sm.group(1), enc, num, gen)
                 body = body[: sm.start(1)] + dec + body[sm.end(1):]
         objects[num] = body
     _expand_object_streams(objects)
     return objects
+
+
+def _decrypt_stream(raw: bytes, enc: tuple[str, bytes], num: int, gen: int) -> bytes:
+    """One stream body under the file key: per-object RC4, per-object
+    AES-128-CBC (AESV2 — the md5 key gains the spec's ``sAlT`` suffix),
+    or direct-file-key AES-256-CBC (AESV3)."""
+    mode, key = enc
+    if mode == "rc4":
+        return _rc4_object(raw, key, num, gen)
+    from architxt_spark.functions.aes import cbc_decrypt
+
+    if mode == "aesv2":
+        import hashlib
+
+        h = hashlib.md5(
+            key
+            + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")
+            + b"sAlT"
+        ).digest()
+        return cbc_decrypt(h[: min(len(key) + 5, 16)], raw)
+    return cbc_decrypt(key, raw)  # aesv3: file key used directly
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +144,7 @@ def _pdf_string_entry(body: bytes, name: bytes) -> bytes | None:
 
 def _std_security_key(
     o: bytes, u: bytes, p: int, file_id: bytes, r: int, n_key: int,
-    password: str = "",
+    password: str = "", *, metadata_clear: bool = False,
 ) -> bytes | None:
     """File encryption key of the standard security handler (Algorithm
     2), validated against ``/U`` (Algorithms 4/5) — ``None`` when the
@@ -129,9 +153,10 @@ def _std_security_key(
     import struct
 
     padded = (password.encode("latin-1", "replace") + _PDF_PAD)[:32]
-    h = hashlib.md5(
-        padded + o[:32] + struct.pack("<i", p) + file_id
-    ).digest()
+    seed = padded + o[:32] + struct.pack("<i", p) + file_id
+    if r >= 4 and metadata_clear:
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n_key]).digest()
@@ -146,13 +171,75 @@ def _std_security_key(
     return key if ok else None
 
 
-def _encryption_key(data: bytes, password: str = "") -> bytes | None:
-    """RC4 file key for an encrypted PDF (``None`` when the document is
-    not encrypted).  Covers the STANDARD security handler, ``/V`` 1-2
-    (RC4 40-128 bit), revisions 2-3 — the classic "protected" PDF that
-    opens without prompting because its USER password is empty (tried
-    automatically, like the xls reader's default-password workbooks).
-    AES (``/V`` 4-5) and non-standard handlers raise with guidance."""
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """The V5/R6 password hash (ISO 32000-2 Algorithm 2.B): SHA-256
+    seed, then the AES-CBC hardening loop — round key/IV come from the
+    running hash, the digest function rotates by the first 16 bytes of
+    the encryption mod 3, and the loop ends after ≥64 rounds when the
+    last byte says so."""
+    import hashlib
+
+    from architxt_spark.functions.aes import cbc_encrypt_raw
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][sum(e[:16]) % 3](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
+def _v5_file_key(enc: bytes, password: str) -> bytes | None:
+    """AES-256 file key (V5, R5/R6): validate the password against
+    ``/U`` (user) or ``/O`` (owner), then unwrap ``/UE``/``/OE`` with a
+    zero-IV AES-256-CBC (Algorithms 2.A / 8 / 9)."""
+    import hashlib
+
+    from architxt_spark.functions.aes import cbc_decrypt_raw
+
+    r_m = re.search(rb"/R\s+(\d+)", enc)
+    r = int(r_m.group(1)) if r_m else 6
+    u = _pdf_string_entry(enc, b"U") or b""
+    o = _pdf_string_entry(enc, b"O") or b""
+    ue = _pdf_string_entry(enc, b"UE") or b""
+    oe = _pdf_string_entry(enc, b"OE") or b""
+    if len(u) < 48 or len(ue) < 32:
+        raise ValueError("malformed V5 /Encrypt dictionary (U/UE)")
+    pw = password.encode("utf-8")[:127]
+
+    def hashed(salt: bytes, udata: bytes) -> bytes:
+        if r == 5:  # the pre-ISO Adobe revision: single SHA-256
+            return hashlib.sha256(pw + salt + udata).digest()
+        return _hash_2b(pw, salt, udata)
+
+    if hashed(u[32:40], b"") == u[:32]:  # user password
+        ikey = hashed(u[40:48], b"")
+        return cbc_decrypt_raw(ikey, b"\x00" * 16, ue[:32])
+    if len(o) >= 48 and len(oe) >= 32 and hashed(o[32:40], u[:48]) == o[:32]:
+        ikey = hashed(o[40:48], u[:48])  # owner password
+        return cbc_decrypt_raw(ikey, b"\x00" * 16, oe[:32])
+    return None
+
+
+def _encryption_key(
+    data: bytes, password: str = ""
+) -> tuple[str, bytes] | None:
+    """``(mode, file key)`` for an encrypted PDF (``None`` when the
+    document is not encrypted).  Covers the STANDARD security handler
+    across its published shapes: ``/V`` 1-2 (RC4 40-128), ``/V`` 4
+    (crypt filters — ``/CFM`` ``/V2`` RC4 or ``/AESV2`` AES-128-CBC),
+    and ``/V`` 5 (``/AESV3`` AES-256, revisions 5 and 6 with the
+    hardened hash).  The empty USER password — the classic "protected"
+    PDF that opens without prompting — is tried automatically, like the
+    xls reader's default-password workbooks; V5 also accepts the owner
+    password.  Non-standard handlers and unknown crypt filters raise
+    with guidance."""
     if not re.search(rb"/Encrypt\b", data):
         return None
     refs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
@@ -174,17 +261,43 @@ def _encryption_key(data: bytes, password: str = "") -> bytes | None:
     r_m = re.search(rb"/R\s+(\d+)", enc)
     v = int(v_m.group(1)) if v_m else 0
     r = int(r_m.group(1)) if r_m else 2
-    if b"/Standard" not in enc or v not in (1, 2) or r not in (2, 3):
+    if b"/Standard" not in enc or v not in (1, 2, 4, 5):
         raise NotImplementedError(
-            f"PDF encryption V={v} R={r} (AES or non-standard handler) "
-            "needs a real PDF library (pypdf/qpdf); decrypt before ingestion"
+            f"PDF encryption V={v} R={r} (non-standard handler) needs a "
+            "real PDF library (pypdf/qpdf); decrypt before ingestion"
         )
+
+    if v == 5:
+        for pw in dict.fromkeys([password, ""]):
+            key = _v5_file_key(enc, pw)
+            if key is not None:
+                return ("aesv3", key)
+        raise NotImplementedError(
+            "password-protected PDF (neither password opens it): pass "
+            "password=… or decrypt with qpdf before ingestion"
+        )
+
+    mode = "rc4"
+    if v == 4:
+        cf = re.search(rb"/StdCF\s*<<(.*?)>>", enc, re.S)
+        cfm = re.search(rb"/CFM\s*/(\w+)", cf.group(1) if cf else enc)
+        name = cfm.group(1) if cfm else b"V2"
+        if name == b"AESV2":
+            mode = "aesv2"
+        elif name != b"V2":
+            raise NotImplementedError(
+                f"PDF crypt filter /CFM /{name.decode()} needs a real PDF "
+                "library (pypdf/qpdf); decrypt before ingestion"
+            )
     o, u = _pdf_string_entry(enc, b"O"), _pdf_string_entry(enc, b"U")
     p_m = re.search(rb"/P\s+(-?\d+)", enc)
     len_m = re.search(rb"/Length\s+(\d+)", enc)
     if o is None or u is None or p_m is None:
         raise ValueError("malformed /Encrypt dictionary (missing O/U/P)")
-    n_key = (int(len_m.group(1)) if len_m and v == 2 else 40) // 8
+    n_key = (int(len_m.group(1)) if len_m and v >= 2 else 40) // 8
+    if mode == "aesv2":
+        n_key = 16
+    metadata_clear = bool(re.search(rb"/EncryptMetadata\s+false", enc))
     id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
     file_id = (
         bytes.fromhex(re.sub(rb"\s", b"", id_m.group(1)).decode())
@@ -192,9 +305,12 @@ def _encryption_key(data: bytes, password: str = "") -> bytes | None:
         else b""
     )
     for pw in dict.fromkeys([password, ""]):  # explicit first, then empty
-        key = _std_security_key(o, u, int(p_m.group(1)), file_id, r, n_key, pw)
+        key = _std_security_key(
+            o, u, int(p_m.group(1)), file_id, r, n_key, pw,
+            metadata_clear=metadata_clear,
+        )
         if key is not None:
-            return key
+            return (mode, key)
     raise NotImplementedError(
         "password-protected PDF (user password is not empty): pass "
         "password=… or decrypt with qpdf before ingestion"
@@ -540,7 +656,7 @@ def read_pdf_pages(path_or_bytes, *, password: str = "") -> list[str]:
             data = f.read()
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    objects = _parse_objects(data, key=_encryption_key(data, password))
+    objects = _parse_objects(data, enc=_encryption_key(data, password))
     pages: list[str] = []
     for _num, body in sorted(objects.items()):
         head = body.split(b"stream", 1)[0]
@@ -631,12 +747,67 @@ def _fixture_encryption(
     return key, o, u + b"\x00" * 16, p
 
 
-def _encrypt_body(body: bytes, key: bytes, num: int, gen: int = 0) -> bytes:
+def _fixture_encryption_v5(
+    file_id: bytes, *, user_password: str = "", owner_password: str = "owner"
+) -> tuple[bytes, bytes]:
+    """(file key, /Encrypt dict) for the fixture's AES-256 shape —
+    standard handler V5/R6 (Algorithms 8, 9, 10: hardened hashes, U/UE
+    and O/OE pairs, the /Perms block)."""
+    import hashlib
+    import struct
+
+    from architxt_spark.functions.aes import cbc_encrypt_raw, encrypt_block
+
+    p = -3904
+    fkey = hashlib.sha256(b"architxt-fixture-key:" + file_id).digest()
+    salt = hashlib.sha256(b"architxt-fixture-salt:" + file_id).digest()
+    vs_u, ks_u, vs_o, ks_o = salt[:8], salt[8:16], salt[16:24], salt[24:32]
+    upw = user_password.encode("utf-8")[:127]
+    opw = owner_password.encode("utf-8")[:127]
+    u = _hash_2b(upw, vs_u, b"") + vs_u + ks_u
+    ue = cbc_encrypt_raw(_hash_2b(upw, ks_u, b""), b"\x00" * 16, fkey)
+    o = _hash_2b(opw, vs_o, u) + vs_o + ks_o
+    oe = cbc_encrypt_raw(_hash_2b(opw, ks_o, u), b"\x00" * 16, fkey)
+    perms = encrypt_block(
+        fkey, struct.pack("<i", p) + b"\xff\xff\xff\xffTadbarch"
+    )
+    enc_dict = (
+        "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF /P {p} "
+        f"/O <{o.hex()}> /U <{u.hex()}> /OE <{oe.hex()}> /UE <{ue.hex()}> "
+        f"/Perms <{perms.hex()}> >>"
+    ).encode()
+    return fkey, enc_dict
+
+
+def _encrypt_body(
+    body: bytes, mode: str, key: bytes, num: int, gen: int = 0
+) -> bytes:
     sm = _STREAM_RE.search(body)
     if sm is None:
         return body
-    enc = _rc4_object(sm.group(1), key, num, gen)
-    return body[: sm.start(1)] + enc + body[sm.end(1):]
+    raw = sm.group(1)
+    if mode == "rc4":
+        ct = _rc4_object(raw, key, num, gen)
+    else:
+        import hashlib
+
+        from architxt_spark.functions.aes import cbc_encrypt
+
+        iv = hashlib.md5(b"architxt-pdf-iv:%d" % num).digest()
+        if mode == "aesv2":
+            obj = hashlib.md5(
+                key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+                + b"sAlT"
+            ).digest()[: min(len(key) + 5, 16)]
+        else:
+            obj = key
+        ct = cbc_encrypt(obj, iv, raw)
+    head, tail = body[: sm.start(1)], body[sm.end(1):]
+    if len(ct) != len(raw):  # AES adds IV + padding: fix the declared length
+        head = re.sub(rb"/Length \d+", b"/Length %d" % len(ct), head)
+    return head + ct + tail
 
 
 def make_pdf_bytes(
@@ -753,21 +924,40 @@ def make_pdf_bytes(
             )
         )
 
-    enc_num, key, trailer_extra = 0, None, ""
+    enc_num, key, mode, trailer_extra = 0, None, "", ""
     if encrypt:
         import hashlib
 
+        mode = "rc4" if encrypt is True else str(encrypt)
+        if mode not in ("rc4", "aesv2", "aesv3"):
+            raise ValueError(f"unknown encrypt mode {mode!r}")
         enc_num = (desc_num or cmap_num or font_num) + 1
         file_id = hashlib.md5(
             ("architxt-pdf-fixture:" + "\x1e".join(pages)).encode("utf-8", "replace")
         ).digest()
-        key, o, u, p = _fixture_encryption(file_id, user_password=user_password)
-        # RC4 is length-preserving, so every declared /Length stays true
-        streams = [(num, _encrypt_body(body, key, num)) for num, body in streams]
-        enc_dict = (
-            f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {p} "
-            f"/O <{o.hex()}> /U <{u.hex()}> >>"
-        ).encode()
+        if mode == "aesv3":
+            key, enc_dict = _fixture_encryption_v5(
+                file_id, user_password=user_password
+            )
+        else:
+            key, o, u, p = _fixture_encryption(
+                file_id, user_password=user_password
+            )
+            if mode == "rc4":
+                head = "/V 2 /R 3 /Length 128 "
+            else:  # aesv2: crypt filters, AES-128
+                head = (
+                    "/V 4 /R 4 /Length 128 "
+                    "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                    "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                )
+            enc_dict = (
+                f"<< /Filter /Standard {head}/P {p} "
+                f"/O <{o.hex()}> /U <{u.hex()}> >>"
+            ).encode()
+        streams = [
+            (num, _encrypt_body(body, mode, key, num)) for num, body in streams
+        ]
         trailer_extra = (
             f" /Encrypt {enc_num} 0 R /ID [<{file_id.hex()}> <{file_id.hex()}>]"
         )
@@ -812,7 +1002,7 @@ def make_pdf_bytes(
     if encrypt:
         # the packed objects travel inside the (whole-stream) encrypted
         # ObjStm; the /Encrypt dict itself stays top-level and clear
-        objstm_body = _encrypt_body(objstm_body, key, objstm_num)
+        objstm_body = _encrypt_body(objstm_body, mode, key, objstm_num)
 
     out = bytearray(b"%PDF-1.5\n")
     offsets: dict[int, int] = {}

@@ -256,9 +256,35 @@ def test_pdf_rc4_composes_with_other_shapes():
         assert read_pdf_pages(blob) == ASCII_PAGES
 
 
-def test_pdf_aes_still_gated():
-    # an /Encrypt dict declaring V 4 (AES) must raise with guidance
+def test_pdf_aes_roundtrips():
+    """AES-128 (V4 /AESV2 crypt filter) and AES-256 (V5/R6, hardened
+    hash + UE key unwrap) both round-trip, in both file layouts and
+    composed with the font shapes.  The R6 hash and key wrap are
+    exercised fixture↔reader (structure per the published algorithms;
+    AES core pinned to FIPS-197 vectors in test_aes.py)."""
+    for mode in ("aesv2", "aesv3"):
+        for object_streams in (False, True):
+            blob = make_pdf_bytes(
+                ASCII_PAGES, encrypt=mode, object_streams=object_streams
+            )
+            assert read_pdf_pages(blob) == ASCII_PAGES
+        # password-protected: gated without, opens with
+        blob = make_pdf_bytes(ASCII_PAGES, encrypt=mode, user_password="pw!")
+        with pytest.raises(NotImplementedError, match="password"):
+            read_pdf_pages(blob)
+        assert read_pdf_pages(blob, password="pw!") == ASCII_PAGES
+    # AES-256 documents also open with the OWNER password (OE unwrap)
+    blob = make_pdf_bytes(ASCII_PAGES, encrypt="aesv3", user_password="userpw")
+    assert read_pdf_pages(blob, password="owner") == ASCII_PAGES
+    blob = make_pdf_bytes(ASCII_PAGES, encrypt="aesv3", cid=True)
+    assert read_pdf_pages(blob) == ASCII_PAGES
+
+
+def test_pdf_unknown_encryption_still_gated():
+    # unknown crypt filters and unpublished V revisions keep the gate
+    blob = make_pdf_bytes(ASCII_PAGES, encrypt="aesv2")
+    with pytest.raises(NotImplementedError, match="crypt filter"):
+        read_pdf_pages(blob.replace(b"/CFM /AESV2", b"/CFM /AESV9"))
     blob = make_pdf_bytes(ASCII_PAGES, encrypt=True)
-    blob = blob.replace(b"/V 2 /R 3", b"/V 4 /R 4")
-    with pytest.raises(NotImplementedError, match="AES|non-standard"):
-        read_pdf_pages(blob)
+    with pytest.raises(NotImplementedError, match="non-standard"):
+        read_pdf_pages(blob.replace(b"/V 2 /R 3", b"/V 3 /R 3"))
