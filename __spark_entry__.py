@@ -1891,7 +1891,20 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                         os.unlink(p)
                     fmt = "xls"
                 elif m == 1:
-                    back = read_docx_paragraphs(make_docx_bytes([clean]))[0]
+                    # r12: half the docx docs travel as password-
+                    # protected OLE2 containers (Standard / Agile
+                    # encryption under Excel's default password) —
+                    # readback is byte-equal, so the oracle hash is
+                    # wrap-independent
+                    blob = make_docx_bytes([clean])
+                    wrap = {0: "standard", 2: "agile"}.get(d % 4)
+                    if wrap:
+                        from architxt_spark.sources.ooxml_crypto import (
+                            make_encrypted_ooxml,
+                        )
+
+                        blob = make_encrypted_ooxml(blob, scheme=wrap)
+                    back = read_docx_paragraphs(blob)[0]
                     fmt = "docx"
                 elif m == 2:
                     back = read_odt_paragraphs(make_odt_bytes([clean]))[0]
@@ -1923,7 +1936,15 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     )[0]
                     fmt = "pdf"
                 else:
-                    back = read_pptx_slides(make_pptx_bytes([clean]))[0]
+                    blob = make_pptx_bytes([clean])
+                    wrap = {0: "standard", 2: "agile"}.get(d % 4)
+                    if wrap:
+                        from architxt_spark.sources.ooxml_crypto import (
+                            make_encrypted_ooxml,
+                        )
+
+                        blob = make_encrypted_ooxml(blob, scheme=wrap)
+                    back = read_pptx_slides(blob)[0]
                     fmt = "pptx"
                 h = int(hashlib.md5(back.encode("utf-8")).hexdigest()[:15], 16)
                 rows.append((fmt, len(back), h))

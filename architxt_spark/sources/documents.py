@@ -177,7 +177,9 @@ def _read_xlsx_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
     def local(tag: str) -> str:
         return tag.rsplit("}", 1)[-1]
 
-    with zipfile.ZipFile(path) as z:
+    from architxt_spark.sources.office import _ooxml_source
+
+    with zipfile.ZipFile(_ooxml_source(path)) as z:
         names = set(z.namelist())
 
         # shared strings table (absent when the workbook has none)

@@ -50,14 +50,33 @@ def _para_text(el) -> str:
     return "".join(parts)
 
 
+def _ooxml_source(path_or_bytes):
+    """File-like (or passthrough path) for an OOXML zip, transparently
+    decrypting the OLE2 password-protected container shape — Standard
+    and Agile encryption, Excel's default password tried automatically
+    (``sources/ooxml_crypto.py``)."""
+    ole2 = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+        if not data.startswith(ole2):
+            return io.BytesIO(data)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            if f.read(8) != ole2:
+                return path_or_bytes
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    from architxt_spark.sources.ooxml_crypto import decrypt_ooxml
+
+    return io.BytesIO(decrypt_ooxml(data))
+
+
 def read_docx_paragraphs(path_or_bytes) -> list[str]:
     """Paragraph texts of a ``.docx`` in document order (empty
-    paragraphs dropped).  Accepts a path or raw bytes."""
-    src = (
-        io.BytesIO(path_or_bytes)
-        if isinstance(path_or_bytes, (bytes, bytearray))
-        else path_or_bytes
-    )
+    paragraphs dropped).  Accepts a path or raw bytes; password-
+    protected (OLE2-wrapped) files decrypt transparently when the
+    default password opens them."""
+    src = _ooxml_source(path_or_bytes)
     try:
         with zipfile.ZipFile(src) as z:
             with z.open("word/document.xml") as f:
@@ -77,11 +96,7 @@ def read_pptx_slides(path_or_bytes) -> list[str]:
     """Per-slide text of a ``.pptx`` in slide-number order: every
     paragraph (``a:p``) of every shape, newline-joined per slide (empty
     slides kept as empty strings so slide numbering survives)."""
-    src = (
-        io.BytesIO(path_or_bytes)
-        if isinstance(path_or_bytes, (bytes, bytearray))
-        else path_or_bytes
-    )
+    src = _ooxml_source(path_or_bytes)
     import re
 
     out: list[str] = []

@@ -1,0 +1,101 @@
+"""Encrypted OOXML (sources/ooxml_crypto.py): Standard (AES-ECB,
+SHA-1 50k) and Agile (AES-CBC segments, SHA-512 spin) round-trips
+through the fixture twin, the VelvetSweatshop default-password
+convention, wrong-password gates, and the loader seams (docx, pptx,
+xlsx all open the OLE2-wrapped shape transparently)."""
+
+import io
+import zipfile
+
+import pytest
+
+from architxt_spark.sources.ooxml_crypto import (
+    decrypt_ooxml,
+    is_encrypted_ooxml,
+    make_encrypted_ooxml,
+)
+
+
+def _zip(entries: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, text in entries.items():
+            z.writestr(name, text)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("scheme", ["standard", "agile"])
+def test_roundtrip_default_password(scheme):
+    pkg = _zip({"a.xml": "<x>hello</x>" * 300, "b.xml": "<y/>"})
+    blob = make_encrypted_ooxml(pkg, scheme=scheme)
+    assert is_encrypted_ooxml(blob)
+    assert not is_encrypted_ooxml(pkg)
+    out = decrypt_ooxml(blob)
+    assert out == pkg
+    with zipfile.ZipFile(io.BytesIO(out)) as z:
+        assert set(z.namelist()) == {"a.xml", "b.xml"}
+
+
+@pytest.mark.parametrize("scheme", ["standard", "agile"])
+def test_wrong_password_gates_and_explicit_opens(scheme):
+    pkg = _zip({"a.xml": "<x/>"})
+    blob = make_encrypted_ooxml(pkg, password="s3cret", scheme=scheme)
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        decrypt_ooxml(blob)
+    assert decrypt_ooxml(blob, password="s3cret") == pkg
+
+
+def test_agile_multi_segment():
+    # >4096-byte package exercises per-segment IVs
+    pkg = _zip({"big.xml": "<row>data</row>" * 3000})
+    assert len(pkg) > 12_000
+    blob = make_encrypted_ooxml(pkg, scheme="agile")
+    assert decrypt_ooxml(blob) == pkg
+
+
+def test_unknown_version_gates():
+    pkg = _zip({"a.xml": "<x/>"})
+    blob = make_encrypted_ooxml(pkg, scheme="standard")
+    # EncryptionInfo version 3.2 -> 5.3 (extensible): loud gate
+    import struct
+
+    bad = blob.replace(struct.pack("<HH", 3, 2), struct.pack("<HH", 5, 3), 1)
+    with pytest.raises(NotImplementedError, match="version"):
+        decrypt_ooxml(bad)
+
+
+def test_encrypted_docx_and_pptx_loader_seam(tmp_path):
+    from architxt_spark.sources.office import (
+        make_docx_bytes,
+        make_pptx_bytes,
+        read_docx_paragraphs,
+        read_pptx_slides,
+    )
+
+    paras = ["Hello encrypted docx.", "Second paragraph."]
+    slides = ["Slide one text", "Slide two"]
+    for scheme in ("standard", "agile"):
+        enc = make_encrypted_ooxml(make_docx_bytes(paras), scheme=scheme)
+        assert read_docx_paragraphs(enc) == paras  # bytes form
+        p = tmp_path / f"doc_{scheme}.docx"
+        p.write_bytes(enc)
+        assert read_docx_paragraphs(str(p)) == paras  # path form
+    enc = make_encrypted_ooxml(make_pptx_bytes(slides), scheme="agile")
+    assert read_pptx_slides(enc) == slides
+
+
+def test_encrypted_xlsx_loader_seam(tmp_path):
+    from architxt_spark.sources.documents import _read_xlsx_stdlib
+    from test_sources import _write_xlsx
+
+    plain = tmp_path / "plain.xlsx"
+    _write_xlsx(str(plain), {"S": [["h"], ["v1"], ["v2"]]})
+    expected = _read_xlsx_stdlib(str(plain))
+    assert expected and expected["S"]
+
+    for scheme in ("standard", "agile"):
+        enc = tmp_path / f"enc_{scheme}.xlsx"
+        enc.write_bytes(
+            make_encrypted_ooxml(plain.read_bytes(), scheme=scheme)
+        )
+        assert _read_xlsx_stdlib(str(enc)) == expected

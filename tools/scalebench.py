@@ -345,6 +345,19 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # host-speed stamp (same probes as bench.py): rung EXPONENTS are
+    # load-robust, absolute µs/doc are not — every table this harness
+    # prints now carries the host speed it was measured on, so
+    # cross-round comparisons of absolute numbers can divide drift out
+    import bench as _bench
+
+    _bench._calib_spark(spark, args.cpus)  # warm the scheduler once
+    print(
+        f"# calib_cpu={_bench._calib_cpu():.3f}s"
+        f" calib_spark={min(_bench._calib_spark(spark, args.cpus) for _ in range(2)):.3f}s",
+        file=sys.stderr, flush=True,
+    )
+
     from architxt_spark.functions.ann import (
         build_ivf_index,
         ivf_topk,

@@ -70,6 +70,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # host-speed stamp (see bench.py / scalebench.py): per-batch times
+    # are only comparable across rounds when divided by host drift
+    import bench as _bench
+
+    _bench._calib_spark(spark, args.cpus)
+    print(
+        f"# calib_cpu={_bench._calib_cpu():.3f}s"
+        f" calib_spark={min(_bench._calib_spark(spark, args.cpus) for _ in range(2)):.3f}s",
+        file=sys.stderr, flush=True,
+    )
+
     from scalebench import gen_documents_dist
 
     from architxt_spark.streaming.corpus import minhash_dedup_batch
