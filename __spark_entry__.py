@@ -1907,7 +1907,19 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     back = read_docx_paragraphs(blob)[0]
                     fmt = "docx"
                 elif m == 2:
-                    back = read_odt_paragraphs(make_odt_bytes([clean]))[0]
+                    # r12: half the odt docs travel password-protected
+                    # (ODF 1.2 manifest encryption: PBKDF2 + AES-256-CBC
+                    # over the raw-deflated content.xml)
+                    blob = make_odt_bytes([clean])
+                    if d % 4 < 2:
+                        from architxt_spark.sources.ooxml_crypto import (
+                            make_encrypted_odt,
+                        )
+
+                        blob = make_encrypted_odt(blob, "gate")
+                        back = read_odt_paragraphs(blob, password="gate")[0]
+                    else:
+                        back = read_odt_paragraphs(blob)[0]
                     fmt = "odt"
                 elif m == 3:
                     pclean = nonascii.sub("?", clean).rstrip()

@@ -71,6 +71,79 @@ def _ooxml_source(path_or_bytes):
     return io.BytesIO(decrypt_ooxml(data))
 
 
+def _odf_encryption_entry(z: "zipfile.ZipFile", name: str) -> dict | None:
+    """The ODF 1.2 ``manifest:encryption-data`` parameters for one zip
+    entry, or ``None`` when that entry is stored in the clear."""
+    try:
+        manifest = z.read("META-INF/manifest.xml")
+    except KeyError:
+        return None
+    root = ET.fromstring(manifest)
+    for fe in root.iter():
+        if _local(fe.tag) != "file-entry":
+            continue
+        full = next(
+            (v for k, v in fe.attrib.items() if k.endswith("full-path")), ""
+        )
+        if full != name:
+            continue
+        out: dict = {}
+        for el in fe.iter():
+            tag = _local(el.tag)
+            if tag == "encryption-data":
+                out["checksum_type"] = next(
+                    (v for k, v in el.attrib.items() if k.endswith("checksum-type")),
+                    "",
+                )
+                out["checksum"] = next(
+                    (v for k, v in el.attrib.items() if k.endswith("}checksum")), ""
+                )
+            elif tag == "algorithm":
+                out["algorithm"] = next(
+                    (v for k, v in el.attrib.items() if k.endswith("algorithm-name")),
+                    "",
+                )
+                out["iv"] = next(
+                    (
+                        v
+                        for k, v in el.attrib.items()
+                        if k.endswith("initialisation-vector")
+                    ),
+                    "",
+                )
+            elif tag == "key-derivation":
+                out["salt"] = next(
+                    (v for k, v in el.attrib.items() if k.endswith("}salt")), ""
+                )
+                out["iterations"] = int(
+                    next(
+                        (
+                            v
+                            for k, v in el.attrib.items()
+                            if k.endswith("iteration-count")
+                        ),
+                        "1024",
+                    )
+                )
+                out["key_size"] = int(
+                    next(
+                        (v for k, v in el.attrib.items() if k.endswith("}key-size")),
+                        "32",
+                    )
+                )
+            elif tag == "start-key-generation":
+                out["start_key"] = next(
+                    (
+                        v
+                        for k, v in el.attrib.items()
+                        if k.endswith("start-key-generation-name")
+                    ),
+                    "",
+                )
+        return out if "algorithm" in out else None
+    return None
+
+
 def read_docx_paragraphs(path_or_bytes) -> list[str]:
     """Paragraph texts of a ``.docx`` in document order (empty
     paragraphs dropped).  Accepts a path or raw bytes; password-
@@ -123,8 +196,11 @@ def read_pptx_slides(path_or_bytes) -> list[str]:
     return out
 
 
-def read_odt_paragraphs(path_or_bytes) -> list[str]:
-    """Paragraph + heading texts of an ``.odt`` in document order."""
+def read_odt_paragraphs(path_or_bytes, *, password: str = "") -> list[str]:
+    """Paragraph + heading texts of an ``.odt`` in document order.
+    Password-protected documents (ODF 1.2 manifest encryption: PBKDF2
+    over a SHA-256 start key, AES-256-CBC, raw-deflate payload) decrypt
+    with ``password``."""
     src = (
         io.BytesIO(path_or_bytes)
         if isinstance(path_or_bytes, (bytes, bytearray))
@@ -132,8 +208,13 @@ def read_odt_paragraphs(path_or_bytes) -> list[str]:
     )
     try:
         with zipfile.ZipFile(src) as z:
-            with z.open("content.xml") as f:
-                root = ET.parse(f).getroot()
+            raw = z.read("content.xml")
+            enc = _odf_encryption_entry(z, "content.xml")
+            if enc is not None:
+                from architxt_spark.sources.ooxml_crypto import odf_decrypt_entry
+
+                raw = odf_decrypt_entry(raw, enc, password)
+            root = ET.fromstring(raw)
     except (zipfile.BadZipFile, KeyError) as e:
         raise ValueError("not a .odt (no content.xml zip entry)") from e
     out = []

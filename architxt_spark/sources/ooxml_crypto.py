@@ -1,5 +1,5 @@
-"""Encrypted OOXML (password-protected ``.xlsx``/``.docx``/``.pptx``)
-— pure stdlib + the in-repo AES core.
+"""Encrypted office documents (password-protected ``.xlsx``/``.docx``/
+``.pptx``/``.odt``) — pure stdlib + the in-repo AES core.
 
 A password-protected Office 2007+ document is not a zip: it is an OLE2
 compound file holding ``EncryptionInfo`` (the key-derivation
@@ -22,6 +22,12 @@ payload is the ordinary zip the existing xlsx/docx/pptx readers
 consume.  ``make_encrypted_ooxml`` is the fixture twin (both schemes,
 exact verifier math) so round-trips are hash-gated without any real
 Office install.
+
+The ODF side (``odf_decrypt_entry``/``make_encrypted_odt``) covers
+ODF 1.2 manifest encryption — PBKDF2 over a SHA-256 start key,
+AES-256-CBC per zip member, raw-deflate payload — the LibreOffice
+password-protection scheme for ``.odt``; legacy Blowfish entries
+gate loudly.
 """
 
 from __future__ import annotations
@@ -379,3 +385,116 @@ def make_encrypted_ooxml(
     else:
         raise ValueError(f"unknown scheme {scheme!r}")
     return _wrap_ole2_two({"EncryptionInfo": info, "EncryptedPackage": pkg})
+
+
+# ---------------------------------------------------------------------------
+# ODF 1.2 manifest encryption (.odt with password — the LibreOffice scheme)
+# ---------------------------------------------------------------------------
+
+
+def odf_decrypt_entry(ciphertext: bytes, params: dict, password: str) -> bytes:
+    """One encrypted ODF zip member → its plaintext XML.  ODF 1.2 §19:
+    start key = SHA-256 of the UTF-8 password, PBKDF2-HMAC-SHA1 over the
+    manifest salt/iteration-count, AES-256-CBC with the manifest IV,
+    W3C padding (last byte = pad length), then raw-deflate inflate.
+    The manifest checksum (SHA-256 of the first 1024 compressed bytes)
+    is the wrong-password signal."""
+    import base64
+    import zlib
+
+    from architxt_spark.functions.aes import cbc_decrypt_raw
+
+    alg = params.get("algorithm", "")
+    if "aes" not in alg.lower():
+        raise NotImplementedError(
+            f"ODF encryption algorithm {alg!r} (legacy Blowfish?) needs "
+            "a real ODF library; re-save without a password"
+        )
+    start_name = params.get("start_key", "sha256")
+    start = (
+        hashlib.sha1 if "sha1" in start_name.lower() else hashlib.sha256
+    )(password.encode("utf-8")).digest()
+    key = hashlib.pbkdf2_hmac(
+        "sha1",
+        start,
+        base64.b64decode(params["salt"]),
+        params.get("iterations", 1024),
+        params.get("key_size", 32),
+    )
+    iv = base64.b64decode(params["iv"])
+    plain = cbc_decrypt_raw(key, iv, ciphertext)
+    pad = plain[-1]
+    if 1 <= pad <= 16:
+        plain = plain[:-pad]
+    want = params.get("checksum", "")
+    if want:
+        got = base64.b64encode(hashlib.sha256(plain[:1024]).digest()).decode()
+        if got != want:
+            raise NotImplementedError(
+                "password-protected ODF document: the password does not "
+                "open it; pass password=… or re-save without one"
+            )
+    return zlib.decompress(plain, -15)
+
+
+def make_encrypted_odt(
+    odt: bytes, password: str, *, iterations: int = 10_000
+) -> bytes:
+    """Encrypt an ODF zip's ``content.xml`` per ODF 1.2 manifest
+    encryption — the fixture twin of :func:`odf_decrypt_entry`."""
+    import base64
+    import io
+    import zipfile
+    import zlib
+
+    from architxt_spark.functions.aes import cbc_encrypt_raw
+
+    with zipfile.ZipFile(io.BytesIO(odt)) as z:
+        entries = {n: z.read(n) for n in z.namelist()}
+    content = entries["content.xml"]
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    deflated = comp.compress(content) + comp.flush()
+    checksum = base64.b64encode(hashlib.sha256(deflated[:1024]).digest()).decode()
+    salt = hashlib.sha256(b"architxt-odf-salt:" + content[:64]).digest()[:16]
+    iv = hashlib.sha256(b"architxt-odf-iv:" + content[:64]).digest()[:16]
+    start = hashlib.sha256(password.encode("utf-8")).digest()
+    key = hashlib.pbkdf2_hmac("sha1", start, salt, iterations, 32)
+    pad = 16 - len(deflated) % 16
+    ct = cbc_encrypt_raw(key, iv, deflated + bytes([pad] * pad))
+    b64 = lambda b: base64.b64encode(b).decode()
+    mns = "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0"
+    manifest = (
+        f'<manifest:manifest xmlns:manifest="{mns}" manifest:version="1.2">'
+        '<manifest:file-entry manifest:full-path="content.xml"'
+        ' manifest:media-type="text/xml">'
+        "<manifest:encryption-data"
+        f' manifest:checksum-type="{mns}#sha256-1k"'
+        f' manifest:checksum="{checksum}">'
+        "<manifest:algorithm"
+        ' manifest:algorithm-name="http://www.w3.org/2001/04/xmlenc#aes256-cbc"'
+        f' manifest:initialisation-vector="{b64(iv)}"/>'
+        '<manifest:key-derivation manifest:key-derivation-name="PBKDF2"'
+        f' manifest:salt="{b64(salt)}" manifest:iteration-count="{iterations}"'
+        ' manifest:key-size="32"/>'
+        "<manifest:start-key-generation"
+        ' manifest:start-key-generation-name='
+        '"http://www.w3.org/2000/09/xmldsig-more#sha256"'
+        ' manifest:key-size="32"/>'
+        "</manifest:encryption-data></manifest:file-entry></manifest:manifest>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        if "mimetype" in entries:  # first + stored, per the ODF package spec
+            z.writestr(
+                zipfile.ZipInfo("mimetype"), entries["mimetype"],
+                compress_type=zipfile.ZIP_STORED,
+            )
+        z.writestr(
+            zipfile.ZipInfo("content.xml"), ct,
+            compress_type=zipfile.ZIP_STORED,
+        )
+        z.writestr("META-INF/manifest.xml", manifest)
+        for n, body in entries.items():
+            if n not in ("mimetype", "content.xml", "META-INF/manifest.xml"):
+                z.writestr(n, body)
+    return buf.getvalue()
