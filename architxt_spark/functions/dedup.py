@@ -1186,36 +1186,62 @@ def exact_span_pairs(
     """
     # hash chain materialized stepwise before the posexplode — a generator
     # re-evaluates its expression per OUTPUT row, so an inlined chain is
-    # O(shingles) per emitted shingle (see winnow_pairs)
-    fp = (
+    # O(shingles) per emitted shingle (see winnow_pairs).  The join key
+    # is the 60-bit md5-prefix FINGERPRINT, not the 32-char md5 string
+    # (r12 — the same fix ngram_jaccard_pairs got in r11: 8-byte long
+    # keys sort/hash ~4× cheaper than strings; the SQL twin mirrors the
+    # exact same 15-hex-digit arithmetic, so a collision — one in
+    # ~2·10⁻¹⁸ per position pair — replays identically on both engines
+    # and parity is unconditional).
+    fpc = F.conv(F.substring(F.col("h0"), 1, 15), 16, 10).cast("long")
+    raw = (
         _spread(df)
         .select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("__t"))
         .select("id", T.shingles_of_tokens(F.col("__t"), n).alias("__sh"))
         .select("id", F.transform("__sh", lambda s: F.md5(s)).alias("__h"))
-        .select("id", F.posexplode("__h").alias("pos", "h"))
+        .select("id", F.posexplode("__h").alias("pos", "h0"))
+        .select("id", "pos", fpc.alias("h"))
+        .persist()
     )
-    heavy = fp.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
-    fp = fp.join(F.broadcast(heavy), "h", "left_anti")
+    # eager: the positioned index feeds the heavy-set aggregate AND both
+    # self-join sides — persisting evaluates the interpreted hash chain
+    # ONCE instead of three times, and the count is the free size
+    # estimate the width rule needs (same shape as ngram/winnow, r12)
+    n_index = raw.count()
+    try:
+        heavy = (
+            raw.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
+        )
+        fp = raw.join(F.broadcast(heavy), "h", "left_anti")
+        # auto-sized width + shuffle-hash (see ngram_jaccard_pairs): the
+        # co-partitioned self-join's per-task hash build is bounded by
+        # _PAIR_ROWS_PER_PARTITION — without the width, the 4M-doc rung's
+        # ~160M-row build at session width cannot acquire memory (SHJ
+        # builds don't spill); below the threshold the plan is unchanged
+        # and the sort-merge join the optimizer picks is fine
+        width = _pair_shuffle_width(df.sparkSession, n_index)
+        if width:
+            fp = fp.repartition(width, "h")
+        a = fp.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
+        b = fp.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
+        hinted = a.hint("shuffle_hash") if width else a
+        m = hinted.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
 
-    # no auto-sized width here (unlike ngram/winnow): this index is not
-    # persisted, so a row count would force the hash chain twice, and the
-    # 4M-doc Zipf rung measured this operator's exponent at 1.02 on the
-    # session width — the diagonal window, not the join, dominates
-    a = fp.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
-    b = fp.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
-    m = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
-
-    w = Window.partitionBy("id_a", "id_b", F.col("pb") - F.col("pa")).orderBy("pa")
-    runs = (
-        m.withColumn("island", F.col("pa") - F.row_number().over(w))
-        .groupBy("id_a", "id_b", (F.col("pb") - F.col("pa")).alias("diag"), "island")
-        .agg((F.count("*") + F.lit(n - 1)).alias("span"))
-    )
-    return (
-        runs.groupBy("id_a", "id_b")
-        .agg(F.max("span").alias("max_span"))
-        .filter(F.col("max_span") >= min_tokens)
-    )
+        w = Window.partitionBy("id_a", "id_b", F.col("pb") - F.col("pa")).orderBy("pa")
+        runs = (
+            m.withColumn("island", F.col("pa") - F.row_number().over(w))
+            .groupBy("id_a", "id_b", (F.col("pb") - F.col("pa")).alias("diag"), "island")
+            .agg((F.count("*") + F.lit(n - 1)).alias("span"))
+        )
+        out = (
+            runs.groupBy("id_a", "id_b")
+            .agg(F.max("span").alias("max_span"))
+            .filter(F.col("max_span") >= min_tokens)
+        )
+        # materialize the SMALL pair frame, then release the cached index
+        return out.transform(stage_barrier)
+    finally:
+        raw.unpersist()
 
 
 def exact_span_pairs_sql(
@@ -1227,12 +1253,19 @@ def exact_span_pairs_sql(
     min_tokens: int = 8,
     max_shingle_df: int = 1000,
 ) -> str:
-    """DuckDB twin of :func:`exact_span_pairs`."""
+    """DuckDB twin of :func:`exact_span_pairs` — the 60-bit md5-prefix
+    fingerprint mirrors the Spark join key exactly (digit-position
+    arithmetic because DuckDB has no conv())."""
     fps = T.shingle_fingerprints_sql(text_col, n)
+    digit = "(strpos('0123456789abcdef', substr(s0, {d}, 1)) - 1)"
+    fp = " + ".join(f"{digit.format(d=d + 1)} * {16 ** (14 - d)}" for d in range(15))
     return f"""
         WITH fp_all AS (
-            SELECT {id_col} AS id, generate_subscripts(f, 1) - 1 AS pos, unnest(f) AS h
-            FROM (SELECT {id_col}, {fps} AS f FROM {table})
+            SELECT id, pos, CAST({fp} AS BIGINT) AS h FROM (
+                SELECT {id_col} AS id, generate_subscripts(f, 1) - 1 AS pos,
+                       unnest(f) AS s0
+                FROM (SELECT {id_col}, {fps} AS f FROM {table})
+            )
         ),
         heavy AS (SELECT h FROM fp_all GROUP BY h HAVING count(*) > {max_shingle_df}),
         fp AS (SELECT * FROM fp_all WHERE h NOT IN (SELECT h FROM heavy)),
