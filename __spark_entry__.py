@@ -1879,7 +1879,18 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                 clean = f"d{d}: " + ctrl.sub(" ", text or "")
                 m = d % 5
                 if m == 0:
-                    blob = make_xls_bytes({"S": [["t"], [clean]]})
+                    # r12: rotate the xls encryption shapes — CryptoAPI
+                    # RC4 (SHA-1 lineage), binary RC4 (MD5 lineage, the
+                    # VelvetSweatshop default), and plain; readback is
+                    # byte-equal in every shape
+                    from architxt_spark.sources.xls import DEFAULT_XLS_PASSWORD
+
+                    kw = {}
+                    if d % 4 == 0:
+                        kw = {"password": DEFAULT_XLS_PASSWORD, "crypto_api": True}
+                    elif d % 4 == 1:
+                        kw = {"password": DEFAULT_XLS_PASSWORD}
+                    blob = make_xls_bytes({"S": [["t"], [clean]]}, **kw)
                     with tempfile.NamedTemporaryFile(
                         suffix=".xls", delete=False
                     ) as f:

@@ -196,12 +196,15 @@ def _rc4_verify(password: str, body: bytes) -> bytes | None:
     return base if hashlib.md5(verifier).digest() == vhash else None
 
 
-def _rc4_apply(stream: bytes, base: bytes) -> bytes:
+def _rc4_apply(stream: bytes, base: bytes, ks: bytes | None = None) -> bytes:
     """De/encrypt record bodies in place against the stream-offset-
     aligned keystream: headers, exempt records, and BoundSheet8's
     first-4-byte ``lbPlyPos`` stay plaintext, but the keystream still
-    advances over them (it is tied to the absolute offset)."""
-    ks = _rc4_stream_keystream(base, len(stream))
+    advances over them (it is tied to the absolute offset).  ``ks``
+    overrides the binary-RC4 keystream (the CryptoAPI variant shares
+    this record walk with its SHA-1-derived blocks)."""
+    if ks is None:
+        ks = _rc4_stream_keystream(base, len(stream))
     out = bytearray(stream)
     pos = 0
     while pos + 4 <= len(stream):
@@ -215,6 +218,38 @@ def _rc4_apply(stream: bytes, base: bytes) -> bytes:
     return bytes(out)
 
 
+def _capi_block_key(h0: bytes, block: int, key_bytes: int) -> bytes:
+    """RC4 CryptoAPI block key (MS-OFFCRYPTO §2.3.5.2): SHA-1 of the
+    password hash + little-endian block number; the 40-bit export
+    variant pads its 5 real bytes to a 16-byte key with zeros."""
+    k = hashlib.sha1(h0 + struct.pack("<I", block)).digest()[:key_bytes]
+    if key_bytes == 5:
+        k += b"\x00" * 11
+    return k
+
+
+def _capi_stream_keystream(h0: bytes, key_bytes: int, n: int) -> bytes:
+    out = bytearray()
+    block = 0
+    while len(out) < n:
+        out += _rc4_keystream(_capi_block_key(h0, block, key_bytes), 1024)
+        block += 1
+    return bytes(out[:n])
+
+
+def _capi_verify(
+    password: str, salt: bytes, enc_verifier: bytes, enc_hash: bytes,
+    key_bytes: int,
+) -> bytes | None:
+    """CryptoAPI verifier check; returns the SHA-1 password hash (the
+    per-block key seed) on success."""
+    h0 = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+    ks = _rc4_keystream(_capi_block_key(h0, 0, key_bytes), 36)
+    verifier = bytes(a ^ b for a, b in zip(enc_verifier, ks[:16]))
+    vhash = bytes(a ^ b for a, b in zip(enc_hash, ks[16:36]))
+    return h0 if hashlib.sha1(verifier).digest() == vhash else None
+
+
 def _decrypt_workbook(wb: bytes, filepass_body: bytes, password: str | None) -> bytes:
     """Dispatch on the FILEPASS shape and return the decrypted stream."""
     if len(filepass_body) == 4 or struct.unpack("<H", filepass_body[:2])[0] == 0:
@@ -223,15 +258,40 @@ def _decrypt_workbook(wb: bytes, filepass_body: bytes, password: str | None) -> 
             "re-save unencrypted or as .xlsx"
         )
     vmajor, vminor = struct.unpack("<HH", filepass_body[2:6])
-    if (vmajor, vminor) != (1, 1):
+    passwords = [password] if password else [DEFAULT_XLS_PASSWORD]
+    if (vmajor, vminor) == (1, 1):  # binary RC4 (MD5 lineage)
+        for pw in passwords:
+            base = _rc4_verify(pw, filepass_body)
+            if base is not None:
+                return _rc4_apply(wb, base)
+    elif vmajor in (2, 3, 4) and vminor == 2:  # RC4 CryptoAPI (SHA-1)
+        try:
+            (header_size,) = struct.unpack("<I", filepass_body[10:14])
+            header = filepass_body[14 : 14 + header_size]
+            alg_id, _alg_hash, key_size = struct.unpack("<III", header[8:20])
+        except struct.error as e:
+            raise ValueError("malformed CryptoAPI FILEPASS record") from e
+        if alg_id != 0x6801:  # RC4; CryptoAPI AES workbooks are exotic
+            raise NotImplementedError(
+                f"CryptoAPI .xls with AlgID 0x{alg_id:X} (not RC4) needs "
+                "msoffcrypto-tool; re-save as .xlsx"
+            )
+        key_bytes = (key_size or 40) // 8  # KeySize 0 means the 40-bit export grade
+        ver = filepass_body[14 + header_size :]
+        (salt_size,) = struct.unpack("<I", ver[:4])
+        salt = ver[4 : 4 + salt_size]
+        enc_verifier = ver[4 + salt_size : 20 + salt_size]
+        enc_hash = ver[24 + salt_size : 44 + salt_size]
+        for pw in passwords:
+            h0 = _capi_verify(pw, salt, enc_verifier, enc_hash, key_bytes)
+            if h0 is not None:
+                ks = _capi_stream_keystream(h0, key_bytes, len(wb))
+                return _rc4_apply(wb, b"", ks)
+    else:
         raise NotImplementedError(
-            f"CryptoAPI-encrypted .xls (EncryptionVersionInfo {vmajor}.{vminor}) "
+            f".xls FILEPASS EncryptionVersionInfo {vmajor}.{vminor} "
             "needs xlrd/msoffcrypto; re-save as .xlsx"
         )
-    for pw in ([password] if password else [DEFAULT_XLS_PASSWORD]):
-        base = _rc4_verify(pw, filepass_body)
-        if base is not None:
-            return _rc4_apply(wb, base)
     raise ValueError(
         "encrypted .xls: password verification failed "
         "(tried the default 'VelvetSweatshop'; pass password=...)"
@@ -534,6 +594,7 @@ def make_xls_bytes(
     sst_continue_at: int | None = None,
     biff: int = 8,
     password: str | None = None,
+    crypto_api: bool = False,
 ) -> bytes:
     """Serialize ``{sheet: [[cell, ...], ...]}`` into a real BIFF8 ``.xls``
     (OLE2 container + Workbook stream).  ``mini=True`` stores the
@@ -584,7 +645,30 @@ def make_xls_bytes(
     # FILEPASS body is stream-independent: deterministic salt/verifier
     filepass = b""
     base_key = None
-    if password is not None:
+    capi_h0 = None
+    if password is not None and crypto_api:
+        # RC4 CryptoAPI shape (MS-OFFCRYPTO §2.3.5): SHA-1 lineage,
+        # version 2.2, 128-bit key, explicit header + verifier
+        salt = hashlib.md5(b"architxt-capi-salt:" + password.encode()).digest()
+        verifier = hashlib.md5(b"architxt-capi-verifier:" + salt).digest()
+        capi_h0 = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+        ks = _rc4_keystream(_capi_block_key(capi_h0, 0, 16), 36)
+        enc_verifier = bytes(a ^ b for a, b in zip(verifier, ks[:16]))
+        vhash = hashlib.sha1(verifier).digest()
+        enc_hash = bytes(a ^ b for a, b in zip(vhash, ks[16:36]))
+        header = (
+            struct.pack("<IIIIIIII", 4, 0, 0x6801, 0x8004, 128, 1, 0, 0)
+            + "Microsoft Base Cryptographic Provider v1.0\x00".encode("utf-16-le")
+        )
+        filepass = rec(
+            0x002F,
+            struct.pack("<HHHII", 1, 2, 2, 4, len(header))
+            + header
+            + struct.pack("<I", len(salt)) + salt
+            + enc_verifier
+            + struct.pack("<I", 20) + enc_hash,
+        )
+    elif password is not None:
         salt = hashlib.md5(b"architxt-salt:" + password.encode()).digest()
         verifier = hashlib.md5(b"architxt-verifier:" + salt).digest()
         base_key = _rc4_base_key(password, salt)
@@ -657,7 +741,10 @@ def make_xls_bytes(
     workbook = globals_blob(offsets) + b"".join(sheet_blobs)
     assert len(globals_blob(offsets)) == glen  # offsets don't change lengths
 
-    if base_key is not None:
+    if capi_h0 is not None:
+        ks = _capi_stream_keystream(capi_h0, 16, len(workbook))
+        workbook = _rc4_apply(workbook, b"", ks)  # symmetric: encrypts
+    elif base_key is not None:
         workbook = _rc4_apply(workbook, base_key)  # symmetric: encrypts
 
     return _wrap_ole2(workbook, mini=mini)

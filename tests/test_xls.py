@@ -126,16 +126,29 @@ def test_xls_gates_raise_with_guidance(tmp_path):
     with pytest.raises(NotImplementedError, match="XOR"):
         _read_xls_stdlib(str(px))
 
-    # CryptoAPI RC4 (EncryptionVersionInfo 4.2) — genuinely gated
+    # unknown EncryptionVersionInfo (5.1) — genuinely gated (2.2/3.2/
+    # 4.2 CryptoAPI RC4 decrypts as of r12; a malformed supported-
+    # version body raises a clean ValueError, tested below)
     wbc = (
         rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
-        + rec(0x002F, struct.pack("<HHH", 1, 4, 2) + b"\x00" * 48)
+        + rec(0x002F, struct.pack("<HHH", 1, 5, 1) + b"\x00" * 48)
         + rec(0x000A, b"")
     )
     pc = tmp_path / "capi.xls"
     pc.write_bytes(_wrap_ole2(wbc, mini=False))
-    with pytest.raises(NotImplementedError, match="CryptoAPI"):
+    with pytest.raises(NotImplementedError, match="EncryptionVersionInfo"):
         _read_xls_stdlib(str(pc))
+
+    # malformed CryptoAPI body: clean error, not a struct traceback
+    wbm = (
+        rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + rec(0x002F, struct.pack("<HHH", 1, 4, 2) + b"\x00" * 4)
+        + rec(0x000A, b"")
+    )
+    pm = tmp_path / "malformed.xls"
+    pm.write_bytes(_wrap_ole2(wbm, mini=False))
+    with pytest.raises(ValueError, match="malformed CryptoAPI"):
+        _read_xls_stdlib(str(pm))
 
     # not an OLE2 file at all
     pz = tmp_path / "z.xls"
@@ -209,3 +222,54 @@ def test_read_document_file_xls_end_to_end(spark, tmp_path):
     trees = rows_to_trees([r.asDict(recursive=True) for r in nodes.collect()])
     text = " ".join(str(t) for t in trees.values())
     assert "Alice" in text and "Paris" in text and "75001" in text
+
+
+# ---------------------------------------------------------------------------
+# RC4 CryptoAPI (r12): the SHA-1-lineage FILEPASS shape (version 2.2)
+# Excel 2002+ writes when CryptoAPI providers are selected
+# ---------------------------------------------------------------------------
+
+
+def test_crypto_api_rc4_roundtrip(tmp_path):
+    from architxt_spark.sources.xls import (
+        DEFAULT_XLS_PASSWORD,
+        _read_xls_stdlib,
+        make_xls_bytes,
+    )
+
+    sheets = {"S": [["h1", "h2"], ["a", "1"], ["b", "2.5"]]}
+    plain = tmp_path / "plain.xls"
+    plain.write_bytes(make_xls_bytes(sheets))
+    expected = _read_xls_stdlib(str(plain))
+
+    # default password: opens transparently (same convention as binary RC4)
+    p = tmp_path / "capi_default.xls"
+    p.write_bytes(
+        make_xls_bytes(sheets, password=DEFAULT_XLS_PASSWORD, crypto_api=True)
+    )
+    assert _read_xls_stdlib(str(p)) == expected
+
+    # custom password: gated without, opens with
+    p2 = tmp_path / "capi_pw.xls"
+    p2.write_bytes(make_xls_bytes(sheets, password="myPw1", crypto_api=True))
+    with pytest.raises(ValueError, match="verification failed"):
+        _read_xls_stdlib(str(p2))
+    assert _read_xls_stdlib(str(p2), password="myPw1") == expected
+
+
+def test_crypto_api_non_rc4_algid_gated(tmp_path):
+    import re as _re
+
+    from architxt_spark.sources.xls import _read_xls_stdlib, make_xls_bytes
+
+    blob = make_xls_bytes({"S": [["t"], ["v"]]}, password="x", crypto_api=True)
+    # flip the header AlgID RC4 (0x6801) -> AES-128 (0x660E): loud gate
+    import struct as _struct
+
+    bad = blob.replace(
+        _struct.pack("<II", 0x6801, 0x8004), _struct.pack("<II", 0x660E, 0x8004), 1
+    )
+    p = tmp_path / "aes.xls"
+    p.write_bytes(bad)
+    with pytest.raises(NotImplementedError, match="AlgID"):
+        _read_xls_stdlib(str(p), password="x")
