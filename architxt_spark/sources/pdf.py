@@ -27,11 +27,13 @@ encodings plus ToUnicode-mapped simple and Identity-H composite fonts
 sheets, LaTeX and office-suite output).  Composite fonts WITHOUT a
 usable ToUnicode CMap (or with >2-byte/mixed code spaces) still need a
 real PDF library — their CMaps are rejected whole rather than
-mis-split, falling back to latin-1.  RC4-encrypted documents (the
-standard security handler, ``/V`` 1-2 — the common "protected" PDF)
-decrypt transparently when the user password is empty, or with an
-explicit ``password=``; AES (``/V`` 4-5) and non-standard handlers
-raise ``NotImplementedError`` with guidance.
+mis-split, falling back to latin-1.  Encrypted documents under the
+standard security handler decrypt across its published shapes — RC4
+(``/V`` 1-2), crypt-filter RC4 / AES-128 (``/V`` 4), and AES-256
+(``/V`` 5, revisions 5 and 6 with the hardened hash) — transparently
+when the user password is empty (V5 also accepts the owner password),
+or with an explicit ``password=``; non-standard handlers and unknown
+crypt filters raise ``NotImplementedError`` with guidance.
 
 ``make_pdf_bytes`` is the fixture twin: a structurally complete PDF
 (catalog → page tree → pages → Flate'd content streams + xref table +
@@ -171,6 +173,10 @@ def _std_security_key(
     return key if ok else None
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     """The V5/R6 password hash (ISO 32000-2 Algorithm 2.B): SHA-256
     seed, then the AES-CBC hardening loop — round key/IV come from the
