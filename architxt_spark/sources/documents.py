@@ -164,7 +164,7 @@ def _xlsx_col_index(cell_ref: str) -> int:
     return idx - 1
 
 
-def _read_xlsx_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
+def _read_xlsx_stdlib(path: str, password: str = "") -> dict[str, list[dict[str, str]]]:
     """Read-only ``.xlsx`` parser on stdlib ``zipfile`` + ``ElementTree``:
     sheet name → list of row records (first row = header), every value a
     string (the meta-model's value domain — same shape as the reference's
@@ -179,7 +179,7 @@ def _read_xlsx_stdlib(path: str) -> dict[str, list[dict[str, str]]]:
 
     from architxt_spark.sources.office import _ooxml_source
 
-    with zipfile.ZipFile(_ooxml_source(path)) as z:
+    with zipfile.ZipFile(_ooxml_source(path, password)) as z:
         names = set(z.namelist())
 
         # shared strings table (absent when the workbook has none)
@@ -257,6 +257,7 @@ def read_document_file(
     root_name: str = "ROOT",
     raw_read: bool = False,
     sample: int = 0,
+    password: str = "",
 ) -> DataFrame:
     """File-format parser chain (``read_document``,
     ``loader/documents.py:22-29,32-101``): JSON / JSONL / CSV / XML / TOML
@@ -317,7 +318,7 @@ def read_document_file(
         # one record dict per row, sheet name as the root key.  xlsx is a
         # zip of XML, so read-only cell extraction needs no openpyxl —
         # stdlib zipfile + ElementTree (sharedStrings + sheetData walk).
-        data = _read_xlsx_stdlib(path)
+        data = _read_xlsx_stdlib(path, password)
     elif ext == ".xls":
         # legacy binary BIFF reads with the stdlib (OLE2 FAT/mini-FAT +
         # record walk + CONTINUE-aware SST; BIFF5 codepage strings and
@@ -326,7 +327,7 @@ def read_document_file(
         # >6.8 MB-DIFAT workbooks still raise with xlrd guidance
         from architxt_spark.sources.xls import _read_xls_stdlib
 
-        data = _read_xls_stdlib(path)
+        data = _read_xls_stdlib(path, password=password or None)
     elif ext in (".docx", ".odt", ".pptx"):
         # word-processor / presentation text (r11.5, beyond-reference):
         # zip + XML paragraph walk (``sources/office.py``) → one record
@@ -343,7 +344,10 @@ def read_document_file(
             ".odt": read_odt_paragraphs,
             ".pptx": read_pptx_slides,
         }[ext]
-        data = [{"idx": str(i), "text": p} for i, p in enumerate(reader(path))]
+        data = [
+            {"idx": str(i), "text": p}
+            for i, p in enumerate(reader(path, password=password))
+        ]
     elif ext == ".pdf":
         # basic machine-generated-PDF text (r11.5, beyond-reference):
         # object-scan + FlateDecode + BT/ET text operators
@@ -352,7 +356,7 @@ def read_document_file(
 
         data = [
             {"idx": str(i), "text": p}
-            for i, p in enumerate(read_pdf_pages(path))
+            for i, p in enumerate(read_pdf_pages(path, password=password))
         ]
     else:
         raise ValueError(f"unsupported document format: {ext}")

@@ -50,7 +50,7 @@ def _para_text(el) -> str:
     return "".join(parts)
 
 
-def _ooxml_source(path_or_bytes):
+def _ooxml_source(path_or_bytes, password: str = ""):
     """File-like (or passthrough path) for an OOXML zip, transparently
     decrypting the OLE2 password-protected container shape — Standard
     and Agile encryption, Excel's default password tried automatically
@@ -68,7 +68,7 @@ def _ooxml_source(path_or_bytes):
             data = f.read()
     from architxt_spark.sources.ooxml_crypto import decrypt_ooxml
 
-    return io.BytesIO(decrypt_ooxml(data))
+    return io.BytesIO(decrypt_ooxml(data, password))
 
 
 def _odf_encryption_entry(z: "zipfile.ZipFile", name: str) -> dict | None:
@@ -144,12 +144,12 @@ def _odf_encryption_entry(z: "zipfile.ZipFile", name: str) -> dict | None:
     return None
 
 
-def read_docx_paragraphs(path_or_bytes) -> list[str]:
+def read_docx_paragraphs(path_or_bytes, *, password: str = "") -> list[str]:
     """Paragraph texts of a ``.docx`` in document order (empty
     paragraphs dropped).  Accepts a path or raw bytes; password-
     protected (OLE2-wrapped) files decrypt transparently when the
-    default password opens them."""
-    src = _ooxml_source(path_or_bytes)
+    default password opens them, or with an explicit ``password``."""
+    src = _ooxml_source(path_or_bytes, password)
     try:
         with zipfile.ZipFile(src) as z:
             with z.open("word/document.xml") as f:
@@ -165,11 +165,11 @@ def read_docx_paragraphs(path_or_bytes) -> list[str]:
     return out
 
 
-def read_pptx_slides(path_or_bytes) -> list[str]:
+def read_pptx_slides(path_or_bytes, *, password: str = "") -> list[str]:
     """Per-slide text of a ``.pptx`` in slide-number order: every
     paragraph (``a:p``) of every shape, newline-joined per slide (empty
     slides kept as empty strings so slide numbering survives)."""
-    src = _ooxml_source(path_or_bytes)
+    src = _ooxml_source(path_or_bytes, password)
     import re
 
     out: list[str] = []

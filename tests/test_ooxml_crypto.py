@@ -141,3 +141,41 @@ def test_encrypted_odt_blowfish_gated():
     }
     with pytest.raises(NotImplementedError, match="Blowfish|algorithm"):
         odf_decrypt_entry(b"\x00" * 16, params, "pw")
+
+
+def test_read_document_file_password_plumbing(spark, tmp_path):
+    """One password kwarg opens every encrypted format through the
+    top-level loader: OOXML docx, ODF odt, AES PDF, CryptoAPI xls."""
+    from architxt_spark.sources.documents import read_document_file
+    from architxt_spark.sources.office import make_docx_bytes, make_odt_bytes
+    from architxt_spark.sources.ooxml_crypto import (
+        make_encrypted_odt,
+        make_encrypted_ooxml,
+    )
+    from architxt_spark.sources.pdf import make_pdf_bytes
+    from architxt_spark.sources.xls import make_xls_bytes
+
+    cases = {
+        "d.docx": make_encrypted_ooxml(
+            make_docx_bytes(["Secret paragraph."]), password="pw1"
+        ),
+        "d.odt": make_encrypted_odt(make_odt_bytes(["Secret odt text."]), "pw1"),
+        "d.pdf": make_pdf_bytes(
+            ["Secret pdf page."], encrypt="aesv2", user_password="pw1"
+        ),
+        "d.xls": make_xls_bytes(
+            {"S": [["t"], ["secret cell"]]}, password="pw1", crypto_api=True
+        ),
+    }
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        nodes = read_document_file(spark, str(p), password="pw1")
+        leaves = {
+            r.leaf_value
+            for r in nodes.filter("leaf_value is not null").collect()
+        }
+        assert any("ecret" in (v or "") for v in leaves), name
+        # and without the password: loud error, not silence
+        with pytest.raises((NotImplementedError, ValueError)):
+            read_document_file(spark, str(p))
