@@ -59,3 +59,36 @@ def test_pdf_r6_hash_shape():
     assert _hash_2b(b"pw", b"saltsalt", b"") != h1
     assert _hash_2b(b"", b"other888", b"") != h1
     assert _hash_2b(b"", b"saltsalt", b"u" * 48) != h1
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        key=st.binary(min_size=16, max_size=16)
+        | st.binary(min_size=24, max_size=24)
+        | st.binary(min_size=32, max_size=32),
+        block=st.binary(min_size=16, max_size=16),
+    )
+    def check(key, block):
+        assert aes.decrypt_block(key, aes.encrypt_block(key, block)) == block
+
+    check()
+
+
+def test_cbc_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        key=st.binary(min_size=16, max_size=16),
+        iv=st.binary(min_size=16, max_size=16),
+        msg=st.binary(min_size=0, max_size=200),
+    )
+    def check(key, iv, msg):
+        assert aes.cbc_decrypt(key, aes.cbc_encrypt(key, iv, msg)) == msg
+
+    check()
