@@ -62,7 +62,7 @@ def _parse_objects(
     objects: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
         num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
-        if enc is not None and b"/Type /XRef" not in body:
+        if enc is not None and not re.search(rb"/Type\s*/XRef\b", body):
             sm = _STREAM_RE.search(body)
             if sm is not None:
                 dec = _decrypt_stream(sm.group(1), enc, num, gen)
@@ -233,6 +233,40 @@ def _v5_file_key(enc: bytes, password: str) -> bytes | None:
     return None
 
 
+def _dict_top_level(body: bytes) -> bytes:
+    """``body`` with nested ``<< … >>`` sub-dictionaries and string
+    tokens removed, so searches for top-level keys cannot match
+    per-filter entries.  qpdf writes the /Encrypt dictionary in
+    alphabetical key order, putting ``/CF << … /Length 16 … >>`` (a
+    crypt filter's key length in BYTES) before the top-level
+    ``/Length 128`` (bits) — a first-match scan over the raw body
+    reads 16 bits = 2 bytes and rejects a perfectly openable file."""
+    out = bytearray()
+    depth = 0
+    i, n = 0, len(body)
+    while i < n:
+        if body.startswith(b"<<", i):
+            depth += 1
+            i += 2
+            continue
+        if body.startswith(b">>", i):
+            depth -= 1
+            i += 2
+            continue
+        b = body[i]
+        if b == 0x28:  # ( literal string — may contain << >> bytes
+            _, i = _literal_string(body, i)
+            continue
+        if b == 0x3C:  # < hex string (`<<` handled above)
+            j = body.find(b">", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if depth <= 1:
+            out.append(b)
+        i += 1
+    return bytes(out)
+
+
 def _encryption_key(
     data: bytes, password: str = ""
 ) -> tuple[str, bytes] | None:
@@ -297,10 +331,15 @@ def _encryption_key(
             )
     o, u = _pdf_string_entry(enc, b"O"), _pdf_string_entry(enc, b"U")
     p_m = re.search(rb"/P\s+(-?\d+)", enc)
-    len_m = re.search(rb"/Length\s+(\d+)", enc)
+    # /Length must come from the TOP level of the dictionary — crypt
+    # filter sub-dicts carry their own /Length in bytes (see
+    # _dict_top_level).  A sub-40 value is already bytes (ambiguous
+    # writers), ≥40 is bits per the spec.
+    len_m = re.search(rb"/Length\s+(\d+)", _dict_top_level(enc))
     if o is None or u is None or p_m is None:
         raise ValueError("malformed /Encrypt dictionary (missing O/U/P)")
-    n_key = (int(len_m.group(1)) if len_m and v >= 2 else 40) // 8
+    lv = int(len_m.group(1)) if len_m and v >= 2 else 40
+    n_key = lv // 8 if lv >= 40 else lv
     if mode == "aesv2":
         n_key = 16
     metadata_clear = bool(re.search(rb"/EncryptMetadata\s+false", enc))
@@ -482,10 +521,16 @@ def _tounicode_map(cm: bytes) -> tuple[int, dict[int, str]] | None:
             else:
                 base = dst_text(dst[1:-1])
                 if base:
-                    # increment applies to the LAST UTF-16 unit (spec 9.10.3)
-                    head, last = base[:-1], base[-1]
+                    # increment applies to the LAST UTF-16 unit (spec 9.10.3);
+                    # corrupt CMaps can walk past U+10FFFF or into the
+                    # surrogate block — skip those codes (they fall back to
+                    # latin-1 like any unmapped code) instead of crashing
+                    head, last = base[:-1], ord(base[-1])
                     for code in range(lo, hi + 1):
-                        out[code] = head + chr(ord(last) + code - lo)
+                        cp = last + code - lo
+                        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                            continue
+                        out[code] = head + chr(cp)
     return (width, out) if out else None
 
 
@@ -566,6 +611,9 @@ def _literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
+_TF_RE = re.compile(rb"(/\w+)\s+[\d.]+\s+Tf")
+
+
 def _extract_text(
     content: bytes, fonts: dict[bytes, tuple[int, dict[int, str]]] | None = None
 ) -> str:
@@ -580,13 +628,6 @@ def _extract_text(
     n = len(content)
     pending: list[bytes] = []
     cmap: tuple[int, dict[int, str]] | None = None
-    # font-select operators (`/F1 12 Tf`), applied as the scan passes them
-    fsel = (
-        [(m.end(), m.group(1)) for m in re.finditer(rb"(/\w+)\s+[\d.]+\s+Tf", content)]
-        if fonts
-        else []
-    )
-    fidx = 0
 
     def flush() -> None:
         if pending:
@@ -612,11 +653,17 @@ def _extract_text(
             pending.clear()
 
     while i < n:
-        while fidx < len(fsel) and i >= fsel[fidx][0]:
-            cmap = fonts.get(fsel[fidx][1]) if fonts else None
-            fidx += 1
         b = content[i]
-        if b == 0x28:  # literal string
+        if b == 0x2F and fonts:  # name token — font select (`/F1 12 Tf`)?
+            # tracked during the main walk (which skips string literals)
+            # so '/F2 9 Tf' INSIDE a shown string never switches fonts
+            fm = _TF_RE.match(content, i)
+            if fm is not None:
+                cmap = fonts.get(fm.group(1))
+                i = fm.end()
+            else:
+                i += 1
+        elif b == 0x28:  # literal string
             s, i = _literal_string(content, i)
             pending.append(s)
         elif b == 0x3C and i + 1 < n and content[i + 1] != 0x3C:  # hex string
@@ -651,10 +698,13 @@ def _extract_text(
 
 
 def read_pdf_pages(path_or_bytes, *, password: str = "") -> list[str]:
-    """Extracted text per page, in page-tree order.  RC4-encrypted
-    documents (the standard security handler, V 1-2) open transparently
+    """Extracted text per page, in page-tree order.  Encrypted
+    documents under the standard security handler open transparently
     when the user password is empty — the common "protected" shape —
-    or with an explicit ``password``; AES stays gated."""
+    or with an explicit ``password``: RC4 (V 1-2 and V4 /V2 filters),
+    AES-128-CBC (V4 /AESV2), and AES-256 (V5 R5/R6 /AESV3, which also
+    accepts the owner password).  Non-standard handlers and unknown
+    crypt filters raise ``NotImplementedError`` with guidance."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
@@ -832,7 +882,7 @@ def make_pdf_bytes(
     ``object_streams=True`` emits the MODERN (PDF 1.5+) file shape the
     way LibreOffice/reportlab/qpdf do: the catalog, page tree, page and
     font dictionaries packed into one Flate'd ``/ObjStm`` and located by
-    a compressed CROSS-REFERENCE STREAM (``/W [1 2 2]``, Predictor 12 =
+    a compressed CROSS-REFERENCE STREAM (``/W [1 4 2]``, Predictor 12 =
     PNG Up, type-2 entries) instead of a classic xref table — none of
     the page structure is visible to a raw ``N 0 obj`` scan without
     object-stream expansion.  ``tounicode=True`` stores every string

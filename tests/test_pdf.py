@@ -288,3 +288,87 @@ def test_pdf_unknown_encryption_still_gated():
     blob = make_pdf_bytes(ASCII_PAGES, encrypt=True)
     with pytest.raises(NotImplementedError, match="non-standard"):
         read_pdf_pages(blob.replace(b"/V 2 /R 3", b"/V 3 /R 3"))
+
+
+# ---------------------------------------------------------------------------
+# r13 hardening: hostile-writer /Encrypt key orders, malformed CMaps,
+# Tf operators inside string literals, /Type/XRef spacing
+# ---------------------------------------------------------------------------
+
+
+def test_encrypt_length_reads_top_level_not_crypt_filter():
+    """qpdf writes /Encrypt keys alphabetically: the /CF sub-dict (with
+    its per-filter /Length in BYTES) precedes the top-level /Length in
+    bits.  A first-match scan reads 16 bits = 2 key bytes and rejects a
+    perfectly openable RC4 file."""
+    blob = make_pdf_bytes(ASCII_PAGES, encrypt=True)
+    qpdf_order = blob.replace(
+        b"/V 2 /R 3 /Length 128",
+        b"/CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen /Length 16 >> >> "
+        b"/V 2 /R 3 /Length 128",
+    )
+    assert qpdf_order != blob
+    assert read_pdf_pages(qpdf_order) == ASCII_PAGES
+
+
+def test_encrypt_length_sub40_treated_as_bytes():
+    # ambiguous writers emit the key length in bytes; < 40 can only be
+    # bytes (the spec's minimum is 40 bits)
+    blob = make_pdf_bytes(ASCII_PAGES, encrypt=True)
+    in_bytes = blob.replace(b"/Length 128", b"/Length 16")
+    assert read_pdf_pages(in_bytes) == ASCII_PAGES
+
+
+def test_dict_top_level_strips_subdicts_and_strings():
+    from architxt_spark.sources.pdf import _dict_top_level
+
+    body = (
+        b"<< /CF << /StdCF << /Length 16 >> >> /Length 128 "
+        b"/O (paren \\) and << inside) /U <4c656e677468203939> >>"
+    )
+    top = _dict_top_level(body)
+    assert b"/Length 128" in top
+    assert b"16" not in top  # sub-dict entry gone
+    assert b"99" not in top and b"4c65" not in top  # string bodies gone
+
+
+def test_bfrange_near_unicode_ceiling_degrades_not_crashes():
+    from architxt_spark.sources.pdf import _tounicode_map
+
+    # base U+10FFFD: +0..2 valid, +3.. overflows chr() range — the
+    # overflowing codes must fall back (absent), not raise
+    base = "\U0010fffd".encode("utf-16-be").hex().encode()
+    cm = b"1 beginbfrange <00> <07> <" + base + b"> endbfrange"
+    w, m = _tounicode_map(cm)
+    assert w == 1
+    assert m[0] == "\U0010fffd" and m[2] == "\U0010ffff"
+    assert 3 not in m and 7 not in m
+    # base walking INTO the surrogate block: mapped below, absent inside
+    cm2 = b"1 beginbfrange <00> <04> <D7FE> endbfrange"
+    _, m2 = _tounicode_map(cm2)
+    assert m2[0] == "퟾" and m2[1] == "퟿"
+    assert 2 not in m2 and 4 not in m2
+
+
+def test_tf_inside_string_literal_does_not_switch_font():
+    from architxt_spark.sources.pdf import _extract_text
+
+    fonts = {b"/F1": (1, {ord("a"): "X"})}
+    # the shown string CONTAINS the byte sequence '/F1 9 Tf'; a
+    # whole-stream pre-scan would switch to /F1 and map 'a'→'X' in the
+    # following string
+    content = b"BT /F9 9 Tf (see /F1 9 Tf here) Tj (banana) Tj ET"
+    assert _extract_text(content, fonts) == "see /F1 9 Tf herebanana"
+    # real font selects outside strings still apply
+    content2 = b"BT /F1 9 Tf (banana) Tj ET"
+    assert _extract_text(content2, fonts) == "bXnXnX"
+
+
+def test_xref_stream_exemption_tolerates_tight_spacing():
+    from architxt_spark.sources.pdf import _parse_objects
+
+    # '/Type/XRef' (no space) must be exempt from decryption just like
+    # '/Type /XRef' — the spec leaves xref streams in the clear
+    raw = b"7 0 obj << /Type/XRef >> stream\nCLEARDATA\nendstream endobj"
+    objs = _parse_objects(raw, enc=("rc4", b"k" * 16))
+    assert b"CLEARDATA" in objs[7]
