@@ -47,7 +47,32 @@ import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_DIRECT_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _stream_span(body: bytes) -> tuple[int, int] | None:
+    """``(start, end)`` byte span of one object's stream payload.
+
+    Uses the dictionary's DIRECT ``/Length`` when an ``endstream``
+    keyword sits at that offset — the spec-correct boundary, immune to
+    payload bytes that mimic the terminator (ciphertext or Flate data
+    ending in ``0x0D`` loses its last byte to the non-greedy scan's
+    optional ``\\r``, a 1-in-256-per-stream corruption) — and falls
+    back to the ``stream…endstream`` scan for indirect or absent
+    ``/Length`` entries."""
+    sm = _STREAM_START_RE.search(body)
+    if sm is None:
+        return None
+    start = sm.end()
+    lm = _DIRECT_LENGTH_RE.search(body[: sm.start()])
+    if lm is not None:
+        end = start + int(lm.group(1))
+        if re.match(rb"\s*endstream\b", body[end:]):
+            return (start, end)
+    m = _STREAM_RE.search(body)
+    return (m.start(1), m.end(1)) if m is not None else None
 
 
 def _parse_objects(
@@ -63,10 +88,10 @@ def _parse_objects(
     for m in _OBJ_RE.finditer(data):
         num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
         if enc is not None and not re.search(rb"/Type\s*/XRef\b", body):
-            sm = _STREAM_RE.search(body)
-            if sm is not None:
-                dec = _decrypt_stream(sm.group(1), enc, num, gen)
-                body = body[: sm.start(1)] + dec + body[sm.end(1):]
+            span = _stream_span(body)
+            if span is not None:
+                dec = _decrypt_stream(body[span[0]: span[1]], enc, num, gen)
+                body = body[: span[0]] + dec + body[span[1]:]
         objects[num] = body
     _expand_object_streams(objects)
     return objects
@@ -406,10 +431,10 @@ _PREDICTOR_RE = re.compile(
 
 
 def _object_stream(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if m is None:
+    span = _stream_span(body)
+    if span is None:
         return None
-    raw = m.group(1)
+    raw = body[span[0]: span[1]]
     if b"FlateDecode" not in body:
         return raw
     try:
@@ -840,10 +865,10 @@ def _fixture_encryption_v5(
 def _encrypt_body(
     body: bytes, mode: str, key: bytes, num: int, gen: int = 0
 ) -> bytes:
-    sm = _STREAM_RE.search(body)
-    if sm is None:
+    span = _stream_span(body)
+    if span is None:
         return body
-    raw = sm.group(1)
+    raw = body[span[0]: span[1]]
     if mode == "rc4":
         ct = _rc4_object(raw, key, num, gen)
     else:
@@ -860,7 +885,7 @@ def _encrypt_body(
         else:
             obj = key
         ct = cbc_encrypt(obj, iv, raw)
-    head, tail = body[: sm.start(1)], body[sm.end(1):]
+    head, tail = body[: span[0]], body[span[1]:]
     if len(ct) != len(raw):  # AES adds IV + padding: fix the declared length
         head = re.sub(rb"/Length \d+", b"/Length %d" % len(ct), head)
     return head + ct + tail

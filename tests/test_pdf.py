@@ -372,3 +372,37 @@ def test_xref_stream_exemption_tolerates_tight_spacing():
     raw = b"7 0 obj << /Type/XRef >> stream\nCLEARDATA\nendstream endobj"
     objs = _parse_objects(raw, enc=("rc4", b"k" * 16))
     assert b"CLEARDATA" in objs[7]
+
+
+def test_stream_span_honors_direct_length():
+    from architxt_spark.sources.pdf import _stream_span
+
+    # payload ENDS with CR: the non-greedy `\r?\nendstream` scan would
+    # eat it; the direct /Length boundary must not
+    payload = b"A" * 15 + b"\r"
+    body = b"<< /Length 16 >> stream\n" + payload + b"\nendstream"
+    s, e = _stream_span(body)
+    assert body[s:e] == payload
+    # indirect /Length (`5 0 R`) falls back to the scan
+    body2 = b"<< /Length 5 0 R >> stream\nBBBB\nendstream"
+    s2, e2 = _stream_span(body2)
+    assert body2[s2:e2] == b"BBBB"
+    # multi-digit indirect ref must not half-match as /Length 128
+    body3 = b"<< /Length 1280 0 R >> stream\nCCCCC\nendstream"
+    s3, e3 = _stream_span(body3)
+    assert body3[s3:e3] == b"CCCCC"
+    # a LYING direct /Length (no endstream there) falls back to the scan
+    body4 = b"<< /Length 99 >> stream\nDDD\nendstream"
+    s4, e4 = _stream_span(body4)
+    assert body4[s4:e4] == b"DDD"
+
+
+def test_ciphertext_ending_in_cr_roundtrips():
+    """Pinned seeds whose en/decrypted stream bytes END with 0x0D — the
+    1-in-256-per-stream shape where the `\\r?\\nendstream` scan used to
+    swallow the last payload byte and corrupt the document."""
+    for pages, mode in (["trap hunt 166"], "aesv3"), (["trap hunt 362"], True):
+        blob = make_pdf_bytes(pages, encrypt=mode)
+        if b"\r\nendstream" not in blob:  # seed drifted with the fixture
+            pytest.skip("fixture bytes changed; re-pin the trap seeds")
+        assert read_pdf_pages(blob) == pages
