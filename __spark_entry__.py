@@ -1918,16 +1918,22 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     back = read_docx_paragraphs(blob)[0]
                     fmt = "docx"
                 elif m == 2:
-                    # r12: half the odt docs travel password-protected
-                    # (ODF 1.2 manifest encryption: PBKDF2 + AES-256-CBC
-                    # over the raw-deflated content.xml)
+                    # r12: half the odt docs travel password-protected.
+                    # r13: the encrypted half rotates SCHEME per doc —
+                    # ODF 1.2 (PBKDF2 + AES-256-CBC) and the OpenOffice
+                    # ≤3.x legacy shape (SHA-1 start key, 16-byte PBKDF2
+                    # key, Blowfish 64-bit CFB, SHA1/1K checksum) — over
+                    # the raw-deflated content.xml; readback byte-equal
+                    # in every shape, so the oracle hash is
+                    # wrap-independent
                     blob = make_odt_bytes([clean])
                     if d % 4 < 2:
                         from architxt_spark.sources.ooxml_crypto import (
                             make_encrypted_odt,
                         )
 
-                        blob = make_encrypted_odt(blob, "gate")
+                        scheme = "aes" if d % 4 == 0 else "blowfish"
+                        blob = make_encrypted_odt(blob, "gate", scheme=scheme)
                         back = read_odt_paragraphs(blob, password="gate")[0]
                     else:
                         back = read_odt_paragraphs(blob)[0]

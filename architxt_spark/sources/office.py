@@ -125,12 +125,12 @@ def _odf_encryption_entry(z: "zipfile.ZipFile", name: str) -> dict | None:
                         "1024",
                     )
                 )
-                out["key_size"] = int(
-                    next(
-                        (v for k, v in el.attrib.items() if k.endswith("}key-size")),
-                        "32",
-                    )
+                ks = next(
+                    (v for k, v in el.attrib.items() if k.endswith("}key-size")),
+                    None,
                 )
+                if ks is not None:  # absent = spec default (16; AES writes 32)
+                    out["key_size"] = int(ks)
             elif tag == "start-key-generation":
                 out["start_key"] = next(
                     (

@@ -402,24 +402,30 @@ def make_encrypted_ooxml(
 
 
 def odf_decrypt_entry(ciphertext: bytes, params: dict, password: str) -> bytes:
-    """One encrypted ODF zip member → its plaintext XML.  ODF 1.2 §19:
-    start key = SHA-256 of the UTF-8 password, PBKDF2-HMAC-SHA1 over the
-    manifest salt/iteration-count, AES-256-CBC with the manifest IV,
-    W3C padding (last byte = pad length), then raw-deflate inflate.
-    The manifest checksum (SHA-256 of the first 1024 compressed bytes)
-    is the wrong-password signal."""
+    """One encrypted ODF zip member → its plaintext XML.
+
+    ODF 1.2 §19 (the LibreOffice default): start key = SHA-256 of the
+    UTF-8 password, PBKDF2-HMAC-SHA1 over the manifest
+    salt/iteration-count, AES-256-CBC with the manifest IV, W3C padding
+    (last byte = pad length).  The LEGACY shape (OpenOffice ≤3.x, ODF
+    1.0/1.1 — what a 2000s document dump hits at volume): start key =
+    SHA-1, PBKDF2 to a 16-byte key (the spec default when
+    ``manifest:key-size`` is absent), Blowfish in 64-bit-feedback CFB
+    (stream mode, no padding), checksum-type ``SHA1/1K``.  Both then
+    raw-deflate inflate; the manifest checksum over the first 1024
+    compressed bytes is the wrong-password signal."""
     import base64
     import zlib
 
-    from architxt_spark.functions.aes import cbc_decrypt_raw
-
-    alg = params.get("algorithm", "")
-    if "aes" not in alg.lower():
+    alg = params.get("algorithm", "").lower()
+    blowfish = "blowfish" in alg
+    if "aes" not in alg and not blowfish:
         raise NotImplementedError(
-            f"ODF encryption algorithm {alg!r} (legacy Blowfish?) needs "
+            f"ODF encryption algorithm {params.get('algorithm')!r} needs "
             "a real ODF library; re-save without a password"
         )
-    start_name = params.get("start_key", "sha256")
+    # absent start-key-generation element = SHA-1, per the ODF default
+    start_name = params.get("start_key") or "sha1"
     start = (
         hashlib.sha1 if "sha1" in start_name.lower() else hashlib.sha256
     )(password.encode("utf-8")).digest()
@@ -428,16 +434,25 @@ def odf_decrypt_entry(ciphertext: bytes, params: dict, password: str) -> bytes:
         start,
         base64.b64decode(params["salt"]),
         params.get("iterations", 1024),
-        params.get("key_size", 32),
+        params.get("key_size") or (16 if blowfish else 32),
     )
     iv = base64.b64decode(params["iv"])
-    plain = cbc_decrypt_raw(key, iv, ciphertext)
-    pad = plain[-1]
-    if 1 <= pad <= 16:
-        plain = plain[:-pad]
+    if blowfish:
+        from architxt_spark.functions.blowfish import cfb64_decrypt
+
+        plain = cfb64_decrypt(key, iv, ciphertext)  # stream mode: no pad
+    else:
+        from architxt_spark.functions.aes import cbc_decrypt_raw
+
+        plain = cbc_decrypt_raw(key, iv, ciphertext)
+        pad = plain[-1]
+        if 1 <= pad <= 16:
+            plain = plain[:-pad]
     want = params.get("checksum", "")
     if want:
-        got = base64.b64encode(hashlib.sha256(plain[:1024]).digest()).decode()
+        ctype = params.get("checksum_type", "").lower()
+        digest = hashlib.sha1 if "sha1" in ctype else hashlib.sha256
+        got = base64.b64encode(digest(plain[:1024]).digest()).decode()
         if got != want:
             raise NotImplementedError(
                 "password-protected ODF document: the password does not "
@@ -447,49 +462,85 @@ def odf_decrypt_entry(ciphertext: bytes, params: dict, password: str) -> bytes:
 
 
 def make_encrypted_odt(
-    odt: bytes, password: str, *, iterations: int = 10_000
+    odt: bytes, password: str, *, iterations: int = 10_000,
+    scheme: str = "aes",
 ) -> bytes:
-    """Encrypt an ODF zip's ``content.xml`` per ODF 1.2 manifest
-    encryption — the fixture twin of :func:`odf_decrypt_entry`."""
+    """Encrypt an ODF zip's ``content.xml`` — the fixture twin of
+    :func:`odf_decrypt_entry`.  ``scheme="aes"`` emits the ODF 1.2
+    manifest shape (SHA-256 start key, AES-256-CBC, sha256-1k
+    checksum); ``scheme="blowfish"`` emits the OpenOffice ≤3.x LEGACY
+    shape (no start-key-generation element = SHA-1 default, no
+    manifest:key-size = 16-byte default, Blowfish 64-bit CFB, SHA1/1K
+    checksum, 1024 iterations)."""
     import base64
     import io
     import zipfile
     import zlib
-
-    from architxt_spark.functions.aes import cbc_encrypt_raw
 
     with zipfile.ZipFile(io.BytesIO(odt)) as z:
         entries = {n: z.read(n) for n in z.namelist()}
     content = entries["content.xml"]
     comp = zlib.compressobj(9, zlib.DEFLATED, -15)
     deflated = comp.compress(content) + comp.flush()
-    checksum = base64.b64encode(hashlib.sha256(deflated[:1024]).digest()).decode()
     salt = hashlib.sha256(b"architxt-odf-salt:" + content[:64]).digest()[:16]
-    iv = hashlib.sha256(b"architxt-odf-iv:" + content[:64]).digest()[:16]
-    start = hashlib.sha256(password.encode("utf-8")).digest()
-    key = hashlib.pbkdf2_hmac("sha1", start, salt, iterations, 32)
-    pad = 16 - len(deflated) % 16
-    ct = cbc_encrypt_raw(key, iv, deflated + bytes([pad] * pad))
     b64 = lambda b: base64.b64encode(b).decode()
     mns = "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0"
+    if scheme == "blowfish":
+        from architxt_spark.functions.blowfish import cfb64_encrypt
+
+        iterations = 1024
+        iv = hashlib.sha256(b"architxt-odf-iv:" + content[:64]).digest()[:8]
+        checksum = b64(hashlib.sha1(deflated[:1024]).digest())
+        start = hashlib.sha1(password.encode("utf-8")).digest()
+        key = hashlib.pbkdf2_hmac("sha1", start, salt, iterations, 16)
+        ct = cfb64_encrypt(key, iv, deflated)
+        enc_xml = (
+            "<manifest:encryption-data"
+            ' manifest:checksum-type="SHA1/1K"'
+            f' manifest:checksum="{checksum}">'
+            "<manifest:algorithm"
+            ' manifest:algorithm-name="Blowfish CFB"'
+            f' manifest:initialisation-vector="{b64(iv)}"/>'
+            '<manifest:key-derivation manifest:key-derivation-name="PBKDF2"'
+            f' manifest:salt="{b64(salt)}"'
+            f' manifest:iteration-count="{iterations}"/>'
+            "</manifest:encryption-data>"
+        )
+    elif scheme == "aes":
+        from architxt_spark.functions.aes import cbc_encrypt_raw
+
+        iv = hashlib.sha256(b"architxt-odf-iv:" + content[:64]).digest()[:16]
+        checksum = b64(hashlib.sha256(deflated[:1024]).digest())
+        start = hashlib.sha256(password.encode("utf-8")).digest()
+        key = hashlib.pbkdf2_hmac("sha1", start, salt, iterations, 32)
+        pad = 16 - len(deflated) % 16
+        ct = cbc_encrypt_raw(key, iv, deflated + bytes([pad] * pad))
+        enc_xml = (
+            "<manifest:encryption-data"
+            f' manifest:checksum-type="{mns}#sha256-1k"'
+            f' manifest:checksum="{checksum}">'
+            "<manifest:algorithm"
+            ' manifest:algorithm-name='
+            '"http://www.w3.org/2001/04/xmlenc#aes256-cbc"'
+            f' manifest:initialisation-vector="{b64(iv)}"/>'
+            '<manifest:key-derivation manifest:key-derivation-name="PBKDF2"'
+            f' manifest:salt="{b64(salt)}"'
+            f' manifest:iteration-count="{iterations}"'
+            ' manifest:key-size="32"/>'
+            "<manifest:start-key-generation"
+            ' manifest:start-key-generation-name='
+            '"http://www.w3.org/2000/09/xmldsig-more#sha256"'
+            ' manifest:key-size="32"/>'
+            "</manifest:encryption-data>"
+        )
+    else:
+        raise ValueError(f"unknown ODF encryption scheme {scheme!r}")
     manifest = (
         f'<manifest:manifest xmlns:manifest="{mns}" manifest:version="1.2">'
         '<manifest:file-entry manifest:full-path="content.xml"'
         ' manifest:media-type="text/xml">'
-        "<manifest:encryption-data"
-        f' manifest:checksum-type="{mns}#sha256-1k"'
-        f' manifest:checksum="{checksum}">'
-        "<manifest:algorithm"
-        ' manifest:algorithm-name="http://www.w3.org/2001/04/xmlenc#aes256-cbc"'
-        f' manifest:initialisation-vector="{b64(iv)}"/>'
-        '<manifest:key-derivation manifest:key-derivation-name="PBKDF2"'
-        f' manifest:salt="{b64(salt)}" manifest:iteration-count="{iterations}"'
-        ' manifest:key-size="32"/>'
-        "<manifest:start-key-generation"
-        ' manifest:start-key-generation-name='
-        '"http://www.w3.org/2000/09/xmldsig-more#sha256"'
-        ' manifest:key-size="32"/>'
-        "</manifest:encryption-data></manifest:file-entry></manifest:manifest>"
+        + enc_xml
+        + "</manifest:file-entry></manifest:manifest>"
     ).encode()
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:

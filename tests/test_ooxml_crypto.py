@@ -130,17 +130,34 @@ def test_encrypted_odt_roundtrip_and_gates():
         read_odt_paragraphs(enc, password="wrong")
 
 
-def test_encrypted_odt_blowfish_gated():
-    # legacy OpenOffice Blowfish-CFB entries gate loudly (a byte-patch
-    # of the zip would break member CRCs, so drive the seam directly)
+def test_encrypted_odt_blowfish_now_decrypts():
+    # r13: the legacy OpenOffice Blowfish-CFB gate is RETIRED — the
+    # manifest's URI-form algorithm name routes into the Blowfish path
+    # (full round-trips live in tests/test_blowfish.py); genuinely
+    # unknown algorithms still gate loudly
+    import base64
+    import hashlib
+    import zlib
+
+    from architxt_spark.functions.blowfish import cfb64_encrypt
     from architxt_spark.sources.ooxml_crypto import odf_decrypt_entry
 
+    content = b"<office:text>legacy body</office:text>"
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    deflated = comp.compress(content) + comp.flush()
+    salt, iv = b"s" * 16, b"i" * 8
+    start = hashlib.sha1(b"pw").digest()
+    key = hashlib.pbkdf2_hmac("sha1", start, salt, 1024, 16)
     params = {
         "algorithm": "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0#blowfish",
-        "salt": "", "iv": "", "iterations": 1024,
+        "salt": base64.b64encode(salt).decode(),
+        "iv": base64.b64encode(iv).decode(),
+        "iterations": 1024,
     }
-    with pytest.raises(NotImplementedError, match="Blowfish|algorithm"):
-        odf_decrypt_entry(b"\x00" * 16, params, "pw")
+    ct = cfb64_encrypt(key, iv, deflated)
+    assert odf_decrypt_entry(ct, params, "pw") == content
+    with pytest.raises(NotImplementedError, match="algorithm"):
+        odf_decrypt_entry(b"\x00" * 16, {**params, "algorithm": "rc5"}, "pw")
 
 
 def test_read_document_file_password_plumbing(spark, tmp_path):
