@@ -597,20 +597,50 @@ def _nation_forest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dataset_extract_nation(spark: SparkSession, sf: str) -> DataFrame:
-    """Full loader round-trip: tables → meta-model forest → schema pivot
-    extraction; must reproduce the source table (FK cols excluded)."""
+    """Full loader round-trip THROUGH THE ASSOCIATION-TABLE BRANCH
+    (r13 fold: ``parse_association_table``, reference
+    ``loader/sql.py:188-231``): a synthetic pure-FK m-n table
+    (nation↔region) becomes the only root, so every tree is a
+    ``(ROOT (REL::nation<->region group_nation group_region))`` and the
+    schema pivot extraction of the *nation* groups must still reproduce
+    the source table exactly (FK cols excluded) — any entity loss or
+    mis-grouping in the association collapse flips the hash."""
     from architxt_spark.plans import extract_group_dataset
+    from architxt_spark.sources import FK, read_relational
 
+    nation, region = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    link = nation.select(
+        F.col("n_nationkey").alias("l_nkey"),
+        (F.col("n_nationkey") % 5).alias("l_rkey"),
+    )
+    nodes = read_relational(
+        spark,
+        {"nation": nation, "region": region, "nation_region": link},
+        [
+            FK("nation", "n_regionkey", "region", "r_regionkey"),
+            FK("nation_region", "l_nkey", "nation", "n_nationkey"),
+            FK("nation_region", "l_rkey", "region", "r_regionkey"),
+        ],
+        {
+            "nation": ["n_nationkey"],
+            "region": ["r_regionkey"],
+            "nation_region": ["l_nkey", "l_rkey"],
+        },
+    )
     # The loader's table schema already fixes the entity columns (nation
     # minus its FK), so the pivot takes explicit values: no distinct-values
     # job, no materialization barrier — the extraction is ONE job.
-    nodes = _nation_forest(spark, sf)
-    entities = [c for c in _t(spark, sf, "nation").columns if c != "n_regionkey"]
+    entities = [c for c in nation.columns if c != "n_regionkey"]
     return extract_group_dataset(nodes, "nation", entities=entities)
 
 
 def q_schema_groups_nation(spark: SparkSession, sf: str) -> DataFrame:
-    """Schema induction output: inferred group → entity mapping."""
+    """Schema induction output: inferred group → entity mapping, plus
+    the schema-quality properties ``group_overlap`` (mean pairwise
+    Jaccard of entity sets; nation/region are disjoint → 0) and
+    ``group_balance_score`` (1 − σ/μ of entities-per-group; both groups
+    carry 2 entities → 1) as tagged metric rows (r13 fold,
+    plans/schema.py:174-192, reference ``schema.py:293-344``)."""
     from architxt_spark.plans import schema_from_forest
 
     nodes = _nation_forest(spark, sf)
@@ -618,36 +648,78 @@ def q_schema_groups_nation(spark: SparkSession, sf: str) -> DataFrame:
     rows = sorted(
         (g, e) for g, ents in schema.groups.items() for e in ents
     )
+    rows.append(("__metric__:group_overlap", f"{schema.group_overlap:.6f}"))
+    rows.append(
+        ("__metric__:group_balance", f"{schema.group_balance_score:.6f}")
+    )
     return spark.createDataFrame(rows, "group_name string, entity string")
 
 
 def q_forest_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """Forest inspector over row-tree-ified documents (one aggregation)."""
-    from architxt_spark.metrics import forest_stats
+    """Forest inspector over row-tree-ified documents — computed on the
+    forest AFTER a JSONL export → import round-trip (r13 fold:
+    ``write_jsonl_forest``/``read_jsonl_forest``, trees.py:233,263 —
+    any node/label/shape loss in the codec flips every census column),
+    plus the grammar-census metrics ``num_productions`` (distinct
+    (lhs, ordered-rhs) productions = the ROOT rule + one per distinct
+    non-null column pattern) and ``unlabelled_ratio``
+    (metrics.py:240-276)."""
+    import shutil
+    import tempfile
+
+    from architxt_spark.metrics import forest_stats, num_productions, unlabelled_ratio
     from architxt_spark.sources.documents import row_trees
+    from architxt_spark.trees import read_jsonl_forest, write_jsonl_forest
 
     docs = _t(spark, sf, "documents")
     nodes = row_trees(docs, "documents", ["doc_id"])
-    s = forest_stats(nodes)
+    tmp = tempfile.mkdtemp(prefix="forest_jsonl_")
+    try:
+        write_jsonl_forest(nodes, tmp)
+        rt = read_jsonl_forest(spark, tmp)
+        s = forest_stats(rt)
+        n_prod = num_productions(rt)
+        u_ratio = unlabelled_ratio(rt)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [(
             s["n_trees"], s["n_nodes"], s["n_entities"], s["n_groups"],
             s["max_depth"], round(float(s["avg_depth"]), 6), s["n_entity_labels"],
+            n_prod, round(float(u_ratio), 6),
         )],
         "n_trees long, n_nodes long, n_entities long, n_groups long,"
-        " max_depth int, avg_depth double, n_entity_labels long",
+        " max_depth int, avg_depth double, n_entity_labels long,"
+        " n_productions long, ratio_unlabelled double",
     )
 
 
 def q_metrics_customer(spark: SparkSession, sf: str) -> DataFrame:
     """The schema-quality metric family over the same customer projection,
     as (metric, value) rows: FD confidence (X → c_mktsegment),
-    dependency_score (max FD confidence over each consequent), and
-    redundancy_score (τ=0, pair subsets)."""
-    from architxt_spark.metrics import confidence, dependency_score, redundancy_score
+    dependency_score (max FD confidence over each consequent),
+    redundancy_score (τ=0, pair subsets), and (r13 fold) the clustering
+    agreement pair ``cluster_ami`` / ``cluster_completeness``
+    (metrics.py:139-216, reference ``metrics.py:240-277``) between the
+    market-segment classes and a deterministic 3-way nationkey
+    clustering — AMI's expected-MI hypergeometric sum is replayed
+    closed-form by the oracle via lgamma/generate_series."""
+    from architxt_spark.metrics import (
+        cluster_ami,
+        cluster_completeness,
+        confidence,
+        dependency_score,
+        redundancy_score,
+    )
 
     cols = ["c_nationkey", "c_acctbal", "c_mktsegment"]
     cust = _t(spark, sf, "customer").select(*cols)
+    labels = [
+        (r[0], str(r[1]))
+        for r in cust.select(
+            "c_mktsegment", (F.col("c_nationkey") % 3).cast("int")
+        ).collect()
+    ]
     rows = [
         ("confidence", round(confidence(cust, "c_mktsegment"), 6)),
         ("dependency", round(dependency_score(cust, cols), 6)),
@@ -655,6 +727,8 @@ def q_metrics_customer(spark: SparkSession, sf: str) -> DataFrame:
             cust.select("c_nationkey", "c_mktsegment", "c_acctbal"),
             tau=0.0, max_subset_size=2,
         ), 6)),
+        ("cluster_ami", round(cluster_ami(labels), 6)),
+        ("cluster_completeness", round(cluster_completeness(labels), 6)),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
 
@@ -4271,7 +4345,9 @@ def _oracle_parts() -> dict[str, str]:
         "schema_groups_nation": """
             SELECT * FROM (VALUES
                 ('nation', 'n_name'), ('nation', 'n_nationkey'),
-                ('region', 'r_name'), ('region', 'r_regionkey')
+                ('region', 'r_name'), ('region', 'r_regionkey'),
+                ('__metric__:group_overlap', '0.000000'),
+                ('__metric__:group_balance', '1.000000')
             ) AS t(group_name, entity)
         """,
         "forest_stats_documents": """
@@ -4280,6 +4356,19 @@ def _oracle_parts() -> dict[str, str]:
                        + COUNT(source) + COUNT(n_chars) AS n_ents,
                        COUNT(*) AS n_docs
                 FROM documents
+            ),
+            -- num_productions: the ROOT -> group rule plus one
+            -- group -> ordered-entity rule per distinct non-null
+            -- column pattern (entity leaves are not producers)
+            p AS (
+                SELECT COUNT(*) AS n_patterns FROM (
+                    SELECT DISTINCT doc_id IS NOT NULL AS c1,
+                                    text IS NOT NULL AS c2,
+                                    lang IS NOT NULL AS c3,
+                                    source IS NOT NULL AS c4,
+                                    n_chars IS NOT NULL AS c5
+                    FROM documents
+                )
             )
             SELECT CAST(n_docs AS BIGINT) AS n_trees,
                    CAST(2 * n_docs + n_ents AS BIGINT) AS n_nodes,
@@ -4288,8 +4377,10 @@ def _oracle_parts() -> dict[str, str]:
                    2 AS max_depth,
                    ROUND((0.0 * n_docs + 1.0 * n_docs + 2.0 * n_ents)
                          / (2 * n_docs + n_ents), 6) AS avg_depth,
-                   CAST(5 AS BIGINT) AS n_entity_labels
-            FROM e
+                   CAST(5 AS BIGINT) AS n_entity_labels,
+                   CAST(1 + p.n_patterns AS BIGINT) AS n_productions,
+                   0.0 AS ratio_unlabelled
+            FROM e, p
         """,
         "metrics_customer": """
             SELECT 'confidence' AS metric, (
@@ -4328,6 +4419,61 @@ def _oracle_parts() -> dict[str, str]:
                 SELECT ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END)
                              / CAST(COUNT(*) AS DOUBLE), 6)
                 FROM marked
+            )
+            UNION ALL
+            SELECT 'cluster_ami', (
+                -- AMI with sklearn's arithmetic normalization; the
+                -- expected-MI hypergeometric sum replayed via
+                -- lgamma + generate_series (metrics.py:139-190)
+                WITH l AS (SELECT c_mktsegment AS a,
+                                  CAST(c_nationkey % 3 AS VARCHAR) AS b
+                           FROM customer),
+                nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM l),
+                ac AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS ai FROM l GROUP BY a),
+                bc AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS bj FROM l GROUP BY b),
+                jc AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS c FROM l GROUP BY a, b),
+                mi AS (SELECT SUM((c/n) * LN((c/n) / ((ai/n)*(bj/n)))) AS v
+                       FROM jc JOIN ac USING (a) JOIN bc USING (b), nn),
+                ha AS (SELECT -SUM((ai/n)*LN(ai/n)) AS v FROM ac, nn),
+                hb AS (SELECT -SUM((bj/n)*LN(bj/n)) AS v FROM bc, nn),
+                terms AS (
+                    SELECT ai, bj, n,
+                           UNNEST(GENERATE_SERIES(
+                               CAST(GREATEST(1, ai + bj - n) AS BIGINT),
+                               CAST(LEAST(ai, bj) AS BIGINT))) AS nij
+                    FROM ac, bc, nn
+                ),
+                emi AS (
+                    SELECT COALESCE(SUM(
+                        EXP( (LGAMMA(bj+1) - LGAMMA(nij+1) - LGAMMA(bj-nij+1))
+                           + (LGAMMA(n-bj+1) - LGAMMA(ai-nij+1)
+                              - LGAMMA(n-bj-ai+nij+1))
+                           - (LGAMMA(n+1) - LGAMMA(ai+1) - LGAMMA(n-ai+1)) )
+                        * (nij/n) * LN((n*nij)/(ai*bj))), 0) AS v
+                    FROM terms WHERE nij > 0
+                )
+                SELECT CASE WHEN (ha.v + hb.v)/2 - emi.v = 0
+                            THEN CASE WHEN mi.v = emi.v THEN 1.0 ELSE 0.0 END
+                            ELSE ROUND((mi.v - emi.v)
+                                       / ((ha.v + hb.v)/2 - emi.v), 6) END
+                FROM mi, ha, hb, emi
+            )
+            UNION ALL
+            SELECT 'cluster_completeness', (
+                -- 1 − H(B|A)/H(B) (metrics.py:196-216)
+                WITH l AS (SELECT c_mktsegment AS a,
+                                  CAST(c_nationkey % 3 AS VARCHAR) AS b
+                           FROM customer),
+                nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM l),
+                ac AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS ai FROM l GROUP BY a),
+                bc AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS bj FROM l GROUP BY b),
+                jc AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS c FROM l GROUP BY a, b),
+                hb AS (SELECT -SUM((bj/n)*LN(bj/n)) AS v FROM bc, nn),
+                hba AS (SELECT -SUM((c/n)*LN(c/ai)) AS v
+                        FROM jc JOIN ac USING (a), nn)
+                SELECT CASE WHEN hb.v = 0 THEN 1.0
+                            ELSE ROUND(1 - hba.v/hb.v, 6) END
+                FROM hb, hba
             )
         """,
         "text_profile": f"""
