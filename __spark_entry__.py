@@ -1244,14 +1244,26 @@ def q_rewrite_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_cluster_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Subtree clustering (candidate signatures → LSH/exact pairs →
-    connected components): distinct cluster support over the doc forest."""
-    from architxt_spark.similarity import cluster_forest
+    connected components): distinct cluster support over the doc forest,
+    plus (r13 fold) the ``get_equiv_of`` census — every candidate
+    subtree re-assigned to the fitted index through
+    ``assign_to_clusters`` (similarity.py:911, reference
+    ``TreeClusterer.get_equiv_of`` ``similarity.py:370-432``) must hit
+    its own cluster with an exact-membership score of 1.0."""
+    from architxt_spark.similarity import assign_to_clusters, cluster_forest_with_index
     from architxt_spark.sources.documents import row_trees
 
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
     dn = row_trees(docs, "documents", ["doc_id"])
-    asg = cluster_forest(dn)
-    return asg.select("support").distinct()
+    asg, index = cluster_forest_with_index(dn)
+    support = asg.select("support").distinct()
+    equiv = assign_to_clusters(dn, index).agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.countDistinct("cluster_name").cast("long").alias("n_clusters"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+    return support.crossJoin(equiv)
 
 
 def q_cluster_instance_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -2118,20 +2130,75 @@ def q_extract_vocab(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _coord_enrich_golden() -> tuple[int, int, int, int]:
+    """Golden census of the coordination-fix + entity-enrichment family
+    (r13 fold; nlp/parser.py:294-560, reference
+    ``parser/__init__.py:179-407``): a COORD/CCONJ tree through
+    ``fix_all_coord`` (lift-next-to-host + CONJ flattening) and a
+    3-entity sentence through ``enrich_sentence_tree`` exercising
+    longest-first insertion, the nested-entity ``REL::nested`` unnest,
+    and partial-overlap token duplication.  Returns
+    (n_nodes, n_leaves, n_entities, shape_hash) over both trees —
+    any behavioral drift in the family flips the shape hash."""
+    import hashlib
+    import json
+
+    from architxt_spark.nlp.parser import enrich_sentence_tree, fix_all_coord
+    from architxt_spark.trees import PyTree, tree_to_rows
+
+    t = PyTree("SENT", [
+        "I",
+        PyTree("VP", [
+            "eat",
+            PyTree("NP", ["apples"]),
+            PyTree("COORD", [
+                PyTree("CCONJ", ["and"]),
+                PyTree("NP", ["pears"]),
+                PyTree("NP", ["figs"]),
+            ]),
+        ]),
+    ])
+    fix_all_coord(t)
+    t2 = enrich_sentence_tree(
+        "alpha beta gamma delta",
+        [("outer", 0, 16), ("inner", 6, 10), ("dup", 11, 21)],
+    )
+
+    def canon(n):
+        return n if isinstance(n, str) else [n.label, [canon(c) for c in n.children]]
+
+    rows = tree_to_rows(t, "g1") + tree_to_rows(t2, "g2")
+    blob = json.dumps([canon(t), canon(t2)])
+    return (
+        len(rows),
+        sum(1 for r in rows if r["leaf_value"] is not None),
+        sum(1 for r in rows if r["node_type"] == "ENT"),
+        int(hashlib.md5(blob.encode()).hexdigest()[:15], 16),
+    )
+
+
 def q_nlp_parse_forest(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence splitting (absolute char offsets, per-sentence token
     counts) PLUS the distributed-parse forest census (stub constituency
     parser behind the real mapInPandas boundary) broadcast onto every
-    sentence row.  Registry fold of the former split_sentences — both
-    coverages verified in one frame."""
+    sentence row, PLUS (r13 fold) the coord-fix/enrich golden census
+    columns (:func:`_coord_enrich_golden`).  Registry fold of the former
+    split_sentences — all three coverages verified in one frame."""
     from architxt_spark.nlp import parse_sentences_df, split_sentences
 
     docs = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("txt"))
     sents = split_sentences(docs)
+    g_nodes, g_leaves, g_ents, g_hash = _coord_enrich_golden()
     census = parse_sentences_df(sents).agg(
         F.countDistinct("tree_id").alias("n_trees"),
         F.count("*").alias("n_nodes"),
         F.count("leaf_value").alias("n_leaves"),
+    ).select(
+        "*",
+        F.lit(g_nodes).cast("long").alias("golden_nodes"),
+        F.lit(g_leaves).cast("long").alias("golden_leaves"),
+        F.lit(g_ents).cast("long").alias("golden_ents"),
+        F.lit(g_hash).cast("long").alias("golden_shape_hash"),
     )
     return sents.select(
         "doc_id",
@@ -4512,7 +4579,11 @@ def _oracle_parts() -> dict[str, str]:
             UNION ALL SELECT 'UNTYPED', CAST(3 * c AS BIGINT) FROM n
         """,
         "cluster_documents": """
-            SELECT CAST(2 * COUNT(*) AS BIGINT) AS support FROM documents
+            SELECT CAST(2 * COUNT(*) AS BIGINT) AS support,
+                   CAST(2 * COUNT(*) AS BIGINT) AS n_assigned,
+                   CAST(1 AS BIGINT) AS n_clusters,
+                   1.0 AS min_score, 1.0 AS max_score
+            FROM documents
         """,
         "llm_label_schema": """
             WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation)
@@ -4707,7 +4778,13 @@ def _oracle_parts() -> dict[str, str]:
         """,
         "nlp_parse_forest": f"""
             SELECT s.doc_id, s.sent_idx, s.sent_start, s.sent_end, s.n_tokens,
-                   c.n_trees, c.n_nodes, c.n_leaves
+                   c.n_trees, c.n_nodes, c.n_leaves,
+                   -- _coord_enrich_golden() pinned: fix_all_coord +
+                   -- enrich (REL::nested unnest, overlap duplication)
+                   CAST(22 AS BIGINT) AS golden_nodes,
+                   CAST(11 AS BIGINT) AS golden_leaves,
+                   CAST(3 AS BIGINT) AS golden_ents,
+                   CAST(247446111533113227 AS BIGINT) AS golden_shape_hash
             FROM (
                 SELECT doc_id,
                        0 AS sent_idx,
