@@ -215,6 +215,33 @@ def gen_edges(spark, n_edges: int, seed: int = 13):
     return df.select(src.alias("src"), dst.alias("dst")).filter("src <> dst")
 
 
+def gen_layered_graph(spark, n_edges: int, layers: int = 8, seed: int = 17):
+    """Hub-skewed LAYERED graph for the BFS rehearsal: ~n_edges/4 nodes
+    in ``layers`` layers, every edge goes layer l → l+1 (so a traversal
+    from layer-0 roots runs exactly ``layers-1`` BFS levels), and the
+    destination offset is cube-skewed toward each layer's low ids (the
+    hub in-degree skew that makes the visited-set anti-join earn its
+    keep — many edges converge on few hubs).  Deterministic in
+    (n, seed); rel_type present because ``_traverse``'s min_by
+    tie-break reads it."""
+    from pyspark.sql import functions as F
+
+    n_nodes = max(n_edges // 4, layers * 256)
+    per = n_nodes // layers
+    df = spark.range(n_edges).select(F.col("id").alias("eid"))
+    lvl = F.pmod(F.xxhash64("eid", F.lit(seed)), F.lit(layers - 1))
+    src_off = F.pmod(F.xxhash64("eid", F.lit(seed + 1)), F.lit(per))
+    u = F.pmod(F.xxhash64("eid", F.lit(seed + 2)), F.lit(1_000_000)) / 1_000_000.0
+    dst_off = F.least(
+        F.floor(F.lit(per) * F.pow(u, F.lit(3.0))), F.lit(per - 1)
+    )
+    return df.select(
+        (lvl * per + src_off).cast("long").alias("src"),
+        ((lvl + 1) * per + dst_off).cast("long").alias("dst"),
+        F.lit("LINK").alias("rel_type"),
+    )
+
+
 def gen_forest(spark, docs, cpus: int):
     """Unlabelled row-tree forest for the rewrite rehearsal: three tree
     shapes (entity sets {doc_id,lang,source} / {doc_id,lang} /
@@ -300,7 +327,7 @@ def main() -> None:
         "--families",
         nargs="+",
         default=["core", "rewrite", "pagerank", "curate_big"],
-        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup", "multimodal"],
+        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup", "multimodal", "graph", "crawl_media"],
         help="which rehearsal families to run: core = the r8 dedup/ANN/"
         "curation set at --sizes; rewrite = the forest-fixpoint engine "
         "at 2.5k/10k/40k trees (per-iteration exponent); pagerank = the "
@@ -323,6 +350,14 @@ def main() -> None:
     p.add_argument("--dedup-band-cap", type=int, default=256)
     p.add_argument(
         "--multimodal-sizes", type=int, nargs="+", default=[8_000, 32_000, 128_000]
+    )
+    p.add_argument(
+        "--graph-sizes", type=int, nargs="+",
+        default=[1_000_000, 4_000_000, 16_000_000],
+    )
+    p.add_argument("--graph-roots", type=int, default=64)
+    p.add_argument(
+        "--crawl-media-sizes", type=int, nargs="+", default=[24_000, 96_000]
     )
     args = p.parse_args()
 
@@ -604,6 +639,170 @@ def main() -> None:
                 f"recall@10={legs['fixed4'][2]:.3f} | "
                 f"nprobe={nprobe_scaled}: {legs['scaled'][1]:.2f}s "
                 f"recall@10={legs['scaled'][2]:.3f}",
+                file=sys.stderr, flush=True,
+            )
+
+    if "graph" in args.families:
+        # read_graph's level-synchronous BFS (sources/graph.py:_traverse)
+        # — the last iterative engine without a measured scale family.
+        # Bounded root set (trees are per-root; real loads carry a
+        # bounded root table over an arbitrarily large edge set), 7 BFS
+        # levels over the layered hub-skewed graph.  Two measurements
+        # per rung: depth-1 (one frontier×edges probe, no visited-set
+        # pressure) and depth-7 end-to-end; (t7 − t1)/6 names the
+        # steady-state per-level cost, which is one persisted-edge probe
+        # + one anti-join against the GROWING reached set.
+        from architxt_spark.sources.graph import _traverse
+
+        for n in args.graph_sizes:
+            path = f"{args.workdir}/graph_{n}"
+            if not os.path.exists(path):
+                gen_layered_graph(spark, n).repartition(int(args.cpus)).write.mode(
+                    "overwrite"
+                ).parquet(path)
+            rels = spark.read.parquet(path)
+            per = max(n // 4, 8 * 256) // 8
+            stride = max(per // args.graph_roots, 1)
+            roots = (
+                spark.range(args.graph_roots)
+                .select((F.col("id") * stride).cast("long").alias("id"))
+                .withColumn("tree_id", F.col("id").cast("string"))
+            )
+
+            def run(depth):
+                reached, edges = _traverse(roots, rels, depth)
+                return reached.count()
+
+            run(7)  # warm (parquet cache, persisted edge frame path)
+            t1 = time_op(lambda: run(1), args.repeats)
+            t7 = time_op(lambda: run(7), args.repeats)
+            n_reached = run(7)
+            per_level = (t7 - t1) / 6
+            results.setdefault("graph_bfs_7lvl", []).append((n, t7))
+            print(
+                f"# graph_bfs n_edges={n}: depth1={t1:.2f}s depth7={t7:.2f}s"
+                f" per_level={per_level:.2f}s reached={n_reached}",
+                file=sys.stderr, flush=True,
+            )
+
+    if "crawl_media" in args.families:
+        # The GB-rung crawl→image-dedup composite (r12 verdict #6): the
+        # components are measured separately (WARC scan ~260 MB/s/node,
+        # decode ~8.5k small-img/s); this composes them at archive scale
+        # — ~100k REAL encoded images (192×160 grayscale, PNG/JPEG/
+        # progressive-JPEG/GIF by id%4, ~15 KB avg, id%8==7 duplicates
+        # its neighbor so the band join yields pairs) wrapped into
+        # 2·cpus .warc.gz shards (one gzip member per record, the
+        # splittable shape), then read_warc(binary) → content-type gate
+        # → decode+perceptual-hash → Hamming-banded pairs, end to end.
+        from architxt_spark.functions.imagehash import hamming_near_dup, image_hashes
+        from architxt_spark.sources.warc import read_warc
+
+        for n in args.crawl_media_sizes:
+            shard_dir = f"{args.workdir}/mediacrawl_{n}"
+            shards = 2 * int(args.cpus)
+            if not os.path.exists(f"{shard_dir}/_DONE"):
+                os.makedirs(shard_dir, exist_ok=True)
+
+                def write_shard(batches, _dir=shard_dir):
+                    import gzip
+
+                    import pandas as pd
+
+                    from architxt_spark.functions.jpeg import make_jpeg_bytes
+                    from architxt_spark.functions.multimodal import (
+                        make_gif_bytes,
+                        make_png_bytes,
+                    )
+                    from architxt_spark.sources.warc import build_warc
+
+                    W, H = 192, 160
+                    palette = bytes(b for v in range(256) for b in (v, v, v))
+
+                    def img(d):
+                        base = d - 1 if d % 8 == 7 else d  # exact-dup pairs
+
+                        def val(r, c):
+                            z = base * 73 + r * 9 + c
+                            return ((z * z + 3 * z) % 7919) % 192
+
+                        px = bytes(
+                            val(y // 4, x // 4) for y in range(H) for x in range(W)
+                        )
+                        m = base % 4
+                        if m == 0:
+                            return make_png_bytes(W, H, px, color_type=0,
+                                                  filter_type=base % 5), "image/png"
+                        if m == 1:
+                            return make_jpeg_bytes(W, H, px, channels=1), "image/jpeg"
+                        if m == 2:
+                            return make_jpeg_bytes(W, H, px, channels=1,
+                                                   progressive=True), "image/jpeg"
+                        return make_gif_bytes(W, H, px, palette), "image/gif"
+
+                    f = None
+                    nbytes = 0
+                    path = ""
+                    for pdf in batches:
+                        if f is None:
+                            pid = int(pdf["id"].iloc[0])
+                            path = f"{_dir}/media-{pid}.warc.gz"
+                            f = open(path, "wb")
+                            noise = build_warc([{
+                                "warc_type": "warcinfo", "target_uri": "",
+                                "payload": b"software: media-crawler\r\n",
+                                "content_type": "application/warc-fields",
+                            }])
+                            f.write(gzip.compress(noise, 1))
+                        for d in pdf["id"]:
+                            d = int(d)
+                            payload, ctype = img(d)
+                            rec = build_warc([{
+                                "warc_type": "response",
+                                "target_uri": f"img:{d}",
+                                "payload": payload,
+                                "content_type": ctype,
+                            }])
+                            nbytes += f.write(gzip.compress(rec, 1))
+                    if f is not None:
+                        f.close()
+                    yield pd.DataFrame([(path, nbytes)], columns=["path", "nbytes"])
+
+                (
+                    spark.range(n)
+                    .repartition(shards)
+                    .mapInPandas(write_shard, "path string, nbytes long")
+                    .collect()
+                )
+                open(f"{shard_dir}/_DONE", "w").close()
+            total_mb = sum(
+                os.path.getsize(f"{shard_dir}/{p}")
+                for p in os.listdir(shard_dir)
+                if p.endswith(".warc.gz")
+            ) / 1e6
+
+            def run(_dir=shard_dir):
+                recs = read_warc(spark, f"{_dir}/*.warc.gz", extract_text=False)
+                media = recs.filter(
+                    F.col("content_type").startswith("image/")
+                ).select(
+                    F.regexp_extract("target_uri", r"^img:(\d+)$", 1).alias("media_id"),
+                    F.col("payload").alias("content"),
+                )
+                hashes = image_hashes(media).persist()
+                n_hashes = hashes.count()
+                n_pairs = hamming_near_dup(hashes, bands=4, max_hamming=3).count()
+                hashes.unpersist()
+                return n_hashes, n_pairs
+
+            run()  # warm
+            sec = time_op(run, args.repeats)
+            n_hashes, n_pairs = run()
+            results.setdefault("crawl_media_composite", []).append((n, sec))
+            print(
+                f"# crawl_media n_imgs={n}: {sec:.2f}s archive={total_mb:.0f}MB"
+                f" ({total_mb / sec:.0f} MB/s, {n / sec:.0f} img/s)"
+                f" hashes={n_hashes} pairs={n_pairs}",
                 file=sys.stderr, flush=True,
             )
 
