@@ -1263,7 +1263,17 @@ def q_cluster_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min("score"), 6).alias("min_score"),
         F.round(F.max("score"), 6).alias("max_score"),
     )
-    return support.crossJoin(equiv)
+    # τ-scored (non-exact) branch: candidates whose signature drops
+    # `source` are NOT index members; best jaccard vs {doc_id, lang,
+    # source} is exactly 2/3, so τ=0.5 assigns every one with a pinned
+    # fuzzy score — the reference's best-scoring-at-or-above-tau rule
+    fuzzy_src = row_trees(docs.select("doc_id", "lang"), "documents", ["doc_id"])
+    fuzzy = assign_to_clusters(fuzzy_src, index, tau=0.5, metric="jaccard").agg(
+        F.count("*").cast("long").alias("n_fuzzy"),
+        F.countDistinct("cluster_name").cast("long").alias("n_fuzzy_clusters"),
+        F.round(F.min("score"), 6).alias("fuzzy_score"),
+    )
+    return support.crossJoin(equiv).crossJoin(fuzzy)
 
 
 def q_cluster_instance_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -4582,7 +4592,10 @@ def _oracle_parts() -> dict[str, str]:
             SELECT CAST(2 * COUNT(*) AS BIGINT) AS support,
                    CAST(2 * COUNT(*) AS BIGINT) AS n_assigned,
                    CAST(1 AS BIGINT) AS n_clusters,
-                   1.0 AS min_score, 1.0 AS max_score
+                   1.0 AS min_score, 1.0 AS max_score,
+                   CAST(2 * COUNT(*) AS BIGINT) AS n_fuzzy,
+                   CAST(1 AS BIGINT) AS n_fuzzy_clusters,
+                   ROUND(2.0 / 3.0, 6) AS fuzzy_score
             FROM documents
         """,
         "llm_label_schema": """
