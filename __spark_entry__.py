@@ -1977,8 +1977,9 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                 if m == 0:
                     # r12: rotate the xls encryption shapes — CryptoAPI
                     # RC4 (SHA-1 lineage), binary RC4 (MD5 lineage, the
-                    # VelvetSweatshop default), and plain; readback is
-                    # byte-equal in every shape
+                    # VelvetSweatshop default), and plain; r13 adds the
+                    # pre-OLE2 BIFF4 raw-stream shape (Excel 2.x-4.0 —
+                    # the sheet name becomes Sheet1, values byte-equal)
                     from architxt_spark.sources.xls import DEFAULT_XLS_PASSWORD
 
                     kw = {}
@@ -1986,6 +1987,14 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                         kw = {"password": DEFAULT_XLS_PASSWORD, "crypto_api": True}
                     elif d % 4 == 1:
                         kw = {"password": DEFAULT_XLS_PASSWORD}
+                    elif d % 4 == 2:
+                        # byte-string cells: only exact for cp1252-safe
+                        # text (BIFF8 keeps UTF-16 for the rest)
+                        try:
+                            clean.encode("cp1252")
+                            kw = {"biff": 4}
+                        except UnicodeEncodeError:
+                            pass
                     blob = make_xls_bytes({"S": [["t"], [clean]]}, **kw)
                     with tempfile.NamedTemporaryFile(
                         suffix=".xls", delete=False
@@ -1993,7 +2002,7 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                         f.write(blob)
                         p = f.name
                     try:
-                        back = _read_xls_stdlib(p)["S"][0]["t"]
+                        back = next(iter(_read_xls_stdlib(p).values()))[0]["t"]
                     finally:
                         os.unlink(p)
                     fmt = "xls"

@@ -24,10 +24,14 @@ legacy-codec gate only fires for the genuinely exotic cases:
   password use Excel's well-known default password
   (``VelvetSweatshop``) and therefore open transparently — a real
   corpus case;
-- raises ``NotImplementedError`` with guidance for BIFF2–4, XOR
-  obfuscation (method 0 — its password-digest tables are spec
-  constants this container can't verify), and DIFAT-chained (>6.8 MB)
-  containers — those genuinely want xlrd.
+- BIFF2–4 worksheets (r13): the pre-OLE2 shape Excel 2.x-4.0 wrote —
+  the FILE is the record stream, one sheet, no SST; BIFF2's 3-byte
+  cell attributes and 1-byte LABEL lengths, BIFF3/4's 2-byte-ixfe
+  layouts (which BIFF5 kept), CODEPAGE-decoded byte strings;
+- raises ``NotImplementedError`` with guidance for XOR obfuscation
+  (method 0 — its password-digest tables are spec constants this
+  container can't verify), encrypted pre-BIFF5 streams, and
+  DIFAT-chained (>6.8 MB) containers — those genuinely want xlrd.
 
 Output shape matches ``_read_xlsx_stdlib``: ``{sheet: [row dicts]}``,
 first row = header, every value a string.  ``make_xls_bytes`` is the
@@ -454,18 +458,100 @@ def _fmt_num(v: float) -> str:
     return str(int(v)) if float(v).is_integer() else repr(float(v))
 
 
+_BIFF234_BOF = (b"\x09\x00", b"\x09\x02", b"\x09\x04")
+
+
+def _shape_rows(cells: dict[int, dict[int, str]]) -> list[dict[str, str]]:
+    """(row → col → value) → the `_read_xlsx_stdlib` row-dict shape
+    (first row = header)."""
+    ordered = [cells[r] for r in sorted(cells)]
+    if not ordered:
+        return []
+    header = ordered[0]
+    return [
+        {header[i]: v for i, v in r.items() if i in header}
+        for r in ordered[1:]
+    ]
+
+
+def _read_xls_biff234(stream: bytes) -> dict[str, list[dict[str, str]]]:
+    """Pre-BIFF5 worksheet stream (Excel 2.x/3.0/4.0 — a RAW record
+    stream, no OLE2 container, single sheet, no SST; MS-XLS's legacy
+    cell records): BIFF2 cells carry 3-byte cell attributes and a
+    1-byte LABEL length (``0x0002`` INTEGER / ``0x0003`` NUMBER /
+    ``0x0004`` LABEL / ``0x0005`` BOOLERR); BIFF3/4 use the 2-byte-ixfe
+    layouts BIFF5 kept (``0x0203``/``0x0204``/``0x0205``/``0x027E``
+    RK).  Strings decode through the ``CODEPAGE`` record when present,
+    latin-1 otherwise.  The stream has no sheet name — ``Sheet1``, like
+    the tools that convert these."""
+    codec = "latin-1"
+    cells: dict[int, dict[int, str]] = {}
+
+    def put(row: int, col: int, val: str) -> None:
+        cells.setdefault(row, {})[col] = val
+
+    for opcode, body, _pos in _records(stream):
+        if opcode == 0x000A:  # EOF
+            break
+        if opcode == 0x0042 and len(body) >= 2:  # CODEPAGE
+            codec = _codepage_codec(struct.unpack("<H", body[:2])[0])
+        elif opcode == 0x002F:
+            raise NotImplementedError(
+                "encrypted pre-BIFF5 .xls needs xlrd; re-save as .xlsx"
+            )
+        # ---- BIFF2 layouts: rw(2) col(2) cell-attrs(3) payload ----
+        elif opcode == 0x0002 and len(body) >= 9:  # INTEGER
+            row, col = struct.unpack("<HH", body[:4])
+            (w,) = struct.unpack("<H", body[7:9])
+            put(row, col, str(w))
+        elif opcode == 0x0003 and len(body) >= 15:  # NUMBER (BIFF2)
+            row, col = struct.unpack("<HH", body[:4])
+            (num,) = struct.unpack("<d", body[7:15])
+            put(row, col, _fmt_num(num))
+        elif opcode == 0x0004 and len(body) >= 8:  # LABEL (BIFF2)
+            row, col = struct.unpack("<HH", body[:4])
+            cch = body[7]
+            put(row, col, body[8:8 + cch].decode(codec, errors="replace"))
+        elif opcode == 0x0005 and len(body) >= 9:  # BOOLERR (BIFF2)
+            row, col = struct.unpack("<HH", body[:4])
+            if body[8] == 0:
+                put(row, col, str(body[7] == 1))
+        # ---- BIFF3/4 layouts: rw(2) col(2) ixfe(2) payload ----
+        elif opcode == 0x0203 and len(body) >= 14:  # NUMBER
+            row, col = struct.unpack("<HH", body[:4])
+            (num,) = struct.unpack("<d", body[6:14])
+            put(row, col, _fmt_num(num))
+        elif opcode == 0x0204 and len(body) >= 8:  # LABEL (byte string)
+            row, col = struct.unpack("<HH", body[:4])
+            (cch,) = struct.unpack("<H", body[6:8])
+            put(row, col, body[8:8 + cch].decode(codec, errors="replace"))
+        elif opcode == 0x027E and len(body) >= 10:  # RK
+            row, col, _ixfe, rk = struct.unpack("<HHHI", body[:10])
+            put(row, col, _fmt_num(_rk_value(rk)))
+        elif opcode == 0x0205 and len(body) >= 8:  # BOOLERR
+            row, col = struct.unpack("<HH", body[:4])
+            if body[7] == 0:
+                put(row, col, str(body[6] == 1))
+
+    return {"Sheet1": _shape_rows(cells)}
+
+
 def _read_xls_stdlib(
     path: str, password: str | None = None
 ) -> dict[str, list[dict[str, str]]]:
-    """Read a BIFF8 or BIFF5 ``.xls`` into ``{sheet: [row dicts]}``
-    (first row = header, values as strings) — the `_read_xlsx_stdlib`
-    output shape.  RC4-encrypted workbooks decrypt with ``password``
-    (default: Excel's well-known ``VelvetSweatshop``)."""
+    """Read a BIFF2-8 ``.xls`` into ``{sheet: [row dicts]}`` (first row
+    = header, values as strings) — the `_read_xlsx_stdlib` output
+    shape.  BIFF5/8 live in an OLE2 container (RC4-encrypted workbooks
+    decrypt with ``password``, default Excel's well-known
+    ``VelvetSweatshop``); BIFF2-4 files ARE the record stream and route
+    through :func:`_read_xls_biff234`."""
     with open(path, "rb") as f:
         data = f.read()
+    if data[:8] != _MAGIC and data[:2] in _BIFF234_BOF:
+        return _read_xls_biff234(data)
     wb = _cfb_stream(data, ("workbook", "book"))
-    if wb[:2] in (b"\x09\x00", b"\x09\x02", b"\x09\x04"):
-        raise NotImplementedError("BIFF2/3/4 .xls needs xlrd; use .xlsx")
+    if wb[:2] in _BIFF234_BOF:  # BIFF4W saved inside a container
+        return _read_xls_biff234(wb)
 
     # one decryption restart at most: FILEPASS sits near the stream head
     for opcode, body, _pos in _records(wb):
@@ -550,15 +636,7 @@ def _read_xls_stdlib(
                 if body[7] == 0:  # boolean (1 would be an error code)
                     put(row, col, str(body[6] == 1))
 
-        ordered = [cells[r] for r in sorted(cells)]
-        if not ordered:
-            out[name] = []
-            continue
-        header = ordered[0]
-        out[name] = [
-            {header[i]: v for i, v in r.items() if i in header}
-            for r in ordered[1:]
-        ]
+        out[name] = _shape_rows(cells)
     return out
 
 
@@ -605,13 +683,76 @@ def make_xls_bytes(
 
     ``biff=5`` writes the pre-unicode BIFF5 shape: cp1252 ``CODEPAGE``,
     byte-string sheet names, inline ``LABEL`` byte-string cells, no
-    SST.  ``password`` RC4-encrypts the workbook stream per
-    MS-OFFCRYPTO §2.3.6 (FILEPASS record + block-rekeyed body
-    encryption) — the reader twin for the encrypted path."""
+    SST.  ``biff=2|3|4`` writes the pre-OLE2 shape real Excel 2.x-4.0
+    files have — a RAW single-worksheet record stream (BIFF2: 3-byte
+    cell attributes, 1-byte LABEL lengths; BIFF3/4: the 2-byte-ixfe
+    layouts BIFF5 kept), no container, no password support.
+    ``password`` RC4-encrypts the workbook stream per MS-OFFCRYPTO
+    §2.3.6 (FILEPASS record + block-rekeyed body encryption) — the
+    reader twin for the encrypted path."""
     import io
 
-    if biff not in (5, 8):
-        raise ValueError("biff must be 5 or 8")
+    if biff not in (2, 3, 4, 5, 8):
+        raise ValueError("biff must be one of 2, 3, 4, 5, 8")
+    if biff in (2, 3, 4):
+        if password is not None:
+            raise ValueError("pre-BIFF5 fixtures do not support passwords")
+        if len(sheets) != 1:
+            raise ValueError("pre-BIFF5 files hold exactly one worksheet")
+
+        def rec234(op: int, body: bytes) -> bytes:
+            return struct.pack("<HH", op, len(body)) + body
+
+        rows = next(iter(sheets.values()))
+        b = io.BytesIO()
+        bof_op = {2: 0x0009, 3: 0x0209, 4: 0x0409}[biff]
+        b.write(rec234(bof_op, struct.pack("<HH", 0x0100 * biff, 0x0010)))
+        if biff > 2:
+            b.write(rec234(0x0042, struct.pack("<H", 0x04E4)))  # cp1252
+        codec = "cp1252" if biff > 2 else "latin-1"
+        for r, row in enumerate(rows):
+            for c, v in enumerate(row):
+                if v is None:
+                    continue
+                if isinstance(v, str):
+                    raw = v.encode(codec, errors="replace")
+                    if biff == 2:
+                        if len(raw) > 255:
+                            raise ValueError("BIFF2 LABEL is capped at 255 bytes")
+                        b.write(rec234(
+                            0x0004,
+                            struct.pack("<HH3sB", r, c, b"\0\0\0", len(raw)) + raw,
+                        ))
+                    else:
+                        b.write(rec234(
+                            0x0204,
+                            struct.pack("<HHHH", r, c, 0, len(raw)) + raw,
+                        ))
+                elif isinstance(v, bool):
+                    if biff == 2:
+                        b.write(rec234(
+                            0x0005,
+                            struct.pack("<HH3sBB", r, c, b"\0\0\0", 1 if v else 0, 0),
+                        ))
+                    else:
+                        b.write(rec234(
+                            0x0205, struct.pack("<HHHBB", r, c, 0, 1 if v else 0, 0)
+                        ))
+                elif biff == 2 and isinstance(v, int) and 0 <= v <= 0xFFFF:
+                    b.write(rec234(
+                        0x0002, struct.pack("<HH3sH", r, c, b"\0\0\0", v)
+                    ))
+                else:
+                    if biff == 2:
+                        b.write(rec234(
+                            0x0003, struct.pack("<HH3sd", r, c, b"\0\0\0", float(v))
+                        ))
+                    else:
+                        b.write(rec234(
+                            0x0203, struct.pack("<HHHd", r, c, 0, float(v))
+                        ))
+        b.write(rec234(0x000A, b""))
+        return b.getvalue()
     ver = 0x0600 if biff == 8 else 0x0500
 
     all_strings: list[str] = []

@@ -108,12 +108,28 @@ def test_xls_gates_raise_with_guidance(tmp_path):
     def rec(op, body):
         return struct.pack("<HH", op, len(body)) + body
 
-    # BIFF3 workbook (BOF opcode 0x0209) — genuinely gated
-    wb3 = rec(0x0209, struct.pack("<HH", 0, 0x0005)) + rec(0x000A, b"")
+    # r13: a BIFF3 stream inside an OLE2 container (the BIFF4W-style
+    # save) now parses through the pre-BIFF5 path instead of gating
+    wb3 = (
+        rec(0x0209, struct.pack("<HH", 0x0300, 0x0010))
+        + rec(0x0204, struct.pack("<HHHH", 0, 0, 0, 1) + b"h")
+        + rec(0x0204, struct.pack("<HHHH", 1, 0, 0, 1) + b"v")
+        + rec(0x000A, b"")
+    )
     p3 = tmp_path / "b3.xls"
     p3.write_bytes(_wrap_ole2(wb3, mini=False))
-    with pytest.raises(NotImplementedError, match="BIFF2/3/4"):
-        _read_xls_stdlib(str(p3))
+    assert _read_xls_stdlib(str(p3)) == {"Sheet1": [{"h": "v"}]}
+
+    # encrypted pre-BIFF5 stream — genuinely gated
+    wb2e = (
+        rec(0x0009, struct.pack("<HH", 0x0200, 0x0010))
+        + rec(0x002F, struct.pack("<HH", 0, 0))
+        + rec(0x000A, b"")
+    )
+    p2e = tmp_path / "b2enc.xls"
+    p2e.write_bytes(wb2e)
+    with pytest.raises(NotImplementedError, match="pre-BIFF5"):
+        _read_xls_stdlib(str(p2e))
 
     # XOR-obfuscated workbook (FILEPASS method 0) — genuinely gated
     wbx = (
@@ -273,3 +289,56 @@ def test_crypto_api_non_rc4_algid_gated(tmp_path):
     p.write_bytes(bad)
     with pytest.raises(NotImplementedError, match="AlgID"):
         _read_xls_stdlib(str(p), password="x")
+
+
+# ---------------------------------------------------------------------------
+# r13: pre-BIFF5 (Excel 2.x/3.0/4.0) raw-stream worksheets
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("biff", [2, 3, 4])
+def test_biff234_roundtrip(biff, tmp_path):
+    from architxt_spark.sources.xls import make_xls_bytes, _read_xls_stdlib
+
+    rows = [
+        ["name", "qty", "price", "flag"],
+        ["caf\xe9 table", 7, 2.5, True],
+        ["second", 65535, -1.25, False],
+    ]
+    blob = make_xls_bytes({"S": rows}, biff=biff)
+    # raw record stream, NOT an OLE2 container — the real file shape
+    assert blob[:2] in (b"\x09\x00", b"\x09\x02", b"\x09\x04")
+    assert not blob.startswith(b"\xd0\xcf\x11\xe0")
+    p = tmp_path / f"b{biff}.xls"
+    p.write_bytes(blob)
+    got = _read_xls_stdlib(str(p))
+    assert got == {"Sheet1": [
+        {"name": "caf\xe9 table", "qty": "7", "price": "2.5", "flag": "True"},
+        {"name": "second", "qty": "65535", "price": "-1.25", "flag": "False"},
+    ]}
+
+
+def test_biff2_integer_and_label_cap(tmp_path):
+    from architxt_spark.sources.xls import make_xls_bytes, _read_xls_stdlib
+
+    # 65535 fits the BIFF2 INTEGER record; 65536 must fall back to NUMBER
+    blob = make_xls_bytes({"S": [["a"], [65536]]}, biff=2)
+    p = tmp_path / "big.xls"
+    p.write_bytes(blob)
+    assert _read_xls_stdlib(str(p)) == {"Sheet1": [{"a": "65536"}]}
+    with pytest.raises(ValueError, match="255"):
+        make_xls_bytes({"S": [["x" * 300]]}, biff=2)
+    with pytest.raises(ValueError, match="one worksheet"):
+        make_xls_bytes({"A": [["x"]], "B": [["y"]]}, biff=3)
+    with pytest.raises(ValueError, match="password"):
+        make_xls_bytes({"S": [["x"]]}, biff=2, password="pw")
+
+
+def test_biff234_document_loader_e2e(tmp_path):
+    from architxt_spark.sources.xls import make_xls_bytes, _read_xls_stdlib
+
+    # all three legacy versions through the path-dispatch entry
+    for biff in (2, 3, 4):
+        p = tmp_path / f"legacy{biff}.xls"
+        p.write_bytes(make_xls_bytes({"S": [["k"], [f"v{biff}"]]}, biff=biff))
+        assert _read_xls_stdlib(str(p)) == {"Sheet1": [{"k": f"v{biff}"}]}
