@@ -28,10 +28,13 @@ legacy-codec gate only fires for the genuinely exotic cases:
   the FILE is the record stream, one sheet, no SST; BIFF2's 3-byte
   cell attributes and 1-byte LABEL lengths, BIFF3/4's 2-byte-ixfe
   layouts (which BIFF5 kept), CODEPAGE-decoded byte strings;
+- DIFAT-chained containers (r13): >6.8 MB files whose FAT locations
+  spill past the header's 109 slots into chained DIFAT sectors
+  (MS-CFB §2.5) — big real-world workbooks;
 - raises ``NotImplementedError`` with guidance for XOR obfuscation
   (method 0 — its password-digest tables are spec constants this
-  container can't verify), encrypted pre-BIFF5 streams, and
-  DIFAT-chained (>6.8 MB) containers — those genuinely want xlrd.
+  container can't verify) and encrypted pre-BIFF5 streams — those
+  genuinely want xlrd.
 
 Output shape matches ``_read_xlsx_stdlib``: ``{sheet: [row dicts]}``,
 first row = header, every value a string.  ``make_xls_bytes`` is the
@@ -67,17 +70,27 @@ def _cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     (first_dir,) = struct.unpack("<I", data[48:52])
     (mini_cutoff,) = struct.unpack("<I", data[56:60])
     (first_minifat,) = struct.unpack("<I", data[60:64])
+    (first_difat,) = struct.unpack("<I", data[68:72])
     (n_difat,) = struct.unpack("<I", data[72:76])
-    if n_difat:
-        raise NotImplementedError(
-            "OLE2 files with DIFAT chains (>6.8 MB) need xlrd; use .xlsx"
-        )
 
     def sector(i: int) -> bytes:
         off = 512 + i * ssz
         return data[off:off + ssz]
 
-    difat = struct.unpack("<109I", data[76:512])
+    difat = list(struct.unpack("<109I", data[76:512]))
+    # >6.8 MB files overflow the header's 109 FAT locations into chained
+    # DIFAT sectors (MS-CFB §2.5): each carries ssz/4 − 1 FAT sector
+    # numbers plus the next DIFAT sector in its last field
+    s, seen = first_difat, set()
+    for _ in range(n_difat):
+        if s in (_ENDOFCHAIN, _FREESECT):
+            break
+        if s in seen:
+            raise ValueError("OLE2 DIFAT chain cycle")
+        seen.add(s)
+        vals = struct.unpack(f"<{ssz // 4}I", sector(s))
+        difat.extend(vals[:-1])
+        s = vals[-1]
     fat = b"".join(sector(s) for s in difat[:n_fat] if s != _FREESECT)
     fat_entries = struct.unpack(f"<{len(fat) // 4}I", fat)
 
@@ -972,3 +985,94 @@ def _wrap_ole2(stream: bytes, *, mini: bool) -> bytes:
     difat = [0] + [_FREESECT] * 108
     struct.pack_into("<109I", header, 76, *difat)
     return bytes(header) + b"".join(sectors)
+
+
+_DIFSECT = 0xFFFFFFFC
+
+
+def _wrap_ole2_difat(stream: bytes, *, pad_bytes: int = 7_400_000) -> bytes:
+    """OLE2 container whose FAT spills past the header's 109 locations
+    into a chained DIFAT sector (MS-CFB §2.5) — the >6.8 MB shape big
+    real-world workbooks have.  ``stream`` becomes the Workbook;
+    ``pad_bytes`` of an inert second stream force the size.  Fixture
+    twin for the reader's DIFAT walk."""
+    stream = stream + b"\x00" * max(0, 4096 - len(stream))
+
+    def pad512(b: bytes) -> bytes:
+        return b + b"\x00" * (-len(b) % 512)
+
+    wb = pad512(stream)
+    padding = b"\x00" * pad_bytes
+    padding = pad512(padding)
+    n_wb, n_pad = len(wb) // 512, len(padding) // 512
+
+    # fixpoint: FAT must also map the FAT/DIFAT/dir sectors themselves
+    n_fat = n_difat = 0
+    for _ in range(8):
+        total = n_fat + n_difat + 1 + n_wb + n_pad
+        new_fat = -(-total // 128)
+        new_difat = -(-max(0, new_fat - 109) // 127)
+        if (new_fat, new_difat) == (n_fat, n_difat):
+            break
+        n_fat, n_difat = new_fat, new_difat
+
+    dir_at = n_fat + n_difat
+    wb_at = dir_at + 1
+    pad_at = wb_at + n_wb
+    total = pad_at + n_pad
+
+    fat = []
+    fat += [_FATSECT] * n_fat
+    fat += [_DIFSECT] * n_difat
+    fat.append(_ENDOFCHAIN)  # directory
+    fat += [wb_at + i + 1 if i + 1 < n_wb else _ENDOFCHAIN for i in range(n_wb)]
+    fat += [pad_at + i + 1 if i + 1 < n_pad else _ENDOFCHAIN for i in range(n_pad)]
+    fat += [_FREESECT] * (n_fat * 128 - len(fat))
+    fat_bytes = struct.pack(f"<{len(fat)}I", *fat)
+
+    difat_all = list(range(n_fat))
+    header_difat = difat_all[:109] + [_FREESECT] * max(0, 109 - n_fat)
+    difat_sectors = []
+    rest = difat_all[109:]
+    for i in range(n_difat):
+        chunk = rest[127 * i: 127 * (i + 1)]
+        chunk += [_FREESECT] * (127 - len(chunk))
+        nxt = n_fat + i + 1 if i + 1 < n_difat else _ENDOFCHAIN
+        difat_sectors.append(struct.pack("<128I", *(chunk + [nxt])))
+
+    def dir_entry(name: str, etype: int, start: int, size: int, child: int = 0xFFFFFFFF) -> bytes:
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[0:len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw))
+        e[66] = etype
+        e[67] = 1
+        struct.pack_into("<III", e, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<I", e, 120, size)
+        return bytes(e)
+
+    directory = pad512(
+        dir_entry("Root Entry", 5, _ENDOFCHAIN, 0, child=1)
+        + dir_entry("Workbook", 2, wb_at, len(stream))
+        + dir_entry("Padding", 2, pad_at, pad_bytes)
+    )
+
+    header = bytearray(512)
+    header[0:8] = _MAGIC
+    struct.pack_into("<H", header, 24, 0x003E)
+    struct.pack_into("<H", header, 26, 0x0003)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, n_fat)
+    struct.pack_into("<I", header, 48, dir_at)
+    struct.pack_into("<I", header, 56, 4096)
+    struct.pack_into("<I", header, 60, _ENDOFCHAIN)  # no mini FAT
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<I", header, 68, n_fat if n_difat else _ENDOFCHAIN)
+    struct.pack_into("<I", header, 72, n_difat)
+    struct.pack_into("<109I", header, 76, *header_difat)
+    body = fat_bytes + b"".join(difat_sectors) + directory + wb + padding
+    assert len(body) == total * 512
+    return bytes(header) + body

@@ -342,3 +342,19 @@ def test_biff234_document_loader_e2e(tmp_path):
         p = tmp_path / f"legacy{biff}.xls"
         p.write_bytes(make_xls_bytes({"S": [["k"], [f"v{biff}"]]}, biff=biff))
         assert _read_xls_stdlib(str(p)) == {"Sheet1": [{"k": f"v{biff}"}]}
+
+
+def test_difat_chained_container_roundtrip(tmp_path):
+    """>6.8 MB OLE2: the FAT locations spill past the header's 109
+    slots into a chained DIFAT sector (MS-CFB §2.5) — the reader walks
+    the chain instead of gating."""
+    from architxt_spark.sources.xls import _cfb_stream, _wrap_ole2_difat
+
+    wb = _cfb_stream(make_xls_bytes({"S": [["t"], ["difat works"]]}), ("workbook",))
+    big = _wrap_ole2_difat(wb)
+    assert len(big) > 6_900_000
+    # header says at least one DIFAT sector
+    assert struct.unpack("<I", big[72:76])[0] >= 1
+    p = tmp_path / "big.xls"
+    p.write_bytes(big)
+    assert _read_xls_stdlib(str(p)) == {"S": [{"t": "difat works"}]}
