@@ -122,3 +122,31 @@ def test_auto_width_changes_no_pairs(spark, monkeypatch):
     widened = pairs()
     assert baseline == widened
     assert baseline[0] and baseline[1]  # non-vacuous: the corpus has near-dups
+
+
+def test_uniform_probe_shift_does_not_flag(tmp_path, capsys):
+    """r13: the calib probe gains more from a faster host than mixed
+    workloads — raw ratios flat, normalized uniformly ~x1.4 on 6+
+    lines.  A uniform normalized shift is a probe artifact: no flags."""
+    old = {"calib_spark": 0.175}
+    new = {"calib_spark": 0.123}
+    for i in range(8):
+        old[f"q{i}"] = 5.0 + i
+        new[f"q{i}"] = (5.0 + i) * 0.98  # raw flat-to-better
+    assert _run_benchdiff(tmp_path, old, new) == 0
+    out = capsys.readouterr().out
+    assert "REGRESSED" not in out
+    assert "pack median" in out and "probe-shift" in out
+
+
+def test_single_query_regression_still_flags_through_probe_shift(tmp_path, capsys):
+    """The pack guard must not absorb a real per-query regression: same
+    uniform probe shift, but one line is x3 raw — flags."""
+    old = {"calib_spark": 0.175}
+    new = {"calib_spark": 0.123}
+    for i in range(8):
+        old[f"q{i}"] = 5.0 + i
+        new[f"q{i}"] = (5.0 + i) * (3.0 if i == 3 else 0.98)
+    assert _run_benchdiff(tmp_path, old, new) == 1
+    out = capsys.readouterr().out
+    assert out.count("REGRESSED") == 1 and "q3" in out

@@ -122,16 +122,43 @@ def main(argv: list[str] | None = None) -> int:
     old = {q: v for q, v in old.items() if q not in CALIB}
     new = {q: v for q, v in new.items() if q not in CALIB}
     shared = sorted(set(old) & set(new))
+    ratios = {q: (new[q] / old[q] if old[q] else float("inf")) for q in shared}
+    judged_all = {
+        q: (r / drift if drift else r) for q, r in ratios.items()
+    }
+    # pack-median guard (r13): the calib probe is a fixed-width codegen
+    # job — a host that speeds up helps it MORE than mixed Arrow/IO
+    # queries, printing a uniform phantom "norm x1.3-1.5" on every line.
+    # A UNIFORM normalized shift is a probe artifact; only deviation
+    # from the pack is per-query signal.  With ≥5 shared lines, a
+    # REGRESSED flag additionally requires the raw ratio OR the
+    # pack-relative ratio (judged / median judged) over threshold — a
+    # genuinely uniform code regression still shows in raw, a masked
+    # single-query regression still shows vs the pack.
+    median_judged = None
+    if drift is not None and len(shared) >= 5:
+        vals = sorted(judged_all.values())
+        median_judged = vals[len(vals) // 2]
+        print(f"{'':32s} pack median norm = x{median_judged:4.2f}"
+              " (uniform shift = probe artifact)")
     regressions = []
     for q in shared:
-        ratio = new[q] / old[q] if old[q] else float("inf")
-        judged = ratio / drift if drift else ratio
+        ratio = ratios[q]
+        judged = judged_all[q]
+        corroborated = True
+        if median_judged is not None:
+            corroborated = (
+                ratio > args.threshold
+                or judged / median_judged > args.threshold
+            )
         flag = ""
         if judged > args.threshold and q in SCOPE_GROWTH:
             flag = f" scope-growth ({SCOPE_GROWTH[q]})"
-        elif judged > args.threshold:
+        elif judged > args.threshold and corroborated:
             flag = " REGRESSED"
             regressions.append(q)
+        elif judged > args.threshold:
+            flag = " probe-shift (norm over threshold, raw + pack flat)"
         elif judged < 1 / args.threshold:
             flag = " improved"
         if q in partial:
