@@ -11,10 +11,12 @@ precision, Huffman entropy coding read from the file's own DHT
 segments (any valid tables, including mid-file redefinition between
 progressive scans), 1- or 3-component frames, arbitrary sampling
 factors (4:4:4 / 4:2:2 / 4:2:0 by replication upsampling), restart
-markers in both sequential and progressive scans.  Arithmetic coding,
-lossless/hierarchical frames, 12-bit precision and 16-bit quantization
-tables raise ``NotImplementedError`` with guidance — those genuinely
-want libjpeg.
+markers in both sequential and progressive scans.  12-bit precision
+(r13: the medical-imaging shape — 2048 level shift, 16-bit Pq=1
+quantization tables, samples downscaled to the pipeline's 8-bit
+contract) decodes for sequential frames.  Arithmetic coding,
+lossless/hierarchical frames, and 12-bit progressive raise
+``NotImplementedError`` with guidance — those genuinely want libjpeg.
 
 ``make_jpeg_bytes`` is the encoder twin for round-trip tests: forward
 DCT + flat quantization + canonical single-length Huffman tables it
@@ -56,13 +58,15 @@ for _k in range(8):
         )
 
 
-def _blocks_idct(coefs: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) dequantized coefficient blocks → (n, 8, 8) samples."""
-    return np.einsum("ki,nkl,lj->nij", _DCT, coefs, _DCT) + 128.0
+def _blocks_idct(coefs: np.ndarray, level: float = 128.0) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficient blocks → (n, 8, 8) samples;
+    ``level`` is the precision's level shift (128 for 8-bit, 2048 for
+    12-bit)."""
+    return np.einsum("ki,nkl,lj->nij", _DCT, coefs, _DCT) + level
 
 
-def _blocks_dct(samples: np.ndarray) -> np.ndarray:
-    return np.einsum("ik,nkl,jl->nij", _DCT, samples - 128.0, _DCT)
+def _blocks_dct(samples: np.ndarray, level: float = 128.0) -> np.ndarray:
+    return np.einsum("ik,nkl,jl->nij", _DCT, samples - level, _DCT)
 
 
 class _BitReader:
@@ -151,6 +155,7 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
+    precision = 8
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
     progressive = False
@@ -167,19 +172,20 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         (seg_len,) = struct.unpack(">H", content[pos + 2:pos + 4])
         body = content[pos + 4:pos + 2 + seg_len]
         pos += 2 + seg_len
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (pq=1 → 16-bit entries, the 12-bit shape)
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq:
-                    raise NotImplementedError(
-                        "16-bit quantization tables need libjpeg"
-                    )
                 tbl = np.zeros((8, 8))
                 for i, (rr, cc) in enumerate(ZIGZAG):
-                    tbl[rr, cc] = body[off + 1 + i]
+                    if pq:
+                        (tbl[rr, cc],) = struct.unpack(
+                            ">H", body[off + 1 + 2 * i:off + 3 + 2 * i]
+                        )
+                    else:
+                        tbl[rr, cc] = body[off + 1 + i]
                 qt[tq] = tbl
-                off += 65
+                off += 129 if pq else 65
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -191,13 +197,20 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 off += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("12-bit JPEG needs libjpeg")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG precision needs libjpeg"
+                )
+            if prec == 12 and marker == 0xC2:
+                raise NotImplementedError(
+                    "12-bit progressive JPEG needs libjpeg"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
+            precision = prec
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -217,7 +230,10 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 for i in range(ns):
                     cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                     scan.append((cs, tables >> 4, tables & 0x0F))
-                return _decode_scan(content, pos, frame, scan, qt, huff, restart)
+                return _decode_scan(
+                    content, pos, frame, scan, qt, huff, restart,
+                    prec=precision,
+                )
             if prog is None:
                 prog = _ProgState(frame)
             pos = prog.decode_scan(content, pos, body, huff, restart)
@@ -231,36 +247,41 @@ _ZZ_R = np.array([rr for rr, _cc in ZIGZAG])
 _ZZ_C = np.array([cc for _rr, cc in ZIGZAG])
 
 
-def _finish_planes(w, h, hmax, vmax, comp_planes):
+def _finish_planes(w, h, hmax, vmax, comp_planes, prec=8):
     """Shared reconstruction tail: per-component ``(zz, q, ch, cv)``
-    with ``zz`` the (gy, gx, 64) zigzag coefficient grid → pixels."""
+    with ``zz`` the (gy, gx, 64) zigzag coefficient grid → pixels.
+    12-bit frames level-shift by 2048 and downscale to the pipeline's
+    8-bit sample contract (the 4 LSBs carry no perceptual-hash
+    information)."""
+    level = float(1 << (prec - 1))
+    scale = float(1 << (prec - 8))
     planes = []
     for zz, q, ch, cv in comp_planes:
         gy, gx = zz.shape[:2]
         blocks = np.zeros((gy * gx, 8, 8))
         blocks[:, _ZZ_R, _ZZ_C] = zz.reshape(gy * gx, 64)
-        spat = _blocks_idct(blocks * q).reshape(gy, gx, 8, 8)
+        spat = _blocks_idct(blocks * q, level).reshape(gy, gx, 8, 8)
         plane = spat.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
         plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
-        out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.rint(planes[0] / scale), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()
     y, cb, cr = planes
     rgb = np.stack(
         [
-            y + 1.402 * (cr - 128.0),
-            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-            y + 1.772 * (cb - 128.0),
+            y + 1.402 * (cr - level),
+            y - 0.344136 * (cb - level) - 0.714136 * (cr - level),
+            y + 1.772 * (cb - level),
         ],
         axis=-1,
     )
-    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    out = np.clip(np.rint(rgb / scale), 0, 255).astype(np.uint8)
     return w, h, 3, out.tobytes()
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, restart):
+def _decode_scan(data, pos, frame, scan, qt, huff, restart, prec=8):
     w, h, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -316,6 +337,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
     return _finish_planes(
         w, h, hmax, vmax,
         [(ci["zz"], ci["q"], ci["ch"], ci["cv"]) for ci in comp_info],
+        prec=prec,
     )
 
 
@@ -548,6 +570,7 @@ def make_jpeg_bytes(
     quant: int = 16,
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode raw samples (gray or RGB, row-major) as a baseline
     sequential JPEG — the :func:`decode_jpeg_pixels` round-trip twin.
@@ -560,9 +583,23 @@ def make_jpeg_bytes(
     1–20 and 21–63 per component at Al=1 → AC refine per component) —
     a lossless reorganization, so decoded pixels are byte-identical to
     the sequential encoding's."""
-    arr = np.frombuffer(pixels, dtype=np.uint8).astype(float).reshape(
-        height, width, channels
-    )
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12:
+        # the medical-imaging shape: grayscale sequential only; pixels
+        # are little-endian uint16 samples in 0..4095
+        if channels != 1:
+            raise ValueError("12-bit fixtures are grayscale only")
+        if progressive:
+            raise ValueError("12-bit progressive is gated on decode too")
+        arr = np.frombuffer(pixels, dtype="<u2").astype(float).reshape(
+            height, width, channels
+        )
+    else:
+        arr = np.frombuffer(pixels, dtype=np.uint8).astype(float).reshape(
+            height, width, channels
+        )
+    level = float(1 << (precision - 1))
     if channels == 3:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
         planes = [
@@ -600,7 +637,7 @@ def make_jpeg_bytes(
         )
         gy, gx = gh // 8, gw // 8
         blocks = plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        quantized = np.rint(_blocks_dct(blocks) / qtab).astype(int).reshape(gy, gx, 8, 8)
+        quantized = np.rint(_blocks_dct(blocks, level) / qtab).astype(int).reshape(gy, gx, 8, 8)
         comp_blocks.append(quantized)
 
     if progressive:
@@ -665,9 +702,15 @@ def make_jpeg_bytes(
     def seg(marker: int, body: bytes) -> None:
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
 
-    zz_q = bytes(int(qtab[rr, cc]) for rr, cc in ZIGZAG)
-    seg(0xDB, b"\x00" + zz_q)
-    sof = struct.pack(">BHHB", 8, height, width, channels)
+    if precision == 12:  # Pq=1: 16-bit entries, the 12-bit convention
+        zz_q16 = b"".join(
+            struct.pack(">H", int(qtab[rr, cc])) for rr, cc in ZIGZAG
+        )
+        seg(0xDB, b"\x10" + zz_q16)
+    else:
+        zz_q = bytes(int(qtab[rr, cc]) for rr, cc in ZIGZAG)
+        seg(0xDB, b"\x00" + zz_q)
+    sof = struct.pack(">BHHB", precision, height, width, channels)
     for ci, (fh, fv) in enumerate(factors):
         sof += bytes([ci + 1, (fh << 4) | fv, 0])
     seg(0xC0, sof)

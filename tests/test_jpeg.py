@@ -197,3 +197,64 @@ def test_extract_features_jpeg_mode(spark):
     expect = (hist / hist.sum()).tolist()
     got = rows[0].feature
     assert max(abs(a - b) for a, b in zip(got, expect)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# r13: 12-bit precision (sequential grayscale — the medical shape)
+# ---------------------------------------------------------------------------
+
+
+def test_12bit_roundtrip_dc_exact_and_gradient():
+    import numpy as np
+
+    from architxt_spark.functions.jpeg import decode_jpeg_pixels, make_jpeg_bytes
+
+    W, H = 72, 48
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 4096, size=(H // 8, W // 8), dtype=np.uint16)
+    px12 = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype("<u2")
+    blob = make_jpeg_bytes(W, H, px12.tobytes(), precision=12)
+    # SOF precision byte 12, Pq=1 16-bit quant table
+    assert blob[blob.find(b"\xff\xc0") + 4] == 12
+    assert blob[blob.find(b"\xff\xdb") + 4] == 0x10
+    w, h, c, raw = decode_jpeg_pixels(blob)
+    assert (w, h, c) == (W, H, 1)
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(int)
+    want = np.clip(np.rint(px12 / 16.0), 0, 255).astype(int)
+    # constant blocks ride the DC-only path: within one 8-bit step
+    assert np.abs(got - want).max() <= 1
+    # gradients: bounded tolerance like the 8-bit contract
+    grad = ((np.arange(H)[:, None] * 40 + np.arange(W)[None, :] * 17) % 4096).astype("<u2")
+    w2, h2, _c2, raw2 = decode_jpeg_pixels(
+        make_jpeg_bytes(W, H, grad.tobytes(), precision=12)
+    )
+    got2 = np.frombuffer(raw2, dtype=np.uint8).reshape(h2, w2).astype(int)
+    want2 = np.clip(np.rint(grad / 16.0), 0, 255).astype(int)
+    assert np.abs(got2 - want2).max() <= 2
+
+
+def test_12bit_gates():
+    import numpy as np
+    import pytest as _pytest
+
+    from architxt_spark.functions.jpeg import decode_jpeg_pixels, make_jpeg_bytes
+
+    px = np.zeros(64, dtype="<u2")
+    with _pytest.raises(ValueError, match="grayscale"):
+        make_jpeg_bytes(8, 8, px.tobytes() * 3, channels=3, precision=12)
+    with _pytest.raises(ValueError, match="progressive"):
+        make_jpeg_bytes(8, 8, px.tobytes(), precision=12, progressive=True)
+    with _pytest.raises(ValueError, match="precision"):
+        make_jpeg_bytes(8, 8, bytes(64), precision=10)
+    # 12-bit PROGRESSIVE decode stays gated: flip the marker + precision
+    blob = bytearray(make_jpeg_bytes(8, 8, bytes(64), progressive=True))
+    at = blob.find(b"\xff\xc2")
+    blob[at + 4] = 12
+    with _pytest.raises(NotImplementedError, match="12-bit progressive"):
+        decode_jpeg_pixels(bytes(blob))
+    # unpublished precisions stay gated
+    blob2 = bytearray(make_jpeg_bytes(8, 8, bytes(64)))
+    at2 = blob2.find(b"\xff\xc0")
+    blob2[at2 + 4] = 16
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg_pixels(bytes(blob2))
