@@ -1975,37 +1975,49 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                 clean = f"d{d}: " + ctrl.sub(" ", text or "")
                 m = d % 5
                 if m == 0:
-                    # r12: rotate the xls encryption shapes — CryptoAPI
-                    # RC4 (SHA-1 lineage), binary RC4 (MD5 lineage, the
+                    # r12: rotate the spreadsheet shapes — CryptoAPI RC4
+                    # (SHA-1 lineage), binary RC4 (MD5 lineage, the
                     # VelvetSweatshop default), and plain; r13 adds the
                     # pre-OLE2 BIFF4 raw-stream shape (Excel 2.x-4.0 —
                     # the sheet name becomes Sheet1, values byte-equal)
+                    # and the d%4==3 residue travels as .ods (the ODF
+                    # table walk through read_ods_sheets)
                     from architxt_spark.sources.xls import DEFAULT_XLS_PASSWORD
 
-                    kw = {}
-                    if d % 4 == 0:
-                        kw = {"password": DEFAULT_XLS_PASSWORD, "crypto_api": True}
-                    elif d % 4 == 1:
-                        kw = {"password": DEFAULT_XLS_PASSWORD}
-                    elif d % 4 == 2:
-                        # byte-string cells: only exact for cp1252-safe
-                        # text (BIFF8 keeps UTF-16 for the rest)
+                    if d % 4 == 3:
+                        from architxt_spark.sources.office import (
+                            make_ods_bytes,
+                            read_ods_sheets,
+                        )
+
+                        blob = make_ods_bytes({"S": [["t"], [clean]]})
+                        back = read_ods_sheets(blob)["S"][0]["t"]
+                        fmt = "ods"
+                    else:
+                        kw = {}
+                        if d % 4 == 0:
+                            kw = {"password": DEFAULT_XLS_PASSWORD, "crypto_api": True}
+                        elif d % 4 == 1:
+                            kw = {"password": DEFAULT_XLS_PASSWORD}
+                        elif d % 4 == 2:
+                            # byte-string cells: only exact for
+                            # cp1252-safe text (BIFF8 keeps UTF-16)
+                            try:
+                                clean.encode("cp1252")
+                                kw = {"biff": 4}
+                            except UnicodeEncodeError:
+                                pass
+                        blob = make_xls_bytes({"S": [["t"], [clean]]}, **kw)
+                        with tempfile.NamedTemporaryFile(
+                            suffix=".xls", delete=False
+                        ) as f:
+                            f.write(blob)
+                            p = f.name
                         try:
-                            clean.encode("cp1252")
-                            kw = {"biff": 4}
-                        except UnicodeEncodeError:
-                            pass
-                    blob = make_xls_bytes({"S": [["t"], [clean]]}, **kw)
-                    with tempfile.NamedTemporaryFile(
-                        suffix=".xls", delete=False
-                    ) as f:
-                        f.write(blob)
-                        p = f.name
-                    try:
-                        back = next(iter(_read_xls_stdlib(p).values()))[0]["t"]
-                    finally:
-                        os.unlink(p)
-                    fmt = "xls"
+                            back = next(iter(_read_xls_stdlib(p).values()))[0]["t"]
+                        finally:
+                            os.unlink(p)
+                        fmt = "xls"
                 elif m == 1:
                     # r12: half the docx docs travel as password-
                     # protected OLE2 containers (Standard / Agile
@@ -4075,7 +4087,9 @@ def _doc_loader_files_sql() -> str:
     from architxt_spark.sinks.corpus import corpus_manifest_sql
 
     rb = r"""(
-        SELECT CASE d % 5 WHEN 0 THEN 'xls' WHEN 1 THEN 'docx'
+        SELECT CASE d % 5 WHEN 0 THEN (CASE WHEN d % 4 = 3
+                                            THEN 'ods' ELSE 'xls' END)
+                          WHEN 1 THEN 'docx'
                           WHEN 2 THEN 'odt' WHEN 3 THEN 'pdf'
                           ELSE 'pptx' END AS fmt,
                CASE WHEN d % 5 = 3

@@ -320,14 +320,22 @@ def read_document_file(
         # stdlib zipfile + ElementTree (sharedStrings + sheetData walk).
         data = _read_xlsx_stdlib(path, password)
     elif ext == ".xls":
-        # legacy binary BIFF reads with the stdlib (OLE2 FAT/mini-FAT +
-        # record walk + CONTINUE-aware SST; BIFF5 codepage strings and
+        # legacy binary BIFF reads with the stdlib (OLE2 FAT/mini-FAT/
+        # DIFAT-chained containers + record walk + CONTINUE-aware SST;
+        # BIFF5 codepage strings, pre-OLE2 BIFF2-4 raw streams, and
         # RC4-encrypted workbooks incl. the VelvetSweatshop default,
-        # ``sources/xls.py``); only BIFF2-4 / XOR-obfuscated /
-        # >6.8 MB-DIFAT workbooks still raise with xlrd guidance
+        # ``sources/xls.py``); only XOR-obfuscated and encrypted
+        # pre-BIFF5 workbooks still raise with xlrd guidance
         from architxt_spark.sources.xls import _read_xls_stdlib
 
         data = _read_xls_stdlib(path, password=password or None)
+    elif ext == ".ods":
+        # OpenDocument spreadsheets take the xlsx record shape through
+        # the ODF table walk (``sources/office.py``); encrypted members
+        # decrypt via the same manifest path as .odt
+        from architxt_spark.sources.office import read_ods_sheets
+
+        data = read_ods_sheets(path, password=password)
     elif ext in (".docx", ".odt", ".pptx"):
         # word-processor / presentation text (r11.5, beyond-reference):
         # zip + XML paragraph walk (``sources/office.py``) → one record

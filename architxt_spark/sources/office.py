@@ -226,6 +226,87 @@ def read_odt_paragraphs(path_or_bytes, *, password: str = "") -> list[str]:
     return out
 
 
+def read_ods_sheets(
+    path_or_bytes, *, password: str = ""
+) -> dict[str, list[dict[str, str]]]:
+    """OpenDocument spreadsheet (``.ods``) → ``{sheet: [row dicts]}``
+    (first row = header, values as strings) — the ``_read_xlsx_stdlib``
+    output shape, so the document loader treats LibreOffice Calc files
+    like Excel ones (the reference reads them through
+    ``pd.read_excel``, ``loader/documents.py:22-29``).  Walks
+    ``table:table`` / ``table:table-row`` / ``table:table-cell`` with
+    ``table:number-columns-repeated``/``number-rows-repeated`` expansion
+    (bounded at the used range); encrypted members decrypt through the
+    same ODF 1.2 / legacy-Blowfish manifest path as ``.odt``."""
+    src = (
+        io.BytesIO(path_or_bytes)
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else path_or_bytes
+    )
+    try:
+        with zipfile.ZipFile(src) as z:
+            raw = z.read("content.xml")
+            enc = _odf_encryption_entry(z, "content.xml")
+            if enc is not None:
+                from architxt_spark.sources.ooxml_crypto import odf_decrypt_entry
+
+                raw = odf_decrypt_entry(raw, enc, password)
+            root = ET.fromstring(raw)
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise ValueError("not a .ods (no content.xml zip entry)") from e
+
+    def cell_text(cell) -> str:
+        return "\n".join(
+            _para_text(el) for el in cell.iter() if _local(el.tag) == "p"
+        )
+
+    out: dict[str, list[dict[str, str]]] = {}
+    for table in root.iter():
+        if _local(table.tag) != "table":
+            continue
+        name = next(
+            (v for k, v in table.attrib.items() if k.endswith("}name")),
+            f"Sheet{len(out) + 1}",
+        )
+        rows: list[list[str]] = []
+        for tr in table:
+            if _local(tr.tag) != "table-row":
+                continue
+            row_rep = int(next(
+                (v for k, v in tr.attrib.items()
+                 if k.endswith("number-rows-repeated")), "1",
+            ))
+            vals: list[str] = []
+            for cell in tr:
+                if _local(cell.tag) not in ("table-cell", "covered-table-cell"):
+                    continue
+                rep = int(next(
+                    (v for k, v in cell.attrib.items()
+                     if k.endswith("number-columns-repeated")), "1",
+                ))
+                text = cell_text(cell)
+                # trailing filler cells repeat to the 16k column bound —
+                # only expand repeats that carry content
+                vals.extend([text] * (rep if text else min(rep, 1)))
+            while vals and not vals[-1]:
+                vals.pop()
+            # empty filler rows repeat to the row bound likewise
+            rows.extend([list(vals)] * (row_rep if vals else min(row_rep, 1)))
+        while rows and not rows[-1]:
+            rows.pop()
+        if not rows:
+            out[name] = []
+            continue
+        header = rows[0]
+        out[name] = [
+            {header[i]: v for i, v in enumerate(r) if i < len(header) and header[i]}
+            for r in rows[1:]
+        ]
+    if not out:
+        raise ValueError(".ods without any table:table element")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # fixture twins
 # ---------------------------------------------------------------------------
@@ -341,6 +422,53 @@ def make_pptx_bytes(slides: list[str]) -> bytes:
         z.writestr("ppt/_rels/presentation.xml.rels", "".join(pres_rels))
         for name, xml in parts:
             z.writestr(name, xml)
+    return buf.getvalue()
+
+
+_ODF_TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+
+
+def make_ods_bytes(sheets: dict[str, list[list]]) -> bytes:
+    """``{sheet: [[cell, ...], ...]}`` → a real ``.ods`` zip — the
+    fixture twin of :func:`read_ods_sheets` (mimetype-first entry per
+    the ODF packaging spec; repeated-empty-cell runs exercised by the
+    tests via None gaps)."""
+    tables = []
+    for name, rows in sheets.items():
+        trs = []
+        for row in rows:
+            tds = []
+            for v in row:
+                if v is None:  # a gap: emitted as an empty repeated cell
+                    tds.append("<table:table-cell/>")
+                else:
+                    tds.append(
+                        "<table:table-cell>"
+                        f"<text:p>{_xml_escape(str(v))}</text:p>"
+                        "</table:table-cell>"
+                    )
+            trs.append(f"<table:table-row>{''.join(tds)}</table:table-row>")
+        tables.append(
+            f'<table:table table:name="{_xml_escape(name)}">'
+            + "".join(trs)
+            + "</table:table>"
+        )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_ODF_OFFICE}" '
+        f'xmlns:text="{_ODF_TEXT}" xmlns:table="{_ODF_TABLE}">'
+        "<office:body><office:spreadsheet>"
+        + "".join(tables)
+        + "</office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            zipfile.ZipInfo("mimetype"),
+            "application/vnd.oasis.opendocument.spreadsheet",
+        )
+        z.writestr("content.xml", content)
     return buf.getvalue()
 
 

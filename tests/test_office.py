@@ -137,3 +137,84 @@ def test_read_document_file_pptx_end_to_end(spark, tmp_path):
     assert len(trees) == 2  # one tree per slide
     leaves = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert set(slides) <= leaves
+
+
+# ---------------------------------------------------------------------------
+# r13: OpenDocument spreadsheets (.ods)
+# ---------------------------------------------------------------------------
+
+
+def test_ods_roundtrip_and_shapes():
+    from architxt_spark.sources.office import make_ods_bytes, read_ods_sheets
+
+    sheets = {
+        "People": [["name", "age"], ["Alice", 30], [None, 7], ["Łukasz", -2.5]],
+        "Empty": [],
+    }
+    got = read_ods_sheets(make_ods_bytes(sheets))
+    assert got["People"] == [
+        {"name": "Alice", "age": "30"},
+        {"name": "", "age": "7"},  # the None gap reads as an empty cell
+        {"name": "Łukasz", "age": "-2.5"},
+    ]
+    assert got["Empty"] == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a .ods"):
+        read_ods_sheets(b"PK\x03\x04 not a zip")
+
+
+def test_ods_repeated_cells_and_rows():
+    # LibreOffice writes repeated-empty runs with number-columns-repeated
+    # (often to the 16k bound) — bounded expansion must not blow up
+    from architxt_spark.sources.office import read_ods_sheets
+
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+        ' xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="S">'
+        "<table:table-row>"
+        "<table:table-cell><text:p>h1</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="2">'
+        "<text:p>h</text:p></table:table-cell>"
+        "</table:table-row>"
+        "<table:table-row>"
+        "<table:table-cell><text:p>v</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="16382"/>'
+        "</table:table-row>"
+        '<table:table-row table:number-rows-repeated="1048575"/>'
+        "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        z.writestr("content.xml", content)
+    got = read_ods_sheets(buf.getvalue())
+    # the 16k empty-cell run and the million empty rows do NOT expand
+    # (trailing empties trim); the data row keeps its one value
+    assert got == {"S": [{"h1": "v"}]}
+
+
+def test_ods_encrypted_both_schemes_and_loader(spark, tmp_path):
+    from architxt_spark.sources.documents import read_document_file
+    from architxt_spark.sources.office import make_ods_bytes, read_ods_sheets
+    from architxt_spark.sources.ooxml_crypto import make_encrypted_odt
+
+    sheets = {"S": [["k"], ["ods caf\xe9"]]}
+    blob = make_ods_bytes(sheets)
+    for scheme in ("aes", "blowfish"):
+        enc = make_encrypted_odt(blob, "pw", scheme=scheme)
+        assert read_ods_sheets(enc, password="pw") == read_ods_sheets(blob)
+    p = tmp_path / "t.ods"
+    p.write_bytes(blob)
+    nodes = read_document_file(spark, str(p))
+    vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
+    assert "ods caf\xe9" in vals
