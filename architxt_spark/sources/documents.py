@@ -336,13 +336,14 @@ def read_document_file(
         from architxt_spark.sources.office import read_ods_sheets
 
         data = read_ods_sheets(path, password=password)
-    elif ext in (".docx", ".odt", ".pptx"):
-        # word-processor / presentation text (r11.5, beyond-reference):
-        # zip + XML paragraph walk (``sources/office.py``) → one record
-        # per paragraph (docx/odt) or per slide (pptx), so the
-        # meta-model sees a GROUP row per unit
+    elif ext in (".docx", ".odt", ".pptx", ".odp"):
+        # word-processor / presentation text (r11.5, beyond-reference;
+        # .odp r13): zip + XML paragraph walk (``sources/office.py``)
+        # → one record per paragraph (docx/odt) or per slide
+        # (pptx/odp), so the meta-model sees a GROUP row per unit
         from architxt_spark.sources.office import (
             read_docx_paragraphs,
+            read_odp_slides,
             read_odt_paragraphs,
             read_pptx_slides,
         )
@@ -351,6 +352,7 @@ def read_document_file(
             ".docx": read_docx_paragraphs,
             ".odt": read_odt_paragraphs,
             ".pptx": read_pptx_slides,
+            ".odp": read_odp_slides,
         }[ext]
         data = [
             {"idx": str(i), "text": p}

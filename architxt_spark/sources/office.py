@@ -226,6 +226,40 @@ def read_odt_paragraphs(path_or_bytes, *, password: str = "") -> list[str]:
     return out
 
 
+def read_odp_slides(path_or_bytes, *, password: str = "") -> list[str]:
+    """Per-slide text of an ``.odp`` (OpenDocument presentation) in
+    page order: every paragraph of every ``draw:page``, newline-joined
+    per slide (empty pages kept so slide numbering survives) — the
+    ``read_pptx_slides`` shape for the ODF side.  Encrypted members
+    decrypt through the same manifest path as ``.odt``."""
+    src = (
+        io.BytesIO(path_or_bytes)
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else path_or_bytes
+    )
+    try:
+        with zipfile.ZipFile(src) as z:
+            raw = z.read("content.xml")
+            enc = _odf_encryption_entry(z, "content.xml")
+            if enc is not None:
+                from architxt_spark.sources.ooxml_crypto import odf_decrypt_entry
+
+                raw = odf_decrypt_entry(raw, enc, password)
+            root = ET.fromstring(raw)
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise ValueError("not a .odp (no content.xml zip entry)") from e
+    pages = [el for el in root.iter() if _local(el.tag) == "page"]
+    if not pages:
+        raise ValueError(".odp without any draw:page element")
+    out: list[str] = []
+    for page in pages:
+        paras = [
+            _para_text(el) for el in page.iter() if _local(el.tag) == "p"
+        ]
+        out.append("\n".join(p for p in paras if p.strip()))
+    return out
+
+
 def read_ods_sheets(
     path_or_bytes, *, password: str = ""
 ) -> dict[str, list[dict[str, str]]]:
@@ -426,6 +460,41 @@ def make_pptx_bytes(slides: list[str]) -> bytes:
 
 
 _ODF_TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+_ODF_DRAW = "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+
+
+def make_odp_bytes(slides: list[str]) -> bytes:
+    """``["slide text", ...]`` → a real ``.odp`` zip — the fixture twin
+    of :func:`read_odp_slides` (one ``draw:page`` per slide, paragraphs
+    split on newlines)."""
+    pages = []
+    for i, text in enumerate(slides):
+        paras = "".join(
+            f"<text:p>{_xml_escape(line)}</text:p>"
+            for line in (text.split("\n") if text else [""])
+        )
+        pages.append(
+            f'<draw:page draw:name="page{i + 1}">'
+            f"<draw:frame><draw:text-box>{paras}</draw:text-box></draw:frame>"
+            "</draw:page>"
+        )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_ODF_OFFICE}" '
+        f'xmlns:text="{_ODF_TEXT}" xmlns:draw="{_ODF_DRAW}">'
+        "<office:body><office:presentation>"
+        + "".join(pages)
+        + "</office:presentation></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            zipfile.ZipInfo("mimetype"),
+            "application/vnd.oasis.opendocument.presentation",
+        )
+        z.writestr("content.xml", content)
+    return buf.getvalue()
 
 
 def make_ods_bytes(sheets: dict[str, list[list]]) -> bytes:

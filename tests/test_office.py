@@ -218,3 +218,25 @@ def test_ods_encrypted_both_schemes_and_loader(spark, tmp_path):
     nodes = read_document_file(spark, str(p))
     vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert "ods caf\xe9" in vals
+
+
+def test_odp_roundtrip_and_encrypted(spark, tmp_path):
+    from architxt_spark.sources.documents import read_document_file
+    from architxt_spark.sources.office import make_odp_bytes, read_odp_slides
+    from architxt_spark.sources.ooxml_crypto import make_encrypted_odt
+
+    slides = ["Title slide: caf\xe9", "", "Body\nwith two lines"]
+    blob = make_odp_bytes(slides)
+    assert read_odp_slides(blob) == slides
+    for scheme in ("aes", "blowfish"):
+        enc = make_encrypted_odt(blob, "pw", scheme=scheme)
+        assert read_odp_slides(enc, password="pw") == slides
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a .odp"):
+        read_odp_slides(b"PK\x03\x04 nope")
+    p = tmp_path / "deck.odp"
+    p.write_bytes(blob)
+    nodes = read_document_file(spark, str(p))
+    vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
+    assert "Title slide: caf\xe9" in vals
