@@ -3557,55 +3557,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry folded/renamed or code-touched this round, go FIRST so any
     # prefix the gate takes maximizes newly-verified coverage.
     first = [
-        # Entries code-touched in round 13: the gate prefix reaches these
+        # Entries code-touched in round 14: the gate prefix reaches these
         # first so the changed code gets a driver verdict the same round.
-        # doc_loader_files: PDF /Encrypt /Length parsing hardened, CMap
-        # guards, fast-AES seam, legacy ODF Blowfish-CFB decryption;
-        # forest_stats_documents / dataset_extract_nation /
-        # metrics_customer / schema_groups_nation: tests-only SURVEY §2
-        # rows folded in as tagged variants (AMI/completeness, num_*,
-        # group_overlap/balance, JSONL round-trip, association tables).
-        "doc_loader_files",
-        "forest_stats_documents",
-        "dataset_extract_nation",
-        # Entries whose newest driver verdict is round 11 — the ≤2-round
-        # rotation contract requires the r13 gate to renew all 36.
-        "bm25_batch",
-        "bpe_suite",
-        "c4_clean",
-        "chunk_pipeline",
-        "cluster_documents",
-        "cluster_instance_documents",
-        "corpus_delta",
-        "corpus_health",
-        "crawl_media_dedup",
-        "crawl_to_corpus",
-        "curation_pipeline",
-        "dedup_components",
-        "doc_chunking",
-        "doc_quality_stats",
-        "embedding_near_dup",
-        "events_funnel",
-        "export_stats",
-        "extract_vocab",
-        "gen_instance",
-        "lang_distribution",
-        "llm_rewrite_stub",
+        # metrics_customer: AMI/completeness now computed from a
+        # Spark-side contingency aggregation (no per-row label collect);
+        # doc_loader_files: XOR-obfuscated .xls (FILEPASS method 0) +
+        # .ods repeated-empty-cell / repeated-row / notes fixes;
+        # cluster_instance_documents / cluster_documents: scalar
+        # similarity fns (jaccard/levenshtein/jaro-winkler/context) and
+        # entity_labels census folded in as tagged rows;
+        # multimodal_profile / multimodal_dedup: 12-bit progressive JPEG
+        # gate closed in the shared decoder.
         "metrics_customer",
-        "multimodal_dedup",
+        "doc_loader_files",
+        "cluster_instance_documents",
+        "cluster_documents",
         "multimodal_profile",
-        "nlp_parse_forest",
-        "pii_redaction",
-        "sampling_mixture",
-        "sampling_strata",
-        "scalar_funcs",
-        "schema_groups_nation",
-        "simple_rewrite_documents",
-        "sketch_suite",
-        "temporal_joins",
-        "text_profile",
-        "unicode_split",
-        "window_grouping",
+        "multimodal_dedup",
+        # Entries whose newest driver verdict is round 12 — the ≤2-round
+        # rotation contract requires the r14 gate to renew all 36.
+        "ann_recall",
+        "ann_suite",
+        "bm25_topk",
+        "collocations",
+        "contamination_screen",
+        "coverage_metric",
+        "dedup_exact_spans",
+        "dedup_filtered",
+        "dedup_pairs",
+        "dedup_simhash",
+        "distinct_parts_per_brand",
+        "doc_loader_json_props",
+        "domain_profile",
+        "dsir",
+        "events_sessionize",
+        "extract_valid_trees",
+        "graph_extract",
+        "link_pagerank",
+        "llm_label_schema",
+        "lm_perplexity",
+        "ngram_stats",
+        "ppl_buckets",
+        "quality_classifier",
+        "random_project",
+        "rewrite_documents",
+        "sampling_pack",
+        "sampling_temperature",
+        "sampling_weighted",
+        "semantic_dedup",
+        "stream_curate",
+        "stream_minhash_dedup",
+        "stream_url_seen",
+        "tfidf_terms",
+        "tree_leaves_nation",
+        "typed_export_orders",
+        "warc_split_roundtrip",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 

@@ -27,29 +27,30 @@ def test_rotation_prefix_is_valid_and_first():
     allq = E._all_queries()
     names = list(q)
     assert set(names) == set(allq)
-    # r13: code-touched entries lead (PDF /Encrypt parsing + CMap guards +
-    # fast-AES seam + ODF Blowfish; fold hosts for the tests-only SURVEY
-    # §2 rows), then ALL 36 entries whose newest driver verdict is r11 —
-    # the <=2-round rotation contract
-    touched = ("doc_loader_files", "forest_stats_documents",
-               "dataset_extract_nation")
+    # r14: code-touched entries lead (scale-safe AMI contingency, XOR
+    # .xls + .ods repeat fixes, scalar-similarity/entity_labels folds,
+    # 12-bit progressive JPEG), then ALL 36 entries whose newest driver
+    # verdict is r12 — the <=2-round rotation contract
+    touched = ("metrics_customer", "doc_loader_files",
+               "cluster_instance_documents", "cluster_documents",
+               "multimodal_profile", "multimodal_dedup")
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
-    stale_r11 = (
-        "bm25_batch", "bpe_suite", "c4_clean", "chunk_pipeline",
-        "cluster_documents", "cluster_instance_documents", "corpus_delta",
-        "corpus_health", "crawl_media_dedup", "crawl_to_corpus",
-        "curation_pipeline", "dedup_components", "doc_chunking",
-        "doc_quality_stats", "embedding_near_dup", "events_funnel",
-        "export_stats", "extract_vocab", "gen_instance",
-        "lang_distribution", "llm_rewrite_stub", "metrics_customer",
-        "multimodal_dedup", "multimodal_profile", "nlp_parse_forest",
-        "pii_redaction", "sampling_mixture", "sampling_strata",
-        "scalar_funcs", "schema_groups_nation",
-        "simple_rewrite_documents", "sketch_suite", "temporal_joins",
-        "text_profile", "unicode_split", "window_grouping",
+    stale_r12 = (
+        "ann_recall", "ann_suite", "bm25_topk", "collocations",
+        "contamination_screen", "coverage_metric", "dedup_exact_spans",
+        "dedup_filtered", "dedup_pairs", "dedup_simhash",
+        "distinct_parts_per_brand", "doc_loader_json_props",
+        "domain_profile", "dsir", "events_sessionize",
+        "extract_valid_trees", "graph_extract", "link_pagerank",
+        "llm_label_schema", "lm_perplexity", "ngram_stats", "ppl_buckets",
+        "quality_classifier", "random_project", "rewrite_documents",
+        "sampling_pack", "sampling_temperature", "sampling_weighted",
+        "semantic_dedup", "stream_curate", "stream_minhash_dedup",
+        "stream_url_seen", "tfidf_terms", "tree_leaves_nation",
+        "typed_export_orders", "warc_split_roundtrip",
     )
-    for k in stale_r11:
+    for k in stale_r12:
         assert names.index(k) < 45, k
     # folded-away entries must be GONE (their coverage lives in the folds)
     for gone in ("ann_topk", "ann_ivf_topk", "ann_pq_adc", "window_orders",
