@@ -22,6 +22,16 @@ import io
 import zipfile
 from xml.etree import ElementTree as ET
 
+# ODF repeat-expansion caps.  LibreOffice writes number-columns-repeated
+# runs out to the 16384-column sheet limit and number-rows-repeated out
+# to the 1048576-row limit as trailing filler; interior runs expand in
+# full below these caps (alignment depends on it), but a crafted repeat
+# count can never materialize unbounded driver memory — columns cap at
+# the ODF 1.2 column bound, duplicated CONTENT rows at 65536 copies
+# (beyond which identical records are filler, not data).
+_ODS_COL_BOUND = 16384
+_ODS_ROW_BOUND = 65536
+
 
 def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
@@ -251,12 +261,28 @@ def read_odp_slides(path_or_bytes, *, password: str = "") -> list[str]:
     pages = [el for el in root.iter() if _local(el.tag) == "page"]
     if not pages:
         raise ValueError(".odp without any draw:page element")
+
+    def page_paras(page) -> list[str]:
+        # speaker notes are a presentation:notes CHILD of draw:page in
+        # ODF (unlike .pptx, where they live in separate notesSlide
+        # parts) — skip that subtree so .odp and .pptx slide text stay
+        # shape-equivalent
+        paras: list[str] = []
+        stack = list(reversed(list(page)))
+        while stack:
+            el = stack.pop()
+            tag = _local(el.tag)
+            if tag == "notes":
+                continue
+            if tag == "p":
+                paras.append(_para_text(el))
+                continue
+            stack.extend(reversed(list(el)))
+        return paras
+
     out: list[str] = []
     for page in pages:
-        paras = [
-            _para_text(el) for el in page.iter() if _local(el.tag) == "p"
-        ]
-        out.append("\n".join(p for p in paras if p.strip()))
+        out.append("\n".join(p for p in page_paras(page) if p.strip()))
     return out
 
 
@@ -311,6 +337,7 @@ def read_ods_sheets(
                  if k.endswith("number-rows-repeated")), "1",
             ))
             vals: list[str] = []
+            pending_empty = 0
             for cell in tr:
                 if _local(cell.tag) not in ("table-cell", "covered-table-cell"):
                     continue
@@ -319,15 +346,20 @@ def read_ods_sheets(
                      if k.endswith("number-columns-repeated")), "1",
                 ))
                 text = cell_text(cell)
-                # trailing filler cells repeat to the 16k column bound —
-                # only expand repeats that carry content
-                vals.extend([text] * (rep if text else min(rep, 1)))
-            while vals and not vals[-1]:
-                vals.pop()
-            # empty filler rows repeat to the row bound likewise
-            rows.extend([list(vals)] * (row_rep if vals else min(row_rep, 1)))
-        while rows and not rows[-1]:
-            rows.pop()
+                if text:
+                    # interior empty runs must expand in full or every
+                    # later value shifts under the wrong header; a run
+                    # only flushes when a non-empty cell follows it, so
+                    # trailing column-bound filler never materializes
+                    vals.extend([""] * min(pending_empty, _ODS_COL_BOUND - len(vals)))
+                    pending_empty = 0
+                    vals.extend([text] * max(min(rep, _ODS_COL_BOUND - len(vals)), 1))
+                else:
+                    pending_empty += rep
+            # rows with no non-empty cells never reach the output —
+            # the _read_xlsx_stdlib shape (sparse sheets emit no blanks)
+            if vals:
+                rows.extend([list(vals)] * min(row_rep, _ODS_ROW_BOUND))
         if not rows:
             out[name] = []
             continue
@@ -463,25 +495,36 @@ _ODF_TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
 _ODF_DRAW = "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
 
 
-def make_odp_bytes(slides: list[str]) -> bytes:
+def make_odp_bytes(slides: list[str], *, notes: list[str] | None = None) -> bytes:
     """``["slide text", ...]`` → a real ``.odp`` zip — the fixture twin
     of :func:`read_odp_slides` (one ``draw:page`` per slide, paragraphs
-    split on newlines)."""
+    split on newlines).  ``notes`` (optional, per-slide) writes a
+    ``presentation:notes`` child under the page, the way Impress stores
+    speaker notes — the reader must NOT surface these as slide text."""
     pages = []
     for i, text in enumerate(slides):
         paras = "".join(
             f"<text:p>{_xml_escape(line)}</text:p>"
             for line in (text.split("\n") if text else [""])
         )
+        note_xml = ""
+        if notes and i < len(notes) and notes[i]:
+            note_xml = (
+                "<presentation:notes><draw:frame><draw:text-box>"
+                f"<text:p>{_xml_escape(notes[i])}</text:p>"
+                "</draw:text-box></draw:frame></presentation:notes>"
+            )
         pages.append(
             f'<draw:page draw:name="page{i + 1}">'
             f"<draw:frame><draw:text-box>{paras}</draw:text-box></draw:frame>"
-            "</draw:page>"
+            f"{note_xml}</draw:page>"
         )
     content = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<office:document-content xmlns:office="{_ODF_OFFICE}" '
-        f'xmlns:text="{_ODF_TEXT}" xmlns:draw="{_ODF_DRAW}">'
+        f'xmlns:text="{_ODF_TEXT}" xmlns:draw="{_ODF_DRAW}" '
+        'xmlns:presentation='
+        '"urn:oasis:names:tc:opendocument:xmlns:presentation:1.0">'
         "<office:body><office:presentation>"
         + "".join(pages)
         + "</office:presentation></office:body>"
@@ -500,23 +543,37 @@ def make_odp_bytes(slides: list[str]) -> bytes:
 def make_ods_bytes(sheets: dict[str, list[list]]) -> bytes:
     """``{sheet: [[cell, ...], ...]}`` → a real ``.ods`` zip — the
     fixture twin of :func:`read_ods_sheets` (mimetype-first entry per
-    the ODF packaging spec; repeated-empty-cell runs exercised by the
-    tests via None gaps)."""
+    the ODF packaging spec).  A ``None`` cell emits an empty cell; a
+    ``(value_or_None, n)`` tuple emits ``table:number-columns-repeated``
+    (the way LibreOffice writes interior gaps and runs); a
+    ``(row_list, n)`` row entry emits ``table:number-rows-repeated``."""
     tables = []
     for name, rows in sheets.items():
         trs = []
         for row in rows:
+            row_rep = 1
+            if isinstance(row, tuple):
+                row, row_rep = row
             tds = []
             for v in row:
-                if v is None:  # a gap: emitted as an empty repeated cell
-                    tds.append("<table:table-cell/>")
+                rep = 1
+                if isinstance(v, tuple):
+                    v, rep = v
+                rep_attr = (
+                    f' table:number-columns-repeated="{rep}"' if rep != 1 else ""
+                )
+                if v is None:  # a gap: emitted as an empty (repeated) cell
+                    tds.append(f"<table:table-cell{rep_attr}/>")
                 else:
                     tds.append(
-                        "<table:table-cell>"
+                        f"<table:table-cell{rep_attr}>"
                         f"<text:p>{_xml_escape(str(v))}</text:p>"
                         "</table:table-cell>"
                     )
-            trs.append(f"<table:table-row>{''.join(tds)}</table:table-row>")
+            rr_attr = (
+                f' table:number-rows-repeated="{row_rep}"' if row_rep != 1 else ""
+            )
+            trs.append(f"<table:table-row{rr_attr}>{''.join(tds)}</table:table-row>")
         tables.append(
             f'<table:table table:name="{_xml_escape(name)}">'
             + "".join(trs)

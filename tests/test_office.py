@@ -240,3 +240,65 @@ def test_odp_roundtrip_and_encrypted(spark, tmp_path):
     nodes = read_document_file(spark, str(p))
     vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert "Title slide: caf\xe9" in vals
+
+
+# ---------------------------------------------------------------------------
+# r14: sparse-.ods alignment + repeat bounds + .odp speaker notes
+# ---------------------------------------------------------------------------
+
+
+def test_ods_interior_empty_runs_keep_column_alignment():
+    # LibreOffice writes interior gaps as one empty cell with
+    # number-columns-repeated — values after the run must land under
+    # their own headers, not shift left
+    from architxt_spark.sources.office import make_ods_bytes, read_ods_sheets
+
+    sheets = {
+        "S": [
+            ["A", "B", "C", "D", "E"],
+            ["x", (None, 3), "y"],
+        ]
+    }
+    got = read_ods_sheets(make_ods_bytes(sheets))
+    assert got["S"] == [{"A": "x", "B": "", "C": "", "D": "", "E": "y"}]
+
+
+def test_ods_repeated_content_cells_and_rows_expand_bounded():
+    from architxt_spark.sources.office import (
+        _ODS_ROW_BOUND,
+        make_ods_bytes,
+        read_ods_sheets,
+    )
+
+    # content repeats expand in full...
+    sheets = {"S": [["h1", "h2", "h3"], [("v", 2), "w"], (["r", "s"], 3)]}
+    got = read_ods_sheets(make_ods_bytes(sheets))
+    assert got["S"] == [{"h1": "v", "h2": "v", "h3": "w"}] + [
+        {"h1": "r", "h2": "s"}
+    ] * 3
+    # ...but a crafted million-fold CONTENT row caps at the row bound
+    # instead of materializing a million lists on the driver
+    sheets = {"S": [["h"], (["v"], 1_048_576)]}
+    got = read_ods_sheets(make_ods_bytes(sheets))
+    assert len(got["S"]) == _ODS_ROW_BOUND
+    assert got["S"][0] == {"h": "v"} and got["S"][-1] == {"h": "v"}
+
+
+def test_ods_all_empty_rows_emit_no_records():
+    # interior blank rows: the xlsx readers never emit cell-less rows,
+    # so sparse .ods sheets must not produce extra {} records
+    from architxt_spark.sources.office import make_ods_bytes, read_ods_sheets
+
+    sheets = {"S": [["h"], [None], ["a"], [(None, 5)], ["b"]]}
+    got = read_ods_sheets(make_ods_bytes(sheets))
+    assert got["S"] == [{"h": "a"}, {"h": "b"}]
+
+
+def test_odp_speaker_notes_not_in_slide_text():
+    # presentation:notes is a CHILD of draw:page in ODF; .pptx keeps
+    # notes in separate parts — both readers must return slide text only
+    from architxt_spark.sources.office import make_odp_bytes, read_odp_slides
+
+    slides = ["Visible title", "Second slide"]
+    blob = make_odp_bytes(slides, notes=["secret speaker note", ""])
+    assert read_odp_slides(blob) == slides
