@@ -700,13 +700,19 @@ def q_metrics_customer(spark: SparkSession, sf: str) -> DataFrame:
     dependency_score (max FD confidence over each consequent),
     redundancy_score (τ=0, pair subsets), and (r13 fold) the clustering
     agreement pair ``cluster_ami`` / ``cluster_completeness``
-    (metrics.py:139-216, reference ``metrics.py:240-277``) between the
-    market-segment classes and a deterministic 3-way nationkey
-    clustering — AMI's expected-MI hypergeometric sum is replayed
-    closed-form by the oracle via lgamma/generate_series."""
+    (reference ``metrics.py:240-277``) between the market-segment
+    classes and a deterministic 3-way nationkey clustering — computed
+    scale-safe: the contingency table aggregates IN SPARK
+    (``groupBy(class, cluster).count()``, bounded by
+    |segments|×|clusters| = 15 cells regardless of row count) and
+    AMI/EMI/completeness evaluate from the counts on the driver
+    (metrics.py ``cluster_contingency`` / ``*_from_counts``); the
+    expected-MI hypergeometric sum is replayed closed-form by the
+    oracle via lgamma/generate_series."""
     from architxt_spark.metrics import (
-        cluster_ami,
-        cluster_completeness,
+        cluster_ami_from_counts,
+        cluster_completeness_from_counts,
+        cluster_contingency,
         confidence,
         dependency_score,
         redundancy_score,
@@ -714,12 +720,9 @@ def q_metrics_customer(spark: SparkSession, sf: str) -> DataFrame:
 
     cols = ["c_nationkey", "c_acctbal", "c_mktsegment"]
     cust = _t(spark, sf, "customer").select(*cols)
-    labels = [
-        (r[0], str(r[1]))
-        for r in cust.select(
-            "c_mktsegment", (F.col("c_nationkey") % 3).cast("int")
-        ).collect()
-    ]
+    counts = cluster_contingency(
+        cust, "c_mktsegment", (F.col("c_nationkey") % 3).cast("int")
+    )
     rows = [
         ("confidence", round(confidence(cust, "c_mktsegment"), 6)),
         ("dependency", round(dependency_score(cust, cols), 6)),
@@ -727,8 +730,9 @@ def q_metrics_customer(spark: SparkSession, sf: str) -> DataFrame:
             cust.select("c_nationkey", "c_mktsegment", "c_acctbal"),
             tau=0.0, max_subset_size=2,
         ), 6)),
-        ("cluster_ami", round(cluster_ami(labels), 6)),
-        ("cluster_completeness", round(cluster_completeness(labels), 6)),
+        ("cluster_ami", round(cluster_ami_from_counts(counts), 6)),
+        ("cluster_completeness",
+         round(cluster_completeness_from_counts(counts), 6)),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
 

@@ -136,6 +136,23 @@ def entity_oids(nodes: DataFrame) -> DataFrame:
     )
 
 
+def cluster_contingency(
+    df: DataFrame, class_col: str, cluster_col
+) -> list[tuple[str, str, int]]:
+    """Contingency table of two label assignments as sorted
+    ``(class, cluster, count)`` triples, aggregated IN SPARK — the
+    collect is bounded by ``|classes| × |clusters|`` (tiny), never by
+    row count, so AMI/completeness stay driver-cheap at any scale.
+    ``cluster_col`` may be a column name or a Column expression."""
+    cl = F.col(cluster_col) if isinstance(cluster_col, str) else cluster_col
+    rows = (
+        df.groupBy(F.col(class_col).alias("__a"), cl.alias("__b"))
+        .count()
+        .collect()
+    )
+    return sorted((r["__a"], str(r["__b"]), int(r["count"])) for r in rows)
+
+
 def cluster_ami(labels: list[tuple[str, str]]) -> float:
     """Adjusted Mutual Information between two label assignments
     (``Metrics.cluster_ami``, ``architxt/metrics.py:240-258``).
@@ -143,18 +160,36 @@ def cluster_ami(labels: list[tuple[str, str]]) -> float:
     sklearn is unavailable in this environment; this is the standard AMI
     from the contingency table, pure Python, with sklearn's default
     *arithmetic* normalization ``(H(a)+H(b))/2 − EMI`` so values are
-    directly comparable to the reference's ``adjusted_mutual_info_score``
-    — label pair lists are bounded by the entity vocabulary, so
-    driver-side is fine.
+    directly comparable to the reference's ``adjusted_mutual_info_score``.
+    The pair-list form is for small label lists; at scale aggregate the
+    contingency in Spark (:func:`cluster_contingency`) and call
+    :func:`cluster_ami_from_counts`.
     """
-    if not labels:
+    from collections import Counter
+
+    joint = Counter(labels)
+    return cluster_ami_from_counts(
+        sorted((a, b, c) for (a, b), c in joint.items())
+    )
+
+
+def cluster_ami_from_counts(counts: list[tuple[str, str, int]]) -> float:
+    """AMI from ``(class, cluster, count)`` contingency triples — the
+    scale-safe entry point (SURVEY §2.4's named alternative to per-row
+    collects).  Summation order is the sorted triple order, pinned so
+    the 6-decimal oracle hash is reproducible across runs."""
+    if not counts:
         return 0.0
     from collections import Counter
 
-    a_counts = Counter(a for a, _ in labels)
-    b_counts = Counter(b for _, b in labels)
-    joint = Counter(labels)
-    n = len(labels)
+    a_counts: Counter = Counter()
+    b_counts: Counter = Counter()
+    joint: dict[tuple[str, str], int] = {}
+    for a, b, c in counts:
+        a_counts[a] += c
+        b_counts[b] += c
+        joint[(a, b)] = joint.get((a, b), 0) + c
+    n = sum(joint.values())
 
     def h(counts: Counter) -> float:
         return -sum((c / n) * math.log(c / n) for c in counts.values())
@@ -197,15 +232,33 @@ def cluster_completeness(labels: list[tuple[str, str]]) -> float:
     """Completeness score (``Metrics.cluster_completeness``,
     ``architxt/metrics.py:260-277``): ``1 − H(K|C)/H(K)`` — all members of
     a class land in the same cluster.  (``1 − H(C|K)/H(C)`` would be
-    homogeneity — the other direction.)"""
-    if not labels:
+    homogeneity — the other direction.)  Pair-list form; at scale use
+    :func:`cluster_contingency` + :func:`cluster_completeness_from_counts`."""
+    from collections import Counter
+
+    joint = Counter(labels)
+    return cluster_completeness_from_counts(
+        sorted((a, b, c) for (a, b), c in joint.items())
+    )
+
+
+def cluster_completeness_from_counts(
+    counts: list[tuple[str, str, int]]
+) -> float:
+    """Completeness from ``(class, cluster, count)`` contingency triples
+    — bounded by label-vocabulary size, independent of row count."""
+    if not counts:
         return 1.0
     from collections import Counter
 
-    n = len(labels)
-    a_counts = Counter(a for a, _ in labels)  # classes
-    b_counts = Counter(b for _, b in labels)  # clusters
-    joint = Counter(labels)
+    a_counts: Counter = Counter()  # classes
+    b_counts: Counter = Counter()  # clusters
+    joint: dict[tuple[str, str], int] = {}
+    for a, b, c in counts:
+        a_counts[a] += c
+        b_counts[b] += c
+        joint[(a, b)] = joint.get((a, b), 0) + c
+    n = sum(joint.values())
     h_k = -sum((c / n) * math.log(c / n) for c in b_counts.values())
     if h_k == 0:
         return 1.0

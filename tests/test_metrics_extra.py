@@ -203,3 +203,28 @@ def test_mlflow_log_clustering_artifacts(spark):
     fake2.run = object()
     mlflow_log_clustering(clusters, "c", mlflow_module=fake2)
     assert len(fake2.tables) == 1 and fake2.figures == []
+
+
+def test_contingency_counts_match_pair_lists(spark):
+    # the scale-safe path (Spark-side contingency + *_from_counts) must
+    # agree with the pair-list form to the full float, not just 6dp
+    from architxt_spark.metrics import (
+        cluster_ami,
+        cluster_ami_from_counts,
+        cluster_completeness,
+        cluster_completeness_from_counts,
+        cluster_contingency,
+    )
+
+    rows = [("A", 0), ("A", 1), ("B", 1), ("B", 1), ("C", 2), ("A", 0)] * 7
+    labels = [(a, str(b)) for a, b in rows]
+    df = spark.createDataFrame(rows, "cls string, cl int")
+    counts = cluster_contingency(df, "cls", "cl")
+    assert sum(c for _, _, c in counts) == len(rows)
+    assert cluster_ami_from_counts(counts) == cluster_ami(labels)
+    assert (
+        cluster_completeness_from_counts(counts)
+        == cluster_completeness(labels)
+    )
+    assert cluster_ami_from_counts([]) == 0.0
+    assert cluster_completeness_from_counts([]) == 1.0
