@@ -2002,7 +2002,14 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                         if d % 4 == 0:
                             kw = {"password": DEFAULT_XLS_PASSWORD, "crypto_api": True}
                         elif d % 4 == 1:
-                            kw = {"password": DEFAULT_XLS_PASSWORD}
+                            # r14: the legacy-wrap slot alternates
+                            # binary RC4 (MD5 lineage) with XOR
+                            # method-0 obfuscation (d%8 splits the
+                            # d≡25 (mod 60) residue into both)
+                            kw = {
+                                "password": DEFAULT_XLS_PASSWORD,
+                                "xor_obfuscation": d % 8 == 5,
+                            }
                         elif d % 4 == 2:
                             # byte-string cells: only exact for
                             # cp1252-safe text (BIFF8 keeps UTF-16)

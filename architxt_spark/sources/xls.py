@@ -31,10 +31,17 @@ legacy-codec gate only fires for the genuinely exotic cases:
 - DIFAT-chained containers (r13): >6.8 MB files whose FAT locations
   spill past the header's 109 slots into chained DIFAT sectors
   (MS-CFB §2.5) — big real-world workbooks;
-- raises ``NotImplementedError`` with guidance for XOR obfuscation
-  (method 0 — its password-digest tables are spec constants this
-  container can't verify) and encrypted pre-BIFF5 streams — those
-  genuinely want xlrd.
+- XOR-obfuscated workbooks (r14): MS-OFFCRYPTO §2.3.7 method 0 — the
+  Excel 5.0/95 "password to open" (and the likeliest legacy gate in a
+  1990s-era dump).  Verifier derivation is pinned against the widely
+  published ``b"password" → 0x83AF`` known answer; the 105-entry
+  XorMatrix regenerates from its 15 row seeds via the CRC-CCITT LFSR
+  structure the published table follows; round-trip is pinned both
+  directions against the fixture twin.  No independent ciphertext
+  fixture exists in this container, so cross-implementation interop
+  of the array-fill ordering is untested — flagged here honestly;
+- raises ``NotImplementedError`` with guidance for encrypted
+  pre-BIFF5 streams — those genuinely want xlrd.
 
 Output shape matches ``_read_xlsx_stdlib``: ``{sheet: [row dicts]}``,
 first row = header, every value a string.  ``make_xls_bytes`` is the
@@ -267,12 +274,150 @@ def _capi_verify(
     return h0 if hashlib.sha1(verifier).digest() == vhash else None
 
 
+# ---------------------------------------------------------------------------
+# XOR obfuscation (MS-OFFCRYPTO §2.3.7; FILEPASS wEncryptionType 0 — the
+# original Excel 5.0/95 "password to open", still writable by modern Excel)
+# ---------------------------------------------------------------------------
+
+#: §2.3.7.2 InitialCode: the XOR key seed, selected by password length.
+_XOR_INITIAL_CODE = (
+    0xE1F0, 0x1D0F, 0xCC9C, 0x84C0, 0x110C, 0x0E10, 0xF1CE, 0x313E,
+    0x1872, 0xE139, 0xD40F, 0x84F9, 0x280C, 0xA96A, 0x4EC3,
+)
+
+#: §2.3.7.2 XorMatrix row seeds.  The published 105-entry matrix is 15
+#: rows (one per password position) of 7 values (one per char bit), and
+#: each row is 7 successive states of the CRC-CCITT LFSR (x^16 + x^12 +
+#: x^5 + 1, i.e. shift-left-and-xor-0x1021 on carry) from its first
+#: value — so only the row seeds are data; the rest regenerates.
+_XOR_ROW_SEEDS = (
+    0xAEFC, 0x7B61, 0x4563, 0x0375, 0xD849, 0x6F45, 0xEB23, 0x47D3,
+    0xB861, 0x45A0, 0xAA51, 0x76B4, 0x3730, 0x01A2, 0x0B2B,
+)
+
+#: §2.3.7.3 PadArray: fills the 16-byte XOR array past the password.
+_XOR_PAD = bytes((
+    0xBB, 0xFF, 0xFF, 0xBA, 0xFF, 0xFF, 0xB9, 0x80,
+    0x00, 0xBE, 0x0F, 0x00, 0xBF, 0x0F, 0x00,
+))
+
+_XOR_MATRIX: list[int] = []
+
+
+def _xor_matrix() -> list[int]:
+    if not _XOR_MATRIX:
+        for seed in _XOR_ROW_SEEDS:
+            v = seed
+            for _ in range(7):
+                _XOR_MATRIX.append(v)
+                v = ((v << 1) ^ 0x1021) & 0xFFFF if v & 0x8000 else v << 1
+    return _XOR_MATRIX
+
+
+def xor_password_verifier(pw: bytes) -> int:
+    """§2.3.7.1 CreatePasswordVerifier_Method1 — the 16-bit verifier
+    stored in the FILEPASS record (also Excel's legacy sheet-protection
+    hash; pinned by the published ``b"password" → 0x83AF`` value)."""
+    v = 0
+    for b in reversed(bytes((len(pw),)) + pw):
+        v = (((v >> 14) & 1) | ((v << 1) & 0x7FFF)) ^ b
+    return v ^ 0xCE4B
+
+
+def _xor_create_key(pw: bytes) -> int:
+    """§2.3.7.2 CreateXorKey_Method1: 16-bit key from InitialCode +
+    per-bit XorMatrix folds, last password char first (row 15 down)."""
+    key = _XOR_INITIAL_CODE[len(pw) - 1]
+    matrix = _xor_matrix()
+    element = 104
+    for ch in reversed(pw):
+        for _ in range(7):
+            if ch & 0x40:
+                key ^= matrix[element]
+            ch = (ch << 1) & 0xFF
+            element -= 1
+    return key
+
+
+def _xor_ror(a: int, b: int) -> int:
+    """§2.3.7.3 XorRor: xor then rotate right one bit (byte-wide)."""
+    v = (a ^ b) & 0xFF
+    return ((v >> 1) | (v << 7)) & 0xFF
+
+
+def _xor_create_array(pw: bytes) -> bytes:
+    """§2.3.7.3 CreateXorArray_Method1: the 16-byte obfuscation array —
+    password bytes (low/high key byte alternating) then PadArray filler
+    from the top down, all through XorRor."""
+    key = _xor_create_key(pw)
+    hi, lo = (key >> 8) & 0xFF, key & 0xFF
+    arr = bytearray(16)
+    idx = len(pw)
+    if idx & 1:
+        arr[idx] = _xor_ror(_XOR_PAD[0], hi)
+        idx -= 1
+        arr[idx] = _xor_ror(pw[-1], lo)
+    while idx > 0:
+        idx -= 1
+        arr[idx] = _xor_ror(pw[idx], hi)
+        idx -= 1
+        arr[idx] = _xor_ror(pw[idx], lo)
+    idx = 15
+    pad = 15 - len(pw)
+    while pad > 0:
+        arr[idx] = _xor_ror(_XOR_PAD[pad], hi)
+        idx -= 1
+        pad -= 1
+        arr[idx] = _xor_ror(_XOR_PAD[pad], lo)
+        idx -= 1
+        pad -= 1
+    return bytes(arr)
+
+
+def _xor_rotl(v: int, n: int) -> int:
+    return ((v << n) | (v >> (8 - n))) & 0xFF
+
+
+def _xor_apply(stream: bytes, arr: bytes, *, decrypt: bool) -> bytes:
+    """De/obfuscate record bodies (§2.3.7.4 / MS-XLS 2.2.10): per byte,
+    the array index is ``(bodyStart + bodyLength + i) mod 16`` (the
+    index runs ahead of the data by one record length — MS-XLS's
+    documented quirk); encrypt = xor-then-rol3-inverse, decrypt =
+    rol3-then-xor.  Headers, the RC4 exempt-record set, and
+    BoundSheet8's ``lbPlyPos`` stay plaintext, same as ``_rc4_apply``."""
+    out = bytearray(stream)
+    pos = 0
+    while pos + 4 <= len(stream):
+        opcode, length = struct.unpack("<HH", stream[pos:pos + 4])
+        body_at = pos + 4
+        if opcode not in _PLAINTEXT_RECORDS and length:
+            skip = 4 if opcode == 0x0085 else 0
+            base = body_at + length
+            for i in range(skip, length):
+                j = body_at + i
+                if decrypt:
+                    out[j] = _xor_rotl(out[j], 3) ^ arr[(base + i) & 0x0F]
+                else:
+                    out[j] = _xor_rotl(out[j] ^ arr[(base + i) & 0x0F], 5)
+        pos = body_at + length
+    return bytes(out)
+
+
 def _decrypt_workbook(wb: bytes, filepass_body: bytes, password: str | None) -> bytes:
     """Dispatch on the FILEPASS shape and return the decrypted stream."""
+    passwords_xor = [password] if password else [DEFAULT_XLS_PASSWORD]
     if len(filepass_body) == 4 or struct.unpack("<H", filepass_body[:2])[0] == 0:
-        raise NotImplementedError(
-            "XOR-obfuscated .xls (FILEPASS method 0) needs xlrd; "
-            "re-save unencrypted or as .xlsx"
+        # XOR obfuscation: BIFF8 body = wEncryptionType(0) key verifier;
+        # the BIFF5 body drops the leading type field
+        at = 0 if len(filepass_body) == 4 else 2
+        key, vhash = struct.unpack("<HH", filepass_body[at:at + 4])
+        for pw in passwords_xor:
+            pwb = pw.encode("cp1252", errors="replace")[:15]
+            if pwb and xor_password_verifier(pwb) == vhash and _xor_create_key(pwb) == key:
+                return _xor_apply(wb, _xor_create_array(pwb), decrypt=True)
+        raise ValueError(
+            "XOR-obfuscated .xls: password verification failed "
+            "(tried the default 'VelvetSweatshop'; pass password=...)"
         )
     vmajor, vminor = struct.unpack("<HH", filepass_body[2:6])
     passwords = [password] if password else [DEFAULT_XLS_PASSWORD]
@@ -686,6 +831,7 @@ def make_xls_bytes(
     biff: int = 8,
     password: str | None = None,
     crypto_api: bool = False,
+    xor_obfuscation: bool = False,
 ) -> bytes:
     """Serialize ``{sheet: [[cell, ...], ...]}`` into a real BIFF8 ``.xls``
     (OLE2 container + Workbook stream).  ``mini=True`` stores the
@@ -702,7 +848,8 @@ def make_xls_bytes(
     layouts BIFF5 kept), no container, no password support.
     ``password`` RC4-encrypts the workbook stream per MS-OFFCRYPTO
     §2.3.6 (FILEPASS record + block-rekeyed body encryption) — the
-    reader twin for the encrypted path."""
+    reader twin for the encrypted path; ``xor_obfuscation=True``
+    switches to the §2.3.7 XOR method-0 shape instead."""
     import io
 
     if biff not in (2, 3, 4, 5, 8):
@@ -800,7 +947,17 @@ def make_xls_bytes(
     filepass = b""
     base_key = None
     capi_h0 = None
-    if password is not None and crypto_api:
+    xor_arr = None
+    if xor_obfuscation and crypto_api:
+        raise ValueError("pick one of xor_obfuscation / crypto_api")
+    if password is not None and xor_obfuscation:
+        # XOR method 0: 16-bit key + 16-bit verifier (BIFF5 has no
+        # leading wEncryptionType field)
+        pwb = password.encode("cp1252", errors="replace")[:15]
+        xor_arr = _xor_create_array(pwb)
+        body = struct.pack("<HH", _xor_create_key(pwb), xor_password_verifier(pwb))
+        filepass = rec(0x002F, body if biff == 5 else struct.pack("<H", 0) + body)
+    elif password is not None and crypto_api:
         # RC4 CryptoAPI shape (MS-OFFCRYPTO §2.3.5): SHA-1 lineage,
         # version 2.2, 128-bit key, explicit header + verifier
         salt = hashlib.md5(b"architxt-capi-salt:" + password.encode()).digest()
@@ -895,7 +1052,9 @@ def make_xls_bytes(
     workbook = globals_blob(offsets) + b"".join(sheet_blobs)
     assert len(globals_blob(offsets)) == glen  # offsets don't change lengths
 
-    if capi_h0 is not None:
+    if xor_arr is not None:
+        workbook = _xor_apply(workbook, xor_arr, decrypt=False)
+    elif capi_h0 is not None:
         ks = _capi_stream_keystream(capi_h0, 16, len(workbook))
         workbook = _rc4_apply(workbook, b"", ks)  # symmetric: encrypts
     elif base_key is not None:

@@ -131,7 +131,9 @@ def test_xls_gates_raise_with_guidance(tmp_path):
     with pytest.raises(NotImplementedError, match="pre-BIFF5"):
         _read_xls_stdlib(str(p2e))
 
-    # XOR-obfuscated workbook (FILEPASS method 0) — genuinely gated
+    # XOR-obfuscated workbook (FILEPASS method 0) — supported as of
+    # r14; a junk key/verifier pair now fails password verification
+    # cleanly instead of gating
     wbx = (
         rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
         + rec(0x002F, struct.pack("<HH", 0x1234, 0x5678))
@@ -139,7 +141,7 @@ def test_xls_gates_raise_with_guidance(tmp_path):
     )
     px = tmp_path / "xor.xls"
     px.write_bytes(_wrap_ole2(wbx, mini=False))
-    with pytest.raises(NotImplementedError, match="XOR"):
+    with pytest.raises(ValueError, match="XOR-obfuscated"):
         _read_xls_stdlib(str(px))
 
     # unknown EncryptionVersionInfo (5.1) — genuinely gated (2.2/3.2/
@@ -358,3 +360,86 @@ def test_difat_chained_container_roundtrip(tmp_path):
     p = tmp_path / "big.xls"
     p.write_bytes(big)
     assert _read_xls_stdlib(str(p)) == {"S": [{"t": "difat works"}]}
+
+
+# ---------------------------------------------------------------------------
+# r14: XOR obfuscation (MS-OFFCRYPTO §2.3.7, FILEPASS method 0)
+# ---------------------------------------------------------------------------
+
+
+def test_xor_verifier_known_answer():
+    """CreatePasswordVerifier_Method1 pinned against the widely
+    published legacy Excel password hash: 'password' → 0x83AF."""
+    from architxt_spark.sources.xls import xor_password_verifier
+
+    assert xor_password_verifier(b"password") == 0x83AF
+    # different passwords separate; empty-vs-length sensitivity
+    assert xor_password_verifier(b"Password") != 0x83AF
+    assert xor_password_verifier(b"password ") != 0x83AF
+
+
+def test_xor_matrix_structure():
+    """The regenerated XorMatrix is 105 entries whose rows are CRC-CCITT
+    LFSR chains from the published row seeds — spot-check values the
+    published table lists verbatim (rows 1-3)."""
+    from architxt_spark.sources.xls import _xor_matrix
+
+    m = _xor_matrix()
+    assert len(m) == 105
+    assert m[0:7] == [0xAEFC, 0x4DD9, 0x9BB2, 0x2745, 0x4E8A, 0x9D14, 0x2A09]
+    assert m[7:14] == [0x7B61, 0xF6C2, 0xFDA5, 0xEB6B, 0xC6F7, 0x9DCF, 0x2BBF]
+    assert m[14:21] == [0x4563, 0x8AC6, 0x05AD, 0x0B5A, 0x16B4, 0x2D68, 0x5AD0]
+    for v in m:
+        assert 0 <= v <= 0xFFFF
+
+
+@pytest.mark.parametrize("biff", [8, 5])
+def test_xls_xor_roundtrip_and_default_password(tmp_path, biff):
+    p = tmp_path / "xor.xls"
+    p.write_bytes(
+        make_xls_bytes(SHEETS, biff=biff, password="VelvetSweatshop",
+                       xor_obfuscation=True)
+    )
+    got = _read_xls_stdlib(str(p))  # default password, like Excel
+    # row 0 only under BIFF5: 'Łukasz' is not cp1252-encodable there
+    assert got["People"][0] == EXPECT_PEOPLE[0]
+    if biff == 8:
+        assert got["People"] == EXPECT_PEOPLE
+    assert got["Cities"] == [{"city": "Paris", "zip": "75001"}]
+
+
+def test_xls_xor_custom_and_wrong_password(tmp_path):
+    p = tmp_path / "xor.xls"
+    p.write_bytes(make_xls_bytes(SHEETS, password="s3cret", xor_obfuscation=True))
+    assert _read_xls_stdlib(str(p), password="s3cret")["People"] == EXPECT_PEOPLE
+    with pytest.raises(ValueError, match="XOR-obfuscated"):
+        _read_xls_stdlib(str(p))
+    with pytest.raises(ValueError, match="XOR-obfuscated"):
+        _read_xls_stdlib(str(p), password="wrong")
+
+
+def test_xls_xor_volume_fuzz(tmp_path):
+    """~300 varied fixtures (password lengths 1-15, cp1252 text, record
+    sizes straddling the 16-byte array period) — the per-byte index
+    arithmetic has mod-16 periodicity a handful of fixtures can miss."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = "abcXYZ 0189éàüß€-_(),;"
+    for trial in range(300):
+        pw = "".join(rng.choice("aB9!x") for _ in range(rng.randint(1, 15)))
+        n_rows = rng.randint(1, 6)
+        rows = [["h1", "h2"]] + [
+            ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))),
+             rng.randint(0, 10**6)]
+            for _ in range(n_rows)
+        ]
+        p = tmp_path / f"f{trial}.xls"
+        p.write_bytes(
+            make_xls_bytes({"S": rows}, password=pw, xor_obfuscation=True)
+        )
+        got = _read_xls_stdlib(str(p), password=pw)["S"]
+        assert len(got) == n_rows
+        for want, have in zip(rows[1:], got):
+            assert have["h1"] == want[0]
+            assert have["h2"] == str(want[1])
