@@ -1590,9 +1590,25 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                         (d * 37 + (((p // jw) // 8) * bx + ((p % jw) // 8)) * 11) % 256
                         for p in range(jw * jh)
                     )
-                    content = make_jpeg_bytes(
-                        jw, jh, img, channels=1, progressive=(d % 8 == 2)
-                    )
+                    if d % 8 == 6:
+                        # r14: this half-slice travels at 12-BIT
+                        # precision (sequential at d%16==6, progressive
+                        # at d%16==14) with samples 16× the 8-bit
+                        # formula — the decoder's downscale restores
+                        # byte-identical pixels, so the SAME closed-form
+                        # oracle now also gates the 12-bit level shift,
+                        # Pq=1 quant tables, and 12-bit SOF2 bit planes
+                        img12 = b"".join(
+                            (b * 16).to_bytes(2, "little") for b in img
+                        )
+                        content = make_jpeg_bytes(
+                            jw, jh, img12, channels=1, precision=12,
+                            progressive=(d % 16 == 14),
+                        )
+                    else:
+                        content = make_jpeg_bytes(
+                            jw, jh, img, channels=1, progressive=(d % 8 == 2)
+                        )
                     vals = list(decode_jpeg_pixels(content)[3])
                     fmt = "jpeg_prog" if d % 8 == 2 else "jpeg"
                 else:

@@ -14,9 +14,11 @@ factors (4:4:4 / 4:2:2 / 4:2:0 by replication upsampling), restart
 markers in both sequential and progressive scans.  12-bit precision
 (r13: the medical-imaging shape — 2048 level shift, 16-bit Pq=1
 quantization tables, samples downscaled to the pipeline's 8-bit
-contract) decodes for sequential frames.  Arithmetic coding,
-lossless/hierarchical frames, and 12-bit progressive raise
-``NotImplementedError`` with guidance — those genuinely want libjpeg.
+contract) decodes for sequential AND (r14) progressive frames — the
+coefficient bit-plane machinery is precision-agnostic, only the level
+shift and output downscale differ.  Arithmetic coding and
+lossless/hierarchical frames raise ``NotImplementedError`` with
+guidance — those genuinely want libjpeg.
 
 ``make_jpeg_bytes`` is the encoder twin for round-trip tests: forward
 DCT + flat quantization + canonical single-length Huffman tables it
@@ -201,10 +203,6 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(
                     f"{prec}-bit JPEG precision needs libjpeg"
                 )
-            if prec == 12 and marker == 0xC2:
-                raise NotImplementedError(
-                    "12-bit progressive JPEG needs libjpeg"
-                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
@@ -238,7 +236,7 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 prog = _ProgState(frame)
             pos = prog.decode_scan(content, pos, body, huff, restart)
     if progressive and prog is not None:
-        return prog.reconstruct(qt)
+        return prog.reconstruct(qt, prec=precision)
     raise ValueError("JPEG without a scan")
 
 
@@ -508,13 +506,13 @@ class _ProgState:
                 k += 1
             self._eobrun -= 1
 
-    def reconstruct(self, qt):
+    def reconstruct(self, qt, prec=8):
         w, h, comps = self.frame
         comp_planes = []
         for ci, (_cid, ch, cv, tq) in enumerate(comps):
             zz = np.array(self.coef[ci], dtype=float)
             comp_planes.append((zz, qt[tq], ch, cv))
-        return _finish_planes(w, h, self.hmax, self.vmax, comp_planes)
+        return _finish_planes(w, h, self.hmax, self.vmax, comp_planes, prec=prec)
 
 
 # ---------------------------------------------------------------------------
@@ -590,8 +588,6 @@ def make_jpeg_bytes(
         # are little-endian uint16 samples in 0..4095
         if channels != 1:
             raise ValueError("12-bit fixtures are grayscale only")
-        if progressive:
-            raise ValueError("12-bit progressive is gated on decode too")
         arr = np.frombuffer(pixels, dtype="<u2").astype(float).reshape(
             height, width, channels
         )
@@ -644,7 +640,8 @@ def make_jpeg_bytes(
         if restart_interval:
             raise ValueError("restart markers unsupported with progressive=True")
         return _encode_progressive(
-            width, height, channels, factors, comp_blocks, qtab
+            width, height, channels, factors, comp_blocks, qtab,
+            precision=precision,
         )
 
     # gather per-block zigzag symbol streams (two passes: symbols first,
@@ -764,7 +761,8 @@ def _shift_mag(v: int, al: int) -> int:
     return (abs(v) >> al) * (1 if v >= 0 else -1)
 
 
-def _encode_progressive(width, height, channels, factors, comp_blocks, qtab):
+def _encode_progressive(width, height, channels, factors, comp_blocks, qtab,
+                        precision=8):
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcus_x = -(-width // (8 * hmax))
@@ -928,9 +926,15 @@ def _encode_progressive(width, height, channels, factors, comp_blocks, qtab):
     def seg(marker: int, body: bytes) -> None:
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
 
-    zz_q = bytes(int(qtab[rr, cc]) for rr, cc in ZIGZAG)
-    seg(0xDB, b"\x00" + zz_q)
-    sof = struct.pack(">BHHB", 8, height, width, channels)
+    if precision == 12:  # Pq=1: 16-bit entries, the 12-bit convention
+        zz_q16 = b"".join(
+            struct.pack(">H", int(qtab[rr, cc])) for rr, cc in ZIGZAG
+        )
+        seg(0xDB, b"\x10" + zz_q16)
+    else:
+        zz_q = bytes(int(qtab[rr, cc]) for rr, cc in ZIGZAG)
+        seg(0xDB, b"\x00" + zz_q)
+    sof = struct.pack(">BHHB", precision, height, width, channels)
     for ci, (fh, fv) in enumerate(factors):
         sof += bytes([ci + 1, (fh << 4) | fv, 0])
     seg(0xC2, sof)

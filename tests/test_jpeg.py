@@ -242,19 +242,41 @@ def test_12bit_gates():
     px = np.zeros(64, dtype="<u2")
     with _pytest.raises(ValueError, match="grayscale"):
         make_jpeg_bytes(8, 8, px.tobytes() * 3, channels=3, precision=12)
-    with _pytest.raises(ValueError, match="progressive"):
-        make_jpeg_bytes(8, 8, px.tobytes(), precision=12, progressive=True)
     with _pytest.raises(ValueError, match="precision"):
         make_jpeg_bytes(8, 8, bytes(64), precision=10)
-    # 12-bit PROGRESSIVE decode stays gated: flip the marker + precision
-    blob = bytearray(make_jpeg_bytes(8, 8, bytes(64), progressive=True))
-    at = blob.find(b"\xff\xc2")
-    blob[at + 4] = 12
-    with _pytest.raises(NotImplementedError, match="12-bit progressive"):
-        decode_jpeg_pixels(bytes(blob))
     # unpublished precisions stay gated
     blob2 = bytearray(make_jpeg_bytes(8, 8, bytes(64)))
     at2 = blob2.find(b"\xff\xc0")
     blob2[at2 + 4] = 16
     with _pytest.raises(NotImplementedError, match="16-bit"):
         decode_jpeg_pixels(bytes(blob2))
+
+
+def test_12bit_progressive_matches_sequential():
+    """r14: progressive is a lossless reorganization of the sequential
+    coefficient stream — at 12-bit precision too, the SOF2 decode must
+    be BYTE-IDENTICAL to the SOF0 decode of the same coefficients."""
+    import numpy as np
+
+    from architxt_spark.functions.jpeg import decode_jpeg_pixels, make_jpeg_bytes
+
+    W, H = 72, 48
+    rng = np.random.default_rng(14)
+    imgs = [
+        np.repeat(
+            np.repeat(
+                rng.integers(0, 4096, size=(H // 8, W // 8), dtype=np.uint16),
+                8, axis=0,
+            ), 8, axis=1,
+        ).astype("<u2"),
+        ((np.arange(H)[:, None] * 40 + np.arange(W)[None, :] * 17) % 4096)
+        .astype("<u2"),
+        rng.integers(0, 4096, size=(H, W), dtype=np.uint16).astype("<u2"),
+    ]
+    for img in imgs:
+        seq = make_jpeg_bytes(W, H, img.tobytes(), precision=12)
+        pro = make_jpeg_bytes(W, H, img.tobytes(), precision=12,
+                              progressive=True)
+        assert pro[pro.find(b"\xff\xc2") + 4] == 12
+        assert pro[pro.find(b"\xff\xdb") + 4] == 0x10  # Pq=1 16-bit quant
+        assert decode_jpeg_pixels(pro) == decode_jpeg_pixels(seq)
