@@ -3,7 +3,12 @@
 Reference: ``architxt/similarity.py``.
 
 - metrics ``jaccard`` / ``levenshtein`` / ``jaro`` over entity-label sets
-  (``similarity.py:44-77``; default jaro-winkler on the sorted label list);
+  (``similarity.py:44-77``): the reference compares SORTED LABEL
+  SEQUENCES with ``Levenshtein.ratio`` (indel ratio, 2·LCS/(|a|+|b|))
+  and ``Levenshtein.jaro_winkler`` (prefix boost only above the 0.7
+  Jaro threshold — the rapidfuzz convention); r14 restores both
+  conventions exactly (earlier rounds joined labels into strings and
+  boosted unconditionally);
 - context-weighted similarity: decay-weighted mean of metric over ancestor
   label sets up to depth 5 (``similarity.py:92-168``, ``MAX_SIM_CTX_DEPTH=5``,
   ``DECAY=2``);
@@ -65,24 +70,33 @@ def jaccard(x: set[str] | frozenset[str], y: set[str] | frozenset[str]) -> float
     return len(x & y) / len(x | y)
 
 
-def levenshtein_ratio(a: str, b: str) -> float:
-    """Normalized Levenshtein similarity on strings (label lists are joined
-    before comparison, as the reference does)."""
-    if a == b:
+def levenshtein_ratio(a, b) -> float:
+    """Indel similarity over two sequences — ``Levenshtein.ratio``
+    parity (the reference's ``levenshtein`` metric is
+    ``Levenshtein.ratio(sorted(x), sorted(y))`` over label SEQUENCES,
+    ``architxt/similarity.py:66-69``): substitutions cost 2, so the
+    ratio is ``2·LCS/(|a|+|b|)``.  Accepts strings (char sequences) or
+    lists of labels (symbol sequences); for two SORTED DISTINCT
+    sequences LCS = |intersection|, which is what the column twin in
+    :func:`_metric_score` exploits."""
+    la, lb = len(a), len(b)
+    if not la and not lb:
         return 1.0
-    if not a or not b:
+    if not la or not lb:
         return 0.0
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
+    # LCS via the classic DP (sequences here are vocabulary-bounded)
+    prev = [0] * (lb + 1)
+    for ca in a:
+        cur = [0]
         for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1]))
         prev = cur
-    return 1.0 - prev[-1] / max(len(a), len(b))
+    return 2.0 * prev[-1] / (la + lb)
 
 
-def jaro(a: str, b: str) -> float:
-    if a == b:
+def jaro(a, b) -> float:
+    """Jaro similarity over two sequences (strings or label lists)."""
+    if len(a) == len(b) and all(x == y for x, y in zip(a, b)):
         return 1.0
     la, lb = len(a), len(b)
     if not la or not lb:
@@ -113,8 +127,15 @@ def jaro(a: str, b: str) -> float:
     return (matches / la + matches / lb + (matches - t) / matches) / 3
 
 
-def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+def jaro_winkler(a, b, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Jaro-Winkler with the rapidfuzz/``Levenshtein.jaro_winkler``
+    convention the reference depends on (``similarity.py:72-74``): the
+    prefix boost applies only when the Jaro similarity exceeds the 0.7
+    boost threshold — matching DuckDB's ``jaro_winkler_similarity``,
+    which the oracle twins use."""
     j = jaro(a, b)
+    if j <= 0.7:
+        return j
     prefix = 0
     for ca, cb in zip(a, b):
         if ca != cb or prefix == max_prefix:
@@ -123,10 +144,14 @@ def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
     return j + prefix * p * (1 - j)
 
 
+#: The reference metrics compare SORTED LABEL SEQUENCES (each label one
+#: symbol), not joined strings: ``levenshtein = Levenshtein.ratio(
+#: sorted(x), sorted(y))``, ``jaro = Levenshtein.jaro_winkler(sorted(x),
+#: sorted(y))`` (``architxt/similarity.py:66-74``).
 METRIC_FUNCS = {
     "jaccard": lambda x, y: jaccard(set(x), set(y)),
-    "levenshtein": lambda x, y: levenshtein_ratio(" ".join(sorted(x)), " ".join(sorted(y))),
-    "jaro": lambda x, y: jaro_winkler(" ".join(sorted(x)), " ".join(sorted(y))),
+    "levenshtein": lambda x, y: levenshtein_ratio(sorted(set(x)), sorted(set(y))),
+    "jaro": lambda x, y: jaro_winkler(sorted(set(x)), sorted(set(y))),
 }
 DEFAULT_METRIC = "jaro"
 
@@ -880,31 +905,33 @@ def entity_cluster_labels(
 
 def _metric_score(metric: str, a_ents: F.Column, b_ents: F.Column) -> F.Column:
     """Column-level twin of ``METRIC_FUNCS[metric]`` over two SORTED
-    entity-label arrays (signature order is canonical, so ``array_join``
-    reproduces the ``" ".join(sorted(...))`` strings the Python metrics
-    compare)."""
+    DISTINCT entity-label arrays (signature order is canonical)."""
     if metric == "jaccard":
         return F.size(F.array_intersect(a_ents, b_ents)) / F.size(
             F.array_union(a_ents, b_ents)
         )
-    a_s = F.array_join(a_ents, " ")
-    b_s = F.array_join(b_ents, " ")
     if metric == "levenshtein":
-        return F.when(a_s == b_s, F.lit(1.0)).otherwise(
-            F.lit(1.0) - F.levenshtein(a_s, b_s) / F.greatest(F.length(a_s), F.length(b_s))
+        # Levenshtein.ratio = 2·LCS/(|a|+|b|); for sorted distinct
+        # sequences LCS = |a ∩ b|, so the indel ratio is the Dice
+        # coefficient — pure codegen, no UDF
+        return (
+            F.lit(2.0) * F.size(F.array_intersect(a_ents, b_ents))
+            / (F.size(a_ents) + F.size(b_ents))
         )
     if metric == "jaro":
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         def _jw_fn(a, b):
-            return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)])
+            return pd.Series(
+                [jaro_winkler(list(x), list(y)) for x, y in zip(a, b)]
+            )
 
         # module uses `from __future__ import annotations` (stringized
         # hints), so give pandas_udf real class annotations directly
         _jw_fn.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
         _jw = pandas_udf(_jw_fn, "double")
-        return _jw(a_s, b_s)
+        return _jw(a_ents, b_ents)
     raise ValueError(f"unknown metric {metric!r}")
 
 

@@ -155,8 +155,14 @@ def test_similarity_metrics():
 
     assert jaccard({"a", "b"}, {"b", "c"}) == pytest.approx(1 / 3)
     assert jaccard(set(), set()) == 1.0  # reference doctest: identical empties
-    assert levenshtein_ratio("kitten", "sitting") == pytest.approx(1 - 3 / 7)
+    # Levenshtein.ratio parity (indel, subs cost 2): LCS(kitten,sitting)=4
+    assert levenshtein_ratio("kitten", "sitting") == pytest.approx(8 / 13)
+    assert levenshtein_ratio(["a", "b"], ["a", "c"]) == pytest.approx(0.5)
     assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-3)
+    # rapidfuzz convention: no prefix boost at or below jaro 0.7
+    assert jaro_winkler("aXXXX", "aYYYY") == pytest.approx(7 / 15)
+    # sequence form: labels are symbols, not joined characters
+    assert jaro_winkler(["m", "ar"], ["m", "ar"]) == 1.0
     a = [frozenset({"x", "y"}), frozenset({"p"})]
     b = [frozenset({"x", "y"}), frozenset({"p"})]
     assert context_similarity(a, b) == pytest.approx(1.0)
