@@ -1253,8 +1253,16 @@ def q_cluster_documents(spark: SparkSession, sf: str) -> DataFrame:
     subtree re-assigned to the fitted index through
     ``assign_to_clusters`` (similarity.py:911, reference
     ``TreeClusterer.get_equiv_of`` ``similarity.py:370-432``) must hit
-    its own cluster with an exact-membership score of 1.0."""
-    from architxt_spark.similarity import assign_to_clusters, cluster_forest_with_index
+    its own cluster with an exact-membership score of 1.0 — plus (r14
+    fold) the ``entity_cluster_labels`` census (similarity.py:866,
+    reference ``entity_labels`` ``similarity.py:514-553``): every ENT
+    under a clustered parent maps to a cluster name (3 per doc tree,
+    one cluster)."""
+    from architxt_spark.similarity import (
+        assign_to_clusters,
+        cluster_forest_with_index,
+        entity_cluster_labels,
+    )
     from architxt_spark.sources.documents import row_trees
 
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
@@ -1277,7 +1285,11 @@ def q_cluster_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("cluster_name").cast("long").alias("n_fuzzy_clusters"),
         F.round(F.min("score"), 6).alias("fuzzy_score"),
     )
-    return support.crossJoin(equiv).crossJoin(fuzzy)
+    labels = entity_cluster_labels(dn).agg(
+        F.count("*").cast("long").alias("n_ent_labeled"),
+        F.countDistinct("cluster_name").cast("long").alias("n_label_clusters"),
+    )
+    return support.crossJoin(equiv).crossJoin(fuzzy).crossJoin(labels)
 
 
 def q_cluster_instance_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -1291,8 +1303,28 @@ def q_cluster_instance_documents(spark: SparkSession, sf: str) -> DataFrame:
     Even doc rows emit ``(ROOT (W (A lang source f1 (B doc_id n_chars))))``,
     odd rows ``(ROOT (C extra (B doc_id n_chars)))``.  Expected cluster
     supports: B-even = E, B-odd = O, the even ROOT/W/A blob = 3E, the odd
-    ROOT/C blob = 2O (E/O = even/odd doc counts)."""
-    from architxt_spark.similarity import cluster_forest_instance
+    ROOT/C blob = 2O (E/O = even/odd doc counts).
+
+    r14 fold: the raw scalar similarity functions (similarity.py:60-168,
+    reference ``similarity.py:44-77``) join the gate as tagged rows —
+    published known-answer pins (MARTHA/MARHTA 0.961111, the
+    below-0.7-boost-threshold case, Levenshtein.ratio's indel semantics
+    on kitten/sitting, jaccard doctests, the disjoint-context shortcut)
+    plus data-derived pair sums over the document token vocabulary
+    (vocabulary-bounded collect, ~31 tokens at any SF; 465 pairs on the
+    driver), replayed by the oracle through DuckDB's own
+    levenshtein/jaro_winkler built-ins and list algebra — so the metric
+    CONVENTIONS (indel ratio = Dice on sorted distinct sequences, boost
+    threshold, decay-weighted context mean) are hash-pinned against an
+    independent engine."""
+    from architxt_spark.similarity import (
+        METRIC_FUNCS,
+        cluster_forest_instance,
+        context_similarity,
+        jaccard,
+        jaro_winkler,
+        levenshtein_ratio,
+    )
 
     even = [
         ("r", None, None, "ROOT"), ("0", "r", None, "W"), ("0.0", "0", None, "A"),
@@ -1340,7 +1372,49 @@ def q_cluster_instance_documents(spark: SparkSession, sf: str) -> DataFrame:
         .select("n.*")
     )
     asg = cluster_forest_instance(nodes, tau=0.8, metric="jaccard")
-    return asg.select("support").distinct()
+    support = asg.select(
+        F.lit("support").alias("tag"),
+        F.col("support").cast("double").alias("value"),
+    ).distinct()
+
+    toks = sorted(
+        r[0]
+        for r in _t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .collect()
+        if r[0]
+    )
+    from itertools import combinations
+
+    lev_m, jw_m, jac_m = (
+        METRIC_FUNCS[m] for m in ("levenshtein", "jaro", "jaccard")
+    )
+    lev_sum = jw_sum = jac_sum = ctx_sum = 0.0
+    for a, b in combinations(toks, 2):
+        sa, sb = set(a), set(b)
+        lev_sum += lev_m(sa, sb)
+        jw_sum += jw_m(sa, sb)
+        jac_sum += jac_m(sa, sb)
+        ctx_sum += context_similarity(
+            [frozenset(a), frozenset(a[:2])], [frozenset(b), frozenset(b[:2])]
+        )
+    rows = [
+        ("metric_lev_pairs", round(lev_sum, 6)),
+        ("metric_jw_pairs", round(jw_sum, 6)),
+        ("metric_jaccard_pairs", round(jac_sum, 6)),
+        ("metric_ctx_pairs", round(ctx_sum, 6)),
+        ("kat_jw_martha_marhta", round(jaro_winkler("MARTHA", "MARHTA"), 6)),
+        ("kat_jw_below_boost", round(jaro_winkler("aXXXX", "aYYYY"), 6)),
+        ("kat_lev_kitten_sitting", round(levenshtein_ratio("kitten", "sitting"), 6)),
+        ("kat_jaccard_abc_bcd", round(jaccard(set("abc"), set("bcd")), 6)),
+        ("kat_jaccard_empty", jaccard(set(), set())),
+        ("kat_ctx_disjoint", context_similarity([frozenset("a")], [frozenset("b")])),
+    ]
+    return support.unionByName(
+        spark.createDataFrame(rows, "tag string, value double")
+    )
 
 
 def q_llm_label_schema(spark: SparkSession, sf: str) -> DataFrame:
@@ -4651,7 +4725,9 @@ def _oracle_parts() -> dict[str, str]:
                    1.0 AS min_score, 1.0 AS max_score,
                    CAST(2 * COUNT(*) AS BIGINT) AS n_fuzzy,
                    CAST(1 AS BIGINT) AS n_fuzzy_clusters,
-                   ROUND(2.0 / 3.0, 6) AS fuzzy_score
+                   ROUND(2.0 / 3.0, 6) AS fuzzy_score,
+                   CAST(3 * COUNT(*) AS BIGINT) AS n_ent_labeled,
+                   CAST(1 AS BIGINT) AS n_label_clusters
             FROM documents
         """,
         "llm_label_schema": """
@@ -4666,16 +4742,57 @@ def _oracle_parts() -> dict[str, str]:
         "cluster_instance_documents": """
             WITH c AS (
                 SELECT
-                    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e,
-                    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o
+                    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS e,
+                    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS o
                 FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT unnest(str_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ),
+            t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+            pairs AS (
+                SELECT
+                    list_distinct(str_split(x.tok, '')) AS ca,
+                    list_distinct(str_split(y.tok, '')) AS cb,
+                    array_to_string(list_sort(list_distinct(str_split(x.tok, ''))), '') AS sa,
+                    array_to_string(list_sort(list_distinct(str_split(y.tok, ''))), '') AS sb,
+                    array_to_string(list_sort(list_distinct(str_split(substr(x.tok, 1, 2), ''))), '') AS pa,
+                    array_to_string(list_sort(list_distinct(str_split(substr(y.tok, 1, 2), ''))), '') AS pb
+                FROM t2 x JOIN t2 y ON x.tok < y.tok
+            ),
+            sums AS (
+                SELECT
+                    -- Levenshtein.ratio on sorted distinct sequences = Dice
+                    ROUND(SUM(2.0 * len(list_distinct(list_intersect(ca, cb)))
+                              / (len(list_distinct(ca)) + len(list_distinct(cb)))), 6) AS lev,
+                    ROUND(SUM(jaro_winkler_similarity(sa, sb)), 6) AS jw,
+                    ROUND(SUM(CAST(len(list_distinct(list_intersect(ca, cb))) AS DOUBLE)
+                              / len(list_distinct(list_concat(ca, cb)))), 6) AS jac,
+                    -- context_similarity: decay-2 weighted mean over
+                    -- (full charset, 2-char-prefix charset) levels with
+                    -- the disjoint-first-level shortcut
+                    ROUND(SUM(CASE WHEN len(list_intersect(ca, cb)) = 0 THEN 0.0
+                              ELSE (jaro_winkler_similarity(sa, sb)
+                                    + jaro_winkler_similarity(pa, pb) / 2.0) / 1.5 END), 6) AS ctx
+                FROM pairs
             )
-            SELECT DISTINCT support FROM (
+            SELECT DISTINCT 'support' AS tag, support AS value FROM (
                 SELECT e AS support FROM c
                 UNION ALL SELECT o FROM c
                 UNION ALL SELECT 3 * e FROM c
                 UNION ALL SELECT 2 * o FROM c
             )
+            UNION ALL SELECT 'metric_lev_pairs', lev FROM sums
+            UNION ALL SELECT 'metric_jw_pairs', jw FROM sums
+            UNION ALL SELECT 'metric_jaccard_pairs', jac FROM sums
+            UNION ALL SELECT 'metric_ctx_pairs', ctx FROM sums
+            UNION ALL SELECT 'kat_jw_martha_marhta', 0.961111
+            UNION ALL SELECT 'kat_jw_below_boost', 0.466667
+            UNION ALL SELECT 'kat_lev_kitten_sitting', 0.615385
+            UNION ALL SELECT 'kat_jaccard_abc_bcd', 0.5
+            UNION ALL SELECT 'kat_jaccard_empty', 1.0
+            UNION ALL SELECT 'kat_ctx_disjoint', 0.0
         """,
         "tree_leaves_nation": """
             SELECT CAST(n_nationkey AS VARCHAR) || ' ' || n_name || ' ' ||
