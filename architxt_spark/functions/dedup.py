@@ -987,6 +987,7 @@ def connected_components(
     right: str = "id_b",
     *,
     max_iterations: int = 25,
+    iteration_log: list | None = None,
 ) -> DataFrame:
     """Distributed connected components over a pair frame: ``(id,
     component)`` with component = the minimum id reachable through the
@@ -1002,6 +1003,9 @@ def connected_components(
     shallow (stars/short chains), so the bound is small; ``max_iterations``
     caps pathological chains, and the loop exits on the first round with
     no label change (an aggregate-only job, no collect of rows).
+    ``iteration_log``, when given, receives the per-round changed-label
+    count — the scale rehearsal (``tools/scalebench.py --families
+    components``) uses it for rounds-to-fixpoint and s/round.
     """
     e1 = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     edges = (
@@ -1032,6 +1036,8 @@ def connected_components(
             .count()
         )
         labels = new
+        if iteration_log is not None:
+            iteration_log.append(changed)
         if not changed:
             break
     if changed:

@@ -327,7 +327,7 @@ def main() -> None:
         "--families",
         nargs="+",
         default=["core", "rewrite", "pagerank", "curate_big"],
-        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup", "multimodal", "graph", "crawl_media"],
+        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup", "multimodal", "graph", "crawl_media", "components"],
         help="which rehearsal families to run: core = the r8 dedup/ANN/"
         "curation set at --sizes; rewrite = the forest-fixpoint engine "
         "at 2.5k/10k/40k trees (per-iteration exponent); pagerank = the "
@@ -905,6 +905,58 @@ def main() -> None:
                     f"# {name} n={n}: {sec:.2f}s ({n_pairs} pairs)",
                     file=sys.stderr, flush=True,
                 )
+
+    if "components" in args.families:
+        # r13 verdict #4: the one iterative engine without a measured
+        # family.  Hash-min label propagation over the REAL near-dup pair
+        # graphs the Zipf corpora produce (minhash+LSH, capped bands) —
+        # pairs are PREBUILT and persisted so the rung times label
+        # propagation alone; the generators have their own `dedup`
+        # family.  Reported per rung: total sec (exponent on PAIR count,
+        # the propagation's true input size), rounds-to-fixpoint, and
+        # s/round — the per-round cost is one edge-label shuffle join +
+        # one map-combinable groupBy-min, so s/round should scale ~linear
+        # in pairs and rounds should track component DIAMETER (shallow
+        # stars under Zipf duplication), not corpus size.
+        from architxt_spark.functions.dedup import connected_components
+
+        cap = args.dedup_band_cap
+        for n in args.dedup_sizes:
+            doc_path = f"{args.workdir}/docs_zipf_{n}"
+            if not os.path.exists(doc_path):
+                gen_documents_zipf(spark, n).repartition(int(args.cpus)).write.mode(
+                    "overwrite"
+                ).parquet(doc_path)
+            pair_path = f"{args.workdir}/pairs_zipf_{n}"
+            if not os.path.exists(pair_path):
+                minhash_lsh_pairs(
+                    spark.read.parquet(doc_path), "text", "doc_id",
+                    max_band_df=cap,
+                ).write.mode("overwrite").parquet(pair_path)
+            pairs = spark.read.parquet(pair_path)
+            n_pairs = pairs.count()
+            rounds: list[int] = []
+
+            def fn(_pairs=pairs, _rounds=rounds):
+                _rounds.clear()
+                return connected_components(
+                    _pairs, iteration_log=_rounds
+                ).count()
+
+            n_vertices = fn()
+            sec = time_op(fn, args.repeats)
+            n_rounds = max(len(rounds), 1)
+            results.setdefault("components_label_prop", []).append((n_pairs, sec))
+            results.setdefault("components_per_round", []).append(
+                (n_pairs, sec / n_rounds)
+            )
+            print(
+                f"# components n_docs={n}: {n_pairs} pairs, {n_vertices}"
+                f" vertices -> fixpoint in {n_rounds} rounds,"
+                f" {sec:.2f}s ({sec / n_rounds:.2f}s/round;"
+                f" changed-per-round {rounds})",
+                file=sys.stderr, flush=True,
+            )
 
     if "crawl" in args.families:
         # r11 verdict #2: the end-to-end crawl composite — read_warc
