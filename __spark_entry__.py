@@ -1666,18 +1666,22 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                     )
                     if d % 8 == 6:
                         # r14: this half-slice travels at 12-BIT
-                        # precision (sequential at d%16==6, progressive
-                        # at d%16==14) with samples 16× the 8-bit
-                        # formula — the decoder's downscale restores
-                        # byte-identical pixels, so the SAME closed-form
-                        # oracle now also gates the 12-bit level shift,
-                        # Pq=1 quant tables, and 12-bit SOF2 bit planes
+                        # precision (sequential at d%32==6, LOSSLESS
+                        # SOF3 at d%32==22, progressive at d%16==14)
+                        # with samples 16× the 8-bit formula — the
+                        # decoder's downscale restores byte-identical
+                        # pixels, so the SAME closed-form oracle now
+                        # also gates the 12-bit level shift, Pq=1 quant
+                        # tables, 12-bit SOF2 bit planes, and the
+                        # Annex-H predictor/difference machinery
                         img12 = b"".join(
                             (b * 16).to_bytes(2, "little") for b in img
                         )
                         content = make_jpeg_bytes(
                             jw, jh, img12, channels=1, precision=12,
                             progressive=(d % 16 == 14),
+                            lossless=(d % 32 == 22),
+                            predictor=d % 7 + 1,
                         )
                     else:
                         content = make_jpeg_bytes(

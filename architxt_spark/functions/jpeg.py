@@ -16,9 +16,12 @@ markers in both sequential and progressive scans.  12-bit precision
 quantization tables, samples downscaled to the pipeline's 8-bit
 contract) decodes for sequential AND (r14) progressive frames — the
 coefficient bit-plane machinery is precision-agnostic, only the level
-shift and output downscale differ.  Arithmetic coding and
-lossless/hierarchical frames raise ``NotImplementedError`` with
-guidance — those genuinely want libjpeg.
+shift and output downscale differ.  Lossless (SOF3, r14 — the old
+medical/archival shape): T.81 Annex H per-sample prediction +
+Huffman-coded differences, predictors 1-7, precision 2-16, point
+transform; grayscale 1:1 (multi-component / subsampled / restart
+lossless raises with guidance).  Arithmetic coding and hierarchical
+frames raise ``NotImplementedError`` — those genuinely want libjpeg.
 
 ``make_jpeg_bytes`` is the encoder twin for round-trip tests: forward
 DCT + flat quantization + canonical single-length Huffman tables it
@@ -161,6 +164,7 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
     progressive = False
+    lossless = False
     prog: _ProgState | None = None
     restart = 0
     pos = 2
@@ -197,9 +201,14 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 symbols = list(body[off + 17:off + 17 + cnt])
                 huff[(tc, th)] = _build_huffman(bits, symbols)
                 off += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"lossless precision {prec} out of range")
+            elif prec not in (8, 12):
                 raise NotImplementedError(
                     f"{prec}-bit JPEG precision needs libjpeg"
                 )
@@ -210,18 +219,22 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             frame = (w, h, comps)
             precision = prec
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only sequential (SOF0/SOF1) and progressive (SOF2) "
-                "Huffman JPEG decode without libjpeg "
-                "(arithmetic/lossless/hierarchical found)"
+                "only sequential (SOF0/SOF1), progressive (SOF2), and "
+                "lossless (SOF3) Huffman JPEG decode without libjpeg "
+                "(arithmetic/hierarchical found)"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG scan before SOF")
+            if lossless:
+                return _decode_lossless(
+                    content, pos, frame, body, huff, restart, prec=precision
+                )
             if not progressive:
                 ns = body[0]
                 scan = []
@@ -337,6 +350,83 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart, prec=8):
         [(ci["zz"], ci["q"], ci["ch"], ci["cv"]) for ci in comp_info],
         prec=prec,
     )
+
+
+def _decode_lossless_samples(data, pos, frame, body, huff, prec):
+    """ITU-T T.81 Annex H lossless (SOF3) scan decode → the raw
+    full-precision sample grid as a numpy int array (grayscale).
+
+    Per sample: a DC-class Huffman symbol gives the difference
+    category SSSS (16 = +32768 with no magnitude bits), the magnitude
+    bits extend to the signed difference, and the sample reconstructs
+    as ``(Px + diff) mod 2^16`` where Px is the selected predictor
+    (H.1.2.1) — Ra on the first line, Rb at the start of later lines,
+    ``2^(P-Pt-1)`` for the very first sample.  The decoded value is
+    shifted left by the point transform Pt.  Scope (the medical /
+    archival shape): one component, sampling 1:1, no restart markers —
+    multi-component or restart-interval lossless raises with
+    guidance."""
+    w, h, comps = frame
+    ns = body[0]
+    if ns != 1 or len(comps) != 1:
+        raise NotImplementedError(
+            "multi-component lossless JPEG needs libjpeg"
+        )
+    if comps[0][1] != 1 or comps[0][2] != 1:
+        raise NotImplementedError("subsampled lossless JPEG needs libjpeg")
+    table = huff[(0, body[2] >> 4)]
+    predictor = body[1 + 2 * ns]  # Ss field repurposed as the selector
+    pt = body[3 + 2 * ns] & 0x0F  # Al field repurposed as point transform
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    default = 1 << (prec - pt - 1)
+    plane = [[0] * w for _ in range(h)]
+    r = _BitReader(data, pos)
+    for y in range(h):
+        row = plane[y]
+        above = plane[y - 1] if y else None
+        for x in range(w):
+            s = _decode_symbol(r, table)
+            if s == 16:
+                diff = 32768  # the category with no magnitude bits
+            else:
+                diff = _extend(r.bits(s), s) if s else 0
+            if y == 0:
+                px = row[x - 1] if x else default
+            elif x == 0:
+                px = above[0]
+            else:
+                a, b, c = row[x - 1], above[x], above[x - 1]
+                if predictor == 1:
+                    px = a
+                elif predictor == 2:
+                    px = b
+                elif predictor == 3:
+                    px = c
+                elif predictor == 4:
+                    px = a + b - c
+                elif predictor == 5:
+                    px = a + ((b - c) >> 1)
+                elif predictor == 6:
+                    px = b + ((a - c) >> 1)
+                else:
+                    px = (a + b) >> 1
+            row[x] = (px + diff) & 0xFFFF
+    arr = np.array(plane, dtype=np.int64)
+    return arr << pt
+
+
+def _decode_lossless(data, pos, frame, body, huff, restart, prec=8):
+    if restart:
+        raise NotImplementedError(
+            "lossless JPEG with restart markers needs libjpeg"
+        )
+    w, h, _comps = frame
+    arr = _decode_lossless_samples(data, pos, frame, body, huff, prec)
+    # the pipeline's 8-bit sample contract, like the 12-bit DCT path
+    scale = 2.0 ** (prec - 8)
+    out = np.clip(np.rint(arr / scale), 0, 255).astype(np.uint8)
+    return w, h, 1, out.tobytes()
 
 
 class _ProgState:
@@ -569,6 +659,8 @@ def make_jpeg_bytes(
     restart_interval: int = 0,
     progressive: bool = False,
     precision: int = 8,
+    lossless: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Encode raw samples (gray or RGB, row-major) as a baseline
     sequential JPEG — the :func:`decode_jpeg_pixels` round-trip twin.
@@ -580,7 +672,24 @@ def make_jpeg_bytes(
     SOF2 five-phase scan script (DC first Al=1 → DC refine → AC bands
     1–20 and 21–63 per component at Al=1 → AC refine per component) —
     a lossless reorganization, so decoded pixels are byte-identical to
-    the sequential encoding's."""
+    the sequential encoding's.
+
+    ``lossless=True`` emits an SOF3 frame (T.81 Annex H: per-sample
+    predictor + Huffman-coded differences, no DCT, no quantization) —
+    grayscale, ``precision`` 2-16 (samples are uint8 for ≤8 bits,
+    little-endian uint16 above), ``predictor`` selects H.1.2.1's
+    1-7.  Exact by construction, so the round-trip test contract is
+    bit-identity on the raw samples."""
+    if lossless:
+        if channels != 1:
+            raise ValueError("lossless fixtures are grayscale only")
+        if progressive or restart_interval:
+            raise ValueError("lossless excludes progressive/restart fixtures")
+        if not 2 <= precision <= 16:
+            raise ValueError("lossless precision must be 2..16")
+        if not 1 <= predictor <= 7:
+            raise ValueError("predictor must be 1..7")
+        return _encode_lossless(width, height, pixels, precision, predictor)
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
     if precision == 12:
@@ -970,5 +1079,74 @@ def _encode_progressive(width, height, channels, factors, comp_blocks, qtab,
         wtr.flush()
         out.extend(wtr.out)
 
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lossless encoder (SOF3 twin — exact, so round trips assert bit identity)
+# ---------------------------------------------------------------------------
+
+
+def _encode_lossless(width, height, pixels, precision, predictor):
+    dt = np.uint8 if precision <= 8 else "<u2"
+    arr = np.frombuffer(pixels, dtype=dt).astype(int).reshape(height, width)
+    if arr.max(initial=0) >= (1 << precision):
+        raise ValueError(f"sample exceeds {precision}-bit range")
+    default = 1 << (precision - 1)
+    syms: list[int] = []
+    ops: list[tuple[int, int, int]] = []  # (symbol, mapped magnitude, nbits)
+    for y in range(height):
+        row = arr[y]
+        above = arr[y - 1] if y else None
+        for x in range(width):
+            if y == 0:
+                px = int(row[x - 1]) if x else default
+            elif x == 0:
+                px = int(above[0])
+            else:
+                a, b, c = int(row[x - 1]), int(above[x]), int(above[x - 1])
+                if predictor == 1:
+                    px = a
+                elif predictor == 2:
+                    px = b
+                elif predictor == 3:
+                    px = c
+                elif predictor == 4:
+                    px = a + b - c
+                elif predictor == 5:
+                    px = a + ((b - c) >> 1)
+                elif predictor == 6:
+                    px = b + ((a - c) >> 1)
+                else:
+                    px = (a + b) >> 1
+            d = (int(row[x]) - px) & 0xFFFF
+            if d == 32768:
+                syms.append(16)
+                ops.append((16, 0, 0))
+            else:
+                diff = d if d < 32768 else d - 65536
+                s = _size_cat(diff)
+                syms.append(s)
+                ops.append((s, diff if diff > 0 else diff + (1 << s) - 1, s))
+
+    bits, symlist, enc = _canonical_table(syms)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(symlist))
+    seg(0xC3, struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0]))
+    # SOS: Ss carries the predictor selector, Se=0, Ah/Al=0 (Pt=0)
+    seg(0xDA, bytes([1, 1, 0x00, predictor, 0, 0]))
+    wtr = _BitWriter()
+    for s, v, nbits in ops:
+        length, code = enc[s]
+        wtr.write(code, length)
+        if nbits:
+            wtr.write(v, nbits)
+    wtr.flush()
+    out.extend(wtr.out)
     out.extend(b"\xff\xd9")
     return bytes(out)

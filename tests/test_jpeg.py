@@ -280,3 +280,101 @@ def test_12bit_progressive_matches_sequential():
         assert pro[pro.find(b"\xff\xc2") + 4] == 12
         assert pro[pro.find(b"\xff\xdb") + 4] == 0x10  # Pq=1 16-bit quant
         assert decode_jpeg_pixels(pro) == decode_jpeg_pixels(seq)
+
+
+# ---------------------------------------------------------------------------
+# r14: lossless (SOF3) — exact by construction
+# ---------------------------------------------------------------------------
+
+
+def test_lossless_roundtrip_all_predictors_and_precisions():
+    import numpy as np
+
+    from architxt_spark.functions.jpeg import (
+        _decode_lossless_samples,
+        decode_jpeg_pixels,
+        make_jpeg_bytes,
+    )
+
+    rng = np.random.default_rng(41)
+    for prec in (8, 12, 16, 4, 2):
+        for pred in range(1, 8):
+            H, W = 13, 17
+            img = rng.integers(0, 1 << prec, size=(H, W))
+            dt = np.uint8 if prec <= 8 else "<u2"
+            blob = make_jpeg_bytes(
+                W, H, img.astype(dt).tobytes(), precision=prec,
+                lossless=True, predictor=pred,
+            )
+            assert blob[blob.find(b"\xff\xc3") + 4] == prec
+            w, h, c, out = decode_jpeg_pixels(blob)
+            assert (w, h, c) == (W, H, 1)
+            want = np.clip(np.rint(img / 2.0 ** (prec - 8)), 0, 255)
+            got = np.frombuffer(out, dtype=np.uint8).reshape(h, w)
+            assert (got == want.astype(np.uint8)).all(), (prec, pred)
+
+
+def test_lossless_raw_samples_bit_identical():
+    # the decoder's full-precision grid, before the 8-bit contract
+    # downscale, must reproduce the input samples EXACTLY — the
+    # losslessness claim itself
+    import struct as _struct
+
+    import numpy as np
+
+    from architxt_spark.functions.jpeg import (
+        _build_huffman,
+        _decode_lossless_samples,
+        make_jpeg_bytes,
+    )
+
+    rng = np.random.default_rng(42)
+    H, W = 9, 11
+    img = rng.integers(0, 4096, size=(H, W))
+    blob = make_jpeg_bytes(
+        W, H, img.astype("<u2").tobytes(), precision=12,
+        lossless=True, predictor=4,
+    )
+    # walk to the SOS body + entropy start
+    pos, huff, frame, body = 2, {}, None, None
+    while True:
+        marker = blob[pos + 1]
+        (ln,) = _struct.unpack(">H", blob[pos + 2:pos + 4])
+        seg = blob[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xC4:
+            bits = list(seg[1:17])
+            huff[(0, seg[0] & 0x0F)] = _build_huffman(
+                bits, list(seg[17:17 + sum(bits)])
+            )
+        elif marker == 0xC3:
+            prec, h, w, nc = _struct.unpack(">BHHB", seg[:6])
+            frame = (w, h, [(seg[6], 1, 1, 0)])
+        elif marker == 0xDA:
+            body = seg
+            break
+    arr = _decode_lossless_samples(blob, pos, frame, body, huff, 12)
+    assert (arr == img).all()
+
+
+def test_lossless_gates_and_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from architxt_spark.functions.jpeg import decode_jpeg_pixels, make_jpeg_bytes
+
+    px = np.zeros(64, dtype=np.uint8).tobytes()
+    with _pytest.raises(ValueError, match="grayscale"):
+        make_jpeg_bytes(8, 8, px * 3, channels=3, lossless=True)
+    with _pytest.raises(ValueError, match="progressive"):
+        make_jpeg_bytes(8, 8, px, lossless=True, progressive=True)
+    with _pytest.raises(ValueError, match="predictor"):
+        make_jpeg_bytes(8, 8, px, lossless=True, predictor=8)
+    with _pytest.raises(ValueError, match="range"):
+        make_jpeg_bytes(8, 8, bytes([200]) * 64, lossless=True, precision=7)
+    # hierarchical/arithmetic frames still gate, without naming lossless
+    blob = bytearray(make_jpeg_bytes(8, 8, px))
+    at = blob.find(b"\xff\xc0")
+    blob[at + 1] = 0xC9  # arithmetic sequential
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_pixels(bytes(blob))
