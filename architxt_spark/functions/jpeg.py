@@ -354,65 +354,78 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart, prec=8):
 
 def _decode_lossless_samples(data, pos, frame, body, huff, prec):
     """ITU-T T.81 Annex H lossless (SOF3) scan decode → the raw
-    full-precision sample grid as a numpy int array (grayscale).
+    full-precision sample grid as a numpy int array, shape (h, w) for
+    one component or (h, w, n) for an interleaved 1:1 frame.
 
     Per sample: a DC-class Huffman symbol gives the difference
     category SSSS (16 = +32768 with no magnitude bits), the magnitude
     bits extend to the signed difference, and the sample reconstructs
     as ``(Px + diff) mod 2^16`` where Px is the selected predictor
     (H.1.2.1) — Ra on the first line, Rb at the start of later lines,
-    ``2^(P-Pt-1)`` for the very first sample.  The decoded value is
-    shifted left by the point transform Pt.  Scope (the medical /
-    archival shape): one component, sampling 1:1, no restart markers —
-    multi-component or restart-interval lossless raises with
-    guidance."""
+    ``2^(P-Pt-1)`` for the very first sample; prediction state is PER
+    COMPONENT, components interleave one sample per MCU (H.2).  The
+    decoded value is shifted left by the point transform Pt.  Scope:
+    1:1 sampling, no restart markers — subsampled or restart-interval
+    lossless raises with guidance."""
     w, h, comps = frame
     ns = body[0]
-    if ns != 1 or len(comps) != 1:
-        raise NotImplementedError(
-            "multi-component lossless JPEG needs libjpeg"
-        )
-    if comps[0][1] != 1 or comps[0][2] != 1:
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
         raise NotImplementedError("subsampled lossless JPEG needs libjpeg")
-    table = huff[(0, body[2] >> 4)]
+    tables = []
+    for i in range(ns):
+        cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+        tables.append((ci, huff[(0, tabs >> 4)]))
+    if sorted(ci for ci, _ in tables) != list(range(len(comps))):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) lossless JPEG needs libjpeg"
+        )
     predictor = body[1 + 2 * ns]  # Ss field repurposed as the selector
     pt = body[3 + 2 * ns] & 0x0F  # Al field repurposed as point transform
     if not 1 <= predictor <= 7:
         raise ValueError(f"invalid lossless predictor {predictor}")
     default = 1 << (prec - pt - 1)
-    plane = [[0] * w for _ in range(h)]
+    planes = {ci: [[0] * w for _ in range(h)] for ci, _ in tables}
     r = _BitReader(data, pos)
     for y in range(h):
-        row = plane[y]
-        above = plane[y - 1] if y else None
         for x in range(w):
-            s = _decode_symbol(r, table)
-            if s == 16:
-                diff = 32768  # the category with no magnitude bits
-            else:
-                diff = _extend(r.bits(s), s) if s else 0
-            if y == 0:
-                px = row[x - 1] if x else default
-            elif x == 0:
-                px = above[0]
-            else:
-                a, b, c = row[x - 1], above[x], above[x - 1]
-                if predictor == 1:
-                    px = a
-                elif predictor == 2:
-                    px = b
-                elif predictor == 3:
-                    px = c
-                elif predictor == 4:
-                    px = a + b - c
-                elif predictor == 5:
-                    px = a + ((b - c) >> 1)
-                elif predictor == 6:
-                    px = b + ((a - c) >> 1)
+            for ci, table in tables:
+                s = _decode_symbol(r, table)
+                if s == 16:
+                    diff = 32768  # the category with no magnitude bits
                 else:
-                    px = (a + b) >> 1
-            row[x] = (px + diff) & 0xFFFF
-    arr = np.array(plane, dtype=np.int64)
+                    diff = _extend(r.bits(s), s) if s else 0
+                plane = planes[ci]
+                row = plane[y]
+                if y == 0:
+                    px = row[x - 1] if x else default
+                elif x == 0:
+                    px = plane[y - 1][0]
+                else:
+                    above = plane[y - 1]
+                    a, b, c = row[x - 1], above[x], above[x - 1]
+                    if predictor == 1:
+                        px = a
+                    elif predictor == 2:
+                        px = b
+                    elif predictor == 3:
+                        px = c
+                    elif predictor == 4:
+                        px = a + b - c
+                    elif predictor == 5:
+                        px = a + ((b - c) >> 1)
+                    elif predictor == 6:
+                        px = b + ((a - c) >> 1)
+                    else:
+                        px = (a + b) >> 1
+                row[x] = (px + diff) & 0xFFFF
+    if len(planes) == 1:
+        arr = np.array(planes[tables[0][0]], dtype=np.int64)
+    else:
+        arr = np.stack(
+            [np.array(planes[ci], dtype=np.int64) for ci in sorted(planes)],
+            axis=-1,
+        )
     return arr << pt
 
 
@@ -421,12 +434,14 @@ def _decode_lossless(data, pos, frame, body, huff, restart, prec=8):
         raise NotImplementedError(
             "lossless JPEG with restart markers needs libjpeg"
         )
-    w, h, _comps = frame
+    w, h, comps = frame
     arr = _decode_lossless_samples(data, pos, frame, body, huff, prec)
-    # the pipeline's 8-bit sample contract, like the 12-bit DCT path
+    # the pipeline's 8-bit sample contract, like the 12-bit DCT path;
+    # lossless defines no color transform, so components pass through
+    # as stored (grayscale or direct RGB)
     scale = 2.0 ** (prec - 8)
     out = np.clip(np.rint(arr / scale), 0, 255).astype(np.uint8)
-    return w, h, 1, out.tobytes()
+    return w, h, len(comps), out.tobytes()
 
 
 class _ProgState:
@@ -676,20 +691,23 @@ def make_jpeg_bytes(
 
     ``lossless=True`` emits an SOF3 frame (T.81 Annex H: per-sample
     predictor + Huffman-coded differences, no DCT, no quantization) —
-    grayscale, ``precision`` 2-16 (samples are uint8 for ≤8 bits,
-    little-endian uint16 above), ``predictor`` selects H.1.2.1's
-    1-7.  Exact by construction, so the round-trip test contract is
-    bit-identity on the raw samples."""
+    1 or 3 components interleaved at 1:1 (no color transform: RGB
+    passes through as stored), ``precision`` 2-16 (samples are uint8
+    for ≤8 bits, little-endian uint16 above), ``predictor`` selects
+    H.1.2.1's 1-7.  Exact by construction, so the round-trip test
+    contract is bit-identity on the raw samples."""
     if lossless:
-        if channels != 1:
-            raise ValueError("lossless fixtures are grayscale only")
+        if channels not in (1, 3):
+            raise ValueError("lossless fixtures are 1- or 3-component")
         if progressive or restart_interval:
             raise ValueError("lossless excludes progressive/restart fixtures")
         if not 2 <= precision <= 16:
             raise ValueError("lossless precision must be 2..16")
         if not 1 <= predictor <= 7:
             raise ValueError("predictor must be 1..7")
-        return _encode_lossless(width, height, pixels, precision, predictor)
+        return _encode_lossless(
+            width, height, pixels, precision, predictor, channels
+        )
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
     if precision == 12:
@@ -1088,47 +1106,50 @@ def _encode_progressive(width, height, channels, factors, comp_blocks, qtab,
 # ---------------------------------------------------------------------------
 
 
-def _encode_lossless(width, height, pixels, precision, predictor):
+def _encode_lossless(width, height, pixels, precision, predictor, channels=1):
     dt = np.uint8 if precision <= 8 else "<u2"
-    arr = np.frombuffer(pixels, dtype=dt).astype(int).reshape(height, width)
+    arr = np.frombuffer(pixels, dtype=dt).astype(int).reshape(
+        height, width, channels
+    )
     if arr.max(initial=0) >= (1 << precision):
         raise ValueError(f"sample exceeds {precision}-bit range")
     default = 1 << (precision - 1)
     syms: list[int] = []
     ops: list[tuple[int, int, int]] = []  # (symbol, mapped magnitude, nbits)
     for y in range(height):
-        row = arr[y]
-        above = arr[y - 1] if y else None
         for x in range(width):
-            if y == 0:
-                px = int(row[x - 1]) if x else default
-            elif x == 0:
-                px = int(above[0])
-            else:
-                a, b, c = int(row[x - 1]), int(above[x]), int(above[x - 1])
-                if predictor == 1:
-                    px = a
-                elif predictor == 2:
-                    px = b
-                elif predictor == 3:
-                    px = c
-                elif predictor == 4:
-                    px = a + b - c
-                elif predictor == 5:
-                    px = a + ((b - c) >> 1)
-                elif predictor == 6:
-                    px = b + ((a - c) >> 1)
+            for ci in range(channels):  # interleaved: one sample/comp per MCU
+                row = arr[y, :, ci]
+                if y == 0:
+                    px = int(row[x - 1]) if x else default
+                elif x == 0:
+                    px = int(arr[y - 1, 0, ci])
                 else:
-                    px = (a + b) >> 1
-            d = (int(row[x]) - px) & 0xFFFF
-            if d == 32768:
-                syms.append(16)
-                ops.append((16, 0, 0))
-            else:
-                diff = d if d < 32768 else d - 65536
-                s = _size_cat(diff)
-                syms.append(s)
-                ops.append((s, diff if diff > 0 else diff + (1 << s) - 1, s))
+                    above = arr[y - 1, :, ci]
+                    a, b, c = int(row[x - 1]), int(above[x]), int(above[x - 1])
+                    if predictor == 1:
+                        px = a
+                    elif predictor == 2:
+                        px = b
+                    elif predictor == 3:
+                        px = c
+                    elif predictor == 4:
+                        px = a + b - c
+                    elif predictor == 5:
+                        px = a + ((b - c) >> 1)
+                    elif predictor == 6:
+                        px = b + ((a - c) >> 1)
+                    else:
+                        px = (a + b) >> 1
+                d = (int(row[x]) - px) & 0xFFFF
+                if d == 32768:
+                    syms.append(16)
+                    ops.append((16, 0, 0))
+                else:
+                    diff = d if d < 32768 else d - 65536
+                    s = _size_cat(diff)
+                    syms.append(s)
+                    ops.append((s, diff if diff > 0 else diff + (1 << s) - 1, s))
 
     bits, symlist, enc = _canonical_table(syms)
     out = bytearray(b"\xff\xd8")
@@ -1137,9 +1158,16 @@ def _encode_lossless(width, height, pixels, precision, predictor):
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
 
     seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(symlist))
-    seg(0xC3, struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0]))
-    # SOS: Ss carries the predictor selector, Se=0, Ah/Al=0 (Pt=0)
-    seg(0xDA, bytes([1, 1, 0x00, predictor, 0, 0]))
+    sof = struct.pack(">BHHB", precision, height, width, channels)
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0])
+    seg(0xC3, sof)
+    # SOS: Ss carries the predictor selector, Se=0, Ah/Al=0 (Pt=0);
+    # every component shares the one canonical table
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00])
+    seg(0xDA, sos + bytes([predictor, 0, 0]))
     wtr = _BitWriter()
     for s, v, nbits in ops:
         length, code = enc[s]

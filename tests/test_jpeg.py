@@ -364,8 +364,8 @@ def test_lossless_gates_and_validation():
     from architxt_spark.functions.jpeg import decode_jpeg_pixels, make_jpeg_bytes
 
     px = np.zeros(64, dtype=np.uint8).tobytes()
-    with _pytest.raises(ValueError, match="grayscale"):
-        make_jpeg_bytes(8, 8, px * 3, channels=3, lossless=True)
+    with _pytest.raises(ValueError, match="component"):
+        make_jpeg_bytes(8, 8, px * 2, channels=2, lossless=True)
     with _pytest.raises(ValueError, match="progressive"):
         make_jpeg_bytes(8, 8, px, lossless=True, progressive=True)
     with _pytest.raises(ValueError, match="predictor"):
@@ -378,3 +378,22 @@ def test_lossless_gates_and_validation():
     blob[at + 1] = 0xC9  # arithmetic sequential
     with _pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(bytes(blob))
+
+
+def test_lossless_rgb_interleaved_roundtrip():
+    """3-component 1:1 lossless: components interleave one sample per
+    MCU with per-component prediction state, no color transform."""
+    import numpy as np
+
+    from architxt_spark.functions.jpeg import decode_jpeg_pixels, make_jpeg_bytes
+
+    rng = np.random.default_rng(43)
+    H, W = 7, 10
+    img = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+    for pred in (1, 4, 7):
+        blob = make_jpeg_bytes(
+            W, H, img.tobytes(), channels=3, lossless=True, predictor=pred
+        )
+        w, h, c, out = decode_jpeg_pixels(blob)
+        assert (w, h, c) == (W, H, 3)
+        assert (np.frombuffer(out, dtype=np.uint8).reshape(H, W, 3) == img).all()
