@@ -302,3 +302,56 @@ def test_odp_speaker_notes_not_in_slide_text():
     slides = ["Visible title", "Second slide"]
     blob = make_odp_bytes(slides, notes=["secret speaker note", ""])
     assert read_odp_slides(blob) == slides
+
+
+def test_ods_randomized_repeat_alignment_fuzz():
+    """~400 random sheets mixing value cells, explicit empties, repeated
+    runs (empty and content) — the reader's buffered-run expansion must
+    place every value under the header the fixture spec says it owns.
+    Alignment bugs here are exactly the silent-misalignment class the
+    r13 advice found; a handful of hand casings can't cover the run/
+    flush interactions."""
+    import random
+
+    from architxt_spark.sources.office import make_ods_bytes, read_ods_sheets
+
+    rng = random.Random(0x0D5)
+    for trial in range(400):
+        n_cols = rng.randint(1, 8)
+        header = [f"c{i}" for i in range(n_cols)]
+        n_rows = rng.randint(0, 5)
+        rows, want = [], []
+        for _ in range(n_rows):
+            # build a row as fixture cells + the expected flat expansion
+            cells, flat = [], []
+            while len(flat) < n_cols and rng.random() < 0.85:
+                kind = rng.random()
+                if kind < 0.3:
+                    v = f"v{rng.randint(0, 99)}"
+                    cells.append(v)
+                    flat.append(v)
+                elif kind < 0.5:
+                    cells.append(None)
+                    flat.append("")
+                elif kind < 0.75:
+                    rep = rng.randint(2, 5)
+                    cells.append((None, rep))
+                    flat.extend([""] * rep)
+                else:
+                    rep = rng.randint(2, 4)
+                    v = f"r{rng.randint(0, 99)}"
+                    cells.append((v, rep))
+                    flat.extend([v] * rep)
+            rows.append(cells)
+            # expected record: trailing empties trimmed, all-empty rows
+            # dropped, values land under their positional header
+            while flat and not flat[-1]:
+                flat.pop()
+            if flat:
+                want.append({
+                    header[i]: (flat[i] if i < len(flat) else "")
+                    for i in range(n_cols)
+                    if i < len(flat)
+                })
+        got = read_ods_sheets(make_ods_bytes({"S": [header] + rows}))["S"]
+        assert got == want, (trial, rows, got, want)
