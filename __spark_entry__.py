@@ -2126,18 +2126,29 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                 elif m == 1:
                     # r12: half the docx docs travel as password-
                     # protected OLE2 containers (Standard / Agile
-                    # encryption under Excel's default password) —
-                    # readback is byte-equal, so the oracle hash is
-                    # wrap-independent
-                    blob = make_docx_bytes([clean])
-                    wrap = {0: "standard", 2: "agile"}.get(d % 4)
-                    if wrap:
-                        from architxt_spark.sources.ooxml_crypto import (
-                            make_encrypted_ooxml,
+                    # encryption under Excel's default password);
+                    # r14: the d%8==7 residue travels as legacy Word
+                    # binary .doc (FIB + piece table, mixed cp1252/
+                    # UTF-16 pieces) — readback is byte-equal in every
+                    # wrap, so the oracle hash is wrap-independent
+                    if d % 8 == 7:
+                        from architxt_spark.sources.worddoc import (
+                            make_doc_bytes,
+                            read_doc_paragraphs,
                         )
 
-                        blob = make_encrypted_ooxml(blob, scheme=wrap)
-                    back = read_docx_paragraphs(blob)[0]
+                        blob = make_doc_bytes([clean])
+                        back = read_doc_paragraphs(blob)[0]
+                    else:
+                        blob = make_docx_bytes([clean])
+                        wrap = {0: "standard", 2: "agile"}.get(d % 4)
+                        if wrap:
+                            from architxt_spark.sources.ooxml_crypto import (
+                                make_encrypted_ooxml,
+                            )
+
+                            blob = make_encrypted_ooxml(blob, scheme=wrap)
+                        back = read_docx_paragraphs(blob)[0]
                     fmt = "docx"
                 elif m == 2:
                     # r12: half the odt docs travel password-protected.

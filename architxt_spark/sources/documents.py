@@ -324,8 +324,8 @@ def read_document_file(
         # DIFAT-chained containers + record walk + CONTINUE-aware SST;
         # BIFF5 codepage strings, pre-OLE2 BIFF2-4 raw streams, and
         # RC4-encrypted workbooks incl. the VelvetSweatshop default,
-        # ``sources/xls.py``); only XOR-obfuscated and encrypted
-        # pre-BIFF5 workbooks still raise with xlrd guidance
+        # and r14 XOR method-0 obfuscation, ``sources/xls.py``); only
+        # encrypted pre-BIFF5 workbooks still raise with xlrd guidance
         from architxt_spark.sources.xls import _read_xls_stdlib
 
         data = _read_xls_stdlib(path, password=password or None)
@@ -336,6 +336,16 @@ def read_document_file(
         from architxt_spark.sources.office import read_ods_sheets
 
         data = read_ods_sheets(path, password=password)
+    elif ext == ".doc":
+        # legacy Word binary (r14, beyond-reference): FIB + piece-table
+        # text extraction, Word 97-2003 and simple Word 6/95
+        # (``sources/worddoc.py``) → one record per paragraph
+        from architxt_spark.sources.worddoc import read_doc_paragraphs
+
+        data = [
+            {"idx": str(i), "text": p}
+            for i, p in enumerate(read_doc_paragraphs(path))
+        ]
     elif ext in (".docx", ".odt", ".pptx", ".odp"):
         # word-processor / presentation text (r11.5, beyond-reference;
         # .odp r13): zip + XML paragraph walk (``sources/office.py``)
