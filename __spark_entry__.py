@@ -2198,15 +2198,27 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     )[0]
                     fmt = "pdf"
                 else:
-                    blob = make_pptx_bytes([clean])
-                    wrap = {0: "standard", 2: "agile"}.get(d % 4)
-                    if wrap:
-                        from architxt_spark.sources.ooxml_crypto import (
-                            make_encrypted_ooxml,
+                    # r14: the d%8==1 residue travels as legacy
+                    # PowerPoint binary .ppt (SlideListWithText record
+                    # tree) — readback byte-equal, wrap-independent hash
+                    if d % 8 == 1:
+                        from architxt_spark.sources.ppt import (
+                            make_ppt_bytes,
+                            read_ppt_slides,
                         )
 
-                        blob = make_encrypted_ooxml(blob, scheme=wrap)
-                    back = read_pptx_slides(blob)[0]
+                        blob = make_ppt_bytes([clean])
+                        back = read_ppt_slides(blob)[0]
+                    else:
+                        blob = make_pptx_bytes([clean])
+                        wrap = {0: "standard", 2: "agile"}.get(d % 4)
+                        if wrap:
+                            from architxt_spark.sources.ooxml_crypto import (
+                                make_encrypted_ooxml,
+                            )
+
+                            blob = make_encrypted_ooxml(blob, scheme=wrap)
+                        back = read_pptx_slides(blob)[0]
                     fmt = "pptx"
                 h = int(hashlib.md5(back.encode("utf-8")).hexdigest()[:15], 16)
                 rows.append((fmt, len(back), h))

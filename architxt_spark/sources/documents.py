@@ -346,6 +346,16 @@ def read_document_file(
             {"idx": str(i), "text": p}
             for i, p in enumerate(read_doc_paragraphs(path))
         ]
+    elif ext == ".ppt":
+        # legacy PowerPoint binary (r14, beyond-reference): record-tree
+        # walk of the SlideListWithText container (``sources/ppt.py``)
+        # → one record per slide, the .pptx shape
+        from architxt_spark.sources.ppt import read_ppt_slides
+
+        data = [
+            {"idx": str(i), "text": p}
+            for i, p in enumerate(read_ppt_slides(path))
+        ]
     elif ext in (".docx", ".odt", ".pptx", ".odp"):
         # word-processor / presentation text (r11.5, beyond-reference;
         # .odp r13): zip + XML paragraph walk (``sources/office.py``)
