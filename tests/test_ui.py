@@ -381,3 +381,29 @@ def test_main_smoke_and_clear(spark, tmp_path, fake):
     with pytest.raises(Rerun):
         ui_mod.main()
     assert len(ui_state.get_forest()) == 0
+
+
+def test_document_import_page_legacy_doc_and_ppt(spark, tmp_path, fake):
+    """r14: the importer accepts legacy Word/PowerPoint binaries and
+    routes them through the worddoc/ppt readers."""
+    from architxt_spark.sources.ppt import make_ppt_bytes
+    from architxt_spark.sources.worddoc import make_doc_bytes
+
+    st = fake(
+        inputs={"Source Type": "Document File"},
+        pressed={"Load document"},
+        uploads={"Document File": [
+            Upload("memo.doc", make_doc_bytes(["Carol drafts memos"])),
+            Upload("deck.ppt", make_ppt_bytes(["Dave presents decks"])),
+        ]},
+    )
+    st.session_state["forest_root"] = str(tmp_path / "forest")
+    with pytest.raises(Rerun):
+        ui_mod.importer()
+    forest = ui_state.get_forest()
+    text = " ".join(
+        str(t) for t in rows_to_trees(
+            [r.asDict(recursive=True) for r in forest.read().collect()]
+        ).values()
+    )
+    assert "Carol" in text and "Dave" in text
