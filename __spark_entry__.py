@@ -2129,7 +2129,8 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                     # encryption under Excel's default password);
                     # r14: the d%8==7 residue travels as legacy Word
                     # binary .doc (FIB + piece table, mixed cp1252/
-                    # UTF-16 pieces) — readback is byte-equal in every
+                    # UTF-16 pieces) and the d%8==5 residue as RTF
+                    # (\\uN escapes) — readback is byte-equal in every
                     # wrap, so the oracle hash is wrap-independent
                     if d % 8 == 7:
                         from architxt_spark.sources.worddoc import (
@@ -2139,6 +2140,14 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
 
                         blob = make_doc_bytes([clean])
                         back = read_doc_paragraphs(blob)[0]
+                    elif d % 8 == 5:
+                        from architxt_spark.sources.rtf import (
+                            make_rtf_bytes,
+                            read_rtf_text,
+                        )
+
+                        blob = make_rtf_bytes([clean])
+                        back = read_rtf_text(blob)[0]
                     else:
                         blob = make_docx_bytes([clean])
                         wrap = {0: "standard", 2: "agile"}.get(d % 4)

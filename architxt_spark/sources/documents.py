@@ -346,6 +346,16 @@ def read_document_file(
             {"idx": str(i), "text": p}
             for i, p in enumerate(read_doc_paragraphs(path))
         ]
+    elif ext == ".rtf":
+        # RTF (r14, beyond-reference): group/control-word walk with
+        # codepage + \\uN decoding (``sources/rtf.py``) → one record
+        # per paragraph
+        from architxt_spark.sources.rtf import read_rtf_text
+
+        data = [
+            {"idx": str(i), "text": p}
+            for i, p in enumerate(read_rtf_text(path))
+        ]
     elif ext == ".ppt":
         # legacy PowerPoint binary (r14, beyond-reference): record-tree
         # walk of the SlideListWithText container (``sources/ppt.py``)

@@ -59,7 +59,8 @@ def _render_document_import(forest) -> None:
     uploads = ui.file_uploader(
         "Document File",
         [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
-         ".ods", ".doc", ".docx", ".odt", ".ppt", ".pptx", ".odp", ".pdf"],
+         ".ods", ".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx", ".odp",
+         ".pdf"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
@@ -123,7 +124,7 @@ def _render_corpus_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
         "Corpora", [".tar.gz", ".tar.xz", ".txt", ".doc", ".docx", ".odt",
-                    ".ppt", ".pptx", ".odp", ".pdf"],
+                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf"],
         accept_multiple_files=True,
     )
     c1, c2, c3 = ui.columns(3)
@@ -189,7 +190,8 @@ def _corpus_docs(spark, path: str):
             for stem, txt in sorted(texts.items())
         ]
         return spark.createDataFrame(rows, "doc_id string, txt string, ann string")
-    if path.endswith((".doc", ".docx", ".odt", ".ppt", ".pptx", ".odp", ".pdf")):
+    if path.endswith((".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx",
+                      ".odp", ".pdf")):
         if path.endswith(".pdf"):
             from architxt_spark.sources.pdf import read_pdf_pages
 
@@ -202,12 +204,14 @@ def _corpus_docs(spark, path: str):
                 read_pptx_slides,
             )
             from architxt_spark.sources.ppt import read_ppt_slides
+            from architxt_spark.sources.rtf import read_rtf_text
             from architxt_spark.sources.worddoc import read_doc_paragraphs
 
             reader = {
                 ".doc": read_doc_paragraphs,
                 ".docx": read_docx_paragraphs,
                 ".odt": read_odt_paragraphs,
+                ".rtf": read_rtf_text,
                 ".ppt": read_ppt_slides,
                 ".pptx": read_pptx_slides,
                 ".odp": read_odp_slides,
