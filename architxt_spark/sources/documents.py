@@ -346,6 +346,16 @@ def read_document_file(
             {"idx": str(i), "text": p}
             for i, p in enumerate(read_doc_paragraphs(path))
         ]
+    elif ext in (".eml", ".msg"):
+        # mail (r14, beyond-reference): RFC 5322 via the stdlib email
+        # package; Outlook .msg via the shared OLE2 walker
+        # (``sources/mail.py``) → Subject + one record per body line
+        from architxt_spark.sources.mail import read_eml_text, read_msg_text
+
+        reader = read_eml_text if ext == ".eml" else read_msg_text
+        data = [
+            {"idx": str(i), "text": p} for i, p in enumerate(reader(path))
+        ]
     elif ext == ".rtf":
         # RTF (r14, beyond-reference): group/control-word walk with
         # codepage + \\uN decoding (``sources/rtf.py``) → one record
