@@ -123,7 +123,9 @@ def read_rtf_text(path_or_bytes, *, password: str = "") -> list[str]:
             if k < n and data[k] == 0x20:  # the delimiting space is eaten
                 k += 1
             i = k
-            if word == "ansicpg" and param:
+            if word == "bin" and param and param > 0:
+                i += param  # raw binary follows — may contain { } \
+            elif word == "ansicpg" and param:
                 try:
                     b"".decode(f"cp{param}")
                     codec = f"cp{param}"

@@ -80,3 +80,10 @@ def test_read_document_file_rtf_end_to_end(spark, tmp_path):
     nodes = read_document_file(spark, str(p))
     vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert "alpha beta" in vals and "gamma café" in vals
+
+
+def test_rtf_bin_runs_skip_by_byte_count():
+    # \binN is followed by N raw bytes that may contain { } \ — the
+    # reader must skip them by count, not by scanning
+    sample = b"{\\rtf1 a{\\pict\\bin5 \x7b\x7d\\\x00\xffjunk}b\\par}"
+    assert read_rtf_text(sample) == ["ab"]
