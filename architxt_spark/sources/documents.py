@@ -346,6 +346,26 @@ def read_document_file(
             {"idx": str(i), "text": p}
             for i, p in enumerate(read_doc_paragraphs(path))
         ]
+    elif ext in (".html", ".htm", ".md", ".markdown", ".epub"):
+        # web/ebook text (r14, beyond-reference): stdlib html.parser
+        # block extraction, light Markdown, EPUB spine walk
+        # (``sources/webdoc.py``) → one record per paragraph/chapter
+        from architxt_spark.sources.webdoc import (
+            read_epub_chapters,
+            read_html_paragraphs,
+            read_markdown_paragraphs,
+        )
+
+        reader = {
+            ".html": read_html_paragraphs,
+            ".htm": read_html_paragraphs,
+            ".md": read_markdown_paragraphs,
+            ".markdown": read_markdown_paragraphs,
+            ".epub": read_epub_chapters,
+        }[ext]
+        data = [
+            {"idx": str(i), "text": p} for i, p in enumerate(reader(path))
+        ]
     elif ext in (".eml", ".msg"):
         # mail (r14, beyond-reference): RFC 5322 via the stdlib email
         # package; Outlook .msg via the shared OLE2 walker

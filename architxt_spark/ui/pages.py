@@ -60,7 +60,7 @@ def _render_document_import(forest) -> None:
         "Document File",
         [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
          ".ods", ".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx", ".odp",
-         ".pdf", ".eml", ".msg"],
+         ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
@@ -124,7 +124,7 @@ def _render_corpus_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
         "Corpora", [".tar.gz", ".tar.xz", ".txt", ".doc", ".docx", ".odt",
-                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf", ".eml", ".msg"],
+                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub"],
         accept_multiple_files=True,
     )
     c1, c2, c3 = ui.columns(3)
@@ -191,7 +191,8 @@ def _corpus_docs(spark, path: str):
         ]
         return spark.createDataFrame(rows, "doc_id string, txt string, ann string")
     if path.endswith((".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx",
-                      ".odp", ".pdf", ".eml", ".msg")):
+                      ".odp", ".pdf", ".eml", ".msg", ".html", ".htm", ".md",
+                      ".epub")):
         if path.endswith(".pdf"):
             from architxt_spark.sources.pdf import read_pdf_pages
 
@@ -204,6 +205,11 @@ def _corpus_docs(spark, path: str):
                 read_pptx_slides,
             )
             from architxt_spark.sources.mail import read_eml_text, read_msg_text
+            from architxt_spark.sources.webdoc import (
+                read_epub_chapters,
+                read_html_paragraphs,
+                read_markdown_paragraphs,
+            )
             from architxt_spark.sources.ppt import read_ppt_slides
             from architxt_spark.sources.rtf import read_rtf_text
             from architxt_spark.sources.worddoc import read_doc_paragraphs
@@ -218,6 +224,10 @@ def _corpus_docs(spark, path: str):
                 ".odp": read_odp_slides,
                 ".eml": read_eml_text,
                 ".msg": read_msg_text,
+                ".html": read_html_paragraphs,
+                ".htm": read_html_paragraphs,
+                ".md": read_markdown_paragraphs,
+                ".epub": read_epub_chapters,
             }["." + path.rsplit(".", 1)[1]]
             paras = reader(path)
         return spark.createDataFrame(
