@@ -346,6 +346,12 @@ def read_document_file(
             {"idx": str(i), "text": p}
             for i, p in enumerate(read_doc_paragraphs(path))
         ]
+    elif ext == ".dbf":
+        # dBASE tables (r14, beyond-reference): fixed-width record
+        # parse in the xlsx row-dict shape (``sources/dbf.py``)
+        from architxt_spark.sources.dbf import read_dbf_rows
+
+        data = read_dbf_rows(path)
     elif ext in (".html", ".htm", ".md", ".markdown", ".epub"):
         # web/ebook text (r14, beyond-reference): stdlib html.parser
         # block extraction, light Markdown, EPUB spine walk

@@ -60,7 +60,7 @@ def _render_document_import(forest) -> None:
         "Document File",
         [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
          ".ods", ".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx", ".odp",
-         ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub"],
+         ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
@@ -124,7 +124,7 @@ def _render_corpus_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
         "Corpora", [".tar.gz", ".tar.xz", ".txt", ".doc", ".docx", ".odt",
-                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub"],
+                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf"],
         accept_multiple_files=True,
     )
     c1, c2, c3 = ui.columns(3)
