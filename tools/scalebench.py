@@ -327,7 +327,7 @@ def main() -> None:
         "--families",
         nargs="+",
         default=["core", "rewrite", "pagerank", "curate_big"],
-        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup", "multimodal", "graph", "crawl_media", "components"],
+        choices=["core", "rewrite", "pagerank", "curate_big", "ann_serving", "warc", "crawl", "dedup", "multimodal", "graph", "crawl_media", "components", "legacy_docs"],
         help="which rehearsal families to run: core = the r8 dedup/ANN/"
         "curation set at --sizes; rewrite = the forest-fixpoint engine "
         "at 2.5k/10k/40k trees (per-iteration exponent); pagerank = the "
@@ -358,6 +358,9 @@ def main() -> None:
     p.add_argument("--graph-roots", type=int, default=64)
     p.add_argument(
         "--crawl-media-sizes", type=int, nargs="+", default=[24_000, 96_000]
+    )
+    p.add_argument(
+        "--legacy-docs-sizes", type=int, nargs="+", default=[8_000, 32_000, 128_000]
     )
     args = p.parse_args()
 
@@ -905,6 +908,116 @@ def main() -> None:
                     f"# {name} n={n}: {sec:.2f}s ({n_pairs} pairs)",
                     file=sys.stderr, flush=True,
                 )
+
+    if "legacy_docs" in args.families:
+        # r14: the legacy-format readers (.doc piece tables, .ppt record
+        # trees, RTF control words, .eml MIME, HTML block extraction,
+        # EPUB spine, .dbf fixed-width records) all run per-row inside
+        # the Arrow boundary — rate-measure one encode pass (persisted)
+        # then the decode-everything scan, like the multimodal family.
+        def gen_legacy(batches):
+            import pandas as pd
+
+            from architxt_spark.sources.dbf import make_dbf_bytes
+            from architxt_spark.sources.mail import make_eml_bytes
+            from architxt_spark.sources.ppt import make_ppt_bytes
+            from architxt_spark.sources.rtf import make_rtf_bytes
+            from architxt_spark.sources.webdoc import make_epub_bytes
+            from architxt_spark.sources.worddoc import make_doc_bytes
+
+            for pdf in batches:
+                rows = []
+                for d in pdf["id"]:
+                    d = int(d)
+                    paras = [
+                        f"doc {d} paragraph {i} with body text {d * 31 + i}"
+                        for i in range(6)
+                    ]
+                    m = d % 7
+                    if m == 0:
+                        blob, ext = make_doc_bytes(paras), "doc"
+                    elif m == 1:
+                        blob, ext = make_ppt_bytes(paras), "ppt"
+                    elif m == 2:
+                        blob, ext = make_rtf_bytes(paras), "rtf"
+                    elif m == 3:
+                        blob, ext = (
+                            make_eml_bytes(f"subject {d}", "\n".join(paras)),
+                            "eml",
+                        )
+                    elif m == 4:
+                        body = "".join(f"<p>{p}</p>" for p in paras)
+                        blob, ext = (
+                            f"<html><body>{body}</body></html>".encode(),
+                            "html",
+                        )
+                    elif m == 5:
+                        blob, ext = make_epub_bytes(paras[:3]), "epub"
+                    else:
+                        blob, ext = (
+                            make_dbf_bytes(
+                                [("NAME", "C", 24), ("N", "N", 8)],
+                                [[p[:24], i] for i, p in enumerate(paras)],
+                            ),
+                            "dbf",
+                        )
+                    rows.append((str(d), ext, blob))
+                yield pd.DataFrame(rows, columns=["doc_id", "ext", "content"])
+
+        def decode_legacy(batches):
+            import pandas as pd
+
+            from architxt_spark.sources.dbf import read_dbf_rows
+            from architxt_spark.sources.mail import read_eml_text
+            from architxt_spark.sources.ppt import read_ppt_slides
+            from architxt_spark.sources.rtf import read_rtf_text
+            from architxt_spark.sources.webdoc import (
+                read_epub_chapters,
+                read_html_paragraphs,
+            )
+            from architxt_spark.sources.worddoc import read_doc_paragraphs
+
+            readers = {
+                "doc": read_doc_paragraphs, "ppt": read_ppt_slides,
+                "rtf": read_rtf_text, "eml": read_eml_text,
+                "html": read_html_paragraphs, "epub": read_epub_chapters,
+            }
+            for pdf in batches:
+                rows = []
+                for doc_id, ext, blob in zip(
+                    pdf["doc_id"], pdf["ext"], pdf["content"]
+                ):
+                    blob = bytes(blob)
+                    if ext == "dbf":
+                        n = sum(
+                            len(v)
+                            for r in read_dbf_rows(blob)["Table1"]
+                            for v in r.values()
+                        )
+                    else:
+                        n = sum(len(p) for p in readers[ext](blob))
+                    rows.append((doc_id, n))
+                yield pd.DataFrame(rows, columns=["doc_id", "n_chars"])
+
+        for n in args.legacy_docs_sizes:
+            corpus = (
+                spark.range(n).repartition(int(args.cpus))
+                .mapInPandas(gen_legacy, "doc_id string, ext string, content binary")
+                .persist()
+            )
+            mb = corpus.agg(F.sum(F.length("content"))).collect()[0][0] / (1 << 20)
+            fn = lambda _c=corpus: _c.mapInPandas(  # noqa: E731
+                decode_legacy, "doc_id string, n_chars long"
+            ).agg(F.sum("n_chars")).collect()
+            assert fn()[0][0] > 0
+            sec = time_op(fn, args.repeats)
+            results.setdefault("legacy_docs_scan", []).append((n, sec))
+            print(
+                f"# legacy_docs_scan n={n}: {sec:.2f}s = {n / sec:.0f} docs/s"
+                f" ({mb / sec:.0f} MB/s)",
+                file=sys.stderr, flush=True,
+            )
+            corpus.unpersist()
 
     if "components" in args.families:
         # r13 verdict #4: the one iterative engine without a measured
