@@ -40,7 +40,12 @@ def read_dbf_rows(path_or_bytes, *, password: str = "") -> dict[str, list[dict[s
     else:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
-    if len(data) < 33 or data[0] & 0x07 not in (0x02, 0x03, 0x04, 0x05):
+    # version low bits 2-5 cover dBASE II-V incl. the memo variants
+    # (0x83/0x8B/0xF5); Visual FoxPro uses 0x30/0x31 outright
+    if len(data) < 33 or (
+        data[0] & 0x07 not in (0x02, 0x03, 0x04, 0x05)
+        and data[0] not in (0x30, 0x31)
+    ):
         raise ValueError("not a .dbf (unknown version byte)")
     n_records, header_len, record_len = struct.unpack("<IHH", data[4:12])
     codec = _LDID_CODECS.get(data[29], "cp1252")

@@ -85,3 +85,12 @@ def test_read_document_file_dbf_end_to_end(spark, tmp_path):
     nodes = read_document_file(spark, str(p))
     vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert "Alice" in vals and "Bob café" in vals
+
+
+def test_dbf_foxpro_and_memo_version_bytes_accepted():
+    # Visual FoxPro (0x30) and the memo variants (0x83/0x8B/0xF5) are
+    # the same record layout for our purposes
+    for ver in (0x30, 0x31, 0x83, 0x8B, 0xF5):
+        blob = bytearray(make_dbf_bytes([("A", "C", 4)], [["ok"]]))
+        blob[0] = ver
+        assert read_dbf_rows(bytes(blob)) == {"Table1": [{"A": "ok"}]}, hex(ver)
