@@ -1673,7 +1673,13 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                         # pixels, so the SAME closed-form oracle now
                         # also gates the 12-bit level shift, Pq=1 quant
                         # tables, 12-bit SOF2 bit planes, and the
-                        # Annex-H predictor/difference machinery
+                        # Annex-H predictor/difference machinery.
+                        # r14.5: the d%64==38 quarter of the sequential
+                        # and the d%32==30 half of the progressive leg
+                        # re-entropy-code ARITHMETICALLY (SOF9/SOF10,
+                        # T.81 Annex D QM-coder) — identical quantized
+                        # coefficients, so the unchanged oracle gates
+                        # the 12-bit arithmetic decode byte-exactly
                         img12 = b"".join(
                             (b * 16).to_bytes(2, "little") for b in img
                         )
@@ -1682,10 +1688,14 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                             progressive=(d % 16 == 14),
                             lossless=(d % 32 == 22),
                             predictor=d % 7 + 1,
+                            arithmetic=(d % 64 == 38 or d % 32 == 30),
                         )
                     else:
+                        # r14.5: the d%16==10 half of the 8-bit
+                        # progressive leg travels as SOF10 arithmetic
                         content = make_jpeg_bytes(
-                            jw, jh, img, channels=1, progressive=(d % 8 == 2)
+                            jw, jh, img, channels=1, progressive=(d % 8 == 2),
+                            arithmetic=(d % 16 == 10),
                         )
                     vals = list(decode_jpeg_pixels(content)[3])
                     fmt = "jpeg_prog" if d % 8 == 2 else "jpeg"

@@ -162,8 +162,11 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     qt: dict[int, np.ndarray] = {}
     precision = 8
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: Td -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: Ta -> Kx
     frame = None
     progressive = False
+    arith = False
     lossless = False
     prog: _ProgState | None = None
     restart = 0
@@ -201,8 +204,9 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 symbols = list(body[off + 17:off + 17 + cnt])
                 huff[(tc, th)] = _build_huffman(bits, symbols)
                 off += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless,
+            # SOF9/SOF10 arithmetic sequential/progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             lossless = marker == 0xC3
             if lossless:
@@ -218,14 +222,23 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
             precision = prec
-            progressive = marker == 0xC2
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only sequential (SOF0/SOF1), progressive (SOF2), and "
-                "lossless (SOF3) Huffman JPEG decode without libjpeg "
-                "(arithmetic/hierarchical found)"
+                "hierarchical/differential and arithmetic-lossless JPEG "
+                "frames (SOF5-7/11/13-15) need libjpeg"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            off = 0
+            while off + 2 <= len(body):
+                tc, tb = body[off] >> 4, body[off] & 0x0F
+                cs = body[off + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                off += 2
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -241,13 +254,23 @@ def decode_jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 for i in range(ns):
                     cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                     scan.append((cs, tables >> 4, tables & 0x0F))
+                if arith:
+                    return _decode_scan_arith(
+                        content, pos, frame, scan, qt, dc_cond, ac_cond,
+                        restart, prec=precision,
+                    )
                 return _decode_scan(
                     content, pos, frame, scan, qt, huff, restart,
                     prec=precision,
                 )
             if prog is None:
                 prog = _ProgState(frame)
-            pos = prog.decode_scan(content, pos, body, huff, restart)
+            if arith:
+                pos = prog.decode_scan_arith(
+                    content, pos, body, dc_cond, ac_cond, restart
+                )
+            else:
+                pos = prog.decode_scan(content, pos, body, huff, restart)
     if progressive and prog is not None:
         return prog.reconstruct(qt, prec=precision)
     raise ValueError("JPEG without a scan")
@@ -537,6 +560,76 @@ class _ProgState:
             p += 1
         return p
 
+    def decode_scan_arith(self, data, pos, body, dc_cond, ac_cond, restart):
+        """Arithmetic (SOF10) sibling of :meth:`decode_scan` — same
+        scan-header plumbing and block walk, T.81 §G.2 arithmetic
+        models (per-block end-of-block decisions; no EOB runs)."""
+        _w, _h, comps = self.frame
+        ns = body[0]
+        scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+        ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+        ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        dc_stats: dict[int, _Stats] = {}
+        ac_stats: dict[int, _Stats] = {}
+        fixed = _fixed_stats()
+        comp_states: dict[int, dict] = {}
+        kx = _ARITH_AC_KX
+        members = []
+        for cs, tabs in scan:
+            ci = next(i for i, c in enumerate(comps) if c[0] == cs)
+            td, ta = tabs >> 4, tabs & 0x0F
+            if ss == 0:
+                st = dc_stats.setdefault(td, _Stats(64))
+                comp_states[ci] = dict(
+                    ctx=0, cond=dc_cond.get(td, _ARITH_DC_COND)
+                )
+            else:
+                st = ac_stats.setdefault(ta, _Stats(260))
+                kx = ac_cond.get(ta, _ARITH_AC_KX)
+            members.append((ci, st))
+        if ns > 1:
+            units = self.mcus_y * self.mcus_x
+            blocks_of = self._mcu_blocks(members)
+        else:
+            ci0, st0 = members[0]
+            bh, bw = self.used[ci0]
+            units = bh * bw
+            blocks_of = lambda u: [  # noqa: E731
+                (ci0, st0, u // bw, u % bw)
+            ]
+        preds = [0] * len(comps)
+        dec = _ArithDecoder(data, pos)
+        rst = 0
+        for u in range(units):
+            if restart and u and u % restart == 0:
+                p = _next_arith_marker(data, dec.bp)
+                if p + 1 >= len(data) or data[p + 1] != 0xD0 + rst:
+                    raise ValueError("lost arithmetic restart sync")
+                dec = _ArithDecoder(data, p + 2)
+                rst = (rst + 1) & 7
+                for s in (*dc_stats.values(), *ac_stats.values()):
+                    s.reset()
+                preds = [0] * len(comps)
+                for cstate in comp_states.values():
+                    cstate["ctx"] = 0
+            for ci, st, by, bx in blocks_of(u):
+                blk = self.coef[ci][by][bx]
+                if ss == 0 and ah == 0:  # DC first
+                    preds[ci] += _arith_dc_decode(dec, st, comp_states[ci])
+                    blk[0] = preds[ci] << al
+                elif ss == 0:  # DC refine: one fixed-bin decision
+                    if dec.decode(fixed, 0):
+                        blk[0] |= 1 << al
+                elif ah == 0:
+                    _arith_ac_decode(dec, st, kx, fixed, blk, ss, se, al)
+                else:
+                    _arith_ac_refine_decode(dec, st, fixed, blk, ss, se, al)
+        return _next_arith_marker(data, dec.bp)
+
     def _mcu_blocks(self, members):
         comps = self.frame[2]
 
@@ -621,6 +714,572 @@ class _ProgState:
 
 
 # ---------------------------------------------------------------------------
+# arithmetic entropy coding (ITU-T T.81 Annex D QM-coder; SOF9/SOF10)
+# ---------------------------------------------------------------------------
+
+#: ITU-T T.81 Table D.3 — the QM-coder probability estimation state
+#: machine as ``(Qe, next-index-after-LPS, next-index-after-MPS,
+#: MPS-switch)`` rows.  Index 113 is the non-adapting ~0.5 bin (its
+#: transitions point back at itself) used for AC signs and refinement
+#: bits.  The values are spec constants, not tunables; a test pins this
+#: tuple against the system libjpeg's exported ``jpeg_aritab`` whenever
+#: that library is present, so a transcription error cannot survive.
+_QE_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+#: default conditioning when no DAC segment overrides it (T.81 F.1.4.4.1.4
+#: / F.1.4.4.2: L=0, U=1 for DC, Kx=5 for AC)
+_ARITH_DC_COND = (0, 1)
+_ARITH_AC_KX = 5
+
+
+class _Stats:
+    """One statistics area: per-bin adaptive state ``(index into
+    _QE_TABLE, current MPS sense)``, all-zero at scan start per T.81
+    F.1.4.4.1.3 (and reset again at every restart marker)."""
+
+    __slots__ = ("idx", "mps")
+
+    def __init__(self, n: int):
+        self.idx = bytearray(n)
+        self.mps = bytearray(n)
+
+    def reset(self) -> None:
+        for i in range(len(self.idx)):
+            self.idx[i] = 0
+            self.mps[i] = 0
+
+
+def _fixed_stats() -> _Stats:
+    """The non-adaptive ~0.5 bin (T.81's fixed state): index 113's
+    transitions return to 113 with no MPS switch, so ordinary
+    decode/encode calls leave it unchanged."""
+    st = _Stats(1)
+    st.idx[0] = 113
+    return st
+
+
+def _next_arith_marker(data: bytes, p: int) -> int:
+    """Position of the 0xFF that introduces the next marker at or after
+    ``p``, skipping stuffed 0xFF00 data bytes and 0xFF fill runs."""
+    n = len(data)
+    while p < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        q = p + 1
+        while q < n and data[q] == 0xFF:
+            q += 1
+        if q < n and data[q] == 0x00:
+            p = q + 1
+            continue
+        return q - 1
+    return n
+
+
+class _ArithDecoder:
+    """T.81 §D.2 QM decoder over one entropy-coded segment.  Byte feed
+    follows B.1.1.5: 0xFF 0x00 is a stuffed data byte, a 0xFF fill run
+    collapses, and any real marker ends the segment — decoding then
+    continues against zero bytes until the MCU count is satisfied
+    (encoders may drop trailing zero bytes)."""
+
+    __slots__ = ("data", "n", "bp", "marker", "c", "a", "ct")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.n = len(data)
+        self.bp = pos
+        self.marker: int | None = None
+        # INITDEC: the 16-bit comparison window (bits 16..31) primes
+        # with the first two code bytes, the 8-bit prefetch (bits
+        # 8..15) with the third; A starts at the full initial interval
+        # 0x10000, matching INITENC
+        self.c = (self._byte() << 24) + (self._byte() << 16)
+        self.c += self._byte() << 8
+        self.ct = 8
+        self.a = 0x10000
+
+    def _byte(self) -> int:
+        if self.marker is not None:
+            return 0
+        d, p = self.data, self.bp
+        if p >= self.n:
+            self.marker = 0xD9  # truncated stream: behave like EOI
+            return 0
+        b = d[p]
+        if b != 0xFF:
+            self.bp = p + 1
+            return b
+        q = p + 1
+        while q < self.n and d[q] == 0xFF:
+            q += 1
+        if q < self.n and d[q] == 0x00:
+            self.bp = q + 1
+            return 0xFF
+        self.marker = d[q] if q < self.n else 0xD9
+        return 0
+
+    def decode(self, st: _Stats, i: int) -> int:
+        """One binary decision against statistics bin ``i`` (T.81
+        Figures D.15–D.19: DECODE with MPS/LPS conditional exchange,
+        estimation, renormalization)."""
+        idx = st.idx[i]
+        mps = st.mps[i]
+        qe, nlps, nmps, sw = _QE_TABLE[idx]
+        a = self.a - qe
+        c = self.c
+        if (c >> 16) < a:
+            if a & 0x8000:
+                self.a = a
+                return mps
+            if a < qe:
+                d = 1 - mps
+                if sw:
+                    st.mps[i] = d
+                st.idx[i] = nlps
+            else:
+                d = mps
+                st.idx[i] = nmps
+        else:
+            c -= a << 16
+            if a < qe:
+                d = mps
+                st.idx[i] = nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    st.mps[i] = d
+                st.idx[i] = nlps
+            a = qe
+        ct = self.ct
+        while True:
+            if ct == 0:
+                c += self._byte() << 8
+                ct = 8
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if a & 0x8000:
+                break
+        self.a = a
+        self.c = c & 0xFFFFFFFF
+        self.ct = ct
+        return d
+
+
+class _ArithEncoder:
+    """T.81 §D.1 QM encoder.  Code bytes accumulate un-stuffed in
+    ``raw`` (carries ripple backward through it — the C+A interval
+    invariant guarantees a carry never outruns the emitted prefix);
+    ``flush`` terminates per D.1.8.2, drops spec-sanctioned trailing
+    zero bytes, and applies 0xFF00 byte stuffing."""
+
+    __slots__ = ("a", "c", "ct", "raw")
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11  # 3 spacer bits: first byte out cannot carry
+        self.raw = bytearray()
+
+    def encode(self, st: _Stats, i: int, d: int) -> None:
+        idx = st.idx[i]
+        mps = st.mps[i]
+        qe, nlps, nmps, sw = _QE_TABLE[idx]
+        a = self.a - qe
+        if d == mps:
+            if a & 0x8000:  # no renormalization, no estimation change
+                self.a = a
+                return
+            if a < qe:  # conditional exchange: MPS takes the upper part
+                self.c += a
+                a = qe
+            st.idx[i] = nmps
+        else:
+            if a < qe:  # conditional exchange: LPS keeps the lower part
+                pass
+            else:
+                self.c += a
+                a = qe
+            if sw:
+                st.mps[i] = 1 - mps
+            st.idx[i] = nlps
+        c = self.c
+        ct = self.ct
+        while True:
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                t = c >> 19
+                if t > 0xFF:
+                    self._carry()
+                    t &= 0xFF
+                self.raw.append(t)
+                c &= 0x7FFFF
+                ct = 8
+            if a & 0x8000:
+                break
+        self.a = a
+        self.c = c
+        self.ct = ct
+
+    def _carry(self) -> None:
+        raw = self.raw
+        j = len(raw) - 1
+        while raw[j] == 0xFF:
+            raw[j] = 0
+            j -= 1
+        raw[j] += 1
+
+    def flush(self) -> bytes:
+        # CLEARBITS: the in-interval code value with most trailing zeros
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        c = self.c << self.ct
+        for _ in range(2):
+            t = c >> 19
+            if t > 0xFF:
+                self._carry()
+                t &= 0xFF
+            self.raw.append(t)
+            c = (c & 0x7FFFF) << 8
+        raw = self.raw
+        while raw and raw[-1] == 0:
+            raw.pop()
+        out = bytearray()
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+        return bytes(out)
+
+
+# --- coefficient statistics models (T.81 §F.1.4 encode / §F.2.4 decode).
+# Bin layout inside a DC area (64 bins): 5 conditioning contexts of 4
+# bins each at 0/4/8/12/16 (zero-diff decision, sign, first magnitude
+# per sign), the shared magnitude-category chain from bin 20, and the
+# single mantissa bin 14 past wherever the chain ended.  An AC area
+# (260 bins) keys 3 bins per coefficient index k (end-of-block, zero,
+# first two category decisions), with the shared category chains at 189
+# (k <= Kx) and 217.  AC signs and refinement bits use the fixed bin.
+
+
+def _arith_dc_decode(dec, st, comp):
+    """Decode one DC difference; ``comp`` carries the conditioning
+    context + (L, U) thresholds (T.81 Figures F.19/F.23/F.24)."""
+    c0 = comp["ctx"]
+    if dec.decode(st, c0) == 0:
+        comp["ctx"] = 0
+        return 0
+    sign = dec.decode(st, c0 + 1)
+    stp = c0 + 2 + sign
+    m = dec.decode(st, stp)
+    if m:
+        stp = 20
+        while dec.decode(st, stp):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            stp += 1
+    low, up = comp["cond"]
+    if m < ((1 << low) >> 1):
+        comp["ctx"] = 0
+    elif m > ((1 << up) >> 1):
+        comp["ctx"] = 12 + 4 * sign
+    else:
+        comp["ctx"] = 4 + 4 * sign
+    v = m
+    stp += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, stp):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_dc_encode(enc, st, comp, diff):
+    c0 = comp["ctx"]
+    if diff == 0:
+        enc.encode(st, c0, 0)
+        comp["ctx"] = 0
+        return
+    enc.encode(st, c0, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, c0 + 1, sign)
+    v = (-diff if sign else diff) - 1
+    stp = c0 + 2 + sign
+    m = 0
+    if v:
+        enc.encode(st, stp, 1)
+        m = 1
+        stp = 20
+        v2 = v >> 1
+        while v2:
+            enc.encode(st, stp, 1)
+            m <<= 1
+            stp += 1
+            v2 >>= 1
+    enc.encode(st, stp, 0)
+    low, up = comp["cond"]
+    if m < ((1 << low) >> 1):
+        comp["ctx"] = 0
+    elif m > ((1 << up) >> 1):
+        comp["ctx"] = 12 + 4 * sign
+    else:
+        comp["ctx"] = 4 + 4 * sign
+    stp += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(st, stp, 1 if v & mm else 0)
+        mm >>= 1
+
+
+def _arith_ac_decode(dec, st, kx, fixed, blk, ss, se, al):
+    """Decode one block's AC band into ``blk`` (T.81 Figures
+    F.20–F.22; also the progressive AC-first model with ``al``)."""
+    k = ss
+    while k <= se:
+        if dec.decode(st, 3 * (k - 1)):
+            break  # end of block
+        while dec.decode(st, 3 * (k - 1) + 1) == 0:
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC run past band end")
+        stp = 3 * (k - 1) + 2
+        sign = dec.decode(fixed, 0)
+        m = dec.decode(st, stp)
+        if m:
+            if dec.decode(st, stp):
+                m = 2
+                stp = 189 if k <= kx else 217
+                while dec.decode(st, stp):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    stp += 1
+        v = m
+        stp += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, stp):
+                v |= mm
+            mm >>= 1
+        v += 1
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_encode(enc, st, kx, fixed, blk, ss, se, al):
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if abs(blk[k]) >> al:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        enc.encode(st, 3 * (k - 1), 0)  # not end-of-block yet
+        while True:
+            t = blk[k]
+            v = (-t if t < 0 else t) >> al
+            if v:
+                break
+            enc.encode(st, 3 * (k - 1) + 1, 0)
+            k += 1
+        enc.encode(st, 3 * (k - 1) + 1, 1)
+        stp = 3 * (k - 1) + 2
+        enc.encode(fixed, 0, 1 if t < 0 else 0)
+        v -= 1
+        m = 0
+        if v:
+            enc.encode(st, stp, 1)
+            m = 1
+            v2 = v >> 1
+            if v2:
+                enc.encode(st, stp, 1)
+                m = 2
+                stp = 189 if k <= kx else 217
+                v2 >>= 1
+                while v2:
+                    enc.encode(st, stp, 1)
+                    m <<= 1
+                    stp += 1
+                    v2 >>= 1
+        enc.encode(st, stp, 0)
+        stp += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, stp, 1 if v & mm else 0)
+            mm >>= 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # end of block
+
+
+def _arith_ac_refine_decode(dec, st, fixed, blk, ss, se, al):
+    """Successive-approximation AC refinement (T.81 §G.2 under
+    arithmetic coding: per-block end-of-block decisions past the
+    previous stage's last nonzero index — no EOB runs)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex > 0 and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        if k > kex and dec.decode(st, 3 * (k - 1)):
+            break
+        while True:
+            c = blk[k]
+            if c != 0:
+                if dec.decode(st, 3 * (k - 1) + 2):
+                    blk[k] = c + (m1 if c < 0 else p1)
+                break
+            if dec.decode(st, 3 * (k - 1) + 1):
+                blk[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refinement past band end")
+        k += 1
+
+
+def _arith_ac_refine_encode(enc, st, fixed, blk, ss, se, al):
+    ah = al + 1
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if abs(blk[k]) >> al:
+            ke = k
+            break
+    kex = 0
+    for k in range(ke, ss - 1, -1):
+        if abs(blk[k]) >> ah:
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        if k > kex:
+            enc.encode(st, 3 * (k - 1), 0)
+        while True:
+            t = blk[k]
+            v = (-t if t < 0 else t) >> al
+            if v:
+                if v >> 1:  # already nonzero at the previous stage
+                    enc.encode(st, 3 * (k - 1) + 2, v & 1)
+                else:  # newly significant
+                    enc.encode(st, 3 * (k - 1) + 1, 1)
+                    enc.encode(fixed, 0, 1 if t < 0 else 0)
+                break
+            enc.encode(st, 3 * (k - 1) + 1, 0)
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)
+
+
+def _decode_scan_arith(data, pos, frame, scan, qt, dc_cond, ac_cond,
+                       restart, prec=8):
+    """Sequential (SOF9) scan decode — the arithmetic sibling of
+    :func:`_decode_scan`, sharing its MCU walk and reconstruction."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    dc_stats: dict[int, _Stats] = {}
+    ac_stats: dict[int, _Stats] = {}
+    fixed = _fixed_stats()
+    comp_info = []
+    for cid, ch, cv, tq in comps:
+        td, ta = next((d, a) for cs, d, a in scan if cs == cid)
+        dc_stats.setdefault(td, _Stats(64))
+        ac_stats.setdefault(ta, _Stats(260))
+        zz = np.zeros((mcus_y * cv, mcus_x * ch, 64))
+        comp_info.append(
+            dict(ch=ch, cv=cv, q=qt[tq], dc=dc_stats[td], ac=ac_stats[ta],
+                 kx=ac_cond.get(ta, _ARITH_AC_KX),
+                 cond=dc_cond.get(td, _ARITH_DC_COND),
+                 zz=zz, pred=0, ctx=0)
+        )
+
+    dec = _ArithDecoder(data, pos)
+    rst = 0
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                p = _next_arith_marker(data, dec.bp)
+                if p + 1 >= len(data) or data[p + 1] != 0xD0 + rst:
+                    raise ValueError("lost arithmetic restart sync")
+                dec = _ArithDecoder(data, p + 2)
+                rst = (rst + 1) & 7
+                for s in (*dc_stats.values(), *ac_stats.values()):
+                    s.reset()
+                for ci in comp_info:
+                    ci["pred"] = 0
+                    ci["ctx"] = 0
+            for ci in comp_info:
+                for by in range(ci["cv"]):
+                    for bx in range(ci["ch"]):
+                        blk = [0] * 64
+                        ci["pred"] += _arith_dc_decode(dec, ci["dc"], ci)
+                        blk[0] = ci["pred"]
+                        _arith_ac_decode(
+                            dec, ci["ac"], ci["kx"], fixed, blk, 1, 63, 0
+                        )
+                        ci["zz"][my * ci["cv"] + by, mx * ci["ch"] + bx] = blk
+            mcu += 1
+
+    return _finish_planes(
+        w, h, hmax, vmax,
+        [(ci["zz"], ci["q"], ci["ch"], ci["cv"]) for ci in comp_info],
+        prec=prec,
+    )
+
+
+# ---------------------------------------------------------------------------
 # encoder twin (fixtures / round-trip tests)
 # ---------------------------------------------------------------------------
 
@@ -676,6 +1335,7 @@ def make_jpeg_bytes(
     precision: int = 8,
     lossless: bool = False,
     predictor: int = 1,
+    arithmetic: bool = False,
 ) -> bytes:
     """Encode raw samples (gray or RGB, row-major) as a baseline
     sequential JPEG — the :func:`decode_jpeg_pixels` round-trip twin.
@@ -699,6 +1359,10 @@ def make_jpeg_bytes(
     if lossless:
         if channels not in (1, 3):
             raise ValueError("lossless fixtures are 1- or 3-component")
+        if arithmetic:
+            raise ValueError(
+                "arithmetic lossless (SOF11) fixtures are not supported"
+            )
         if progressive or restart_interval:
             raise ValueError("lossless excludes progressive/restart fixtures")
         if not 2 <= precision <= 16:
@@ -766,9 +1430,19 @@ def make_jpeg_bytes(
     if progressive:
         if restart_interval:
             raise ValueError("restart markers unsupported with progressive=True")
+        if arithmetic:
+            return _encode_progressive_arith(
+                width, height, channels, factors, comp_blocks, qtab,
+                precision=precision,
+            )
         return _encode_progressive(
             width, height, channels, factors, comp_blocks, qtab,
             precision=precision,
+        )
+    if arithmetic:
+        return _encode_sequential_arith(
+            width, height, channels, factors, comp_blocks, qtab,
+            precision, restart_interval,
         )
 
     # gather per-block zigzag symbol streams (two passes: symbols first,
@@ -1096,6 +1770,197 @@ def _encode_progressive(width, height, channels, factors, comp_blocks, qtab,
                 wtr.write(op[1], op[2])
         wtr.flush()
         out.extend(wtr.out)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# arithmetic encoders (SOF9/SOF10 twins over the same coefficients)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_headers_arith(sof_marker, width, height, channels, factors, qtab,
+                        precision, n_tables):
+    """Shared DQT + SOF + DAC prologue for the arithmetic twins; the
+    DAC declares the default conditioning (L=0/U=1, Kx=5) explicitly,
+    exercising the decoder's DAC parse."""
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    if precision == 12:  # Pq=1: 16-bit entries, the 12-bit convention
+        zz_q16 = b"".join(
+            struct.pack(">H", int(qtab[rr, cc])) for rr, cc in ZIGZAG
+        )
+        seg(0xDB, b"\x10" + zz_q16)
+    else:
+        zz_q = bytes(int(qtab[rr, cc]) for rr, cc in ZIGZAG)
+        seg(0xDB, b"\x00" + zz_q)
+    sof = struct.pack(">BHHB", precision, height, width, channels)
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    seg(sof_marker, sof)
+    dac = b""
+    low, up = _ARITH_DC_COND
+    for tid in range(n_tables):
+        dac += bytes([tid, (up << 4) | low])
+    for tid in range(n_tables):
+        dac += bytes([0x10 | tid, _ARITH_AC_KX])
+    seg(0xCC, dac)
+    return out, seg
+
+
+def _encode_sequential_arith(width, height, channels, factors, comp_blocks,
+                             qtab, precision, restart_interval):
+    """SOF9 twin: the same quantized coefficients as the Huffman
+    encoding, entropy-coded with the T.81 QM-coder — so a decoder must
+    produce BYTE-IDENTICAL pixels for both encodings of one image."""
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    n_tables = 1 if channels == 1 else 2
+
+    out, seg = _jpeg_headers_arith(
+        0xC9, width, height, channels, factors, qtab, precision, n_tables
+    )
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([channels])
+    for ci in range(channels):
+        sel = 0 if ci == 0 else min(ci, n_tables - 1)
+        sos += bytes([ci + 1, (sel << 4) | sel])
+    sos += b"\x00\x3f\x00"
+    seg(0xDA, sos)
+
+    dc_stats = [_Stats(64) for _ in range(n_tables)]
+    ac_stats = [_Stats(260) for _ in range(n_tables)]
+    fixed = _fixed_stats()
+    comp_states = [dict(ctx=0, cond=_ARITH_DC_COND) for _ in factors]
+    preds = [0] * len(factors)
+    enc = _ArithEncoder()
+    rst = 0
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out.extend(enc.flush())
+                out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                enc = _ArithEncoder()
+                for s in dc_stats + ac_stats:
+                    s.reset()
+                preds = [0] * len(factors)
+                for cstate in comp_states:
+                    cstate["ctx"] = 0
+            for ci, ((fh, fv), blocks) in enumerate(zip(factors, comp_blocks)):
+                sel = 0 if ci == 0 else 1
+                for by in range(fv):
+                    for bx in range(fh):
+                        blk = blocks[my * fv + by, mx * fh + bx]
+                        zz = [int(blk[rr, cc]) for rr, cc in ZIGZAG]
+                        diff = zz[0] - preds[ci]
+                        preds[ci] = zz[0]
+                        _arith_dc_encode(
+                            enc, dc_stats[sel], comp_states[ci], diff
+                        )
+                        _arith_ac_encode(
+                            enc, ac_stats[sel], _ARITH_AC_KX, fixed,
+                            zz, 1, 63, 0,
+                        )
+            mcu += 1
+    out.extend(enc.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _encode_progressive_arith(width, height, channels, factors, comp_blocks,
+                              qtab, precision=8):
+    """SOF10 twin: the Huffman progressive five-phase scan script (DC
+    first Al=1 → DC refine → AC bands → AC refine) re-entropy-coded
+    arithmetically — statistics areas fresh per scan per T.81
+    F.1.4.4.1.3."""
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    ncomp = len(factors)
+    zzs, useds = [], []
+    for (fh, fv), blocks in zip(factors, comp_blocks):
+        zzs.append(blocks[:, :, _ZZ_R, _ZZ_C])
+        comp_w = -(-(width * fh) // hmax)
+        comp_h = -(-(height * fv) // vmax)
+        useds.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    n_tables = 1 if channels == 1 else 2
+    out, seg = _jpeg_headers_arith(
+        0xCA, width, height, channels, factors, qtab, precision, n_tables
+    )
+
+    scans = [dict(comps=None, ss=0, se=0, ah=0, al=1),
+             dict(comps=None, ss=0, se=0, ah=1, al=0)]
+    for ss, se in ((1, 20), (21, 63)):
+        for ci in range(ncomp):
+            scans.append(dict(comps=[ci], ss=ss, se=se, ah=0, al=1))
+    for ci in range(ncomp):
+        scans.append(dict(comps=[ci], ss=1, se=63, ah=1, al=0))
+
+    for sc in scans:
+        members = list(range(ncomp)) if sc["comps"] is None else sc["comps"]
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        sos = bytes([len(members)])
+        for ci in members:
+            tid = 0 if ci == 0 else 1
+            sel = (tid << 4) if ss == 0 else 0  # td | ta
+            sos += bytes([ci + 1, sel])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+
+        enc = _ArithEncoder()
+        fixed = _fixed_stats()
+        if ss == 0:
+            dc_stats = {0: _Stats(64)}
+            if ncomp > 1:
+                dc_stats[1] = _Stats(64)
+            comp_states = [
+                dict(ctx=0, cond=_ARITH_DC_COND) for _ in range(ncomp)
+            ]
+            preds = [0] * ncomp
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (fh, fv) in enumerate(factors):
+                        tid = 0 if ci == 0 else 1
+                        for by in range(fv):
+                            for bx in range(fh):
+                                c = int(zzs[ci][my * fv + by, mx * fh + bx, 0])
+                                if ah == 0:
+                                    t = c >> al
+                                    diff = t - preds[ci]
+                                    preds[ci] = t
+                                    _arith_dc_encode(
+                                        enc, dc_stats[tid],
+                                        comp_states[ci], diff,
+                                    )
+                                else:
+                                    enc.encode(fixed, 0, (c >> al) & 1)
+        else:
+            ci = members[0]
+            st = _Stats(260)
+            bh, bw = useds[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = [int(zzs[ci][by, bx, k]) for k in range(64)]
+                    if ah == 0:
+                        _arith_ac_encode(
+                            enc, st, _ARITH_AC_KX, fixed, blk, ss, se, al
+                        )
+                    else:
+                        _arith_ac_refine_encode(
+                            enc, st, fixed, blk, ss, se, al
+                        )
+        out.extend(enc.flush())
 
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -89,10 +89,10 @@ def test_color_420_subsampling():
 def test_jpeg_gates_raise_with_guidance():
     img = _const_block_image(8, 8, seed=1)
     jp = bytearray(make_jpeg_bytes(8, 8, img.tobytes(), channels=1))
-    # flip SOF0 (0xC0) to SOF9 (arithmetic sequential) — genuinely gated
+    # flip SOF0 (0xC0) to SOF11 (arithmetic lossless) — genuinely gated
     i = jp.index(b"\xff\xc0")
-    jp[i + 1] = 0xC9
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+    jp[i + 1] = 0xCB
+    with pytest.raises(NotImplementedError, match="arithmetic-lossless"):
         decode_jpeg_pixels(bytes(jp))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_pixels(b"\x89PNG nope")
@@ -372,11 +372,11 @@ def test_lossless_gates_and_validation():
         make_jpeg_bytes(8, 8, px, lossless=True, predictor=8)
     with _pytest.raises(ValueError, match="range"):
         make_jpeg_bytes(8, 8, bytes([200]) * 64, lossless=True, precision=7)
-    # hierarchical/arithmetic frames still gate, without naming lossless
+    # hierarchical/arithmetic-lossless frames still gate
     blob = bytearray(make_jpeg_bytes(8, 8, px))
     at = blob.find(b"\xff\xc0")
-    blob[at + 1] = 0xC9  # arithmetic sequential
-    with _pytest.raises(NotImplementedError, match="arithmetic"):
+    blob[at + 1] = 0xCB  # arithmetic lossless
+    with _pytest.raises(NotImplementedError, match="arithmetic-lossless"):
         decode_jpeg_pixels(bytes(blob))
 
 
@@ -397,3 +397,253 @@ def test_lossless_rgb_interleaved_roundtrip():
         w, h, c, out = decode_jpeg_pixels(blob)
         assert (w, h, c) == (W, H, 3)
         assert (np.frombuffer(out, dtype=np.uint8).reshape(H, W, 3) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# r14: arithmetic entropy coding (SOF9/SOF10) — validated against the
+# SYSTEM libjpeg as an independent arbiter when it is present
+# ---------------------------------------------------------------------------
+
+
+def test_qe_table_matches_system_libjpeg():
+    """The transcribed T.81 Table D.3 must equal the state machine the
+    system libjpeg exports (``jpeg_aritab``) — a single wrong row would
+    keep self-round-trips green while silently breaking interop."""
+    import ctypes
+    import ctypes.util
+
+    from architxt_spark.functions.jpeg import _QE_TABLE
+
+    name = ctypes.util.find_library("jpeg")
+    if not name:
+        pytest.skip("no system libjpeg to pin against")
+    lib = ctypes.CDLL(name)
+    try:
+        raw = (ctypes.c_int64 * 114).in_dll(lib, "jpeg_aritab")
+    except ValueError:
+        pytest.skip("libjpeg without exported jpeg_aritab")
+    for i, v in enumerate(raw):
+        qe = (v >> 16) & 0xFFFF
+        nmps = (v >> 8) & 0xFF
+        sw = (v >> 7) & 1
+        nlps = v & 0x7F
+        assert _QE_TABLE[i] == (qe, nlps, nmps, sw), f"row {i}"
+    assert len(_QE_TABLE) == 114
+
+
+def test_qm_coder_random_bit_roundtrip():
+    """The raw QM layer: random decision sequences over adaptive bins
+    must decode back exactly, across enough volume to exercise 0xFF00
+    stuffing and carry ripples."""
+    from architxt_spark.functions.jpeg import _ArithDecoder, _ArithEncoder, _Stats
+
+    rng = np.random.default_rng(1)
+    stuffed = 0
+    for _ in range(120):
+        nbits = int(rng.integers(1, 500))
+        nbins = int(rng.integers(1, 8))
+        bits = rng.integers(0, 2, size=nbits).tolist()
+        bins = rng.integers(0, nbins, size=nbits).tolist()
+        enc = _ArithEncoder()
+        st = _Stats(nbins)
+        for b, i in zip(bits, bins):
+            enc.encode(st, i, int(b))
+        data = enc.flush() + b"\xff\xd9"
+        stuffed += data[:-2].count(b"\xff\x00")
+        dec = _ArithDecoder(data, 0)
+        st2 = _Stats(nbins)
+        assert [dec.decode(st2, i) for i in bins] == bits
+    assert stuffed > 0  # the stuffing path genuinely ran
+
+
+def test_arithmetic_decodes_identical_to_huffman():
+    """SOF9/SOF10 re-encode the same quantized coefficients as the
+    Huffman twins, so decodes must be BYTE-IDENTICAL — sequential,
+    progressive, color, 4:2:0, restart markers, and 12-bit."""
+    rng = np.random.default_rng(7)
+    cases = [
+        dict(w=64, h=64, ch=1),
+        dict(w=24, h=40, ch=1),
+        dict(w=32, h=48, ch=3),
+        dict(w=40, h=48, ch=3, subsampling="420"),
+        dict(w=56, h=80, ch=1, restart_interval=3),
+        dict(w=64, h=64, ch=1, progressive=True),
+        dict(w=32, h=48, ch=3, progressive=True),
+    ]
+    for case in cases:
+        w, h, ch = case.pop("w"), case.pop("h"), case.pop("ch")
+        raw = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        base = dict(case)
+        base.pop("restart_interval", None)
+        jh = make_jpeg_bytes(w, h, raw, channels=ch, **base)
+        ja = make_jpeg_bytes(w, h, raw, channels=ch, arithmetic=True, **case)
+        assert ja != jh
+        assert decode_jpeg_pixels(ja) == decode_jpeg_pixels(jh), case
+
+
+def test_arithmetic_12bit_identical_to_huffman_12bit():
+    rng = np.random.default_rng(13)
+    raw = rng.integers(0, 4096, size=(40, 48), dtype="<u2").tobytes()
+    ref = decode_jpeg_pixels(make_jpeg_bytes(48, 40, raw, precision=12))
+    for kw in (dict(), dict(progressive=True)):
+        ja = make_jpeg_bytes(48, 40, raw, precision=12, arithmetic=True, **kw)
+        assert decode_jpeg_pixels(ja) == ref
+
+
+def test_arithmetic_lossless_fixture_gate():
+    with pytest.raises(ValueError, match="SOF11"):
+        make_jpeg_bytes(8, 8, bytes(64), lossless=True, arithmetic=True)
+
+
+# --- libjpeg interop (compiled on demand; skipped without cc/jpeglib) ---
+
+
+@pytest.fixture(scope="module")
+def jpeg_oracle(tmp_path_factory):
+    import pathlib
+    import shutil
+    import subprocess
+
+    cc = shutil.which("cc") or shutil.which("gcc")
+    src = pathlib.Path(__file__).resolve().parent.parent / "tools" / "jpeg_oracle.c"
+    if not cc or not src.exists():
+        pytest.skip("no C compiler for the libjpeg oracle")
+    exe = tmp_path_factory.mktemp("jpeg_oracle") / "jpeg_oracle"
+    r = subprocess.run(
+        [cc, "-O2", "-o", str(exe), str(src), "-ljpeg"], capture_output=True
+    )
+    if r.returncode != 0:
+        pytest.skip(f"libjpeg oracle build failed: {r.stderr.decode()[:200]}")
+    return str(exe)
+
+
+def _oracle_encode(exe, raw, w, h, ch, q=85, prog=0, arith=0, rst=0):
+    import subprocess
+
+    p = subprocess.run(
+        [exe, "e", str(w), str(h), str(ch), str(q), str(prog), str(arith),
+         "1", str(rst)],
+        input=raw, capture_output=True,
+    )
+    assert p.returncode == 0, p.stderr
+    return p.stdout
+
+
+def _oracle_decode(exe, blob):
+    import subprocess
+
+    p = subprocess.run([exe, "d"], input=blob, capture_output=True)
+    assert p.returncode == 0, p.stderr
+    return p.stdout
+
+
+def test_libjpeg_decodes_our_arithmetic_files(jpeg_oracle):
+    """The independent decoder must read our SOF9/SOF10 output and see
+    the SAME pixels it sees in our Huffman twin of the same image —
+    an exact assertion (identical coefficients, its own IDCT both
+    times)."""
+    rng = np.random.default_rng(21)
+    for ch, prog, rst in [(1, False, 0), (3, False, 0), (1, True, 0),
+                          (3, True, 0), (1, False, 4)]:
+        h, w = 56, 48
+        raw = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        jh = make_jpeg_bytes(w, h, raw, channels=ch, progressive=prog)
+        ja = make_jpeg_bytes(
+            w, h, raw, channels=ch, progressive=prog, arithmetic=True,
+            restart_interval=rst,
+        )
+        assert _oracle_decode(jpeg_oracle, ja) == _oracle_decode(jpeg_oracle, jh)
+
+
+def test_our_decoder_reads_libjpeg_arithmetic_files(jpeg_oracle):
+    """Reverse direction: libjpeg encodes the same pixels with Huffman
+    and arithmetic entropy coding (identical coefficients); our decodes
+    of the two files must be byte-identical, and within IDCT rounding
+    of libjpeg's own decode."""
+    rng = np.random.default_rng(31)
+    for ch, prog, rst in [(1, 0, 0), (3, 0, 0), (1, 1, 0), (3, 1, 0),
+                          (1, 0, 3)]:
+        h, w = 64, 40
+        raw = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        lh = _oracle_encode(jpeg_oracle, raw, w, h, ch, prog=prog, rst=rst)
+        la = _oracle_encode(jpeg_oracle, raw, w, h, ch, prog=prog, arith=1, rst=rst)
+        mh = decode_jpeg_pixels(lh)
+        ma = decode_jpeg_pixels(la)
+        assert mh == ma, (ch, prog, rst)
+        ref = np.frombuffer(
+            _oracle_decode(jpeg_oracle, la).split(b"255\n", 1)[1], dtype=np.uint8
+        ).astype(int)
+        mine = np.frombuffer(ma[3], dtype=np.uint8).astype(int)
+        assert mine.shape == ref.shape
+        # float vs fixed-point IDCT + YCbCr rounding: ±3 per sample
+        assert np.abs(mine - ref).max() <= 3, (ch, prog, rst)
+
+
+def test_libjpeg_huffman_interop_both_directions(jpeg_oracle):
+    """Retro-validation of the r12-r14 Huffman codec against the
+    independent engine: libjpeg reads our sequential/progressive files
+    (same-coefficient exactness via the twin trick) and we read its."""
+    rng = np.random.default_rng(41)
+    h, w = 48, 56
+    for ch, prog in [(1, False), (3, False), (1, True), (3, True)]:
+        raw = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        ours = make_jpeg_bytes(w, h, raw, channels=ch, progressive=prog)
+        got = np.frombuffer(
+            _oracle_decode(jpeg_oracle, ours).split(b"255\n", 1)[1],
+            dtype=np.uint8,
+        ).astype(int)
+        mine = np.frombuffer(decode_jpeg_pixels(ours)[3], dtype=np.uint8).astype(int)
+        assert got.shape == mine.shape
+        assert np.abs(got - mine).max() <= 3, (ch, prog, "libjpeg reads ours")
+        theirs = _oracle_encode(jpeg_oracle, raw, w, h, ch, q=92, prog=int(prog))
+        mine2 = np.frombuffer(decode_jpeg_pixels(theirs)[3], dtype=np.uint8).astype(int)
+        ref2 = np.frombuffer(
+            _oracle_decode(jpeg_oracle, theirs).split(b"255\n", 1)[1],
+            dtype=np.uint8,
+        ).astype(int)
+        assert mine2.shape == ref2.shape
+        assert np.abs(mine2 - ref2).max() <= 3, (ch, prog, "we read libjpeg's")
+
+
+def test_arithmetic_volume_fuzz_against_libjpeg(jpeg_oracle):
+    """Byte-boundary edge cases (0xFF00 stuffing, carry ripples, marker
+    truncation) are ~1-in-256-per-byte events — volume, not hand-picked
+    fixtures, is what exercises them (the r13 PDF lesson)."""
+    rng = np.random.default_rng(99)
+    stuffed = 0
+    for t in range(40):
+        h = int(rng.integers(8, 81))
+        w = int(rng.integers(8, 81))
+        ch = int(rng.choice([1, 1, 3]))
+        prog = bool(rng.integers(0, 2))
+        rst = 0 if prog else int(rng.choice([0, 0, 2]))
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        elif kind == 1:
+            arr = np.full((h, w, ch), int(rng.integers(0, 256)), dtype=np.uint8)
+        else:
+            arr = (
+                np.arange(h)[:, None, None] * 3
+                + np.arange(w)[None, :, None] * 5
+                + np.arange(ch)
+            ).astype(np.uint8)
+        raw = arr.tobytes()
+        jh = make_jpeg_bytes(w, h, raw, channels=ch, progressive=prog)
+        ja = make_jpeg_bytes(
+            w, h, raw, channels=ch, progressive=prog, arithmetic=True,
+            restart_interval=rst,
+        )
+        stuffed += ja.count(b"\xff\x00")
+        assert decode_jpeg_pixels(ja) == decode_jpeg_pixels(jh), (t, h, w, ch, prog, rst)
+        assert _oracle_decode(jpeg_oracle, ja) == _oracle_decode(jpeg_oracle, jh), (
+            t, h, w, ch, prog, rst,
+        )
+        if t % 4 == 0:
+            q = int(rng.integers(30, 101))
+            lh = _oracle_encode(jpeg_oracle, raw, w, h, ch, q=q, prog=int(prog), rst=rst)
+            la = _oracle_encode(
+                jpeg_oracle, raw, w, h, ch, q=q, prog=int(prog), arith=1, rst=rst
+            )
+            assert decode_jpeg_pixels(lh) == decode_jpeg_pixels(la), (t, "reverse")
+    assert stuffed > 0
