@@ -352,6 +352,13 @@ def read_document_file(
         from architxt_spark.sources.dbf import read_dbf_rows
 
         data = read_dbf_rows(path)
+    elif ext in (".wk1", ".wks", ".wk3", ".wk4"):
+        # Lotus 1-2-3 worksheets (r14, beyond-reference): cell-record
+        # walk incl. formula cached values, xlsx row-dict shape
+        # (``sources/wk1.py``); release 3+ gates with guidance
+        from architxt_spark.sources.wk1 import read_wk1_rows
+
+        data = read_wk1_rows(path)
     elif ext in (".html", ".htm", ".md", ".markdown", ".epub"):
         # web/ebook text (r14, beyond-reference): stdlib html.parser
         # block extraction, light Markdown, EPUB spine walk

@@ -60,7 +60,8 @@ def _render_document_import(forest) -> None:
         "Document File",
         [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
          ".ods", ".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx", ".odp",
-         ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf"],
+         ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf",
+         ".wk1", ".wks"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
@@ -124,7 +125,8 @@ def _render_corpus_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
         "Corpora", [".tar.gz", ".tar.xz", ".txt", ".doc", ".docx", ".odt",
-                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf"],
+                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf",
+                    ".wk1", ".wks"],
         accept_multiple_files=True,
     )
     c1, c2, c3 = ui.columns(3)
