@@ -389,6 +389,18 @@ def read_document_file(
         data = [
             {"idx": str(i), "text": p} for i, p in enumerate(reader(path))
         ]
+    elif ext == ".mbox":
+        # mailing-list/spool archives (r14, beyond-reference): RFC 4155
+        # envelope split + mboxrd unquoting, each message through the
+        # eml path (``sources/mail.py``) → one record per body line,
+        # keyed by message ordinal
+        from architxt_spark.sources.mail import read_mbox_messages
+
+        data = [
+            {"msg": str(m), "idx": str(i), "text": p}
+            for m, paras in enumerate(read_mbox_messages(path))
+            for i, p in enumerate(paras)
+        ]
     elif ext == ".rtf":
         # RTF (r14, beyond-reference): group/control-word walk with
         # codepage + \\uN decoding (``sources/rtf.py``) → one record

@@ -17,7 +17,10 @@ reads both interchange shapes:
   only, no plain body) raise with guidance.
 
 Output is the paragraph-list shape: ``["Subject: …", body-para, …]``.
-``make_eml_bytes`` / ``make_msg_bytes`` are the fixture twins (real
+``read_mbox_messages`` splits RFC 4155 ``.mbox`` archives (mailing
+lists, Unix spools) into per-message paragraph lists through the same
+eml path, with mboxrd ``>From`` unquoting.  ``make_eml_bytes`` /
+``make_msg_bytes`` / ``make_mbox_bytes`` are the fixture twins (real
 MIME multiparts; a real two-stream OLE2 via ``_wrap_ole2_multi``).
 """
 
@@ -104,6 +107,28 @@ def read_msg_text(path_or_bytes, *, password: str = "") -> list[str]:
     return _paragraphs(subject, body)
 
 
+def read_mbox_messages(path_or_bytes, *, password: str = "") -> list[list[str]]:
+    """RFC 4155 ``mbox`` (the mailing-list/Unix-spool archive shape) →
+    one ``read_eml_text`` paragraph list per message.
+
+    Messages split on ``From `` envelope lines at line starts; body
+    lines quoted by the writer (``>From``, the mboxrd convention that
+    also covers mboxo's output) lose one ``>`` level.  A file that
+    doesn't open with an envelope is not an mbox and raises."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    if not data.startswith(b"From "):
+        raise ValueError("not an mbox (missing 'From ' envelope line)")
+    out: list[list[str]] = []
+    for chunk in re.split(rb"(?m)^From [^\n]*\n", data)[1:]:
+        chunk = re.sub(rb"(?m)^>(>*From )", rb"\1", chunk)
+        out.append(read_eml_text(chunk))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # fixture twins
 # ---------------------------------------------------------------------------
@@ -149,3 +174,17 @@ def make_msg_bytes(subject: str, body: str, *, ansi: bool = False) -> bytes:
             "__substg1.0_1000001F": body.encode("utf-16-le"),
         }
     return _wrap_ole2_multi(streams)
+
+
+def make_mbox_bytes(messages: list[tuple[str, str]]) -> bytes:
+    """A real mbox: each (subject, body) becomes a ``make_eml_bytes``
+    message behind a ``From `` envelope, with mboxrd ``>From``
+    quoting applied to body lines so the reader's unquoting is
+    load-bearing."""
+    out = bytearray()
+    for subject, body in messages:
+        raw = make_eml_bytes(subject, body)
+        raw = re.sub(rb"(?m)^(>*From )", rb">\1", raw)
+        out.extend(b"From fixture@example.invalid Thu Jan  1 00:00:00 1998\n")
+        out.extend(raw.rstrip(b"\n") + b"\n\n")
+    return bytes(out)

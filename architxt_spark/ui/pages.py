@@ -61,7 +61,7 @@ def _render_document_import(forest) -> None:
         [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
          ".ods", ".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx", ".odp",
          ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf",
-         ".wk1", ".wks"],
+         ".wk1", ".wks", ".mbox"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
@@ -125,8 +125,8 @@ def _render_corpus_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
         "Corpora", [".tar.gz", ".tar.xz", ".txt", ".doc", ".docx", ".odt",
-                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf",
-                    ".wk1", ".wks"],
+                    ".rtf", ".ppt", ".pptx", ".odp", ".pdf", ".eml", ".msg",
+                    ".html", ".htm", ".md", ".epub", ".mbox"],
         accept_multiple_files=True,
     )
     c1, c2, c3 = ui.columns(3)
@@ -192,6 +192,16 @@ def _corpus_docs(spark, path: str):
             for stem, txt in sorted(texts.items())
         ]
         return spark.createDataFrame(rows, "doc_id string, txt string, ann string")
+    if path.endswith(".mbox"):
+        # a mail archive IS a corpus: one document per message
+        from architxt_spark.sources.mail import read_mbox_messages
+
+        stem = os.path.basename(path)
+        rows = [
+            (f"{stem}#{m}", "\n".join(paras))
+            for m, paras in enumerate(read_mbox_messages(path))
+        ]
+        return spark.createDataFrame(rows, "doc_id string, txt string")
     if path.endswith((".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx",
                       ".odp", ".pdf", ".eml", ".msg", ".html", ".htm", ".md",
                       ".epub")):

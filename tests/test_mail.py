@@ -72,3 +72,43 @@ def test_read_document_file_mail_end_to_end(spark, tmp_path):
             r.leaf_value for r in nodes.filter("leaf_value is not null").collect()
         }
         assert needle in vals, (p, vals)
+
+
+# --- r14: mbox archives ---
+
+
+def test_mbox_roundtrip_and_from_quoting():
+    from architxt_spark.sources.mail import make_mbox_bytes, read_mbox_messages
+
+    msgs = [
+        ("first", "hello\nworld"),
+        # a body line starting 'From ' must survive the envelope split
+        # via mboxrd quoting
+        ("second", "From the archives\nmore text"),
+        ("third", ">From quoted already\nend"),
+    ]
+    got = read_mbox_messages(make_mbox_bytes(msgs))
+    assert len(got) == 3
+    assert got[0] == ["Subject: first", "hello", "world"]
+    assert got[1] == ["Subject: second", "From the archives", "more text"]
+    assert got[2] == ["Subject: third", ">From quoted already", "end"]
+
+
+def test_mbox_not_an_mbox_raises():
+    import pytest
+
+    from architxt_spark.sources.mail import read_mbox_messages
+
+    with pytest.raises(ValueError, match="envelope"):
+        read_mbox_messages(b"To: someone\n\nnot an mbox")
+
+
+def test_read_document_file_mbox_end_to_end(spark, tmp_path):
+    from architxt_spark.sources.documents import read_document_file
+    from architxt_spark.sources.mail import make_mbox_bytes
+
+    p = tmp_path / "list.mbox"
+    p.write_bytes(make_mbox_bytes([("alpha", "one"), ("beta", "two lines\nhere")]))
+    nodes = read_document_file(spark, str(p))
+    vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
+    assert {"Subject: alpha", "one", "two lines"} <= vals

@@ -407,3 +407,22 @@ def test_document_import_page_legacy_doc_and_ppt(spark, tmp_path, fake):
         ).values()
     )
     assert "Carol" in text and "Dave" in text
+
+
+def test_corpus_import_page_mbox_archive(spark, tmp_path, fake):
+    """r14: an mbox mailing-list archive loads as one corpus document
+    per message."""
+    from architxt_spark.sources.mail import make_mbox_bytes
+
+    blob = make_mbox_bytes(
+        [("hello", "Alice works hard."), ("again", "Bob rests today.")]
+    )
+    st = fake(
+        inputs={"Source Type": "Text Corpus"},
+        pressed={"Load Corpus"},
+        uploads={"Corpora": [Upload("list.mbox", blob)]},
+    )
+    st.session_state["forest_root"] = str(tmp_path / "forest")
+    with pytest.raises(Rerun):
+        ui_mod.importer()
+    assert len(ui_state.get_forest()) >= 2  # both messages parsed
