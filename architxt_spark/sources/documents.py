@@ -250,6 +250,84 @@ def _read_xlsx_stdlib(path: str, password: str = "") -> dict[str, list[dict[str,
         return out
 
 
+#: extensions read_document_file dispatches on (archive members outside
+#: this set are skipped, counted, and reported — never silently eaten)
+_DOCUMENT_EXTS = frozenset((
+    ".json", ".jsonl", ".csv", ".toml", ".xml", ".yaml", ".yml",
+    ".xlsx", ".xls", ".ods", ".doc", ".dbf", ".wk1", ".wks", ".wk3",
+    ".wk4", ".html", ".htm", ".md", ".markdown", ".epub", ".eml",
+    ".msg", ".mbox", ".rtf", ".ppt", ".docx", ".odt", ".pptx", ".odp",
+    ".pdf",
+))
+
+_ARCHIVE_SUFFIXES = (".zip", ".tar", ".tar.gz", ".tgz", ".tar.xz",
+                     ".tar.bz2")
+
+
+def read_document_archive(
+    spark,
+    path: str,
+    *,
+    root_name: str = "ROOT",
+    raw_read: bool = False,
+    sample: int = 0,
+    password: str = "",
+) -> DataFrame:
+    """A zip/tar archive of mixed documents → one node frame (the union
+    of every member :func:`read_document_file` can parse) — the shape
+    document dumps actually arrive in.
+
+    Members whose extension no reader claims (images, READMEs) are
+    skipped; an archive with NO readable member raises and names what
+    it saw.  A corrupt member of a supported format still raises loudly
+    — skipping is by extension, never by swallowing parse errors.
+    Members extract under fresh indexed names, so same-named files in
+    different directories keep distinct tree keys."""
+    import os
+    import tarfile
+    import tempfile
+    import zipfile
+
+    members: list[tuple[str, bytes]] = []
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as zf:
+            for info in zf.infolist():
+                if not info.is_dir():
+                    members.append((info.filename, zf.read(info)))
+    else:
+        with tarfile.open(path) as tf:
+            for m in tf.getmembers():
+                if m.isfile():
+                    members.append((m.name, tf.extractfile(m).read()))
+
+    tmp = tempfile.mkdtemp(prefix="architxt_archive_")
+    frames = []
+    skipped: list[str] = []
+    for i, (name, blob) in enumerate(members):
+        base = os.path.basename(name)
+        if os.path.splitext(base)[1].lower() not in _DOCUMENT_EXTS:
+            skipped.append(name)
+            continue
+        target = os.path.join(tmp, f"m{i}_{base}")
+        with open(target, "wb") as f:
+            f.write(blob)
+        frames.append(
+            read_document_file(
+                spark, target, root_name=root_name, raw_read=raw_read,
+                sample=sample, password=password,
+            )
+        )
+    if not frames:
+        raise ValueError(
+            f"no readable documents in {os.path.basename(path)} "
+            f"({len(members)} members, e.g. {[n for n in skipped[:5]]})"
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def read_document_file(
     spark,
     path: str,
@@ -269,6 +347,11 @@ def read_document_file(
 
     from architxt_spark.trees import forest_from_trees
 
+    if path.lower().endswith(_ARCHIVE_SUFFIXES):
+        return read_document_archive(
+            spark, path, root_name=root_name, raw_read=raw_read,
+            sample=sample, password=password,
+        )
     ext = os.path.splitext(path)[1].lower()
     if ext == ".json":
         with open(path) as f:
