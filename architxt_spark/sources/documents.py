@@ -257,7 +257,7 @@ _DOCUMENT_EXTS = frozenset((
     ".xlsx", ".xls", ".ods", ".doc", ".dbf", ".wk1", ".wks", ".wk3",
     ".wk4", ".html", ".htm", ".md", ".markdown", ".epub", ".eml",
     ".msg", ".mbox", ".rtf", ".ppt", ".docx", ".odt", ".pptx", ".odp",
-    ".pdf",
+    ".pdf", ".slk",
 ))
 
 _ARCHIVE_SUFFIXES = (".zip", ".tar", ".tar.gz", ".tgz", ".tar.xz",
@@ -442,6 +442,12 @@ def read_document_file(
         from architxt_spark.sources.wk1 import read_wk1_rows
 
         data = read_wk1_rows(path)
+    elif ext == ".slk":
+        # SYLK interchange (r14, beyond-reference): line-record parse
+        # with persisting coordinates (``sources/sylk.py``)
+        from architxt_spark.sources.sylk import read_slk_rows
+
+        data = read_slk_rows(path)
     elif ext in (".html", ".htm", ".md", ".markdown", ".epub"):
         # web/ebook text (r14, beyond-reference): stdlib html.parser
         # block extraction, light Markdown, EPUB spine walk

@@ -61,7 +61,7 @@ def _render_document_import(forest) -> None:
         [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
          ".ods", ".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx", ".odp",
          ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf",
-         ".wk1", ".wks", ".mbox"],
+         ".wk1", ".wks", ".slk", ".mbox"],
         accept_multiple_files=True,
     )
     if ui.button("Load document", disabled=not uploads):
