@@ -53,7 +53,46 @@ WARC_SCHEMA = (
     "payload binary, text string"
 )
 
+#: appended when ``verify_digests=True`` (kept out of the default schema
+#: so existing consumers and their oracles are unaffected)
+_DIGEST_COL = ", digest_ok boolean"
+
 _CRLF = b"\r\n"
+
+
+def _warc_digest(value: str) -> bytes | None:
+    """Decode a ``WARC-Payload-Digest``/``WARC-Block-Digest`` header
+    (``sha1:<base32>`` per the WARC spec and CommonCrawl practice; hex
+    accepted too) to raw bytes, or None for absent/unknown algorithms."""
+    import base64
+
+    algo, _, enc = value.partition(":")
+    if algo.strip().lower() != "sha1" or not enc:
+        return None
+    enc = enc.strip().upper()
+    try:
+        if len(enc) == 32:  # base32 of 20 bytes
+            return base64.b32decode(enc)
+        if len(enc) == 40:  # hex
+            return bytes.fromhex(enc)
+    except ValueError:
+        return None
+    return None
+
+
+def _digest_ok(headers: dict[str, str], body: bytes, payload: bytes) -> bool | None:
+    """Verify the record's digest headers: payload digest against the
+    HTTP payload, else block digest against the raw body.  None when the
+    record carries no (usable) digest."""
+    import hashlib
+
+    want = _warc_digest(headers.get("warc-payload-digest", ""))
+    if want is not None:
+        return hashlib.sha1(payload).digest() == want
+    want = _warc_digest(headers.get("warc-block-digest", ""))
+    if want is not None:
+        return hashlib.sha1(body).digest() == want
+    return None
 
 
 def parse_warc(data: bytes) -> Iterator[dict[str, Any]]:
@@ -187,13 +226,14 @@ _WARC_COLS = [
 _BATCH_BYTES = 64 << 20
 
 
-def _batched_frames(rows_iter, batch_rows: int):
+def _batched_frames(rows_iter, batch_rows: int, cols: list[str] | None = None):
     """Group a record-dict iterator into bounded pandas DataFrames:
     ``batch_rows`` rows OR :data:`_BATCH_BYTES` of payload per frame,
     whichever trips first.  Always yields at least one (possibly empty)
     frame so mapInPandas emits a stable schema."""
     import pandas as pd
 
+    cols = cols or _WARC_COLS
     rows: list[dict[str, Any]] = []
     nbytes = 0
     emitted = False
@@ -201,10 +241,10 @@ def _batched_frames(rows_iter, batch_rows: int):
         rows.append(rec)
         nbytes += len(rec["payload"]) + len(rec["text"])
         if len(rows) >= batch_rows or nbytes >= _BATCH_BYTES:
-            yield pd.DataFrame(rows, columns=_WARC_COLS)
+            yield pd.DataFrame(rows, columns=cols)
             rows, nbytes, emitted = [], 0, True
     if rows or not emitted:
-        yield pd.DataFrame(rows, columns=_WARC_COLS)
+        yield pd.DataFrame(rows, columns=cols)
 
 
 def _uri_scheme(path: str) -> str:
@@ -511,11 +551,17 @@ def read_warc(
     batch_rows: int = 1024,
     opener=None,
     lister=None,
+    verify_digests: bool = False,
 ) -> DataFrame:
     """Read WARC/WARC.gz archives under ``path`` into a DataFrame (one
     row per selected record).  ``record_types=()`` keeps every record
     (warcinfo/request/metadata included); ``extract_text`` adds the
     stripped-HTML ``text`` column for text/HTML payloads.
+    ``verify_digests=True`` appends a ``digest_ok`` column — sha1 of the
+    payload (or raw block) recomputed against the record's
+    ``WARC-Payload-Digest``/``WARC-Block-Digest`` header, null when the
+    record carries none — so corrupted transfers surface as a filterable
+    flag instead of silently flowing into the corpus.
 
     ``path`` may be a file, a directory (recursive), a glob pattern, or
     a ``scheme://`` URI — URIs list through the active Hadoop FileSystem
@@ -555,14 +601,17 @@ def read_warc(
                 else:
                     op = file_opener
                 recs = _range_records(
-                    p, 0, _WHOLE_FILE, record_types, extract_text, op
+                    p, 0, _WHOLE_FILE, record_types, extract_text, op,
+                    verify_digests,
                 )
-                yield from _batched_frames(recs, batch_rows)
+                yield from _batched_frames(recs, batch_rows, cols)
 
+    cols = _WARC_COLS + (["digest_ok"] if verify_digests else [])
+    schema = WARC_SCHEMA + (_DIGEST_COL if verify_digests else "")
     files = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
-    return files.mapInPandas(parse, WARC_SCHEMA)
+    return files.mapInPandas(parse, schema)
 
 
 _REC_MAGIC = b"WARC/1.0\r\n"
@@ -791,6 +840,7 @@ def _range_records(
     record_types: tuple[str, ...],
     extract_text: bool,
     opener,
+    verify_digests: bool = False,
 ) -> Iterator[dict[str, Any]]:
     """Records whose first byte lies in ``[start, end)`` — the Hadoop
     split contract.  A record overrunning ``end`` is read to completion
@@ -814,7 +864,7 @@ def _range_records(
                     else (None, headers.get("content-type", ""), body)
                 )
                 is_texty = "html" in ctype or ctype.startswith("text/")
-                yield {
+                row = {
                     "path": path,
                     "record_id": headers.get("warc-record-id", ""),
                     "warc_type": wtype,
@@ -825,6 +875,9 @@ def _range_records(
                     "payload": payload,
                     "text": html_to_text(payload) if (extract_text and is_texty) else "",
                 }
+                if verify_digests:
+                    row["digest_ok"] = _digest_ok(headers, body, payload)
+                yield row
             pos = nxt
 
 
@@ -837,6 +890,7 @@ def read_warc_split(
     extract_text: bool = True,
     opener=None,
     lister=None,
+    verify_digests: bool = False,
 ) -> DataFrame:
     """Splittable WARC reader: uncompressed ``.warc`` files are carved
     into ``split_bytes`` byte ranges — ONE TASK PER RANGE, so a single
@@ -896,22 +950,32 @@ def read_warc_split(
                         fileobj=_RangeFile(file_opener(q), s, e)
                     )
                     recs = _range_records(p, 0, _WHOLE_FILE, record_types,
-                                          extract_text, op)
+                                          extract_text, op, verify_digests)
                 else:
                     recs = _range_records(p, int(s), int(e), record_types,
-                                          extract_text, file_opener)
-                yield from _batched_frames(recs, 1024)
+                                          extract_text, file_opener,
+                                          verify_digests)
+                yield from _batched_frames(recs, 1024, cols)
 
+    cols = _WARC_COLS + (["digest_ok"] if verify_digests else [])
+    schema = WARC_SCHEMA + (_DIGEST_COL if verify_digests else "")
     ranges = spark.createDataFrame(
         chunks, "path string, start long, end long, gz boolean"
     ).repartition(len(chunks))
-    return ranges.mapInPandas(parse, WARC_SCHEMA)
+    return ranges.mapInPandas(parse, schema)
 
 
-def build_warc(records: list[dict[str, Any]]) -> bytes:
+def build_warc(records: list[dict[str, Any]], *, digests: bool = False) -> bytes:
     """Serialize record dicts into WARC/1.0 bytes — the fixture writer
     tests and examples use (``warc_type``, ``target_uri``, ``payload``,
-    optional ``http_status``/``content_type``/``record_id``/``date``)."""
+    optional ``http_status``/``content_type``/``record_id``/``date``).
+    ``digests=True`` stamps real ``WARC-Payload-Digest`` headers
+    (``sha1:<base32>``, the CommonCrawl shape); a per-record
+    ``payload_digest`` value overrides the computed one (corrupt-transfer
+    fixtures)."""
+    import base64
+    import hashlib
+
     out = io.BytesIO()
     for i, r in enumerate(records):
         if r.get("warc_type", "response") == "response":
@@ -931,5 +995,11 @@ def build_warc(records: list[dict[str, Any]]) -> bytes:
             b"WARC-Target-URI: " + r.get("target_uri", "").encode(),
             b"Content-Length: " + str(len(body)).encode(),
         ]
+        if digests or "payload_digest" in r:
+            dg = r.get("payload_digest") or (
+                "sha1:"
+                + base64.b32encode(hashlib.sha1(r["payload"]).digest()).decode()
+            )
+            headers.insert(5, b"WARC-Payload-Digest: " + dg.encode())
         out.write(_CRLF.join(headers) + _CRLF + _CRLF + body + _CRLF + _CRLF)
     return out.getvalue()
