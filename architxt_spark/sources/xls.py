@@ -644,9 +644,24 @@ def _read_xls_biff234(stream: bytes) -> dict[str, list[dict[str, str]]]:
     the tools that convert these."""
     codec = "latin-1"
     cells: dict[int, dict[int, str]] = {}
+    pending_str: tuple[int, int] | None = None
 
     def put(row: int, col: int, val: str) -> None:
         cells.setdefault(row, {})[col] = val
+
+    def put_cached(row: int, col: int, val: bytes) -> None:
+        nonlocal pending_str
+        got = _formula_cached(val)
+        if got is None:
+            pass  # error result: skipped like BOOLERR errors
+        elif got[0] == "s":
+            pending_str = (row, col)
+        elif got[0] == "n":
+            put(row, col, _fmt_num(got[1]))
+        elif got[0] == "b":
+            put(row, col, str(got[1]))
+        else:
+            put(row, col, "")
 
     for opcode, body, _pos in _records(stream):
         if opcode == 0x000A:  # EOF
@@ -690,6 +705,23 @@ def _read_xls_biff234(stream: bytes) -> dict[str, list[dict[str, str]]]:
             row, col = struct.unpack("<HH", body[:4])
             if body[7] == 0:
                 put(row, col, str(body[6] == 1))
+        # ---- FORMULA cached results (BIFF2 0x0006 / BIFF3-4 0x0206;
+        # the FormulaValue convention is the same, the header differs) ----
+        elif opcode == 0x0006 and len(body) >= 15:
+            row, col = struct.unpack("<HH", body[:4])
+            put_cached(row, col, body[7:15])
+        elif opcode == 0x0206 and len(body) >= 14:
+            row, col = struct.unpack("<HH", body[:4])
+            put_cached(row, col, body[6:14])
+        elif opcode == 0x0007 and pending_str is not None:  # STRING (BIFF2)
+            row, col = pending_str
+            pending_str = None
+            put(row, col, body[1:1 + body[0]].decode(codec, errors="replace"))
+        elif opcode == 0x0207 and pending_str is not None:  # STRING (BIFF3/4)
+            row, col = pending_str
+            pending_str = None
+            (cch,) = struct.unpack("<H", body[:2])
+            put(row, col, body[2:2 + cch].decode(codec, errors="replace"))
 
     return {"Sheet1": _shape_rows(cells)}
 
@@ -758,6 +790,7 @@ def _read_xls_stdlib(
     out: dict[str, list[dict[str, str]]] = {}
     for name, offset in sheets:
         cells: dict[int, dict[int, str]] = {}
+        pending_str: tuple[int, int] | None = None
 
         def put(row: int, col: int, val: str) -> None:
             cells.setdefault(row, {})[col] = val
@@ -768,6 +801,28 @@ def _read_xls_stdlib(
             if opcode == 0x00FD:  # LABELSST
                 row, col, _ixfe, isst = struct.unpack("<HHHI", body[:10])
                 put(row, col, sst[isst])
+            elif opcode == 0x0006 and len(body) >= 14:  # FORMULA
+                row, col, _ixfe = struct.unpack("<HHH", body[:6])
+                got = _formula_cached(body[6:14])
+                if got is None:
+                    pass  # error result: skipped like BOOLERR errors
+                elif got[0] == "s":  # text arrives in the next STRING
+                    pending_str = (row, col)
+                elif got[0] == "n":
+                    put(row, col, _fmt_num(got[1]))
+                elif got[0] == "b":
+                    put(row, col, str(got[1]))
+                else:
+                    put(row, col, "")
+            elif opcode == 0x0207 and pending_str is not None:  # STRING
+                row, col = pending_str
+                pending_str = None
+                if biff5:
+                    (cch,) = struct.unpack("<H", body[:2])
+                    put(row, col, body[2:2 + cch].decode(codec, errors="replace"))
+                else:
+                    s, _ = _long_unicode(body, 0)
+                    put(row, col, s)
             elif opcode == 0x0203:  # NUMBER
                 row, col, _ixfe = struct.unpack("<HHH", body[:6])
                 (num,) = struct.unpack("<d", body[6:14])
@@ -803,19 +858,59 @@ def _read_xls_stdlib(
 # ---------------------------------------------------------------------------
 
 
+class XlsFormula:
+    """Fixture marker: this cell travels as a FORMULA record whose
+    CACHED result carries the value (plus a following STRING record for
+    text results) — the read path real workbooks exercise on every
+    computed cell."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _formula_cached(val: bytes):
+    """Decode an 8-byte FormulaValue (MS-XLS 2.5.133; the same
+    0xFFFF-tail convention back to BIFF2): ``("n", float)`` /
+    ``("b", bool)`` / ``("z", "")`` blank / ``("s", None)`` with the
+    text in the NEXT STRING record / ``None`` for an error result
+    (skipped, like BOOLERR errors)."""
+    if val[6:8] != b"\xff\xff":
+        return ("n", struct.unpack("<d", val)[0])
+    t = val[0]
+    if t == 0:
+        return ("s", None)
+    if t == 1:
+        return ("b", val[2] == 1)
+    if t == 3:
+        return ("z", "")
+    return None
+
+
 def _biff_string_cells(rows: list[list]) -> tuple[list[str], list[tuple[int, int, object]]]:
     strings: list[str] = []
     seen: dict[str, int] = {}
     cells: list[tuple[int, int, object]] = []
+
+    def intern(s: str) -> int:
+        if s not in seen:
+            seen[s] = len(strings)
+            strings.append(s)
+        return seen[s]
+
     for r, row in enumerate(rows):
         for c, v in enumerate(row):
             if v is None:
                 continue
-            if isinstance(v, str):
-                if v not in seen:
-                    seen[v] = len(strings)
-                    strings.append(v)
-                cells.append((r, c, ("s", seen[v])))
+            if isinstance(v, XlsFormula):
+                u = v.value
+                if isinstance(u, str):
+                    cells.append((r, c, ("fs", intern(u))))
+                elif isinstance(u, bool):
+                    cells.append((r, c, ("fb", u)))
+                else:
+                    cells.append((r, c, ("fn", float(u))))
+            elif isinstance(v, str):
+                cells.append((r, c, ("s", intern(v))))
             elif isinstance(v, bool):
                 cells.append((r, c, ("b", v)))
             else:
@@ -874,6 +969,33 @@ def make_xls_bytes(
             for c, v in enumerate(row):
                 if v is None:
                     continue
+                if isinstance(v, XlsFormula):
+                    u = v.value
+                    if isinstance(u, str):
+                        val = b"\x00\x00\x00\x00\x00\x00\xff\xff"
+                    elif isinstance(u, bool):
+                        val = bytes([1, 0, 1 if u else 0, 0, 0, 0, 0xFF, 0xFF])
+                    else:
+                        val = struct.pack("<d", float(u))
+                    if biff == 2:  # attrs(3) + value + grbit(1) len(1)
+                        b.write(rec234(
+                            0x0006,
+                            struct.pack("<HH3s", r, c, b"\0\0\0") + val + b"\x00\x00",
+                        ))
+                    else:  # ixfe(2) + value + grbit(2) cce(2)
+                        b.write(rec234(
+                            0x0206,
+                            struct.pack("<HHH", r, c, 0) + val + b"\x00" * 4,
+                        ))
+                    if isinstance(u, str):
+                        raw = u.encode(codec, errors="replace")
+                        if biff == 2:
+                            b.write(rec234(0x0007, bytes([len(raw)]) + raw))
+                        else:
+                            b.write(rec234(
+                                0x0207, struct.pack("<H", len(raw)) + raw
+                            ))
+                    continue
                 if isinstance(v, str):
                     raw = v.encode(codec, errors="replace")
                     if biff == 2:
@@ -927,7 +1049,7 @@ def make_xls_bytes(
                 all_strings.append(s)
         remap = soffsets
         cells = [
-            (r, c, ("s", remap[strings[i]]) if kind == "s" else (kind, i))
+            (r, c, (kind, remap[strings[i]]) if kind in ("s", "fs") else (kind, i))
             for r, c, (kind, i) in cells
         ]
         per_sheet.append((name, cells))
@@ -1007,6 +1129,32 @@ def make_xls_bytes(
                 b.write(rec(0x00FD, struct.pack("<HHHI", r, c, 0, v)))
             elif kind == "b":
                 b.write(rec(0x0205, struct.pack("<HHHBB", r, c, 0, 1 if v else 0, 0)))
+            elif kind == "fn":  # FORMULA, cached number result
+                b.write(rec(
+                    0x0006,
+                    struct.pack("<HHHd", r, c, 0, v)
+                    + struct.pack("<HIH", 0, 0, 0),
+                ))
+            elif kind == "fb":  # FORMULA, cached boolean
+                b.write(rec(
+                    0x0006,
+                    struct.pack("<HHH", r, c, 0)
+                    + bytes([1, 0, 1 if v else 0, 0, 0, 0, 0xFF, 0xFF])
+                    + struct.pack("<HIH", 0, 0, 0),
+                ))
+            elif kind == "fs":  # FORMULA + STRING cached text
+                b.write(rec(
+                    0x0006,
+                    struct.pack("<HHH", r, c, 0)
+                    + b"\x00\x00\x00\x00\x00\x00\xff\xff"
+                    + struct.pack("<HIH", 0, 0, 0),
+                ))
+                s = all_strings[v]
+                if biff == 5:
+                    raw = s.encode("cp1252", errors="replace")
+                    b.write(rec(0x0207, struct.pack("<H", len(raw)) + raw))
+                else:
+                    b.write(rec(0x0207, ustr(s, short=False)))
             else:
                 b.write(rec(0x0203, struct.pack("<HHHd", r, c, 0, v)))
         b.write(rec(0x000A, b""))

@@ -443,3 +443,65 @@ def test_xls_xor_volume_fuzz(tmp_path):
         for want, have in zip(rows[1:], got):
             assert have["h1"] == want[0]
             assert have["h2"] == str(want[1])
+
+
+# --- r14: FORMULA cached results (every computed cell in a real book) ---
+
+
+def test_formula_cached_values_all_biff_versions(tmp_path):
+    """FORMULA records carry the cell's cached result (number inline;
+    text in a following STRING record; booleans and blanks in the
+    0xFFFF-tailed FormulaValue) — skipping them silently drops every
+    computed cell of a real workbook."""
+    from architxt_spark.sources.xls import XlsFormula, _read_xls_stdlib, make_xls_bytes
+
+    grid = [
+        ["h1", "h2", "h3", "h4"],
+        [XlsFormula(42.5), XlsFormula("computed"), XlsFormula(True), XlsFormula(7)],
+        ["plain", 3, XlsFormula("über"), False],
+    ]
+    for biff in (2, 3, 4, 5, 8):
+        p = tmp_path / f"f{biff}.xls"
+        p.write_bytes(make_xls_bytes({"S": grid}, biff=biff))
+        sheet = next(iter(_read_xls_stdlib(str(p)).values()))
+        assert sheet[0] == {
+            "h1": "42.5", "h2": "computed", "h3": "True", "h4": "7",
+        }, biff
+        assert sheet[1] == {
+            "h1": "plain", "h2": "3", "h3": "über", "h4": "False",
+        }, biff
+
+
+def test_formula_error_and_blank_results(tmp_path):
+    """An error FormulaValue (type 2) is skipped like BOOLERR errors; a
+    blank-string one (type 3) reads as '' — hand-built records since the
+    twin doesn't emit them."""
+    import struct
+
+    from architxt_spark.sources.xls import _read_xls_biff234
+
+    def rec(op, body):
+        return struct.pack("<HH", op, len(body)) + body
+
+    blob = (
+        rec(0x0209, struct.pack("<HH", 0x0300, 0x0010))
+        + rec(0x0204, struct.pack("<HHHH", 0, 0, 0, 1) + b"h")
+        + rec(0x0206, struct.pack("<HHH", 1, 0, 0)
+              + bytes([2, 0, 0x17, 0, 0, 0, 0xFF, 0xFF]) + b"\x00" * 4)
+        + rec(0x0206, struct.pack("<HHH", 2, 0, 0)
+              + bytes([3, 0, 0, 0, 0, 0, 0xFF, 0xFF]) + b"\x00" * 4)
+        + rec(0x000A, b"")
+    )
+    sheet = _read_xls_biff234(blob)["Sheet1"]
+    # row 1 (error) contributes nothing; row 2 (blank) reads as ''
+    assert sheet == [{"h": ""}]
+
+
+def test_formula_cells_under_rc4_encryption(tmp_path):
+    from architxt_spark.sources.xls import XlsFormula, _read_xls_stdlib, make_xls_bytes
+
+    grid = [["k"], [XlsFormula("secret total")], [XlsFormula(12.25)]]
+    p = tmp_path / "enc.xls"
+    p.write_bytes(make_xls_bytes({"S": grid}, password="pw"))
+    sheet = next(iter(_read_xls_stdlib(str(p), password="pw").values()))
+    assert sheet == [{"k": "secret total"}, {"k": "12.25"}]

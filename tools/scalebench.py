@@ -922,7 +922,9 @@ def main() -> None:
             from architxt_spark.sources.mail import make_eml_bytes
             from architxt_spark.sources.ppt import make_ppt_bytes
             from architxt_spark.sources.rtf import make_rtf_bytes
+            from architxt_spark.sources.sylk import make_slk_bytes
             from architxt_spark.sources.webdoc import make_epub_bytes
+            from architxt_spark.sources.wk1 import make_wk1_bytes
             from architxt_spark.sources.worddoc import make_doc_bytes
 
             for pdf in batches:
@@ -933,7 +935,7 @@ def main() -> None:
                         f"doc {d} paragraph {i} with body text {d * 31 + i}"
                         for i in range(6)
                     ]
-                    m = d % 7
+                    m = d % 9
                     if m == 0:
                         blob, ext = make_doc_bytes(paras), "doc"
                     elif m == 1:
@@ -953,7 +955,7 @@ def main() -> None:
                         )
                     elif m == 5:
                         blob, ext = make_epub_bytes(paras[:3]), "epub"
-                    else:
+                    elif m == 6:
                         blob, ext = (
                             make_dbf_bytes(
                                 [("NAME", "C", 24), ("N", "N", 8)],
@@ -961,6 +963,16 @@ def main() -> None:
                             ),
                             "dbf",
                         )
+                    elif m == 7:
+                        grid = [["name", "n"]] + [
+                            [p[:20], i] for i, p in enumerate(paras)
+                        ]
+                        blob, ext = make_wk1_bytes(grid), "wk1"
+                    else:
+                        grid = [["name", "n"]] + [
+                            [p[:20], i] for i, p in enumerate(paras)
+                        ]
+                        blob, ext = make_slk_bytes(grid), "slk"
                     rows.append((str(d), ext, blob))
                 yield pd.DataFrame(rows, columns=["doc_id", "ext", "content"])
 
@@ -971,10 +983,12 @@ def main() -> None:
             from architxt_spark.sources.mail import read_eml_text
             from architxt_spark.sources.ppt import read_ppt_slides
             from architxt_spark.sources.rtf import read_rtf_text
+            from architxt_spark.sources.sylk import read_slk_rows
             from architxt_spark.sources.webdoc import (
                 read_epub_chapters,
                 read_html_paragraphs,
             )
+            from architxt_spark.sources.wk1 import read_wk1_rows
             from architxt_spark.sources.worddoc import read_doc_paragraphs
 
             readers = {
@@ -988,10 +1002,15 @@ def main() -> None:
                     pdf["doc_id"], pdf["ext"], pdf["content"]
                 ):
                     blob = bytes(blob)
-                    if ext == "dbf":
+                    if ext in ("dbf", "wk1", "slk"):
+                        tab = {
+                            "dbf": read_dbf_rows, "wk1": read_wk1_rows,
+                            "slk": read_slk_rows,
+                        }[ext](blob)
                         n = sum(
                             len(v)
-                            for r in read_dbf_rows(blob)["Table1"]
+                            for rs in tab.values()
+                            for r in rs
                             for v in r.values()
                         )
                     else:
