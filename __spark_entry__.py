@@ -2122,7 +2122,14 @@ def q_doc_loader_files(spark: SparkSession, sf: str) -> DataFrame:
                                 kw = {"biff": 4}
                             except UnicodeEncodeError:
                                 pass
-                        blob = make_xls_bytes({"S": [["t"], [clean]]}, **kw)
+                        # r14.5: the d%8==6 residue stores its value as
+                        # a FORMULA record's cached STRING result (the
+                        # computed-cell read path) — readback is byte-
+                        # equal, so the oracle hash is shape-independent
+                        from architxt_spark.sources.xls import XlsFormula
+
+                        cell = XlsFormula(clean) if d % 8 == 6 else clean
+                        blob = make_xls_bytes({"S": [["t"], [cell]]}, **kw)
                         with tempfile.NamedTemporaryFile(
                             suffix=".xls", delete=False
                         ) as f:
