@@ -316,9 +316,32 @@ def read_ods_sheets(
         raise ValueError("not a .ods (no content.xml zip entry)") from e
 
     def cell_text(cell) -> str:
-        return "\n".join(
+        text = "\n".join(
             _para_text(el) for el in cell.iter() if _local(el.tag) == "p"
         )
+        if text:
+            return text
+        # no display paragraphs (machine writers often emit formula /
+        # typed cells with only office:* value attributes): fall back
+        # to the typed value so computed cells don't vanish
+        attrs = {
+            k.rsplit("}", 1)[-1]: v for k, v in cell.attrib.items()
+        }
+        if "string-value" in attrs:
+            return attrs["string-value"]
+        if "boolean-value" in attrs:
+            return attrs["boolean-value"].capitalize()
+        for key in ("value", "date-value", "time-value"):
+            if key in attrs:
+                v = attrs[key]
+                if key == "value":
+                    try:
+                        f = float(v)
+                        return str(int(f)) if f.is_integer() else repr(f)
+                    except ValueError:
+                        return v
+                return v
+        return ""
 
     out: dict[str, list[dict[str, str]]] = {}
     for table in root.iter():

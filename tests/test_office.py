@@ -355,3 +355,53 @@ def test_ods_randomized_repeat_alignment_fuzz():
                 })
         got = read_ods_sheets(make_ods_bytes({"S": [header] + rows}))["S"]
         assert got == want, (trial, rows, got, want)
+
+
+# --- r14.5: value-attribute-only cells (machine-written formula cells) ---
+
+
+def test_ods_value_attribute_fallback_for_formula_cells():
+    """Machine writers often emit formula/typed cells with only
+    office:* value attributes and no display paragraph — those cells
+    must read their typed value, not vanish; a present text:p still
+    wins."""
+    import io
+    import zipfile
+
+    from architxt_spark.sources.office import read_ods_sheets
+
+    content = (
+        '<?xml version="1.0"?><office:document-content'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+        ' xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="S">'
+        "<table:table-row>"
+        "<table:table-cell><text:p>h1</text:p></table:table-cell>"
+        "<table:table-cell><text:p>h2</text:p></table:table-cell>"
+        "<table:table-cell><text:p>h3</text:p></table:table-cell>"
+        "</table:table-row><table:table-row>"
+        '<table:table-cell table:formula="of:=2*2" office:value-type="float"'
+        ' office:value="4"/>'
+        '<table:table-cell office:value-type="boolean"'
+        ' office:boolean-value="true"/>'
+        '<table:table-cell office:value-type="string"'
+        ' office:string-value="computed text"/>'
+        "</table:table-row><table:table-row>"
+        '<table:table-cell office:value-type="date"'
+        ' office:date-value="2020-03-01"/>'
+        '<table:table-cell office:value-type="float" office:value="2.5"/>'
+        "<table:table-cell office:value-type=\"float\" office:value=\"9\">"
+        "<text:p>display wins</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        z.writestr("content.xml", content)
+    assert read_ods_sheets(buf.getvalue()) == {"S": [
+        {"h1": "4", "h2": "True", "h3": "computed text"},
+        {"h1": "2020-03-01", "h2": "2.5", "h3": "display wins"},
+    ]}
