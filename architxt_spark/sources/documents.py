@@ -253,7 +253,7 @@ def _read_xlsx_stdlib(path: str, password: str = "") -> dict[str, list[dict[str,
 #: extensions read_document_file dispatches on (archive members outside
 #: this set are skipped, counted, and reported — never silently eaten)
 _DOCUMENT_EXTS = frozenset((
-    ".json", ".jsonl", ".csv", ".toml", ".xml", ".yaml", ".yml",
+    ".json", ".jsonl", ".csv", ".tsv", ".toml", ".xml", ".yaml", ".yml",
     ".xlsx", ".xls", ".ods", ".doc", ".dbf", ".wk1", ".wks", ".wk3",
     ".wk4", ".html", ".htm", ".md", ".markdown", ".epub", ".eml",
     ".msg", ".mbox", ".rtf", ".ppt", ".docx", ".odt", ".pptx", ".odp",
@@ -359,11 +359,23 @@ def read_document_file(
     elif ext == ".jsonl":
         with open(path) as f:
             data = [json.loads(line) for line in f if line.strip()]
-    elif ext == ".csv":
+    elif ext in (".csv", ".tsv"):
         import csv
 
         with open(path, newline="") as f:
-            data = list(csv.DictReader(f))
+            head = f.read(64 * 1024)
+            f.seek(0)
+            if ext == ".tsv":
+                delim = "\t"
+            else:
+                # European exports ship ';' (and tab) under the .csv
+                # name constantly; sniff over the usual suspects with a
+                # comma fallback so plain files are untouched
+                try:
+                    delim = csv.Sniffer().sniff(head, ",;\t|").delimiter
+                except csv.Error:
+                    delim = ","
+            data = list(csv.DictReader(f, delimiter=delim))
     elif ext == ".toml":
         import tomllib
 

@@ -58,7 +58,7 @@ def _render_document_import(forest) -> None:
     ui = st()
     uploads = ui.file_uploader(
         "Document File",
-        [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".xls", ".xlsx",
+        [".json", ".toml", ".yml", ".yaml", ".xml", ".csv", ".tsv", ".xls", ".xlsx",
          ".ods", ".doc", ".docx", ".odt", ".rtf", ".ppt", ".pptx", ".odp",
          ".pdf", ".eml", ".msg", ".html", ".htm", ".md", ".epub", ".dbf",
          ".wk1", ".wks", ".slk", ".mbox"],

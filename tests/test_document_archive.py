@@ -68,3 +68,26 @@ def test_read_document_archive_corrupt_member_raises(spark, tmp_path):
     p.write_bytes(_zip_bytes([("t.wk1", b"\x99 not lotus")]))
     with pytest.raises(ValueError, match="BOF"):
         read_document_file(spark, str(p))
+
+
+def test_csv_delimiter_sniffing_and_tsv(spark, tmp_path):
+    """r14.5: ';'-separated 'CSV' (the European export shape) and .tsv
+    both parse into the same records as comma CSV."""
+    from architxt_spark.sources.documents import read_document_file
+
+    for name, text in (
+        ("comma.csv", "a,b\nx,y\n"),
+        ("semi.csv", "a;b\nx;y\n"),
+        ("tabs.tsv", "a\tb\nx\ty\n"),
+    ):
+        p = tmp_path / name
+        p.write_text(text)
+        nodes = read_document_file(spark, str(p))
+        vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
+        assert {"x", "y"} <= vals, name
+    # a comma CSV whose values contain semicolons must stay comma-split
+    p = tmp_path / "tricky.csv"
+    p.write_text("a,b\nu;v,w\n")
+    nodes = read_document_file(spark, str(p))
+    vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
+    assert "u;v" in vals and "w" in vals
