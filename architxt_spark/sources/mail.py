@@ -52,6 +52,17 @@ def read_eml_text(path_or_bytes, *, password: str = "") -> list[str]:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
     msg = email.message_from_bytes(data, policy=email.policy.default)
+
+    def part_text(part) -> str:
+        try:
+            return part.get_content()
+        except (LookupError, UnicodeError, ValueError, KeyError):
+            # real mail carries bogus charset labels and broken
+            # transfer encodings; degrade to latin-1 over the raw
+            # payload instead of crashing the whole ingest
+            raw = part.get_payload(decode=True) or b""
+            return raw.decode("latin-1", "replace")
+
     parts: list[str] = []
     html: list[str] = []
     for part in msg.walk():
@@ -59,9 +70,9 @@ def read_eml_text(path_or_bytes, *, password: str = "") -> list[str]:
             continue
         ctype = part.get_content_type()
         if ctype == "text/plain" and part.get_content_disposition() != "attachment":
-            parts.append(part.get_content())
+            parts.append(part_text(part))
         elif ctype == "text/html" and not html:
-            html.append(part.get_content())
+            html.append(part_text(part))
     if not parts and html:
         # tag-stripped fallback for html-only mail
         text = re.sub(r"<(script|style)\b.*?</\1>", " ", html[0],

@@ -112,3 +112,23 @@ def test_read_document_file_mbox_end_to_end(spark, tmp_path):
     nodes = read_document_file(spark, str(p))
     vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert {"Subject: alpha", "one", "two lines"} <= vals
+
+
+def test_mbox_corruption_never_crashes_unexpectedly():
+    import random
+
+    from architxt_spark.sources.mail import make_mbox_bytes, read_mbox_messages
+
+    rng = random.Random(11)
+    base = bytearray(make_mbox_bytes([("s1", "body one"), ("s2", "body two")]))
+    for trial in range(200):
+        blob = bytearray(base)
+        if trial % 2:
+            blob = blob[: rng.randrange(len(blob) + 1)]
+        for _ in range(rng.randrange(3)):
+            if blob:
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            read_mbox_messages(bytes(blob))
+        except (ValueError, NotImplementedError):
+            pass

@@ -71,3 +71,23 @@ def test_read_document_file_slk_end_to_end(spark, tmp_path):
     nodes = read_document_file(spark, str(p))
     vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert "widget" in vals and "semi;colon" in vals
+
+
+def test_slk_corruption_never_crashes_unexpectedly():
+    import random
+
+    from architxt_spark.sources.sylk import make_slk_bytes, read_slk_rows
+
+    rng = random.Random(9)
+    base = bytearray(make_slk_bytes(GRID))
+    for trial in range(400):
+        blob = bytearray(base)
+        if trial % 2:
+            blob = blob[: rng.randrange(len(blob) + 1)]
+        for _ in range(rng.randrange(3)):
+            if blob:
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            read_slk_rows(bytes(blob))
+        except (ValueError, NotImplementedError):
+            pass

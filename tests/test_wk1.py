@@ -124,3 +124,26 @@ def test_read_document_file_wk1_end_to_end(spark, tmp_path):
     nodes = read_document_file(spark, str(p))
     vals = {r.leaf_value for r in nodes.filter("leaf_value is not null").collect()}
     assert "widget" in vals and "gädget" in vals
+
+
+def test_wk1_corruption_never_crashes_unexpectedly():
+    """Truncations and byte flips of a valid worksheet must either
+    parse (possibly partially) or raise ValueError/NotImplementedError
+    — never an IndexError/struct.error escape."""
+    import random
+
+    from architxt_spark.sources.wk1 import make_wk1_bytes, read_wk1_rows
+
+    rng = random.Random(7)
+    base = bytearray(make_wk1_bytes(GRID, formula_cols=frozenset({1})))
+    for trial in range(400):
+        blob = bytearray(base)
+        if trial % 2:
+            blob = blob[: rng.randrange(len(blob) + 1)]
+        for _ in range(rng.randrange(3)):
+            if blob:
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            read_wk1_rows(bytes(blob))
+        except (ValueError, NotImplementedError):
+            pass
