@@ -1647,9 +1647,34 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                 elif d % 4 == 1:
                     palette = bytes((d * 13 + m * 29) % 256 for m in range(12))
                     indices = bytes((d + i) % 4 for i in range(w * h))
-                    content = make_gif_bytes(w, h, indices, palette)
-                    vals = list(decode_gif_pixels(content)[3])
-                    fmt = "gif"
+                    if d % 8 == 5:
+                        # r14.5: this residue travels as palette TIFF
+                        # (LZW at d%16==5, PackBits at d%16==13, byte
+                        # order rotating) — the ColorMap planes carry
+                        # the GIF palette's RGB bytes (<< 8), so the
+                        # decoded stream and the closed-form checksum
+                        # are IDENTICAL; only the fmt tag changes
+                        from architxt_spark.functions.tiff import (
+                            decode_tiff_pixels,
+                            make_tiff_bytes,
+                        )
+
+                        pal = (
+                            [v << 8 for v in palette[0::3]]
+                            + [v << 8 for v in palette[1::3]]
+                            + [v << 8 for v in palette[2::3]]
+                        )
+                        content = make_tiff_bytes(
+                            w, h, indices, palette=pal,
+                            compression=5 if d % 16 == 5 else 32773,
+                            big_endian=(d % 3 == 0),
+                        )
+                        vals = list(decode_tiff_pixels(content)[3])
+                        fmt = "tiff"
+                    else:
+                        content = make_gif_bytes(w, h, indices, palette)
+                        vals = list(decode_gif_pixels(content)[3])
+                        fmt = "gif"
                 elif d % 4 == 2:
                     # grayscale constant 8x8 blocks: the DC-only JPEG
                     # path is bit-exact, so the decoded pixels equal the
@@ -4902,7 +4927,8 @@ def _oracle_parts() -> dict[str, str]:
                    CASE doc_id % 4
                         WHEN 0 THEN CASE WHEN doc_id % 8 = 0
                                          THEN 'png_i' ELSE 'png' END
-                        WHEN 1 THEN 'gif'
+                        WHEN 1 THEN CASE WHEN doc_id % 8 = 5
+                                         THEN 'tiff' ELSE 'gif' END
                         WHEN 2 THEN CASE WHEN doc_id % 8 = 2
                                          THEN 'jpeg_prog' ELSE 'jpeg' END
                         ELSE 'wav' END,

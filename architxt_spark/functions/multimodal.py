@@ -385,6 +385,8 @@ def sniff_format(content: bytes) -> str | None:
         return "jpeg"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -682,6 +684,10 @@ def extract_features(
       codec); non-PNG content raises ``NotImplementedError``;
     - ``"gif"``: REAL pixels via :func:`decode_gif_pixels` (LZW decode +
       palette mapping, first frame) — same histogram over the RGB bytes;
+    - ``"tiff"``: REAL pixels via
+      :func:`architxt_spark.functions.tiff.decode_tiff_pixels` (strips,
+      LZW/Deflate/PackBits, predictor, palette — the scanned-document
+      shape) — same histogram over the samples;
     - ``"wav"``: REAL audio — :func:`decode_wav_samples` de-interleaves
       the PCM stream and the feature is the normalized 16-bin AMPLITUDE
       histogram (|sample| // 2048 for 16-bit) — silence lands in bin 0,
@@ -720,6 +726,10 @@ def extract_features(
                     from architxt_spark.functions.jpeg import decode_jpeg_pixels
 
                     _w, _h, _c, raw = decode_jpeg_pixels(raw)
+                elif mode == "tiff":
+                    from architxt_spark.functions.tiff import decode_tiff_pixels
+
+                    _w, _h, _c, raw = decode_tiff_pixels(raw)
                 elif mode == "strict":
                     decode_image(raw)
                 arr = np.frombuffer(raw, dtype=np.uint8)

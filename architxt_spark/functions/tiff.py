@@ -1,0 +1,486 @@
+"""TIFF (6.0 baseline + LZW/Deflate/PackBits) pixel codec — pure
+Python + stdlib zlib, no libtiff.
+
+Beyond-reference: TIFF is what scanned-document dumps and GIS/archival
+collections actually ship; the codec completes the still-image matrix
+next to PNG/GIF/JPEG.  ``decode_tiff_pixels`` reads the first IFD of a
+classic (non-Big) TIFF in either byte order: strip-organized images,
+``Compression`` 1 (none) / 5 (LZW, with the spec's early-change code
+widths) / 8 or 32946 (zlib) / 32773 (PackBits), horizontal-differencing
+``Predictor`` 2, ``PhotometricInterpretation`` 0/1 (bilevel+gray, white
+-is-zero inverted) / 2 (RGB, alpha kept) / 3 (palette via the 16-bit
+``ColorMap``, high byte), ``BitsPerSample`` 1/4/8/16 (16-bit reduces to
+the high byte — the same practical 8-bit view the PNG decoder takes).
+Tiled layouts, planar configuration 2, and the fax/JPEG compressions
+(CCITT G3/G4, old- and new-style JPEG) raise ``NotImplementedError``
+with guidance — honest gates, never silent data loss.
+
+``make_tiff_bytes`` is the encoder twin (both byte orders, every
+supported compression, predictor, multi-strip), so round-trips are
+EXACT — and the test suite additionally arbitrates both directions
+against the SYSTEM libtiff through ctypes when it is present (the
+DuckDB/libjpeg/libpng pattern).
+
+Scale posture: like the PNG/GIF/JPEG decoders this runs per-row inside
+the Arrow boundary (``extract_features(decoder="tiff")``); per-image
+cost is O(bytes).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+#: (II little / MM big) + magic 42
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+#: field type → (struct char, size); types the reader consumes
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i:i + b + 1]
+            i += b + 1
+        elif b > 128:
+            if i < n:
+                out += bytes([data[i]]) * (257 - b)
+                i += 1
+        # 128: no-op
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find a run
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal stretch up to the next >=3 run
+        j = i + 1
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (spec §13): MSB-first codes, 9-bit start,
+    Clear=256 / EOI=257, EARLY code-width change (at table sizes 511 /
+    1023 / 2047)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:  # Clear
+                reset()
+                prev = None
+                continue
+            if code == 257:  # EOI
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt TIFF LZW stream")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1  # early change: one code before the table fills
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(256, width)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        # the decoder builds entries one code behind the encoder and
+        # widens (early-change) when ITS table hits (1<<w)-1; with the
+        # lag that is nxt == 1<<w here — validated against libtiff in
+        # both directions
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4094:  # keep headroom, emit Clear and restart
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(257, width)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor(row: bytearray, ch: int) -> None:
+    for i in range(ch, len(row)):
+        row[i] = (row[i] + row[i - ch]) & 0xFF
+
+
+def _apply_predictor(row: bytearray, ch: int) -> None:
+    for i in range(len(row) - 1, ch - 1, -1):
+        row[i] = (row[i] - row[i - ch]) & 0xFF
+
+
+def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the first IFD of a TIFF to ``(width, height, channels,
+    raw)`` — row-major 8-bit samples."""
+    if len(content) < 8 or content[:4] not in _TIFF_MAGICS:
+        if content[:4] in (b"II+\x00", b"MM\x00+"):
+            raise NotImplementedError("BigTIFF needs libtiff; re-save classic")
+        raise ValueError("not a TIFF")
+    e = "<" if content[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(e + "I", content[4:8])
+    if ifd_off + 2 > len(content):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_entries,) = struct.unpack(e + "H", content[ifd_off:ifd_off + 2])
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        if at + 12 > len(content):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, cnt = struct.unpack(e + "HHI", content[at:at + 8])
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        raw = content[at + 8:at + 12]
+        if size > 4:
+            (off,) = struct.unpack(e + "I", raw)
+            raw = content[off:off + size]
+            if len(raw) < size:
+                raise ValueError("TIFF tag data out of range")
+        if typ == 3:
+            vals = list(struct.unpack(e + f"{cnt}H", raw[:2 * cnt]))
+        elif typ == 4:
+            vals = list(struct.unpack(e + f"{cnt}I", raw[:4 * cnt]))
+        elif typ == 1:
+            vals = list(raw[:cnt])
+        else:
+            continue  # rationals/ascii: not needed for pixels
+        tags[tag] = vals
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF needs libtiff; re-save stripped")
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF needs libtiff; re-save chunky")
+    comp = one(259, 1)
+    if comp in (2, 3, 4):
+        raise NotImplementedError(
+            "CCITT fax compression needs libtiff; re-save uncompressed"
+        )
+    if comp in (6, 7):
+        raise NotImplementedError("JPEG-in-TIFF needs libtiff; re-save")
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} needs libtiff")
+
+    w = one(256)
+    h = one(257)
+    spp = one(277, 1)
+    # decompression-bomb / corrupt-header guard: a crafted IFD must not
+    # drive gigabyte allocations before any pixel is produced
+    if not (0 < w and 0 < h and 0 < spp <= 4 and w * h * spp <= (1 << 28)):
+        raise ValueError("TIFF dimensions out of supported range")
+    bits = tags.get(258, [1])
+    depth = bits[0]
+    if any(b != depth for b in bits):
+        raise NotImplementedError("mixed per-sample bit depths need libtiff")
+    if depth not in (1, 4, 8, 16):
+        raise NotImplementedError(f"{depth}-bit TIFF samples need libtiff")
+    photo = one(262, 1)
+    predictor = one(317, 1)
+    rows_per_strip = min(one(278, h) or h, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets:
+        raise ValueError("TIFF without strip offsets")
+    if not counts:
+        counts = [len(content) - offsets[0]]
+
+    row_bytes = (w * spp * depth + 7) // 8
+    data = bytearray()
+    row0 = 0
+    for so, sc in zip(offsets, counts):
+        nrows = min(rows_per_strip, h - row0)
+        if nrows <= 0:
+            break
+        expected = row_bytes * nrows
+        chunk = content[so:so + sc]
+        if comp == 1:
+            got = chunk[:expected]
+        elif comp == 32773:
+            got = _packbits_decode(chunk, expected)
+        elif comp == 5:
+            got = _lzw_decode(chunk, expected)
+        else:
+            got = zlib.decompress(chunk)[:expected]
+        if len(got) < expected:
+            got = got + b"\x00" * (expected - len(got))
+        strip = bytearray(got)
+        if predictor == 2 and depth == 8:
+            for r in range(nrows):
+                row = strip[r * row_bytes:(r + 1) * row_bytes]
+                _undo_predictor(row, spp)
+                strip[r * row_bytes:(r + 1) * row_bytes] = row
+        data += strip
+        row0 += nrows
+
+    # sample expansion to 8-bit, row-major
+    if depth == 8:
+        samples = bytearray(data[:w * h * spp])
+    elif depth == 16:
+        hi = 0 if e == ">" else 1
+        samples = bytearray(
+            data[2 * i + hi] for i in range(w * h * spp)
+        )
+    else:  # 1/4-bit, single sample per pixel in practice
+        samples = bytearray()
+        per = 8 // depth
+        maxv = (1 << depth) - 1
+        for r in range(h):
+            row = data[r * row_bytes:(r + 1) * row_bytes]
+            vals = []
+            for byte in row:
+                for k in range(per):
+                    vals.append((byte >> (8 - depth * (k + 1))) & maxv)
+            samples += bytes(v * 255 // maxv for v in vals[:w * spp])
+
+    if photo == 0:  # white-is-zero: invert to the black-is-zero view
+        samples = bytearray(255 - s for s in samples)
+        return w, h, spp, bytes(samples)
+    if photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3:
+            raise ValueError("palette TIFF without a ColorMap")
+        ncol = len(cmap) // 3
+        out = bytearray()
+        for s in samples:
+            idx = s * ((1 << depth) - 1) // 255 if depth < 8 else s
+            if idx >= ncol:
+                raise ValueError("palette index outside the ColorMap")
+            out += bytes((
+                cmap[idx] >> 8, cmap[ncol + idx] >> 8, cmap[2 * ncol + idx] >> 8,
+            ))
+        return w, h, 3, bytes(out)
+    return w, h, spp, bytes(samples)
+
+
+def make_tiff_bytes(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    channels: int = 1,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+    photometric: int | None = None,
+    palette: list[int] | None = None,
+    bit_depth: int = 8,
+) -> bytes:
+    """Encoder twin: strip-organized classic TIFF in either byte order.
+    ``compression`` 1/5/8/32773, ``predictor`` 2 (8-bit only),
+    ``palette`` as flat RGB 16-bit triples (pixels become indices),
+    ``bit_depth`` 1/4 packs single-channel samples (given as VALUES
+    below the range), 16 widens 8-bit input (value << 8)."""
+    e = "<" if not big_endian else ">"
+    if photometric is None:
+        photometric = 3 if palette else (1 if channels == 1 else 2)
+    spp = channels
+    rps = rows_per_strip or height
+
+    # sample packing
+    if bit_depth == 8:
+        row_bytes = width * spp
+        rows = [
+            bytearray(pixels[r * row_bytes:(r + 1) * row_bytes])
+            for r in range(height)
+        ]
+    elif bit_depth == 16:
+        row_bytes = width * spp * 2
+        rows = []
+        for r in range(height):
+            row = bytearray()
+            for s in pixels[r * width * spp:(r + 1) * width * spp]:
+                row += struct.pack(e + "H", s << 8)
+            rows.append(row)
+    else:
+        per = 8 // bit_depth
+        row_bytes = (width * spp * bit_depth + 7) // 8
+        rows = []
+        for r in range(height):
+            vals = pixels[r * width:(r + 1) * width]
+            row = bytearray(row_bytes)
+            for i, v in enumerate(vals):
+                row[i // per] |= (v & ((1 << bit_depth) - 1)) << (
+                    8 - bit_depth * (i % per + 1)
+                )
+            rows.append(row)
+
+    strips: list[bytes] = []
+    for r0 in range(0, height, rps):
+        chunk_rows = rows[r0:r0 + rps]
+        if predictor == 2 and bit_depth == 8:
+            chunk_rows = [bytearray(r) for r in chunk_rows]
+            for row in chunk_rows:
+                _apply_predictor(row, spp)
+        raw = b"".join(bytes(r) for r in chunk_rows)
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        elif compression == 5:
+            strips.append(_lzw_encode(raw))
+        elif compression in (8, 32946):
+            strips.append(zlib.compress(raw))
+        else:
+            raise ValueError(f"unsupported twin compression {compression}")
+
+    entries: list[tuple[int, int, int, bytes]] = []  # tag, type, count, data
+
+    def tag_short(tag, *vals):
+        entries.append((tag, 3, len(vals), struct.pack(e + f"{len(vals)}H", *vals)))
+
+    def tag_long(tag, *vals):
+        entries.append((tag, 4, len(vals), struct.pack(e + f"{len(vals)}I", *vals)))
+
+    tag_long(256, width)
+    tag_long(257, height)
+    tag_short(258, *([bit_depth] * spp))
+    tag_short(259, compression)
+    tag_short(262, photometric)
+    tag_long(273, *([0] * len(strips)))  # patched below
+    tag_short(277, spp)
+    tag_long(278, rps)
+    tag_long(279, *(len(s) for s in strips))
+    if predictor != 1:
+        tag_short(317, predictor)
+    if palette:
+        # the spec's ColorMap is 3 * 2^depth entries; pad short test
+        # palettes the way real writers do
+        full = 3 * (1 << bit_depth)
+        ncol = len(palette) // 3
+        per = palette[:ncol], palette[ncol:2 * ncol], palette[2 * ncol:]
+        pad = (1 << bit_depth) - ncol
+        tag_short(320, *(per[0] + [0] * pad + per[1] + [0] * pad
+                         + per[2] + [0] * pad)[:full])
+    entries.sort()
+
+    # layout: header(8) + IFD + out-of-line tag data + strip data
+    ifd_at = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    data_at = ifd_at + ifd_len
+    blobs = bytearray()
+    fixed = []
+    for tag, typ, cnt, data in entries:
+        if len(data) <= 4:
+            fixed.append((tag, typ, cnt, data.ljust(4, b"\x00"), None))
+        else:
+            fixed.append((tag, typ, cnt, None, data_at + len(blobs)))
+            blobs += data
+            if len(blobs) % 2:
+                blobs += b"\x00"
+    strips_at = data_at + len(blobs)
+    offs = []
+    pos = strips_at
+    for s in strips:
+        offs.append(pos)
+        pos += len(s) + (len(s) % 2)
+
+    out = bytearray()
+    out += (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(e + "I", ifd_at)
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, inline, off in fixed:
+        if tag == 273:  # strip offsets, now known
+            data = struct.pack(e + f"{len(offs)}I", *offs)
+            if len(data) <= 4:
+                out += struct.pack(e + "HHI", tag, typ, cnt) + data.ljust(4, b"\x00")
+            else:
+                # reserve space was taken in blobs pass only when >4;
+                # recompute: replace the blob contents in place
+                at = off - data_at
+                blobs[at:at + len(data)] = data
+                out += struct.pack(e + "HHII", tag, typ, cnt, off)
+        elif inline is not None:
+            out += struct.pack(e + "HHI", tag, typ, cnt) + inline
+        else:
+            out += struct.pack(e + "HHII", tag, typ, cnt, off)
+    out += struct.pack(e + "I", 0)  # no next IFD
+    out += blobs
+    for s in strips:
+        out += s
+        if len(s) % 2:
+            out += b"\x00"
+    return bytes(out)
