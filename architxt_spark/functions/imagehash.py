@@ -82,6 +82,10 @@ def decode_gray(content: bytes) -> tuple[int, int, list[int]]:
         from architxt_spark.functions.jpeg import decode_jpeg_pixels
 
         w, h, ch, raw = decode_jpeg_pixels(content)
+    elif fmt == "tiff":
+        from architxt_spark.functions.tiff import decode_tiff_pixels
+
+        w, h, ch, raw = decode_tiff_pixels(content)
     else:
         raise ValueError(f"not a decodable image (sniffed {fmt!r})")
     return w, h, to_gray(raw, ch)

@@ -247,3 +247,17 @@ def test_libtiff_reads_our_big_endian_and_palette(libtiff, tmp_path):
         dtype=np.uint8,
     ).reshape(h, w, 3)
     assert np.array_equal(got, want)
+
+
+def test_imagehash_decodes_tiff():
+    """The image near-dup pipeline's sniff dispatch picks up TIFF: a
+    PNG and a TIFF of the SAME pixels hash identically."""
+    from architxt_spark.functions.imagehash import decode_gray
+    from architxt_spark.functions.multimodal import make_png_bytes
+
+    rng = np.random.default_rng(11)
+    w, h = 24, 16
+    px = bytes(rng.integers(0, 256, w * h, dtype=np.uint8))
+    via_tiff = decode_gray(make_tiff_bytes(w, h, px, compression=5))
+    via_png = decode_gray(make_png_bytes(w, h, px, color_type=0))
+    assert via_tiff == via_png == (w, h, list(px))
