@@ -236,18 +236,21 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     if one(284, 1) != 1:
         raise NotImplementedError("planar TIFF needs libtiff; re-save chunky")
     comp = one(259, 1)
-    if comp in (2, 3, 4):
-        raise NotImplementedError(
-            "CCITT fax compression needs libtiff; re-save uncompressed"
-        )
     if comp in (6, 7):
         raise NotImplementedError("JPEG-in-TIFF needs libtiff; re-save")
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 2, 3, 4, 5, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp} needs libtiff")
+    t4_options = one(292, 0)
+    if comp == 4 and one(293, 0) & 2:
+        raise NotImplementedError(
+            "G4 uncompressed mode (T6Options bit 1) needs libtiff"
+        )
 
     w = one(256)
     h = one(257)
     spp = one(277, 1)
+    if comp in (2, 3, 4) and (spp != 1 or tags.get(258, [1])[0] != 1):
+        raise ValueError("CCITT-compressed TIFF must be 1-bit single-sample")
     # decompression-bomb / corrupt-header guard: a crafted IFD must not
     # drive gigabyte allocations before any pixel is produced
     if not (0 < w and 0 < h and 0 < spp <= 4 and w * h * spp <= (1 << 28)):
@@ -283,6 +286,10 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             got = _packbits_decode(chunk, expected)
         elif comp == 5:
             got = _lzw_decode(chunk, expected)
+        elif comp in (2, 3, 4):
+            from architxt_spark.functions.ccitt import ccitt_decode
+
+            got = ccitt_decode(chunk, w, nrows, comp, t4_options=t4_options)
         else:
             got = zlib.decompress(chunk)[:expected]
         if len(got) < expected:
@@ -357,7 +364,10 @@ def make_tiff_bytes(
     below the range), 16 widens 8-bit input (value << 8)."""
     e = "<" if not big_endian else ">"
     if photometric is None:
-        photometric = 3 if palette else (1 if channels == 1 else 2)
+        # fax compressions conventionally ship min-is-white
+        photometric = 3 if palette else (
+            0 if compression in (2, 4) else (1 if channels == 1 else 2)
+        )
     spp = channels
     rps = rows_per_strip or height
 
@@ -405,6 +415,14 @@ def make_tiff_bytes(
             strips.append(_lzw_encode(raw))
         elif compression in (8, 32946):
             strips.append(zlib.compress(raw))
+        elif compression in (2, 4):
+            if bit_depth != 1 or channels != 1:
+                raise ValueError("CCITT twins are 1-bit single-sample")
+            from architxt_spark.functions.ccitt import ccitt_encode
+
+            strips.append(
+                ccitt_encode(raw, width, len(chunk_rows), compression)
+            )
         else:
             raise ValueError(f"unsupported twin compression {compression}")
 

@@ -85,13 +85,13 @@ def test_tiff_gates_and_errors():
     with pytest.raises(NotImplementedError, match="BigTIFF"):
         decode_tiff_pixels(b"II+\x00" + b"\x00" * 12)
     base = bytearray(make_tiff_bytes(4, 4, bytes(16)))
-    # flip Compression (tag 259) to CCITT G4 → fax gate
+    # flip Compression (tag 259) to old-style JPEG → still a gate
     at = base.find(struct.pack("<HH", 259, 3))
     assert at > 0
-    ccitt = bytearray(base)
-    ccitt[at + 8] = 4
-    with pytest.raises(NotImplementedError, match="CCITT"):
-        decode_tiff_pixels(bytes(ccitt))
+    ojpeg = bytearray(base)
+    ojpeg[at + 8] = 6
+    with pytest.raises(NotImplementedError, match="JPEG-in-TIFF"):
+        decode_tiff_pixels(bytes(ojpeg))
 
 
 def test_tiff_corruption_never_crashes_unexpectedly():
