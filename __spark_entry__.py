@@ -1648,29 +1648,38 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                     palette = bytes((d * 13 + m * 29) % 256 for m in range(12))
                     indices = bytes((d + i) % 4 for i in range(w * h))
                     if d % 8 == 5:
-                        # r14.5: this residue travels as palette TIFF
-                        # (LZW at d%16==5, PackBits at d%16==13, byte
-                        # order rotating) — the ColorMap planes carry
-                        # the GIF palette's RGB bytes (<< 8), so the
-                        # decoded stream and the closed-form checksum
-                        # are IDENTICAL; only the fmt tag changes
+                        # r14.5: this residue travels as TIFF — palette
+                        # LZW at d%16==5 (ColorMap planes carry the GIF
+                        # palette's RGB bytes << 8, so the decoded
+                        # stream and checksum are IDENTICAL to gif's),
+                        # and CCITT G4 fax at d%16==13 (the indices'
+                        # low bit as ink on a min-is-white page, so the
+                        # black-is-zero view is the closed form
+                        # 255 - 255*((d+i)%4%2))
                         from architxt_spark.functions.tiff import (
                             decode_tiff_pixels,
                             make_tiff_bytes,
                         )
 
-                        pal = (
-                            [v << 8 for v in palette[0::3]]
-                            + [v << 8 for v in palette[1::3]]
-                            + [v << 8 for v in palette[2::3]]
-                        )
-                        content = make_tiff_bytes(
-                            w, h, indices, palette=pal,
-                            compression=5 if d % 16 == 5 else 32773,
-                            big_endian=(d % 3 == 0),
-                        )
+                        if d % 16 == 13:
+                            bits = bytes(b % 2 for b in indices)
+                            content = make_tiff_bytes(
+                                w, h, bits, bit_depth=1, compression=4,
+                                big_endian=(d % 3 == 0),
+                            )
+                        else:
+                            pal = (
+                                [v << 8 for v in palette[0::3]]
+                                + [v << 8 for v in palette[1::3]]
+                                + [v << 8 for v in palette[2::3]]
+                            )
+                            content = make_tiff_bytes(
+                                w, h, indices, palette=pal,
+                                compression=5,
+                                big_endian=(d % 3 == 0),
+                            )
                         vals = list(decode_tiff_pixels(content)[3])
-                        fmt = "tiff"
+                        fmt = "tiff_g4" if d % 16 == 13 else "tiff"
                     else:
                         content = make_gif_bytes(w, h, indices, palette)
                         vals = list(decode_gif_pixels(content)[3])
@@ -4927,8 +4936,9 @@ def _oracle_parts() -> dict[str, str]:
                    CASE doc_id % 4
                         WHEN 0 THEN CASE WHEN doc_id % 8 = 0
                                          THEN 'png_i' ELSE 'png' END
-                        WHEN 1 THEN CASE WHEN doc_id % 8 = 5
-                                         THEN 'tiff' ELSE 'gif' END
+                        WHEN 1 THEN CASE WHEN doc_id % 16 = 13 THEN 'tiff_g4'
+                                         WHEN doc_id % 8 = 5 THEN 'tiff'
+                                         ELSE 'gif' END
                         WHEN 2 THEN CASE WHEN doc_id % 8 = 2
                                          THEN 'jpeg_prog' ELSE 'jpeg' END
                         ELSE 'wav' END,
@@ -4936,9 +4946,13 @@ def _oracle_parts() -> dict[str, str]:
                      WHEN 0 THEN list_sum(list_transform(
                          range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3),
                          i -> ((doc_id * 31 + i * 7) % 256) * (i + 1)))
-                     WHEN 1 THEN list_sum(list_transform(
+                     WHEN 1 THEN CASE WHEN doc_id % 16 = 13
+                       THEN list_sum(list_transform(
+                         range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2)),
+                         i -> (255 - 255 * (((doc_id + i) % 4) % 2)) * (i + 1)))
+                       ELSE list_sum(list_transform(
                          range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3),
-                         j -> ((doc_id * 13 + (3 * ((doc_id + j // 3) % 4) + (j % 3)) * 29) % 256) * (j + 1)))
+                         j -> ((doc_id * 13 + (3 * ((doc_id + j // 3) % 4) + (j % 3)) * 29) % 256) * (j + 1))) END
                      WHEN 2 THEN list_sum(list_transform(
                          range(0, 64 * (doc_id % 3 + 1) * (doc_id % 2 + 1)),
                          p -> ((doc_id * 37
@@ -4952,7 +4966,8 @@ def _oracle_parts() -> dict[str, str]:
                    CAST(CASE doc_id % 4
                      WHEN 2 THEN 64 * (doc_id % 3 + 1) * (doc_id % 2 + 1)
                      WHEN 3 THEN ((doc_id // 2) % 2 + 1) * (doc_id % 50 + 8)
-                     ELSE (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3
+                     ELSE (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2)
+                          * (CASE WHEN doc_id % 16 = 13 THEN 1 ELSE 3 END)
                    END AS BIGINT),
                    CAST(NULL AS BIGINT)
             FROM documents
