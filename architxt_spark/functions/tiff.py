@@ -217,7 +217,7 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             vals = list(struct.unpack(e + f"{cnt}H", raw[:2 * cnt]))
         elif typ == 4:
             vals = list(struct.unpack(e + f"{cnt}I", raw[:4 * cnt]))
-        elif typ == 1:
+        elif typ in (1, 7):  # BYTE / UNDEFINED (e.g. JPEGTables)
             vals = list(raw[:cnt])
         else:
             continue  # rationals/ascii: not needed for pixels
@@ -236,9 +236,12 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     if one(284, 1) != 1:
         raise NotImplementedError("planar TIFF needs libtiff; re-save chunky")
     comp = one(259, 1)
-    if comp in (6, 7):
-        raise NotImplementedError("JPEG-in-TIFF needs libtiff; re-save")
-    if comp not in (1, 2, 3, 4, 5, 8, 32946, 32773):
+    if comp == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (Compression=6, the withdrawn TIFF "
+            "6.0 scheme) needs libtiff; re-save as Compression=7"
+        )
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp} needs libtiff")
     t4_options = one(292, 0)
     if comp == 4 and one(293, 0) & 2:
@@ -270,6 +273,31 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("TIFF without strip offsets")
     if not counts:
         counts = [len(content) - offsets[0]]
+
+    if comp == 7:
+        # new-style JPEG-in-TIFF: each strip is a JPEG stream (with
+        # shared tables spliced in from the JPEGTables tag when the
+        # strips travel abbreviated), decoded by the in-repo codec
+        from architxt_spark.functions.jpeg import decode_jpeg_pixels
+
+        tables = bytes(tags.get(347, []))
+        parts: list[bytes] = []
+        ch_out = spp
+        row0 = 0
+        for so, sc in zip(offsets, counts):
+            nrows = min(rows_per_strip, h - row0)
+            if nrows <= 0:
+                break
+            stream = content[so:so + sc]
+            if len(tables) > 4 and stream[:2] == b"\xff\xd8":
+                stream = stream[:2] + tables[2:-2] + stream[2:]
+            sw, sh, sch, raw = decode_jpeg_pixels(stream)
+            if sw != w or sh < nrows:
+                raise ValueError("JPEG strip dimensions disagree with the IFD")
+            ch_out = sch
+            parts.append(raw[: w * nrows * sch])
+            row0 += nrows
+        return w, h, ch_out, b"".join(parts)
 
     row_bytes = (w * spp * depth + 7) // 8
     data = bytearray()
@@ -364,9 +392,12 @@ def make_tiff_bytes(
     below the range), 16 widens 8-bit input (value << 8)."""
     e = "<" if not big_endian else ">"
     if photometric is None:
-        # fax compressions conventionally ship min-is-white
+        # fax compressions conventionally ship min-is-white; JPEG color
+        # strips are YCbCr inside, so declare photometric 6
         photometric = 3 if palette else (
-            0 if compression in (2, 4) else (1 if channels == 1 else 2)
+            0 if compression in (2, 4)
+            else 6 if compression == 7 and channels == 3
+            else (1 if channels == 1 else 2)
         )
     spp = channels
     rps = rows_per_strip or height
@@ -422,6 +453,16 @@ def make_tiff_bytes(
 
             strips.append(
                 ccitt_encode(raw, width, len(chunk_rows), compression)
+            )
+        elif compression == 7:
+            if bit_depth != 8:
+                raise ValueError("JPEG-in-TIFF twins are 8-bit")
+            from architxt_spark.functions.jpeg import make_jpeg_bytes
+
+            strips.append(
+                make_jpeg_bytes(
+                    width, len(chunk_rows), raw, channels=channels
+                )
             )
         else:
             raise ValueError(f"unsupported twin compression {compression}")

@@ -261,3 +261,95 @@ def test_imagehash_decodes_tiff():
     via_tiff = decode_gray(make_tiff_bytes(w, h, px, compression=5))
     via_png = decode_gray(make_png_bytes(w, h, px, color_type=0))
     assert via_tiff == via_png == (w, h, list(px))
+
+
+# --- r14.5: new-style JPEG-in-TIFF (Compression=7) ---
+
+
+def test_tiff_jpeg_compression_self_roundtrip():
+    """Constant 8x8 blocks travel DC-exactly through the JPEG strips,
+    so gray decodes bit-exactly and color within YCbCr rounding."""
+    rng = np.random.default_rng(21)
+    for ch, tol in ((1, 0), (3, 2)):
+        for rps in (None, 8):
+            w, h = 32, 24
+            img = np.zeros((h, w, ch), np.uint8)
+            for by in range(3):
+                for bx in range(4):
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = rng.integers(0, 256, ch)
+            blob = make_tiff_bytes(
+                w, h, img.tobytes(), channels=ch, compression=7,
+                rows_per_strip=rps,
+            )
+            got = decode_tiff_pixels(blob)
+            assert got[:3] == (w, h, ch)
+            diff = np.abs(
+                np.frombuffer(got[3], np.uint8).astype(int) - img.flatten().astype(int)
+            ).max()
+            assert diff <= tol, (ch, rps, diff)
+
+
+def test_libtiff_jpeg_compression_interop(libtiff, tmp_path):
+    """libtiff writes Compression=7 (abbreviated strips + the
+    JPEGTables tag, exercising the splice) and reads our full-stream
+    strips back; both within JPEG rounding."""
+    rng = np.random.default_rng(23)
+    for ch in (1, 3):
+        w, h = 48, 32
+        img = np.zeros((h, w, ch), np.uint8)
+        for by in range(4):
+            for bx in range(6):
+                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = rng.integers(0, 256, ch)
+        raw = img.tobytes()
+        p = str(tmp_path / "j.tif")
+        tif = libtiff.TIFFOpen(p.encode(), b"w")
+        assert tif
+
+        def setf(tag, *vals):
+            assert libtiff.TIFFSetField(
+                ctypes.c_void_p(tif), ctypes.c_uint32(tag), *vals
+            ), tag
+
+        setf(256, ctypes.c_uint32(w))
+        setf(257, ctypes.c_uint32(h))
+        setf(258, ctypes.c_uint16(8))
+        setf(277, ctypes.c_uint16(ch))
+        setf(259, ctypes.c_uint16(7))
+        setf(262, ctypes.c_uint16(1 if ch == 1 else 6))
+        setf(284, ctypes.c_uint16(1))
+        setf(278, ctypes.c_uint32(16))
+        if ch == 3:
+            setf(530, ctypes.c_uint16(1), ctypes.c_uint16(1))  # 4:4:4
+        setf(65537, ctypes.c_int(95))  # JPEGQUALITY
+        setf(65538, ctypes.c_int(1))  # JPEGCOLORMODE_RGB
+        stride = w * ch
+        for y in range(h):
+            buf = ctypes.create_string_buffer(raw[y * stride:(y + 1) * stride], stride)
+            assert libtiff.TIFFWriteScanline(
+                ctypes.c_void_p(tif), buf, ctypes.c_uint32(y), ctypes.c_uint16(0)
+            ) == 1
+        libtiff.TIFFClose(ctypes.c_void_p(tif))
+        with open(p, "rb") as f:
+            got = decode_tiff_pixels(f.read())
+        assert got[:3] == (w, h, ch)
+        diff = np.abs(
+            np.frombuffer(got[3], np.uint8).astype(int) - img.flatten().astype(int)
+        ).max()
+        assert diff <= 4, ("lib->mine", ch, diff)
+
+        blob = make_tiff_bytes(w, h, raw, channels=ch, compression=7)
+        p2 = str(tmp_path / "m.tif")
+        with open(p2, "wb") as f:
+            f.write(blob)
+        rgb = _lib_read_rgb(libtiff, p2, w, h)
+        if ch == 1:
+            diff = np.abs(
+                rgb[..., 0].astype(int)
+                - np.frombuffer(raw, np.uint8).reshape(h, w).astype(int)
+            ).max()
+        else:
+            diff = np.abs(
+                rgb.astype(int)
+                - np.frombuffer(raw, np.uint8).reshape(h, w, 3).astype(int)
+            ).max()
+        assert diff <= 4, ("mine->lib", ch, diff)
