@@ -11,15 +11,21 @@ widths) / 8 or 32946 (zlib) / 32773 (PackBits), horizontal-differencing
 -is-zero inverted) / 2 (RGB, alpha kept) / 3 (palette via the 16-bit
 ``ColorMap``, high byte), ``BitsPerSample`` 1/4/8/16 (16-bit reduces to
 the high byte — the same practical 8-bit view the PNG decoder takes).
-Tiled layouts, planar configuration 2, and the fax/JPEG compressions
-(CCITT G3/G4, old- and new-style JPEG) raise ``NotImplementedError``
-with guidance — honest gates, never silent data loss.
+Both layout flavors decode — strips and TILES (322/323/324/325, the
+GIS/large-scan shape, partial edge tiles cropped) — and the fax/JPEG
+compressions are first-class: CCITT G3/G4 through
+:mod:`architxt_spark.functions.ccitt` and new-style JPEG-in-TIFF
+(``Compression=7``) through the in-repo JPEG codec with JPEGTables
+splicing.  Planar configuration 2, BigTIFF, and the withdrawn
+old-style JPEG (``Compression=6``) raise ``NotImplementedError`` with
+guidance — honest gates, never silent data loss.
 
 ``make_tiff_bytes`` is the encoder twin (both byte orders, every
-supported compression, predictor, multi-strip), so round-trips are
-EXACT — and the test suite additionally arbitrates both directions
-against the SYSTEM libtiff through ctypes when it is present (the
-DuckDB/libjpeg/libpng pattern).
+supported compression, predictor, multi-strip, 8-bit tiled), so
+round-trips are EXACT for the lossless compressions — and the test
+suite additionally arbitrates both directions against the SYSTEM
+libtiff through ctypes when it is present (the DuckDB/libjpeg/libpng
+pattern).
 
 Scale posture: like the PNG/GIF/JPEG decoders this runs per-row inside
 the Arrow boundary (``extract_features(decoder="tiff")``); per-image
@@ -231,8 +237,7 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             return default
         return v[0]
 
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF needs libtiff; re-save stripped")
+    tiled = 322 in tags or 323 in tags
     if one(284, 1) != 1:
         raise NotImplementedError("planar TIFF needs libtiff; re-save chunky")
     comp = one(259, 1)
@@ -266,48 +271,37 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(f"{depth}-bit TIFF samples need libtiff")
     photo = one(262, 1)
     predictor = one(317, 1)
-    rows_per_strip = min(one(278, h) or h, h)
-    offsets = tags.get(273)
-    counts = tags.get(279)
+    if tiled:
+        tile_w = one(322)
+        tile_h = one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not (0 < tile_w and 0 < tile_h
+                and tile_w * tile_h * spp <= (1 << 28)):
+            raise ValueError("TIFF tile dimensions out of range")
+    else:
+        rows_per_strip = min(one(278, h) or h, h)
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if offsets and not counts:
+            counts = [len(content) - offsets[0]]
     if not offsets:
-        raise ValueError("TIFF without strip offsets")
-    if not counts:
-        counts = [len(content) - offsets[0]]
+        raise ValueError("TIFF without strip/tile offsets")
 
-    if comp == 7:
-        # new-style JPEG-in-TIFF: each strip is a JPEG stream (with
-        # shared tables spliced in from the JPEGTables tag when the
-        # strips travel abbreviated), decoded by the in-repo codec
+    tables = bytes(tags.get(347, []))
+
+    def decode_jpeg_block(chunk: bytes):
         from architxt_spark.functions.jpeg import decode_jpeg_pixels
 
-        tables = bytes(tags.get(347, []))
-        parts: list[bytes] = []
-        ch_out = spp
-        row0 = 0
-        for so, sc in zip(offsets, counts):
-            nrows = min(rows_per_strip, h - row0)
-            if nrows <= 0:
-                break
-            stream = content[so:so + sc]
-            if len(tables) > 4 and stream[:2] == b"\xff\xd8":
-                stream = stream[:2] + tables[2:-2] + stream[2:]
-            sw, sh, sch, raw = decode_jpeg_pixels(stream)
-            if sw != w or sh < nrows:
-                raise ValueError("JPEG strip dimensions disagree with the IFD")
-            ch_out = sch
-            parts.append(raw[: w * nrows * sch])
-            row0 += nrows
-        return w, h, ch_out, b"".join(parts)
+        if len(tables) > 4 and chunk[:2] == b"\xff\xd8":
+            chunk = chunk[:2] + tables[2:-2] + chunk[2:]
+        return decode_jpeg_pixels(chunk)
 
-    row_bytes = (w * spp * depth + 7) // 8
-    data = bytearray()
-    row0 = 0
-    for so, sc in zip(offsets, counts):
-        nrows = min(rows_per_strip, h - row0)
-        if nrows <= 0:
-            break
-        expected = row_bytes * nrows
-        chunk = content[so:so + sc]
+    def decode_block(chunk: bytes, bw: int, nrows: int) -> bytes:
+        """One compressed strip/tile → expanded 8-bit samples
+        (``bw * spp`` per row, ``nrows`` rows)."""
+        rb = (bw * spp * depth + 7) // 8
+        expected = rb * nrows
         if comp == 1:
             got = chunk[:expected]
         elif comp == 32773:
@@ -317,39 +311,91 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         elif comp in (2, 3, 4):
             from architxt_spark.functions.ccitt import ccitt_decode
 
-            got = ccitt_decode(chunk, w, nrows, comp, t4_options=t4_options)
+            got = ccitt_decode(chunk, bw, nrows, comp, t4_options=t4_options)
         else:
             got = zlib.decompress(chunk)[:expected]
         if len(got) < expected:
             got = got + b"\x00" * (expected - len(got))
-        strip = bytearray(got)
+        block = bytearray(got)
         if predictor == 2 and depth == 8:
             for r in range(nrows):
-                row = strip[r * row_bytes:(r + 1) * row_bytes]
+                row = block[r * rb:(r + 1) * rb]
                 _undo_predictor(row, spp)
-                strip[r * row_bytes:(r + 1) * row_bytes] = row
-        data += strip
-        row0 += nrows
-
-    # sample expansion to 8-bit, row-major
-    if depth == 8:
-        samples = bytearray(data[:w * h * spp])
-    elif depth == 16:
-        hi = 0 if e == ">" else 1
-        samples = bytearray(
-            data[2 * i + hi] for i in range(w * h * spp)
-        )
-    else:  # 1/4-bit, single sample per pixel in practice
-        samples = bytearray()
+                block[r * rb:(r + 1) * rb] = row
+        if depth == 8:
+            return bytes(block[:bw * spp * nrows])
+        if depth == 16:
+            hi = 0 if e == ">" else 1
+            return bytes(block[2 * i + hi] for i in range(bw * spp * nrows))
         per = 8 // depth
         maxv = (1 << depth) - 1
-        for r in range(h):
-            row = data[r * row_bytes:(r + 1) * row_bytes]
+        out = bytearray()
+        for r in range(nrows):
+            row = block[r * rb:(r + 1) * rb]
             vals = []
             for byte in row:
                 for k in range(per):
                     vals.append((byte >> (8 - depth * (k + 1))) & maxv)
-            samples += bytes(v * 255 // maxv for v in vals[:w * spp])
+            out += bytes(v * 255 // maxv for v in vals[:bw * spp])
+        return bytes(out)
+
+    ch_out = spp
+    if tiled:
+        samples = None
+        ti = 0
+        for ty in range(0, h, tile_h):
+            for tx in range(0, w, tile_w):
+                if ti >= len(offsets):
+                    raise ValueError("TIFF tile grid short of offsets")
+                so = offsets[ti]
+                sc = counts[ti] if ti < len(counts or []) else len(content) - so
+                ti += 1
+                chunk = content[so:so + sc]
+                if comp == 7:
+                    bw_, bh_, ch_out, block = decode_jpeg_block(chunk)
+                    if bw_ < min(tile_w, 1) or bh_ < 1:
+                        raise ValueError("JPEG tile dimensions disagree")
+                    src_w = bw_
+                else:
+                    block = decode_block(chunk, tile_w, tile_h)
+                    src_w = tile_w
+                if samples is None:
+                    samples = bytearray(w * h * ch_out)
+                copy_w = min(tile_w, w - tx)
+                for r in range(min(tile_h, h - ty)):
+                    src = block[r * src_w * ch_out:
+                                r * src_w * ch_out + copy_w * ch_out]
+                    dst = ((ty + r) * w + tx) * ch_out
+                    samples[dst:dst + len(src)] = src
+        samples = samples if samples is not None else bytearray()
+    elif comp == 7:
+        # new-style JPEG-in-TIFF strips: each a JPEG stream (shared
+        # DQT/DHT spliced in from JPEGTables when abbreviated)
+        parts: list[bytes] = []
+        row0 = 0
+        for so, sc in zip(offsets, counts):
+            nrows = min(rows_per_strip, h - row0)
+            if nrows <= 0:
+                break
+            sw, sh, ch_out, raw = decode_jpeg_block(content[so:so + sc])
+            if sw != w or sh < nrows:
+                raise ValueError("JPEG strip dimensions disagree with the IFD")
+            parts.append(raw[: w * nrows * ch_out])
+            row0 += nrows
+        return w, h, ch_out, b"".join(parts)
+    else:
+        samples = bytearray()
+        row0 = 0
+        for so, sc in zip(offsets, counts):
+            nrows = min(rows_per_strip, h - row0)
+            if nrows <= 0:
+                break
+            samples += decode_block(content[so:so + sc], w, nrows)
+            row0 += nrows
+        samples = bytearray(samples[:w * h * spp])
+
+    if comp == 7:  # tiled JPEG: color space already handled per tile
+        return w, h, ch_out, bytes(samples)
 
     if photo == 0:  # white-is-zero: invert to the black-is-zero view
         samples = bytearray(255 - s for s in samples)
@@ -384,6 +430,7 @@ def make_tiff_bytes(
     photometric: int | None = None,
     palette: list[int] | None = None,
     bit_depth: int = 8,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encoder twin: strip-organized classic TIFF in either byte order.
     ``compression`` 1/5/8/32773, ``predictor`` 2 (8-bit only),
@@ -430,9 +477,33 @@ def make_tiff_bytes(
                 )
             rows.append(row)
 
+    if tile is not None:
+        if bit_depth != 8:
+            raise ValueError("tiled twins are 8-bit")
+        tw_, th_ = tile
+        blocks: list[list[bytearray]] = []
+        for ty in range(0, height, th_):
+            for tx in range(0, width, tw_):
+                trows = []
+                for r in range(th_):
+                    y = ty + r
+                    if y < height:
+                        seg = rows[y][tx * spp:(tx + tw_) * spp]
+                    else:
+                        seg = b""
+                    trows.append(
+                        bytearray(seg) + bytearray(tw_ * spp - len(seg))
+                    )
+                blocks.append(trows)
+        chunk_iter = blocks
+    else:
+        chunk_iter = [
+            rows[r0:r0 + rps] for r0 in range(0, height, rps)
+        ]
+
     strips: list[bytes] = []
-    for r0 in range(0, height, rps):
-        chunk_rows = rows[r0:r0 + rps]
+    for chunk_rows in chunk_iter:
+        block_w = tile[0] if tile is not None else width
         if predictor == 2 and bit_depth == 8:
             chunk_rows = [bytearray(r) for r in chunk_rows]
             for row in chunk_rows:
@@ -452,7 +523,7 @@ def make_tiff_bytes(
             from architxt_spark.functions.ccitt import ccitt_encode
 
             strips.append(
-                ccitt_encode(raw, width, len(chunk_rows), compression)
+                ccitt_encode(raw, block_w, len(chunk_rows), compression)
             )
         elif compression == 7:
             if bit_depth != 8:
@@ -461,7 +532,7 @@ def make_tiff_bytes(
 
             strips.append(
                 make_jpeg_bytes(
-                    width, len(chunk_rows), raw, channels=channels
+                    block_w, len(chunk_rows), raw, channels=channels
                 )
             )
         else:
@@ -480,10 +551,16 @@ def make_tiff_bytes(
     tag_short(258, *([bit_depth] * spp))
     tag_short(259, compression)
     tag_short(262, photometric)
-    tag_long(273, *([0] * len(strips)))  # patched below
     tag_short(277, spp)
-    tag_long(278, rps)
-    tag_long(279, *(len(s) for s in strips))
+    if tile is not None:
+        tag_long(322, tile[0])
+        tag_long(323, tile[1])
+        tag_long(324, *([0] * len(strips)))  # patched below
+        tag_long(325, *(len(s) for s in strips))
+    else:
+        tag_long(273, *([0] * len(strips)))  # patched below
+        tag_long(278, rps)
+        tag_long(279, *(len(s) for s in strips))
     if predictor != 1:
         tag_short(317, predictor)
     if palette:
@@ -522,7 +599,7 @@ def make_tiff_bytes(
     out += (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(e + "I", ifd_at)
     out += struct.pack(e + "H", len(entries))
     for tag, typ, cnt, inline, off in fixed:
-        if tag == 273:  # strip offsets, now known
+        if tag in (273, 324):  # strip/tile offsets, now known
             data = struct.pack(e + f"{len(offs)}I", *offs)
             if len(data) <= 4:
                 out += struct.pack(e + "HHI", tag, typ, cnt) + data.ljust(4, b"\x00")

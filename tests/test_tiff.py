@@ -353,3 +353,112 @@ def test_libtiff_jpeg_compression_interop(libtiff, tmp_path):
                 - np.frombuffer(raw, np.uint8).reshape(h, w, 3).astype(int)
             ).max()
         assert diff <= 4, ("mine->lib", ch, diff)
+
+
+# --- r14.5: tiled layout ---
+
+
+def test_tiff_tiled_roundtrip_matrix():
+    """Tiles (incl. partial edge tiles) across the lossless
+    compressions; tiled JPEG DC-exact on constant blocks."""
+    rng = np.random.default_rng(31)
+    for ch in (1, 3):
+        for comp in (1, 5, 8, 32773):
+            for tile in ((8, 8), (16, 8), (5, 6)):
+                w, h = 23, 17
+                px = bytes(rng.integers(0, 256, w * h * ch, dtype=np.uint8))
+                blob = make_tiff_bytes(
+                    w, h, px, channels=ch, compression=comp, tile=tile
+                )
+                assert decode_tiff_pixels(blob) == (w, h, ch, px), (
+                    ch, comp, tile,
+                )
+
+
+def test_libtiff_tiled_interop(libtiff, tmp_path):
+    """libtiff writes tiled LZW and tiled G4 via TIFFWriteTile; our
+    reader pastes the tile grid exactly — and libtiff reads our tiled
+    twin back through TIFFReadRGBAImage."""
+    rng = np.random.default_rng(33)
+    w, h = 40, 28
+
+    def lib_write_tiled(path, ch, raw_or_bits, comp, depth):
+        tif = libtiff.TIFFOpen(path.encode(), b"w")
+        assert tif
+
+        def setf(tag, *vals):
+            assert libtiff.TIFFSetField(
+                ctypes.c_void_p(tif), ctypes.c_uint32(tag), *vals
+            ), tag
+
+        setf(256, ctypes.c_uint32(w))
+        setf(257, ctypes.c_uint32(h))
+        setf(258, ctypes.c_uint16(depth))
+        setf(277, ctypes.c_uint16(ch))
+        setf(259, ctypes.c_uint16(comp))
+        setf(262, ctypes.c_uint16(0 if comp == 4 else (1 if ch == 1 else 2)))
+        setf(284, ctypes.c_uint16(1))
+        setf(322, ctypes.c_uint32(16))
+        setf(323, ctypes.c_uint32(16))
+        tile_bytes = (16 * depth + 7) // 8 * 16 * (ch if depth == 8 else 1)
+        for ty in range(0, h, 16):
+            for tx in range(0, w, 16):
+                buf = ctypes.create_string_buffer(bytes(tile_bytes), tile_bytes)
+                # fill the tile from the source, zero-padded at edges
+                for r in range(16):
+                    y = ty + r
+                    if y >= h:
+                        break
+                    if depth == 8:
+                        src = raw_or_bits[
+                            (y * w + tx) * ch:(y * w + min(tx + 16, w)) * ch
+                        ]
+                        buf[r * 16 * ch:r * 16 * ch + len(src)] = src
+                    else:  # 1-bit packed source rows
+                        rb = (w + 7) // 8
+                        for c in range(min(16, w - tx)):
+                            x = tx + c
+                            bit = (raw_or_bits[y * rb + (x >> 3)] >> (7 - (x & 7))) & 1
+                            if bit:
+                                idx = r * 2 + (c >> 3)
+                                buf[idx] = bytes([buf[idx][0] | (0x80 >> (c & 7))])
+                assert libtiff.TIFFWriteTile(
+                    ctypes.c_void_p(tif), buf, ctypes.c_uint32(tx),
+                    ctypes.c_uint32(ty), ctypes.c_uint32(0), ctypes.c_uint16(0),
+                ) > 0
+        libtiff.TIFFClose(ctypes.c_void_p(tif))
+
+    # tiled LZW gray: exact
+    raw = bytes(rng.integers(0, 256, w * h, dtype=np.uint8))
+    p = str(tmp_path / "t5.tif")
+    lib_write_tiled(p, 1, raw, 5, 8)
+    with open(p, "rb") as f:
+        assert decode_tiff_pixels(f.read()) == (w, h, 1, raw)
+
+    # tiled G4 bilevel: exact in the black-is-zero view
+    rb = (w + 7) // 8
+    packed = bytearray(rb * h)
+    bits = rng.random((h, w)) < 0.4
+    for y in range(h):
+        for x in range(w):
+            if bits[y, x]:
+                packed[y * rb + (x >> 3)] |= 0x80 >> (x & 7)
+    p = str(tmp_path / "t4.tif")
+    lib_write_tiled(p, 1, bytes(packed), 4, 1)
+    with open(p, "rb") as f:
+        gw, gh, gc, got = decode_tiff_pixels(f.read())
+    want = bytes(
+        255 - 255 * ((packed[y * rb + (x >> 3)] >> (7 - (x & 7))) & 1)
+        for y in range(h)
+        for x in range(w)
+    )
+    assert (gw, gh, gc) == (w, h, 1) and got == want
+
+    # reverse: our tiled twin reads back exactly in libtiff
+    raw3 = bytes(rng.integers(0, 256, w * h * 3, dtype=np.uint8))
+    blob = make_tiff_bytes(w, h, raw3, channels=3, compression=5, tile=(16, 16))
+    p2 = str(tmp_path / "m.tif")
+    with open(p2, "wb") as f:
+        f.write(blob)
+    rgb = _lib_read_rgb(libtiff, p2, w, h)
+    assert np.array_equal(rgb, np.frombuffer(raw3, np.uint8).reshape(h, w, 3))
