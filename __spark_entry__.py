@@ -1673,10 +1673,13 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                                 + [v << 8 for v in palette[1::3]]
                                 + [v << 8 for v in palette[2::3]]
                             )
+                            # d%3 rotates byte order; d%5==0 travels
+                            # TILED (4x4 grid with partial edge tiles)
                             content = make_tiff_bytes(
                                 w, h, indices, palette=pal,
                                 compression=5,
                                 big_endian=(d % 3 == 0),
+                                tile=(4, 4) if d % 5 == 0 else None,
                             )
                         vals = list(decode_tiff_pixels(content)[3])
                         fmt = "tiff_g4" if d % 16 == 13 else "tiff"
