@@ -698,7 +698,7 @@ def extract_features(
     import numpy as np
     import pandas as pd
 
-    mode = decoder or ("fake" if use_fake_decoder else "strict")
+    base_mode = decoder or ("fake" if use_fake_decoder else "strict")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -708,6 +708,15 @@ def extract_features(
                     feats.append(None)
                     continue
                 raw = bytes(content)
+                mode = base_mode
+                if mode == "sniff":
+                    # mixed-media corpora don't arrive sorted by format
+                    mode = sniff_format(raw)
+                    if mode is None:
+                        raise ValueError(
+                            "undecodable media content (sniff found no "
+                            "PNG/GIF/JPEG/TIFF/WAV magic)"
+                        )
                 if mode == "wav":
                     _ch, _rate, chans = decode_wav_samples(raw)
                     flat = np.array(

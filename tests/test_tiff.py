@@ -462,3 +462,27 @@ def test_libtiff_tiled_interop(libtiff, tmp_path):
         f.write(blob)
     rgb = _lib_read_rgb(libtiff, p2, w, h)
     assert np.array_equal(rgb, np.frombuffer(raw3, np.uint8).reshape(h, w, 3))
+
+
+def test_extract_features_sniff_mode(spark):
+    """decoder='sniff' routes each row by magic bytes — a mixed-media
+    frame of PNG/TIFF/JPEG/WAV in one pass."""
+    from architxt_spark.functions import multimodal as M
+    from architxt_spark.functions.jpeg import make_jpeg_bytes
+    from architxt_spark.functions.multimodal import make_png_bytes, make_wav_bytes
+
+    px = bytes((i * 7) % 256 for i in range(256))
+    rows = [
+        ("png", "image", bytearray(make_png_bytes(16, 16, px, color_type=0))),
+        ("tif", "image", bytearray(make_tiff_bytes(16, 16, px, compression=5))),
+        ("jpg", "image", bytearray(make_jpeg_bytes(16, 16, px, channels=1))),
+        ("wav", "audio", bytearray(make_wav_bytes(1, 8000, 16, samples=[list(range(16))]))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, content binary"
+    )
+    got = {r.media_id: r.feature for r in M.extract_features(df, decoder="sniff").collect()}
+    assert set(got) == {"png", "tif", "jpg", "wav"}
+    # png and tiff hold identical pixels -> identical features
+    assert got["png"] == got["tif"]
+    assert all(len(v) == 16 for v in got.values())
