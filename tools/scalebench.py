@@ -1216,6 +1216,7 @@ def main() -> None:
                 make_gif_bytes,
                 make_png_bytes,
             )
+            from architxt_spark.functions.tiff import make_tiff_bytes
 
             palette = bytes(b for v in range(256) for b in (v, v, v))
             for pdf in batches:
@@ -1230,15 +1231,23 @@ def main() -> None:
                     px = bytes(
                         val(y // 8, x // 8) for y in range(64) for x in range(72)
                     )
-                    m = d % 4
+                    # r14.5: TIFF-LZW and ARITHMETIC JPEG join the
+                    # decode matrix (the sniff dispatch routes them)
+                    m = d % 6
                     if m == 0:
                         content = make_png_bytes(72, 64, px, color_type=0, filter_type=d % 5)
                     elif m == 1:
                         content = make_jpeg_bytes(72, 64, px, channels=1)
                     elif m == 2:
                         content = make_jpeg_bytes(72, 64, px, channels=1, progressive=True)
-                    else:
+                    elif m == 3:
                         content = make_gif_bytes(72, 64, px, palette)
+                    elif m == 4:
+                        content = make_tiff_bytes(72, 64, px, compression=5)
+                    else:
+                        content = make_jpeg_bytes(
+                            72, 64, px, channels=1, arithmetic=True
+                        )
                     rows.append((str(d), content))
                 yield pd.DataFrame(rows, columns=["media_id", "content"])
 
