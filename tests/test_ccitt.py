@@ -203,3 +203,49 @@ def test_libtiff_fax_interop_both_directions(libtiff, tmp_path):
                     assert (got[y * rb + nbytes] & mask) == (
                         packed[y * rb + nbytes] & mask
                     ), ("mine->lib tail", trial, comp, y)
+
+
+def test_libtiff_fax_interop_wide_pages(libtiff, tmp_path):
+    """Fax-width pages (up to A4-at-200dpi scale) drive the EXTENDED
+    make-up codes (1792..2560, shared between colors) through the
+    libtiff arbitration in both directions."""
+    rng = np.random.default_rng(11)
+    w, h = 3600, 3
+    rb = (w + 7) // 8
+    packed = bytearray(rb * h)
+    # rows with long white and long black runs at varying phases
+    for y in range(h):
+        start = 1900 + 517 * y
+        for x in range(start, min(start + 2400, w)):
+            packed[y * rb + (x >> 3)] |= 0x80 >> (x & 7)
+    packed = bytes(packed)
+    for comp, opts in ((2, None), (4, None), (3, 0)):
+        p = str(tmp_path / "wide.tif")
+        _lib_write_bilevel(libtiff, p, w, h, packed, comp, opts)
+        with open(p, "rb") as f:
+            gw, gh, gc, raw = decode_tiff_pixels(f.read())
+        want = bytes(
+            255 - 255 * ((packed[y * rb + (x >> 3)] >> (7 - (x & 7))) & 1)
+            for y in range(h)
+            for x in range(w)
+        )
+        assert (gw, gh, gc) == (w, h, 1) and raw == want, (comp, opts)
+    for comp in (2, 4):
+        enc = ccitt_encode(packed, w, h, comp)
+        assert ccitt_decode(enc, w, h, comp) == packed, comp
+        blob = make_tiff_bytes(
+            w, h,
+            bytes(
+                (packed[y * rb + (x >> 3)] >> (7 - (x & 7))) & 1
+                for y in range(h)
+                for x in range(w)
+            ),
+            bit_depth=1, compression=comp,
+        )
+        p2 = str(tmp_path / "wm.tif")
+        with open(p2, "wb") as f:
+            f.write(blob)
+        got = _lib_read_bilevel(libtiff, p2, w, h)
+        nb = w // 8
+        for y in range(h):
+            assert got[y * rb:y * rb + nb] == packed[y * rb:y * rb + nb], (comp, y)
