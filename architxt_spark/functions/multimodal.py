@@ -110,21 +110,111 @@ def decode_wav_meta(content: bytes) -> tuple[int, int, int]:
     return n_channels, sample_rate, n_frames * 1000 // sample_rate
 
 
+def ulaw_to_linear(b: int) -> int:
+    """ITU-T G.711 µ-law byte → 16-bit linear sample (the telephony
+    companding); pinned exactly against the stdlib ``audioop`` oracle
+    while that module exists."""
+    u = ~b & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    mag -= 0x84
+    return -mag if u & 0x80 else mag
+
+
+def alaw_to_linear(b: int) -> int:
+    """ITU-T G.711 A-law byte → 16-bit linear sample."""
+    a = b ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    if exp == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (exp - 1)
+    # A-law's sign sense is inverted vs µ-law: bit 7 SET = positive
+    return mag if a & 0x80 else -mag
+
+
+def linear_to_ulaw(v: int) -> int:
+    """16-bit linear → µ-law byte (the fixture-twin direction) — the
+    G.711 14-bit form with floor-rounding on negatives, matching the
+    ``audioop`` oracle bit-for-bit over the full input range."""
+    x = v >> 2  # arithmetic shift: negatives floor, like the codec
+    sign = 0
+    if x < 0:
+        x = -x
+        sign = 0x80
+    x = min(x, 8158) + 0x21
+    exp = x.bit_length() - 6
+    mant = (x >> (exp + 1)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def linear_to_alaw(v: int) -> int:
+    """16-bit linear → A-law byte."""
+    sign = 0x80 if v >= 0 else 0
+    if v < 0:
+        v = -v - 1 if v != -32768 else 32767
+    v = min(v, 0x7FFF)
+    if v < 0x100:
+        out = v >> 4
+    else:
+        exp = v.bit_length() - 9
+        out = ((exp + 1) << 4) | ((v >> (exp + 4)) & 0x0F)
+    return (out | sign) ^ 0x55
+
+
+def _parse_g711_wav(content: bytes):
+    """Minimal RIFF walk for the formats the stdlib ``wave`` module
+    refuses: returns ``(fmt_tag, n_channels, rate, data)`` or None."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        return None
+    return fmt[0], fmt[1], fmt[2], data
+
+
 def decode_wav_samples(content: bytes) -> tuple[int, int, list[list[int]]]:
-    """REAL stdlib WAV PCM sample decode: returns ``(n_channels,
+    """REAL stdlib WAV sample decode: returns ``(n_channels,
     sample_rate, samples)`` with ``samples`` one int list per channel
-    (de-interleaved).  8-bit (unsigned → centered) and 16-bit (signed
-    little-endian) PCM — the ``wave``-module formats; resampling or
-    compressed codecs stay on the external-library path.  Powers the
-    real audio feature leg of :func:`extract_features`."""
+    (de-interleaved).  Integer PCM at 8 (unsigned → centered), 16, 24,
+    and 32 bits (24/32 reduce to the 16-bit view — the top bytes — so
+    every path feeds the same fingerprint scale), plus the G.711
+    telephony formats µ-law (``wFormatTag`` 7) and A-law (6) via the
+    published companding formulas (pinned against the stdlib
+    ``audioop`` oracle).  Other compressed codecs stay on the
+    external-library path.  Powers the real audio feature leg of
+    :func:`extract_features`."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(content), "rb") as w:
-        n_channels = w.getnchannels()
-        rate = w.getframerate()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            n_channels = w.getnchannels()
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        parsed = _parse_g711_wav(content)
+        if parsed is None or parsed[0] not in (6, 7):
+            raise
+        tag, n_channels, rate, raw = parsed
+        table = alaw_to_linear if tag == 6 else ulaw_to_linear
+        lut = [table(b) for b in range(256)]
+        flat = [lut[b] for b in raw]
+        return n_channels, rate, [flat[c::n_channels] for c in range(n_channels)]
     if width == 1:
         flat = [b - 128 for b in raw]
     elif width == 2:
@@ -135,9 +225,16 @@ def decode_wav_samples(content: bytes) -> tuple[int, int, list[list[int]]]:
         if __import__("sys").byteorder == "big":  # WAV is little-endian
             a.byteswap()
         flat = a.tolist()
+    elif width in (3, 4):
+        # 24/32-bit integer PCM: top two bytes = the 16-bit view
+        flat = []
+        for i in range(0, len(raw) - width + 1, width):
+            v = (raw[i + width - 1] << 8) | raw[i + width - 2]
+            flat.append(v - 0x10000 if v >= 0x8000 else v)
     else:
         raise NotImplementedError(
-            f"{8 * width}-bit PCM needs an audio library; stdlib path covers 8/16-bit"
+            f"{8 * width}-bit PCM needs an audio library; the stdlib "
+            "path covers 8/16/24/32-bit integer PCM and G.711"
         )
     return n_channels, rate, [flat[c::n_channels] for c in range(n_channels)]
 
@@ -877,28 +974,58 @@ def make_wav_bytes(
     sample_rate: int,
     n_frames: int,
     samples: list[list[int]] | None = None,
+    *,
+    sample_width: int = 2,
+    g711: str | None = None,
 ) -> bytes:
     """Deterministic WAV fixture builder via the stdlib ``wave`` writer —
     a real RIFF/WAVE file whose metadata round-trips through
     :func:`decode_wav_meta`.  ``samples`` (one int16 list per channel,
     ``n_frames`` each) writes a real waveform the sample decoder
-    round-trips; without it, silence."""
+    round-trips; without it, silence.  ``sample_width`` 3/4 widens the
+    int16 samples into 24/32-bit PCM (low bytes zero, so the decoder's
+    16-bit view is exact); ``g711`` = ``"ulaw"``/``"alaw"`` writes a
+    telephony-format file through the companding encoders instead."""
     import io
     import struct
     import wave
 
+    if g711 is not None:
+        enc = linear_to_ulaw if g711 == "ulaw" else linear_to_alaw
+        if samples is None:
+            samples = [[0] * n_frames for _ in range(n_channels)]
+        data = bytes(
+            enc(samples[c][f])
+            for f in range(n_frames)
+            for c in range(n_channels)
+        )
+        tag = 7 if g711 == "ulaw" else 6
+        fmt = struct.pack(
+            "<HHIIHH", tag, n_channels, sample_rate,
+            sample_rate * n_channels, n_channels, 8,
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(n_channels)
-        w.setsampwidth(2)
+        w.setsampwidth(sample_width)
         w.setframerate(sample_rate)
         if samples is None:
-            w.writeframes(b"\x00\x00" * n_channels * n_frames)
+            w.writeframes(b"\x00" * sample_width * n_channels * n_frames)
         else:
             inter = [
                 samples[c][f] for f in range(n_frames) for c in range(n_channels)
             ]
-            w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+            if sample_width == 2:
+                w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+            else:
+                pad = sample_width - 2
+                w.writeframes(b"".join(
+                    bytes(pad) + struct.pack("<h", v) for v in inter
+                ))
     return buf.getvalue()
 
 

@@ -405,3 +405,73 @@ def test_avi_mjpeg_frame_sampling(spark):
         M.parse_avi_mjpeg(bad)
     with pytest.raises(ValueError, match="RIFF"):
         M.parse_avi_mjpeg(b"nope")
+
+
+# --- r14.5: 24/32-bit PCM and G.711 telephony WAVs ---
+
+
+def test_wav_24_and_32_bit_pcm_roundtrip():
+    from architxt_spark.functions.multimodal import decode_wav_samples, make_wav_bytes
+
+    sam = [
+        [(i * 113) % 2001 - 1000 for i in range(50)],
+        [(i * 57) % 801 - 400 for i in range(50)],
+    ]
+    for width in (3, 4):
+        blob = make_wav_bytes(2, 8000, 50, samples=sam, sample_width=width)
+        assert decode_wav_samples(blob) == (2, 8000, sam), width
+
+
+def test_g711_companders_match_audioop_bit_for_bit():
+    """The published G.711 formulas pinned against the stdlib audioop
+    oracle: all 256 decode bytes and the FULL 16-bit encode range for
+    both laws (the A-law sign sense and the µ-law 14-bit floor shift
+    are exactly the kind of convention a self-round-trip would miss)."""
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+
+    from architxt_spark.functions.multimodal import (
+        alaw_to_linear,
+        linear_to_alaw,
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    for b in range(256):
+        assert ulaw_to_linear(b) == struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([b]), 2)
+        )[0], ("ulaw", b)
+        assert alaw_to_linear(b) == struct.unpack(
+            "<h", audioop.alaw2lin(bytes([b]), 2)
+        )[0], ("alaw", b)
+    for v in range(-32768, 32768, 3):
+        assert linear_to_ulaw(v) == audioop.lin2ulaw(struct.pack("<h", v), 2)[0], v
+        assert linear_to_alaw(v) == audioop.lin2alaw(struct.pack("<h", v), 2)[0], v
+
+
+def test_g711_wav_files_decode():
+    from architxt_spark.functions.multimodal import (
+        alaw_to_linear,
+        decode_wav_samples,
+        linear_to_alaw,
+        linear_to_ulaw,
+        make_wav_bytes,
+        ulaw_to_linear,
+    )
+
+    sam = [[(i * 311) % 24001 - 12000 for i in range(64)]]
+    for law, enc, dec in (
+        ("ulaw", linear_to_ulaw, ulaw_to_linear),
+        ("alaw", linear_to_alaw, alaw_to_linear),
+    ):
+        blob = make_wav_bytes(1, 8000, 64, samples=sam, g711=law)
+        ch, rate, got = decode_wav_samples(blob)
+        assert (ch, rate) == (1, 8000)
+        assert got == [[dec(enc(v)) for v in sam[0]]], law
+        # companding error bounded by the segment step
+        err = max(abs(a - b) for a, b in zip(got[0], sam[0]))
+        assert err <= 1024, (law, err)
