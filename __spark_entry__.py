@@ -1743,7 +1743,14 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                         [((d * 11 + f * 3) % 2001) - 1000 + c for f in range(frames)]
                         for c in range(ch)
                     ]
-                    content = make_wav_bytes(ch, 8000, frames, samples=samples)
+                    # r14.5: the d%8==7 residue travels as WIDE PCM
+                    # (24-bit at d%16==7, 32-bit at d%16==15) — the top
+                    # bytes carry the same int16 samples, so decoded
+                    # values and the oracle are unchanged
+                    width = {7: 3, 15: 4}.get(d % 16, 2)
+                    content = make_wav_bytes(
+                        ch, 8000, frames, samples=samples, sample_width=width
+                    )
                     chans = decode_wav_samples(content)[2]
                     vals = [s for cvals in chans for s in cvals]
                     fmt = "wav"
