@@ -1744,16 +1744,25 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
                         for c in range(ch)
                     ]
                     # r14.5: the d%8==7 residue travels as WIDE PCM
-                    # (24-bit at d%16==7, 32-bit at d%16==15) — the top
-                    # bytes carry the same int16 samples, so decoded
-                    # values and the oracle are unchanged
-                    width = {7: 3, 15: 4}.get(d % 16, 2)
-                    content = make_wav_bytes(
-                        ch, 8000, frames, samples=samples, sample_width=width
-                    )
+                    # (24-bit at d%16==7, 32-bit at d%16==15 — top bytes
+                    # carry the same int16 samples, oracle unchanged);
+                    # the d%32==19 residue travels as G.711 µ-LAW, whose
+                    # companding round-trip the oracle replays closed-form
+                    # (the audioop-pinned 14-bit floor formulas in SQL)
+                    if d % 32 == 19:
+                        content = make_wav_bytes(
+                            ch, 8000, frames, samples=samples, g711="ulaw"
+                        )
+                        fmt = "wav_ulaw"
+                    else:
+                        width = {7: 3, 15: 4}.get(d % 16, 2)
+                        content = make_wav_bytes(
+                            ch, 8000, frames, samples=samples,
+                            sample_width=width,
+                        )
+                        fmt = "wav"
                     chans = decode_wav_samples(content)[2]
                     vals = [s for cvals in chans for s in cvals]
-                    fmt = "wav"
                 checksum = sum(v * (p + 1) for p, v in enumerate(vals))
                 rows.append((str(d), fmt, checksum, len(vals)))
             yield pd.DataFrame(rows, columns=["media_id", "s", "a", "b"])
@@ -4951,7 +4960,8 @@ def _oracle_parts() -> dict[str, str]:
                                          ELSE 'gif' END
                         WHEN 2 THEN CASE WHEN doc_id % 8 = 2
                                          THEN 'jpeg_prog' ELSE 'jpeg' END
-                        ELSE 'wav' END,
+                        ELSE CASE WHEN doc_id % 32 = 19
+                                  THEN 'wav_ulaw' ELSE 'wav' END END,
                    CAST(CASE doc_id % 4
                      WHEN 0 THEN list_sum(list_transform(
                          range(0, (doc_id % 8 + 2) * ((doc_id * 3) % 6 + 2) * 3),
@@ -4968,10 +4978,34 @@ def _oracle_parts() -> dict[str, str]:
                          p -> ((doc_id * 37
                                 + (((p // (8 * (doc_id % 3 + 1))) // 8) * (doc_id % 3 + 1)
                                    + ((p % (8 * (doc_id % 3 + 1))) // 8)) * 11) % 256) * (p + 1)))
-                     ELSE list_sum(list_transform(
+                     ELSE CASE WHEN doc_id % 32 = 19
+                       -- G.711 µ-law residue: replay the companding
+                       -- round-trip closed-form (14-bit floor shift,
+                       -- segment CASE, mantissa reconstruction —
+                       -- audioop-pinned; single-element list_transform
+                       -- binds the intermediates)
+                       THEN list_sum(list_transform(
+                         range(0, ((doc_id // 2) % 2 + 1) * (doc_id % 50 + 8)),
+                         p -> list_transform(
+                           [(((doc_id * 11 + (p % (doc_id % 50 + 8)) * 3) % 2001) - 1000
+                             + (p // (doc_id % 50 + 8)))], r ->
+                           list_transform(
+                             [LEAST(CASE WHEN r >= 0 THEN r // 4
+                                         ELSE (-r + 3) // 4 END, 8158) + 33], m ->
+                             list_transform(
+                               [CASE WHEN m < 64 THEN 0 WHEN m < 128 THEN 1
+                                     WHEN m < 256 THEN 2 WHEN m < 512 THEN 3
+                                     WHEN m < 1024 THEN 4 WHEN m < 2048 THEN 5
+                                     WHEN m < 4096 THEN 6 ELSE 7 END], e ->
+                               (CASE WHEN r >= 0 THEN 1 ELSE -1 END) *
+                               ((((m >> (e + 1)) & 15) * 8 + 132) * (1 << e) - 132)
+                             )[1]
+                           )[1]
+                         )[1] * (p + 1)))
+                       ELSE list_sum(list_transform(
                          range(0, ((doc_id // 2) % 2 + 1) * (doc_id % 50 + 8)),
                          p -> (((doc_id * 11 + (p % (doc_id % 50 + 8)) * 3) % 2001) - 1000
-                               + (p // (doc_id % 50 + 8))) * (p + 1)))
+                               + (p // (doc_id % 50 + 8))) * (p + 1))) END
                    END AS BIGINT),
                    CAST(CASE doc_id % 4
                      WHEN 2 THEN 64 * (doc_id % 3 + 1) * (doc_id % 2 + 1)
