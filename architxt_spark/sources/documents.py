@@ -305,7 +305,13 @@ def read_document_archive(
     skipped: list[str] = []
     for i, (name, blob) in enumerate(members):
         base = os.path.basename(name)
-        if os.path.splitext(base)[1].lower() not in _DOCUMENT_EXTS:
+        ext = os.path.splitext(base)[1].lower()
+        if ext in (".gz", ".bz2", ".xz", ".z"):
+            inner = os.path.splitext(base[: -len(ext)])[1].lower()
+            readable = inner in _DOCUMENT_EXTS
+        else:
+            readable = ext in _DOCUMENT_EXTS
+        if not readable:
             skipped.append(name)
             continue
         target = os.path.join(tmp, f"m{i}_{base}")
@@ -353,6 +359,46 @@ def read_document_file(
             sample=sample, password=password,
         )
     ext = os.path.splitext(path)[1].lower()
+    if ext in (".gz", ".bz2", ".xz", ".z"):
+        # singly-compressed documents (report.pdf.gz, data.csv.Z — the
+        # shape corpus dumps individually compress files in): unwrap
+        # and dispatch on the inner extension.  .Z decodes through the
+        # in-repo compress(1) LZW (sources/zcompress.py).
+        import tempfile
+
+        stem = os.path.basename(path)[: -len(ext)]
+        inner_ext = os.path.splitext(stem)[1].lower()
+        if inner_ext not in _DOCUMENT_EXTS:
+            raise ValueError(
+                f"compressed file {os.path.basename(path)} wraps no "
+                f"readable document extension ({inner_ext or 'none'})"
+            )
+        with open(path, "rb") as f:
+            blob = f.read()
+        if ext == ".gz":
+            import gzip
+
+            blob = gzip.decompress(blob)
+        elif ext == ".bz2":
+            import bz2
+
+            blob = bz2.decompress(blob)
+        elif ext == ".xz":
+            import lzma
+
+            blob = lzma.decompress(blob)
+        else:
+            from architxt_spark.sources.zcompress import z_decompress
+
+            blob = z_decompress(blob)
+        tmp = tempfile.mkdtemp(prefix="architxt_unwrap_")
+        target = os.path.join(tmp, stem)
+        with open(target, "wb") as f:
+            f.write(blob)
+        return read_document_file(
+            spark, target, root_name=root_name, raw_read=raw_read,
+            sample=sample, password=password,
+        )
     if ext == ".json":
         with open(path) as f:
             data = json.load(f)
