@@ -12,16 +12,19 @@ five RFC 2083 scanline filters, stdlib-only — the FULL still-image
 matrix as of r11.5: color types 0/2/3/4/6, bit depths 1–16, Adam7;
 :func:`decode_gif_pixels`: pure-Python LZW + palette mapping, first
 frame, four-pass de-interlace; :mod:`architxt_spark.functions.jpeg`:
-baseline/extended sequential AND progressive (SOF0/1/2) Huffman decode
-with numpy IDCT), and WAV PCM SAMPLES de-interleave for real
-(:func:`decode_wav_samples`), with linear-interpolation
+sequential/progressive Huffman AND arithmetic (SOF0/1/2/9/10) decode
+at 8- and 12-bit with numpy IDCT, plus lossless SOF3;
+:mod:`architxt_spark.functions.tiff`: strips/tiles with
+LZW/Deflate/PackBits/CCITT-fax/JPEG-in-TIFF), and WAV SAMPLES
+de-interleave for real (:func:`decode_wav_samples`: 8/16/24/32-bit
+integer PCM and G.711 µ-law/A-law), with linear-interpolation
 RESAMPLING (:func:`resample_pcm`) and MJPEG-in-AVI video FRAME
 SAMPLING (:func:`sample_video_frames`: RIFF walk + the in-repo JPEG
 codec) on top.  Only the genuinely codec-library-bound shapes remain
-gated (arithmetic/12-bit JPEG, inter-frame video codecs, band-limited
-resampling — libjpeg / librosa / pyav, not in this container): those
-raise ``NotImplementedError`` with guidance, and a clearly-marked
-deterministic fake keeps the plumbing testable.
+gated (inter-frame video codecs, float/compressed audio beyond G.711,
+band-limited resampling — pyav / librosa, not in this container):
+those raise ``NotImplementedError`` with guidance, and a
+clearly-marked deterministic fake keeps the plumbing testable.
 
 Design notes for 100 TB of media:
 
@@ -539,11 +542,15 @@ def decode_media_meta(df: DataFrame, *, strict: bool = True) -> DataFrame:
                         w, h = decode_jpeg_dims(bytes(content))
                     elif fmt == "gif":
                         w, h = decode_gif_dims(bytes(content))
+                    elif fmt == "tiff":
+                        from architxt_spark.functions.tiff import decode_tiff_dims
+
+                        w, h = decode_tiff_dims(bytes(content))
                     elif fmt == "wav":
                         ch, sr, dur = decode_wav_meta(bytes(content))
                     elif strict:
                         raise NotImplementedError(
-                            f"media_id={media_id}: only PNG/JPEG/GIF/WAV decode"
+                            f"media_id={media_id}: only PNG/JPEG/GIF/TIFF/WAV decode"
                             " without external codecs (Pillow/pyav not in this"
                             " environment)"
                         )
@@ -578,8 +585,12 @@ def decode_image(content: bytes) -> tuple[int, int]:
         return decode_jpeg_dims(content)
     if fmt == "gif":
         return decode_gif_dims(content)
+    if fmt == "tiff":
+        from architxt_spark.functions.tiff import decode_tiff_dims
+
+        return decode_tiff_dims(content)
     raise NotImplementedError(
-        "image formats beyond PNG/JPEG/GIF require Pillow/opencv; not in this environment"
+        "image formats beyond PNG/JPEG/GIF/TIFF require Pillow/opencv; not in this environment"
     )
 
 

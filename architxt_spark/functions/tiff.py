@@ -620,3 +620,31 @@ def make_tiff_bytes(
         if len(s) % 2:
             out += b"\x00"
     return bytes(out)
+
+
+def decode_tiff_dims(content: bytes) -> tuple[int, int]:
+    """Header-only width/height (IFD tags 256/257) — the cheap metadata
+    read next to the PNG/JPEG/GIF dimension helpers."""
+    if len(content) < 8 or content[:4] not in _TIFF_MAGICS:
+        raise ValueError("not a TIFF")
+    e = "<" if content[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(e + "I", content[4:8])
+    if ifd_off + 2 > len(content):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_entries,) = struct.unpack(e + "H", content[ifd_off:ifd_off + 2])
+    w = h = None
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        if at + 12 > len(content):
+            break
+        tag, typ, _cnt = struct.unpack(e + "HHI", content[at:at + 8])
+        if tag in (256, 257):
+            raw = content[at + 8:at + 12]
+            val = struct.unpack(e + ("H" if typ == 3 else "I"), raw[:2 if typ == 3 else 4])[0]
+            if tag == 256:
+                w = val
+            else:
+                h = val
+    if w is None or h is None:
+        raise ValueError("TIFF without dimension tags")
+    return w, h

@@ -486,3 +486,20 @@ def test_extract_features_sniff_mode(spark):
     # png and tiff hold identical pixels -> identical features
     assert got["png"] == got["tif"]
     assert all(len(v) == 16 for v in got.values())
+
+
+def test_tiff_dims_and_media_meta(spark):
+    """Header-only TIFF dimensions feed decode_image and the metadata
+    pass like the other formats."""
+    from architxt_spark.functions import multimodal as M
+    from architxt_spark.functions.tiff import decode_tiff_dims
+
+    blob = make_tiff_bytes(23, 17, bytes(23 * 17), big_endian=True)
+    assert decode_tiff_dims(blob) == (23, 17)
+    assert M.decode_image(blob) == (23, 17)
+    df = spark.createDataFrame(
+        [("t", "image", bytearray(blob))],
+        "media_id string, kind string, content binary",
+    )
+    row = M.decode_media_meta(df).collect()[0]
+    assert (row.fmt, row.width, row.height) == ("tiff", 23, 17)
