@@ -16,9 +16,11 @@ GIS/large-scan shape, partial edge tiles cropped) — and the fax/JPEG
 compressions are first-class: CCITT G3/G4 through
 :mod:`architxt_spark.functions.ccitt` and new-style JPEG-in-TIFF
 (``Compression=7``) through the in-repo JPEG codec with JPEGTables
-splicing.  Planar configuration 2, BigTIFF, and the withdrawn
-old-style JPEG (``Compression=6``) raise ``NotImplementedError`` with
-guidance — honest gates, never silent data loss.
+splicing.  Planar configuration 2 decodes for strip layouts (each
+component's strips decode at single-sample width, then interleave).
+BigTIFF, planar tiles/JPEG, and the withdrawn old-style JPEG
+(``Compression=6``) raise ``NotImplementedError`` with guidance —
+honest gates, never silent data loss.
 
 ``make_tiff_bytes`` is the encoder twin (both byte orders, every
 supported compression, predictor, multi-strip, 8-bit tiled), so
@@ -238,8 +240,11 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         return v[0]
 
     tiled = 322 in tags or 323 in tags
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar TIFF needs libtiff; re-save chunky")
+    planar = one(284, 1)
+    if planar == 2 and (tiled or one(259, 1) in (6, 7)):
+        raise NotImplementedError(
+            "planar TIFF with tiles/JPEG needs libtiff; re-save chunky"
+        )
     comp = one(259, 1)
     if comp == 6:
         raise NotImplementedError(
@@ -297,10 +302,13 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             chunk = chunk[:2] + tables[2:-2] + chunk[2:]
         return decode_jpeg_pixels(chunk)
 
-    def decode_block(chunk: bytes, bw: int, nrows: int) -> bytes:
+    def decode_block(chunk: bytes, bw: int, nrows: int,
+                     eff_spp: int | None = None) -> bytes:
         """One compressed strip/tile → expanded 8-bit samples
-        (``bw * spp`` per row, ``nrows`` rows)."""
-        rb = (bw * spp * depth + 7) // 8
+        (``bw * spp`` per row, ``nrows`` rows; planar strips pass
+        ``eff_spp=1``)."""
+        s_ = eff_spp or spp
+        rb = (bw * s_ * depth + 7) // 8
         expected = rb * nrows
         if comp == 1:
             got = chunk[:expected]
@@ -320,13 +328,13 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         if predictor == 2 and depth == 8:
             for r in range(nrows):
                 row = block[r * rb:(r + 1) * rb]
-                _undo_predictor(row, spp)
+                _undo_predictor(row, s_)
                 block[r * rb:(r + 1) * rb] = row
         if depth == 8:
-            return bytes(block[:bw * spp * nrows])
+            return bytes(block[:bw * s_ * nrows])
         if depth == 16:
             hi = 0 if e == ">" else 1
-            return bytes(block[2 * i + hi] for i in range(bw * spp * nrows))
+            return bytes(block[2 * i + hi] for i in range(bw * s_ * nrows))
         per = 8 // depth
         maxv = (1 << depth) - 1
         out = bytearray()
@@ -336,7 +344,7 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             for byte in row:
                 for k in range(per):
                     vals.append((byte >> (8 - depth * (k + 1))) & maxv)
-            out += bytes(v * 255 // maxv for v in vals[:bw * spp])
+            out += bytes(v * 255 // maxv for v in vals[:bw * s_])
         return bytes(out)
 
     ch_out = spp
@@ -383,6 +391,23 @@ def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             parts.append(raw[: w * nrows * ch_out])
             row0 += nrows
         return w, h, ch_out, b"".join(parts)
+    elif planar == 2 and spp > 1:
+        # PlanarConfiguration 2: all strips of component 0, then 1, ...
+        # — decode each plane at single-sample width, then interleave
+        strips_per_plane = max(1, -(-h // rows_per_strip))
+        if len(offsets) < spp * strips_per_plane:
+            raise ValueError("planar TIFF short of strips")
+        samples = bytearray(w * h * spp)
+        for c in range(spp):
+            pdata = bytearray()
+            row0 = 0
+            for s in range(strips_per_plane):
+                so = offsets[c * strips_per_plane + s]
+                sc = counts[c * strips_per_plane + s]
+                nrows = min(rows_per_strip, h - row0)
+                pdata += decode_block(content[so:so + sc], w, nrows, eff_spp=1)
+                row0 += nrows
+            samples[c::spp] = pdata[:w * h].ljust(w * h, b"\x00")
     else:
         samples = bytearray()
         row0 = 0

@@ -503,3 +503,49 @@ def test_tiff_dims_and_media_meta(spark):
     )
     row = M.decode_media_meta(df).collect()[0]
     assert (row.fmt, row.width, row.height) == ("tiff", 23, 17)
+
+
+def test_libtiff_planar_interop(libtiff, tmp_path):
+    """PlanarConfiguration=2 (separate component planes) written by
+    libtiff decodes exactly — across compressions, strip heights, and
+    8/16-bit depths."""
+    rng = np.random.default_rng(41)
+    for comp in (1, 5, 32773):
+        for rps in (None, 7):
+            for depth in (8, 16):
+                w, h, ch = 31, 22, 3
+                img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+                p = str(tmp_path / "pl.tif")
+                tif = libtiff.TIFFOpen(p.encode(), b"w")
+                assert tif
+
+                def setf(tag, *vals):
+                    assert libtiff.TIFFSetField(
+                        ctypes.c_void_p(tif), ctypes.c_uint32(tag), *vals
+                    ), tag
+
+                setf(256, ctypes.c_uint32(w))
+                setf(257, ctypes.c_uint32(h))
+                setf(258, ctypes.c_uint16(depth))
+                setf(277, ctypes.c_uint16(ch))
+                setf(259, ctypes.c_uint16(comp))
+                setf(262, ctypes.c_uint16(2))
+                setf(284, ctypes.c_uint16(2))
+                setf(278, ctypes.c_uint32(rps or h))
+                for c in range(ch):
+                    for y in range(h):
+                        row = (
+                            img[y, :, c].tobytes()
+                            if depth == 8
+                            else (img[y, :, c].astype("<u2") << 8).tobytes()
+                        )
+                        buf = ctypes.create_string_buffer(row, len(row))
+                        assert libtiff.TIFFWriteScanline(
+                            ctypes.c_void_p(tif), buf, ctypes.c_uint32(y),
+                            ctypes.c_uint16(c),
+                        ) == 1
+                libtiff.TIFFClose(ctypes.c_void_p(tif))
+                with open(p, "rb") as f:
+                    assert decode_tiff_pixels(f.read()) == (
+                        w, h, ch, img.tobytes(),
+                    ), (comp, rps, depth)
