@@ -211,12 +211,22 @@ def decode_wav_samples(content: bytes) -> tuple[int, int, list[list[int]]]:
             raw = w.readframes(w.getnframes())
     except wave.Error:
         parsed = _parse_g711_wav(content)
-        if parsed is None or parsed[0] not in (6, 7):
+        if parsed is None or parsed[0] not in (3, 6, 7):
             raise
         tag, n_channels, rate, raw = parsed
-        table = alaw_to_linear if tag == 6 else ulaw_to_linear
-        lut = [table(b) for b in range(256)]
-        flat = [lut[b] for b in raw]
+        if tag == 3:  # IEEE float32: scale to the int16 view
+            import struct as _struct
+
+            n = len(raw) // 4
+            floats = _struct.unpack(f"<{n}f", raw[:4 * n])
+            flat = [
+                max(-32768, min(32767, int(round(v * 32767.0))))
+                for v in floats
+            ]
+        else:
+            table = alaw_to_linear if tag == 6 else ulaw_to_linear
+            lut = [table(b) for b in range(256)]
+            flat = [lut[b] for b in raw]
         return n_channels, rate, [flat[c::n_channels] for c in range(n_channels)]
     if width == 1:
         flat = [b - 128 for b in raw]
@@ -988,6 +998,7 @@ def make_wav_bytes(
     *,
     sample_width: int = 2,
     g711: str | None = None,
+    float32: bool = False,
 ) -> bytes:
     """Deterministic WAV fixture builder via the stdlib ``wave`` writer —
     a real RIFF/WAVE file whose metadata round-trips through
@@ -1000,6 +1011,22 @@ def make_wav_bytes(
     import io
     import struct
     import wave
+
+    if float32:
+        if samples is None:
+            samples = [[0] * n_frames for _ in range(n_channels)]
+        data = struct.pack(
+            f"<{n_frames * n_channels}f",
+            *(samples[c][f] / 32767.0
+              for f in range(n_frames) for c in range(n_channels)),
+        )
+        fmt = struct.pack(
+            "<HHIIHH", 3, n_channels, sample_rate,
+            sample_rate * n_channels * 4, n_channels * 4, 32,
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
 
     if g711 is not None:
         enc = linear_to_ulaw if g711 == "ulaw" else linear_to_alaw

@@ -475,3 +475,18 @@ def test_g711_wav_files_decode():
         # companding error bounded by the segment step
         err = max(abs(a - b) for a, b in zip(got[0], sam[0]))
         assert err <= 1024, (law, err)
+
+
+def test_float32_wav_decodes_to_int16_view():
+    from architxt_spark.functions.multimodal import decode_wav_samples, make_wav_bytes
+
+    sam = [[(i * 113) % 2001 - 1000 for i in range(50)]]
+    blob = make_wav_bytes(1, 44100, 50, samples=sam, float32=True)
+    ch, rate, got = decode_wav_samples(blob)
+    assert (ch, rate) == (1, 44100) and got == sam
+    # out-of-range floats clamp instead of wrapping
+    import struct
+
+    hot = bytearray(make_wav_bytes(1, 8000, 2, samples=[[0, 0]], float32=True))
+    hot[-8:] = struct.pack("<ff", 2.5, -3.0)
+    assert decode_wav_samples(bytes(hot))[2] == [[32767, -32768]]
