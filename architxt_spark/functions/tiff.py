@@ -4,7 +4,8 @@ Python + stdlib zlib, no libtiff.
 Beyond-reference: TIFF is what scanned-document dumps and GIS/archival
 collections actually ship; the codec completes the still-image matrix
 next to PNG/GIF/JPEG.  ``decode_tiff_pixels`` reads the first IFD of a
-classic (non-Big) TIFF in either byte order: strip-organized images,
+classic OR BigTIFF (version 43, 8-byte offsets/counts) file in either
+byte order: strip-organized images,
 ``Compression`` 1 (none) / 5 (LZW, with the spec's early-change code
 widths) / 8 or 32946 (zlib) / 32773 (PackBits), horizontal-differencing
 ``Predictor`` 2, ``PhotometricInterpretation`` 0/1 (bilevel+gray, white
@@ -18,7 +19,7 @@ compressions are first-class: CCITT G3/G4 through
 (``Compression=7``) through the in-repo JPEG codec with JPEGTables
 splicing.  Planar configuration 2 decodes for strip layouts (each
 component's strips decode at single-sample width, then interleave).
-BigTIFF, planar tiles/JPEG, and the withdrawn old-style JPEG
+Planar tiles/JPEG and the withdrawn old-style JPEG
 (``Compression=6``) raise ``NotImplementedError`` with guidance —
 honest gates, never silent data loss.
 
@@ -43,7 +44,65 @@ import zlib
 _TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 
 #: field type → (struct char, size); types the reader consumes
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+#: (16/17/18 are the BigTIFF 8-byte integer types)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 16: 8, 17: 8, 18: 8}
+
+
+def _tiff_ifd(content: bytes) -> tuple[str, dict[int, list[int]]]:
+    """Parse the first IFD of a classic OR BigTIFF file into
+    ``(endianness, {tag: values})``."""
+    big = content[:4] in (b"II+\x00", b"MM\x00+")
+    if not big and content[:4] not in _TIFF_MAGICS:
+        raise ValueError("not a TIFF")
+    e = "<" if content[:2] == b"II" else ">"
+    if big:
+        off_size, zero = struct.unpack(e + "HH", content[4:8])
+        if off_size != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack(e + "Q", content[8:16])
+        head, entry_size, inline_cap = 8, 20, 8
+    else:
+        (ifd_off,) = struct.unpack(e + "I", content[4:8])
+        head, entry_size, inline_cap = 2, 12, 4
+    if ifd_off + head > len(content):
+        raise ValueError("TIFF IFD offset out of range")
+    if big:
+        (n_entries,) = struct.unpack(e + "Q", content[ifd_off:ifd_off + 8])
+    else:
+        (n_entries,) = struct.unpack(e + "H", content[ifd_off:ifd_off + 2])
+    if n_entries > 4096:
+        raise ValueError("TIFF IFD entry count out of range")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        at = ifd_off + head + entry_size * i
+        if at + entry_size > len(content):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ = struct.unpack(e + "HH", content[at:at + 4])
+        if big:
+            (cnt,) = struct.unpack(e + "Q", content[at + 4:at + 12])
+            raw = content[at + 12:at + 20]
+        else:
+            (cnt,) = struct.unpack(e + "I", content[at + 4:at + 8])
+            raw = content[at + 8:at + 12]
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size > inline_cap:
+            (off,) = struct.unpack(e + ("Q" if big else "I"), raw)
+            raw = content[off:off + size]
+            if len(raw) < size:
+                raise ValueError("TIFF tag data out of range")
+        if typ == 3:
+            vals = list(struct.unpack(e + f"{cnt}H", raw[:2 * cnt]))
+        elif typ == 4:
+            vals = list(struct.unpack(e + f"{cnt}I", raw[:4 * cnt]))
+        elif typ in (16, 17, 18):
+            vals = list(struct.unpack(e + f"{cnt}Q", raw[:8 * cnt]))
+        elif typ in (1, 7):  # BYTE / UNDEFINED (e.g. JPEGTables)
+            vals = list(raw[:cnt])
+        else:
+            continue  # rationals/ascii: not needed for pixels
+        tags[tag] = vals
+    return e, tags
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
@@ -198,38 +257,9 @@ def _apply_predictor(row: bytearray, ch: int) -> None:
 def decode_tiff_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     """Decode the first IFD of a TIFF to ``(width, height, channels,
     raw)`` — row-major 8-bit samples."""
-    if len(content) < 8 or content[:4] not in _TIFF_MAGICS:
-        if content[:4] in (b"II+\x00", b"MM\x00+"):
-            raise NotImplementedError("BigTIFF needs libtiff; re-save classic")
+    if len(content) < 8:
         raise ValueError("not a TIFF")
-    e = "<" if content[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack(e + "I", content[4:8])
-    if ifd_off + 2 > len(content):
-        raise ValueError("TIFF IFD offset out of range")
-    (n_entries,) = struct.unpack(e + "H", content[ifd_off:ifd_off + 2])
-
-    tags: dict[int, list[int]] = {}
-    for i in range(n_entries):
-        at = ifd_off + 2 + 12 * i
-        if at + 12 > len(content):
-            raise ValueError("truncated TIFF IFD")
-        tag, typ, cnt = struct.unpack(e + "HHI", content[at:at + 8])
-        size = _TYPE_SIZES.get(typ, 1) * cnt
-        raw = content[at + 8:at + 12]
-        if size > 4:
-            (off,) = struct.unpack(e + "I", raw)
-            raw = content[off:off + size]
-            if len(raw) < size:
-                raise ValueError("TIFF tag data out of range")
-        if typ == 3:
-            vals = list(struct.unpack(e + f"{cnt}H", raw[:2 * cnt]))
-        elif typ == 4:
-            vals = list(struct.unpack(e + f"{cnt}I", raw[:4 * cnt]))
-        elif typ in (1, 7):  # BYTE / UNDEFINED (e.g. JPEGTables)
-            vals = list(raw[:cnt])
-        else:
-            continue  # rationals/ascii: not needed for pixels
-        tags[tag] = vals
+    e, tags = _tiff_ifd(content)
 
     def one(tag: int, default=None):
         v = tags.get(tag)
@@ -650,26 +680,9 @@ def make_tiff_bytes(
 def decode_tiff_dims(content: bytes) -> tuple[int, int]:
     """Header-only width/height (IFD tags 256/257) — the cheap metadata
     read next to the PNG/JPEG/GIF dimension helpers."""
-    if len(content) < 8 or content[:4] not in _TIFF_MAGICS:
+    if len(content) < 8:
         raise ValueError("not a TIFF")
-    e = "<" if content[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack(e + "I", content[4:8])
-    if ifd_off + 2 > len(content):
-        raise ValueError("TIFF IFD offset out of range")
-    (n_entries,) = struct.unpack(e + "H", content[ifd_off:ifd_off + 2])
-    w = h = None
-    for i in range(n_entries):
-        at = ifd_off + 2 + 12 * i
-        if at + 12 > len(content):
-            break
-        tag, typ, _cnt = struct.unpack(e + "HHI", content[at:at + 8])
-        if tag in (256, 257):
-            raw = content[at + 8:at + 12]
-            val = struct.unpack(e + ("H" if typ == 3 else "I"), raw[:2 if typ == 3 else 4])[0]
-            if tag == 256:
-                w = val
-            else:
-                h = val
-    if w is None or h is None:
+    _e, tags = _tiff_ifd(content)
+    if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF without dimension tags")
-    return w, h
+    return tags[256][0], tags[257][0]

@@ -82,8 +82,9 @@ def test_tiff_gates_and_errors():
 
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff_pixels(b"\x89PNG nope")
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
-        decode_tiff_pixels(b"II+\x00" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="BigTIFF"):
+        # version 43 with a bad offset size is malformed, not gated
+        decode_tiff_pixels(b"II+\x00\x04\x00\x00\x00" + b"\x00" * 8)
     base = bytearray(make_tiff_bytes(4, 4, bytes(16)))
     # flip Compression (tag 259) to old-style JPEG → still a gate
     at = base.find(struct.pack("<HH", 259, 3))
@@ -549,3 +550,47 @@ def test_libtiff_planar_interop(libtiff, tmp_path):
                     assert decode_tiff_pixels(f.read()) == (
                         w, h, ch, img.tobytes(),
                     ), (comp, rps, depth)
+
+
+def test_libtiff_bigtiff_interop(libtiff, tmp_path):
+    """BigTIFF (version 43, 8-byte IFD machinery) written by libtiff's
+    'w8' mode decodes exactly across compressions and channels."""
+    rng = np.random.default_rng(51)
+    from architxt_spark.functions.tiff import decode_tiff_dims
+
+    for comp in (1, 5, 8, 32773):
+        for ch in (1, 3):
+            w, h = 40, 28
+            raw = bytes(rng.integers(0, 256, w * h * ch, dtype=np.uint8))
+            p = str(tmp_path / "big.tif")
+            tif = libtiff.TIFFOpen(p.encode(), b"w8")
+            assert tif
+
+            def setf(tag, *vals):
+                assert libtiff.TIFFSetField(
+                    ctypes.c_void_p(tif), ctypes.c_uint32(tag), *vals
+                ), tag
+
+            setf(256, ctypes.c_uint32(w))
+            setf(257, ctypes.c_uint32(h))
+            setf(258, ctypes.c_uint16(8))
+            setf(277, ctypes.c_uint16(ch))
+            setf(259, ctypes.c_uint16(comp))
+            setf(262, ctypes.c_uint16(1 if ch == 1 else 2))
+            setf(284, ctypes.c_uint16(1))
+            setf(278, ctypes.c_uint32(9))
+            stride = w * ch
+            for y in range(h):
+                buf = ctypes.create_string_buffer(
+                    raw[y * stride:(y + 1) * stride], stride
+                )
+                assert libtiff.TIFFWriteScanline(
+                    ctypes.c_void_p(tif), buf, ctypes.c_uint32(y),
+                    ctypes.c_uint16(0),
+                ) == 1
+            libtiff.TIFFClose(ctypes.c_void_p(tif))
+            with open(p, "rb") as f:
+                data = f.read()
+            assert data[:4] == b"II+\x00"
+            assert decode_tiff_pixels(data) == (w, h, ch, raw), (comp, ch)
+            assert decode_tiff_dims(data) == (w, h)
