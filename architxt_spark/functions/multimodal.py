@@ -189,6 +189,76 @@ def _parse_g711_wav(content: bytes):
     return fmt[0], fmt[1], fmt[2], data
 
 
+def _ext80_to_int(b: bytes) -> int:
+    """80-bit IEEE extended float (the AIFF sample-rate encoding) → int."""
+    import struct
+
+    se, hi, lo = struct.unpack(">HII", b[:10])
+    exp = se & 0x7FFF
+    mant = (hi << 32) | lo
+    if exp == 0 and mant == 0:
+        return 0
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return int(round(-val if se & 0x8000 else val))
+
+
+def decode_aiff_samples(content: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL AIFF/AIFC decode (the Mac-era archive audio format, EA-IFF
+    chunks): big-endian PCM at 8 (signed!) / 16 / 24 / 32 bits reduced
+    to the 16-bit view, the ``sowt`` little-endian AIFC variant, and
+    the G.711 ``ulaw``/``alaw`` compression types through the same
+    audioop-pinned companding tables as WAV.  Returns ``(n_channels,
+    sample_rate, samples)`` in the :func:`decode_wav_samples` shape;
+    the stdlib ``aifc`` module arbitrates the tests while it exists."""
+    import struct
+
+    if content[:4] != b"FORM" or content[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFC file")
+    pos = 12
+    comm = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (length,) = struct.unpack(">I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            off, _block = struct.unpack(">II", body[:8])
+            data = body[8 + off:]
+    if comm is None or data is None:
+        raise ValueError("AIFF without COMM/SSND chunks")
+    n_channels, n_frames, bits = struct.unpack(">HIH", comm[:8])
+    rate = _ext80_to_int(comm[8:18])
+    comp = comm[18:22] if len(comm) >= 22 else b"NONE"
+    comp_l = comp.lower()
+    if comp_l in (b"none", b"sowt"):
+        width = (bits + 7) // 8
+        flat: list[int] = []
+        for i in range(0, len(data) - width + 1, width):
+            if width == 1:  # AIFF 8-bit is SIGNED (unlike WAV)
+                v = data[i]
+                flat.append((v - 256 if v >= 128 else v) << 8)
+            elif comp_l == b"sowt":  # little-endian 16-bit
+                v = (data[i + 1] << 8) | data[i]
+                flat.append(v - 0x10000 if v >= 0x8000 else v)
+            else:  # big-endian: top two bytes = the 16-bit view
+                v = (data[i] << 8) | data[i + 1]
+                flat.append(v - 0x10000 if v >= 0x8000 else v)
+    elif comp_l in (b"ulaw", b"alaw"):
+        table = ulaw_to_linear if comp_l == b"ulaw" else alaw_to_linear
+        lut = [table(b) for b in range(256)]
+        flat = [lut[b] for b in data]
+    else:
+        raise NotImplementedError(
+            f"AIFC compression {comp!r} needs an audio library; "
+            "NONE/sowt/ulaw/alaw decode here"
+        )
+    flat = flat[: n_frames * n_channels] if n_frames else flat
+    return n_channels, rate, [flat[c::n_channels] for c in range(n_channels)]
+
+
 def decode_wav_samples(content: bytes) -> tuple[int, int, list[list[int]]]:
     """REAL stdlib WAV sample decode: returns ``(n_channels,
     sample_rate, samples)`` with ``samples`` one int list per channel
@@ -495,6 +565,8 @@ def sniff_format(content: bytes) -> str | None:
         return "jpeg"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
     return None
@@ -558,6 +630,10 @@ def decode_media_meta(df: DataFrame, *, strict: bool = True) -> DataFrame:
                         w, h = decode_tiff_dims(bytes(content))
                     elif fmt == "wav":
                         ch, sr, dur = decode_wav_meta(bytes(content))
+                    elif fmt == "aiff":
+                        ch, sr, chans = decode_aiff_samples(bytes(content))
+                        nfr = len(chans[0]) if chans else 0
+                        dur = nfr * 1000 // sr if sr else None
                     elif strict:
                         raise NotImplementedError(
                             f"media_id={media_id}: only PNG/JPEG/GIF/TIFF/WAV decode"
@@ -835,8 +911,12 @@ def extract_features(
                             "undecodable media content (sniff found no "
                             "PNG/GIF/JPEG/TIFF/WAV magic)"
                         )
-                if mode == "wav":
-                    _ch, _rate, chans = decode_wav_samples(raw)
+                if mode in ("wav", "aiff"):
+                    decode_fn = (
+                        decode_aiff_samples if mode == "aiff"
+                        else decode_wav_samples
+                    )
+                    _ch, _rate, chans = decode_fn(raw)
                     flat = np.array(
                         [s for c in chans for s in c], dtype=np.int64
                     )

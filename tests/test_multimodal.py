@@ -490,3 +490,114 @@ def test_float32_wav_decodes_to_int16_view():
     hot = bytearray(make_wav_bytes(1, 8000, 2, samples=[[0, 0]], float32=True))
     hot[-8:] = struct.pack("<ff", 2.5, -3.0)
     assert decode_wav_samples(bytes(hot))[2] == [[32767, -32768]]
+
+
+# --- r14.5: AIFF/AIFC audio ---
+
+
+def _aifc_write_none(sam, width=2, rate=44100):
+    import aifc
+    import io
+    import struct
+    import warnings
+
+    class KeepOpen(io.BytesIO):
+        def close(self):
+            self.flush()
+
+    n = len(sam[0])
+    ch = len(sam)
+    if width == 2:
+        inter = b"".join(
+            struct.pack(f">{ch}h", *(sam[c][f] for c in range(ch)))
+            for f in range(n)
+        )
+    else:
+        inter = bytes(
+            (sam[c][f] >> 8) & 0xFF for f in range(n) for c in range(ch)
+        )
+    buf = KeepOpen()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        w = aifc.open(buf, "wb")
+    w.setnchannels(ch)
+    w.setsampwidth(width)
+    w.setframerate(rate)
+    w.writeframes(inter)
+    w.close()
+    return buf.getvalue()
+
+
+def test_aiff_pcm_decodes_like_wav():
+    """aifc-written containers (the stdlib oracle for the UNCOMPRESSED
+    shapes) decode to the same per-channel int16 view as WAV."""
+    from architxt_spark.functions.multimodal import decode_aiff_samples, sniff_format
+
+    sam = [
+        [(i * 113) % 2001 - 1000 for i in range(50)],
+        [(i * 57) % 801 - 400 for i in range(50)],
+    ]
+    blob = _aifc_write_none(sam)
+    assert sniff_format(blob) == "aiff"
+    assert decode_aiff_samples(blob) == (2, 44100, sam)
+    # 8-bit AIFF is SIGNED: top bytes round-trip as the <<8 view
+    blob8 = _aifc_write_none(sam, width=1)
+    want = [[(x - 256 if (x := (v >> 8) & 0xFF) >= 128 else x) << 8 for v in c] for c in sam]
+    assert decode_aiff_samples(blob8)[2] == want
+
+
+def test_aifc_sowt_and_g711_variants():
+    """sowt (little-endian AIFC) and the G.711 compression types —
+    fixtures built from a patched aifc container because the stdlib
+    aifc COMPRESSED writer is itself broken (part of why it was
+    deprecated); the companding tables are audioop-pinned elsewhere."""
+    from architxt_spark.functions.multimodal import (
+        decode_aiff_samples,
+        linear_to_alaw,
+        linear_to_ulaw,
+        alaw_to_linear,
+        ulaw_to_linear,
+    )
+
+    sam = [[(i * 113) % 2001 - 1000 for i in range(50)]]
+    base = bytearray(_aifc_write_none(sam))
+    # sowt: flip the comptype and swap the sample bytes
+    blob = bytearray(base)
+    at = blob.find(b"NONE")
+    blob[at:at + 4] = b"sowt"
+    start = blob.find(b"SSND") + 16
+    for i in range(start, len(blob) - 1, 2):
+        blob[i], blob[i + 1] = blob[i + 1], blob[i]
+    assert decode_aiff_samples(bytes(blob))[2] == sam
+    # ulaw/alaw: replace the SSND payload with companded bytes
+    for name, enc, dec in (
+        (b"ulaw", linear_to_ulaw, ulaw_to_linear),
+        (b"alaw", linear_to_alaw, alaw_to_linear),
+    ):
+        blob = bytearray(base[:start])
+        blob[at:at + 4] = name
+        payload = bytes(enc(v) for v in sam[0])
+        blob += payload
+        # patch SSND chunk length (payload + offset/blocksize words)
+        import struct
+
+        ssnd = bytes(blob).find(b"SSND")
+        blob[ssnd + 4:ssnd + 8] = struct.pack(">I", 8 + len(payload))
+        got = decode_aiff_samples(bytes(blob))
+        assert got[2] == [[dec(enc(v)) for v in sam[0]]], name
+
+
+def test_aiff_feature_and_meta_paths(spark):
+    from architxt_spark.functions import multimodal as M
+
+    sam = [[(i * 311) % 2001 - 1000 for i in range(64)]]
+    blob = _aifc_write_none(sam, rate=8000)
+    df = spark.createDataFrame(
+        [("a", "audio", bytearray(blob))],
+        "media_id string, kind string, content binary",
+    )
+    feats = M.extract_features(df, decoder="sniff").collect()
+    assert len(feats) == 1 and len(feats[0].feature) == 16
+    meta = M.decode_media_meta(df).collect()[0]
+    assert (meta.fmt, meta.n_channels, meta.sample_rate) == ("aiff", 1, 8000)
+    assert meta.duration_ms == 64 * 1000 // 8000
