@@ -2992,7 +2992,13 @@ _CRAWL_FIXTURE_CACHE: dict = {}
 
 def crawl_fixture_archives(spark: SparkSession, sf: str) -> str:
     """Memoized per (session, sf): deterministic crawl-shaped ``.warc.gz``
-    archives built from the documents table — 4 archives (doc_id % 4),
+    archives built from the documents table — 32 archives (doc_id % 32;
+    the read_warc unit of parallelism is the FILE, so the shard count IS
+    the scan width of every pre-shuffle stage downstream — with 4 shards
+    the whole parse→gate→quality chain ran 4-wide on local[32] and the
+    quality barrier alone drew ~8 s at sf0.1; ``media_crawl_archives``
+    learned the same lesson in r11.5.  A real crawl is thousands of
+    archives ≫ cores, so many-shards is also the representative layout),
     CommonCrawl layout (one gzip member per record), each page the
     document's text wrapped in minimal HTML (``html_to_text`` is exact
     identity on this corpus — verified at every SF — so the extraction
@@ -3018,7 +3024,7 @@ def crawl_fixture_archives(spark: SparkSession, sf: str) -> str:
         )
         root = tempfile.mkdtemp(prefix="architxt_crawl_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        for part in range(4):
+        for part in range(32):
             recs = [
                 {
                     "warc_type": "warcinfo",
@@ -3053,7 +3059,7 @@ def crawl_fixture_archives(spark: SparkSession, sf: str) -> str:
                     "content_type": "text/html; charset=utf-8",
                 }
                 for r in rows
-                if r.doc_id % 4 == part
+                if r.doc_id % 32 == part
             ]
             members = [_gzip.compress(build_warc([r])) for r in recs]
             with open(f"{root}/crawl-{part:02d}.warc.gz", "wb") as f:
