@@ -183,7 +183,15 @@ def curate_corpus(
             )
         )
     dedup_in = domain_frame if domain_frame is not None else quality
-    keep_ids = dedup_filter(dedup_in, text_col, id_col, near_threshold=near_threshold)
+    # receive the dedup pass's minhash-signature frame: the decontamination
+    # stage below needs signatures for a SUBSET of the same ids (survivors),
+    # and signatures depend only on the text — reusing the frame removes a
+    # second full corpus scan + shingle-hash pass per pipeline run
+    sig_out: list = []
+    keep_ids = dedup_filter(
+        dedup_in, text_col, id_col,
+        near_threshold=near_threshold, signatures_out=sig_out,
+    )
     # barrier the survivor frame: the census row, the mixture stage's
     # internal threshold collects, and the returned frame would each
     # re-run the whole minhash dedup chain otherwise (measured ~11 s →
@@ -210,6 +218,11 @@ def curate_corpus(
         # benchmark band index broadcasts; corpus scanned once)
         from architxt_spark.functions.dedup import decontaminate_filter
 
+        # the dedup survivors' signatures, cut to exactly the kept ids so
+        # minhash_cross_pairs' corpus/signature contract stays 1:1
+        kept_sigs = sig_out[0].join(
+            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
         kept = stage_barrier(
             decontaminate_filter(
                 kept,
@@ -217,6 +230,7 @@ def curate_corpus(
                 text_col,
                 id_col,
                 threshold=decontam_threshold,
+                corpus_signatures=kept_sigs,
             )
         )
         census = census.unionByName(stage("decontam", kept))

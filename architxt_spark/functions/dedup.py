@@ -238,9 +238,16 @@ def minhash_lsh_pairs(
     id_col: str,
     *,
     max_band_df: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band, with the
     minhash-estimated Jaccard (fraction of equal signature components).
+
+    ``signatures`` (optional): a pre-computed, already-materialized
+    ``(id, sig)`` frame for ``df`` — callers that need the signature
+    frame anyway (:func:`dedup_filter` hands it on to the
+    decontamination stage) pass it here so the corpus is scanned and
+    shingle-hashed ONCE per pipeline, not once per consumer.
 
     Scale shape: shingles explode to rows so the md5 runs in whole-stage
     codegen (not per-element in an interpreted lambda); the 16 permutation
@@ -259,9 +266,12 @@ def minhash_lsh_pairs(
     (:func:`dedup_filter`) additionally restrict the input to
     exact-duplicate representatives first, which removes the dominant
     hot-band source without changing the keep-set at all."""
-    base = _signature_frame(df, text_col, id_col).persist()
-    base.count()  # eager: both self-join branches would otherwise race to
-    # materialize the cache and compute the signature pipeline twice
+    if signatures is not None:
+        base = signatures
+    else:
+        base = _signature_frame(df, text_col, id_col).persist()
+        base.count()  # eager: both self-join branches would otherwise race
+        # to materialize the cache and compute the signature pipeline twice
     banded = base.select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
     if max_band_df is not None:
         heavy = (
@@ -322,6 +332,7 @@ def minhash_cross_pairs(
     bench_text_col: str | None = None,
     bench_id_col: str | None = None,
     max_band_df: int | None = None,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Document-level decontamination candidates: ``(corpus_id, bench_id,
     est_jaccard)`` for corpus×benchmark pairs sharing ≥1 LSH band — the
@@ -332,9 +343,19 @@ def minhash_cross_pairs(
     Scale shape: the benchmark side is small by definition (an eval
     suite), so its band index BROADCASTS — the corpus is scanned once
     and never shuffled on the band key; ``max_band_df`` caps degenerate
-    corpus-side bands exactly as in :func:`minhash_lsh_pairs`."""
-    ca = _signature_frame(corpus, text_col, id_col).persist()
-    ca.count()  # eager: banding + the est rejoin both read it
+    corpus-side bands exactly as in :func:`minhash_lsh_pairs`.
+
+    ``corpus_signatures`` (optional): a pre-computed, already-
+    materialized ``(id, sig)`` frame covering the corpus rows — a
+    pipeline that just ran :func:`dedup_filter` already holds these
+    signatures, and passing them here removes this operator's own
+    corpus scan + shingle-hash pass (signatures depend only on the
+    text, so the values are identical by construction)."""
+    if corpus_signatures is not None:
+        ca = corpus_signatures
+    else:
+        ca = _signature_frame(corpus, text_col, id_col).persist()
+        ca.count()  # eager: banding + the est rejoin both read it
     cb = _signature_frame(
         benchmark, bench_text_col or text_col, bench_id_col or id_col
     ).persist()
@@ -378,11 +399,13 @@ def decontaminate_filter(
     bench_text_col: str | None = None,
     bench_id_col: str | None = None,
     max_band_df: int | None = 10_000,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus rows surviving document-level eval decontamination: any row
     whose minhash similarity to ANY benchmark document reaches
     ``threshold`` is dropped.  The drop set is benchmark-bounded and the
-    final filter is one anti-join."""
+    final filter is one anti-join.  ``corpus_signatures`` — see
+    :func:`minhash_cross_pairs`."""
     hits = (
         minhash_cross_pairs(
             corpus,
@@ -392,6 +415,7 @@ def decontaminate_filter(
             bench_text_col=bench_text_col,
             bench_id_col=bench_id_col,
             max_band_df=max_band_df,
+            corpus_signatures=corpus_signatures,
         )
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("corpus_id").alias(id_col))
@@ -777,6 +801,7 @@ def dedup_filter(
     *,
     near_threshold: float = 0.5,
     max_band_df: int = 10_000,
+    signatures_out: list | None = None,
 ) -> DataFrame:
     """Documents surviving deduplication: per exact-duplicate group only the
     min-id representative survives, and the greater id of every MinHash
@@ -798,7 +823,15 @@ def dedup_filter(
     template copies; without the restriction those copies share every band
     and emit M²/2 candidate pairs.  ``max_band_df`` bounds the residual
     near-identical-but-not-exact bucket the same way (exact over the
-    capped band universe; mirrored in the SQL twin)."""
+    capped band universe; mirrored in the SQL twin).
+
+    ``signatures_out`` (optional): pass a list to receive the persisted
+    ``(id, sig)`` minhash-signature frame of the representatives.  A
+    curation pipeline's decontamination stage needs signatures for a
+    SUBSET of these ids (the dedup survivors) — reusing this frame
+    removes one full corpus scan + shingle-hash pass per pipeline run
+    (:func:`~architxt_spark.functions.curation.curate_corpus` wires it
+    through)."""
     fp = _spread(df).select(
         F.col(id_col).alias("id"), T.fingerprint(F.col(text_col)).alias("fp")
     )
@@ -807,9 +840,14 @@ def dedup_filter(
     reps = df.join(
         keep_exact.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
-    near = minhash_lsh_pairs(reps, text_col, id_col, max_band_df=max_band_df).filter(
-        F.col("est_jaccard") >= near_threshold
-    )
+    sig = _signature_frame(reps, text_col, id_col).persist()
+    sig.count()  # eager: band explode + est rejoin (+ any signatures_out
+    # consumer) all read it — same both-branches-race rule as before
+    if signatures_out is not None:
+        signatures_out.append(sig)
+    near = minhash_lsh_pairs(
+        reps, text_col, id_col, max_band_df=max_band_df, signatures=sig
+    ).filter(F.col("est_jaccard") >= near_threshold)
     drop_near = near.select(F.col("id_b").alias("id")).distinct()
     return keep_exact.join(drop_near, "id", "left_anti").select("id")
 
