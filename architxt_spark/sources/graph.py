@@ -152,52 +152,50 @@ def _path_id(tree_id: Column, path: Column) -> Column:
     return F.concat(tree_id, F.lit(":"), F.concat_ws(".", path.cast("array<string>")))
 
 
-def _emit_groups(df: DataFrame, prop_names: list[str]) -> DataFrame:
-    """``(GROUP::<gname> (ENT::<prop> value)…)`` node rows at ``gpath``.
+def _node_struct(path: Column, pos: Column, ntype, nname, leaf, meta) -> Column:
+    """One NODE_SCHEMA row as a struct (explode-of-conditional-structs
+    building block, like the relational loader)."""
+    tree_id = F.col("tree_id")
+    return F.struct(
+        tree_id.alias("tree_id"),
+        _path_id(tree_id, path).alias("node_id"),
+        _path_id(tree_id, F.slice(path, 1, F.size(path) - 1)).alias("parent_id"),
+        pos.cast("int").alias("pos"),
+        path.cast("array<int>").alias("path"),
+        F.size(path).cast("int").alias("depth"),
+        F.lit(ntype).cast("string").alias("node_type"),
+        nname.cast("string").alias("node_name"),
+        leaf.cast("string").alias("leaf_value"),
+        meta.cast("map<string,string>").alias("metadata"),
+    )
 
-    ``df`` columns: ``tree_id, gpath (array<int>), gname, goid`` plus one
-    ``v__<prop>`` value column per property.  Zero-UDF explode of
-    conditional structs, like the relational loader; a null property leaves
-    a ``pos`` gap (the relational loader's stable-column-index deviation).
-    """
-    tree_id, gpath = F.col("tree_id"), F.col("gpath")
 
-    def node(path: Column, pos: Column, ntype, nname, leaf, meta) -> Column:
-        return F.struct(
-            tree_id.alias("tree_id"),
-            _path_id(tree_id, path).alias("node_id"),
-            _path_id(tree_id, F.slice(path, 1, F.size(path) - 1)).alias("parent_id"),
-            pos.cast("int").alias("pos"),
-            path.cast("array<int>").alias("path"),
-            F.size(path).cast("int").alias("depth"),
-            F.lit(ntype).cast("string").alias("node_type"),
-            nname.cast("string").alias("node_name"),
-            leaf.cast("string").alias("leaf_value"),
-            meta.cast("map<string,string>").alias("metadata"),
-        )
-
+def _group_structs(
+    gpath: Column, gname: Column, goid: Column, vals: list[tuple[str, Column]]
+) -> list[Column]:
+    """``(GROUP::<gname> (ENT::<prop> value)…)`` as a struct list at
+    ``gpath``: the GROUP node plus, per non-null property, an ENT node and
+    its leaf.  A null property leaves a ``pos`` gap (the relational
+    loader's stable-column-index deviation)."""
     structs = [
-        node(
+        _node_struct(
             gpath,
             F.element_at(gpath, -1),
             "GROUP",
-            F.col("gname"),
+            gname,
             F.lit(None),
-            F.create_map(F.lit("oid"), F.col("goid")),
+            F.create_map(F.lit("oid"), goid),
         )
     ]
-    for i, p in enumerate(prop_names):
-        val = F.col(f"v__{p}")
+    for i, (p, val) in enumerate(vals):
         ent_path = F.concat(gpath, F.array(F.lit(i)))
-        ent = node(ent_path, F.lit(i), "ENT", F.lit(p), F.lit(None), F.lit(None))
-        leaf = node(
+        ent = _node_struct(ent_path, F.lit(i), "ENT", F.lit(p), F.lit(None), F.lit(None))
+        leaf = _node_struct(
             F.concat(ent_path, F.array(F.lit(0))), F.lit(0), None, F.lit(None), val, F.lit(None)
         )
         structs.append(F.when(val.isNotNull(), ent))
         structs.append(F.when(val.isNotNull(), leaf))
-
-    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
-    return df.select(F.explode(arr).alias("n")).select("n.*")
+    return structs
 
 
 def read_graph(
@@ -285,92 +283,87 @@ def read_graph(
         .transform(stage_barrier)
     )
 
-    is_edge = F.col("__kind") == 1
-    visited = children.filter(F.col("__kind") == 0)
-    plain0 = children.filter(is_edge & ~F.col("__attributed"))
-    attr0 = children.filter(is_edge & F.col("__attributed") & (F.col("__sub") == 0))
-    attr1 = children.filter(is_edge & F.col("__attributed") & (F.col("__sub") == 1))
-    attr2 = children.filter(is_edge & F.col("__attributed") & (F.col("__sub") == 2))
-
     # --- emission ----------------------------------------------------------
-    out: list[DataFrame] = [
-        roots.select(
-            "tree_id",
-            F.concat(F.col("tree_id"), F.lit(":")).alias("node_id"),
-            F.lit(None).cast("string").alias("parent_id"),
-            F.lit(0).alias("pos"),
-            F.array().cast("array<int>").alias("path"),
-            F.lit(0).alias("depth"),
-            F.lit(None).cast("string").alias("node_type"),
-            F.lit("ROOT").alias("node_name"),
-            F.lit(None).cast("string").alias("leaf_value"),
-            F.lit(None).cast("map<string,string>").alias("metadata"),
-        )
-    ]
-
-    def gframe(df: DataFrame, path: Column, name: Column, oid: Column, vals: list[Column], props: list[str]) -> DataFrame:
-        return df.select(
-            "tree_id",
-            path.cast("array<int>").alias("gpath"),
-            name.alias("gname"),
-            oid.alias("goid"),
-            *[v.alias(f"v__{p}") for v, p in zip(vals, props)],
-        )
+    # ONE pass over the checkpointed children frame: per row, the emitted
+    # node set is a function of (__kind, __attributed, __sub) alone, so a
+    # single conditional struct array + explode replaces the previous
+    # 8-branch union (each branch re-filtered and re-exploded the
+    # checkpoint: 8 scans, a 3× larger plan, and a wider final job — the
+    # fused form measured the same rows from one scan).  Roots stay a
+    # separate (tiny) union branch.
+    root_rows = roots.select(
+        "tree_id",
+        F.concat(F.col("tree_id"), F.lit(":")).alias("node_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit(0).alias("pos"),
+        F.array().cast("array<int>").alias("path"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("node_type"),
+        F.lit("ROOT").alias("node_name"),
+        F.lit(None).cast("string").alias("leaf_value"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
 
     node_oid = _oid("node", namespace, F.col("nid"))
     src_oid = _oid("node", namespace, F.col("src"))
     dst_oid = _oid("node", namespace, F.col("dst"))
-    nvals = [F.col(p) for p in node_props]
-    svals = [F.col(f"src__{p}") for p in node_props]
-    dvals = [F.col(f"dst__{p}") for p in node_props]
-    evals = [F.col(p) for p in rel_props]
+    nvals = [(p, F.col(p)) for p in node_props]
+    svals = [(p, F.col(f"src__{p}")) for p in node_props]
+    dvals = [(p, F.col(f"dst__{p}")) for p in node_props]
+    evals = [(p, F.col(p)) for p in rel_props]
     eoid = _oid("edge", namespace, F.col("rel_type"), F.col("src"), F.col("dst"))
     at = F.array(F.col("cpos"))
     at0 = F.array(F.col("cpos"), F.lit(0))
     at1 = F.array(F.col("cpos"), F.lit(1))
 
-    node_groups = [
-        gframe(visited, at, F.col("label"), node_oid, nvals, node_props),
-        gframe(plain0, at0, F.col("src_label"), src_oid, svals, node_props),
-        gframe(plain0, at1, F.col("dst_label"), dst_oid, dvals, node_props),
-        gframe(attr1, at0, F.col("src_label"), src_oid, svals, node_props),
-        gframe(attr2, at1, F.col("dst_label"), dst_oid, dvals, node_props),
-    ]
-    edge_groups = [
-        gframe(attr0, at, F.col("rel_type"), eoid, evals, rel_props),
-        gframe(attr1, at1, F.col("rel_type"), eoid, evals, rel_props),
-        gframe(attr2, at0, F.col("rel_type"), eoid, evals, rel_props),
-    ]
-    for frames, props in ((node_groups, node_props), (edge_groups, rel_props)):
-        u = frames[0]
-        for f in frames[1:]:
-            u = u.unionByName(f)
-        out.append(_emit_groups(u, props))
-
-    def rel_rows(df: DataFrame, left: Column, right: Column) -> DataFrame:
+    def rel_struct(left: Column, right: Column) -> Column:
         name = F.concat(left, F.lit("<->"), right)
-        path = F.array(F.col("cpos"))
-        return df.select(
-            "tree_id",
-            _path_id(F.col("tree_id"), path).alias("node_id"),
-            F.concat(F.col("tree_id"), F.lit(":")).alias("parent_id"),
-            F.col("cpos").cast("int").alias("pos"),
-            path.cast("array<int>").alias("path"),
-            F.lit(1).alias("depth"),
-            F.lit("REL").alias("node_type"),
-            name.alias("node_name"),
-            F.lit(None).cast("string").alias("leaf_value"),
+        return _node_struct(
+            at,
+            F.col("cpos"),
+            "REL",
+            name,
+            F.lit(None),
             F.create_map(
                 F.lit("oid"), _oid("rel", namespace, name, F.col("src"), F.col("dst")),
                 F.lit("type"), F.col("rel_type"),
-            ).alias("metadata"),
+            ),
         )
 
-    out.append(rel_rows(plain0, F.col("src_label"), F.col("dst_label")))
-    out.append(rel_rows(attr1, F.col("src_label"), F.col("rel_type")))
-    out.append(rel_rows(attr2, F.col("rel_type"), F.col("dst_label")))
+    src_l, dst_l, rel_t = F.col("src_label"), F.col("dst_label"), F.col("rel_type")
+    branches = [
+        # visited node: its GROUP subtree at [cpos]
+        (F.col("__kind") == 0, _group_structs(at, F.col("label"), node_oid, nvals)),
+        # plain edge: REL::<src><-><dst> + both endpoint-copy subtrees
+        (
+            ~F.col("__attributed"),
+            [rel_struct(src_l, dst_l)]
+            + _group_structs(at0, src_l, src_oid, svals)
+            + _group_structs(at1, dst_l, dst_oid, dvals),
+        ),
+        # reified edge, child 0: GROUP::<rel_type> holding the edge props
+        (F.col("__sub") == 0, _group_structs(at, rel_t, eoid, evals)),
+        # reified edge, child 1: REL::<src><-><rel_type> (src copy + edge copy)
+        (
+            F.col("__sub") == 1,
+            [rel_struct(src_l, rel_t)]
+            + _group_structs(at0, src_l, src_oid, svals)
+            + _group_structs(at1, rel_t, eoid, evals),
+        ),
+        # reified edge, child 2: REL::<rel_type><-><dst> (edge copy + dst copy)
+        (
+            F.col("__sub") == 2,
+            [rel_struct(rel_t, dst_l)]
+            + _group_structs(at0, rel_t, eoid, evals)
+            + _group_structs(at1, dst_l, dst_oid, dvals),
+        ),
+    ]
+    arr = None
+    for cond, structs in reversed(branches):
+        a = F.array(*structs)
+        arr = a if arr is None else F.when(cond, a).otherwise(arr)
+    arr = F.filter(arr, lambda x: x.isNotNull())
+    emitted = children.select(F.explode(arr).alias("n")).select("n.*")
 
-    result = out[0]
-    for o in out[1:]:
-        result = result.unionByName(o)
+    result = root_rows.unionByName(emitted)
     return result.select([f.name for f in NODE_SCHEMA.fields])
