@@ -1595,8 +1595,7 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     real_media = (
-        _t(spark, sf, "documents")
-        .select("doc_id")
+        dedup._spread(_t(spark, sf, "documents").select("doc_id"))
         .mapInPandas(build, "media_id string, kind string, content binary")
     )
     decoded = decode_media_meta(real_media).select(
@@ -1768,8 +1767,7 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "s", "a", "b"])
 
     pixels = (
-        _t(spark, sf, "documents")
-        .select("doc_id")
+        dedup._spread(_t(spark, sf, "documents").select("doc_id"))
         .mapInPandas(build_pixels, "media_id string, s string, a long, b long")
         .select(
             F.lit("pixels").alias("variant"),
@@ -1804,8 +1802,7 @@ def q_multimodal_profile(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     avi_media = (
-        _t(spark, sf, "documents")
-        .select("doc_id")
+        dedup._spread(_t(spark, sf, "documents").select("doc_id"))
         .mapInPandas(build_frames, "media_id string, content binary")
     )
     from architxt_spark.functions.multimodal import sample_video_frames
@@ -1916,8 +1913,7 @@ def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     media = (
-        _t(spark, sf, "documents")
-        .select("doc_id")
+        dedup._spread(_t(spark, sf, "documents").select("doc_id"))
         .mapInPandas(build, "media_id string, content binary")
     )
     hashes = image_hashes(media).persist()
@@ -1959,8 +1955,7 @@ def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     clips = (
-        _t(spark, sf, "documents")
-        .select("doc_id")
+        dedup._spread(_t(spark, sf, "documents").select("doc_id"))
         .mapInPandas(build_audio, "media_id string, content binary")
     )
     fps = audio_fingerprints(clips).persist()

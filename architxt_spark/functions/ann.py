@@ -382,17 +382,26 @@ def _plane(seed: int, dim: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = LSH_PLANES) -> Column:
-    """Sign-concatenation bucket id from ``n_planes`` fixed hyperplanes."""
-    bits = []
-    for p in range(n_planes):
-        plane = _plane(p, dim)
-        d = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    """Sign-concatenation bucket id from ``n_planes`` fixed hyperplanes.
+    ``vec`` (usually a cast of the stored float array) is bound once via
+    ``_let`` — the per-plane dot products would otherwise re-evaluate the
+    cast/allocation once per plane (interpreted HOF trees have no
+    common-subexpression elimination)."""
+    from architxt_spark.functions.text import _let
+
+    def mk(v: Column) -> Column:
+        bits = []
+        for p in range(n_planes):
+            plane = _plane(p, dim)
+            d = F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    return _let(vec, mk)
 
 
 def lsh_topk(
