@@ -968,8 +968,16 @@ def pq_encode(
         d,
     ).select("sub", "code", F.col("sv").alias("centroid"))
 
+    from architxt_spark.functions.dedup import _spread
+
+    # Spread the corpus before the interpreted unit-normalize + per-
+    # (subvector, code) L2 pass: unlike the top-k paths (whose heavy
+    # re-scoring runs after a shuffle and whose union branches already
+    # overlap), pq_encode's n×m×ksub distance pass sits entirely BEFORE
+    # its first exchange, so a single parquet split serializes it on one
+    # core (A/B at sf0.1: 3.37 s → 1.49 s; no-op at real scale).
     corpus = _subspaces(
-        embeddings.select(
+        _spread(embeddings).select(
             F.col(id_col).alias("nid"), _unit(F.col(vec_col).cast("array<double>")).alias("nv")
         ),
         "nid",

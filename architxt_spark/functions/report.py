@@ -84,22 +84,28 @@ def corpus_report(
         )
     )
 
-    scalars = sig.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-        F.sum("n_chars").cast("long").alias("n_chars"),
-        F.count_distinct("fp").alias("n_distinct"),
-    ).crossJoin(
-        F.broadcast(
-            df.agg(
-                F.sum(
-                    F.round(T.quality_score(F.col(text_col)), 6).cast("decimal(18,6)")
+    # Barriered 1-row frame: three consumers below (size, dupq, langs'
+    # n_docs) would otherwise each re-run BOTH aggregates — including the
+    # expensive quality/gopher corpus pass — once per union branch
+    # (measured: ~5 repeated 32-task aggregate jobs per corpus_report run).
+    scalars = stage_barrier(
+        sig.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.count_distinct("fp").alias("n_distinct"),
+        ).crossJoin(
+            F.broadcast(
+                df.agg(
+                    F.sum(
+                        F.round(T.quality_score(F.col(text_col)), 6).cast("decimal(18,6)")
+                    )
+                    .cast("double")
+                    .alias("q_sum"),
+                    F.sum(T.gopher_keep(F.col(text_col)).cast("int"))
+                    .cast("long")
+                    .alias("n_keep"),
                 )
-                .cast("double")
-                .alias("q_sum"),
-                F.sum(T.gopher_keep(F.col(text_col)).cast("int"))
-                .cast("long")
-                .alias("n_keep"),
             )
         )
     )
@@ -144,18 +150,27 @@ def corpus_report(
         hist.select("n_tok", F.sum("c").over(w).alias("cum"))
         .crossJoin(F.broadcast(hist.agg(F.sum("c").cast("long").alias("n"))))
     )
-    deciles = None
-    for p in REPORT_DECILES:
-        d = (
-            cum.filter(F.col("cum") >= F.ceil(F.col("n") * p / 100))
-            .agg(F.min("n_tok").cast("double").alias("value"))
-            .select(
-                F.lit("length").alias("section"),
-                F.lit(f"p{p}_tokens").alias("key"),
-                "value",
+    # All deciles from ONE aggregate over the (tiny) cumulative histogram:
+    # min(when(cum >= ceil(n*p/100), n_tok)) ≡ the former per-p
+    # filter-then-min — min ignores the nulls when() leaves — so values
+    # are identical while 5 separate jobs (each re-reading the signal
+    # checkpoint and re-building the histogram) collapse into one.
+    dec_row = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("n") * p / 100), F.col("n_tok")
+                )
             )
-        )
-        deciles = d if deciles is None else deciles.unionAll(d)
+            .cast("double")
+            .alias(f"p{p}")
+            for p in REPORT_DECILES
+        ]
+    )
+    stack_args = ", ".join(f"'p{p}_tokens', p{p}" for p in REPORT_DECILES)
+    deciles = dec_row.selectExpr(
+        f"stack({len(REPORT_DECILES)}, {stack_args}) AS (key, value)"
+    ).select(F.lit("length").alias("section"), "key", "value")
 
     langs = (
         sig.groupBy("lang")
