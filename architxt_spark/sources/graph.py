@@ -198,6 +198,92 @@ def _group_structs(
     return structs
 
 
+#: memoized emission expressions keyed by (applicationId, namespace,
+#: node_props, rel_props) — see :func:`_emission_array`
+_EMISSION_CACHE: dict = {}
+
+
+def _emission_array(
+    app_id: str, namespace: str, node_props: tuple, rel_props: tuple
+) -> Column:
+    """The per-child-row emission expression: a conditional struct array
+    over ``(__kind, __attributed, __sub)``, exploded by :func:`read_graph`.
+
+    The tree is a pure function of the property NAMES (every data
+    reference is an unresolved ``F.col``), yet building it costs ~2 s of
+    py4j round-trips per call (~33 ten-field structs) — measured as the
+    single largest driver-side term of a ``read_graph`` call, with zero
+    cluster work.  Memoized per (application, namespace, schema) so
+    repeated loads reuse the unresolved tree; keyed on the application id
+    because a restarted JVM invalidates the wrapped java objects."""
+    key = (app_id, namespace, node_props, rel_props)
+    cached = _EMISSION_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    node_oid = _oid("node", namespace, F.col("nid"))
+    src_oid = _oid("node", namespace, F.col("src"))
+    dst_oid = _oid("node", namespace, F.col("dst"))
+    nvals = [(p, F.col(p)) for p in node_props]
+    svals = [(p, F.col(f"src__{p}")) for p in node_props]
+    dvals = [(p, F.col(f"dst__{p}")) for p in node_props]
+    evals = [(p, F.col(p)) for p in rel_props]
+    eoid = _oid("edge", namespace, F.col("rel_type"), F.col("src"), F.col("dst"))
+    at = F.array(F.col("cpos"))
+    at0 = F.array(F.col("cpos"), F.lit(0))
+    at1 = F.array(F.col("cpos"), F.lit(1))
+
+    def rel_struct(left: Column, right: Column) -> Column:
+        name = F.concat(left, F.lit("<->"), right)
+        return _node_struct(
+            at,
+            F.col("cpos"),
+            "REL",
+            name,
+            F.lit(None),
+            F.create_map(
+                F.lit("oid"), _oid("rel", namespace, name, F.col("src"), F.col("dst")),
+                F.lit("type"), F.col("rel_type"),
+            ),
+        )
+
+    src_l, dst_l, rel_t = F.col("src_label"), F.col("dst_label"), F.col("rel_type")
+    branches = [
+        # visited node: its GROUP subtree at [cpos]
+        (F.col("__kind") == 0, _group_structs(at, F.col("label"), node_oid, nvals)),
+        # plain edge: REL::<src><-><dst> + both endpoint-copy subtrees
+        (
+            ~F.col("__attributed"),
+            [rel_struct(src_l, dst_l)]
+            + _group_structs(at0, src_l, src_oid, svals)
+            + _group_structs(at1, dst_l, dst_oid, dvals),
+        ),
+        # reified edge, child 0: GROUP::<rel_type> holding the edge props
+        (F.col("__sub") == 0, _group_structs(at, rel_t, eoid, evals)),
+        # reified edge, child 1: REL::<src><-><rel_type> (src copy + edge copy)
+        (
+            F.col("__sub") == 1,
+            [rel_struct(src_l, rel_t)]
+            + _group_structs(at0, src_l, src_oid, svals)
+            + _group_structs(at1, rel_t, eoid, evals),
+        ),
+        # reified edge, child 2: REL::<rel_type><-><dst> (edge copy + dst copy)
+        (
+            F.col("__sub") == 2,
+            [rel_struct(rel_t, dst_l)]
+            + _group_structs(at0, rel_t, eoid, evals)
+            + _group_structs(at1, dst_l, dst_oid, dvals),
+        ),
+    ]
+    arr = None
+    for cond, structs in reversed(branches):
+        a = F.array(*structs)
+        arr = a if arr is None else F.when(cond, a).otherwise(arr)
+    arr = F.filter(arr, lambda x: x.isNotNull())
+    _EMISSION_CACHE[key] = arr
+    return arr
+
+
 def read_graph(
     nodes: DataFrame,
     rels: DataFrame,
@@ -304,65 +390,12 @@ def read_graph(
         F.lit(None).cast("map<string,string>").alias("metadata"),
     )
 
-    node_oid = _oid("node", namespace, F.col("nid"))
-    src_oid = _oid("node", namespace, F.col("src"))
-    dst_oid = _oid("node", namespace, F.col("dst"))
-    nvals = [(p, F.col(p)) for p in node_props]
-    svals = [(p, F.col(f"src__{p}")) for p in node_props]
-    dvals = [(p, F.col(f"dst__{p}")) for p in node_props]
-    evals = [(p, F.col(p)) for p in rel_props]
-    eoid = _oid("edge", namespace, F.col("rel_type"), F.col("src"), F.col("dst"))
-    at = F.array(F.col("cpos"))
-    at0 = F.array(F.col("cpos"), F.lit(0))
-    at1 = F.array(F.col("cpos"), F.lit(1))
-
-    def rel_struct(left: Column, right: Column) -> Column:
-        name = F.concat(left, F.lit("<->"), right)
-        return _node_struct(
-            at,
-            F.col("cpos"),
-            "REL",
-            name,
-            F.lit(None),
-            F.create_map(
-                F.lit("oid"), _oid("rel", namespace, name, F.col("src"), F.col("dst")),
-                F.lit("type"), F.col("rel_type"),
-            ),
-        )
-
-    src_l, dst_l, rel_t = F.col("src_label"), F.col("dst_label"), F.col("rel_type")
-    branches = [
-        # visited node: its GROUP subtree at [cpos]
-        (F.col("__kind") == 0, _group_structs(at, F.col("label"), node_oid, nvals)),
-        # plain edge: REL::<src><-><dst> + both endpoint-copy subtrees
-        (
-            ~F.col("__attributed"),
-            [rel_struct(src_l, dst_l)]
-            + _group_structs(at0, src_l, src_oid, svals)
-            + _group_structs(at1, dst_l, dst_oid, dvals),
-        ),
-        # reified edge, child 0: GROUP::<rel_type> holding the edge props
-        (F.col("__sub") == 0, _group_structs(at, rel_t, eoid, evals)),
-        # reified edge, child 1: REL::<src><-><rel_type> (src copy + edge copy)
-        (
-            F.col("__sub") == 1,
-            [rel_struct(src_l, rel_t)]
-            + _group_structs(at0, src_l, src_oid, svals)
-            + _group_structs(at1, rel_t, eoid, evals),
-        ),
-        # reified edge, child 2: REL::<rel_type><-><dst> (edge copy + dst copy)
-        (
-            F.col("__sub") == 2,
-            [rel_struct(rel_t, dst_l)]
-            + _group_structs(at0, rel_t, eoid, evals)
-            + _group_structs(at1, dst_l, dst_oid, dvals),
-        ),
-    ]
-    arr = None
-    for cond, structs in reversed(branches):
-        a = F.array(*structs)
-        arr = a if arr is None else F.when(cond, a).otherwise(arr)
-    arr = F.filter(arr, lambda x: x.isNotNull())
+    arr = _emission_array(
+        children.sparkSession.sparkContext.applicationId,
+        namespace,
+        tuple(node_props),
+        tuple(rel_props),
+    )
     emitted = children.select(F.explode(arr).alias("n")).select("n.*")
 
     result = root_rows.unionByName(emitted)
