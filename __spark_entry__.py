@@ -3446,6 +3446,13 @@ def q_typed_export_orders(spark: SparkSession, sf: str) -> DataFrame:
     raw = _t(spark, sf, "orders").select(
         *[F.col(c).cast("string").alias(c) for c in _t(spark, sf, "orders").columns]
     )
+    # spread before the two regex/try_cast-heavy passes (inference agg +
+    # the re-typed aggregate): the single-file scan would run ~7M parse
+    # probes on one core (A/B at sf0.1: 2.99 s → 1.77 s, values equal;
+    # no-op at real scale — functions/dedup.py:_spread)
+    from architxt_spark.functions.dedup import _spread
+
+    raw = _spread(raw)
     types = infer_column_types(raw)
     typed = apply_typed_casts(raw, types)
     sig = ",".join(f"{c}:{types[c]}" for c in sorted(types))

@@ -17,6 +17,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from architxt_spark.functions.text import _memo_expr
 from architxt_spark.session import stage_barrier
 
 LSH_PLANES = 8
@@ -386,7 +387,14 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = LSH_PLANES) -> Column:
     ``vec`` (usually a cast of the stored float array) is bound once via
     ``_let`` — the per-plane dot products would otherwise re-evaluate the
     cast/allocation once per plane (interpreted HOF trees have no
-    common-subexpression elimination)."""
+    common-subexpression elimination).  Memoized per JVM
+    (``text._memo_expr``): the n_planes × dim literal hyperplanes cost
+    ~590 ms of py4j round trips per construction."""
+    return _lsh_bucket_build(vec, dim, n_planes)
+
+
+@_memo_expr
+def _lsh_bucket_build(vec: Column, dim: int, n_planes: int) -> Column:
     from architxt_spark.functions.text import _let
 
     def mk(v: Column) -> Column:
