@@ -3789,6 +3789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_documents",
         "multimodal_profile",
         "multimodal_dedup",
+        # corpus_health: r14-opt — datasheet scalars barriered, deciles
+        # fused to one aggregate (functions/report.py; values unchanged).
+        "corpus_health",
         # Entries whose newest driver verdict is round 12 — the ≤2-round
         # rotation contract requires the r14 gate to renew all 36.
         "ann_recall",
