@@ -215,9 +215,11 @@ def minhash_signature(col: Column, k: int = MINHASH_K) -> Column:
     return minhash_signature_of_ints(hs, k)
 
 
+@T._memo_expr
 def minhash_bands(sig: Column, k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE) -> Column:
     """LSH band keys derived from an ALREADY-COMPUTED signature column —
-    never recomputes the signature."""
+    never recomputes the signature.  Memoized per JVM (``text._memo_expr``
+    — 84 ms of py4j construction per call otherwise)."""
     return F.array(*[
         F.concat(
             F.lit(f"{b}:"),
@@ -312,15 +314,21 @@ def _signature_frame(
     on both sides of the explode."""
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("long")
     hs_rows = _shingle_rows(df, text_col, id_col, holds).select("id", h.alias("h"))
-    mins = [
+    return (
+        hs_rows.groupBy("id")
+        .agg(*_minhash_min_aggs())
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig"))
+    )
+
+
+@T._memo_expr
+def _minhash_min_aggs() -> list:
+    """The 16 permutation-min aggregate expressions over the shingle-hash
+    column ``h`` — pure literals, memoized per JVM (py4j construction)."""
+    return [
         F.min((F.col("h") * _MINHASH_A[i] + _MINHASH_B[i]) % _MINHASH_MOD).alias(f"m{i}")
         for i in range(MINHASH_K)
     ]
-    return (
-        hs_rows.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig"))
-    )
 
 
 def minhash_cross_pairs(
