@@ -165,12 +165,28 @@ def classifier_score(
 ) -> DataFrame:
     """Score documents with a trained weight table: ``(id_col, n_feats,
     margin, pred)`` — integer margin (exact), pred = sign (0-margin and
-    feature-less documents score as rejects, the conservative gate)."""
-    toks = _feature_rows(docs, id_col, text_col, bigrams)
+    feature-less documents score as rejects, the conservative gate).
+
+    ONE corpus scan (r15): feature-less documents ride the same explode
+    via ``explode_outer`` (their NULL feature row carries ``x = count(__t)
+    = 0`` and joins nothing, so they aggregate to the same ``(0, 0, 0)``
+    row the former second-scan union branch produced).  NULL-text
+    documents stay excluded, exactly as before (their token array is
+    NULL, filtered ahead of the explode — the old code dropped them from
+    both branches)."""
+    staged = _spread(docs).select(
+        F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.col("__toks").isNotNull())
+    feat_arr = (
+        F.concat(F.col("__toks"), T.shingles_of_tokens(F.col("__toks"), 2))
+        if bigrams
+        else F.col("__toks")
+    )
+    toks = staged.select("id", F.explode_outer(feat_arr).alias("__t"))
     feats = (
-        toks.select("id", _feature_bucket(F.col("__t"), n_buckets).alias("b"))
+        toks.select("id", _feature_bucket(F.col("__t"), n_buckets).alias("b"), "__t")
         .groupBy("id", "b")
-        .agg(F.count("*").cast("long").alias("x"))
+        .agg(F.count("__t").cast("long").alias("x"))
     )
     scored = (
         feats.join(F.broadcast(weights), "b", "left")
@@ -180,12 +196,7 @@ def classifier_score(
             F.sum(F.coalesce(F.col("w"), F.lit(0)) * F.col("x")).alias("margin"),
         )
     )
-    empty = (
-        docs.select(F.col(id_col).alias("id"), F.col(text_col))
-        .where(F.size(T.tokens(F.col(text_col))) == 0)
-        .select("id", F.lit(0).cast("long").alias("n_feats"), F.lit(0).cast("long").alias("margin"))
-    )
-    return scored.unionByName(empty).select(
+    return scored.select(
         F.col("id").alias(id_col),
         "n_feats",
         "margin",

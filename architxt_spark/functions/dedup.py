@@ -274,6 +274,17 @@ def minhash_lsh_pairs(
         base = _signature_frame(df, text_col, id_col).persist()
         base.count()  # eager: both self-join branches would otherwise race
         # to materialize the cache and compute the signature pipeline twice
+    # NOTE (r15, measured and REJECTED): carrying ``sig`` through the band
+    # self-join to delete the est-rejoin below was A/B'd in two variants —
+    # est-per-banded-occurrence (2× slower at sf0.1: the interpreted
+    # zip_with ran up to bands× per pair, pre-distinct) and
+    # groupBy+first(sig) (flat at sf0.1; 1M-doc Zipf rung 24.6 s vs
+    # 22.0 s at matched calib; 4M rung 70.7 vs 73.1 s raw on a
+    # slower-probe before-host — no win).  The carried shape also
+    # shuffles ~4× the pair bytes at scale (two 16-long signatures per
+    # candidate row vs two longs), against guide §8's decide-with-small-
+    # rows rule — the rejoin keeps the 64M-pair shuffle at 16 bytes/row
+    # and attaches signatures to the (far smaller) distinct pair set.
     banded = base.select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
     if max_band_df is not None:
         heavy = (
@@ -368,22 +379,25 @@ def minhash_cross_pairs(
         benchmark, bench_text_col or text_col, bench_id_col or id_col
     ).persist()
     cb.count()
-    banded_a = ca.select("id", F.explode(minhash_bands(F.col("sig"))).alias("band"))
+    # signatures ride the band rows (see minhash_lsh_pairs, r15): the
+    # corpus side is scanned ONCE and the former est-rejoin — which
+    # re-shuffled the corpus signature frame onto the pair set — is gone;
+    # the benchmark side stays a broadcast either way.
+    banded_a = ca.select(
+        F.col("id").alias("corpus_id"),
+        F.col("sig").alias("sig_a"),
+        F.explode(minhash_bands(F.col("sig"))).alias("band"),
+    )
     if max_band_df is not None:
         heavy = (
             banded_a.groupBy("band").count().filter(F.col("count") > max_band_df).select("band")
         )
         banded_a = banded_a.join(F.broadcast(heavy), "band", "left_anti")
     banded_b = cb.select(
-        F.col("id").alias("bench_id"), F.explode(minhash_bands(F.col("sig"))).alias("band")
+        F.col("id").alias("bench_id"),
+        F.col("sig").alias("sig_b"),
+        F.explode(minhash_bands(F.col("sig"))).alias("band"),
     )
-    pairs = (
-        banded_a.join(F.broadcast(banded_b), "band")
-        .select(F.col("id").alias("corpus_id"), "bench_id")
-        .distinct()
-    )
-    sa = ca.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_a"))
-    sb = cb.select(F.col("id").alias("bench_id"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -391,9 +405,9 @@ def minhash_cross_pairs(
         )
     ) / F.size(F.col("sig_a"))
     return (
-        pairs.join(sa, "corpus_id")
-        .join(F.broadcast(sb), "bench_id")
+        banded_a.join(F.broadcast(banded_b), "band")
         .select("corpus_id", "bench_id", F.round(est, 4).alias("est_jaccard"))
+        .distinct()
     )
 
 

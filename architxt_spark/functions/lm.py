@@ -47,6 +47,26 @@ def _transitions(base: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
 
+def _transitions_outer(base: DataFrame, id_col: str) -> DataFrame:
+    """Like :func:`_transitions`, but short documents (< 2 tokens) emit
+    one NULL transition row via ``explode_outer`` instead of vanishing —
+    the scoring aggregation then produces their ``(n_trans=0, ppl=NULL)``
+    rows from the SAME corpus scan, where the former union branch paid a
+    second scan + tokenization of the whole frame.  NULL token arrays are
+    filtered out to match the old behavior exactly (they appeared in
+    neither branch)."""
+    n = F.greatest(F.size("__t") - 1, F.lit(0))
+    return base.filter(F.col("__t").isNotNull()).select(
+        id_col,
+        F.explode_outer(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, n).alias("w1"),
+                F.slice(F.col("__t"), 2, n).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
 def bigram_lm_perplexity(
     docs: DataFrame,
     *,
@@ -64,10 +84,10 @@ def bigram_lm_perplexity(
     """
     toks = retrieval_tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("__t"))
-    trans = _transitions(base, id_col)
+    trans = _transitions_outer(base, id_col)
 
     if train_docs is None:
-        tbase, ttrans = base, trans
+        tbase, ttrans = base, _transitions(base, id_col)
     else:
         tbase = train_docs.select(
             F.col(id_col), retrieval_tokens(F.col(text_col)).alias("__t")
@@ -89,20 +109,23 @@ def bigram_lm_perplexity(
         ),
         6,
     ).cast("decimal(18,6)")
+    # ONE corpus scan (r15): short documents (0 or 1 token) ride the same
+    # explode as a NULL transition row (_transitions_outer) — counting
+    # ``w1`` instead of ``*`` gives them n_trans = 0, their NULL-guarded
+    # logp sum stays NULL, and NULL/0 → NULL ppl — the exact rows the
+    # former union branch produced with a SECOND scan + tokenization.
     scored = (
         trans.join(bi, ["w1", "w2"], "left")
         .join(uni, ["w1"], "left")
         .crossJoin(F.broadcast(vsize))
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_trans"), F.sum(logp).alias("__lsum"))
+        .agg(
+            F.count("w1").alias("n_trans"),
+            F.sum(F.when(F.col("w1").isNotNull(), logp)).alias("__lsum"),
+        )
     )
     ppl = F.round(F.exp(-(F.col("__lsum").cast("double") / F.col("n_trans"))), 4)
-    out = scored.select(id_col, "n_trans", ppl.alias("ppl"))
-    # short documents (0 or 1 token) produce no transitions: re-attach
-    short = base.filter(F.size("__t") < 2).select(
-        id_col, F.lit(0).cast("long").alias("n_trans"), F.lit(None).cast("double").alias("ppl")
-    )
-    return out.unionByName(short)
+    return scored.select(id_col, "n_trans", ppl.alias("ppl"))
 
 
 def bigram_lm_perplexity_sql(

@@ -8,6 +8,8 @@ are built-in-function expressions (whole-stage codegen; no Python UDFs).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,21 +37,62 @@ ALL_STOPWORDS: tuple[str, ...] = tuple(w for _, ws in LANG_MARKERS for w in ws)
 #: memoized composite expressions — see :func:`_memo_expr`
 _EXPR_CACHE: dict = {}
 
+#: cache-size bound: the engine's own call sites build a few dozen
+#: distinct composite trees; anything past this means a long-lived
+#: session is generating keys programmatically and should stop caching
+#: the oldest rather than grow without limit
+_EXPR_CACHE_MAX = 1024
+
+#: applicationId the cache was filled under — a restarted SparkContext
+#: invalidates every wrapped java reference, so the cache clears when
+#: the id changes (``id(jvm)`` was the earlier token; a dead JVMView's
+#: address can be RECYCLED by a new view after GC, which would serve
+#: Column trees wrapping dead java objects)
+_EXPR_CACHE_APP: list = [None]
+
+#: resolved AttributeReferences print as ``name#<exprId>`` in the java
+#: node string; unresolved trees (F.col/F.lit compositions) never do
+_RESOLVED_RE = re.compile(r"#\d")
+
+
+#: sentinel: "this Column contains resolved attributes — do not cache"
+_UNCACHEABLE = object()
+
+
+def _column_key(c: Column):
+    """Cache-key token for a Column argument, or :data:`_UNCACHEABLE` when
+    the tree must NOT be cached.  ``str(Column)`` pretty-prints WITHOUT
+    expression IDs, so two RESOLVED columns from different DataFrames
+    (``df1['text']`` vs ``df2['text']``) print identically — caching one
+    would bind the other frame's plan to the wrong attribute
+    (MISSING_ATTRIBUTES on select, or a silent wrong-side bind in a
+    join).  The java node string DOES carry exprIds (``text#0``) but also
+    call-site origins, which would defeat the cache for unresolved trees
+    — so it is used only as a detector: any ``name#id`` occurrence means
+    resolved attributes are present and the call bypasses the cache
+    entirely."""
+    node = c._jc.node().toString()
+    if _RESOLVED_RE.search(node):
+        return _UNCACHEABLE
+    return str(c)
+
 
 def _memo_expr(fn):
-    """Memoize a Column-composite builder per (JVM, argument expressions).
+    """Memoize a Column-composite builder per (application, argument
+    expressions).
 
     The composites below are pure functions of their argument EXPRESSIONS
     (unresolved trees; no session or data dependence), yet building one
     costs 40–160 ms of py4j round trips (measured: ``gopher_keep`` 163 ms,
     ``c4_clean`` 82 ms, ``lang_id`` 58 ms per construction) — and the
     query registry rebuilds them on every call.  The key uses each Column
-    argument's printed expression (two Columns print identically iff
-    their trees are identical) plus the active JVM's identity, so a
-    restarted JVM rebuilds rather than reusing dead java references.
-    Reusing one tree at several places in a plan is safe: lambda-variable
-    names come from a JVM-global atomic counter, so cached trees can nest
-    inside newer lambdas without capture."""
+    argument's printed expression plus the active ``applicationId`` (a
+    new application clears the cache rather than reusing dead java
+    references).  Columns whose tree contains RESOLVED attributes bypass
+    the cache — see :func:`_column_key`.  Reusing one tree at several
+    places in a plan is safe: lambda-variable names come from a
+    JVM-global atomic counter, so cached trees can nest inside newer
+    lambdas without capture."""
     import functools
 
     from pyspark import SparkContext
@@ -60,20 +103,29 @@ def _memo_expr(fn):
         if sc is None:
             return fn(*args, **kwargs)
         try:
-            key = (
-                id(sc._jvm),
-                fn.__name__,
-                tuple(str(a) if isinstance(a, Column) else a for a in args),
-                tuple(
-                    (k, str(v) if isinstance(v, Column) else v)
-                    for k, v in sorted(kwargs.items())
-                ),
+            app_id = sc.applicationId
+            arg_keys = tuple(
+                _column_key(a) if isinstance(a, Column) else a for a in args
             )
-            out = _EXPR_CACHE.get(key)
+            kw_keys = tuple(
+                (k, _column_key(v) if isinstance(v, Column) else v)
+                for k, v in sorted(kwargs.items())
+            )
+            if _UNCACHEABLE in arg_keys or any(
+                k is _UNCACHEABLE for _, k in kw_keys
+            ):
+                return fn(*args, **kwargs)  # resolved attributes: never cache
+            key = (fn.__name__, arg_keys, kw_keys)
         except Exception:  # noqa: BLE001 — unhashable/unprintable args
             return fn(*args, **kwargs)
+        if _EXPR_CACHE_APP[0] != app_id:
+            _EXPR_CACHE.clear()
+            _EXPR_CACHE_APP[0] = app_id
+        out = _EXPR_CACHE.get(key)
         if out is None:
             out = fn(*args, **kwargs)
+            while len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+                _EXPR_CACHE.pop(next(iter(_EXPR_CACHE)))
             _EXPR_CACHE[key] = out
         return out
 

@@ -220,6 +220,10 @@ def _emission_array(
     cached = _EMISSION_CACHE.get(key)
     if cached is not None:
         return cached
+    # a new application invalidates every wrapped java reference — evict
+    # dead-app entries instead of accumulating them across restarts
+    for stale in [k for k in _EMISSION_CACHE if k[0] != app_id]:
+        del _EMISSION_CACHE[stale]
 
     node_oid = _oid("node", namespace, F.col("nid"))
     src_oid = _oid("node", namespace, F.col("src"))

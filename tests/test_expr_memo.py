@@ -47,6 +47,46 @@ def test_memoized_tree_evaluates_correctly_and_repeatedly(spark):
     assert [r["l"] for r in again] == ["en", "und", "und"]
 
 
+def test_memo_bypasses_resolved_columns(spark):
+    # r15 (ADVICE high): str(Column) prints WITHOUT exprIds, so resolved
+    # columns from different DataFrames collide — df2's call must NOT get
+    # df1's cached tree (it raised MISSING_ATTRIBUTES before the fix).
+    df1 = spark.createDataFrame([("the cat and the dog is here now ok",)], ["text"])
+    df2 = spark.createDataFrame([("el la de que y en un una los es si",)], ["text"])
+    a = T.gopher_keep(df1["text"])
+    b = T.gopher_keep(df2["text"])
+    assert a is not b  # resolved attrs bypass the cache
+    assert df1.select(a.alias("k")).collect()[0]["k"] is not None
+    assert df2.select(b.alias("k")).collect()[0]["k"] is not None
+    # and a resolved call must not poison the unresolved cache either
+    u1 = T.gopher_keep(F.col("text"))
+    u2 = T.gopher_keep(F.col("text"))
+    assert u1 is u2
+
+
+def test_memo_cache_keyed_on_application_and_bounded(spark):
+    # the cache clears when the applicationId changes (dead-JVM columns
+    # must never be served) and never grows past its bound
+    T._EXPR_CACHE.clear()
+    T._EXPR_CACHE_APP[0] = None
+    a = T.gopher_keep(F.col("text"))
+    assert T._EXPR_CACHE_APP[0] == spark.sparkContext.applicationId
+    n_fresh = len(T._EXPR_CACHE)  # gopher_keep + its memoized sub-composites
+    assert n_fresh >= 1
+    T._EXPR_CACHE_APP[0] = "some-dead-application"
+    b = T.gopher_keep(F.col("body"))  # app-id mismatch clears first
+    assert len(T._EXPR_CACHE) == n_fresh and b is not a
+    assert T._EXPR_CACHE_APP[0] == spark.sparkContext.applicationId
+    # bound: overflow evicts the oldest entry instead of growing forever
+    for i in range(T._EXPR_CACHE_MAX + 5):
+        T._EXPR_CACHE[("synthetic", i)] = i
+        while len(T._EXPR_CACHE) > T._EXPR_CACHE_MAX:
+            T._EXPR_CACHE.pop(next(iter(T._EXPR_CACHE)))
+    T.gopher_keep(F.col("c3"))
+    assert len(T._EXPR_CACHE) <= T._EXPR_CACHE_MAX
+    T._EXPR_CACHE.clear()
+
+
 def test_emission_array_cached_per_key(spark):
     from architxt_spark.sources.graph import _EMISSION_CACHE, _emission_array
 
