@@ -204,6 +204,53 @@ def classifier_score(
     )
 
 
+def classifier_margin_expr(
+    text,
+    weight_rows,
+    *,
+    n_buckets: int = N_BUCKETS,
+    bigrams: bool = False,
+):
+    """The classifier margin as ONE scalar column expression — the fused
+    serving form (r15): ``margin(text) = Σ_tokens w[bucket(token)]`` as a
+    fold over the token array against the weight table embedded as an
+    O(1)-indexed ARRAY literal (the model is ``n_buckets``-bounded by
+    construction, so the literal is at most 1024 longs — the same bound
+    that lets :func:`classifier_score` broadcast it).
+
+    This lets a curation pipeline evaluate the classifier gate inside an
+    EXISTING corpus scan (the quality barrier's projection) instead of
+    paying a separate scan + feature shuffle + semi-join + payload
+    re-materialization per batch.  Exact equivalence with
+    :func:`classifier_score`'s margin: both are the same integer sum of
+    per-occurrence bucket weights (longs — associative, order-free);
+    missing buckets contribute 0 on both paths.
+
+    ``weight_rows``: iterable of ``(b, w)`` pairs (e.g.
+    ``weights.collect()`` — the weight frame is driver-local and bounded).
+    """
+    arr = [0] * n_buckets
+    for r in weight_rows:
+        arr[int(r[0])] = int(r[1])
+    # ONE py4j round trip for the whole table (vs 1024 F.lit calls)
+    warr = F.expr("array(" + ",".join(f"{w}L" for w in arr) + ")")
+    toks = T.tokens(text)
+    feats = (
+        # bind the token array once (it is referenced twice) — the _let
+        # rule for interpreted higher-order chains
+        T._let(toks, lambda tt: F.concat(tt, T.shingles_of_tokens(tt, 2)))
+        if bigrams
+        else toks
+    )
+    # element_at is 1-indexed; bucket < n_buckets by construction
+    return F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, (_feature_bucket(t, n_buckets) + 1).cast("int")),
+    )
+
+
 def classifier_score_sql(
     score_src: str,
     pos_src: str,

@@ -164,7 +164,47 @@ def curate_corpus(
             .drop("__c4_clean")
         )
         base = clean_frame
-    quality = stage_barrier(base.filter(T.gopher_keep(F.col(text_col))))
+    # Fused classifier gate (r15): the model is n_buckets-bounded, so its
+    # margin is ONE scalar fold against an indexed weight-array literal
+    # (classifier_margin_expr) and rides the quality scan as a column —
+    # the later classifier stage becomes a column filter on checkpointed
+    # data instead of its own corpus pass (scan + feature shuffle +
+    # semi-join + payload re-materialization).  Exact-equivalent margins
+    # (same integer sum of per-occurrence bucket weights).
+    if quality_model_neg is not None and quality_model_pos is None:
+        raise ValueError("quality_model_neg requires quality_model_pos")
+    if quality_model_pos is not None and quality_model_neg is None:
+        raise ValueError("quality_model_pos requires quality_model_neg")
+    cls_gate = None
+    if quality_model_pos is not None or quality_model_weights is not None:
+        from architxt_spark.functions.classifier import (
+            classifier_margin_expr,
+            train_quality_classifier,
+        )
+
+        weights = (
+            quality_model_weights
+            if quality_model_weights is not None
+            else train_quality_classifier(
+                quality_model_pos,
+                quality_model_neg,
+                id_col=id_col,
+                text_col=text_col,
+                bigrams=quality_model_bigrams,
+            )
+        )
+        # the weight frame is driver-local and bounded (≤ n_buckets rows)
+        cls_gate = (
+            classifier_margin_expr(
+                F.col(text_col), weights.collect(), bigrams=quality_model_bigrams
+            )
+            > 0
+        ).alias("__cls_keep")
+
+    quality = base.filter(T.gopher_keep(F.col(text_col)))
+    if cls_gate is not None:
+        quality = quality.select(*[F.col(c) for c in base.columns], cls_gate)
+    quality = stage_barrier(quality)
     domain_frame = None
     if domain_col is not None:
         # domain screen AFTER the row gate (the profile aggregates only
@@ -195,9 +235,12 @@ def curate_corpus(
     # barrier the survivor frame: the census row, the mixture stage's
     # internal threshold collects, and the returned frame would each
     # re-run the whole minhash dedup chain otherwise (measured ~11 s →
-    # ~6 s at sf0.1 with sampling+packing on)
+    # ~6 s at sf0.1 with sampling+packing on).  The payload comes from
+    # the QUALITY checkpoint (keep_ids ⊆ quality ids, so the rows are
+    # identical to the former base-side join) — a smaller scan, and it
+    # carries the fused classifier column.
     kept = stage_barrier(
-        base.join(keep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi")
+        quality.join(keep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi")
     )
 
     def stage(name: str, frame: DataFrame) -> DataFrame:
@@ -264,43 +307,16 @@ def curate_corpus(
         kept = stage_barrier(kept.join(tail, id_col, "left_anti"))
         census = census.unionByName(stage("ppl", kept))
 
-    if quality_model_neg is not None and quality_model_pos is None:
-        raise ValueError("quality_model_neg requires quality_model_pos")
-    if quality_model_pos is not None or quality_model_weights is not None:
+    if cls_gate is not None:
         # fastText-style model-quality stage (the LLaMA-recipe
-        # "classifier" pass): train the hashed perceptron on the labelled
-        # seed frames — or take a PRE-TRAINED weight table
-        # (``quality_model_weights``), the serving posture where one
-        # model scores every corpus batch — then keep positive-margin
-        # rows.  The weight table is n_buckets-bounded and broadcast, so
-        # the stage costs one scan + one id-keyed shuffle at any size.
-        if quality_model_weights is None and quality_model_neg is None:
-            raise ValueError("quality_model_pos requires quality_model_neg")
-        from architxt_spark.functions.classifier import (
-            classifier_score,
-            train_quality_classifier,
-        )
-
-        weights = (
-            quality_model_weights
-            if quality_model_weights is not None
-            else train_quality_classifier(
-                quality_model_pos,
-                quality_model_neg,
-                id_col=id_col,
-                text_col=text_col,
-                bigrams=quality_model_bigrams,
-            )
-        )
-        keep_cls = (
-            classifier_score(
-                kept, weights, id_col=id_col, text_col=text_col,
-                bigrams=quality_model_bigrams,
-            )
-            .filter(F.col("pred") == 1)
-            .select(id_col)
-        )
-        kept = stage_barrier(kept.join(keep_cls, id_col, "left_semi"))
+        # "classifier" pass), FUSED (r15): the margin was computed on the
+        # quality scan and checkpointed as ``__cls_keep``, so the stage is
+        # a column filter over already-materialized data — no scan, no
+        # feature shuffle, no semi-join, no payload re-materialization.
+        # Cheap enough that downstream consumers (census count, mixture
+        # threshold collects) re-evaluate it against the checkpoint
+        # instead of paying another barrier.
+        kept = kept.filter(F.col("__cls_keep")).drop("__cls_keep")
         census = census.unionByName(stage("classifier", kept))
 
     if mixture_col is not None and mixture_counts is None and mixture_total is not None:
