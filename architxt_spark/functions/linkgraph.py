@@ -41,6 +41,14 @@ from architxt_spark.session import stage_barrier
 
 __all__ = ["session_edges", "html_host_edges", "pagerank", "pagerank_sql"]
 
+#: eager-barrier cadence for the lazily-chained PageRank iterations: the
+#: lineage bound (plan depth never exceeds this many join+agg rounds)
+#: without paying one checkpoint job + driver round-trip per iteration.
+#: 4 keeps the analyzed plan well under the sizes that slow Catalyst
+#: (each round adds 2 joins + 1 aggregate), and a 20-iteration
+#: production run pays 5 barriers instead of 20.
+_PR_BARRIER_INTERVAL = 4
+
 
 def session_edges(
     events: DataFrame,
@@ -159,7 +167,25 @@ def pagerank(
         else None
     )
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_units"))
-    for _ in range(iters):
+    # Iterations CHAIN LAZILY (r15): each rank frame is consumed once by
+    # the next iteration's contribution join (twice with dangling
+    # redistribution, where a lazy persist de-duplicates the evaluation),
+    # so the whole fixed-iteration loop is ONE action at the consumer
+    # instead of one eager localCheckpoint job + its AQE stage jobs +
+    # driver round-trips PER ITERATION (optprof: the line was a stream of
+    # 20-40 ms scheduling-bound jobs).  An eager barrier still lands
+    # every ``_PR_BARRIER_INTERVAL`` iterations — and always on the LAST
+    # one — so plan depth stays O(interval), the same lineage bound as
+    # before; values are placement-independent (exact integer ops).
+    held: list[DataFrame] = []
+    ranks_lazy = False
+    for it in range(1, iters + 1):
+        if dangling is not None and ranks_lazy:
+            # consumed by both the contribution join and the dangling
+            # 1-row aggregate: cache the lazy frame so the iteration
+            # is not evaluated twice (released after the next barrier)
+            ranks = ranks.persist()
+            held.append(ranks)
         contrib = (
             e2.join(ranks.withColumnRenamed("node", "__s"), F.col(src) == F.col("__s"))
             .select(
@@ -189,9 +215,25 @@ def pagerank(
                 f"({damping_pct} * (__dang div {n})) div 100"
             )
         prev = ranks
-        ranks = stage_barrier(
-            updated.select("node", new_rank.cast("long").alias("rank_units"))
-        )
+        ranks = updated.select("node", new_rank.cast("long").alias("rank_units"))
+        if (
+            it % _PR_BARRIER_INTERVAL == 0
+            or it == iters
+            or tol_units is not None
+            or dangling is not None
+        ):
+            # the dangling variant keeps its per-iteration barrier: its
+            # 1-row mass aggregate is a nested broadcast subquery, and a
+            # lazily-chained stack of those evaluated serially inside
+            # broadcast-exchange builds measured SLOWER than the
+            # barriered form (A/B at sf0.1) — only the linear chain wins
+            ranks = stage_barrier(ranks)
+            ranks_lazy = False
+            for h in held:
+                h.unpersist()
+            held.clear()
+        else:
+            ranks_lazy = True
         if tol_units is not None:
             delta = (
                 ranks.join(

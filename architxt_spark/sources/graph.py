@@ -58,8 +58,10 @@ def get_root_nodes(nodes: DataFrame, rels: DataFrame) -> DataFrame:
     roots = nodes.join(rels.select(F.col("dst").alias("id")), "id", "left_anti")
     # Materialized once: the result feeds the emptiness check here, the BFS
     # frontier, and the ROOT-row emission — one anti-join job, not three.
-    roots = roots.transform(stage_barrier)
-    if roots.isEmpty():
+    # The LAZY checkpoint is computed by the emptiness count itself, so
+    # materialization and the probe share one job (r15).
+    roots = stage_barrier(roots, eager=False)
+    if roots.count() == 0:
         deg = rels.groupBy(F.col("src").alias("id")).count()
         top = deg.orderBy(F.desc("count"), "id").limit(1).select("id")
         roots = nodes.join(top, "id", "left_semi")
@@ -122,8 +124,12 @@ def _traverse(roots: DataFrame, rels: DataFrame, max_depth: int) -> tuple[DataFr
                 .select("tree_id", "dst", "__e.*")
                 .withColumn("bfs_depth", F.lit(depth))
             )
-            step = step.transform(stage_barrier)
-            if step.isEmpty():
+            # ONE job materializes the level AND answers the emptiness
+            # probe (r15): a LAZY checkpoint is computed by the count()
+            # that the loop needs anyway — the former eager-barrier +
+            # isEmpty pair paid two scheduled jobs per BFS level.
+            step = stage_barrier(step, eager=False)
+            if step.count() == 0:
                 break
             edge_levels.append(step)
             frontier = step.select("tree_id", F.col("dst").alias("nid"), "bfs_depth")
