@@ -2850,9 +2850,14 @@ def quality_model_weights(spark: SparkSession, sf: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf)
     if key not in _QUALITY_MODEL_CACHE:
+        # pos (doc_id < 25) and neg partition the SAME table: one
+        # labelled scan instead of two file reads (r15, label_col path)
         docs = _t(spark, sf, "documents").select("doc_id", "text")
         _QUALITY_MODEL_CACHE[key] = train_quality_classifier(
-            docs.filter(F.col("doc_id") < 25), docs.filter(F.col("doc_id") >= 25)
+            docs.withColumn(
+                "__y", F.when(F.col("doc_id") < 25, 1).otherwise(-1)
+            ),
+            label_col="__y",
         )
     return _QUALITY_MODEL_CACHE[key]
 
@@ -3342,10 +3347,13 @@ def curation_model_weights(spark: SparkSession, sf: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf)
     if key not in _CURATION_MODEL_CACHE:
+        # both seed slices come from the SAME table: one labelled scan
+        # instead of two file reads (r15, label_col path)
         docs = _t(spark, sf, "documents").select("doc_id", "text")
         _CURATION_MODEL_CACHE[key] = train_quality_classifier(
-            docs.filter(F.col("doc_id") % 41 == 1),
-            docs.filter(F.col("doc_id") % 41 == 2),
+            docs.filter((F.col("doc_id") % 41).isin(1, 2))
+            .withColumn("__y", F.when(F.col("doc_id") % 41 == 1, 1).otherwise(-1)),
+            label_col="__y",
         )
     return _CURATION_MODEL_CACHE[key]
 

@@ -70,9 +70,33 @@ def _labelled_features(
     text_col: str,
     n_buckets: int,
     bigrams: bool = False,
+    label_col: str | None = None,
 ) -> DataFrame:
     """(id, y, b, x): per-document hashed feature bucket counts with the
-    ±1 label.  One narrow explode per corpus side."""
+    ±1 label.  One narrow explode per corpus side — or, when
+    ``label_col`` names a ±1 column on ``pos`` (``neg`` unused), ONE
+    explode over the single labelled frame: callers whose pos/neg sides
+    are disjoint slices of the same table (the registry fit builds) save
+    a full duplicate scan of the file set (r15).  Rows are identical —
+    the label rides the explode instead of being stamped per side."""
+    if label_col is not None:
+        staged = _spread(pos).select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("int").alias("y"),
+            T.tokens(F.col(text_col)).alias("__toks"),
+        )
+        feats = (
+            F.concat(F.col("__toks"), T.shingles_of_tokens(F.col("__toks"), 2))
+            if bigrams
+            else F.col("__toks")
+        )
+        rows = staged.select("id", "y", F.explode(feats).alias("__t"))
+        return (
+            rows.select("id", "y", _feature_bucket(F.col("__t"), n_buckets).alias("b"))
+            .groupBy("id", "b")
+            .agg(F.count("*").cast("long").alias("x"), F.first("y").alias("y"))
+            .select("id", "y", "b", "x")
+        )
 
     def side(df: DataFrame, y: int) -> DataFrame:
         toks = _feature_rows(df, id_col, text_col, bigrams)
@@ -88,22 +112,29 @@ def _labelled_features(
 
 def train_quality_classifier(
     pos: DataFrame,
-    neg: DataFrame,
+    neg: DataFrame | None = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
     iterations: int = ITERATIONS,
     bigrams: bool = False,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Train the hashed perceptron; returns the weight table
     ``(b, w)`` — one BIGINT weight per feature bucket seen in training
     (zero-weight buckets included, so the table is the model artifact).
     ``bigrams`` adds hashed word-bigram features (the fastText feature
     space) on both the train and — pass the same flag to
-    :func:`classifier_score` — the score side."""
+    :func:`classifier_score` — the score side.  ``label_col``: train
+    from ONE frame carrying a ±1 label column instead of pos/neg frames
+    — one scan when both slices come from the same table (r15)."""
+    if (neg is None) == (label_col is None):
+        raise ValueError("pass either neg or label_col, not both")
     spark = pos.sparkSession
-    feats = _labelled_features(pos, neg, id_col, text_col, n_buckets, bigrams).persist()
+    feats = _labelled_features(
+        pos, neg, id_col, text_col, n_buckets, bigrams, label_col=label_col
+    ).persist()
     held: list[DataFrame] = []
     try:
         # The iterations chain LAZILY as broadcast-joined weight frames —
