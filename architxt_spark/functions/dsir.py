@@ -138,17 +138,36 @@ def dsir_scores(
     estimates it per corpus snapshot and scores every batch against it);
     identical values either way.
     """
-    raw_feats = _doc_features(docs, id_col, text_col, n_buckets)
     if ratios is None:
         ratios = dsir_ratio_model(
             docs, target, id_col=id_col, text_col=text_col,
             n_buckets=n_buckets, k=k,
         )
 
-    scored = (
-        raw_feats.join(F.broadcast(ratios), "__b")
+    # ONE corpus scan (r15): feature-less documents ride the same explode
+    # as a NULL feature row (explode_outer) instead of a second scan +
+    # tokenization union branch.  The former INNER ratio join becomes a
+    # LEFT join + post-aggregation filter that replays its semantics
+    # exactly: n_feats counts only model-matched features, documents
+    # whose every feature is absent from the model still drop out
+    # (n_feats = 0 with no NULL marker row), and the NULL row keeps
+    # feature-less documents in the output with (0, NULL).
+    base = docs.select(
+        F.col(id_col).alias("__id"), T.tokens(F.col(text_col)).alias("__t")
+    ).filter(F.col("__t").isNotNull())
+    feats = F.concat(F.col("__t"), T.shingles_of_tokens(F.col("__t"), 2))
+    rows = base.select("__id", F.explode_outer(feats).alias("__f")).select(
+        "__id", "__f", _feature_bucket(F.col("__f"), n_buckets).alias("__b")
+    )
+    return (
+        rows.join(F.broadcast(ratios), "__b", "left")
         .groupBy("__id")
-        .agg(F.count("*").alias("n_feats"), F.sum("__lr").alias("__lsum"))
+        .agg(
+            F.count("__lr").alias("n_feats"),
+            F.sum("__lr").alias("__lsum"),
+            F.max(F.col("__f").isNull().cast("int")).alias("__empty"),
+        )
+        .filter((F.col("n_feats") > 0) | (F.col("__empty") == 1))
         .select(
             F.col("__id").alias(id_col),
             "n_feats",
@@ -157,14 +176,6 @@ def dsir_scores(
             ),
         )
     )
-    empty = docs.select(F.col(id_col), F.col(text_col)).where(
-        F.size(T.tokens(F.col(text_col))) == 0
-    ).select(
-        id_col,
-        F.lit(0).cast("long").alias("n_feats"),
-        F.lit(None).cast("double").alias("dsir_score"),
-    )
-    return scored.unionByName(empty)
 
 
 def dsir_scores_sql(
