@@ -3780,64 +3780,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry folded/renamed or code-touched this round, go FIRST so any
     # prefix the gate takes maximizes newly-verified coverage.
     first = [
-        # Entries code-touched in round 14: the gate prefix reaches these
-        # first so the changed code gets a driver verdict the same round.
-        # metrics_customer: AMI/completeness now computed from a
-        # Spark-side contingency aggregation (no per-row label collect);
-        # doc_loader_files: XOR-obfuscated .xls (FILEPASS method 0) +
-        # .ods repeated-empty-cell / repeated-row / notes fixes;
-        # cluster_instance_documents / cluster_documents: scalar
-        # similarity fns (jaccard/levenshtein/jaro-winkler/context) and
-        # entity_labels census folded in as tagged rows;
-        # multimodal_profile / multimodal_dedup: 12-bit progressive JPEG
-        # gate closed in the shared decoder.
-        "metrics_customer",
-        "doc_loader_files",
-        "cluster_instance_documents",
-        "cluster_documents",
-        "multimodal_profile",
-        "multimodal_dedup",
-        # corpus_health: r14-opt — datasheet scalars barriered, deciles
-        # fused to one aggregate (functions/report.py; values unchanged).
-        "corpus_health",
-        # Entries whose newest driver verdict is round 12 — the ≤2-round
-        # rotation contract requires the r14 gate to renew all 36.
-        "ann_recall",
-        "ann_suite",
-        "bm25_topk",
-        "collocations",
-        "contamination_screen",
-        "coverage_metric",
-        "dedup_exact_spans",
-        "dedup_filtered",
-        "dedup_pairs",
-        "dedup_simhash",
-        "distinct_parts_per_brand",
-        "doc_loader_json_props",
-        "domain_profile",
+        # Entries whose EXECUTED CODE changed in round 15 (optimization
+        # round 2) and that are not already in the r13-stale block below —
+        # the gate prefix reaches these first so the changed code gets a
+        # driver verdict the same round:
+        # quality_classifier: classifier_score single-scan explode_outer
+        #   + labelled single-scan training (classifier.py);
+        # lm_perplexity / ppl_buckets: short-doc rows fused into the
+        #   scoring explode (lm.py);
+        # dsir: one-scan scoring with the left-join replay (dsir.py);
+        # contamination_screen: signatures ride the cross-pair band rows
+        #   (dedup.py minhash_cross_pairs);
+        # graph_extract: BFS level barrier + emptiness probe fused to one
+        #   job (sources/graph.py);
+        # link_pagerank: lazily-chained iterations with interval barriers
+        #   (linkgraph.py);
+        # dedup_pairs / dedup_filtered / stream_minhash_dedup /
+        # stream_curate: memo-key + signature-lifecycle changes in their
+        #   executed path (text.py/_memo_expr, dedup.py, curation.py).
+        "quality_classifier",
+        "lm_perplexity",
+        "ppl_buckets",
         "dsir",
-        "events_sessionize",
-        "extract_valid_trees",
+        "contamination_screen",
         "graph_extract",
         "link_pagerank",
-        "llm_label_schema",
-        "lm_perplexity",
-        "ngram_stats",
-        "ppl_buckets",
-        "quality_classifier",
-        "random_project",
-        "rewrite_documents",
-        "sampling_pack",
-        "sampling_temperature",
-        "sampling_weighted",
-        "semantic_dedup",
-        "stream_curate",
+        "dedup_pairs",
+        "dedup_filtered",
         "stream_minhash_dedup",
-        "stream_url_seen",
-        "tfidf_terms",
-        "tree_leaves_nation",
-        "typed_export_orders",
-        "warc_split_roundtrip",
+        "stream_curate",
+        # Entries whose newest driver verdict is round 13 — the ≤2-round
+        # rotation contract requires the r15 gate to renew all 36.  This
+        # block also covers the r14-opt rewrites that shipped without an
+        # r14 verdict (VERDICT r14 #1: curation_pipeline, crawl_to_corpus,
+        # c4_clean, text_profile, pii_redaction, lang_distribution,
+        # doc_quality_stats) and the r15 curation fusion (curation_pipeline,
+        # crawl_to_corpus inherit curation.py + classifier.py changes).
+        "curation_pipeline",
+        "crawl_to_corpus",
+        "c4_clean",
+        "text_profile",
+        "pii_redaction",
+        "lang_distribution",
+        "doc_quality_stats",
+        "bm25_batch",
+        "bpe_suite",
+        "chunk_pipeline",
+        "corpus_delta",
+        "crawl_media_dedup",
+        "dataset_extract_nation",
+        "dedup_components",
+        "doc_chunking",
+        "embedding_near_dup",
+        "events_funnel",
+        "events_rollup_streaming",
+        "events_sessionize_streaming",
+        "export_stats",
+        "extract_vocab",
+        "forest_stats_documents",
+        "gen_instance",
+        "join_salted_revenue",
+        "llm_rewrite_stub",
+        "nlp_parse_forest",
+        "sampling_mixture",
+        "sampling_strata",
+        "scalar_funcs",
+        "schema_groups_nation",
+        "simple_rewrite_documents",
+        "sketch_suite",
+        "temporal_joins",
+        "unicode_split",
+        "unpivot_orders",
+        "window_grouping",
     ]
     return {**{k: q[k] for k in first}, **{k: v for k, v in q.items() if k not in first}}
 
