@@ -27,31 +27,35 @@ def test_rotation_prefix_is_valid_and_first():
     allq = E._all_queries()
     names = list(q)
     assert set(names) == set(allq)
-    # r14: code-touched entries lead (scale-safe AMI contingency, XOR
-    # .xls + .ods repeat fixes, scalar-similarity/entity_labels folds,
-    # 12-bit progressive JPEG), then ALL 36 entries whose newest driver
-    # verdict is r12 — the <=2-round rotation contract
-    touched = ("metrics_customer", "doc_loader_files",
-               "cluster_instance_documents", "cluster_documents",
-               "multimodal_profile", "multimodal_dedup")
+    # r15 (optimization round 2): entries whose executed code changed
+    # this round lead (single-scan classifier/LM/DSIR scoring, cross-pair
+    # signature carry, BFS/PageRank scheduling cuts, memo-key +
+    # signature-lifecycle changes), then ALL 36 entries whose newest
+    # driver verdict is r13 — the <=2-round rotation contract
+    touched = (
+        "quality_classifier", "lm_perplexity", "ppl_buckets", "dsir",
+        "contamination_screen", "graph_extract", "link_pagerank",
+        "dedup_pairs", "dedup_filtered", "stream_minhash_dedup",
+        "stream_curate",
+    )
     for i, k in enumerate(touched):
         assert names.index(k) == i, k
-    stale_r12 = (
-        "ann_recall", "ann_suite", "bm25_topk", "collocations",
-        "contamination_screen", "coverage_metric", "dedup_exact_spans",
-        "dedup_filtered", "dedup_pairs", "dedup_simhash",
-        "distinct_parts_per_brand", "doc_loader_json_props",
-        "domain_profile", "dsir", "events_sessionize",
-        "extract_valid_trees", "graph_extract", "link_pagerank",
-        "llm_label_schema", "lm_perplexity", "ngram_stats", "ppl_buckets",
-        "quality_classifier", "random_project", "rewrite_documents",
-        "sampling_pack", "sampling_temperature", "sampling_weighted",
-        "semantic_dedup", "stream_curate", "stream_minhash_dedup",
-        "stream_url_seen", "tfidf_terms", "tree_leaves_nation",
-        "typed_export_orders", "warc_split_roundtrip",
+    stale_r13 = (
+        "curation_pipeline", "crawl_to_corpus", "c4_clean", "text_profile",
+        "pii_redaction", "lang_distribution", "doc_quality_stats",
+        "bm25_batch", "bpe_suite", "chunk_pipeline", "corpus_delta",
+        "crawl_media_dedup", "dataset_extract_nation", "dedup_components",
+        "doc_chunking", "embedding_near_dup", "events_funnel",
+        "events_rollup_streaming", "events_sessionize_streaming",
+        "export_stats", "extract_vocab", "forest_stats_documents",
+        "gen_instance", "join_salted_revenue", "llm_rewrite_stub",
+        "nlp_parse_forest", "sampling_mixture", "sampling_strata",
+        "scalar_funcs", "schema_groups_nation", "simple_rewrite_documents",
+        "sketch_suite", "temporal_joins", "unicode_split",
+        "unpivot_orders", "window_grouping",
     )
-    for k in stale_r12:
-        assert names.index(k) < 45, k
+    for k in stale_r13:
+        assert names.index(k) < 47, k
     # folded-away entries must be GONE (their coverage lives in the folds)
     for gone in ("ann_topk", "ann_ivf_topk", "ann_pq_adc", "window_orders",
                  "grouping_orders", "corpus_report", "corpus_drift",
