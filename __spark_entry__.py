@@ -3751,14 +3751,47 @@ def q_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Fold of dedup_minhash_lsh + dedup_ngram_jaccard: the candidate-
     pair generators (banded MinHash estimate, DF-capped n-gram inverted
-    index) in one tagged pair frame."""
-    m = q_dedup_minhash_lsh(spark, sf).select(
-        F.lit("minhash").alias("variant"),
-        "id_a",
-        "id_b",
-        F.col("est_jaccard").alias("score"),
-    )
-    return q_dedup_ngram_jaccard(spark, sf).unionByName(m)
+    index) in one tagged pair frame.
+
+    The jaccard and minhash generators key off the SAME distinct
+    word-3-gram md5s (15-hex vs 7-hex prefixes), so one shared persisted
+    ``(id, md5)`` frame feeds both — the corpus is tokenized, shingled
+    and hashed ONCE per fold instead of once per generator (r15,
+    ``dedup.shingle_md5_rows``).  The winnow screen keeps its own base
+    (it needs the ORDERED hash sequence, not the distinct set).  Values
+    identical: each generator applies the same substring/conv it always
+    derived from the same md5."""
+    docs = _t(spark, sf, "documents")
+    shared, _n = dedup.shingle_md5_rows(docs, "text", "doc_id")
+    try:
+        jac = dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.2, md5_rows=shared
+        ).select(
+            F.lit("jaccard").alias("variant"),
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("score"),
+        )
+        win = dedup.winnow_pairs(docs, "text", "doc_id").select(
+            F.lit("winnow").alias("variant"),
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("double").alias("score"),
+        )
+        m = dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", max_band_df=1000, md5_rows=shared
+        ).select(
+            F.lit("minhash").alias("variant"),
+            "id_a",
+            "id_b",
+            F.col("est_jaccard").alias("score"),
+        )
+    finally:
+        # both consumers are materialized by now (the jaccard pair frame
+        # is stage-barriered inside its builder; the minhash signature
+        # frame is eagerly persisted) — the shared md5 cache can go
+        shared.unpersist()
+    return jac.unionByName(win).unionByName(m)
 
 
 # ---------------------------------------------------------------------------

@@ -234,6 +234,31 @@ def minhash_bands(sig: Column, k: int = MINHASH_K, band_size: int = MINHASH_BAND
     ])
 
 
+def shingle_md5_rows(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, int]:
+    """``(id, m)`` — one PERSISTED row per distinct word-3-gram shingle
+    per document, ``m`` = the full 32-hex md5 of the shingle, plus the
+    eager row count.  The shared front half of the md5-keyed pair
+    generators (r15): :func:`ngram_jaccard_pairs` keys its inverted
+    index on ``conv(substr(m,1,15))`` and :func:`minhash_lsh_pairs`
+    derives its 28-bit permutation inputs from ``conv(substr(m,1,7))``,
+    so a caller running BOTH (the registry's dedup_pairs fold) hands
+    this frame to each and the corpus is tokenized, shingled, exploded
+    and md5-hashed ONCE instead of once per generator.  Caller owns the
+    persist: unpersist after the consuming frames are materialized."""
+    holds: list = []
+    rows = (
+        _shingle_rows(df, text_col, id_col, holds)
+        .select("id", F.md5(F.col("s")).alias("m"))
+        .persist()
+    )
+    n = rows.count()  # eager: hash once; every consumer reads the cache
+    for h in holds:
+        h.unpersist()
+    return rows, n
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -241,6 +266,7 @@ def minhash_lsh_pairs(
     *,
     max_band_df: int | None = None,
     signatures: DataFrame | None = None,
+    md5_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band, with the
     minhash-estimated Jaccard (fraction of equal signature components).
@@ -271,7 +297,23 @@ def minhash_lsh_pairs(
     if signatures is not None:
         base = signatures
     else:
-        base = _signature_frame(df, text_col, id_col).persist()
+        if md5_rows is not None:
+            # shared md5 front half (see shingle_md5_rows): derive the
+            # 28-bit permutation inputs from the cached rows instead of
+            # re-tokenizing the corpus
+            h = F.conv(F.substring(F.col("m"), 1, 7), 16, 10).cast("long")
+            base = (
+                md5_rows.select("id", h.alias("h"))
+                .groupBy("id")
+                .agg(*_minhash_min_aggs())
+                .select(
+                    "id",
+                    F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig"),
+                )
+            )
+        else:
+            base = _signature_frame(df, text_col, id_col)
+        base = base.persist()
         base.count()  # eager: both self-join branches would otherwise race
         # to materialize the cache and compute the signature pipeline twice
     # NOTE (r15, measured and REJECTED): carrying ``sig`` through the band
@@ -602,6 +644,7 @@ def ngram_jaccard_pairs(
     *,
     threshold: float = 0.8,
     max_shingle_df: int = 1000,
+    md5_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold, computed
     over the DF-capped shingle vocabulary.
@@ -633,11 +676,21 @@ def ngram_jaccard_pairs(
     # reason (scratch handle released below).  persist the exploded
     # index: the heavy-set aggregation and both self-join sides read it.
     holds: list = []
-    fp = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
-    raw = (
-        _shingle_rows(df, text_col, id_col, holds).select("id", fp.alias("s")).persist()
-    )
-    n_index = raw.count()  # eager for the same both-branches-race reason as minhash
+    if md5_rows is not None:
+        # shared md5 front half (see shingle_md5_rows): the fingerprint
+        # is a cheap substring+conv over the caller's cached rows — the
+        # caller owns that persist, so no second cache is taken here
+        fp15 = F.conv(F.substring(F.col("m"), 1, 15), 16, 10).cast("long")
+        raw = md5_rows.select("id", fp15.alias("s"))
+        n_index = md5_rows.count()  # cached — the free size estimate
+        owned = None
+    else:
+        fp = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+        raw = (
+            _shingle_rows(df, text_col, id_col, holds).select("id", fp.alias("s")).persist()
+        )
+        n_index = raw.count()  # eager for the same both-branches-race reason as minhash
+        owned = raw
     for hold in holds:
         hold.unpersist()
     try:
@@ -676,7 +729,8 @@ def ngram_jaccard_pairs(
         # materialize the SMALL pair frame, then release the cached index
         return out.transform(stage_barrier)
     finally:
-        raw.unpersist()
+        if owned is not None:
+            owned.unpersist()
 
 
 def ngram_jaccard_pairs_sql(
