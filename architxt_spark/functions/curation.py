@@ -265,16 +265,20 @@ def curate_corpus(
 
     if decontaminate_against is not None:
         # eval-set decontamination over the DEDUPED survivors (the
-        # benchmark band index broadcasts; corpus scanned once)
-        from architxt_spark.functions.dedup import decontaminate_filter
+        # benchmark band index broadcasts; corpus scanned once).  Only
+        # the SMALL drop-id set is barriered (r15) — the anti-join stays
+        # lazy over the survivor checkpoint, so the stage no longer
+        # re-materializes the full payload just to record itself;
+        # downstream consumers pay one broadcast anti-join per scan.
+        from architxt_spark.functions.dedup import decontaminate_drop_ids
 
         # the dedup survivors' signatures, cut to exactly the kept ids so
         # minhash_cross_pairs' corpus/signature contract stays 1:1
         kept_sigs = sig_out[0].join(
             kept.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
-        kept = stage_barrier(
-            decontaminate_filter(
+        drop_ids = stage_barrier(
+            decontaminate_drop_ids(
                 kept,
                 decontaminate_against,
                 text_col,
@@ -283,7 +287,8 @@ def curate_corpus(
                 corpus_signatures=kept_sigs,
             )
         )
-        # the decontam barrier (eager) was the signature frame's last
+        kept = kept.join(drop_ids, id_col, "left_anti")
+        # the drop-id barrier (eager) was the signature frame's last
         # consumer — release the persist dedup_filter left behind
         sig_out[0].unpersist()
         census = census.unionByName(stage("decontam", kept))
@@ -297,14 +302,17 @@ def curate_corpus(
         # engines)
         from architxt_spark.functions.lm import ppl_buckets
 
-        tail = (
+        # only the SMALL tail-id set is barriered (r15, same trade as the
+        # decontam stage): the anti-join stays lazy over the survivor
+        # checkpoint instead of re-materializing the full payload
+        tail = stage_barrier(
             ppl_buckets(
                 kept, id_col=id_col, text_col=text_col, train_docs=ppl_train_docs
             )
             .filter(F.col("bucket") == "tail")
             .select(id_col)
         )
-        kept = stage_barrier(kept.join(tail, id_col, "left_anti"))
+        kept = kept.join(tail, id_col, "left_anti")
         census = census.unionByName(stage("ppl", kept))
 
     if cls_gate is not None:

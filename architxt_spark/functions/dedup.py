@@ -453,6 +453,40 @@ def minhash_cross_pairs(
     )
 
 
+def decontaminate_drop_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    max_band_df: int | None = 10_000,
+    corpus_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """The decontamination DROP set alone — ``(id_col,)`` of corpus rows
+    whose minhash similarity to ANY benchmark document reaches
+    ``threshold``.  Benchmark-bounded and small; a pipeline barriers THIS
+    frame and applies the anti-join lazily, instead of re-materializing
+    the full survivor payload just to record the stage (r15)."""
+    return (
+        minhash_cross_pairs(
+            corpus,
+            benchmark,
+            text_col,
+            id_col,
+            bench_text_col=bench_text_col,
+            bench_id_col=bench_id_col,
+            max_band_df=max_band_df,
+            corpus_signatures=corpus_signatures,
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+
+
 def decontaminate_filter(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -470,20 +504,16 @@ def decontaminate_filter(
     ``threshold`` is dropped.  The drop set is benchmark-bounded and the
     final filter is one anti-join.  ``corpus_signatures`` — see
     :func:`minhash_cross_pairs`."""
-    hits = (
-        minhash_cross_pairs(
-            corpus,
-            benchmark,
-            text_col,
-            id_col,
-            bench_text_col=bench_text_col,
-            bench_id_col=bench_id_col,
-            max_band_df=max_band_df,
-            corpus_signatures=corpus_signatures,
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("corpus_id").alias(id_col))
-        .distinct()
+    hits = decontaminate_drop_ids(
+        corpus,
+        benchmark,
+        text_col,
+        id_col,
+        threshold=threshold,
+        bench_text_col=bench_text_col,
+        bench_id_col=bench_id_col,
+        max_band_df=max_band_df,
+        corpus_signatures=corpus_signatures,
     )
     return corpus.join(hits, id_col, "left_anti")
 
